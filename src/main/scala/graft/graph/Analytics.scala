@@ -1,0 +1,153 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Whole-graph analytics (`utils/analyze.py`), DataFrame-native.
+  *
+  * We deliberately implement the iterative graph algorithms on DataFrames
+  * (shuffle-on-key joins + `localCheckpoint` per round) rather than GraphX:
+  * the relational form keeps everything in Tungsten/whole-stage-codegen, scales
+  * with AQE, and needs no RDD round-trips. All algorithms treat the graph as
+  * the canonical `edges(src, dst, etype)` table.
+  */
+object Analytics {
+
+  /** Connected components of the UNDIRECTED view (`utils/analyze.py:28-39`,
+    * `nx.connected_components(G.to_undirected())`).
+    *
+    * Min-label propagation to fixpoint: component id = min entity id (string
+    * order) reachable. Converges in O(diameter) rounds; each round is one
+    * shuffle. For 100 TB-scale graphs the round count is bounded by graph
+    * diameter — for short-diameter social-style graphs this is the standard
+    * production pattern (large-star/small-star is the upgrade path).
+    *
+    * @return (id, component) — component = min id in the component.
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+
+    val und = edges.select($"src".as("a"), $"dst".as("b"))
+      .unionByName(edges.select($"dst".as("a"), $"src".as("b")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels = vertices.select($"id", $"id".as("component"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      // candidate label for a node = min(own, min over neighbors' labels)
+      val nbrMin = und
+        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("component", "nbrComp"),
+          Seq("b"))
+        .groupBy($"a".as("id")).agg(min($"nbrComp").as("nbrComp"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select($"id",
+          least(coalesce($"nbrComp", $"component"), $"component").as("newComp"),
+          $"component")
+      val updated = next
+        .select($"id", $"newComp".as("component"),
+          ($"newComp" =!= $"component").cast("long").as("chg"))
+        .localCheckpoint(true)
+      changed = updated.agg(sum($"chg")).as[Long].head()
+      labels = updated.select($"id", $"component").localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Component size histogram + category summary (`utils/analyze.py:15-72`).
+    * Buckets: isolated=1, XS 2-5, S 6-20, M 21-100, L 101-1000, XL >1000.
+    */
+  def bucketExpr(sizeCol: Column): Column =
+    when(sizeCol === 1, "isolated")
+      .when(sizeCol <= 5, "XS")
+      .when(sizeCol <= 20, "S")
+      .when(sizeCol <= 100, "M")
+      .when(sizeCol <= 1000, "L")
+      .otherwise("XL")
+
+  def componentSummary(components: DataFrame): DataFrame = {
+    val sizes = components.groupBy(col("component")).agg(count(lit(1)).as("size"))
+    sizes.withColumn("bucket", bucketExpr(col("size")))
+      .groupBy(col("bucket"))
+      .agg(sum(col("size")).as("nodes"), count(lit(1)).as("components"))
+  }
+
+  /** Degree table: (id, inDeg, outDeg, deg) via two aggregations + outer join
+    * (`utils/analyze.py:107-117`). */
+  def degrees(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outDeg"))
+    val in = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("inDeg"))
+    vertices.select(col("id"))
+      .join(out, Seq("id"), "left")
+      .join(in, Seq("id"), "left")
+      .na.fill(0L, Seq("inDeg", "outDeg"))
+      .withColumn("deg", col("inDeg") + col("outDeg"))
+  }
+
+  /** Graph scalar metrics: nodes, edges, density m/(n*(n-1))
+    * (`utils/analyze.py:94-97`). */
+  def metrics(vertices: DataFrame, edges: DataFrame): (Long, Long, Double) = {
+    val n = vertices.count()
+    val m = edges.count()
+    val density = if (n > 1) m.toDouble / (n.toDouble * (n - 1)) else 0.0
+    (n, m, density)
+  }
+
+  /** Commentary-chain depth (`utils/analyze.py:213-253`): longest path from
+    * root works (no base texts) along `commentary_on` edges. Iterative
+    * longest-path relaxation to fixpoint (data is a de-facto DAG; a hop cap
+    * guards accidental cycles, mirroring the reference's visited-set guard).
+    *
+    * @return (id, depth) — depth 0 for roots, max path length from any root.
+    */
+  def commentaryDepths(vertices: DataFrame, edges: DataFrame, maxHops: Int = 64): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val comm = edges.filter($"etype" === graft.model.Schemas.CommentaryOn)
+      .select($"src", $"dst").distinct().localCheckpoint(true)
+    // roots: commentary sources that are never a commentary target, plus all
+    // works outside any chain get depth null (not part of output).
+    val targets = comm.select($"dst".as("id")).distinct()
+    val roots = comm.select($"src".as("id")).distinct()
+      .join(targets, Seq("id"), "left_anti")
+
+    var depths = roots.withColumn("depth", lit(0L)).localCheckpoint(true)
+    var frontier = depths
+    var i = 0
+    while (i < maxHops && !frontier.isEmpty) {
+      val next = frontier.join(comm.withColumnRenamed("src", "id"), Seq("id"))
+        .select($"dst".as("id"), ($"depth" + 1).as("depth"))
+        .groupBy($"id").agg(max($"depth").as("depth"))
+      // keep only strict improvements → termination on fixpoint
+      val improved = next.join(depths.withColumnRenamed("depth", "old"), Seq("id"), "left")
+        .filter($"old".isNull || $"depth" > $"old")
+        .select($"id", $"depth")
+        .localCheckpoint(true)
+      depths = depths.join(improved.select($"id"), Seq("id"), "left_anti")
+        .unionByName(improved)
+        .localCheckpoint(true)
+      frontier = improved
+      i += 1
+    }
+    depths
+  }
+
+  /** Mean branching factor over works with ≥1 commentary
+    * (`utils/analyze.py:256-265`). */
+  def meanBranchingFactor(edges: DataFrame): DataFrame = {
+    edges.filter(col("etype") === graft.model.Schemas.CommentaryOn)
+      .groupBy(col("src")).agg(count(lit(1)).as("bf"))
+      .agg(avg(col("bf")).as("mean_branching_factor"))
+  }
+
+  /** Edge endpoint type-pair counts (`utils/analyze.py:143-153`). */
+  def edgeTypePairs(edges: DataFrame, entities: DataFrame): DataFrame = {
+    val types = broadcast(entities.select(col("id"), col("type")))
+    edges
+      .join(types.withColumnRenamed("id", "src").withColumnRenamed("type", "srcType"), Seq("src"))
+      .join(types.withColumnRenamed("id", "dst").withColumnRenamed("type", "dstType"), Seq("dst"))
+      .groupBy(col("srcType"), col("dstType")).agg(count(lit(1)).as("n"))
+  }
+}
