@@ -1,0 +1,727 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.FreshCheckpoint
+
+import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.streaming.EventStreams
+
+/** The driver-facing operator inventory: every operator class from SURVEY §2
+  * (scans, projections, joins, aggregations, sorts, set ops, graph traversal)
+  * plus the training-data-pipeline extensions (dedup, similarity, text
+  * analysis, multimodal), each expressed over the deterministic
+  * `/root/testdata` tables with a DuckDB-equivalent oracle where SQL can
+  * express it.
+  *
+  * Parity conventions (hash-compare safety):
+  *  - every aggregate/computed column aliased identically on both sides;
+  *  - doubles rounded (both engines round half-away-from-zero on doubles);
+  *  - DuckDB integer sums cast to BIGINT (they default to HUGEINT);
+  *  - timestamps surfaced as epoch seconds (both truncate sub-second);
+  *  - arrays surfaced as sorted joined strings.
+  */
+object Queries {
+
+  case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(s, dir)
+    else s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read nanos as long and convert to a microsecond
+    * timestamp (matching DuckDB's ns→µs truncation on read). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  // ---------------------------------------------------------------- scans/projections
+  private val scanQs = Seq(
+    Q("q01_scan_filter_project",
+      (s, d) => T(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 30)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_returnflag = 'R' AND l_quantity > 30""".stripMargin)),
+
+    Q("q02_agg_sum_groupby",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty")),
+      Some("SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY 1")),
+
+    Q("q03_agg_multi",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             | round(sum(l_quantity), 2) AS sum_qty,
+             | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             | round(avg(l_quantity), 6) AS avg_qty,
+             | count(*) AS n
+             |FROM lineitem GROUP BY 1, 2""".stripMargin)),
+
+    Q("q04_filter_isin",
+      (s, d) => T(s, d, "nation")
+        .filter(col("n_regionkey").isin(0, 2))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey IN (0, 2)")),
+
+    Q("q05_case_when_cast",
+      (s, d) => T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_quantity") > 40, "high")
+            .when(col("l_quantity") > 20, "mid")
+            .otherwise("low").as("qty_band"),
+          when(col("l_quantity") > 25, col("l_quantity").cast("int")).as("qty_int")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             | CASE WHEN l_quantity > 40 THEN 'high'
+             |      WHEN l_quantity > 20 THEN 'mid' ELSE 'low' END AS qty_band,
+             | CASE WHEN l_quantity > 25 THEN CAST(l_quantity AS INT) END AS qty_int
+             |FROM lineitem""".stripMargin)),
+
+    Q("q06_string_funcs",
+      (s, d) => T(s, d, "part")
+        .select(col("p_partkey"),
+          concat(col("p_brand"), lit("#"),
+            lower(call_function("replace", col("p_type"), lit(" "), lit("_")))).as("label"),
+          trim(upper(col("p_name"))).as("uname")),
+      Some("""SELECT p_partkey,
+             | p_brand || '#' || lower(replace(p_type, ' ', '_')) AS label,
+             | trim(upper(p_name)) AS uname
+             |FROM part""".stripMargin)),
+
+    Q("q07_split_explode",
+      (s, d) => T(s, d, "part")
+        .select(explode(split(col("p_type"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n")),
+      Some("""SELECT token, count(*) AS n FROM (
+             | SELECT unnest(string_split(p_type, ' ')) AS token FROM part)
+             |GROUP BY 1""".stripMargin)),
+
+    Q("q28_label_concat",
+      (s, d) => T(s, d, "customer")
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit(" ("), col("c_custkey").cast("string"),
+            lit(") ["), col("c_mktsegment"), lit("]")).as("label")),
+      Some("""SELECT c_custkey,
+             | c_name || ' (' || CAST(c_custkey AS VARCHAR) || ') [' || c_mktsegment || ']' AS label
+             |FROM customer""".stripMargin)),
+
+    Q("q29_year_conditional",
+      (s, d) => T(s, d, "orders")
+        .select(when(col("o_totalprice") > 1000, year(col("o_orderdate"))).as("yr"))
+        .groupBy(col("yr")).agg(count(lit(1)).as("n")),
+      Some("""SELECT CASE WHEN o_totalprice > 1000
+             |   THEN CAST(EXTRACT(year FROM o_orderdate) AS INT) END AS yr,
+             | count(*) AS n
+             |FROM orders GROUP BY 1""".stripMargin)))
+
+  // ---------------------------------------------------------------- joins
+  private val joinQs = Seq(
+    Q("q08_join_inner_broadcast",
+      (s, d) => T(s, d, "orders")
+        .join(broadcast(T(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total")),
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             | round(sum(o_totalprice), 2) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1""".stripMargin)),
+
+    Q("q09_join_left_count",
+      (s, d) => T(s, d, "customer")
+        .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders")),
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY 1""".stripMargin)),
+
+    Q("q10_join_semi",
+      (s, d) => T(s, d, "customer")
+        .join(T(s, d, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment")),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    Q("q11_join_anti",
+      (s, d) => T(s, d, "customer")
+        .join(T(s, d, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    Q("q12_join_multiway",
+      (s, d) => T(s, d, "lineitem")
+        .join(broadcast(T(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(T(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty")),
+      Some("""SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS qty
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY 1""".stripMargin)),
+
+    Q("q13_first_per_key",
+      (s, d) => {
+        // l_linenumber is not unique per order in the synthetic data — pin a
+        // fully deterministic ordering
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        T(s, d, "lineitem")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      },
+      Some("""SELECT l_orderkey, l_partkey, l_quantity FROM (
+             | SELECT *, row_number() OVER (PARTITION BY l_orderkey
+             |   ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+             | FROM lineitem) WHERE rn = 1""".stripMargin)),
+
+    Q("q14_point_lookup",
+      (s, d) => T(s, d, "part")
+        .filter(col("p_partkey").isin(1, 2, 3, 5, 8, 13, 21, 34))
+        .select(col("p_partkey"), col("p_name"), col("p_brand")),
+      Some("""SELECT p_partkey, p_name, p_brand FROM part
+             |WHERE p_partkey IN (1, 2, 3, 5, 8, 13, 21, 34)""".stripMargin)),
+
+    Q("q27_join_edge_label",
+      (s, d) => T(s, d, "lineitem")
+        .join(broadcast(T(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(T(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(
+          when(col("p_size") > 25 && col("s_acctbal") > 0, "big part, solvent supplier")
+            .when(col("p_size") > 25, "big part, indebted supplier")
+            .otherwise("small part").as("edge_label"))
+        .groupBy(col("edge_label")).agg(count(lit(1)).as("n")),
+      Some("""SELECT CASE WHEN p_size > 25 AND s_acctbal > 0 THEN 'big part, solvent supplier'
+             |            WHEN p_size > 25 THEN 'big part, indebted supplier'
+             |            ELSE 'small part' END AS edge_label, count(*) AS n
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY 1""".stripMargin)))
+
+  // ---------------------------------------------------------------- aggregations
+  private val aggQs = Seq(
+    Q("q17_conditional_agg",
+      (s, d) => T(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast("long").as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).cast("long").as("n_o"),
+          count(lit(1)).as("n")),
+      Some("""SELECT o_orderpriority,
+             | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+             | count(*) AS n
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    Q("q18_collect_set_sorted",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses")),
+      Some("""SELECT l_returnflag, string_agg(ls, ',' ORDER BY ls) AS statuses
+             |FROM (SELECT DISTINCT l_returnflag, l_linestatus AS ls FROM lineitem)
+             |GROUP BY 1""".stripMargin)),
+
+    Q("q19_count_distinct",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             | count(DISTINCT l_suppkey) AS n_supps
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    Q("q20_ratio_truncated",
+      (s, d) => T(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast("long").as("nf"))
+        .withColumn("pct_f",
+          (floor(col("nf").cast("double") / col("total") * 1000) / 10).cast("double"))
+        .select(col("o_orderpriority"), col("total"), col("nf"), col("pct_f")),
+      Some("""SELECT o_orderpriority, count(*) AS total,
+             | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS nf,
+             | CAST(floor(CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS DOUBLE)
+             |   / count(*) * 1000) / 10 AS DOUBLE) AS pct_f
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    Q("q21_histogram_bucket",
+      (s, d) => T(s, d, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("sz"))
+        .withColumn("bucket",
+          when(col("sz") === 1, "one").when(col("sz") <= 3, "few")
+            .when(col("sz") <= 10, "some").otherwise("many"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("sz")).as("n_orders")),
+      Some("""SELECT bucket, count(*) AS n_customers, CAST(sum(sz) AS BIGINT) AS n_orders
+             |FROM (SELECT CASE WHEN sz = 1 THEN 'one' WHEN sz <= 3 THEN 'few'
+             |             WHEN sz <= 10 THEN 'some' ELSE 'many' END AS bucket, sz
+             |      FROM (SELECT o_custkey, count(*) AS sz FROM orders GROUP BY 1))
+             |GROUP BY 1""".stripMargin)),
+
+    Q("q22_degree_stats",
+      (s, d) => {
+        val e = T(s, d, "lineitem")
+          .select(col("l_partkey").as("src"), col("l_suppkey").as("dst")).distinct()
+        val outd = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val ind = e.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+        outd.agg(max(col("deg")).as("max_out"), round(avg(col("deg")), 6).as("avg_out"))
+          .crossJoin(ind.agg(max(col("deg")).as("max_in"), round(avg(col("deg")), 6).as("avg_in")))
+      },
+      Some("""WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+             | o AS (SELECT max(deg) AS max_out, round(avg(deg), 6) AS avg_out
+             |       FROM (SELECT count(*) AS deg FROM e GROUP BY src)),
+             | i AS (SELECT max(deg) AS max_in, round(avg(deg), 6) AS avg_in
+             |       FROM (SELECT count(*) AS deg FROM e GROUP BY dst))
+             |SELECT max_out, avg_out, max_in, avg_in FROM o, i""".stripMargin)),
+
+    Q("q16_topk_per_group",
+      (s, d) => {
+        val agg = T(s, d, "lineitem")
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(round(sum(col("l_quantity")), 2).as("qty"))
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("qty").desc, col("l_partkey"))
+        agg.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+          .select(col("l_suppkey"), col("l_partkey"), col("qty"), col("rank"))
+      },
+      Some("""SELECT l_suppkey, l_partkey, qty, rank FROM (
+             | SELECT l_suppkey, l_partkey, qty,
+             |   row_number() OVER (PARTITION BY l_suppkey ORDER BY qty DESC, l_partkey) AS rank
+             | FROM (SELECT l_suppkey, l_partkey, round(sum(l_quantity), 2) AS qty
+             |       FROM lineitem GROUP BY 1, 2))
+             |WHERE rank <= 3""".stripMargin)),
+
+    Q("q30_window_running",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |   ORDER BY o_orderdate, o_orderkey
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+             |FROM orders""".stripMargin)))
+
+  // ---------------------------------------------------------------- sorts / topk / set ops
+  private val sortSetQs = Seq(
+    Q("q15_topk",
+      (s, d) => T(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price")),
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    Q("q23_union_distinct",
+      (s, d) => T(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .unionByName(T(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct(),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |UNION SELECT s_nationkey FROM supplier""".stripMargin)),
+
+    Q("q24_overlap_partition",
+      (s, d) => T(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("R", "A"))
+        .groupBy(col("l_partkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("inR"),
+          max(when(col("l_returnflag") === "A", 1).otherwise(0)).as("inA"))
+        .withColumn("bucket",
+          when(col("inR") === 1 && col("inA") === 1, "overlap")
+            .when(col("inR") === 1, "only_r").otherwise("only_a"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_parts")),
+      Some("""SELECT bucket, count(*) AS n_parts FROM (
+             | SELECT CASE WHEN inR = 1 AND inA = 1 THEN 'overlap'
+             |             WHEN inR = 1 THEN 'only_r' ELSE 'only_a' END AS bucket
+             | FROM (SELECT l_partkey,
+             |         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS inR,
+             |         max(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS inA
+             |       FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1))
+             |GROUP BY 1""".stripMargin)),
+
+    Q("q25_unique_to_group",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_returnflag")).as("nflags"),
+          max(col("l_returnflag")).as("flag"))
+        .filter(col("nflags") === 1)
+        .select(col("l_partkey"), col("flag")),
+      Some("""SELECT l_partkey, max(l_returnflag) AS flag FROM lineitem
+             |GROUP BY 1 HAVING count(DISTINCT l_returnflag) = 1""".stripMargin)),
+
+    Q("q26_semi_explode_distinct",
+      (s, d) => T(s, d, "lineitem")
+        .filter(col("l_partkey").isin(1, 2, 3, 5, 8))
+        .select(col("l_suppkey")).distinct(),
+      Some("SELECT DISTINCT l_suppkey FROM lineitem WHERE l_partkey IN (1, 2, 3, 5, 8)")))
+
+  // ---------------------------------------------------------------- graph over testdata
+  /** Undirected part↔supplier graph from lineitem; supplier ids offset. */
+  private def psEdges(s: SparkSession, d: String): DataFrame =
+    T(s, d, "lineitem")
+      .select(col("l_partkey").as("a"), (col("l_suppkey") + 1000000L).as("b"))
+      .distinct()
+
+  private val graphQs = Seq(
+    Q("q31_bfs_2hop",
+      (s, d) => {
+        val e = FreshCheckpoint(psEdges(s, d))
+        val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+        val seed = T(s, d, "lineitem").agg(min(col("l_partkey"))).head().getLong(0)
+        var frontier = s.range(1).select(lit(seed).as("id"), lit(0).as("hop"))
+        var all = frontier
+        for (h <- 1 to 2) {
+          frontier = FreshCheckpoint(frontier.join(und, col("id") === col("a"))
+            .select(col("b").as("id"), lit(h).as("hop"))
+            .distinct()
+            .join(all.select(col("id")), Seq("id"), "left_anti"))
+          all = all.unionByName(frontier)
+        }
+        all.select(col("id"), col("hop").cast("int").as("hop"))
+      },
+      Some("""WITH RECURSIVE und AS (
+             |  SELECT DISTINCT l_partkey AS a, 1000000 + l_suppkey AS b FROM lineitem
+             |  UNION SELECT 1000000 + l_suppkey, l_partkey FROM lineitem),
+             |bfs(id, d) AS (
+             |  SELECT min(l_partkey), 0 FROM lineitem
+             |  UNION ALL SELECT u.b, d + 1 FROM bfs JOIN und u ON u.a = bfs.id WHERE d < 2)
+             |SELECT id, CAST(min(d) AS INT) AS hop FROM bfs GROUP BY id""".stripMargin)),
+
+    Q("q32_connected_components",
+      (s, d) => {
+        val edges = T(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("src"),
+            (col("n_regionkey").cast("long") + 1000L).as("dst"))
+        val vertices = edges.select(col("src").as("id"))
+          .unionByName(edges.select(col("dst").as("id"))).distinct()
+        graft.graph.Analytics.connectedComponents(vertices, edges)
+          .select(col("id"), col("component"))
+      },
+      Some("""WITH RECURSIVE und AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) AS a, CAST(n_regionkey AS BIGINT) + 1000 AS b FROM nation
+             |  UNION SELECT CAST(n_regionkey AS BIGINT) + 1000, CAST(n_nationkey AS BIGINT) FROM nation),
+             |nodes AS (SELECT DISTINCT a AS id FROM und),
+             |r(s, id) AS (
+             |  SELECT id, id FROM nodes
+             |  UNION SELECT r.s, u.b FROM r JOIN und u ON u.a = r.id)
+             |SELECT s AS id, min(id) AS component FROM r GROUP BY s""".stripMargin)),
+
+    Q("q33_chain_depth",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        T(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            (row_number().over(w) - 1).cast("long").as("depth"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             | CAST(row_number() OVER (PARTITION BY o_custkey
+             |   ORDER BY o_orderdate, o_orderkey) - 1 AS BIGINT) AS depth
+             |FROM orders""".stripMargin)),
+
+    Q("q50_bfs_exclusion",
+      (s, d) => {
+        // panditya flagship semantics on testdata: excluded node is reached
+        // but not expanded
+        val e = FreshCheckpoint(psEdges(s, d))
+        val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+        val li = T(s, d, "lineitem")
+        val seed = li.agg(min(col("l_partkey"))).head().getLong(0)
+        val excl = li.agg(min(col("l_suppkey"))).head().getLong(0) + 1000000L
+        var frontier = s.range(1).select(lit(seed).as("id"), lit(0).as("hop"))
+        var all = frontier
+        for (h <- 1 to 2) {
+          frontier = FreshCheckpoint(frontier.filter(col("id") =!= excl)
+            .join(und, col("id") === col("a"))
+            .select(col("b").as("id"), lit(h).as("hop"))
+            .distinct()
+            .join(all.select(col("id")), Seq("id"), "left_anti"))
+          all = all.unionByName(frontier)
+        }
+        all.select(col("id"), col("hop").cast("int").as("hop"))
+      },
+      Some("""WITH RECURSIVE und AS (
+             |  SELECT DISTINCT l_partkey AS a, 1000000 + l_suppkey AS b FROM lineitem
+             |  UNION SELECT 1000000 + l_suppkey, l_partkey FROM lineitem),
+             |bfs(id, d) AS (
+             |  SELECT min(l_partkey), 0 FROM lineitem
+             |  UNION ALL SELECT u.b, d + 1 FROM bfs JOIN und u ON u.a = bfs.id
+             |  WHERE d < 2 AND bfs.id <> (SELECT 1000000 + min(l_suppkey) FROM lineitem))
+             |SELECT id, CAST(min(d) AS INT) AS hop FROM bfs GROUP BY id""".stripMargin)))
+
+  // ---------------------------------------------------------------- dedup / text ops
+  private val dedupQs = Seq(
+    Q("q34_dedup_exact",
+      (s, d) => Dedup.exact(T(s, d, "documents")),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+             | count(*) AS dup_count
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    Q("q35_dedup_minhash_lsh",
+      (s, d) => Dedup.minhashLsh(T(s, d, "documents"), 8, 2, 0.8),
+      Some("""WITH words AS (
+             |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+             |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> x <> '') AS tl FROM documents)),
+             |toks AS (
+             |  SELECT DISTINCT doc_id,
+             |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+             |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+             |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+             |sig AS (SELECT doc_id,
+             |  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
+             |  min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
+             |  min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
+             |  min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
+             |  FROM toks GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sig
+             |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+             |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+             |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
+             |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+             |   AND x.doc_id < y.doc_id),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+             |inter AS (SELECT c.a, c.b, count(*) AS i
+             |  FROM cand c JOIN toks ta ON ta.doc_id = c.a
+             |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+             |  GROUP BY 1, 2)
+             |SELECT c.a, c.b,
+             |  round(CAST(coalesce(i.i, 0) AS DOUBLE)
+             |    / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) AS jaccard
+             |FROM cand c
+             |LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+             |JOIN sizes sa ON sa.doc_id = c.a
+             |JOIN sizes sb ON sb.doc_id = c.b
+             |WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE)
+             |    / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= 0.8""".stripMargin)),
+
+    Q("q36_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccard(T(s, d, "documents"), 3, 0.8),
+      Some("""WITH grams AS (
+             |  SELECT DISTINCT doc_id, lang, source,
+             |    substr(text, CAST(r.range AS INT), 3) AS tok
+             |  FROM documents d JOIN range(1, 5000) r ON r.range <= length(d.text) - 2),
+             |sizes AS (SELECT doc_id, count(*) AS sz
+             |  FROM (SELECT DISTINCT doc_id, tok FROM grams) GROUP BY 1),
+             |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+             |  FROM documents x JOIN documents y
+             |    ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id),
+             |inter AS (SELECT c.a, c.b, count(*) AS i
+             |  FROM cand c JOIN (SELECT DISTINCT doc_id, tok FROM grams) ta ON ta.doc_id = c.a
+             |  JOIN (SELECT DISTINCT doc_id, tok FROM grams) tb
+             |    ON tb.doc_id = c.b AND tb.tok = ta.tok
+             |  GROUP BY 1, 2)
+             |SELECT c.a, c.b,
+             |  round(CAST(coalesce(i.i, 0) AS DOUBLE)
+             |    / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) AS jaccard
+             |FROM cand c
+             |LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+             |JOIN sizes sa ON sa.doc_id = c.a
+             |JOIN sizes sb ON sb.doc_id = c.b
+             |WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE)
+             |    / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= 0.8""".stripMargin)),
+
+    Q("q37_simhash_neardups",
+      (s, d) => Dedup.simhashNearDups(T(s, d, "documents"), 16),
+      None), // 64-bit hex→int bit arithmetic is not portable DuckDB SQL
+
+    Q("q40_quality_score",
+      (s, d) => TextAnalysis.qualityScore(T(s, d, "documents")),
+      Some("""SELECT doc_id,
+             | CAST(length(text) AS BIGINT) AS n_chars_m,
+             | CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             | round((
+             |   (length(text) - length(replace(text, '.', ''))) / 1
+             |   + (length(text) - length(replace(text, ',', ''))) / 1
+             |   + (length(text) - length(replace(text, '!', ''))) / 1
+             |   + (length(text) - length(replace(text, '?', ''))) / 1
+             |   + (length(text) - length(replace(text, ';', ''))) / 1
+             |   + (length(text) - length(replace(text, ':', ''))) / 1
+             | )::DOUBLE / greatest(length(text)::DOUBLE, 1.0), 6) AS punct_ratio,
+             | round((
+             |   (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+             |   + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+             |   + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
+             |   + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
+             |   + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
+             | )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio,
+             | round(length(text)::DOUBLE
+             |   / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 4) AS mean_word_len
+             |FROM documents""".stripMargin)),
+
+    Q("q41_lang_id",
+      (s, d) => TextAnalysis.langId(T(s, d, "documents")),
+      Some {
+        def occ(pat: String): String = {
+          val esc = pat.replace("'", "''")
+          s"((length(' '||text||' ') - length(replace(' '||text||' ', '$esc', ''))) / ${pat.length})"
+        }
+        val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
+          lang -> words.map(occ).mkString(" + ")
+        }
+        val keys = scores.map { case (lang, expr) =>
+          s"lpad(CAST(CAST($expr AS BIGINT) AS VARCHAR), 10, '0') || '$lang'"
+        }.mkString(", ")
+        s"""SELECT doc_id,
+           | substr(best, 11, 2) AS lang_pred,
+           | CAST(substr(best, 1, 10) AS BIGINT) AS lang_score
+           |FROM (SELECT doc_id, greatest($keys) AS best FROM documents)""".stripMargin
+      }),
+
+    Q("q42_token_counts",
+      (s, d) => T(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.tokenEstimate(col("text")).as("n_tokens_est")),
+      Some("""SELECT doc_id,
+             | CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             | CAST(ceil(length(text)::DOUBLE / 4.0) AS BIGINT) AS n_tokens_est
+             |FROM documents""".stripMargin)),
+
+    Q("q43_fingerprint",
+      (s, d) => TextAnalysis.fingerprint(T(s, d, "documents")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(tl) AS tok, generate_subscripts(tl, 1) - 1 AS pos
+             |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> x <> '') AS tl FROM documents)),
+             |grams AS (
+             |  SELECT doc_id, pos, md5(tok || ' ' ||
+             |    lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w) AS gram_hash,
+             |    lead(tok, 2) OVER w AS g3
+             |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+             |winmin AS (
+             |  SELECT doc_id, min(gram_hash) OVER (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS win_min
+             |  FROM grams WHERE g3 IS NOT NULL)
+             |SELECT doc_id, count(DISTINCT win_min) AS n_fingerprints,
+             |  min(win_min) AS min_fp
+             |FROM winmin GROUP BY 1""".stripMargin)))
+
+  // ---------------------------------------------------------------- similarity / multimodal
+  private val simQs = Seq(
+    Q("q38_ann_cosine_topk",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.cosineTopK(emb, queries, 10)
+      },
+      Some("""WITH f AS (SELECT vec_id, unnest(embedding) AS v,
+             |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv, i FROM f WHERE vec_id < 5),
+             |dots AS (SELECT q.query_id, f.vec_id, sum(CAST(q.qv AS DOUBLE) * f.v) AS dp
+             |  FROM q JOIN f ON q.i = f.i WHERE f.vec_id <> q.query_id GROUP BY 1, 2),
+             |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
+             |cos AS (SELECT d.query_id, d.vec_id,
+             |   round(d.dp / (nq.nrm * nc.nrm), 6) AS cos
+             |  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+             |  JOIN norms nc ON nc.vec_id = d.vec_id),
+             |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             |   ORDER BY cos DESC, vec_id) AS INT) AS rank FROM cos)
+             |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 10""".stripMargin)),
+
+    Q("q39_embedding_neardups",
+      (s, d) => Similarity.bucketedNearDups(T(s, d, "embeddings"), 0.3),
+      Some("""WITH f AS (SELECT vec_id, label, unnest(embedding) AS v,
+             |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+             |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b
+             |  FROM embeddings x JOIN embeddings y
+             |    ON x.label = y.label AND x.vec_id < y.vec_id),
+             |dots AS (SELECT p.a, p.b, sum(CAST(fa.v AS DOUBLE) * fb.v) AS dp
+             |  FROM pairs p JOIN f fa ON fa.vec_id = p.a
+             |  JOIN f fb ON fb.vec_id = p.b AND fb.i = fa.i
+             |  GROUP BY 1, 2),
+             |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1)
+             |SELECT d.a, d.b, round(d.dp / (na.nrm * nb.nrm), 6) AS cos
+             |FROM dots d JOIN norms na ON na.vec_id = d.a
+             |JOIN norms nb ON nb.vec_id = d.b
+             |WHERE round(d.dp / (na.nrm * nb.nrm), 6) >= 0.3""".stripMargin)),
+
+    Q("q44_multimodal_meta",
+      (s, d) => Multimodal.ingest(T(s, d, "documents"))
+        .select(col("media_id"), col("mime"), col("n_bytes"), col("checksum")),
+      Some("""SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
+             | CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS checksum
+             |FROM documents""".stripMargin)),
+
+    Q("q45_chunk_inventory",
+      (s, d) => Multimodal.chunkInventory(Multimodal.ingest(T(s, d, "documents")), 64),
+      Some("""SELECT doc_id AS media_id,
+             | CAST(r.range AS BIGINT) AS chunk_idx,
+             | CAST(r.range * 64 AS BIGINT) AS chunk_offset,
+             | CAST(least(64, strlen(text) - r.range * 64) AS BIGINT) AS chunk_len
+             |FROM documents d JOIN range(0, 100) r
+             |  ON r.range <= CAST(ceil(strlen(text)::DOUBLE / 64) - 1 AS BIGINT)""".stripMargin)),
+
+    Q("q46_window_events",
+      (s, d) => EventStreams.windowedAgg(T(s, d, "events")),
+      Some("""SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+             | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    Q("q47_sessionize",
+      (s, d) => EventStreams.sessionizeBatch(T(s, d, "events"), 30),
+      // NOTE: CAST(DOUBLE AS BIGINT) in DuckDB rounds; Spark's unix_timestamp
+      // truncates — use floor(epoch(...)) everywhere for parity.
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |         OR CAST(floor(epoch(ts)) AS BIGINT)
+             |            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |numbered AS (
+             |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+             |  FROM flagged)
+             |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+             |  count(*) AS n_events, round(sum(value), 2) AS total_value
+             |FROM numbered GROUP BY user_id, session_seq""".stripMargin)))
+
+  // ---------------------------------------------------------------- collation (no SQL oracle)
+  private val collationQs = Seq(
+    Q("q48_iast_sortkey",
+      (s, d) => {
+        graft.expr.Iast.register(s)
+        T(s, d, "part")
+          .select(col("p_partkey"), col("p_name"),
+            graft.expr.Iast.iastKey(col("p_name")).as("key"))
+          .orderBy(col("key"), col("p_partkey"))
+          .select(col("p_partkey"), col("p_name"))
+      },
+      None)) // IAST digraph collation is not expressible in portable SQL
+
+  val all: Seq[Q] =
+    scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ dedupQs ++ simQs ++ collationQs
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+}

@@ -89,10 +89,15 @@ object LinkBuilder {
     // --- explode work ids × link columns → flat subtype-labeled rows --------
     // The subtype of a link depends on (collection, position): encode the
     // static mapping as a chain of literal whens, evaluated by codegen.
+    // Collections whose label tuple is shorter than the link position are
+    // skipped: the reference would raise IndexError if such a row existed
+    // (it never does in the data), so no label mapping is defined for them.
     def subtypeExpr(idx: Int): Column =
-      subtypeLabels.keys.toSeq.sorted.foldLeft(lit(linkCols(idx)._1)) { (acc, coll) =>
-        when($"collection" === coll, lit(subtypeFor(coll, idx))).otherwise(acc)
-      }
+      subtypeLabels.collect { case (coll, labels) if labels.size > idx => coll }
+        .toSeq.sorted
+        .foldLeft(lit(linkCols(idx)._1)) { (acc, coll) =>
+          when($"collection" === coll, lit(subtypeFor(coll, idx))).otherwise(acc)
+        }
 
     val perLink = linkCols.zipWithIndex.map { case ((_, colName), idx) =>
       withId

@@ -58,7 +58,7 @@ object Iast {
     import org.apache.spark.sql.classic.ClassicConversions._
     castToImpl(spark).sessionState.functionRegistry
       .createOrReplaceTempFunction("iast_sort_key",
-        (exprs: Seq[Expression]) => IastSortKey(exprs.head), "builtin")
+        (exprs: Seq[Expression]) => IastSortKey(exprs.head), "scala_udf")
   }
 
   /** Column API: `iastKey($"label")` → ArrayType(IntegerType) sort key.

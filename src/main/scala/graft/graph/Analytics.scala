@@ -2,14 +2,18 @@ package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.FreshCheckpoint
 
 /** Whole-graph analytics (`utils/analyze.py`), DataFrame-native.
   *
   * We deliberately implement the iterative graph algorithms on DataFrames
-  * (shuffle-on-key joins + `localCheckpoint` per round) rather than GraphX:
+  * (shuffle-on-key joins + [[FreshCheckpoint]] per round) rather than GraphX:
   * the relational form keeps everything in Tungsten/whole-stage-codegen, scales
   * with AQE, and needs no RDD round-trips. All algorithms treat the graph as
-  * the canonical `edges(src, dst, etype)` table.
+  * the canonical `edges(src, dst, etype)` table. FreshCheckpoint (vs plain
+  * `localCheckpoint`) truncates lineage AND re-grounds Catalyst statistics in
+  * real materialized sizes each round — without it, size estimates compound
+  * across iterations until planning itself hangs (see its scaladoc).
   */
 object Analytics {
 
@@ -28,13 +32,11 @@ object Analytics {
     val spark = vertices.sparkSession
     import spark.implicits._
 
-    val und = edges.select($"src".as("a"), $"dst".as("b"))
+    val und = FreshCheckpoint(edges.select($"src".as("a"), $"dst".as("b"))
       .unionByName(edges.select($"dst".as("a"), $"src".as("b")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
-    var labels = vertices.select($"id", $"id".as("component"))
-      .localCheckpoint(true)
+    var labels = FreshCheckpoint(vertices.select($"id", $"id".as("component")))
     var changed = 1L
     while (changed > 0) {
       // candidate label for a node = min(own, min over neighbors' labels)
@@ -46,12 +48,11 @@ object Analytics {
         .select($"id",
           least(coalesce($"nbrComp", $"component"), $"component").as("newComp"),
           $"component")
-      val updated = next
+      val updated = FreshCheckpoint(next
         .select($"id", $"newComp".as("component"),
-          ($"newComp" =!= $"component").cast("long").as("chg"))
-        .localCheckpoint(true)
+          ($"newComp" =!= $"component").cast("long").as("chg")))
       changed = updated.agg(sum($"chg")).as[Long].head()
-      labels = updated.select($"id", $"component").localCheckpoint(true)
+      labels = FreshCheckpoint(updated.select($"id", $"component"))
     }
     labels
   }
@@ -105,15 +106,15 @@ object Analytics {
   def commentaryDepths(vertices: DataFrame, edges: DataFrame, maxHops: Int = 64): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
-    val comm = edges.filter($"etype" === graft.model.Schemas.CommentaryOn)
-      .select($"src", $"dst").distinct().localCheckpoint(true)
+    val comm = FreshCheckpoint(edges.filter($"etype" === graft.model.Schemas.CommentaryOn)
+      .select($"src", $"dst").distinct())
     // roots: commentary sources that are never a commentary target, plus all
     // works outside any chain get depth null (not part of output).
     val targets = comm.select($"dst".as("id")).distinct()
     val roots = comm.select($"src".as("id")).distinct()
       .join(targets, Seq("id"), "left_anti")
 
-    var depths = roots.withColumn("depth", lit(0L)).localCheckpoint(true)
+    var depths = FreshCheckpoint(roots.withColumn("depth", lit(0L)))
     var frontier = depths
     var i = 0
     while (i < maxHops && !frontier.isEmpty) {
@@ -121,13 +122,13 @@ object Analytics {
         .select($"dst".as("id"), ($"depth" + 1).as("depth"))
         .groupBy($"id").agg(max($"depth").as("depth"))
       // keep only strict improvements → termination on fixpoint
-      val improved = next.join(depths.withColumnRenamed("depth", "old"), Seq("id"), "left")
-        .filter($"old".isNull || $"depth" > $"old")
-        .select($"id", $"depth")
-        .localCheckpoint(true)
-      depths = depths.join(improved.select($"id"), Seq("id"), "left_anti")
-        .unionByName(improved)
-        .localCheckpoint(true)
+      val improved = FreshCheckpoint(
+        next.join(depths.withColumnRenamed("depth", "old"), Seq("id"), "left")
+          .filter($"old".isNull || $"depth" > $"old")
+          .select($"id", $"depth"))
+      depths = FreshCheckpoint(
+        depths.join(improved.select($"id"), Seq("id"), "left_anti")
+          .unionByName(improved))
       frontier = improved
       i += 1
     }

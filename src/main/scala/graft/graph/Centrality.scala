@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.FreshCheckpoint
 
 import scala.collection.mutable
 
@@ -45,9 +46,9 @@ object Centrality {
     val spark = vertices.sparkSession
     import spark.implicits._
     val n = vertices.count()
-    val e = edges.select($"src", $"dst").localCheckpoint(true)
-    var x = vertices.select($"id", lit(1.0 / math.sqrt(n.toDouble)).as("score"))
-      .localCheckpoint(true)
+    val e = FreshCheckpoint(edges.select($"src", $"dst"))
+    var x = FreshCheckpoint(
+      vertices.select($"id", lit(1.0 / math.sqrt(n.toDouble)).as("score")))
     var it = 0
     var delta = Double.MaxValue
     while (it < maxIter && delta > n * tol) {
@@ -58,8 +59,8 @@ object Centrality {
       val raw = x.join(contrib, Seq("id"), "left")
         .select($"id", ($"score" + coalesce($"inc", lit(0.0))).as("raw"))
       val norm = math.sqrt(raw.agg(sum($"raw" * $"raw")).as[Double].head())
-      val next = raw.select($"id", ($"raw" / (if (norm == 0) 1.0 else norm)).as("score"))
-        .localCheckpoint(true)
+      val next = FreshCheckpoint(
+        raw.select($"id", ($"raw" / (if (norm == 0) 1.0 else norm)).as("score")))
       delta = next.join(x.withColumnRenamed("score", "prev"), Seq("id"))
         .agg(sum(abs($"score" - $"prev"))).as[Double].head()
       x = next

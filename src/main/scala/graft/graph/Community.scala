@@ -1,34 +1,170 @@
 package graft.graph
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.FreshCheckpoint
 
 /** Community detection (`utils/analyze.py:122-140` uses python-louvain's
   * `best_partition` on the undirected graph).
   *
   * The reference's Louvain output is nondeterministic (random node order);
-  * its tests can only assert structural invariants (SURVEY §7.4). We provide:
+  * tests can only assert structural invariants (SURVEY §7.4.5). We provide:
   *
-  *  - [[labelPropagation]] — fully distributed, DataFrame-native synchronous
-  *    LPA with deterministic tie-breaking (min label wins). One shuffle per
-  *    round; the 100 TB scale path.
-  *  - [[louvain]] — single-level Louvain modularity local-move, computed with
-  *    the same aggregate-join pattern: each pass moves every node to the
-  *    neighbor community with max modularity gain (deterministic order:
-  *    gain desc, then community id). Captures the reference's objective
-  *    (modularity) without its nondeterminism.
+  *  - [[louvain]] — exact multi-level Louvain, sequential local-move over a
+  *    collected edge list (deterministic node order). Same algorithm family
+  *    as python-louvain, converges to a proper local optimum. Like exact
+  *    Brandes betweenness (`Centrality.betweenness`), this presumes the EDGE
+  *    LIST fits in driver memory — true for dimension-sized graphs like the
+  *    reference's 17k nodes / 14k edges, and for any graph one would run an
+  *    exact sequential-semantics Louvain on.
+  *  - [[louvainDistributed]] — single-level synchronous local-move on
+  *    DataFrames: one shuffle per pass, honest stats per pass via
+  *    [[FreshCheckpoint]]. Synchronous moves can oscillate (two adjacent
+  *    nodes swapping communities forever), so passes are bounded and the
+  *    best-modularity labeling seen is returned. The 100 TB scale path,
+  *    explicitly approximate.
+  *  - [[labelPropagation]] — fully distributed synchronous LPA with
+  *    deterministic tie-breaking; cheapest scale path.
   */
 object Community {
+
+  /** Exact multi-level Louvain (Blondel et al. 2008), deterministic.
+    *
+    * Matches the reference's semantics: undirected simple graph (reciprocal /
+    * parallel edges collapse, like `nx.DiGraph.to_undirected()`), weight 1
+    * per edge, modularity objective. Node sweep order = sorted id, so output
+    * is deterministic (unlike python-louvain's randomized order).
+    *
+    * @return (id, community) — community = min member id (stable labeling).
+    */
+  def louvain(vertices: DataFrame, edges: DataFrame, maxLevels: Int = 16): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+
+    val ids: Array[String] = vertices.select($"id").as[String].collect().sorted
+    val idx: Map[String, Int] = ids.zipWithIndex.toMap
+    val n0 = ids.length
+    if (n0 == 0) return spark.emptyDataset[(String, String)].toDF("id", "community")
+
+    // undirected simple edges as unordered index pairs (self-loops dropped —
+    // none exist in the data model: a work cannot comment on itself)
+    val pairs: Array[(Int, Int)] = edges.select($"src", $"dst").as[(String, String)]
+      .collect().iterator
+      .filter { case (a, b) => a != b && idx.contains(a) && idx.contains(b) }
+      .map { case (a, b) =>
+        val i = idx(a); val j = idx(b); if (i < j) (i, j) else (j, i)
+      }.toArray.distinct
+
+    // current coarse graph: weighted adjacency + per-node self-loop weight
+    var n = n0
+    var adjW: Array[mutable.LinkedHashMap[Int, Double]] =
+      Array.fill(n)(mutable.LinkedHashMap.empty[Int, Double])
+    pairs.foreach { case (i, j) =>
+      adjW(i)(j) = adjW(i).getOrElse(j, 0.0) + 1.0
+      adjW(j)(i) = adjW(j).getOrElse(i, 0.0) + 1.0
+    }
+    var selfW: Array[Double] = Array.fill(n)(0.0)
+    // original node -> community of the current level's coarse graph
+    var membership: Array[Int] = Array.tabulate(n0)(identity)
+
+    val m2 = 2.0 * pairs.length // constant across levels (weights are conserved)
+    if (m2 == 0) {
+      return spark.createDataset(ids.map(id => (id, id)).toSeq).toDF("id", "community")
+    }
+
+    /** One level of sequential local-move; returns (assignment, improved?). */
+    def localMove(): (Array[Int], Boolean) = {
+      val k = Array.tabulate(n)(v => adjW(v).valuesIterator.sum + 2.0 * selfW(v))
+      val comm = Array.tabulate(n)(identity)
+      val sigmaTot = k.clone()
+      var improvedAny = false
+      var sweeping = true
+      var sweeps = 0
+      while (sweeping && sweeps < 100) {
+        sweeping = false
+        var v = 0
+        while (v < n) {
+          val cv = comm(v)
+          // weights from v into each adjacent community
+          val wTo = mutable.HashMap.empty[Int, Double]
+          adjW(v).foreach { case (u, w) =>
+            val c = comm(u); wTo(c) = wTo.getOrElse(c, 0.0) + w
+          }
+          sigmaTot(cv) -= k(v)
+          var bestC = cv
+          var bestGain = wTo.getOrElse(cv, 0.0) - k(v) * sigmaTot(cv) / m2
+          // strict improvement only; stay on ties (deterministic)
+          wTo.foreach { case (c, w) =>
+            if (c != cv) {
+              val gain = w - k(v) * sigmaTot(c) / m2
+              if (gain > bestGain + 1e-12) { bestGain = gain; bestC = c }
+            }
+          }
+          sigmaTot(bestC) += k(v)
+          if (bestC != cv) { comm(v) = bestC; sweeping = true; improvedAny = true }
+          v += 1
+        }
+        sweeps += 1
+      }
+      (comm, improvedAny)
+    }
+
+    var level = 0
+    var improved = true
+    while (improved && level < maxLevels) {
+      val (comm, didImprove) = localMove()
+      improved = didImprove
+      if (improved) {
+        // relabel communities densely
+        val remap = mutable.HashMap.empty[Int, Int]
+        comm.foreach(c => remap.getOrElseUpdate(c, remap.size))
+        val dense = comm.map(remap)
+        // push down to original nodes
+        var i = 0
+        while (i < n0) { membership(i) = dense(membership(i)); i += 1 }
+        // coarsen
+        val nNew = remap.size
+        val newAdj = Array.fill(nNew)(mutable.LinkedHashMap.empty[Int, Double])
+        val newSelf = Array.fill(nNew)(0.0)
+        var v = 0
+        while (v < n) {
+          val cv = dense(v)
+          newSelf(cv) += selfW(v)
+          adjW(v).foreach { case (u, w) =>
+            val cu = dense(u)
+            if (cu == cv) { if (v < u) newSelf(cv) += w }
+            else newAdj(cv)(cu) = newAdj(cv).getOrElse(cu, 0.0) + w
+          }
+          v += 1
+        }
+        n = nNew; adjW = newAdj; selfW = newSelf
+      }
+      level += 1
+    }
+
+    // stable labels: community id = min member id
+    val label = Array.fill(n)(null: String)
+    var i = 0
+    while (i < n0) {
+      val c = membership(i)
+      if (label(c) == null || ids(i) < label(c)) label(c) = ids(i)
+      i += 1
+    }
+    val rows = (0 until n0).map(v => (ids(v), label(membership(v))))
+    spark.createDataset(rows).toDF("id", "community")
+  }
 
   /** Synchronous label propagation, min-label tie-break, fixed rounds. */
   def labelPropagation(vertices: DataFrame, edges: DataFrame, rounds: Int = 10): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
-    val und = edges.select($"src".as("a"), $"dst".as("b"))
+    val und = FreshCheckpoint(edges.select($"src".as("a"), $"dst".as("b"))
       .unionByName(edges.select($"dst".as("a"), $"src".as("b")))
-      .distinct().localCheckpoint(true)
+      .distinct())
 
-    var labels = vertices.select($"id", $"id".as("community")).localCheckpoint(true)
+    var labels = FreshCheckpoint(vertices.select($"id", $"id".as("community")))
     var i = 0
     while (i < rounds) {
       val next = und
@@ -36,39 +172,40 @@ object Community {
         .groupBy($"a", $"nbrC").agg(count(lit(1)).as("cnt"))
         .groupBy($"a".as("id"))
         .agg(min_by($"nbrC", struct((-$"cnt").as("neg"), $"nbrC")).as("community"))
-      labels = labels.select($"id").join(next, Seq("id"), "left")
-        .withColumn("community", coalesce($"community", $"id"))
-        .localCheckpoint(true)
+      labels = FreshCheckpoint(labels.select($"id").join(next, Seq("id"), "left")
+        .withColumn("community", coalesce($"community", $"id")))
       i += 1
     }
     labels
   }
 
-  /** Single-level Louvain local-move: iterate "move each node to the adjacent
-    * community with the highest modularity gain" until no node moves (or
-    * maxPasses). Gain uses the standard formula ΔQ ∝ k_{i,in} - k_i*Σtot/2m
-    * on the undirected multigraph view.
+  /** Distributed single-level Louvain local-move (synchronous): every pass
+    * moves each node to the adjacent community with max modularity gain
+    * ΔQ ∝ k_{i,in} - k_i·Σtot/2m. Synchronous updates may oscillate, so the
+    * pass count is bounded and the BEST labeling by modularity is returned.
+    * One shuffle per pass; [[FreshCheckpoint]] keeps planning O(1) per pass.
     */
-  def louvain(vertices: DataFrame, edges: DataFrame, maxPasses: Int = 20): DataFrame = {
+  def louvainDistributed(
+      vertices: DataFrame,
+      edges: DataFrame,
+      maxPasses: Int = 8): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
-    // undirected incidence (keep both directions; degree = undirected degree)
-    val und = edges.select($"src".as("a"), $"dst".as("b"))
-      .unionByName(edges.select($"dst".as("a"), $"src".as("b")))
-      .localCheckpoint(true)
+    val und = FreshCheckpoint(edges.select($"src".as("a"), $"dst".as("b"))
+      .unionByName(edges.select($"dst".as("a"), $"src".as("b"))))
     val m2 = und.count().toDouble // = 2m
-    val deg = und.groupBy($"a".as("id")).agg(count(lit(1)).cast("double").as("k"))
-      .localCheckpoint(true)
+    val deg = FreshCheckpoint(
+      und.groupBy($"a".as("id")).agg(count(lit(1)).cast("double").as("k")))
 
-    var labels = vertices.select($"id", $"id".as("community")).localCheckpoint(true)
-    var moved = 1L
+    var labels = FreshCheckpoint(vertices.select($"id", $"id".as("community")))
+    var best = labels
+    var bestQ = modularity(vertices, edges, labels)
     var pass = 0
-    while (moved > 0 && pass < maxPasses) {
+    var anyMoved = true
+    while (anyMoved && pass < maxPasses) {
       val withC = labels
-      // community total degree Σtot
       val sigmaTot = withC.join(deg, Seq("id"))
         .groupBy($"community").agg(sum($"k").as("sigma"))
-      // edges from node a into neighbor communities: k_{a,C}
       val kIn = und
         .join(withC.withColumnRenamed("id", "b").withColumnRenamed("community", "nbrC"), Seq("b"))
         .groupBy($"a", $"nbrC").agg(count(lit(1)).cast("double").as("kin"))
@@ -80,20 +217,27 @@ object Community {
         .withColumn("sigmaAdj",
           when($"nbrC" === $"curC", $"sigma" - $"k").otherwise($"sigma"))
         .withColumn("gain", $"kin" - $"k" * $"sigmaAdj" / m2)
-      val best = cand.groupBy($"a".as("id"))
-        .agg(min_by(struct($"nbrC", $"curC"), struct((-$"gain").as("ng"), $"nbrC")).as("b"))
+      // prefer STAYING on ties (isMove sorts current community first); only
+      // half the nodes (hash ⊕ pass parity) may move per pass — dampens the
+      // adjacent-pair swap oscillation inherent to synchronous local-move
+      val moved = cand.groupBy($"a".as("id"))
+        .agg(min_by(struct($"nbrC", $"curC"),
+          struct((-$"gain").as("ng"),
+            ($"nbrC" =!= $"curC").cast("int").as("isMove"), $"nbrC")).as("b"))
         .select($"id", $"b.nbrC".as("newC"), $"b.curC".as("curC"))
-      val updated = best
-        .withColumn("community",
-          when($"newC".isNotNull, $"newC").otherwise($"curC"))
-      moved = updated.filter($"community" =!= $"curC").count()
-      labels = labels.select($"id")
-        .join(updated.select($"id", $"community"), Seq("id"), "left")
-        .withColumn("community", coalesce($"community", $"id"))
-        .localCheckpoint(true)
+        .filter(pmod(abs(hash($"id")) + lit(pass), lit(2)) === 0)
+      val prev = labels
+      labels = FreshCheckpoint(prev
+        .join(moved.select($"id", $"newC"), Seq("id"), "left")
+        .withColumn("community", coalesce($"newC", $"community"))
+        .select($"id", $"community"))
+      anyMoved = labels.join(prev.withColumnRenamed("community", "prevC"), Seq("id"))
+        .filter($"community" =!= $"prevC").limit(1).count() > 0
+      val q = modularity(vertices, edges, labels)
+      if (q > bestQ) { bestQ = q; best = labels }
       pass += 1
     }
-    labels
+    best
   }
 
   /** Modularity of a partition on the undirected view — the structural

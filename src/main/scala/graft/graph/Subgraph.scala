@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.FreshCheckpoint
 import org.apache.spark.storage.StorageLevel
 
 /** n-hop BFS subgraph extraction with an exclusion ("collapse") list.
@@ -63,13 +64,12 @@ object Subgraph {
     while (i < hops && !frontierEmpty) {
       // Excluded nodes are appended but never expanded.
       val expand = frontier.join(excludeDf, Seq("id"), "left_anti")
-      val next = expand.join(adj, Seq("id"))
+      val next = FreshCheckpoint(expand.join(adj, Seq("id"))
         .select($"nbr".as("id")).distinct()
-        .join(visited, Seq("id"), "left_anti")
-        .localCheckpoint(true)
+        .join(visited, Seq("id"), "left_anti"))
       frontierEmpty = next.isEmpty
       if (!frontierEmpty) {
-        visited = visited.unionByName(next).localCheckpoint(true)
+        visited = FreshCheckpoint(visited.unionByName(next))
         frontier = next
       }
       i += 1

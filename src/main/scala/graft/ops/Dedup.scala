@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines over
+  * `documents(doc_id, text, lang, source, n_chars)`.
+  *
+  * Scale design: every variant is shuffle-on-key (groupBy / bucket-join); no
+  * pairwise cross joins outside LSH buckets or explicit blocks. Hashing uses
+  * md5 so the SQL oracle computes bit-identical signatures.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content. Returns one row per distinct text:
+    * (keep_id = min doc_id, dup_count). A "which rows to drop" view is the
+    * anti-join of documents against keep_id. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct lowercase word tokens per doc: (doc_id, tok). */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(filter(split(lower(col("text")), "\\s+"), x => x =!= "")))
+        .as("tok"))
+
+  /** Distinct word n-gram shingles per doc: (doc_id, tok). Shingling (vs
+    * unigrams) is what makes MinHash discriminative: the shingle universe is
+    * |vocab|^n, so unrelated documents share few shingles and LSH buckets
+    * stay small — with unigram tokens over a small vocabulary every document
+    * collides with every other and the bucket join degenerates to all-pairs.
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), x => x =!= "").as("ta"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          s"if(size(ta) >= $n, transform(sequence(1, size(ta) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(ta, i, $n))), array())"))).as("tok"))
+
+  /** MinHash signature: numHashes independent permutations simulated as
+    * min(md5(i || ':' || shingle)) per hash index — the standard salted-hash
+    * MinHash over word 3-gram shingles.
+    */
+  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
+    val toks = shingles(docs)
+    val mins = (0 until numHashes).map(i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("tok")))).as(s"h$i"))
+    toks.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH banded near-dup candidates with exact-Jaccard verification.
+    *
+    * numHashes signatures → bands of `rowsPerBand`; docs sharing any band key
+    * become candidates (bucket join — never all-pairs); candidates are
+    * verified with exact token-set Jaccard and filtered at `threshold`.
+    * Returns (a, b, jaccard) with a < b.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val sigs = minhashSignatures(docs, numHashes)
+    val bandCols = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      md5(concat_ws("|", parts: _*)).as(s"band$b")
+    }
+    val banded = sigs.select(col("doc_id") +: bandCols: _*)
+    val bandRows = (0 until numBands).map { b =>
+      banded.select(col("doc_id"), lit(b).as("band"), col(s"band$b").as("key"))
+    }.reduce(_ unionByName _)
+    val cand = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verifyJaccard(docs, cand, threshold)
+  }
+
+  /** Exact shingle-set Jaccard for candidate pairs (a, b); filter ≥ threshold.
+    * (MinHash estimates shingle-set Jaccard, so verification uses the same
+    * set definition.) */
+  def verifyJaccard(docs: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+    val toks = shingles(docs)
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    jaccardPairs(toks, sizes, cand).filter(col("jaccard") >= threshold)
+  }
+
+  private def jaccardPairs(toks: DataFrame, sizes: DataFrame, cand: DataFrame): DataFrame = {
+    val ta = toks.select(col("doc_id").as("a"), col("tok"))
+    val tb = toks.select(col("doc_id").as("b"), col("tok"))
+    val inter = cand.join(ta, Seq("a")).join(tb, Seq("b", "tok"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "szA"), Seq("a"))
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szB"), Seq("b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double")
+          / (col("szA") + col("szB") - col("inter")).cast("double"), 6))
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Blocked n-gram Jaccard near-dup: candidate pairs limited to equal
+    * (lang, source) blocks; char n-gram multisets compared as distinct sets.
+    * Returns (a, b, jaccard) with a < b, jaccard ≥ threshold. */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val grams = docs.select(col("doc_id"), col("lang"), col("source"),
+        posexplode(expr(s"transform(sequence(1, greatest(length(text) - ${n - 1}, 0)), " +
+          s"i -> substring(text, i, $n))")).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("lang"), col("source"), col("gram"))
+      .distinct()
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val blockPairs = docs.select(col("doc_id").as("a"), col("lang"), col("source"))
+      .join(docs.select(col("doc_id").as("b"), col("lang"), col("source")),
+        Seq("lang", "source"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    jaccardPairsOn(grams.select(col("doc_id"), col("gram").as("tok")), sizes, blockPairs)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  private def jaccardPairsOn(toks: DataFrame, sizes: DataFrame, cand: DataFrame): DataFrame =
+    jaccardPairs(toks, sizes, cand)
+
+  /** SimHash (64-bit) from md5 of tokens: per-bit majority vote over token
+    * hashes. Near-dups = pairs within `maxHamming` bits, bucketed by 16-bit
+    * chunks for candidate generation (a pair within distance d ≤ 3 shares at
+    * least one of 4 chunks). Returns (a, b, hamming).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = tokens(docs)
+    // 64-bit token hash = first 16 hex chars of md5
+    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val withBits = toks.withColumn("th", h)
+    val bitCols = (0 until 60).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val votes = withBits.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val sig = (0 until 60).map(b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    votes.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val sigs = simhash(docs)
+    val chunks = (0 until 4).map { c =>
+      sigs.select(col("doc_id"), lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 15).bitwiseAND(0x7fff).as("key"),
+        col("simhash"))
+    }.reduce(_ unionByName _)
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, and run decode/feature-extraction as
+  * partition-local batch functions.
+  *
+  * The decode step is a STUB (no image/audio codecs in this environment): the
+  * default [[Decoder]] is a deterministic fake that derives "features" from
+  * the payload bytes. Everything around it — schema, batching, partitioning,
+  * null handling — is real and tested; swapping in a real codec is a one-line
+  * change of `decoder`.
+  *
+  * (In PySpark this layer would be `mapInPandas`; the Scala-native equivalent
+  * with identical batch shape is a typed `mapPartitions` over Row iterators,
+  * which keeps the per-partition batching contract.)
+  */
+object Multimodal {
+
+  /** Partition-local decoder: bytes → fixed-length feature vector. */
+  trait Decoder extends Serializable {
+    def featureDim: Int
+    def decode(payload: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic fake decoder — stands in for the real codec (STUB). */
+  class FakeDecoder(val featureDim: Int = 8) extends Decoder {
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](featureDim)
+      var i = 0
+      while (i < payload.length) {
+        out(i % featureDim) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("mime", StringType),
+    StructField("n_bytes", LongType),
+    StructField("checksum", StringType)))
+
+  /** Wrap a text corpus as a binary media table (payload = utf8 bytes) —
+    * the ingestion path a real pipeline would run on image/audio blobs:
+    * metadata is computed relationally (codegen), payload stays opaque. */
+  def ingest(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      lit("application/octet-stream").as("mime"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("checksum", md5(col("payload")))
+
+  /** Frame/chunk inventory: fixed-size chunking of the payload — the Spark
+    * side of frame-sampling (pure column expressions; one output row per
+    * chunk via explode over a computed sequence). */
+  def chunkInventory(media: DataFrame, chunkBytes: Int = 64): DataFrame =
+    media.select(col("media_id"), col("n_bytes"),
+        explode(sequence(lit(0),
+          (ceil(col("n_bytes").cast("double") / chunkBytes) - 1).cast("int")))
+          .as("chunk_idx"))
+      .withColumn("chunk_offset", col("chunk_idx").cast("long") * chunkBytes)
+      .withColumn("chunk_len",
+        least(lit(chunkBytes.toLong), col("n_bytes") - col("chunk_offset")))
+      .select(col("media_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_offset"), col("chunk_len"))
+
+  /** Feature extraction via partition-local decode (mapPartitions batch
+    * contract — the decoder is instantiated once per partition, not per row).
+    */
+  def extractFeatures(media: DataFrame, decoder: Decoder = new FakeDecoder()): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val feat =
+            if (payload == null) null
+            else decoder.decode(payload)
+          Row(r.getLong(0), feat)
+        }
+      }(encoder)
+  }
+}

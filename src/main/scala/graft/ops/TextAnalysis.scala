@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, over the
+  * `documents(doc_id, text, lang, source, n_chars)` table.
+  *
+  * Everything here is pure column expressions (whole-stage codegen; no UDFs),
+  * designed so the same computation is expressible in ANSI-ish SQL for the
+  * DuckDB oracle. Occurrence counts use the replace-length trick
+  * (len(s) - len(replace(s, pat))) / len(pat), which is engine-portable and
+  * avoids regex-dialect drift.
+  */
+object TextAnalysis {
+
+  /** #occurrences of literal `pat` in `c` (portable replace-length trick;
+    * plain-string `replace`, identical semantics in DuckDB). */
+  def occurrences(c: Column, pat: String): Column =
+    ((length(c) - length(call_function("replace", c, lit(pat), lit(""))))
+      / lit(pat.length)).cast("long")
+
+  /** Whitespace token count: tokens = non-empty runs between whitespace. */
+  def tokenCount(c: Column): Column =
+    size(filter(split(c, "\\s+"), x => x =!= "")).cast("long")
+
+  /** BPE-ish token estimate: ceil(chars/4) + word boundary bonus — the
+    * standard "~4 chars/token" estimator used when a real tokenizer is not
+    * available in-engine. */
+  def tokenEstimate(c: Column): Column =
+    ceil(length(c).cast("double") / 4.0).cast("long")
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, uppercase
+    * ratio, mean word length — the standard cheap quality gates. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text).cast("double")
+    val nTokens = tokenCount(text).cast("double")
+    val punct = Seq(".", ",", "!", "?", ";", ":").map(occurrences(text, _))
+      .reduce(_ + _).cast("double")
+    val stop = Seq(" the ", " a ", " and ", " of ", " to ")
+      .map(p => occurrences(concat(lit(" "), text, lit(" ")), p))
+      .reduce(_ + _).cast("double")
+    Seq(
+      "n_chars_m" -> nChars.cast("long"),
+      "n_tokens" -> nTokens.cast("long"),
+      "punct_ratio" -> round(punct / greatest(nChars, lit(1.0)), 6),
+      "stopword_ratio" -> round(stop / greatest(nTokens, lit(1.0)), 6),
+      "mean_word_len" -> round(nChars / greatest(nTokens, lit(1.0)), 4))
+  }
+
+  def qualityScore(docs: DataFrame): DataFrame =
+    qualityColumns(col("text")).foldLeft(docs.select(col("doc_id"), col("text"))) {
+      case (df, (name, c)) => df.withColumn(name, c)
+    }.drop("text")
+
+  /** Language-ID by stopword-profile scoring (n-gram heuristic family).
+    * Deterministic: score(lang) = Σ occurrences of that language's marker
+    * words; argmax with lexicographic tiebreak on language code.
+    * (The testdata's `lang` column is synthetic metadata, not a property of
+    * the text; the operator contract is the heuristic itself.)
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " die ", " und ", " nicht ", " das "),
+    "en" -> Seq(" the ", " and ", " of ", " to ", " is "),
+    "es" -> Seq(" el ", " la ", " que ", " los ", " una "),
+    "fr" -> Seq(" le ", " la ", " les ", " est ", " une "),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    langProfiles.toMap.apply(lang).map(occurrences(padded, _)).reduce(_ + _)
+  }
+
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = langProfiles.foldLeft(docs.select(col("doc_id"), col("text"))) {
+      case (df, (lang, _)) => df.withColumn(s"score_$lang", langScore(col("text"), lang))
+    }
+    // argmax with deterministic tiebreak (highest score, then language code),
+    // encoded as greatest() over zero-padded "score||lang" keys — a form with
+    // byte-identical semantics in the SQL oracle.
+    val keys = langProfiles.map { case (lang, _) =>
+      concat(lpad(col(s"score_$lang").cast("string"), 10, "0"), lit(lang))
+    }
+    scored
+      .withColumn("best", greatest(keys: _*))
+      .select(col("doc_id"),
+        substring(col("best"), 11, 2).as("lang_pred"),
+        substring(col("best"), 1, 10).cast("long").as("lang_score"))
+  }
+
+  /** Document fingerprinting by winnowing (Schleimer et al. 2003): token
+    * 3-gram hashes, sliding-window minimum (window w=4), distinct selected
+    * hashes form the fingerprint. md5-based gram hash keeps it portable to
+    * the SQL oracle. Emits (doc_id, n_fingerprints, min_fp).
+    */
+  def fingerprint(docs: DataFrame, n: Int = 3, window: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      posexplode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+        .as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = toks
+      .withColumn("g2", lead(col("tok"), 1).over(w))
+      .withColumn("g3", lead(col("tok"), 2).over(w))
+      .filter(col("g3").isNotNull)
+      .withColumn("gram_hash", md5(concat_ws(" ", col("tok"), col("g2"), col("g3"))))
+    val winMin = grams.withColumn("win_min",
+      min(col("gram_hash")).over(w.rowsBetween(-(window - 1), 0)))
+    winMin.groupBy(col("doc_id")).agg(
+      countDistinct(col("win_min")).as("n_fingerprints"),
+      min(col("win_min")).as("min_fp"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Unit tests for the training-data-pipeline operators (planted-duplicate
+  * scenarios — the oracle gate covers the testdata-scale behavior). */
+class OpsSpec extends SparkTestBase {
+
+  import scala.collection.immutable.ArraySeq
+
+  lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "s1", 0L),
+      (2L, "the quick brown fox jumps over the lazy dog again and again", "en", "s1", 0L), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat again and again", "en", "s1", 0L), // near dup of 1
+      (4L, "completely different words about spark and scala engines here", "en", "s1", 0L),
+      (5L, "nothing in common with anything else whatsoever in this corpus", "en", "s2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  test("exact dedup groups identical texts") {
+    val d = Dedup.exact(docs).collect()
+    val dupGroups = d.filter(_.getAs[Long]("dup_count") > 1)
+    assert(dupGroups.length === 1)
+    assert(dupGroups.head.getAs[Long]("keep_id") === 1L)
+    assert(dupGroups.head.getAs[Long]("dup_count") === 2L)
+  }
+
+  test("minhash LSH finds exact + near dup, no false positives") {
+    val pairs = Dedup.minhashLsh(docs, 8, 2, 0.5).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("jaccard")))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)), s"exact dup pair missing from $keys")
+    val j12 = pairs.find(p => p._1 == 1L && p._2 == 2L).get._3
+    assert(j12 === 1.0)
+    // no pair involving doc 5
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: identical docs at hamming 0; unrelated docs far apart") {
+    val sigs = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sigs(1L) === sigs(2L))
+    val ham15 = java.lang.Long.bitCount(sigs(1L) ^ sigs(5L))
+    assert(ham15 > 6, s"unrelated docs too close: $ham15")
+  }
+
+  test("ngram jaccard finds near dup within blocks only") {
+    val pairs = Dedup.ngramJaccard(docs, 3, 0.5).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    // doc 5 is in source s2: never paired despite same lang
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("cosine top-k: planted identical vector ranks first") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 0.0f, 1.0f), 0),
+      (4L, Array(1.0f, 0.01f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val top = Similarity.cosineTopK(emb, q, 2).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => r.getAs[Long]("vec_id"))
+    assert(top.toSeq === Seq(4L, 1L))
+  }
+
+  test("language-id argmax picks the profile with most markers") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "der hund und die katze und das haus"),
+      (2L, "the cat and the dog is here"),
+      (3L, "el perro y la casa de los gatos"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.langId(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(out(1L) === "de")
+    assert(out(2L) === "en")
+    assert(out(3L) === "es")
+  }
+
+  test("fingerprint: identical docs share fingerprints; winnowing shrinks set") {
+    val fp = TextAnalysis.fingerprint(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_fingerprints"), r.getAs[String]("min_fp")))
+    val byId = fp.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byId(1L) === byId(2L))
+    val nTokens = 12
+    assert(byId(1L)._1 <= nTokens - 2) // ≤ #grams, strictly compressed
+  }
+
+  test("multimodal: ingest metadata, chunk inventory, feature extraction") {
+    val media = Multimodal.ingest(docs)
+    val m = media.filter(col("media_id") === 1L).head()
+    assert(m.getAs[Long]("n_bytes") === docs.filter(col("doc_id") === 1L)
+      .head().getAs[String]("text").getBytes("UTF-8").length)
+    val chunks = Multimodal.chunkInventory(media, 16)
+    val c1 = chunks.filter(col("media_id") === 1L).collect()
+    assert(c1.length === math.ceil(m.getAs[Long]("n_bytes") / 16.0).toInt)
+    assert(c1.map(_.getAs[Long]("chunk_len")).sum === m.getAs[Long]("n_bytes"))
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length === 5)
+    val f1 = feats.find(_.getLong(0) == 1L).get.getSeq[Float](1)
+    val f2 = feats.find(_.getLong(0) == 2L).get.getSeq[Float](1)
+    assert(f1 === f2) // deterministic decode: identical payloads → identical features
+    assert(f1.length === 8)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming behaviors: the streaming pipelines must agree with
+  * their batch formulations on a static input (availableNow + memory sink).
+  */
+class StreamingSpec extends SparkTestBase {
+
+  lazy val eventsDir = s"$testData/sf0.001"
+
+  test("windowed agg: streaming (availableNow, watermark) equals batch") {
+    val batchDf = graft.Queries.events(spark, eventsDir)
+    val batch = EventStreams.windowedAgg(batchDf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+
+    // stream the same parquet (nanos read as long, converted like batch);
+    // FileStreamSource needs a DIRECTORY — stage the single file into one
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$eventsDir/events.parquet").schema)
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val q = EventStreams.windowedAggStream(raw)
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // append mode + watermark: only windows older than the watermark emit;
+    // compare the emitted subset for equality
+    val streamed = spark.sql("SELECT * FROM win_agg").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed.nonEmpty, "stream emitted no finalized windows")
+    streamed.foreach { case (k, v) =>
+      assert(batch(k) === v, s"window $k mismatch")
+    }
+  }
+
+  test("sessionize: stream state (flatMapGroupsWithState) agrees with batch") {
+    import spark.implicits._
+    val batchDf = graft.Queries.events(spark, eventsDir)
+    val batchSessions = EventStreams.sessionizeBatch(batchDf, 30).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start")) ->
+        r.getAs[Long]("n_events")).toMap
+
+    // single-batch stream: emitted sessions are the closed ones (each user's
+    // last session stays in state) — every emitted session must match batch
+    val streamed = EventStreams.sessionizeStream(spark, batchDf, 30)
+    // run as a batch Dataset transformation on static input for determinism
+    val emitted = streamed.collect()
+    assert(emitted.nonEmpty)
+    emitted.foreach { s =>
+      val key = (s.user_id, s.session_start)
+      assert(batchSessions.contains(key), s"session $key not in batch result")
+      assert(batchSessions(key) === s.n_events)
+    }
+    // emitted = all batch sessions minus one open session per user
+    val users = emitted.map(_.user_id).distinct
+    val batchPerUser = batchSessions.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    users.foreach { u =>
+      val emittedN = emitted.count(_.user_id == u)
+      assert(emittedN === batchPerUser(u) - 1, s"user $u emitted $emittedN")
+    }
+  }
+}
