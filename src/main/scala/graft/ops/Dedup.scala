@@ -105,25 +105,40 @@ object Dedup {
 
   /** Blocked n-gram Jaccard near-dup: candidate pairs limited to equal
     * (lang, source) blocks; char n-gram multisets compared as distinct sets.
-    * Returns (a, b, jaccard) with a < b, jaccard ≥ threshold. */
+    * Returns (a, b, jaccard) with a < b, jaccard ≥ threshold.
+    *
+    * Scale path: PREFIX FILTERING (the PPJoin family's length/prefix bound)
+    * instead of all-pairs-per-block. Order each doc's gram set by ascending
+    * global document frequency; a pair with Jaccard ≥ t MUST share at least
+    * one gram within each side's first floor((1-t)·|set|)+1 grams, so the
+    * candidate join runs only over those rare prefix grams — equal output,
+    * orders of magnitude fewer candidate rows than block cross-join (which at
+    * sf0.1 already materialized ~600M intermediate rows; prefix candidates
+    * join on the rarest grams where bucket sizes are small by construction).
+    */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val grams = docs.select(col("doc_id"), col("lang"), col("source"),
-        posexplode(expr(s"transform(sequence(1, greatest(length(text) - ${n - 1}, 0)), " +
-          s"i -> substring(text, i, $n))")).as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("lang"), col("source"), col("gram"))
-      .distinct()
+        explode(array_distinct(expr(
+          s"transform(sequence(1, greatest(length(text) - ${n - 1}, 0)), " +
+            s"i -> substring(text, i, $n))"))).as("tok"))
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val blockPairs = docs.select(col("doc_id").as("a"), col("lang"), col("source"))
-      .join(docs.select(col("doc_id").as("b"), col("lang"), col("source")),
-        Seq("lang", "source"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
-    jaccardPairsOn(grams.select(col("doc_id"), col("gram").as("tok")), sizes, blockPairs)
+    // global doc-frequency per gram → deterministic rarity order (df, tok)
+    val df = grams.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val prefix = grams.join(df, Seq("tok"))
+      .withColumn("rank", row_number().over(w))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("rank") <= floor((lit(1.0) - threshold) * col("sz")) + 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("tok"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+          col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    jaccardPairs(grams.select(col("doc_id"), col("tok")), sizes, cand)
       .filter(col("jaccard") >= threshold)
   }
-
-  private def jaccardPairsOn(toks: DataFrame, sizes: DataFrame, cand: DataFrame): DataFrame =
-    jaccardPairs(toks, sizes, cand)
 
   /** SimHash (64-bit) from md5 of tokens: per-bit majority vote over token
     * hashes. Near-dups = pairs within `maxHamming` bits, bucketed by 16-bit
