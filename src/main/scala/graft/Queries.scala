@@ -473,6 +473,110 @@ object Queries {
              |  WHERE d < 2 AND bfs.id <> (SELECT 1000000 + min(l_suppkey) FROM lineitem))
              |SELECT id, CAST(min(d) AS INT) AS hop FROM bfs GROUP BY id""".stripMargin)))
 
+  // ---------------------------------------------------------------- centrality / community
+  private val centralityQs = Seq(
+    Q("q51_degree_centrality",
+      (s, d) => {
+        val e = psEdges(s, d).select(col("a").as("src"), col("b").as("dst"))
+        val v = e.select(col("src").as("id"))
+          .unionByName(e.select(col("dst").as("id"))).distinct()
+        graft.graph.Centrality.degreeCentrality(v, e)
+          .select(col("id"), col("inDeg").as("in_deg"), col("outDeg").as("out_deg"),
+            col("deg"), col("inCentrality").as("in_centrality"),
+            col("outCentrality").as("out_centrality"), col("centrality"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst FROM lineitem),
+             |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+             |nn AS (SELECT count(*) AS n FROM v),
+             |o AS (SELECT src AS id, count(*) AS od FROM e GROUP BY 1),
+             |i AS (SELECT dst AS id, count(*) AS idg FROM e GROUP BY 1)
+             |SELECT v.id, coalesce(i.idg, 0) AS in_deg, coalesce(o.od, 0) AS out_deg,
+             | coalesce(i.idg, 0) + coalesce(o.od, 0) AS deg,
+             | CAST(coalesce(i.idg, 0) AS DOUBLE) / (nn.n - 1) AS in_centrality,
+             | CAST(coalesce(o.od, 0) AS DOUBLE) / (nn.n - 1) AS out_centrality,
+             | CAST(coalesce(i.idg, 0) + coalesce(o.od, 0) AS DOUBLE) / (nn.n - 1) AS centrality
+             |FROM v LEFT JOIN o ON o.id = v.id LEFT JOIN i ON i.id = v.id, nn""".stripMargin)),
+
+    Q("q52_eigenvector",
+      (s, d) => {
+        // undirected nation↔region graph: symmetric matrix → geometric
+        // convergence for the power iteration (the shifted I+A breaks the
+        // bipartite ± eigenvalue pairing)
+        val e0 = T(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("src"),
+            (col("n_regionkey").cast("long") + 1000L).as("dst"))
+        val und = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        val v = und.select(col("src").as("id")).distinct()
+        graft.graph.Centrality.eigenvector(v, und)
+          .map(_.select(col("id"), round(col("score"), 6).as("score")))
+          .getOrElse(s.range(0).select(col("id"), lit(0.0).as("score")))
+      },
+      None), // fixpoint float iteration — no portable SQL oracle
+
+    Q("q53_betweenness",
+      (s, d) => {
+        // disjoint directed chains: customers ordered by key within nation.
+        // Closed form for a path graph makes this SQL-oracle-checkable:
+        // betweenness(node at position p of an m-chain) = p*(m-1-p) pairs.
+        val c = T(s, d, "customer")
+        val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+        val chain = c.select(col("c_nationkey"), col("c_custkey"))
+          .withColumn("nxt", lead(col("c_custkey"), 1).over(w))
+        val edges = chain.filter(col("nxt").isNotNull)
+          .select(col("c_custkey").cast("string").as("src"),
+            col("nxt").cast("string").as("dst"))
+        val v = c.select(col("c_custkey").cast("string").as("id"))
+        graft.graph.Centrality.betweenness(v, edges)
+          .select(col("id"), col("betweenness"))
+      },
+      Some("""WITH c AS (SELECT c_custkey,
+             |   row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) - 1 AS p,
+             |   count(*) OVER (PARTITION BY c_nationkey) AS m
+             | FROM customer),
+             |nn AS (SELECT count(*) AS n FROM customer)
+             |SELECT CAST(c_custkey AS VARCHAR) AS id,
+             | CAST(p * (m - 1 - p) AS DOUBLE) / ((nn.n - 1) * (nn.n - 2)) AS betweenness
+             |FROM c, nn""".stripMargin)),
+
+    Q("q54_louvain",
+      (s, d) => {
+        val e0 = T(s, d, "nation")
+          .select(col("n_nationkey").cast("string").as("src"),
+            concat(lit("r"), col("n_regionkey").cast("string")).as("dst"))
+        val v = e0.select(col("src").as("id"))
+          .unionByName(e0.select(col("dst").as("id"))).distinct()
+        graft.graph.Community.louvain(v, e0)
+      },
+      // nation–region stars: optimal partition = one community per region,
+      // labeled by lexicographic-min member id ('r…' sorts after digits)
+      Some("""WITH m AS (SELECT n_regionkey,
+             |   min(CAST(n_nationkey AS VARCHAR)) AS community FROM nation GROUP BY 1)
+             |SELECT CAST(n_nationkey AS VARCHAR) AS id, m.community
+             |FROM nation JOIN m USING (n_regionkey)
+             |UNION ALL
+             |SELECT DISTINCT 'r' || CAST(n_regionkey AS VARCHAR), m.community
+             |FROM nation JOIN m USING (n_regionkey)""".stripMargin)),
+
+    Q("q55_discipline_summary",
+      (s, d) => {
+        // SURVEY A1: per-key frequency summary string ordered by
+        // (count desc, name asc), rendered "name (n), name (n)"
+        val counts = T(s, d, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"))
+        counts.groupBy(col("l_returnflag"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct((-col("n")).as("negn"), col("l_linestatus").as("st")))),
+            x => concat(x.getField("st"), lit(" ("),
+              (-x.getField("negn")).cast("string"), lit(")"))), ", ").as("summary"))
+      },
+      Some("""SELECT l_returnflag,
+             | string_agg(l_linestatus || ' (' || CAST(n AS VARCHAR) || ')', ', '
+             |   ORDER BY n DESC, l_linestatus) AS summary
+             |FROM (SELECT l_returnflag, l_linestatus, count(*) AS n
+             |      FROM lineitem GROUP BY 1, 2)
+             |GROUP BY 1""".stripMargin)))
+
   // ---------------------------------------------------------------- dedup / text ops
   private val dedupQs = Seq(
     Q("q34_dedup_exact",
@@ -662,6 +766,38 @@ object Queries {
              |JOIN norms nb ON nb.vec_id = d.b
              |WHERE round(d.dp / (na.nrm * nb.nrm), 6) >= 0.3""".stripMargin)),
 
+    Q("q49_ann_ivf",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.ivfTopK(emb, queries, 16, 10)
+      },
+      Some("""WITH f AS (SELECT vec_id, unnest(embedding) AS v,
+             |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+             |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
+             |cf AS (SELECT vec_id AS cent_id, v AS cv, i FROM f WHERE vec_id < 16),
+             |sim AS (SELECT f.vec_id, cf.cent_id, sum(CAST(f.v AS DOUBLE) * cf.cv) AS dp
+             |  FROM f JOIN cf ON cf.i = f.i GROUP BY 1, 2),
+             |asg AS (SELECT vec_id, cent_id AS cell FROM (
+             |   SELECT s.vec_id, s.cent_id, row_number() OVER (PARTITION BY s.vec_id
+             |     ORDER BY round(s.dp / (n1.nrm * n2.nrm), 6) DESC, s.cent_id) AS r
+             |   FROM sim s JOIN norms n1 ON n1.vec_id = s.vec_id
+             |   JOIN norms n2 ON n2.vec_id = s.cent_id) WHERE r = 1),
+             |cand AS (SELECT q.vec_id AS query_id, a2.vec_id
+             |  FROM (SELECT vec_id, cell FROM asg WHERE vec_id < 5) q
+             |  JOIN asg a2 ON a2.cell = q.cell AND a2.vec_id <> q.vec_id),
+             |dots AS (SELECT c.query_id, c.vec_id, sum(CAST(fq.v AS DOUBLE) * fc.v) AS dp
+             |  FROM cand c JOIN f fq ON fq.vec_id = c.query_id
+             |  JOIN f fc ON fc.vec_id = c.vec_id AND fc.i = fq.i
+             |  GROUP BY 1, 2),
+             |cos AS (SELECT d.query_id, d.vec_id, round(d.dp / (nq.nrm * nc.nrm), 6) AS cos
+             |  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+             |  JOIN norms nc ON nc.vec_id = d.vec_id),
+             |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             |   ORDER BY cos DESC, vec_id) AS INT) AS rank FROM cos)
+             |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 10""".stripMargin)),
+
     Q("q44_multimodal_meta",
       (s, d) => Multimodal.ingest(T(s, d, "documents"))
         .select(col("media_id"), col("mime"), col("n_bytes"), col("checksum")),
@@ -717,7 +853,8 @@ object Queries {
       None)) // IAST digraph collation is not expressible in portable SQL
 
   val all: Seq[Q] =
-    scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ dedupQs ++ simQs ++ collationQs
+    scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
+      dedupQs ++ simQs ++ collationQs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -50,6 +50,59 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** IVF (inverted-file) approximate nearest neighbor — the partition-pruned
+    * scale path next to [[cosineTopK]]'s exact baseline.
+    *
+    * Coarse quantizer = the first `nCentroids` corpus vectors by `vec_id`
+    * (deterministic; a k-means codebook drops in without changing the plan).
+    * Index step: every vector is assigned to its nearest centroid by cosine
+    * (rounded to 6 places, ties to the lowest centroid id) via a broadcast
+    * join against the (tiny) codebook — at cluster scale this is a map-only
+    * stage and the corpus can be written bucketed by `cell`. Search step:
+    * each query probes ONLY its own cell (nprobe=1), so the candidate join
+    * touches 1/nCentroids of the corpus instead of all of it.
+    *
+    * @return (query_id, vec_id, cos, rank) — exact top-k *within the probed
+    *         cell*; recall < 1 vs brute force by construction.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      nCentroids: Int = 16,
+      k: Int = 10): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val cents = corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cemb"),
+        col("nrm").as("cnrm"))
+    def assignCell(df: DataFrame, idCol: String): DataFrame = {
+      val scored = df.crossJoin(broadcast(cents))
+        .withColumn("csim",
+          round(dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")), 6))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("csim").desc, col("cent_id"))
+      scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .select(col(idCol), col("emb"), col("nrm"), col("cent_id").as("cell"))
+    }
+    val indexed = assignCell(corpus, "vec_id")
+    val probes = assignCell(
+      queries.select(col("query_id"),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", norm(col("emb"))), "query_id")
+      .select(col("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"),
+        col("cell"))
+    val scored = indexed.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
   /** Embedding near-dup detection: pairwise cosine ≥ threshold within
     * coarse-quantizer buckets (IVF-style; `label` is the cell id here).
     * Norms are computed once per vector BEFORE the pair join (array lambdas

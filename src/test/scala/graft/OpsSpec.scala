@@ -75,6 +75,31 @@ class OpsSpec extends SparkTestBase {
     assert(top.toSeq === Seq(4L, 1L))
   }
 
+  test("IVF top-k: probes only the query's cell; in-cell results exact") {
+    import spark.implicits._
+    // two clean clusters around e1 (centroid 0) and e2 (centroid 1)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f, 0.0f), 0),
+      (2L, Array(0.98f, 0.05f, 0.0f), 0),
+      (3L, Array(0.97f, 0.02f, 0.1f), 0),
+      (4L, Array(0.02f, 0.99f, 0.0f), 0),
+      (5L, Array(0.0f, 0.95f, 0.3f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val q = emb.filter($"vec_id" === 2L)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val hits = Similarity.ivfTopK(emb, q, nCentroids = 2, k = 10).collect()
+      .map(r => r.getAs[Long]("vec_id")).toSet
+    // cell of centroid 0 holds {0, 2, 3}; cluster-B vectors never scanned
+    assert(hits === Set(0L, 3L))
+    // within the probed cell the ranking matches brute force
+    val brute = Similarity.cosineTopK(emb.filter($"vec_id".isin(0L, 2L, 3L)), q, 10)
+      .collect().sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+    val ivf = Similarity.ivfTopK(emb, q, 2, 10)
+      .collect().sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+    assert(ivf === brute)
+  }
+
   test("language-id argmax picks the profile with most markers") {
     import spark.implicits._
     val d = Seq(
