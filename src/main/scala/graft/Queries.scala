@@ -119,6 +119,33 @@ object Queries {
              | c_name || ' (' || CAST(c_custkey AS VARCHAR) || ') [' || c_mktsegment || ']' AS label
              |FROM customer""".stripMargin)),
 
+    Q("q56_unpivot",
+      (s, d) => T(s, d, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size"), col("retailprice")), "metric", "value"),
+      Some("""SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+             |UNION ALL
+             |SELECT p_partkey, 'retailprice', p_retailprice FROM part""".stripMargin)),
+
+    Q("q57_regexp_extract",
+      (s, d) => T(s, d, "customer")
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "^([A-Za-z]+)#", 1).as("prefix"),
+          regexp_extract(col("c_name"), "(\\d+)$", 1).cast("long").as("seq")),
+      Some("""SELECT c_custkey, regexp_extract(c_name, '^([A-Za-z]+)#', 1) AS prefix,
+             | CAST(regexp_extract(c_name, '(\d+)$', 1) AS BIGINT) AS seq
+             |FROM customer""".stripMargin)),
+
+    Q("q58_rollup",
+      (s, d) => T(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             | round(sum(l_quantity), 2) AS qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
     Q("q29_year_conditional",
       (s, d) => T(s, d, "orders")
         .select(when(col("o_totalprice") > 1000, year(col("o_orderdate"))).as("yr"))

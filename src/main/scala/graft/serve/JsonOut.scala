@@ -22,6 +22,48 @@ object JsonOut {
 
   private def jstr(s: String): String = "\"" + esc(s) + "\""
 
+  /** Entities JSON sink (`utils/transform.py:167-171`): `{id: entity_dict}`
+    * with null fields dropped (the reference's `to_dict` contract,
+    * `data_models.py:37-38`), snake_case keys, non-ASCII preserved. Driver-side
+    * render over the collected (dimension-sized) entity table, like the
+    * reference's single-file write. Round-trips through
+    * [[graft.etl.JsonLoad.entities]]. */
+  def entitiesJson(entities: DataFrame): String = {
+    val rows = entities.collect().sortBy(_.getAs[String]("id"))
+    def strField(r: Row, df: String, json: String): Option[String] = {
+      val i = r.fieldIndex(df)
+      if (r.isNullAt(i)) None else Some(jstr(json) + ": " + jstr(r.getString(i)))
+    }
+    def intField(r: Row, df: String, json: String): Option[String] = {
+      val i = r.fieldIndex(df)
+      if (r.isNullAt(i)) None else Some(jstr(json) + ": " + r.getInt(i))
+    }
+    def arrField(r: Row, df: String, json: String): Option[String] = {
+      val i = r.fieldIndex(df)
+      if (r.isNullAt(i)) None
+      else Some(jstr(json) + ": " +
+        r.getSeq[String](i).map(jstr).mkString("[", ", ", "]"))
+    }
+    val ents = rows.map { r =>
+      val fields = Seq(
+        strField(r, "id", "id"), strField(r, "type", "type"),
+        strField(r, "name", "name"), strField(r, "aka", "aka"),
+        strField(r, "socialIdentifiers", "social_identifiers"),
+        strField(r, "discipline", "discipline"),
+        strField(r, "disciplines", "disciplines"),
+        intField(r, "highestYear", "highest_year"),
+        intField(r, "lowestYear", "lowest_year"),
+        intField(r, "authorHighestYear", "author_highest_year"),
+        intField(r, "authorLowestYear", "author_lowest_year"),
+        arrField(r, "authorIds", "author_ids"),
+        arrField(r, "workIds", "work_ids"),
+        arrField(r, "baseTextIds", "base_text_ids"),
+        arrField(r, "commentaryIds", "commentary_ids")).flatten
+      jstr(r.getAs[String]("id")) + ": " + fields.mkString("{", ", ", "}")
+    }
+    ents.mkString("{", ", ", "}")
+  }
+
   /** Re-nest flat `(workId, collection, subtype, link)` rows to the
     * reference's heterogeneous shape (`utils/transform.py:236-244`):
     * `work → collection → (sorted links | subtype → sorted links)`, where a
