@@ -38,45 +38,119 @@ object Centrality {
     * Returns None if |x_t - x_{t-1}|_1 > n*tol after maxIter rounds
     * (the reference catches PowerIterationFailedConvergence → None).
     */
+  /** Below this vertex count the iteration runs on collected driver arrays
+    * (exact nx L1 semantics, no per-round stage scheduling); above it, the
+    * distributed join loop. Dimension-sized graphs — like the reference's
+    * 17k nodes — cost ~10 Spark stages *per power-iteration round* in the
+    * distributed formulation, all scheduling overhead. */
+  val localThreshold: Long = 65536
+
   def eigenvector(
       vertices: DataFrame,
       edges: DataFrame,
       maxIter: Int = 100,
-      tol: Double = 1e-6): Option[DataFrame] = {
+      tol: Double = 1e-6,
+      localCutoff: Long = localThreshold): Option[DataFrame] = {
     val spark = vertices.sparkSession
     import spark.implicits._
     val n = vertices.count()
+    if (n <= localCutoff && n > 0)
+      return eigenvectorLocal(vertices, edges, maxIter, tol)
     val e = FreshCheckpoint(edges.select($"src", $"dst"))
+    // x' = x + A^T x (networkx adds the self term via A+I implicitly through
+    // its hub-start; follow nx.eigenvector_centrality: x' = x*0 + A^T x + x).
+    // The recurrence is linear, so iterates are kept UNNORMALIZED (values
+    // grow ~λ^t; doubles hold ~600 rounds of λ≈3 — far past any maxIter) and
+    // normalization happens implicitly inside the convergence check and once
+    // at the end. Convergence is checked every CHECK_EVERY rounds with a
+    // single aggregation over consecutive iterates: for normalized vectors,
+    // ‖x̂_t − x̂_{t−1}‖₂² = 2 − 2C/(√A√B) with A=Σx_t², B=Σx_{t−1}²,
+    // C=Σx_t·x_{t−1}; L1 ≤ √n·L2, so L2² ≤ n·tol² implies the reference's nx
+    // check Σ|Δ| < n·tol — conservative (never declares convergence nx
+    // wouldn't). Job count per round drops from 2–3 to ~1/CHECK_EVERY plus a
+    // checkpoint each CHECK_EVERY rounds to cap lineage; at cluster scale the
+    // per-round contrib join dominates and the cadence only bounds plan depth.
+    val checkEvery = 3
     var x = FreshCheckpoint(
       vertices.select($"id", lit(1.0 / math.sqrt(n.toDouble)).as("score")))
+    var prev = x
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
       val contrib = e.join(x.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy($"dst".as("id")).agg(sum($"score").as("inc"))
-      // x' = x + A^T x (networkx adds the self term via A+I implicitly through
-      // its hub-start; follow nx.eigenvector_centrality: x' = x*0 + A^T x + x)
-      val raw = x.join(contrib, Seq("id"), "left")
-        .select($"id", $"score".as("prev"),
-          ($"score" + coalesce($"inc", lit(0.0))).as("raw"))
-      // One aggregation yields both the L2 norm (A) and the cross term (C):
-      // with ‖prev‖=1, ‖raw/√A − prev‖₂² = 2 − 2C/√A, and L1 ≤ √n·L2, so
-      // L2² ≤ n·tol² ⟹ the reference's nx check Σ|Δ| < n·tol holds —
-      // conservative (never declares convergence nx wouldn't), one job
-      // instead of two per round.
-      val (a, c) = raw.agg(sum($"raw" * $"raw"), sum($"raw" * $"prev"))
-        .as[(Double, Double)].head()
-      val norm = math.sqrt(a)
-      // lineage cap 4: checkpointing every round costs a materialization job
-      // each; every 4th keeps plans shallow at a quarter of the cost
-      val next = raw.select($"id",
-        ($"raw" / (if (norm == 0) 1.0 else norm)).as("score"))
-      val deltaL2Sq = math.max(0.0, 2.0 - 2.0 * c / (if (norm == 0) 1.0 else norm))
-      converged = deltaL2Sq <= n * tol * tol
-      x = if (it % 4 == 3 || converged) FreshCheckpoint(next) else next
+      val next = x.join(contrib, Seq("id"), "left")
+        .select($"id", ($"score" + coalesce($"inc", lit(0.0))).as("score"))
+      it += 1
+      if (it % checkEvery == 0 || it == maxIter) {
+        val joined = next.join(
+          x.withColumnRenamed("score", "prevScore"), Seq("id"))
+        val (a, b, c) = joined.agg(
+          sum($"score" * $"score"), sum($"prevScore" * $"prevScore"),
+          sum($"score" * $"prevScore")).as[(Double, Double, Double)].head()
+        val denom = math.sqrt(a) * math.sqrt(b)
+        val deltaL2Sq =
+          if (denom == 0) 2.0 else math.max(0.0, 2.0 - 2.0 * c / denom)
+        converged = deltaL2Sq <= n * tol * tol
+        prev = x
+        x = FreshCheckpoint(next)
+      } else {
+        prev = x
+        x = next
+      }
+    }
+    if (!converged) None
+    else {
+      val norm = math.sqrt(x.agg(sum($"score" * $"score")).as[Double].head())
+      Some(x.select($"id", ($"score" / (if (norm == 0) 1.0 else norm)).as("score")))
+    }
+  }
+
+  /** Driver-local power iteration (n ≤ [[localThreshold]]): exactly
+    * networkx's semantics — x' = x + A^T x, L2-normalized each round, stop
+    * when Σ|x_t − x_{t−1}| < n·tol, None after maxIter (nx's
+    * PowerIterationFailedConvergence contract). */
+  private def eigenvectorLocal(
+      vertices: DataFrame,
+      edges: DataFrame,
+      maxIter: Int,
+      tol: Double): Option[DataFrame] = {
+    val spark = vertices.sparkSession
+    val ids = vertices.select(col("id")).collect().map(_.get(0)).toIndexedSeq
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.length
+    val es = edges.select(col("src"), col("dst")).collect()
+      .flatMap { r =>
+        (idx.get(r.get(0)), idx.get(r.get(1))) match {
+          case (Some(s), Some(d)) => Some((s, d))
+          case _ => None
+        }
+      }
+    var x = Array.fill(n)(1.0 / math.sqrt(n.toDouble))
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val next = x.clone()
+      es.foreach { case (s, d) => next(d) += x(s) }
+      val norm = math.sqrt(next.map(v => v * v).sum)
+      val scale = if (norm == 0) 1.0 else norm
+      var i = 0; var delta = 0.0
+      while (i < n) { next(i) /= scale; delta += math.abs(next(i) - x(i)); i += 1 }
+      converged = delta < n * tol
+      x = next
       it += 1
     }
-    if (converged) Some(x) else None
+    if (!converged) None
+    else {
+      val rows = ids.indices.map(i => org.apache.spark.sql.Row(ids(i), x(i)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          vertices.schema("id").dataType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType)))
+      Some(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema))
+    }
   }
 
   /** Exact betweenness centrality (Brandes 2001), parallel over sources.

@@ -72,6 +72,19 @@ class AnalyticsSpec extends SparkTestBase {
     assert(math.abs(norm - 1.0) < 1e-6)
   }
 
+  test("eigenvector: distributed join-loop path agrees with the local path") {
+    val und = h3._2.select(col("src"), col("dst"))
+      .unionByName(h3._2.select(col("dst").as("src"), col("src").as("dst")))
+    val local = Centrality.eigenvector(h3._1, und, maxIter = 300).get
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dist = Centrality.eigenvector(h3._1, und, maxIter = 300, localCutoff = 0).get
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(dist.keySet === local.keySet)
+    local.foreach { case (id, v) =>
+      assert(math.abs(dist(id) - v) < 1e-4, s"score mismatch at $id: ${dist(id)} vs $v")
+    }
+  }
+
   test("louvain + label propagation produce positive-modularity partitions") {
     val (nodes, es) = h3
     val lou = Community.louvain(nodes, es)
