@@ -308,12 +308,20 @@ object Queries {
 
     Q("q22_degree_stats",
       (s, d) => {
+        // single aggregation pipeline: unpivot endpoints once, conditional
+        // stats per side (a vertex has out-stats iff it appears as src) —
+        // no second groupBy, no crossJoin of two agg subplans
         val e = T(s, d, "lineitem")
           .select(col("l_partkey").as("src"), col("l_suppkey").as("dst")).distinct()
-        val outd = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        val ind = e.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
-        outd.agg(max(col("deg")).as("max_out"), round(avg(col("deg")), 6).as("avg_out"))
-          .crossJoin(ind.agg(max(col("deg")).as("max_in"), round(avg(col("deg")), 6).as("avg_in")))
+        val sides = e.select(col("src").as("id"), lit(1L).as("o"), lit(0L).as("i"))
+          .unionByName(e.select(col("dst").as("id"), lit(0L).as("o"), lit(1L).as("i")))
+        sides.groupBy(col("id"))
+          .agg(sum(col("o")).as("od"), sum(col("i")).as("idg"))
+          .agg(
+            max(when(col("od") > 0, col("od"))).as("max_out"),
+            round(avg(when(col("od") > 0, col("od"))), 6).as("avg_out"),
+            max(when(col("idg") > 0, col("idg"))).as("max_in"),
+            round(avg(when(col("idg") > 0, col("idg"))), 6).as("avg_in"))
       },
       Some("""WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
              | o AS (SELECT max(deg) AS max_out, round(avg(deg), 6) AS avg_out

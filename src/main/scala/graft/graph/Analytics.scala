@@ -78,11 +78,14 @@ object Analytics {
   /** Degree table: (id, inDeg, outDeg, deg) via two aggregations + outer join
     * (`utils/analyze.py:107-117`). */
   def degrees(vertices: DataFrame, edges: DataFrame): DataFrame = {
-    val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outDeg"))
-    val in = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("inDeg"))
+    // one shuffle: unpivot endpoints to (id, out?, in?) and aggregate once,
+    // instead of two per-side groupBys + two joins
+    val sides = edges.select(col("src").as("id"), lit(1L).as("o"), lit(0L).as("i"))
+      .unionByName(edges.select(col("dst").as("id"), lit(0L).as("o"), lit(1L).as("i")))
+    val deg = sides.groupBy(col("id"))
+      .agg(sum(col("o")).as("outDeg"), sum(col("i")).as("inDeg"))
     vertices.select(col("id"))
-      .join(out, Seq("id"), "left")
-      .join(in, Seq("id"), "left")
+      .join(deg, Seq("id"), "left")
       .na.fill(0L, Seq("inDeg", "outDeg"))
       .withColumn("deg", col("inDeg") + col("outDeg"))
   }

@@ -90,6 +90,17 @@ object EventStreams {
       }
   }
 
+  /** Exact dedup by event id, batch form. */
+  def dedupBatch(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
+  /** Streaming exact dedup with bounded state: duplicates are only tracked
+    * within the watermark horizon, so dedup state ages out instead of
+    * growing forever — the only scale-safe form of streaming dedup. */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Read the events parquet as a stream (for tests/demo: availableNow over
     * the static file). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

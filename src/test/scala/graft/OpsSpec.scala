@@ -123,6 +123,27 @@ class OpsSpec extends SparkTestBase {
     assert(byId(1L)._1 <= nTokens - 2) // ≤ #grams, strictly compressed
   }
 
+  test("salted join equals plain join on skewed keys") {
+    import spark.implicits._
+    import graft.ops.SkewJoin
+    // hot key: 90% of rows share key 1
+    val left = spark.range(0, 5000)
+      .select((when(col("id") % 10 < 9, 1L).otherwise(col("id"))).as("k"),
+        col("id").as("payload"))
+    val right = Seq((1L, "hot"), (7L, "cold"), (23L, "cold")).toDF("k", "tag")
+    val plain = left.join(right, "k")
+    val salted = SkewJoin.salted(left, right, "k", 8)
+    assert(salted.columns.sorted.sameElements(plain.columns.sorted))
+    assert(salted.count() === plain.count())
+    assert(salted.agg(sum($"payload")).head().getLong(0) ===
+      plain.agg(sum($"payload")).head().getLong(0))
+    // hot key actually spread across multiple salt partitions
+    val saltSpread = left.filter($"k" === 1L)
+      .select(pmod(xxhash64(struct(left.columns.map(col): _*)), lit(8L)).as("s"))
+      .distinct().count()
+    assert(saltSpread > 1, "salting failed to spread the hot key")
+  }
+
   test("multimodal: ingest metadata, chunk inventory, feature extraction") {
     val media = Multimodal.ingest(docs)
     val m = media.filter(col("media_id") === 1L).head()

@@ -44,6 +44,38 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming dedup (bounded state) equals batch distinct on ids") {
+    val batchDf = graft.Queries.events(spark, eventsDir)
+    val batchIds = EventStreams.dedupBatch(batchDf)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = java.nio.file.Files.createTempDirectory("events_dedup")
+    // stage the file TWICE: the second copy is pure duplicates the dedup
+    // operator must suppress
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
+      stage.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
+      stage.resolve("b.parquet"))
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$eventsDir/events.parquet").schema)
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val q = EventStreams.dedupStream(raw)
+      .select(col("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamedIds = spark.sql("SELECT event_id FROM dedup_stream")
+      .collect().map(_.getLong(0))
+    assert(streamedIds.length === streamedIds.distinct.length, "emitted duplicates")
+    assert(streamedIds.toSet === batchIds)
+  }
+
   test("sessionize: stream state (flatMapGroupsWithState) agrees with batch") {
     import spark.implicits._
     val batchDf = graft.Queries.events(spark, eventsDir)
