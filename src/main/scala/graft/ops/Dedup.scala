@@ -115,6 +115,14 @@ object Dedup {
     * orders of magnitude fewer candidate rows than block cross-join (which at
     * sf0.1 already materialized ~600M intermediate rows; prefix candidates
     * join on the rarest grams where bucket sizes are small by construction).
+    *
+    * The gram relation is deliberately NOT cached/checkpointed even though
+    * five subplans read it: measured at sf0.1 (local[32], 8 GiB heap),
+    * recomputing the explode from parquet costs ~9 s total, while
+    * localCheckpoint-ing the ~50M-row relation ballooned the query to 125 s
+    * (heap-resident blocks + GC) and poisoned later queries in the session.
+    * Recompute beats caching for wide exploded relations; revisit only with
+    * off-heap/disk-only storage.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val grams = docs.select(col("doc_id"), col("lang"), col("source"),
