@@ -849,6 +849,27 @@ object Queries {
              |FROM documents d JOIN range(0, 100) r
              |  ON r.range <= CAST(ceil(strlen(text)::DOUBLE / 64) - 1 AS BIGINT)""".stripMargin)),
 
+    Q("q59_asof_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+        graft.ops.AsOf.joinBackward(clicks, purchases, "user_id", "ts")
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("click_ts"),
+            col("asof_purchase_id").as("purchase_id"),
+            col("asof_purchase_value").as("purchase_value"))
+      },
+      Some("""SELECT c.event_id, c.user_id,
+             | CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts,
+             | p.event_id AS purchase_id, p.value AS purchase_value
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin)),
+
     Q("q46_window_events",
       (s, d) => EventStreams.windowedAgg(T(s, d, "events")),
       Some("""SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,

@@ -123,6 +123,26 @@ class OpsSpec extends SparkTestBase {
     assert(byId(1L)._1 <= nTokens - 2) // ≤ #grams, strictly compressed
   }
 
+  test("as-of backward join: inclusive latest-at-or-before per key") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq((100L, 1L, t(0)), (101L, 1L, t(5)), (102L, 1L, t(7)),
+      (103L, 1L, t(12)), (104L, 2L, t(3)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, t(1), 900L, 10.0), (1L, t(5), 901L, 20.0),
+      (1L, t(10), 902L, 30.0))
+      .toDF("user_id", "ts", "purchase_id", "purchase_value")
+    val out = graft.ops.AsOf.joinBackward(left, right, "user_id", "ts")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("asof_purchase_id")).map(_.toLong)).toMap
+    assert(out(100L) === None)        // before any purchase
+    assert(out(101L) === Some(901L))  // exact-ts purchase wins (inclusive)
+    assert(out(102L) === Some(901L))  // carried forward
+    assert(out(103L) === Some(902L))
+    assert(out(104L) === None)        // other key never leaks
+  }
+
   test("salted join equals plain join on skewed keys") {
     import spark.implicits._
     import graft.ops.SkewJoin
