@@ -60,6 +60,34 @@ object Schemas {
 case class Edge(src: String, dst: String, etype: String)
 case class EtextLink(workId: String, collection: String, subtype: String, link: String)
 
+/** Typed accessors: `Dataset[T]` views over the unified entities table for
+  * compile-time field checks in library code (`DataFrame` stays the
+  * dynamic-schema surface). */
+object Typed {
+  import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+  import org.apache.spark.sql.functions.col
+
+  def works(entities: DataFrame): Dataset[WorkEntity] =
+    entities.filter(col("type") === "work")
+      .select("id", "name", "aka", "discipline", "highestYear", "lowestYear",
+        "authorHighestYear", "authorLowestYear", "authorIds", "baseTextIds",
+        "commentaryIds")
+      .as(Encoders.product[WorkEntity])
+
+  def authors(entities: DataFrame): Dataset[AuthorEntity] =
+    entities.filter(col("type") === "author")
+      .select("id", "name", "aka", "socialIdentifiers", "disciplines",
+        "highestYear", "lowestYear", "workIds")
+      .as(Encoders.product[AuthorEntity])
+
+  def edges(df: DataFrame): Dataset[Edge] =
+    df.select("src", "dst", "etype").as(Encoders.product[Edge])
+
+  def etextLinks(df: DataFrame): Dataset[EtextLink] =
+    df.select("workId", "collection", "subtype", "link")
+      .as(Encoders.product[EtextLink])
+}
+
 sealed trait EntityLike {
   def id: String
   def name: Option[String]
