@@ -28,9 +28,19 @@ object Analytics {
     *
     * @return (id, component) — component = min id in the component.
     */
-  def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
+  /** Below this vertex count, components are solved on collected driver
+    * arrays (union-find, exact, no per-round scheduling): min-label
+    * propagation costs O(diameter) shuffle rounds, which for dimension-sized
+    * graphs is pure overhead. The distributed loop remains the scale path. */
+  val localThreshold: Long = 65536
+
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      localCutoff: Long = localThreshold): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
+
+    val n = vertices.count()
+    if (n <= localCutoff && n > 0) return ccLocal(vertices, edges)
 
     val und = FreshCheckpoint(edges.select($"src".as("a"), $"dst".as("b"))
       .unionByName(edges.select($"dst".as("a"), $"src".as("b")))
@@ -55,6 +65,48 @@ object Analytics {
       labels = FreshCheckpoint(updated.select($"id", $"component"))
     }
     labels
+  }
+
+  /** Driver-local union-find (n ≤ [[localThreshold]]). Component label =
+    * min member id under the id column's natural ordering — identical to the
+    * distributed loop's `min()` semantics for string/long/int ids. */
+  private def ccLocal(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = vertices.sparkSession
+    val idType = vertices.schema("id").dataType
+    val ids: Array[Any] = vertices.select(col("id")).collect().map(_.get(0))
+    val idx = ids.zipWithIndex.toMap
+    val parent = Array.tabulate(ids.length)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.select(col("src"), col("dst")).collect().foreach { r =>
+      (idx.get(r.get(0)), idx.get(r.get(1))) match {
+        case (Some(a), Some(b)) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(ra) = rb
+        case _ =>
+      }
+    }
+    val minOf = scala.collection.mutable.HashMap.empty[Int, Any]
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    ids.indices.foreach { i =>
+      val r = find(i)
+      minOf.get(r) match {
+        case Some(m) => if (lt(ids(i), m)) minOf(r) = ids(i)
+        case None => minOf(r) = ids(i)
+      }
+    }
+    val rows = ids.indices.map(i => org.apache.spark.sql.Row(ids(i), minOf(find(i))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("component", idType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows,
+      math.max(1, math.min(8, ids.length / 4096))), schema)
   }
 
   /** Component size histogram + category summary (`utils/analyze.py:15-72`).

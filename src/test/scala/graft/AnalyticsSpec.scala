@@ -31,6 +31,14 @@ class AnalyticsSpec extends SparkTestBase {
     assert(sizes.filter(col("count") === 1).count() === (golden \ "isolated").extract[Long])
   }
 
+  test("connected components: distributed label-propagation path equals local union-find") {
+    val local = Analytics.connectedComponents(h3._1, h3._2).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val dist = Analytics.connectedComponents(h3._1, h3._2, localCutoff = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dist === local)
+  }
+
   test("degree stats match networkx") {
     val deg = Analytics.degrees(vertices, edges)
     assert(deg.agg(max("inDeg")).head().getLong(0) === (golden \ "max_in").extract[Long])
