@@ -870,6 +870,26 @@ object Queries {
              |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
              |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin)),
 
+    Q("q60_range_join",
+      (s, d) => {
+        // price-similarity self-match: orders within ±100 of each other's
+        // total price — bucketized interval join (equi-join on bucket + exact
+        // refine), not BroadcastNestedLoop
+        val o = T(s, d, "orders")
+        val points = o.select(col("o_orderkey").as("point_id"),
+          col("o_totalprice").as("v"))
+        val intervals = o.select(col("o_orderkey").as("interval_id"),
+          (col("o_totalprice") - 100).as("lo"), (col("o_totalprice") + 100).as("hi"))
+        graft.ops.RangeJoin.bucketed(points, intervals, "v", "lo", "hi", 200.0)
+          .filter(col("point_id") =!= col("interval_id"))
+          .select(col("point_id"), col("interval_id"))
+      },
+      Some("""SELECT p.o_orderkey AS point_id, i.o_orderkey AS interval_id
+             |FROM orders p JOIN orders i
+             |  ON p.o_totalprice >= i.o_totalprice - 100
+             | AND p.o_totalprice <= i.o_totalprice + 100
+             | AND p.o_orderkey <> i.o_orderkey""".stripMargin)),
+
     Q("q46_window_events",
       (s, d) => EventStreams.windowedAgg(T(s, d, "events")),
       Some("""SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,

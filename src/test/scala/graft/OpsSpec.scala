@@ -143,6 +143,24 @@ class OpsSpec extends SparkTestBase {
     assert(out(104L) === None)        // other key never leaks
   }
 
+  test("bucketed range join equals naive interval containment") {
+    import spark.implicits._
+    val points = spark.range(0, 1000)
+      .select($"id".as("point_id"), ($"id" * 7 % 500).cast("double").as("v"))
+    val intervals = spark.range(0, 200)
+      .select($"id".as("interval_id"), ($"id" * 2).cast("double").as("lo"),
+        ($"id" * 2 + 30).cast("double").as("hi"))
+    val bucketed = graft.ops.RangeJoin
+      .bucketed(points, intervals, "v", "lo", "hi", 25.0)
+      .select("point_id", "interval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals, $"v" >= $"lo" && $"v" <= $"hi")
+      .select("point_id", "interval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed === naive)
+    assert(naive.nonEmpty)
+  }
+
   test("salted join equals plain join on skewed keys") {
     import spark.implicits._
     import graft.ops.SkewJoin
