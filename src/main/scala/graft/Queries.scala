@@ -872,14 +872,17 @@ object Queries {
 
     Q("q60_range_join",
       (s, d) => {
-        // price-similarity self-match: orders within ±100 of each other's
-        // total price — bucketized interval join (equi-join on bucket + exact
-        // refine), not BroadcastNestedLoop
+        // price-band probe: every order against a deterministic 1% sample of
+        // ±100 price intervals — bucketized interval join (equi-join on
+        // bucket + exact refine), not BroadcastNestedLoop. The sparse
+        // interval side keeps output ~|orders| (the dense self-match emits
+        // 9M rows at sf0.1 — a different query, not a faster plan).
         val o = T(s, d, "orders")
         val points = o.select(col("o_orderkey").as("point_id"),
           col("o_totalprice").as("v"))
-        val intervals = o.select(col("o_orderkey").as("interval_id"),
-          (col("o_totalprice") - 100).as("lo"), (col("o_totalprice") + 100).as("hi"))
+        val intervals = o.filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey").as("interval_id"),
+            (col("o_totalprice") - 100).as("lo"), (col("o_totalprice") + 100).as("hi"))
         graft.ops.RangeJoin.bucketed(points, intervals, "v", "lo", "hi", 200.0)
           .filter(col("point_id") =!= col("interval_id"))
           .select(col("point_id"), col("interval_id"))
@@ -888,7 +891,8 @@ object Queries {
              |FROM orders p JOIN orders i
              |  ON p.o_totalprice >= i.o_totalprice - 100
              | AND p.o_totalprice <= i.o_totalprice + 100
-             | AND p.o_orderkey <> i.o_orderkey""".stripMargin)),
+             | AND p.o_orderkey <> i.o_orderkey
+             |WHERE i.o_orderkey % 100 = 0""".stripMargin)),
 
     Q("q46_window_events",
       (s, d) => EventStreams.windowedAgg(T(s, d, "events")),
