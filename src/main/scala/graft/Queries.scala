@@ -485,8 +485,9 @@ object Queries {
         val e = FreshCheckpoint(psEdges(s, d))
         val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
         val li = T(s, d, "lineitem")
-        val seed = li.agg(min(col("l_partkey"))).head().getLong(0)
-        val excl = li.agg(min(col("l_suppkey"))).head().getLong(0) + 1000000L
+        val mins = li.agg(min(col("l_partkey")), min(col("l_suppkey"))).head()
+        val seed = mins.getLong(0)
+        val excl = mins.getLong(1) + 1000000L
         var frontier = s.range(1).select(lit(seed).as("id"), lit(0).as("hop"))
         var all = frontier
         for (h <- 1 to 2) {
