@@ -895,6 +895,25 @@ object Queries {
              | AND p.o_orderkey <> i.o_orderkey
              |WHERE i.o_orderkey % 100 = 0""".stripMargin)),
 
+    Q("q61_json_extract",
+      (s, d) => {
+        // semi-structured props column: schema-first from_json (codegen'd
+        // struct access; no per-row path evaluation like get_json_object)
+        val propsSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))
+        events(s, d)
+          .select(col("event_type"),
+            from_json(col("props"), propsSchema).getField("k").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            max(col("k")).as("max_k"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY 1""".stripMargin)),
+
     Q("q46_window_events",
       (s, d) => EventStreams.windowedAgg(T(s, d, "events")),
       Some("""SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
