@@ -132,13 +132,18 @@ object Dedup {
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // global doc-frequency per gram → deterministic rarity order (df, tok)
     val df = grams.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    // prefix selection as a group-local top-k: collect each doc's (df, tok)
+    // pairs and slice the sorted array — one hash-agg shuffle, in-memory
+    // sorts of per-doc arrays, instead of a global window sort of the whole
+    // gram relation (plus it makes the sizes join unnecessary: |set| is just
+    // size(toks))
     val prefix = grams.join(df, Seq("tok"))
-      .withColumn("rank", row_number().over(w))
-      .join(sizes, Seq("doc_id"))
-      .filter(col("rank") <= floor((lit(1.0) - threshold) * col("sz")) + 1)
-      .select(col("doc_id"), col("lang"), col("source"), col("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(collect_list(struct(col("df"), col("tok"))).as("toks"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(expr(s"slice(array_sort(toks), 1, " +
+          s"int(floor((1.0d - $threshold) * size(toks)) + 1))")).as("t"))
+      .select(col("doc_id"), col("lang"), col("source"), col("t.tok"))
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
           col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
