@@ -59,37 +59,40 @@ object Similarity {
     * (rounded to 6 places, ties to the lowest centroid id) via a broadcast
     * join against the (tiny) codebook — at cluster scale this is a map-only
     * stage and the corpus can be written bucketed by `cell`. Search step:
-    * each query probes ONLY its own cell (nprobe=1), so the candidate join
-    * touches 1/nCentroids of the corpus instead of all of it.
+    * each query probes only its `nprobe` nearest cells, so the candidate
+    * join touches nprobe/nCentroids of the corpus instead of all of it.
     *
+    * @param nprobe cells probed per query — the recall knob: 1 = fastest,
+    *        nCentroids = exact brute force.
     * @return (query_id, vec_id, cos, rank) — exact top-k *within the probed
-    *         cell*; recall < 1 vs brute force by construction.
+    *         cells*; recall < 1 vs brute force by construction.
     */
   def ivfTopK(
       embeddings: DataFrame,
       queries: DataFrame,
       nCentroids: Int = 16,
-      k: Int = 10): DataFrame = {
+      k: Int = 10,
+      nprobe: Int = 1): DataFrame = {
     val corpus = embeddings.select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", norm(col("emb")))
     val cents = corpus.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("emb").as("cemb"),
         col("nrm").as("cnrm"))
-    def assignCell(df: DataFrame, idCol: String): DataFrame = {
+    def assignCells(df: DataFrame, idCol: String, probes: Int): DataFrame = {
       val scored = df.crossJoin(broadcast(cents))
         .withColumn("csim",
           round(dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")), 6))
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("csim").desc, col("cent_id"))
-      scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      scored.withColumn("r", row_number().over(w)).filter(col("r") <= probes)
         .select(col(idCol), col("emb"), col("nrm"), col("cent_id").as("cell"))
     }
-    val indexed = assignCell(corpus, "vec_id")
-    val probes = assignCell(
+    val indexed = assignCells(corpus, "vec_id", 1)
+    val probes = assignCells(
       queries.select(col("query_id"),
           col("embedding").cast("array<double>").as("emb"))
-        .withColumn("nrm", norm(col("emb"))), "query_id")
+        .withColumn("nrm", norm(col("emb"))), "query_id", nprobe)
       .select(col("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"),
         col("cell"))
     val scored = indexed.join(broadcast(probes), Seq("cell"))

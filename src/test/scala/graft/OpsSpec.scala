@@ -98,6 +98,12 @@ class OpsSpec extends SparkTestBase {
     val ivf = Similarity.ivfTopK(emb, q, 2, 10)
       .collect().sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq
     assert(ivf === brute)
+    // nprobe = nCentroids degenerates to exact brute force over all cells
+    val allProbe = Similarity.ivfTopK(emb, q, 2, 10, nprobe = 2)
+      .collect().sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+    val bruteAll = Similarity.cosineTopK(emb, q, 10)
+      .collect().sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+    assert(allProbe === bruteAll)
   }
 
   test("language-id argmax picks the profile with most markers") {

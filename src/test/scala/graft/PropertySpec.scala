@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.{AsOf, RangeJoin}
+
+/** Property-based checks (SURVEY §5.3) for the composed join operators:
+  * generated inputs, equality with the naive formulation. (Raw ScalaCheck
+  * generators driven from fixed seeds — the scalatest bridge artifact is not
+  * in the offline cache.) */
+class PropertySpec extends SparkTestBase {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("property: bucketed range join equals naive for random intervals/widths") {
+    import spark.implicits._
+    val gen = for {
+      seed <- Gen.choose(0L, 1000000L)
+      width <- Gen.oneOf(1.0, 7.5, 40.0, 333.0)
+      span <- Gen.choose(1, 60)
+    } yield (seed, width, span)
+    samples(gen, 5).foreach { case (seed, width, span) =>
+      val points = spark.range(0, 300)
+        .select($"id".as("pid"), (($"id" * 31 + seed) % 500).cast("double").as("v"))
+      val intervals = spark.range(0, 80)
+        .select($"id".as("iid"), (($"id" * 13 + seed) % 480).cast("double").as("lo"))
+        .withColumn("hi", $"lo" + span)
+      val got = RangeJoin.bucketed(points, intervals, "v", "lo", "hi", width)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = points.join(intervals, $"v" >= $"lo" && $"v" <= $"hi")
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"seed=$seed width=$width span=$span")
+    }
+  }
+
+  test("property: as-of join equals per-row latest-at-or-before scan") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    samples(Gen.choose(0L, 100000L), 5).foreach { seed =>
+      val lts = (0 until 60).map(i => (i.toLong, (i * 17 + seed) % 5L,
+        new Timestamp(((i * 37 + seed) % 200) * 1000L)))
+      val rts = (0 until 40).map(i => ((i * 23 + seed) % 5L,
+        new Timestamp(((i * 11 + seed) % 200) * 1000L), 1000L + i))
+      val left = lts.toDF("event_id", "user_id", "ts")
+      val right = rts.toDF("user_id", "ts", "payload_id")
+      val got = AsOf.joinBackward(left, right, "user_id", "ts").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("asof_payload_id")).map(_.toLong)).toMap
+      // naive reference: per left row, max-(ts, payload_id) right row at/before
+      val want = lts.map { case (eid, u, t) =>
+        val cands = rts.filter(r => r._1 == u && !r._2.after(t))
+        eid -> (if (cands.isEmpty) None
+                else Some(cands.maxBy(r => (r._2.getTime, r._3))._3))
+      }.toMap
+      assert(got === want, s"seed=$seed")
+    }
+  }
+}
