@@ -14,7 +14,8 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_scan_filter_project", "q08_join_inner_broadcast",
         "q12_join_multiway", "q13_first_per_key", "q35_dedup_minhash_lsh",
-        "q38_ann_cosine_topk", "q46_window_events")
+        "q36_ngram_jaccard", "q38_ann_cosine_topk", "q46_window_events",
+        "q49_ann_ivf", "q59_asof_join", "q60_range_join")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
