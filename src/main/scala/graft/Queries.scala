@@ -330,6 +330,30 @@ object Queries {
              |       FROM (SELECT count(*) AS deg FROM e GROUP BY dst))
              |SELECT max_out, avg_out, max_in, avg_in FROM o, i""".stripMargin)),
 
+    Q("q62_percentile",
+      (s, d) => T(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90")),
+      Some("""SELECT o_orderpriority,
+             | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             | round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    Q("q63_corr_stats",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qd"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_q")),
+      Some("""SELECT l_returnflag,
+             | round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+             | round(covar_samp(l_quantity, l_discount), 4) AS cov_qd,
+             | round(stddev_samp(l_quantity), 4) AS sd_q
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
     Q("q16_topk_per_group",
       (s, d) => {
         val agg = T(s, d, "lineitem")

@@ -67,6 +67,17 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("betweenness sampling: complete output, exact when sample covers all sources") {
+    val exact = Centrality.betweenness(h3._1, h3._2).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val sampled = Centrality.betweenness(h3._1, h3._2, sampleSources = Some(20))
+    assert(sampled.count() === h3._1.count(), "estimator covers every vertex")
+    val full = Centrality.betweenness(h3._1, h3._2,
+      sampleSources = Some(Int.MaxValue)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(full === exact, "k >= n degenerates to the exact algorithm")
+  }
+
   test("eigenvector: non-convergence contract (None) like the reference") {
     assert(Centrality.eigenvector(h3._1, h3._2, maxIter = 25).isEmpty)
   }
