@@ -354,6 +354,17 @@ object Queries {
              | round(stddev_samp(l_quantity), 4) AS sd_q
              |FROM lineitem GROUP BY 1""".stripMargin)),
 
+    Q("q64_pivot",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o"),
+      Some("""SELECT l_returnflag,
+             | round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+             | round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
     Q("q16_topk_per_group",
       (s, d) => {
         val agg = T(s, d, "lineitem")
