@@ -31,6 +31,8 @@ object ParityCheck {
       ("works89000_h2_excl", Seq("89000"), 2, Seq("85303")),
       ("works89000_h0", Seq("89000"), 0, Nil),
       ("kalidasa_h3", Seq("40377"), 3, Nil),
+      ("kalidasa_h6", Seq("40377"), 6, Nil),
+      ("kalidasa_h10", Seq("40377"), 10, Nil),
       ("excl_seed", Seq("89000", "40377"), 2, Seq("89000")))
 
     cases.foreach { case (tag, seeds, hops, excl) =>
