@@ -443,6 +443,34 @@ object Queries {
       Some("""SELECT l_partkey, max(l_returnflag) AS flag FROM lineitem
              |GROUP BY 1 HAVING count(DISTINCT l_returnflag) = 1""".stripMargin)),
 
+    Q("q65_intersect_except",
+      (s, d) => {
+        val cn = T(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        val sn = T(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+        cn.intersect(sn).withColumn("side", lit("both"))
+          .unionByName(cn.except(sn).withColumn("side", lit("customer_only")))
+      },
+      Some("""SELECT nationkey, 'both' AS side FROM
+             | (SELECT c_nationkey AS nationkey FROM customer
+             |  INTERSECT SELECT s_nationkey FROM supplier)
+             |UNION ALL
+             |SELECT nationkey, 'customer_only' FROM
+             | (SELECT c_nationkey AS nationkey FROM customer
+             |  EXCEPT SELECT s_nationkey FROM supplier)""".stripMargin)),
+
+    Q("q66_array_hof",
+      (s, d) => T(s, d, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).as("n_dims"),
+          round(sqrt(aggregate(col("embedding").cast("array<double>"),
+            lit(0.0d), (acc, x) => acc + x * x)), 4).as("l2"),
+          size(filter(col("embedding"), x => x > 0)).as("n_pos")),
+      Some("""SELECT vec_id, len(embedding) AS n_dims,
+             | round(sqrt(list_sum(list_transform(embedding,
+             |   x -> CAST(x AS DOUBLE) * x))), 4) AS l2,
+             | CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+             |FROM embeddings""".stripMargin)),
+
     Q("q26_semi_explode_distinct",
       (s, d) => T(s, d, "lineitem")
         .filter(col("l_partkey").isin(1, 2, 3, 5, 8))
