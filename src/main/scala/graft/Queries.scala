@@ -897,6 +897,39 @@ object Queries {
              |   ORDER BY cos DESC, vec_id) AS INT) AS rank FROM cos)
              |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 10""".stripMargin)),
 
+    Q("q67_neardup_clusters",
+      (s, d) => {
+        // the dedup endgame: near-dup PAIRS → transitive closure → one
+        // cluster id per vector (min member), singletons included — reuses
+        // the connected-components operator on the pair graph
+        val emb = T(s, d, "embeddings")
+        val pairs = Similarity.bucketedNearDups(emb, 0.3)
+          .select(col("a").as("src"), col("b").as("dst"))
+        val vertices = emb.select(col("vec_id").as("id"))
+        graft.graph.Analytics.connectedComponents(vertices, pairs)
+          .select(col("id").as("vec_id"), col("component").as("cluster"))
+      },
+      Some("""WITH RECURSIVE f AS (SELECT vec_id, label, unnest(embedding) AS v,
+             |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+             |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b
+             |  FROM embeddings x JOIN embeddings y
+             |    ON x.label = y.label AND x.vec_id < y.vec_id),
+             |dots AS (SELECT p.a, p.b, sum(CAST(fa.v AS DOUBLE) * fb.v) AS dp
+             |  FROM pairs p JOIN f fa ON fa.vec_id = p.a
+             |  JOIN f fb ON fb.vec_id = p.b AND fb.i = fa.i
+             |  GROUP BY 1, 2),
+             |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
+             |nd AS (SELECT d.a, d.b
+             |  FROM dots d JOIN norms na ON na.vec_id = d.a
+             |  JOIN norms nb ON nb.vec_id = d.b
+             |  WHERE round(d.dp / (na.nrm * nb.nrm), 6) >= 0.3),
+             |und(a, b) AS (SELECT a, b FROM nd UNION SELECT b, a FROM nd),
+             |nodes AS (SELECT vec_id AS id FROM embeddings),
+             |r(s, id) AS (
+             |  SELECT id, id FROM nodes
+             |  UNION SELECT r.s, u.b FROM r JOIN und u ON u.a = r.id)
+             |SELECT s AS vec_id, min(id) AS cluster FROM r GROUP BY s""".stripMargin)),
+
     Q("q44_multimodal_meta",
       (s, d) => Multimodal.ingest(T(s, d, "documents"))
         .select(col("media_id"), col("mime"), col("n_bytes"), col("checksum")),
