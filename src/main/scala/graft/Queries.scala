@@ -800,10 +800,12 @@ object Queries {
     Q("q42_token_counts",
       (s, d) => T(s, d, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.tokenEstimate(col("text")).as("n_tokens_est")),
+        TextAnalysis.tokenEstimate(col("text")).as("n_tokens_est"),
+        TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe")),
       Some("""SELECT doc_id,
              | CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-             | CAST(ceil(length(text)::DOUBLE / 4.0) AS BIGINT) AS n_tokens_est
+             | CAST(ceil(length(text)::DOUBLE / 4.0) AS BIGINT) AS n_tokens_est,
+             | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_bpe
              |FROM documents""".stripMargin)),
 
     Q("q43_fingerprint",

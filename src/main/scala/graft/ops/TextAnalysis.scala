@@ -30,6 +30,17 @@ object TextAnalysis {
   def tokenEstimate(c: Column): Column =
     ceil(length(c).cast("double") / 4.0).cast("long")
 
+  /** GPT-2-family pre-tokenizer pattern, restricted to constructs whose
+    * semantics are identical in Java regex and RE2 (DuckDB): letter runs,
+    * digit runs, single other non-space characters. */
+  val bpeSplitPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** BPE-ish regex token count: one token per pre-tokenizer match — the
+    * shape a byte-pair tokenizer's segmenter produces before merges. */
+  def tokenCountBpe(c: Column): Column =
+    size(call_function("regexp_extract_all", c, lit(bpeSplitPattern), lit(0)))
+      .cast("long")
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, uppercase
     * ratio, mean word length — the standard cheap quality gates. */
   def qualityColumns(text: Column): Seq[(String, Column)] = {
