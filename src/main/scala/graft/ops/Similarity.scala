@@ -17,12 +17,16 @@ import org.apache.spark.sql.graft.FreshCheckpoint
   */
 object Similarity {
 
-  /** Σ aᵢbᵢ via zip_with + aggregate (whole-stage-codegen'd). */
+  /** Σ aᵢbᵢ via the native [[graft.expr.VectorDot]] expression. Spark's
+    * higher-order-function formulation (aggregate ∘ zip_with) is interpreted
+    * with per-element boxing — ~100× slower on O(pairs) join paths (see
+    * VectorOps scaladoc); requires [[graft.expr.VectorOps.register]], which
+    * every public entry point here performs. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    graft.expr.VectorOps.vectorDot(a, b)
 
   def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+    sqrt(graft.expr.VectorOps.vectorDot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
@@ -33,6 +37,7 @@ object Similarity {
     *         on vec_id.
     */
   def cosineTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    graft.expr.VectorOps.register(embeddings.sparkSession)
     val corpus = embeddings.select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", norm(col("emb")))
@@ -73,6 +78,7 @@ object Similarity {
       nCentroids: Int = 16,
       k: Int = 10,
       nprobe: Int = 1): DataFrame = {
+    graft.expr.VectorOps.register(embeddings.sparkSession)
     val corpus = embeddings.select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", norm(col("emb")))
@@ -113,14 +119,28 @@ object Similarity {
     * a 3× saving), so the per-pair work is a single dot product.
     * Returns (a, b, cos), a < b. */
   def bucketedNearDups(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
+    graft.expr.VectorOps.register(embeddings.sparkSession)
     val e = embeddings.select(col("label"), col("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", norm(col("emb")))
       .localCheckpoint(true)
-    val pairs = e.as("x").join(e.as("y"),
+    // Candidate pairs are generated NARROW (ids only): a self-join that
+    // carries the embedding arrays materializes ~4 KB per candidate row
+    // before the threshold filter (measured 166 s on a 3× corpus). Arrays are
+    // attached afterwards via broadcast hash joins whose consume chain fuses
+    // with the dot/filter projection — candidate rows stay 16 bytes and the
+    // arrays are only read through the broadcast map, never copied per pair.
+    // (At corpus sizes past broadcast range, swap for shuffle-hash joins on
+    // the id — the candidate shuffle stays narrow either way.)
+    val meta = e.select(col("label"), col("vec_id"))
+    val cand = meta.as("x").join(meta.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        round(dot(col("x.emb"), col("y.emb")) / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
-    pairs.filter(col("cos") >= threshold)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+    val ea = e.select(col("vec_id").as("a"), col("emb").as("ea"), col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("b"), col("emb").as("eb"), col("nrm").as("nb"))
+    cand.join(broadcast(ea), Seq("a")).join(broadcast(eb), Seq("b"))
+      .select(col("a"), col("b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 }
