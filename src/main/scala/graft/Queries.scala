@@ -1012,6 +1012,19 @@ object Queries {
              | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
              |FROM events GROUP BY 1""".stripMargin)),
 
+    Q("q68_attribution_join",
+      (s, d) => {
+        val ev = events(s, d)
+        EventStreams.attributionBatch(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             | AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin)),
+
     Q("q46_window_events",
       (s, d) => EventStreams.windowedAgg(T(s, d, "events")),
       Some("""SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,

@@ -101,6 +101,37 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Click→purchase attribution: purchases within `windowMinutes` AFTER a
+    * click by the same user. Batch form — a plain time-bounded join. */
+  def attributionBatch(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame =
+    clicks.select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .join(purchases.select(col("user_id"),
+          col("event_id").as("purchase_id"), col("ts").as("purchase_ts")),
+        Seq("user_id"))
+      .filter(col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+
+  /** Stream-stream interval join: both sides watermarked, join condition
+    * time-bounded in both directions so Spark can expire join state — the
+    * only scale-safe stream-stream join shape. */
+  def attributionStream(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Read the events parquet as a stream (for tests/demo: availableNow over
     * the static file). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

@@ -76,6 +76,35 @@ class StreamingSpec extends SparkTestBase {
     assert(streamedIds.toSet === batchIds)
   }
 
+  test("stream-stream interval join (attribution) equals batch time-bounded join") {
+    val batchDf = graft.Queries.events(spark, eventsDir)
+    val clicksB = batchDf.filter(col("event_type") === "click")
+    val purchB = batchDf.filter(col("event_type") === "purchase")
+    val batch = EventStreams.attributionBatch(clicksB, purchB).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = java.nio.file.Files.createTempDirectory("events_attr")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
+      stage.resolve("events.parquet"))
+    def stream() = spark.readStream
+      .schema(spark.read.parquet(s"$eventsDir/events.parquet").schema)
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val q = EventStreams.attributionStream(
+        stream().filter(col("event_type") === "click"),
+        stream().filter(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT * FROM attr_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("sessionize: stream state (flatMapGroupsWithState) agrees with batch") {
     import spark.implicits._
     val batchDf = graft.Queries.events(spark, eventsDir)
