@@ -53,15 +53,70 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
   override def prettyName: String = "vector_dot"
 }
 
+/** Intersection size of two SORTED string arrays (merge walk) — the exact
+  * set-overlap verifier for similarity joins. The relational alternative
+  * (candidates ⋈ tokens ⋈ tokens + groupBy) enumerates Σ_pairs |set(a)| rows;
+  * this evaluates per candidate pair in O(|a|+|b|) with no shuffle. Inputs
+  * MUST be sorted ascending (use `sort_array`); elements assumed distinct
+  * within each array (set semantics).
+  */
+case class SortedArrayIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var n = 0L
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val c = ctx.freshName("c")
+      s"""
+         |int $nx = $x.numElements(); int $ny = $y.numElements();
+         |int $i = 0; int $j = 0; long ${ev.value}Acc = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  int $c = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
+         |  if ($c == 0) { ${ev.value}Acc++; $i++; $j++; }
+         |  else if ($c < 0) $i++; else $j++;
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedArrayIntersect =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_array_intersect"
+}
+
 object VectorOps {
   /** Idempotent session registration (same seam as [[Iast.register]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.classic.ClassicConversions._
-    castToImpl(spark).sessionState.functionRegistry
-      .createOrReplaceTempFunction("vector_dot",
-        (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1)), "scala_udf")
+    val reg = castToImpl(spark).sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vector_dot",
+      (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_array_intersect",
+      (exprs: Seq[Expression]) => SortedArrayIntersect(exprs.head, exprs(1)),
+      "scala_udf")
   }
 
   def vectorDot(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("vector_dot", a, b)
+
+  def sortedArrayIntersect(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("sorted_array_intersect", a, b)
 }

@@ -125,6 +125,9 @@ object Dedup {
     * off-heap/disk-only storage.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // NOTE also measured: columnar .persist() of this relation (4 consumers)
+    // bought nothing at sf0.1 — the shuffles, not the explode recompute,
+    // dominate — and risked session-wide cache pressure. Keep recompute.
     val grams = docs.select(col("doc_id"), col("lang"), col("source"),
         explode(array_distinct(expr(
           s"transform(sequence(1, greatest(length(text) - ${n - 1}, 0)), " +
@@ -149,7 +152,26 @@ object Dedup {
           col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    jaccardPairs(grams.select(col("doc_id"), col("tok")), sizes, cand)
+    // Verification: per-pair merge-intersect over sorted gram arrays (native
+    // codegen expression) instead of the relational candidates ⋈ grams ⋈
+    // grams + groupBy, which enumerates Σ_pairs |set| intermediate rows.
+    // Arrays attach to the NARROW candidate pairs via broadcast hash joins
+    // fused with the projection (same pattern as Similarity.bucketedNearDups;
+    // past broadcast range, swap for shuffle-hash attach on the id).
+    graft.expr.VectorOps.register(docs.sparkSession)
+    val gramArrays = grams.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tok"))).as("arr"))
+    val ga = gramArrays.select(col("doc_id").as("a"), col("arr").as("arrA"))
+    val gb = gramArrays.select(col("doc_id").as("b"), col("arr").as("arrB"))
+    cand.join(broadcast(ga), Seq("a")).join(broadcast(gb), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.expr.VectorOps.sortedArrayIntersect(col("arrA"), col("arrB")).as("inter"),
+        size(col("arrA")).cast("long").as("szA"),
+        size(col("arrB")).cast("long").as("szB"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double")
+          / (col("szA") + col("szB") - col("inter")).cast("double"), 6))
+      .select(col("a"), col("b"), col("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
