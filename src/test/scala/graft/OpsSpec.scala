@@ -129,6 +129,20 @@ class OpsSpec extends SparkTestBase {
     assert(byId(1L)._1 <= nTokens - 2) // ≤ #grams, strictly compressed
   }
 
+  test("sorted_array_intersect: overlap, disjoint, empty, self") {
+    import spark.implicits._
+    graft.expr.VectorOps.register(spark)
+    val rows = spark.sql(
+      """SELECT
+        | sorted_array_intersect(array('a','b','c'), array('b','c','d')) AS o1,
+        | sorted_array_intersect(array('a','b'), array('x','y','z')) AS o2,
+        | sorted_array_intersect(array(), array('a')) AS o3,
+        | sorted_array_intersect(array('a','b','c'), array('a','b','c')) AS o4
+      """.stripMargin).head()
+    assert((rows.getLong(0), rows.getLong(1), rows.getLong(2), rows.getLong(3))
+      === ((2L, 0L, 0L, 3L)))
+  }
+
   test("as-of backward join: inclusive latest-at-or-before per key") {
     import spark.implicits._
     import java.sql.Timestamp
