@@ -600,17 +600,41 @@ object Queries {
       (s, d) => {
         // undirected nation↔region graph: symmetric matrix → geometric
         // convergence for the power iteration (the shifted I+A breaks the
-        // bipartite ± eigenvalue pairing)
+        // bipartite ± eigenvalue pairing). Fixed 30 rounds, normalized once
+        // at the end: the linear recurrence makes per-round normalization a
+        // pure rescale, so a fixed round count is both semantically the same
+        // power iteration AND deterministic enough for the SQL oracle to
+        // replay it stage by stage (the convergence-gated variant stops at a
+        // data-dependent round — kept as Centrality.eigenvector for the
+        // reference's None-on-non-convergence contract, tested in
+        // AnalyticsSpec vs networkx).
         val e0 = T(s, d, "nation")
           .select(col("n_nationkey").cast("long").as("src"),
             (col("n_regionkey").cast("long") + 1000L).as("dst"))
         val und = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
         val v = und.select(col("src").as("id")).distinct()
-        graft.graph.Centrality.eigenvector(v, und)
-          .map(_.select(col("id"), round(col("score"), 6).as("score")))
-          .getOrElse(s.range(0).select(col("id"), lit(0.0).as("score")))
+        graft.graph.Centrality.powerIterationFixed(v, und, 30)
+          .select(col("id"), round(col("score"), 6).as("score"))
       },
-      None), // fixpoint float iteration — no portable SQL oracle
+      // Unrolled 30-stage chain; every stage MATERIALIZED — each references
+      // its predecessor twice, so inlining would expand the plan 2^30.
+      Some {
+        val stages = (1 to 30).map { k =>
+          val prev = if (k == 1) "x0" else s"x${k - 1}"
+          s"""x$k AS MATERIALIZED (
+             |  SELECT x.id, x.score + coalesce(c.inc, 0.0) AS score
+             |  FROM $prev x LEFT JOIN (
+             |    SELECT e.dst AS id, sum(y.score) AS inc FROM e JOIN $prev y ON y.id = e.src GROUP BY e.dst
+             |  ) c ON c.id = x.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS MATERIALIZED (SELECT CAST(n_nationkey AS BIGINT) AS src, CAST(n_regionkey AS BIGINT) + 1000 AS dst FROM nation),
+           |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+           |v AS (SELECT DISTINCT src AS id FROM e),
+           |x0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS score FROM v),
+           |$stages,
+           |nrm AS (SELECT sqrt(sum(score*score)) AS nv FROM x30)
+           |SELECT id, round(score / nv, 6) AS score FROM x30, nrm""".stripMargin
+      }),
 
     Q("q53_betweenness",
       (s, d) => {
@@ -752,7 +776,39 @@ object Queries {
 
     Q("q37_simhash_neardups",
       (s, d) => Dedup.simhashNearDups(T(s, d, "documents"), 16),
-      None), // 64-bit hex→int bit arithmetic is not portable DuckDB SQL
+      // Full cross-engine simhash: the 60-bit md5-derived token hash is
+      // reconstructed digit-by-digit in SQL, so signatures, 15-bit chunk
+      // buckets, candidates and hamming distances are all bit-identical.
+      Some("""WITH toks AS (
+             |  SELECT DISTINCT doc_id, tok FROM (
+             |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents
+             |  ) WHERE tok <> ''
+             |),
+             |th AS (
+             |  SELECT doc_id, CAST(list_sum(list_transform(range(15),
+             |    i -> (strpos('0123456789abcdef', substring(md5(tok), CAST(i AS INT)+1, 1)) - 1)::BIGINT
+             |         << (4*(14-CAST(i AS INT))))) AS BIGINT) AS th
+             |  FROM toks
+             |),
+             |votes AS (
+             |  SELECT doc_id, CAST(b AS INT) AS b,
+             |    sum(CASE WHEN (th >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+             |  FROM th CROSS JOIN range(60) r(b) GROUP BY 1, 2
+             |),
+             |sig AS (
+             |  SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+             |  FROM votes GROUP BY 1
+             |),
+             |chunks AS (
+             |  SELECT doc_id, CAST(c AS INT) AS chunk, (simhash >> (15*CAST(c AS INT))) & 32767 AS key, simhash
+             |  FROM sig CROSS JOIN range(4) r(c)
+             |),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
+             |  FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id
+             |)
+             |SELECT a, b, bit_count(xor(sa, sb)) AS hamming
+             |FROM cand WHERE bit_count(xor(sa, sb)) <= 16""".stripMargin)),
 
     Q("q40_quality_score",
       (s, d) => TextAnalysis.qualityScore(T(s, d, "documents")),
@@ -1050,22 +1106,302 @@ object Queries {
              |  count(*) AS n_events, round(sum(value), 2) AS total_value
              |FROM numbered GROUP BY user_id, session_seq""".stripMargin)))
 
-  // ---------------------------------------------------------------- collation (no SQL oracle)
+  // ---------------------------------------------------------------- collation
+  // The IAST key is per-index independent (the reference's greedy digraph
+  // lookup does NOT consume the matched second char — Iast.scala), so the
+  // oracle can compute it as a pure list_transform over character positions.
+  // The alphabet literal is generated from Iast.alphabet: one source of truth.
+  private val iastAlphaSql: String =
+    graft.expr.Iast.alphabet.map(a => s"'$a'").mkString("[", ",", "]")
   private val collationQs = Seq(
     Q("q48_iast_sortkey",
       (s, d) => {
         graft.expr.Iast.register(s)
+        // rank materializes the collation ORDER into a value the oracle can
+        // hash-check (the driver compare sorts rows, so bare ordering is
+        // invisible to it). Global row_number = single-partition window —
+        // fine for a ~10^4-row dropdown artifact; the scalable ordering op
+        // is the native IastSortKey expression + orderBy itself.
+        val w = Window.orderBy(col("key"), col("p_partkey"))
         T(s, d, "part")
           .select(col("p_partkey"), col("p_name"),
             graft.expr.Iast.iastKey(col("p_name")).as("key"))
-          .orderBy(col("key"), col("p_partkey"))
-          .select(col("p_partkey"), col("p_name"))
+          .select(row_number().over(w).cast("long").as("rank"),
+            col("p_partkey"), col("p_name"))
       },
-      None)) // IAST digraph collation is not expressible in portable SQL
+      Some(s"""WITH keyed AS (
+             |  SELECT p_partkey, p_name,
+             |    list_transform(range(length(lower(p_name))),
+             |      i -> coalesce(
+             |        CASE WHEN CAST(i AS INT)+2 <= length(lower(p_name))
+             |             THEN nullif(list_position($iastAlphaSql, substring(lower(p_name), CAST(i AS INT)+1, 2)), 0) END,
+             |        nullif(list_position($iastAlphaSql, substring(lower(p_name), CAST(i AS INT)+1, 1)), 0),
+             |        50) - 1) AS key
+             |  FROM part
+             |)
+             |SELECT CAST(row_number() OVER (ORDER BY key, p_partkey) AS BIGINT) AS rank, p_partkey, p_name
+             |FROM keyed""".stripMargin)))
+
+  // ---------------------------------------------------------------- round-2 extensions
+  // Wider relational/analytical surface: multi-dim cube, ordered string agg,
+  // calendar densification, rank-family windows, regression aggregates, a
+  // deterministic HLL sketch (approximate op with an EXACT oracle — both
+  // engines replay identical md5-derived register arithmetic), salted skew
+  // join equivalence, vector centroids, heavy hitters, and two classic
+  // TPC-H-shaped join pipelines for plan-quality benchmarking.
+  private val extQs = Seq(
+    Q("q69_cube_grouping",
+      (s, d) => T(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             | CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)),
+
+    Q("q70_string_agg",
+      (s, d) => T(s, d, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(concat_ws(",", array_sort(collect_list(col("c_name")))).as("names"),
+          count(lit(1)).as("n")),
+      Some("""SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names,
+             | count(*) AS n
+             |FROM customer GROUP BY 1""".stripMargin)),
+
+    Q("q71_month_series",
+      (s, d) => {
+        // calendar densification: generate the full month spine, left-join
+        // observed months, fill gaps with zeros (sequence() is per-row
+        // codegen; the spine is tiny so the join broadcasts)
+        val o = T(s, d, "orders")
+        val bounds = o.agg(date_trunc("month", min(col("o_orderdate"))).as("lo"),
+          date_trunc("month", max(col("o_orderdate"))).as("hi"))
+        val months = bounds.select(
+          explode(expr("sequence(lo, hi, interval 1 month)")).as("month"))
+        val per = o.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("revenue"))
+        months.join(per, Seq("month"), "left")
+          .na.fill(0L, Seq("n_orders")).na.fill(0.0, Seq("revenue"))
+          .select(unix_timestamp(col("month")).as("month"),
+            col("n_orders"), col("revenue"))
+      },
+      Some("""WITH b AS (SELECT date_trunc('month', min(o_orderdate)) AS lo,
+             |               date_trunc('month', max(o_orderdate)) AS hi FROM orders),
+             |months AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month FROM b),
+             |per AS (SELECT date_trunc('month', o_orderdate) AS month,
+             |   count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+             | FROM orders GROUP BY 1)
+             |SELECT CAST(floor(epoch(m.month)) AS BIGINT) AS month,
+             | coalesce(p.n_orders, 0) AS n_orders, coalesce(p.revenue, 0.0) AS revenue
+             |FROM months m LEFT JOIN per p ON p.month = m.month""".stripMargin)),
+
+    Q("q72_window_ranks",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        T(s, d, "customer").select(col("c_custkey"), col("c_nationkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          dense_rank().over(w).cast("long").as("dr"))
+      },
+      Some("""SELECT c_custkey, c_nationkey,
+             | ntile(4) OVER w AS quartile,
+             | round(percent_rank() OVER w, 6) AS pr,
+             | round(cume_dist() OVER w, 6) AS cd,
+             | CAST(dense_rank() OVER w AS BIGINT) AS dr
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""".stripMargin)),
+
+    Q("q73_lag_delta",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_partkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        T(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"),
+          round(col("l_extendedprice") - lag(col("l_extendedprice"), 1).over(w), 2)
+            .as("delta"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey,
+             | round(l_extendedprice - lag(l_extendedprice, 1) OVER w, 2) AS delta
+             |FROM lineitem
+             |WINDOW w AS (PARTITION BY l_partkey
+             |  ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin)),
+
+    Q("q74_regr_stats",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6).as("icept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("cov"),
+          round(stddev_samp(col("l_extendedprice")), 6).as("sd")),
+      Some("""SELECT l_returnflag,
+             | round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+             | round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+             | round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+             | round(covar_samp(l_quantity, l_extendedprice), 6) AS cov,
+             | round(stddev_samp(l_extendedprice), 6) AS sd
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    Q("q75_hll_distinct",
+      (s, d) => {
+        // HyperLogLog with md5-derived hashes: p=9 (512 registers), raw
+        // estimate (no small/large-range correction). Every step — bucket,
+        // leading-zero rank via bin(), register max, harmonic sum — is
+        // integer-or-power-of-two exact, so the DuckDB oracle reproduces the
+        // estimate bit-for-bit: an approximate operator with an exact test.
+        // At 100 TB the same plan holds: one partial-agg shuffle of ≤512
+        // rows per group.
+        val li = T(s, d, "lineitem")
+        val th = conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+          .cast("long")
+        val reg = li.select(col("l_returnflag"), th.as("th"))
+          .select(col("l_returnflag"), col("th").bitwiseAND(lit(511L)).as("bucket"),
+            shiftright(col("th"), 9).as("rem"))
+          .withColumn("rho",
+            when(col("rem") === 0, lit(52)).otherwise(lit(52) - length(bin(col("rem")))))
+          .groupBy(col("l_returnflag"), col("bucket")).agg(max(col("rho")).as("m"))
+        val harm = reg.groupBy(col("l_returnflag"))
+          .agg(sum(pow(lit(2.0), -col("m"))).as("s_present"),
+            count(lit(1)).as("n_present"))
+        val exact = li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        harm.join(exact, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n_exact"),
+            round(lit(0.7213 / (1.0 + 1.079 / 512.0)) * lit(262144.0)
+              / (col("s_present") + (lit(512L) - col("n_present")).cast("double")), 4)
+              .as("hll_estimate"))
+      },
+      Some("""WITH th AS (SELECT l_returnflag,
+             |  CAST(list_sum(list_transform(range(15),
+             |    i -> (strpos('0123456789abcdef', substring(md5(CAST(l_orderkey AS VARCHAR)), CAST(i AS INT)+1, 1)) - 1)::BIGINT
+             |         << (4*(14-CAST(i AS INT))))) AS BIGINT) AS th
+             |  FROM lineitem),
+             |reg AS (SELECT l_returnflag, th & 511 AS bucket,
+             |  CASE WHEN (th >> 9) = 0 THEN 52 ELSE 52 - length(bin(th >> 9)) END AS rho
+             | FROM th),
+             |mx AS (SELECT l_returnflag, bucket, max(rho) AS m FROM reg GROUP BY 1, 2),
+             |hs AS (SELECT l_returnflag, sum(pow(2.0, -m)) AS s_present, count(*) AS n_present
+             | FROM mx GROUP BY 1),
+             |ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact FROM lineitem GROUP BY 1)
+             |SELECT hs.l_returnflag, ex.n_exact,
+             | round((0.7213/(1.0+1.079/512.0)) * 262144.0
+             |   / (hs.s_present + CAST(512 - hs.n_present AS DOUBLE)), 4) AS hll_estimate
+             |FROM hs JOIN ex ON ex.l_returnflag = hs.l_returnflag""".stripMargin)),
+
+    Q("q76_skew_salted_join",
+      (s, d) => {
+        // the salted join must be row-equivalent to the plain join — the
+        // oracle IS the plain join, so the equivalence is driver-checked
+        val li = T(s, d, "lineitem").withColumnRenamed("l_suppkey", "suppkey")
+        val sup = T(s, d, "supplier").withColumnRenamed("s_suppkey", "suppkey")
+        graft.ops.SkewJoin.salted(li, sup, "suppkey", 8)
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 2).as("volume"))
+      },
+      Some("""SELECT s_name, count(*) AS n, round(sum(l_extendedprice), 2) AS volume
+             |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+             |GROUP BY 1""".stripMargin)),
+
+    Q("q77_vector_centroid",
+      (s, d) => {
+        // per-label elementwise mean of 64-dim float vectors; surfaced as
+        // integer micro-units joined to a string (array formatting and float
+        // rendering differ across engines; integers are portable)
+        val emb = T(s, d, "embeddings")
+        val per = emb.select(col("label"), posexplode(col("embedding")))
+          .groupBy(col("label"), col("pos")).agg(avg(col("col")).as("m"))
+        val cent = per.groupBy(col("label"))
+          .agg(concat_ws(",",
+            transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+              x => round(x.getField("m") * 1000000.0, 0).cast("long"))).as("centroid_micro"))
+        val n = emb.groupBy(col("label")).agg(count(lit(1)).as("n_vectors"))
+        cent.join(n, Seq("label")).select(col("label"), col("n_vectors"), col("centroid_micro"))
+      },
+      Some("""WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+             |   CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+             |per AS (SELECT label, pos, avg(v) AS m FROM ex GROUP BY 1, 2),
+             |cent AS (SELECT label,
+             |   array_to_string(list(CAST(round(m * 1000000.0, 0) AS BIGINT) ORDER BY pos), ',') AS centroid_micro
+             | FROM per GROUP BY 1),
+             |n AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY 1)
+             |SELECT cent.label, n.n_vectors, cent.centroid_micro
+             |FROM cent JOIN n ON n.label = cent.label""".stripMargin)),
+
+    Q("q78_heavy_hitters",
+      (s, d) => Dedup.tokens(T(s, d, "documents"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok")).limit(20),
+      Some("""SELECT tok, count(*) AS df FROM (
+             |  SELECT DISTINCT doc_id, tok FROM (
+             |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents
+             |  ) WHERE tok <> ''
+             |) GROUP BY tok ORDER BY df DESC, tok LIMIT 20""".stripMargin)),
+
+    Q("q79_shipping_priority",
+      (s, d) => {
+        // TPC-H Q3 shape: selective dim filter broadcast into the fact join,
+        // aggregate, top-10 via TakeOrderedAndProject (no global sort)
+        val cut = "1997-06-01"
+        val c = T(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = T(s, d, "orders").filter(col("o_orderdate") < lit(cut).cast("timestamp"))
+        val l = T(s, d, "lineitem").filter(col("l_shipdate") > lit(cut).cast("timestamp"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+          .select(col("l_orderkey"), col("revenue"),
+            unix_timestamp(col("o_orderdate")).as("odate"), col("o_orderpriority"))
+      },
+      Some("""SELECT l_orderkey,
+             | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             | CAST(floor(epoch(o_orderdate)) AS BIGINT) AS odate, o_orderpriority
+             |FROM customer
+             |JOIN orders ON o_custkey = c_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1997-06-01'
+             |  AND l_shipdate > TIMESTAMP '1997-06-01'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    Q("q80_local_supplier_volume",
+      (s, d) => {
+        // TPC-H Q5 shape: 6-way join, small dims broadcast, one shuffle for
+        // the fact-fact join plus one for the final aggregation
+        val c = T(s, d, "customer"); val o = T(s, d, "orders")
+        val l = T(s, d, "lineitem"); val sup = T(s, d, "supplier")
+        val n = T(s, d, "nation"); val r = T(s, d, "region")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r.filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM customer, orders, lineitem, supplier, nation, region
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |  AND r_name = 'ASIA'
+             |GROUP BY n_name""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
-      dedupQs ++ simQs ++ collationQs
+      dedupQs ++ simQs ++ collationQs ++ extQs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

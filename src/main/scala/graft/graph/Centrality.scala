@@ -106,6 +106,67 @@ object Centrality {
     }
   }
 
+  /** Fixed-round power iteration: x' = x + Aᵀx for exactly `iters` rounds,
+    * L2-normalized ONCE at the end. The recurrence is linear, so per-round
+    * normalization only rescales — skipping it changes nothing but makes the
+    * round count (and hence the result) fully deterministic, which is what
+    * lets a SQL oracle replay the identical computation (the convergence-
+    * gated [[eigenvector]] stops at a data-dependent round, and its
+    * still-converging iterate can't be reproduced portably). Same adaptive
+    * local/distributed split as [[eigenvector]]: dimension-sized graphs run
+    * on collected arrays (no per-round stage scheduling), larger ones via
+    * the join loop with checkpoint cadence. */
+  def powerIterationFixed(
+      vertices: DataFrame,
+      edges: DataFrame,
+      iters: Int,
+      localCutoff: Long = localThreshold): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val n = vertices.count()
+    if (n <= localCutoff && n > 0) {
+      val ids = vertices.select(col("id")).collect().map(_.get(0)).toIndexedSeq
+      val idx = ids.zipWithIndex.toMap
+      val es = edges.select(col("src"), col("dst")).collect()
+        .flatMap { r =>
+          (idx.get(r.get(0)), idx.get(r.get(1))) match {
+            case (Some(s), Some(d)) => Some((s, d))
+            case _ => None
+          }
+        }
+      var x = Array.fill(ids.length)(1.0)
+      var it = 0
+      while (it < iters) {
+        val next = x.clone()
+        es.foreach { case (s, d) => next(d) += x(s) }
+        x = next
+        it += 1
+      }
+      val norm = math.sqrt(x.map(v => v * v).sum)
+      val scale = if (norm == 0) 1.0 else norm
+      val rows = ids.indices.map(i => org.apache.spark.sql.Row(ids(i), x(i) / scale))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", vertices.schema("id").dataType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType)))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    } else {
+      val e = FreshCheckpoint(edges.select($"src", $"dst"))
+      var x = FreshCheckpoint(vertices.select($"id", lit(1.0).as("score")))
+      var it = 0
+      while (it < iters) {
+        val contrib = e.join(x.withColumnRenamed("id", "src"), Seq("src"))
+          .groupBy($"dst".as("id")).agg(sum($"score").as("inc"))
+        val next = x.join(contrib, Seq("id"), "left")
+          .select($"id", ($"score" + coalesce($"inc", lit(0.0))).as("score"))
+        it += 1
+        x = if (it % 3 == 0 || it == iters) FreshCheckpoint(next) else next
+      }
+      val norm = math.sqrt(x.agg(sum($"score" * $"score")).as[Double].head())
+      x.select($"id", ($"score" / (if (norm == 0) 1.0 else norm)).as("score"))
+    }
+  }
+
   /** Driver-local power iteration (n ≤ [[localThreshold]]): exactly
     * networkx's semantics — x' = x + A^T x, L2-normalized each round, stop
     * when Σ|x_t − x_{t−1}| < n·tol, None after maxIter (nx's

@@ -182,10 +182,13 @@ object Dedup {
     */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = tokens(docs)
-    // 64-bit token hash: xxhash64 is codegen-native (no md5 hex/string
-    // round-trip on the per-token hot path; q37's check is rows-only, so
-    // cross-engine hash portability is not needed here)
-    val withBits = toks.withColumn("th", xxhash64(col("tok")))
+    // 60-bit token hash from the first 15 hex chars of md5: portable — the
+    // DuckDB oracle reconstructs the identical value digit-by-digit, so the
+    // whole simhash pipeline is hash-checkable cross-engine (vs the earlier
+    // xxhash64 variant, which was rows-only). Non-negative by construction,
+    // so arithmetic >> below is well-defined in both engines.
+    val withBits = toks.withColumn("th",
+      conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
     val bitCols = (0 until 60).map { b =>
       sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
