@@ -1399,9 +1399,153 @@ object Queries {
              |  AND r_name = 'ASIA'
              |GROUP BY n_name""".stripMargin)))
 
+  // PageRank over the customer→nation→region DAG (regions are dangling and
+  // exercise the dangling-mass redistribution). Fixed 20 rounds → the oracle
+  // replays every round: dangling scalar + contrib join + update, all
+  // MATERIALIZED (each stage is referenced multiple times).
+  private def pageRankOracle: String = {
+    val d = "0.85"
+    val stages = (1 to 20).map { k =>
+      val prev = if (k == 1) "x0" else s"x${k - 1}"
+      s"""dang$k AS MATERIALIZED (
+         |  SELECT coalesce(sum(x.score), 0.0) AS dm FROM $prev x JOIN deg USING (id) WHERE deg.outdeg = 0),
+         |x$k AS MATERIALIZED (
+         |  SELECT x.id, ((1.0 - $d)/CAST(nn.n AS DOUBLE)) + $d * (coalesce(c.inc, 0.0) + dd.dm/CAST(nn.n AS DOUBLE)) AS score
+         |  FROM $prev x LEFT JOIN (
+         |    SELECT e.dst AS id, sum(y.score / deg.outdeg) AS inc
+         |    FROM e JOIN $prev y ON y.id = e.src JOIN deg ON deg.id = e.src GROUP BY e.dst
+         |  ) c ON c.id = x.id, dang$k dd, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT c_custkey AS src, 10000000 + CAST(c_nationkey AS BIGINT) AS dst FROM customer
+       |  UNION ALL
+       |  SELECT 10000000 + CAST(n_nationkey AS BIGINT) AS src, 20000000 + CAST(n_regionkey AS BIGINT) AS dst FROM nation),
+       |v AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM v),
+       |deg AS MATERIALIZED (SELECT v.id, coalesce(o.c, 0) AS outdeg FROM v LEFT JOIN (SELECT src AS id, count(*) AS c FROM e GROUP BY 1) o ON o.id = v.id),
+       |x0 AS MATERIALIZED (SELECT id, 1.0/CAST(nn.n AS DOUBLE) AS score FROM v, nn),
+       |$stages
+       |SELECT id, round(score, 8) AS score FROM x20""".stripMargin
+  }
+
+  private val ext2Qs = Seq(
+    Q("q81_pagerank",
+      (s, d) => {
+        val c = T(s, d, "customer").select(col("c_custkey").as("src"),
+          (col("c_nationkey").cast("long") + 10000000L).as("dst"))
+        val n = T(s, d, "nation").select(
+          (col("n_nationkey").cast("long") + 10000000L).as("src"),
+          (col("n_regionkey").cast("long") + 20000000L).as("dst"))
+        val e = c.unionByName(n)
+        val v = e.select(col("src").as("id"))
+          .unionByName(e.select(col("dst").as("id"))).distinct()
+        graft.graph.Centrality.pageRank(v, e, iters = 20, damping = 0.85)
+          .select(col("id"), round(col("score"), 8).as("score"))
+      },
+      Some(pageRankOracle)),
+
+    Q("q82_full_outer",
+      (s, d) => {
+        // full outer with both-sides-missing rows: left = a key-range slice
+        // of customers, right = per-customer order rollup
+        val c = T(s, d, "customer").filter(col("c_custkey") % 3 =!= 0)
+          .select(col("c_custkey").as("custkey"), col("c_acctbal"))
+        val o = T(s, d, "orders").groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        c.join(o, Seq("custkey"), "full_outer")
+          .select(col("custkey"),
+            col("c_acctbal").isNotNull.as("has_customer"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      },
+      Some("""SELECT coalesce(c.custkey, o.custkey) AS custkey,
+             | c.custkey IS NOT NULL AS has_customer,
+             | coalesce(o.n_orders, 0) AS n_orders
+             |FROM (SELECT c_custkey AS custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 0) c
+             |FULL OUTER JOIN (SELECT o_custkey AS custkey, count(*) AS n_orders
+             |                 FROM orders GROUP BY 1) o
+             |  ON o.custkey = c.custkey""".stripMargin)),
+
+    Q("q83_deterministic_sample",
+      (s, d) => {
+        // reproducible per-group sampling: order by a content hash, take k.
+        // Unlike rand()-based sampling this is stable across retries,
+        // partitionings and engines — the property that makes sampled
+        // pipelines auditable (and oracle-checkable).
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(md5(col("c_custkey").cast("string")), col("c_custkey"))
+        T(s, d, "customer")
+          .select(col("c_nationkey"), col("c_custkey"),
+            row_number().over(w).as("rk"))
+          .filter(col("rk") <= 3)
+      },
+      Some("""SELECT c_nationkey, c_custkey,
+             | CAST(row_number() OVER (PARTITION BY c_nationkey
+             |   ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS INT) AS rk
+             |FROM customer
+             |QUALIFY rk <= 3""".stripMargin)),
+
+    Q("q84_null_safe_join",
+      (s, d) => {
+        // null-safe equality (<=>): NULL keys match each other instead of
+        // dropping out — the semantics dedup pipelines want when "missing"
+        // is itself a join value
+        val l = T(s, d, "lineitem")
+          .select(nullif(col("l_returnflag"), lit("N")).as("f"), col("l_quantity"))
+        val dim = T(s, d, "lineitem").select(col("l_returnflag")).distinct()
+          .select(nullif(col("l_returnflag"), lit("N")).as("f"),
+            coalesce(col("l_returnflag"), lit("?")).as("label"))
+        l.join(dim, l("f") <=> dim("f"))
+          .groupBy(col("label")).agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("qty"))
+      },
+      Some("""SELECT dim.label, count(*) AS n, round(sum(l.l_quantity), 2) AS qty
+             |FROM (SELECT nullif(l_returnflag, 'N') AS f, l_quantity FROM lineitem) l
+             |JOIN (SELECT nullif(l_returnflag, 'N') AS f, l_returnflag AS label
+             |      FROM (SELECT DISTINCT l_returnflag FROM lineitem)) dim
+             |  ON l.f IS NOT DISTINCT FROM dim.f
+             |GROUP BY 1""".stripMargin)),
+
+    Q("q85_sql_exists",
+      (s, d) => {
+        // the SQL entry point (spark.sql) with correlated EXISTS/NOT EXISTS —
+        // Catalyst rewrites these to semi/anti joins; .explain shows no
+        // correlated subquery execution
+        T(s, d, "orders").createOrReplaceTempView("q85_orders")
+        T(s, d, "lineitem").createOrReplaceTempView("q85_lineitem")
+        s.sql("""SELECT o_orderkey, o_totalprice FROM q85_orders o
+                |WHERE EXISTS (SELECT 1 FROM q85_lineitem l
+                |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+                |  AND NOT EXISTS (SELECT 1 FROM q85_lineitem l
+                |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+                |""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+             |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')""".stripMargin)),
+
+    Q("q86_hopping_window",
+      (s, d) => {
+        // hopping (sliding) windows: 10-min duration, 5-min slide — every
+        // event lands in exactly two windows; Spark's window() generator
+        // vs the oracle's two shifted tumbling bucketings
+        val e = T(s, d, "events")
+        e.groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .select(unix_timestamp(col("window.start")).as("wstart"),
+            col("event_type"), col("n"), col("sum_value"))
+      },
+      Some("""WITH exploded AS (
+             |  SELECT CAST(floor((epoch(ts) - off) / 600) * 600 + off AS BIGINT) AS wstart,
+             |    event_type, value
+             |  FROM events CROSS JOIN (SELECT unnest([0, 300]) AS off))
+             |SELECT wstart, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM exploded GROUP BY 1, 2""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
-      dedupQs ++ simQs ++ collationQs ++ extQs
+      dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

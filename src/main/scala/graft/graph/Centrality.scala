@@ -167,6 +167,82 @@ object Centrality {
     }
   }
 
+  /** PageRank, fixed `iters` rounds with dangling-mass redistribution:
+    * pr'(v) = (1-d)/n + d·(Σ_{u→v} pr(u)/outdeg(u) + dangling/n).
+    * Deterministic round count → SQL-oracle-replayable (same rationale as
+    * [[powerIterationFixed]]). Adaptive local/distributed split; the
+    * distributed loop costs one contrib-join shuffle plus one scalar
+    * dangling aggregation per round, checkpointed every 3 rounds. At
+    * cluster scale pre-partition edges by src so the per-round join
+    * reuses the exchange. */
+  def pageRank(
+      vertices: DataFrame,
+      edges: DataFrame,
+      iters: Int = 20,
+      damping: Double = 0.85,
+      localCutoff: Long = localThreshold): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val n = vertices.count()
+    val base = (1.0 - damping) / n
+    if (n <= localCutoff && n > 0) {
+      val ids = vertices.select(col("id")).collect().map(_.get(0)).toIndexedSeq
+      val idx = ids.zipWithIndex.toMap
+      val es = edges.select(col("src"), col("dst")).collect()
+        .flatMap { r =>
+          (idx.get(r.get(0)), idx.get(r.get(1))) match {
+            case (Some(s), Some(d)) => Some((s, d))
+            case _ => None
+          }
+        }
+      val outdeg = new Array[Long](ids.length)
+      es.foreach { case (s, _) => outdeg(s) += 1 }
+      var x = Array.fill(ids.length)(1.0 / n)
+      var it = 0
+      while (it < iters) {
+        val inc = new Array[Double](ids.length)
+        es.foreach { case (s, d) => inc(d) += x(s) / outdeg(s) }
+        var dangling = 0.0
+        var i = 0
+        while (i < ids.length) { if (outdeg(i) == 0) dangling += x(i); i += 1 }
+        val next = new Array[Double](ids.length)
+        i = 0
+        while (i < ids.length) {
+          next(i) = base + damping * (inc(i) + dangling / n); i += 1
+        }
+        x = next
+        it += 1
+      }
+      val rows = ids.indices.map(i => org.apache.spark.sql.Row(ids(i), x(i)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", vertices.schema("id").dataType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType)))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    } else {
+      val e = FreshCheckpoint(edges.select($"src", $"dst"))
+      val od = e.groupBy($"src".as("id")).agg(count(lit(1)).as("outdeg"))
+      val v = FreshCheckpoint(vertices.select($"id")
+        .join(od, Seq("id"), "left").na.fill(0L, Seq("outdeg")))
+      var x = FreshCheckpoint(v.select($"id", $"outdeg", lit(1.0 / n).as("score")))
+      var it = 0
+      while (it < iters) {
+        val dangling =
+          x.filter($"outdeg" === 0).agg(sum($"score")).as[Option[Double]].head().getOrElse(0.0)
+        val contrib = e.join(
+            x.select($"id".as("src"), ($"score" / $"outdeg").as("c")), Seq("src"))
+          .groupBy($"dst".as("id")).agg(sum($"c").as("inc"))
+        val next = x.select($"id", $"outdeg").join(contrib, Seq("id"), "left")
+          .select($"id", $"outdeg",
+            (lit(base) + lit(damping) *
+              (coalesce($"inc", lit(0.0)) + lit(dangling / n))).as("score"))
+        it += 1
+        x = if (it % 3 == 0 || it == iters) FreshCheckpoint(next) else next
+      }
+      x.select($"id", $"score")
+    }
+  }
+
   /** Driver-local power iteration (n ≤ [[localThreshold]]): exactly
     * networkx's semantics — x' = x + A^T x, L2-normalized each round, stop
     * when Σ|x_t − x_{t−1}| < n·tol, None after maxIter (nx's

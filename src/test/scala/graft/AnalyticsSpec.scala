@@ -104,6 +104,25 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("powerIterationFixed: distributed path agrees with local; tracks eigenvector") {
+    val und = h3._2.select(col("src"), col("dst"))
+      .unionByName(h3._2.select(col("dst").as("src"), col("src").as("dst")))
+    val local = Centrality.powerIterationFixed(h3._1, und, 40)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dist = Centrality.powerIterationFixed(h3._1, und, 40, localCutoff = 0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(dist.keySet === local.keySet)
+    local.foreach { case (id, v) =>
+      assert(math.abs(dist(id) - v) < 1e-9, s"score mismatch at $id: ${dist(id)} vs $v")
+    }
+    // fixed-round iterate approximates the converged eigenvector
+    val eig = Centrality.eigenvector(h3._1, und, maxIter = 300).get
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    local.foreach { case (id, v) =>
+      assert(math.abs(eig(id) - v) < 1e-3, s"drift vs eigenvector at $id")
+    }
+  }
+
   test("louvain + label propagation produce positive-modularity partitions") {
     val (nodes, es) = h3
     val lou = Community.louvain(nodes, es)

@@ -202,6 +202,21 @@ class OpsSpec extends SparkTestBase {
     assert(saltSpread > 1, "salting failed to spread the hot key")
   }
 
+  test("hll distinct sketch: estimate within sketch error of exact count") {
+    // q75 is arithmetic-exact vs the oracle; this asserts the SKETCH is
+    // statistically sane: p=9 raw HLL has ~4.6% std error (no small-range
+    // correction, so allow slack at n ≈ 2m).
+    val r = Queries.queries("q75_hll_distinct")(spark, s"$testData/sf0.001")
+      .collect()
+    assert(r.length === 3)
+    r.foreach { row =>
+      val exact = row.getAs[Long]("n_exact").toDouble
+      val est = row.getAs[Double]("hll_estimate")
+      assert(math.abs(est - exact) / exact < 0.15,
+        s"${row.getString(0)}: estimate $est vs exact $exact")
+    }
+  }
+
   test("multimodal: ingest metadata, chunk inventory, feature extraction") {
     val media = Multimodal.ingest(docs)
     val m = media.filter(col("media_id") === 1L).head()
