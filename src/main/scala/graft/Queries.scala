@@ -230,9 +230,12 @@ object Queries {
              |WHERE p_partkey IN (1, 2, 3, 5, 8, 13, 21, 34)""".stripMargin)),
 
     Q("q27_join_edge_label",
+      // no forced broadcast (part/supplier scale with SF): AQE picks BHJ at
+      // test scale and SMJ at cluster scale; q08/q12 keep explicit hints as
+      // the deliberate broadcast-join demonstrations on bounded builds
       (s, d) => T(s, d, "lineitem")
-        .join(broadcast(T(s, d, "part")), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(T(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(T(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .join(T(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .select(
           when(col("p_size") > 25 && col("s_acctbal") > 0, "big part, solvent supplier")
             .when(col("p_size") > 25, "big part, indebted supplier")
@@ -1351,8 +1354,12 @@ object Queries {
         val c = T(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
         val o = T(s, d, "orders").filter(col("o_orderdate") < lit(cut).cast("timestamp"))
         val l = T(s, d, "lineitem").filter(col("l_shipdate") > lit(cut).cast("timestamp"))
+        // no forced broadcast: customer/orders scale with SF, so the hint
+        // would OOM a 100 TB driver — at test scale AQE still picks BHJ
+        // (both sides are under the auto threshold), at cluster scale it
+        // degrades gracefully to sort-merge with runtime skew handling
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
           .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
             .as("revenue"))
@@ -1379,9 +1386,13 @@ object Queries {
         val c = T(s, d, "customer"); val o = T(s, d, "orders")
         val l = T(s, d, "lineitem"); val sup = T(s, d, "supplier")
         val n = T(s, d, "nation"); val r = T(s, d, "region")
+        // broadcast hints only on BOUNDED dims (nation/region have fixed
+        // cardinality at any SF); customer/supplier/orders scale with the
+        // data, so their join strategy is left to AQE — BHJ here, SMJ at
+        // cluster scale
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(sup),
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(sup,
             col("l_suppkey") === col("s_suppkey") &&
               col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))

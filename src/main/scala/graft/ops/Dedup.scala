@@ -155,15 +155,19 @@ object Dedup {
     // Verification: per-pair merge-intersect over sorted gram arrays (native
     // codegen expression) instead of the relational candidates ⋈ grams ⋈
     // grams + groupBy, which enumerates Σ_pairs |set| intermediate rows.
-    // Arrays attach to the NARROW candidate pairs via broadcast hash joins
-    // fused with the projection (same pattern as Similarity.bucketedNearDups;
-    // past broadcast range, swap for shuffle-hash attach on the id).
+    // Arrays attach to the NARROW candidate pairs via hash joins fused with
+    // the projection (same pattern as Similarity.bucketedNearDups). The
+    // broadcast hint is ADAPTIVE: gram arrays scale with the corpus, so past
+    // ~64k docs (≈60 MB of arrays) the attach falls back to a shuffle join —
+    // the candidate shuffle stays narrow either way.
     graft.expr.VectorOps.register(docs.sparkSession)
     val gramArrays = grams.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("tok"))).as("arr"))
+    val hint: DataFrame => DataFrame =
+      if (docs.count() <= 65536) broadcast(_) else identity
     val ga = gramArrays.select(col("doc_id").as("a"), col("arr").as("arrA"))
     val gb = gramArrays.select(col("doc_id").as("b"), col("arr").as("arrB"))
-    cand.join(broadcast(ga), Seq("a")).join(broadcast(gb), Seq("b"))
+    cand.join(hint(ga), Seq("a")).join(hint(gb), Seq("b"))
       .select(col("a"), col("b"),
         graft.expr.VectorOps.sortedArrayIntersect(col("arrA"), col("arrB")).as("inter"),
         size(col("arrA")).cast("long").as("szA"),

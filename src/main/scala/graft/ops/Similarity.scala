@@ -130,15 +130,18 @@ object Similarity {
     // attached afterwards via broadcast hash joins whose consume chain fuses
     // with the dot/filter projection — candidate rows stay 16 bytes and the
     // arrays are only read through the broadcast map, never copied per pair.
-    // (At corpus sizes past broadcast range, swap for shuffle-hash joins on
-    // the id — the candidate shuffle stays narrow either way.)
+    // The broadcast hint is ADAPTIVE: embeddings scale with the corpus, so
+    // past ~64k vectors (≈35 MB with norms) the attach falls back to a
+    // shuffle join — the candidate shuffle stays narrow either way.
     val meta = e.select(col("label"), col("vec_id"))
     val cand = meta.as("x").join(meta.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+    val hint: DataFrame => DataFrame =
+      if (embeddings.count() <= 65536) broadcast(_) else identity
     val ea = e.select(col("vec_id").as("a"), col("emb").as("ea"), col("nrm").as("na"))
     val eb = e.select(col("vec_id").as("b"), col("emb").as("eb"), col("nrm").as("nb"))
-    cand.join(broadcast(ea), Seq("a")).join(broadcast(eb), Seq("b"))
+    cand.join(hint(ea), Seq("a")).join(hint(eb), Seq("b"))
       .select(col("a"), col("b"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
