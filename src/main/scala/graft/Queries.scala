@@ -1552,7 +1552,63 @@ object Queries {
              |    event_type, value
              |  FROM events CROSS JOIN (SELECT unnest([0, 300]) AS off))
              |SELECT wstart, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-             |FROM exploded GROUP BY 1, 2""".stripMargin)))
+             |FROM exploded GROUP BY 1, 2""".stripMargin)),
+
+    Q("q87_moving_avg",
+      (s, d) => {
+        // explicit ROWS frame (vs q30's default running frame): 7-row
+        // trailing moving average per part over a total order
+        val w = Window.partitionBy(col("l_partkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(-6, Window.currentRow)
+        T(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"),
+          round(avg(col("l_extendedprice")).over(w), 4).as("mavg"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey,
+             | round(avg(l_extendedprice) OVER (PARTITION BY l_partkey
+             |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mavg
+             |FROM lineitem""".stripMargin)),
+
+    Q("q88_grouping_sets",
+      (s, d) => {
+        // explicit GROUPING SETS (neither cube nor rollup): one pass, three
+        // grouping combinations, disambiguated by grouping_id
+        T(s, d, "lineitem").createOrReplaceTempView("q88_lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |  CAST(grouping_id() AS BIGINT) AS gid,
+                |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+                |FROM q88_lineitem
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                |""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             | CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             | count(*) AS n, round(sum(l_quantity), 2) AS qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)),
+
+    Q("q89_forward_fill",
+      (s, d) => {
+        // gap fill: carry the last non-null observation forward
+        // (last+ignoreNulls over an unbounded-preceding frame — the
+        // windowed form of the as-of join's fill step)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T(s, d, "events")
+          .withColumn("click_value",
+            when(col("event_type") === "click", col("value")))
+          .select(col("event_id"), col("user_id"),
+            round(last(col("click_value"), ignoreNulls = true).over(w), 2)
+              .as("filled"))
+      },
+      Some("""SELECT event_id, user_id,
+             | round(last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+             |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled
+             |FROM events""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
