@@ -26,16 +26,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+
+    // (query_sec, gc_sec_during_query) — the gc column diagnoses environment
+    // anomalies (round 1: identical commit ran 69 s locally, 1081 s on the
+    // driver box, inflation concentrated in allocation-heavy queries)
+    def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      catch { case _: Throwable => return (-1.0, 0.0) }
       val sec = (System.nanoTime() - t0) / 1e9
+      val gc = (gcMillis() - g0) / 1e3
       // After a heavy query, collect garbage so ContextCleaner's weak refs
       // (accumulated broadcasts, shuffle registrations) are processed before
       // the next query rather than piling up across the session.
       if (sec > 3.0) System.gc()
-      sec
+      (sec, gc)
     }
 
     // warm-up (JVM + codegen + parquet footer caches)
@@ -49,9 +58,14 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       name -> runOne(fn)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val gcTotal = results.map(_._2._2).sum
+    // diagnostic line (stderr): per-query driver-JVM GC seconds
+    val gcs = results.filter(_._2._2 >= 0.1)
+      .map { case (k, (_, g)) => "\"" + k + f"\":$g%.1f" }.mkString("{", ",", "}")
+    System.err.println(f"""BENCHGC {"gc_total_sec":$gcTotal%.1f,"gc_by_query":$gcs}""")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1610,9 +1610,160 @@ object Queries {
              |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled
              |FROM events""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-2 extensions (batch 2)
+  // Triangle counting (degree-oriented), fixed-round weighted SSSP, sparse
+  // TF-IDF similarity via inverted index, bloom-pruned semi join, z-score
+  // outlier detection, and one-pass schema-driven column profiling.
+
+  /** Unrolled fixed-round Bellman-Ford oracle ([[graft.graph.Analytics.sssp]]
+    * semantics): each stage MATERIALIZED — it is referenced twice (carry +
+    * relax) and inlining would square the plan per round. */
+  private val ssspRounds = 6
+  private val ssspOracle: String = {
+    val base =
+      """WITH und AS (
+        |  SELECT a, b, (a + b) % 9 + 1 AS w FROM (
+        |    SELECT DISTINCT l_partkey AS a, 1000000 + l_suppkey AS b FROM lineitem
+        |    UNION SELECT 1000000 + l_suppkey, l_partkey FROM lineitem)),
+        |d0 AS (SELECT min(l_partkey) AS id, CAST(0 AS BIGINT) AS dist FROM lineitem)""".stripMargin
+    val stages = (1 to ssspRounds).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
+         |  SELECT id, dist FROM d${k - 1}
+         |  UNION ALL
+         |  SELECT u.b AS id, p.dist + u.w AS dist
+         |  FROM d${k - 1} p JOIN und u ON u.a = p.id) GROUP BY id)""".stripMargin
+    }
+    (base +: stages).mkString(",\n") +
+      s"\nSELECT id, CAST(dist AS BIGINT) AS dist FROM d$ssspRounds"
+  }
+
+  /** Columns profiled by q95 (no floating-point columns: double→string
+    * rendering is engine-specific; dates/ints/strings are byte-identical). */
+  private val profileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_orderdate", "o_orderpriority")
+
+  private val ext3Qs = Seq(
+    Q("q90_triangle_count",
+      (s, d) => {
+        // co-purchase graph: parts are adjacent iff they appear in the same
+        // order; global triangle count via degree orientation (the id-ordered
+        // 3-way join the oracle uses counts identically but its wedge stage
+        // explodes on hub nodes — orientation is the 100 TB-safe form)
+        val li = T(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+        val e = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+        graft.graph.Analytics.triangleCount(e)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+             |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+             |      FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p)
+             |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+             |FROM e e1 JOIN e e2 ON e2.a = e1.b
+             |          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin)),
+
+    Q("q91_sssp_weighted",
+      (s, d) => {
+        // weighted shortest paths on the undirected part↔supplier graph,
+        // deterministic integer weights, fixed 6 relaxation rounds
+        // checkpoint the derived edge relation once — the vertex count, the
+        // local-path collect (or each distributed round) all rescan it
+        val e0 = psEdges(s, d)
+        val und = FreshCheckpoint(
+          e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+            .withColumn("w", (col("a") + col("b")) % 9 + 1))
+        val seed = T(s, d, "lineitem").agg(min(col("l_partkey"))).head().getLong(0)
+        graft.graph.Analytics.sssp(und, seed, ssspRounds)
+          .select(col("id"), col("dist"))
+      },
+      Some(ssspOracle)),
+
+    Q("q92_tfidf_pairs",
+      (s, d) => graft.ops.TextAnalysis.tfidfPairs(
+        T(s, d, "documents"), dfCap = 25, threshold = 0.3),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> x <> '')) AS tok FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1
+             |        HAVING count(*) BETWEEN 2 AND 25),
+             |w AS (SELECT tf.doc_id, tf.tok,
+             |        tf.tf * CAST(floor(1000.0 * (SELECT count(*) FROM documents) / dft.df)
+             |          AS BIGINT) AS w
+             |      FROM tf JOIN dft USING (tok)),
+             |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS ssq FROM w GROUP BY 1),
+             |dots AS (SELECT x.doc_id AS a, y.doc_id AS b,
+             |           CAST(sum(x.w * y.w) AS BIGINT) AS dot
+             |         FROM w x JOIN w y ON x.tok = y.tok AND x.doc_id < y.doc_id
+             |         GROUP BY 1, 2)
+             |SELECT a, b, round(dot / (sqrt(na.ssq) * sqrt(nb.ssq)), 6) AS cos
+             |FROM dots JOIN norms na ON na.doc_id = a JOIN norms nb ON nb.doc_id = b
+             |WHERE dot / (sqrt(na.ssq) * sqrt(nb.ssq)) >= 0.3""".stripMargin)),
+
+    Q("q93_bloom_semi_join",
+      (s, d) => {
+        // bloom-pruned semi join: probe side filtered by a broadcast bloom
+        // of the build keys BEFORE its shuffle; exact semi join cleans up
+        // false positives → result ≡ plain semi join (equivalence oracle)
+        val pruned = graft.ops.BloomJoin.prunedSemiJoin(
+          T(s, d, "lineitem"), "l_suppkey",
+          T(s, d, "supplier").filter(col("s_acctbal") > 5000.0), "s_suppkey",
+          expectedNumItems = 100000L, fpp = 0.01)
+        pruned.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+             |FROM lineitem
+             |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000.0)
+             |GROUP BY 1""".stripMargin)),
+
+    Q("q94_zscore_outliers",
+      (s, d) => {
+        // anomaly detection: per-group z-score over the events stream's value
+        // column (heavy-tailed — the TPC-H price columns are bounded-uniform,
+        // |z| ≤ √3, and can never have 3σ outliers), flag |z| > 3
+        // (unbounded window frame = whole-group moments in one pass)
+        val w = Window.partitionBy(col("event_type"))
+        val z = (col("value") - avg(col("value")).over(w)) /
+          stddev_samp(col("value")).over(w)
+        T(s, d, "events")
+          .select(col("event_id"), col("event_type"), z.as("zraw"))
+          .filter(abs(col("zraw")) > 3.0)
+          .select(col("event_id"), col("event_type"), round(col("zraw"), 4).as("z"))
+      },
+      Some("""SELECT event_id, event_type, round(z, 4) AS z FROM (
+             |  SELECT event_id, event_type,
+             |    (value - avg(value) OVER w) / stddev_samp(value) OVER w AS z
+             |  FROM events WINDOW w AS (PARTITION BY event_type))
+             |WHERE abs(z) > 3.0""".stripMargin)),
+
+    Q("q95_profile_columns",
+      (s, d) => {
+        // schema-driven data profiling: null counts, exact distinct counts,
+        // min/max per column — ONE scan (a single wide agg, then stack to
+        // rows), vs the oracle's per-column UNION ALL passes
+        val o = T(s, d, "orders")
+        val aggs = profileCols.flatMap(c => Seq(
+          count(col(c)).as(s"${c}__nn"),
+          countDistinct(col(c)).as(s"${c}__nd"),
+          min(col(c)).cast("string").as(s"${c}__mn"),
+          max(col(c)).cast("string").as(s"${c}__mx")))
+        val one = o.agg(count(lit(1)).as("__total"), aggs: _*)
+        one.select(expr(s"stack(${profileCols.length}, " + profileCols.map(c =>
+          s"'$c', __total - ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx").mkString(", ") +
+          ") as (column_name, n_nulls, n_distinct, min_s, max_s)"))
+      },
+      Some(profileCols.map(c =>
+        s"""SELECT '$c' AS column_name,
+           | (SELECT count(*) FROM orders) - count($c) AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+           |FROM orders""".stripMargin).mkString("\nUNION ALL\n"))))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
-      dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs
+      dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -102,6 +102,51 @@ case class SortedArrayIntersect(left: Expression, right: Expression)
   override def prettyName: String = "sorted_array_intersect"
 }
 
+/** [[SortedArrayIntersect]] for SORTED `array<bigint>` (primitive getLong
+  * merge walk — no UTF8String materialization). Used by triangle counting
+  * over sorted adjacency lists of long node ids. */
+case class SortedLongIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var n = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $x.numElements(); int $ny = $y.numElements();
+         |int $i = 0; int $j = 0; long ${ev.value}Acc = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+         |  if ($xv == $yv) { ${ev.value}Acc++; $i++; $j++; }
+         |  else if ($xv < $yv) $i++; else $j++;
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersect =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_long_intersect"
+}
+
 object VectorOps {
   /** Idempotent session registration (same seam as [[Iast.register]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -112,6 +157,9 @@ object VectorOps {
     reg.createOrReplaceTempFunction("sorted_array_intersect",
       (exprs: Seq[Expression]) => SortedArrayIntersect(exprs.head, exprs(1)),
       "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_long_intersect",
+      (exprs: Seq[Expression]) => SortedLongIntersect(exprs.head, exprs(1)),
+      "scala_udf")
   }
 
   def vectorDot(a: Column, b: Column): Column =
@@ -119,4 +167,7 @@ object VectorOps {
 
   def sortedArrayIntersect(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("sorted_array_intersect", a, b)
+
+  def sortedLongIntersect(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("sorted_long_intersect", a, b)
 }

@@ -198,6 +198,101 @@ object Analytics {
       .agg(avg(col("bf")).as("mean_branching_factor"))
   }
 
+  /** Global triangle count over an undirected graph given as canonical
+    * edges (a, b) with a < b, via degree orientation: each edge is directed
+    * from its lower-(degree, id) endpoint to the higher one, wedges are
+    * enumerated from each node's out-neighbors, and a wedge closes iff the
+    * canonical edge between its two endpoints exists. Orientation bounds the
+    * wedge relation by O(m^1.5) regardless of degree skew — the id-ordered
+    * variant explodes on a single high-degree hub (a node in m edges yields
+    * C(m,2) wedges), which is exactly the shape a 100 TB co-occurrence graph
+    * has. Two shuffle joins; the count is algorithm-independent, so the
+    * oracle can replay it with the naive ordered 3-way self-join.
+    *
+    * @return single row (n_triangles).
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    graft.expr.VectorOps.register(edges.sparkSession)
+    // materialize once: the caller's edge relation (often a distinct over a
+    // self-join) feeds the degree build AND the orientation pass
+    val e = FreshCheckpoint(
+      edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b")))
+    // (deg, id) total order → acyclic orientation
+    val deg = FreshCheckpoint(
+      e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg")))
+    // deg and adj are node-sized; below the local threshold broadcast them so
+    // the edge relation is never shuffled for the attaches (the scale path
+    // above it is plain shuffle joins on the node key)
+    val hint: DataFrame => DataFrame =
+      if (deg.count() <= localThreshold) broadcast(_) else identity
+    val withDeg = e
+      .join(hint(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "da")), Seq("a"))
+      .join(hint(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db")), Seq("b"))
+    val oriented = FreshCheckpoint(withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("src"), col("b").as("dst")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst")))
+    // Per-edge merge-intersect of sorted out-adjacency (native codegen expr)
+    // instead of materializing the wedge relation: a triangle {u,v,w} in the
+    // orientation DAG has exactly one source u with u→v, u→w and the closing
+    // v→w, so Σ_{(u,v)} |N⁺(u) ∩ N⁺(v)| counts each triangle once. Work is
+    // O(Σ_edge (d⁺(u)+d⁺(v))) flat longs — the wedge-join form shuffled ~50M
+    // canonicalized wedge rows at sf0.1 (41 s); this runs in a few seconds.
+    // Orientation caps d⁺ at O(√m), so adjacency rows stay small even for
+    // hub nodes; the attach joins shuffle on src/dst like any payload attach.
+    val adj = FreshCheckpoint(oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
+    oriented
+      .join(hint(adj.select(col("src"), col("nbrs").as("nbrsA"))), Seq("src"))
+      .join(hint(adj.select(col("src").as("dst"), col("nbrs").as("nbrsB"))), Seq("dst"))
+      .agg(coalesce(sum(graft.expr.VectorOps.sortedLongIntersect(
+        col("nbrsA"), col("nbrsB"))), lit(0L)).as("n_triangles"))
+  }
+
+  /** Single-source shortest paths with non-negative integer weights:
+    * synchronous Bellman-Ford, a FIXED number of relaxation rounds
+    * (deterministic — replayable round-by-round by the SQL oracle; pick
+    * rounds ≥ the graph's weighted-hop diameter for exact distances).
+    * Below [[localThreshold]] collected vertices the rounds run on driver
+    * arrays (same semantics, no per-round stage scheduling); the distributed
+    * loop is one shuffle per round on (id) with [[FreshCheckpoint]].
+    *
+    * @param edges directed (a, b, w); pass both directions for undirected.
+    * @return (id, dist) for vertices reached within `rounds` relaxations.
+    */
+  def sssp(edges: DataFrame, src: Long, rounds: Int,
+      localCutoff: Long = localThreshold): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val n = edges.select($"a".as("id"))
+      .unionByName(edges.select($"b".as("id"))).distinct().count()
+    if (n <= localCutoff) {
+      val es = edges.select($"a".cast("long"), $"b".cast("long"), $"w".cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val dist = scala.collection.mutable.HashMap(src -> 0L)
+      for (_ <- 1 to rounds) {
+        val snap = dist.toMap // synchronous: round k+1 relaxes from round k
+        es.foreach { case (a, b, w) =>
+          snap.get(a).foreach { da =>
+            if (dist.get(b).forall(_ > da + w)) dist(b) = da + w }
+        }
+      }
+      dist.toSeq.toDF("id", "dist")
+    } else {
+      val e = FreshCheckpoint(edges.select($"a", $"b", $"w"))
+      var dist = spark.range(1).select(lit(src).as("id"), lit(0L).as("dist"))
+      for (_ <- 1 to rounds) {
+        val relax = dist.join(e, $"id" === $"a")
+          .select($"b".as("id"), ($"dist" + $"w").as("dist"))
+        dist = FreshCheckpoint(dist.unionByName(relax)
+          .groupBy($"id").agg(min($"dist").as("dist")))
+      }
+      dist
+    }
+  }
+
   /** Edge endpoint type-pair counts (`utils/analyze.py:143-153`). */
   def edgeTypePairs(edges: DataFrame, entities: DataFrame): DataFrame = {
     val types = broadcast(entities.select(col("id"), col("type")))

@@ -12,6 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Fan a low-partition input out to the session's parallelism before
+    * CPU-heavy per-row expansion (shingling, hashing). A small parquet file
+    * arrives as ONE partition, which serializes the whole explode stage on a
+    * single core (measured: the q36 gram build was 6 s single-task at sf0.1).
+    * At cluster scale inputs already have ≥ parallelism partitions and this
+    * is the identity — no extra shuffle. */
+  private[ops] def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Exact dedup: hash-groupBy on content. Returns one row per distinct text:
     * (keep_id = min doc_id, dup_count). A "which rows to drop" view is the
     * anti-join of documents against keep_id. */
@@ -44,7 +55,7 @@ object Dedup {
     * MinHash over word 3-gram shingles.
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
-    val toks = shingles(docs)
+    val toks = shingles(fanOut(docs))
     val mins = (0 until numHashes).map(i =>
       min(md5(concat(lit(i.toString), lit(":"), col("tok")))).as(s"h$i"))
     toks.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -84,7 +95,7 @@ object Dedup {
     * (MinHash estimates shingle-set Jaccard, so verification uses the same
     * set definition.) */
   def verifyJaccard(docs: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
-    val toks = shingles(docs)
+    val toks = shingles(fanOut(docs))
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     jaccardPairs(toks, sizes, cand).filter(col("jaccard") >= threshold)
   }
@@ -125,22 +136,32 @@ object Dedup {
     * off-heap/disk-only storage.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // NOTE also measured: columnar .persist() of this relation (4 consumers)
-    // bought nothing at sf0.1 — the shuffles, not the explode recompute,
-    // dominate — and risked session-wide cache pressure. Keep recompute.
-    val grams = docs.select(col("doc_id"), col("lang"), col("source"),
+    // Shuffle plan (the round-1 version paid THREE wide shuffles of the
+    // exploded gram relation — df, prefix groupBy, gramArrays groupBy — this
+    // one pays ONE): the per-doc sorted gram arrays are built first with the
+    // single doc-keyed shuffle; df and the prefix both derive from exploding
+    // those arrays, and because the explode preserves the doc_id hash
+    // partitioning, the prefix's re-group introduces NO new Exchange. The
+    // doc-frequency table is a bounded vocabulary (|charset|^n; 377 observed
+    // 3-grams in the synthetic corpus) and broadcast-joins onto the explode.
+    // NOTE also measured: columnar .persist()/localCheckpoint of the wide
+    // exploded relation bought nothing at sf0.1 and risked session-wide
+    // cache pressure (9 s → 125 s once) — derive, don't cache.
+    val grams = fanOut(docs).select(col("doc_id"), col("lang"), col("source"),
         explode(array_distinct(expr(
           s"transform(sequence(1, greatest(length(text) - ${n - 1}, 0)), " +
             s"i -> substring(text, i, $n))"))).as("tok"))
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    graft.expr.VectorOps.register(docs.sparkSession)
+    val gramArrays = grams.groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(sort_array(collect_list(col("tok"))).as("arr"))
+    val exploded = gramArrays.select(col("doc_id"), col("lang"), col("source"),
+      explode(col("arr")).as("tok"))
     // global doc-frequency per gram → deterministic rarity order (df, tok)
-    val df = grams.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val df = exploded.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // prefix selection as a group-local top-k: collect each doc's (df, tok)
-    // pairs and slice the sorted array — one hash-agg shuffle, in-memory
-    // sorts of per-doc arrays, instead of a global window sort of the whole
-    // gram relation (plus it makes the sizes join unnecessary: |set| is just
-    // size(toks))
-    val prefix = grams.join(df, Seq("tok"))
+    // pairs and slice the sorted array — no global window sort, and no
+    // Exchange (partitioning carried over from the gramArrays groupBy)
+    val prefix = exploded.join(broadcast(df), Seq("tok"))
       .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(collect_list(struct(col("df"), col("tok"))).as("toks"))
       .select(col("doc_id"), col("lang"), col("source"),
@@ -160,9 +181,6 @@ object Dedup {
     // broadcast hint is ADAPTIVE: gram arrays scale with the corpus, so past
     // ~64k docs (≈60 MB of arrays) the attach falls back to a shuffle join —
     // the candidate shuffle stays narrow either way.
-    graft.expr.VectorOps.register(docs.sparkSession)
-    val gramArrays = grams.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("tok"))).as("arr"))
     val hint: DataFrame => DataFrame =
       if (docs.count() <= 65536) broadcast(_) else identity
     val ga = gramArrays.select(col("doc_id").as("a"), col("arr").as("arrA"))
@@ -185,7 +203,7 @@ object Dedup {
     * least one of 4 chunks). Returns (a, b, hamming).
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = tokens(docs)
+    val toks = tokens(fanOut(docs))
     // 60-bit token hash from the first 15 hex chars of md5: portable — the
     // DuckDB oracle reconstructs the identical value digit-by-digit, so the
     // whole simhash pipeline is hash-checkable cross-engine (vs the earlier

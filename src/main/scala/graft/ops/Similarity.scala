@@ -38,7 +38,9 @@ object Similarity {
     */
   def cosineTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
     graft.expr.VectorOps.register(embeddings.sparkSession)
-    val corpus = embeddings.select(col("vec_id"),
+    // fanOut: a small parquet corpus arrives as one partition, serializing
+    // the O(corpus × queries) scoring stage on a single core
+    val corpus = Dedup.fanOut(embeddings).select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", norm(col("emb")))
     val q = queries.select(col("query_id"),
@@ -79,7 +81,7 @@ object Similarity {
       k: Int = 10,
       nprobe: Int = 1): DataFrame = {
     graft.expr.VectorOps.register(embeddings.sparkSession)
-    val corpus = embeddings.select(col("vec_id"),
+    val corpus = Dedup.fanOut(embeddings).select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", norm(col("emb")))
     val cents = corpus.filter(col("vec_id") < nCentroids)
@@ -120,7 +122,7 @@ object Similarity {
     * Returns (a, b, cos), a < b. */
   def bucketedNearDups(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
     graft.expr.VectorOps.register(embeddings.sparkSession)
-    val e = embeddings.select(col("label"), col("vec_id"),
+    val e = Dedup.fanOut(embeddings).select(col("label"), col("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", norm(col("emb")))
       .localCheckpoint(true)

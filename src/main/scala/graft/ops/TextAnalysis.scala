@@ -106,7 +106,7 @@ object TextAnalysis {
     */
   def fingerprint(docs: DataFrame, n: Int = 3, window: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"),
+    val toks = Dedup.fanOut(docs).select(col("doc_id"),
       posexplode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
         .as(Seq("pos", "tok")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -120,5 +120,47 @@ object TextAnalysis {
     winMin.groupBy(col("doc_id")).agg(
       countDistinct(col("win_min")).as("n_fingerprints"),
       min(col("win_min")).as("min_fp"))
+  }
+
+  /** Sparse TF-IDF document similarity via an inverted-index join — the
+    * scale path for text similarity when no dense embeddings exist: pairs are
+    * generated ONLY for documents sharing a (rare) term, never all-pairs.
+    *
+    * Determinism across engines: idf is integerized (floor(1000·N/df), IEEE
+    * double division + floor — bit-identical in DuckDB), weights tf·idf are
+    * exact BIGINTs, so dot products and squared norms are exact integer sums
+    * in any aggregation order; the final cosine is two correctly-rounded
+    * sqrts and one division over identical integers.
+    *
+    * Stopword-like terms (df > dfCap) are dropped before the pair join —
+    * without this the most frequent term alone contributes O(N²) pairs; with
+    * it the join is bounded by dfCap·Σdf. df ≥ 2 because df=1 terms cannot
+    * co-occur. At 100 TB the df table is a bounded vocabulary → broadcast.
+    *
+    * @return (a, b, cos) for pairs with cosine ≥ threshold, a < b.
+    */
+  def tfidfPairs(docs: DataFrame, dfCap: Long = 25, threshold: Double = 0.3): DataFrame = {
+    val toks = Dedup.fanOut(docs).select(col("doc_id"),
+      explode(filter(split(lower(col("text")), "\\s+"), x => x =!= "")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val nDocs = docs.count()
+    val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+    val w = tf.join(broadcast(dfTab), Seq("tok"))
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * floor(lit(1000.0 * nDocs) / col("df")).cast("long")).as("w"))
+    val norms = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("ssq"))
+    val dots = w.as("x").join(w.as("y"),
+        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(sum(col("x.w") * col("y.w")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("a"), col("ssq").as("sa")), Seq("a"))
+      .join(norms.select(col("doc_id").as("b"), col("ssq").as("sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("dot").cast("double") /
+          (sqrt(col("sa").cast("double")) * sqrt(col("sb").cast("double")))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }
 }
