@@ -1637,6 +1637,28 @@ object Queries {
       s"\nSELECT id, CAST(dist AS BIGINT) AS dist FROM d$ssspRounds"
   }
 
+  /** Unrolled fixed-round k-core peel oracle ([[graft.graph.Analytics.kcore]]
+    * semantics, k=3, 8 rounds over the co-purchase-≥2 part graph). */
+  private val kcoreOracle: String = {
+    val rounds = 8
+    val base =
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (SELECT x.p AS a, y.p AS b FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |n0 AS (SELECT DISTINCT a AS id FROM und)""".stripMargin
+    val stages = (1 to rounds).map { r =>
+      s"""n$r AS MATERIALIZED (SELECT u.a AS id FROM und u
+         |  JOIN n${r - 1} pa ON u.a = pa.id JOIN n${r - 1} pb ON u.b = pb.id
+         |  GROUP BY u.a HAVING count(*) >= 3)""".stripMargin
+    }
+    (base +: stages).mkString(",\n") +
+      s"""
+         |SELECT u.a AS id, CAST(count(*) AS BIGINT) AS deg FROM und u
+         |  JOIN n$rounds pa ON u.a = pa.id JOIN n$rounds pb ON u.b = pb.id
+         |  GROUP BY u.a""".stripMargin
+  }
+
   /** Columns profiled by q95 (no floating-point columns: double→string
     * rendering is engine-specific; dates/ints/strings are byte-identical). */
   private val profileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
@@ -1737,6 +1759,76 @@ object Queries {
              |    (value - avg(value) OVER w) / stddev_samp(value) OVER w AS z
              |  FROM events WINDOW w AS (PARTITION BY event_type))
              |WHERE abs(z) > 3.0""".stripMargin)),
+
+    Q("q96_multimodal_features",
+      (s, d) => {
+        // the multimodal decode path END-TO-END hash-checked: binary ingest →
+        // mapPartitions decode (ByteFoldDecoder: integer byte-fold — a
+        // deterministic stand-in for a real codec with identical plumbing) →
+        // long-format features. Oracle replays the byte-fold as char
+        // arithmetic (corpus is ASCII, so byte index ≡ char index).
+        Multimodal.extractFeaturesLong(Multimodal.ingest(T(s, d, "documents")))
+          .select(col("media_id"),
+            posexplode(col("features")).as(Seq("k", "f")))
+          .select(col("media_id"), col("k").cast("long").as("k"), col("f"))
+      },
+      Some("""WITH pos AS (SELECT doc_id, text,
+             |    unnest(range(1, strlen(text) + 1)) AS i FROM documents)
+             |SELECT doc_id AS media_id, CAST((i - 1) % 8 AS BIGINT) AS k,
+             | CAST(sum(ord(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS f
+             |FROM pos GROUP BY 1, 2""".stripMargin)),
+
+    Q("q97_kcore",
+      (s, d) => {
+        // product-affinity core: parts co-purchased in ≥2 distinct orders
+        // form the edge set; 3-core by fixed-round synchronous peeling
+        val li = T(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+        val e = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+          .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+          .select(col("a"), col("b"))
+        val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+        graft.graph.Analytics.kcore(und, k = 3, rounds = 8)
+      },
+      Some(kcoreOracle)),
+
+    Q("q98_ann_lsh",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.lshTopK(emb, queries, nPlanes = 6, dim = 64, k = 10)
+      },
+      Some("""WITH f AS (SELECT vec_id, unnest(embedding) AS v,
+             |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+             |fi AS (SELECT vec_id, i,
+             |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS iv FROM f),
+             |planes AS (SELECT p, d,
+             |   (list_sum(list_transform(range(15), j ->
+             |      CAST(strpos('0123456789abcdef', substr(md5(p || ':' || d), CAST(j + 1 AS INT), 1)) - 1
+             |        AS BIGINT) * (1::BIGINT << CAST(4 * (14 - j) AS INT)))) % 2001) - 1000 AS h
+             |  FROM range(6) t(p), range(64) s(d)),
+             |proj AS (SELECT fi.vec_id, pl.p, sum(fi.iv * pl.h) AS pr
+             |  FROM fi JOIN planes pl ON pl.d = fi.i - 1 GROUP BY 1, 2),
+             |sig AS (SELECT vec_id,
+             |   CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS sig
+             |  FROM proj GROUP BY 1),
+             |cand AS (SELECT qs.vec_id AS query_id, cs.vec_id
+             |  FROM (SELECT * FROM sig WHERE vec_id < 5) qs
+             |  JOIN sig cs ON cs.sig = qs.sig AND cs.vec_id <> qs.vec_id),
+             |dots AS (SELECT c.query_id, c.vec_id, sum(CAST(fq.v AS DOUBLE) * fc.v) AS dp
+             |  FROM cand c JOIN f fq ON fq.vec_id = c.query_id
+             |  JOIN f fc ON fc.vec_id = c.vec_id AND fc.i = fq.i
+             |  GROUP BY 1, 2),
+             |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
+             |cos AS (SELECT d.query_id, d.vec_id, round(d.dp / (nq.nrm * nc.nrm), 6) AS cos
+             |  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+             |  JOIN norms nc ON nc.vec_id = d.vec_id),
+             |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             |   ORDER BY cos DESC, vec_id) AS INT) AS rank FROM cos)
+             |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 10""".stripMargin)),
 
     Q("q95_profile_columns",
       (s, d) => {

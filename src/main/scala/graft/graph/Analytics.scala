@@ -293,6 +293,50 @@ object Analytics {
     }
   }
 
+  /** k-core decomposition by synchronous peeling, a FIXED number of rounds
+    * (deterministic and SQL-replayable, like [[sssp]]): each round removes
+    * every vertex whose degree within the surviving subgraph is < k. With
+    * rounds ≥ the peel depth this is the exact k-core. Below
+    * [[localThreshold]] vertices the peel runs on collected driver arrays;
+    * the distributed loop is one degree-aggregation shuffle per round.
+    *
+    * @param edges undirected as directed-both-ways (a, b).
+    * @return (id, deg) — survivors with their degree inside the final core.
+    */
+  def kcore(edges: DataFrame, k: Int, rounds: Int,
+      localCutoff: Long = localThreshold): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = FreshCheckpoint(edges.select($"a", $"b").distinct())
+    val n = und.select($"a".as("id")).distinct().count()
+    if (n <= localCutoff) {
+      val es = und.select($"a".cast("long"), $"b".cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      var alive = es.map(_._1).toSet ++ es.map(_._2)
+      for (_ <- 1 to rounds) {
+        val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+        es.foreach { case (a, b) =>
+          if (alive(a) && alive(b)) deg(a) = deg.getOrElse(a, 0L) + 1L }
+        alive = alive.filter(v => deg.getOrElse(v, 0L) >= k)
+      }
+      val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+      es.foreach { case (a, b) =>
+        if (alive(a) && alive(b)) deg(a) = deg.getOrElse(a, 0L) + 1L }
+      deg.toSeq.toDF("id", "deg")
+    } else {
+      def aliveDeg(alive: DataFrame): DataFrame = und
+        .join(alive.select($"id".as("a")), Seq("a"), "left_semi")
+        .join(alive.select($"id".as("b")), Seq("b"), "left_semi")
+        .groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
+      var alive = FreshCheckpoint(und.select($"a".as("id")).distinct())
+      for (_ <- 1 to rounds) {
+        alive = FreshCheckpoint(
+          aliveDeg(alive).filter($"deg" >= k).select($"id"))
+      }
+      aliveDeg(alive)
+    }
+  }
+
   /** Edge endpoint type-pair counts (`utils/analyze.py:143-153`). */
   def edgeTypePairs(edges: DataFrame, entities: DataFrame): DataFrame = {
     val types = broadcast(entities.select(col("id"), col("type")))

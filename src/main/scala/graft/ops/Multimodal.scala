@@ -71,6 +71,47 @@ object Multimodal {
       .select(col("media_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("chunk_offset"), col("chunk_len"))
 
+  /** Integer-exact partition-local decoder: bytes → fixed-length LONG vector.
+    * Unlike [[Decoder]]'s float features, these are order-independent integer
+    * sums — replayable by the SQL oracle, so the mapPartitions decode path
+    * itself is hash-checkable end-to-end. */
+  trait LongDecoder extends Serializable {
+    def featureDim: Int
+    def decode(payload: Array[Byte]): Array[Long]
+  }
+
+  /** Deterministic fake decode (STUB for the real codec): feature k = sum of
+    * unsigned bytes at positions ≡ k (mod dim) — the byte-fold of a real
+    * feature extractor, with exact integer arithmetic. */
+  class ByteFoldDecoder(val featureDim: Int = 8) extends LongDecoder {
+    def decode(payload: Array[Byte]): Array[Long] = {
+      val out = new Array[Long](featureDim)
+      var i = 0
+      while (i < payload.length) {
+        out(i % featureDim) += (payload(i) & 0xff).toLong
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** [[extractFeatures]] with a [[LongDecoder]] — same mapPartitions batch
+    * contract (decoder instantiated per partition), integer-exact output. */
+  def extractFeaturesLong(media: DataFrame,
+      decoder: LongDecoder = new ByteFoldDecoder()): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("features", ArrayType(LongType, containsNull = false))))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          Row(r.getLong(0), if (payload == null) null else decoder.decode(payload))
+        }
+      }(encoder)
+  }
+
   /** Feature extraction via partition-local decode (mapPartitions batch
     * contract — the decoder is instantiated once per partition, not per row).
     */

@@ -114,6 +114,68 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** Deterministic random-hyperplane component h(p, d) ∈ [-1000, 1000]:
+    * first 15 hex digits of md5("p:d") as a 60-bit integer, mod 2001, -1000.
+    * Engine-portable — the SQL oracle reconstructs the identical value from
+    * the same md5 hex (the q37 simhash digit-parse technique). */
+  private[ops] def planeComponent(p: Int, d: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+  }
+
+  /** Random-hyperplane LSH approximate nearest neighbor — the hash-bucketed
+    * scale path next to [[ivfTopK]]'s partition-pruned one.
+    *
+    * Signature bit p = sign of the projection onto pseudo-random hyperplane
+    * p; vectors sharing all `nPlanes` bits land in one bucket, and each query
+    * scores ONLY its bucket — ~1/2^nPlanes of the corpus. Projections use
+    * integerized embeddings (floor(1e6·v), exact in doubles up to 2^53), so
+    * the sign — and therefore the bucketing — is bit-reproducible in any
+    * engine and any summation order; cosine on the surviving candidates uses
+    * the true double vectors. At cluster scale the signature is a map-only
+    * column: the corpus can be written bucketed by it, queries broadcast.
+    *
+    * @return (query_id, vec_id, cos, rank) — exact top-k *within the
+    *         query's bucket*; recall < 1 vs brute force by construction.
+    */
+  def lshTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      nPlanes: Int = 6,
+      dim: Int = 64,
+      k: Int = 10): DataFrame = {
+    graft.expr.VectorOps.register(embeddings.sparkSession)
+    val planes = (0 until nPlanes).map(p =>
+      (0 until dim).map(d => planeComponent(p, d).toDouble))
+    def sig(emb: Column): Column = {
+      // integerized embedding: values are whole numbers ≤ ~1e6·|v|, products
+      // vs |h| ≤ 1000 stay < 2^53 → the double dot product is EXACT
+      val iemb = transform(emb, v => floor(v * lit(1e6)).cast("double"))
+      (0 until nPlanes).map { p =>
+        when(dot(iemb, typedlit(planes(p))) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val corpus = Dedup.fanOut(embeddings).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+      .withColumn("sig", sig(col("emb")))
+    val q = queries.select(col("query_id"),
+        col("embedding").cast("array<double>").as("qemb"))
+      .withColumn("qnrm", norm(col("qemb")))
+      .withColumn("sig", sig(col("qemb")))
+    val scored = corpus.join(broadcast(q), Seq("sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
   /** Embedding near-dup detection: pairwise cosine ≥ threshold within
     * coarse-quantizer buckets (IVF-style; `label` is the cell id here).
     * Norms are computed once per vector BEFORE the pair join (array lambdas

@@ -59,6 +59,51 @@ class Batch2Spec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("kcore: pendant peeled, triangle survives 2-core; distributed equals local") {
+    // triangle 0-1-2 plus pendant 3 hanging off 0
+    val canon = Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L)).toDF("a", "b")
+    val und = canon.unionByName(canon.select(col("b").as("a"), col("a").as("b")))
+    val local = Analytics.kcore(und, k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    val dist = Analytics.kcore(und, k = 2, rounds = 4, localCutoff = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === local)
+    // 3-core of a triangle is empty
+    assert(Analytics.kcore(und, k = 3, rounds = 4).count() === 0L)
+  }
+
+  test("lsh top-k: identical vectors share a bucket and rank first") {
+    val dim = 64
+    def vec(seed: Int): Seq[Float] =
+      (0 until dim).map(d => (((seed * 31 + d * 7) % 13) - 6).toFloat / 3f)
+    val rows = (0L until 40L).map(i => (i, vec(i.toInt % 20))) // pairs of twins
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top = graft.ops.Similarity.lshTopK(emb, queries, nPlanes = 4, dim = dim, k = 5)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every query has at least one identical twin (i vs i+20, plus any seed
+    // aliasing) → the rank-1 hit must be one of them: cos 1.0, same vector
+    assert(top.map(_._1).toSet === Set(0L, 1L, 2L))
+    top.foreach { case (q, hit, cos) =>
+      assert(cos === 1.0, s"query $q rank-1 $hit")
+      assert(vec(hit.toInt % 20) === vec(q.toInt % 20))
+    }
+  }
+
+  test("multimodal long features: byte-fold matches a hand computation") {
+    val docs = Seq((7L, "abcdefghij")).toDF("doc_id", "text")
+    val out = graft.ops.Multimodal.extractFeaturesLong(
+        graft.ops.Multimodal.ingest(docs))
+      .collect().head
+    val feats = out.getSeq[Long](1)
+    // 'a'=97..'j'=106; positions 0..9 fold mod 8 → k0: 97+105, k1: 98+106
+    assert(out.getLong(0) === 7L)
+    assert(feats === Seq(202L, 204L, 99L, 100L, 101L, 102L, 103L, 104L))
+  }
+
   test("bloom-pruned semi join equals plain semi join") {
     val li = spark.read.parquet(s"$testData/sf0.001/lineitem.parquet")
     val sup = spark.read.parquet(s"$testData/sf0.001/supplier.parquet")
