@@ -1690,8 +1690,9 @@ object Queries {
         // weighted shortest paths on the undirected part↔supplier graph,
         // deterministic integer weights, fixed 6 relaxation rounds
         // checkpoint the derived edge relation once — the vertex count, the
-        // local-path collect (or each distributed round) all rescan it
-        val e0 = psEdges(s, d)
+        // local-path collect (or each distributed round) all rescan it, and
+        // both union branches re-run the distinct without it
+        val e0 = FreshCheckpoint(psEdges(s, d))
         val und = FreshCheckpoint(
           e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
             .withColumn("w", (col("a") + col("b")) % 9 + 1))
@@ -1784,11 +1785,12 @@ object Queries {
         // form the edge set; 3-core by fixed-round synchronous peeling
         val li = T(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-        val e = li.as("x").join(li.as("y"),
+        // checkpoint: both union branches would re-run the pair aggregation
+        val e = FreshCheckpoint(li.as("x").join(li.as("y"),
             col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
           .groupBy(col("x.p").as("a"), col("y.p").as("b"))
           .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
-          .select(col("a"), col("b"))
+          .select(col("a"), col("b")))
         val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
         graft.graph.Analytics.kcore(und, k = 3, rounds = 8)
       },

@@ -140,15 +140,22 @@ object TextAnalysis {
     * @return (a, b, cos) for pairs with cosine ≥ threshold, a < b.
     */
   def tfidfPairs(docs: DataFrame, dfCap: Long = 25, threshold: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.graft.FreshCheckpoint
     val toks = Dedup.fanOut(docs).select(col("doc_id"),
       explode(filter(split(lower(col("text")), "\\s+"), x => x =!= "")).as("tok"))
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    // tf is consumed twice (df build + weights) and w three times (norms +
+    // both sides of the pair join) — materialize each once or the whole
+    // explode+groupBy subtree re-executes per consumer (plan showed 3×
+    // duplicated Exchange chains). Both are compact post-aggregation
+    // relations, not wide exploded ones.
+    val tf = FreshCheckpoint(
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
     val nDocs = docs.count()
     val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= dfCap)
-    val w = tf.join(broadcast(dfTab), Seq("tok"))
+    val w = FreshCheckpoint(tf.join(broadcast(dfTab), Seq("tok"))
       .select(col("doc_id"), col("tok"),
-        (col("tf") * floor(lit(1000.0 * nDocs) / col("df")).cast("long")).as("w"))
+        (col("tf") * floor(lit(1000.0 * nDocs) / col("df")).cast("long")).as("w")))
     val norms = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("ssq"))
     val dots = w.as("x").join(w.as("y"),
         col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
