@@ -1855,9 +1855,327 @@ object Queries {
            | CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
            |FROM orders""".stripMargin).mkString("\nUNION ALL\n"))))
 
+  // ---------------------------------------------------------------- round-2 extensions (batch 3)
+  // Sessional/temporal analytics (gaps-and-islands, ordered funnel, cohort
+  // retention, sliding-range velocity, interval-overlap sweep line, Markov
+  // transitions), edit-distance blocking dedup, deterministic arg_max/mode/
+  // median, multiset EXCEPT ALL, weighted bipartite projection, and
+  // per-vertex clustering coefficients.
+  private val ext4Qs = Seq(
+    Q("q99_gaps_islands",
+      (s, d) => {
+        // gaps-and-islands: maximal runs of consecutive same-type events per
+        // user. Island key = rn(user) − rn(user, type): constant within a
+        // run, distinct across runs — two window passes sharing one
+        // (user_id)-shuffle, no self-join. Total order pinned by (ts,
+        // event_id) so both engines segment identically.
+        val w1 = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val w2 = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        T(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+            (row_number().over(w1) - row_number().over(w2)).as("grp"))
+          .groupBy(col("user_id"), col("event_type"), col("grp"))
+          .agg(count(lit(1)).as("run_len"),
+            min(unix_timestamp(col("ts"))).as("t_start"),
+            max(unix_timestamp(col("ts"))).as("t_end"))
+          .filter(col("run_len") >= 3)
+          .select(col("user_id"), col("event_type"), col("run_len"),
+            col("t_start"), col("t_end"))
+      },
+      Some("""WITH r AS (SELECT user_id, event_type, ts, event_id,
+             |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |  - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
+             | FROM events)
+             |SELECT user_id, event_type, count(*) AS run_len,
+             | CAST(floor(epoch(min(ts))) AS BIGINT) AS t_start,
+             | CAST(floor(epoch(max(ts))) AS BIGINT) AS t_end
+             |FROM r GROUP BY user_id, event_type, grp
+             |HAVING count(*) >= 3""".stripMargin)),
+
+    Q("q100_funnel",
+      (s, d) => {
+        // strict ordered funnel view → click → purchase: each stage's first
+        // timestamp must follow the previous stage's. Three stage aggs, each
+        // a groupBy on user_id (the later stages join the previous stage's
+        // user-sized result — broadcast at dimension scale, shuffle-on-key
+        // beyond). NULL stage = user never reached it.
+        val ev = T(s, d, "events")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val c = ev.filter(col("event_type") === "click").as("e")
+          .join(v.as("v"), col("e.user_id") === col("v.user_id"))
+          .filter(col("e.ts") > col("v.t1"))
+          .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t2"))
+        val p = ev.filter(col("event_type") === "purchase").as("e")
+          .join(c.as("c"), col("e.user_id") === col("c.user_id"))
+          .filter(col("e.ts") > col("c.t2"))
+          .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t3"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(col("user_id"),
+            unix_timestamp(col("t1")).as("t_view"),
+            unix_timestamp(col("t2")).as("t_click"),
+            unix_timestamp(col("t3")).as("t_purchase"))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+             |          WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+             |      JOIN v ON v.user_id = e.user_id
+             |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+             |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+             |      JOIN c ON c.user_id = e.user_id
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+             |SELECT v.user_id,
+             | CAST(floor(epoch(v.t1)) AS BIGINT) AS t_view,
+             | CAST(floor(epoch(c.t2)) AS BIGINT) AS t_click,
+             | CAST(floor(epoch(p.t3)) AS BIGINT) AS t_purchase
+             |FROM v LEFT JOIN c ON c.user_id = v.user_id
+             |LEFT JOIN p ON p.user_id = v.user_id""".stripMargin)),
+
+    Q("q101_cohort_retention",
+      (s, d) => {
+        // cohort retention matrix: cohort = month of first order, age =
+        // months since cohort; integer month index (y*12+m) keeps the
+        // arithmetic exact in both engines. Two shuffles (per-customer min,
+        // then matrix agg); the cohort attach joins on the aggregation key.
+        val ym = year(col("o_orderdate")) * 12 + month(col("o_orderdate"))
+        val o = T(s, d, "orders").select(col("o_custkey"), ym.as("ym"))
+        val cohort = o.groupBy(col("o_custkey")).agg(min(col("ym")).as("cohort"))
+        o.join(cohort, Seq("o_custkey"))
+          .groupBy(col("cohort"), (col("ym") - col("cohort")).as("age"))
+          .agg(countDistinct(col("o_custkey")).as("n_customers"))
+          .select(col("cohort").cast("long").as("cohort"),
+            col("age").cast("long").as("age"), col("n_customers"))
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+             |   CAST(EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym
+             | FROM orders),
+             |cohort AS (SELECT o_custkey, min(ym) AS cohort FROM o GROUP BY 1)
+             |SELECT c.cohort, o.ym - c.cohort AS age,
+             | count(DISTINCT o.o_custkey) AS n_customers
+             |FROM o JOIN cohort c ON c.o_custkey = o.o_custkey
+             |GROUP BY 1, 2""".stripMargin)),
+
+    Q("q102_levenshtein_pairs",
+      (s, d) => {
+        // edit-distance near-dup pairs with blocking: candidate pairs only
+        // within a brand block AND length band ±2 (both pushed into the join
+        // condition — levenshtein(d) ≥ |len(a)−len(b)| makes the band
+        // lossless for d ≤ 2). The quadratic stays inside blocks; the join
+        // shuffles on the block key and survives scale-up as sort-merge.
+        val p = T(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_name"),
+            length(col("p_name")).as("len"))
+        p.as("a").join(p.as("b"),
+            col("a.p_brand") === col("b.p_brand") &&
+              col("a.p_partkey") < col("b.p_partkey") &&
+              abs(col("a.len") - col("b.len")) <= 2)
+          .select(col("a.p_partkey").as("pa"), col("b.p_partkey").as("pb"),
+            levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+          .filter(col("dist") <= 2)
+      },
+      Some("""SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+             | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+             |FROM part a JOIN part b
+             | ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             | AND abs(strlen(a.p_name) - strlen(b.p_name)) <= 2
+             |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin)),
+
+    Q("q103_arg_max",
+      (s, d) => {
+        // deterministic arg_max/arg_min: the ordering key folds the unique
+        // row id into the value (acctbal·1e8 + custkey — integer-valued
+        // doubles well under 2^53, so both engines order identically; ties
+        // on the raw value break by key). One partial-aggregable shuffle —
+        // no window, no self-join.
+        val key = col("c_acctbal") * 100000000d + col("c_custkey")
+        T(s, d, "customer")
+          .groupBy(col("c_nationkey"))
+          .agg(max_by(col("c_name"), key).as("richest"),
+            min_by(col("c_name"), key).as("poorest"),
+            round(max(col("c_acctbal")), 2).as("max_bal"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT c_nationkey,
+             | arg_max(c_name, c_acctbal * 100000000 + c_custkey) AS richest,
+             | arg_min(c_name, c_acctbal * 100000000 + c_custkey) AS poorest,
+             | round(max(c_acctbal), 2) AS max_bal, count(*) AS n
+             |FROM customer GROUP BY 1""".stripMargin)),
+
+    Q("q104_max_concurrency",
+      (s, d) => {
+        // peak concurrency via sweep line: each event spans [t, t+floor(value)]
+        // seconds; +1/−1 deltas, running sum over a pinned total order
+        // (t, delta, event_id — ends sort before starts at the same instant,
+        // so touching intervals don't overlap), max per type. One shuffle on
+        // event_type; at scale the partition key would gain a time-bucket
+        // dimension with boundary merge, same operator shape.
+        val ev = T(s, d, "events").select(col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("t"),
+          floor(col("value")).cast("long").as("dur"))
+        val pts = ev.select(col("event_type"), col("t"),
+            lit(1L).as("delta"), col("event_id"))
+          .unionByName(ev.select(col("event_type"),
+            (col("t") + col("dur")).as("t"), lit(-1L).as("delta"), col("event_id")))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("t"), col("delta"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pts.select(col("event_type"), sum(col("delta")).over(w).as("c"))
+          .groupBy(col("event_type")).agg(max(col("c")).as("peak"))
+      },
+      Some("""WITH pts AS (
+             | SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             |        1 AS delta, event_id FROM events
+             | UNION ALL
+             | SELECT event_type,
+             |        CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value) AS BIGINT),
+             |        -1, event_id FROM events)
+             |SELECT event_type, CAST(max(c) AS BIGINT) AS peak FROM (
+             | SELECT event_type, sum(delta) OVER (PARTITION BY event_type
+             |   ORDER BY t, delta, event_id
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+             | FROM pts)
+             |GROUP BY 1""".stripMargin)),
+
+    Q("q105_copurchase_pairs",
+      (s, d) => {
+        // weighted bipartite projection: part pairs by number of shared
+        // orders (the graph q90/q97 traverse, surfaced as a relation). The
+        // self-join shuffles on the container key; per-container fan-out is
+        // bounded by basket size, so the pair relation grows linearly in
+        // containers — the 100 TB-safe market-basket shape.
+        val li = T(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+        li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 3)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem)
+             |SELECT x.p AS a, y.p AS b, count(*) AS n_orders
+             |FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p
+             |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin)),
+
+    Q("q106_transition_counts",
+      (s, d) => {
+        // first-order Markov transition counts over per-user event sequences:
+        // lead() over the pinned (ts, event_id) order, then a global pair
+        // count. One (user_id)-shuffle for the window, one for the agg.
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        T(s, d, "events")
+          .select(col("event_type"),
+            lead(col("event_type"), 1).over(w).as("next_type"))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT event_type, next_type, count(*) AS n FROM (
+             | SELECT event_type, lead(event_type, 1) OVER (
+             |   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+             | FROM events)
+             |WHERE next_type IS NOT NULL
+             |GROUP BY 1, 2""".stripMargin)),
+
+    Q("q107_median_mode",
+      (s, d) => {
+        // exact median (interpolated, both engines average the middle pair)
+        // + deterministic mode (max count, ties → smallest key; computed
+        // from grouped counts + a rank — never engine-dependent mode()).
+        val cust = T(s, d, "customer")
+        val med = cust.groupBy(col("c_mktsegment"))
+          .agg(round(median(col("c_acctbal")), 6).as("med_bal"),
+            count(lit(1)).as("n"))
+        val cnt = cust.groupBy(col("c_mktsegment"), col("c_nationkey"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("cnt").desc, col("c_nationkey"))
+        val mode = cnt.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("c_mktsegment"), col("c_nationkey").as("mode_nation"))
+        med.join(mode, Seq("c_mktsegment"))
+      },
+      Some("""WITH med AS (SELECT c_mktsegment, round(median(c_acctbal), 6) AS med_bal,
+             |               count(*) AS n FROM customer GROUP BY 1),
+             |cnt AS (SELECT c_mktsegment, c_nationkey, count(*) AS cnt
+             |        FROM customer GROUP BY 1, 2),
+             |md AS (SELECT c_mktsegment, c_nationkey AS mode_nation FROM (
+             |   SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+             |     ORDER BY cnt DESC, c_nationkey) AS rn FROM cnt) WHERE rn = 1)
+             |SELECT m.c_mktsegment, m.med_bal, m.n, md.mode_nation
+             |FROM med m JOIN md ON md.c_mktsegment = m.c_mktsegment""".stripMargin)),
+
+    Q("q108_except_all",
+      (s, d) => {
+        // multiset difference: EXCEPT ALL keeps surplus multiplicity
+        // (count_open − count_returned per key), which plain EXCEPT/anti-join
+        // cannot express; grouped afterwards to a stable relation.
+        val li = T(s, d, "lineitem")
+        li.filter(col("l_linestatus") === "O").select(col("l_partkey"))
+          .exceptAll(li.filter(col("l_returnflag") === "R").select(col("l_partkey")))
+          .groupBy(col("l_partkey")).agg(count(lit(1)).as("surplus"))
+      },
+      Some("""SELECT l_partkey, count(*) AS surplus FROM (
+             | SELECT l_partkey FROM lineitem WHERE l_linestatus = 'O'
+             | EXCEPT ALL
+             | SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+             |GROUP BY 1""".stripMargin)),
+
+    Q("q109_clustering_coeff",
+      (s, d) => {
+        // per-vertex triangle counts + local clustering coefficient on the
+        // co-purchase-≥2 graph (degree-oriented intersections — see
+        // Analytics.localClustering; the oracle replays the naive
+        // neighbor-pair join, identical counts)
+        val li = T(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+        val e = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+          .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+          .select(col("a"), col("b"))
+        graft.graph.Analytics.localClustering(e)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+             |e AS (SELECT x.p AS a, y.p AS b FROM li x JOIN li y
+             |      ON x.ok = y.ok AND x.p < y.p
+             |      GROUP BY 1, 2 HAVING count(*) >= 2),
+             |und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+             |deg AS (SELECT a AS id, count(*) AS deg FROM und GROUP BY 1),
+             |tri AS (SELECT u1.a AS id, count(*) AS tri
+             |  FROM und u1 JOIN und u2 ON u2.a = u1.a AND u1.b < u2.b
+             |  JOIN e ON e.a = u1.b AND e.b = u2.b
+             |  GROUP BY 1)
+             |SELECT d.id, d.deg, coalesce(t.tri, 0) AS tri,
+             | round(CASE WHEN d.deg >= 2
+             |   THEN coalesce(t.tri, 0) * 2.0 / (d.deg * (d.deg - 1))
+             |   ELSE 0.0 END, 6) AS cc
+             |FROM deg d LEFT JOIN tri t ON t.id = d.id""".stripMargin)),
+
+    Q("q110_range_frame_velocity",
+      (s, d) => {
+        // per-event trailing velocity: events by the same user in the
+        // preceding hour, via a RANGE frame on epoch seconds — frame
+        // membership depends only on the time value, so ties need no
+        // tiebreaker to be deterministic. One (user_id)-shuffle.
+        val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+          .rangeBetween(-3600L, 0L)
+        T(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("t"))
+          .withColumn("n_trailing_1h", count(lit(1)).over(w))
+          .select(col("event_id"), col("user_id"), col("n_trailing_1h"))
+      },
+      Some("""SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id
+             |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_trailing_1h
+             |FROM events""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
-      dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs
+      dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
