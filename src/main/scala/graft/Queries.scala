@@ -1972,8 +1972,11 @@ object Queries {
               col("a.p_partkey") < col("b.p_partkey") &&
               abs(col("a.len") - col("b.len")) <= 2)
           .select(col("a.p_partkey").as("pa"), col("b.p_partkey").as("pb"),
-            levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
-          .filter(col("dist") <= 2)
+            // threshold form early-abandons the DP at distance > 2 (returns
+            // -1): O(d·len) per pair instead of O(len²) on the 99% of
+            // candidates that miss
+            levenshtein(col("a.p_name"), col("b.p_name"), 2).cast("long").as("dist"))
+          .filter(col("dist") >= 0)
       },
       Some("""SELECT a.p_partkey AS pa, b.p_partkey AS pb,
              | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
@@ -2173,9 +2176,85 @@ object Queries {
              |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_trailing_1h
              |FROM events""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-2 extensions (batch 4)
+  // Training-corpus assembly (ops.TrainingData): deterministic hash split,
+  // hash-bucket negative sampling, class-balanced downsampling, sequential
+  // sequence packing — all md5-driven, so the oracle replays them exactly —
+  // plus the stream-static enrich join (streaming.EventStreams, stream ≡
+  // batch asserted in StreamingSpec).
+
+  /** DuckDB replay of [[graft.ops.TrainingData]]'s md5-derived 60-bit hash
+    * (same digit-by-digit reconstruction as the simhash/LSH oracles). */
+  private def duckH60(x: String): String =
+    s"""CAST(list_sum(list_transform(range(15), i ->
+       |  (strpos('0123456789abcdef', substring(md5($x), CAST(i AS INT) + 1, 1)) - 1)::BIGINT
+       |  << (4 * (14 - CAST(i AS INT))))) AS BIGINT)""".stripMargin
+
+  private val ext5Qs = Seq(
+    Q("q111_hash_split",
+      (s, d) => graft.ops.TrainingData.hashSplit(T(s, d, "documents")),
+      Some(s"""SELECT doc_id, lang,
+              | CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+              |      ELSE 'test' END AS split
+              |FROM (SELECT doc_id, lang,
+              |  ${duckH60("CAST(doc_id AS VARCHAR)")} % 100 AS h
+              | FROM documents)""".stripMargin)),
+
+    Q("q112_negative_sampling",
+      (s, d) => graft.ops.TrainingData.negativeSample(
+        T(s, d, "documents"), rounds = 4, buckets = 64, k = 2),
+      Some(s"""WITH assign AS (
+              | SELECT doc_id, r.range AS r,
+              |  ${duckH60("CAST(doc_id AS VARCHAR) || ':' || CAST(r.range AS VARCHAR)")} % 64 AS bucket
+              | FROM documents, range(4) r),
+              |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              | FROM assign x JOIN assign y
+              |  ON x.r = y.r AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+              |bidir AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+              |scored AS (SELECT a, b,
+              |  md5(CAST(least(a, b) AS VARCHAR) || ':' || CAST(greatest(a, b) AS VARCHAR)) AS score
+              | FROM bidir),
+              |ranked AS (SELECT a, b,
+              |  row_number() OVER (PARTITION BY a ORDER BY score, b) AS rnk FROM scored)
+              |SELECT a AS anchor, b AS negative, CAST(rnk AS BIGINT) AS rank
+              |FROM ranked WHERE rnk <= 2""".stripMargin)),
+
+    Q("q113_balanced_sample",
+      (s, d) => graft.ops.TrainingData.balancedSample(T(s, d, "documents"), "lang"),
+      Some("""WITH m AS (SELECT min(n) AS m FROM (
+             |   SELECT lang, count(*) AS n FROM documents GROUP BY 1)),
+             |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+             |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents)
+             |SELECT doc_id, lang FROM r, m WHERE r.rk <= m.m""".stripMargin)),
+
+    Q("q114_sequence_packing",
+      (s, d) => graft.ops.TrainingData.sequencePacking(
+        T(s, d, "documents"), budget = 8192, partCol = "lang"),
+      Some("""WITH t AS (SELECT lang, doc_id,
+             |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+             |    AS BIGINT) AS n_tokens
+             | FROM documents),
+             |c AS (SELECT lang, doc_id, n_tokens,
+             |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre FROM t)
+             |SELECT lang, CAST(floor(pre / 8192) AS BIGINT) AS bin,
+             | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM c GROUP BY 1, 2""".stripMargin)),
+
+    Q("q115_stream_static_enrich",
+      (s, d) => graft.streaming.EventStreams.enrichBatch(
+          T(s, d, "events"), T(s, d, "customer"), "c_custkey")
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value")),
+      Some("""SELECT c_mktsegment, event_type, count(*) AS n,
+             | round(sum(value), 4) AS sum_value
+             |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+             |GROUP BY 1, 2""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
-      dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs
+      dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++ ext5Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus assembly operators: the deterministic sampling / splitting
+  * / packing steps between a cleaned document table and an LLM training run.
+  * Everything is content-hash driven (md5) — no RNG state, so results are
+  * identical across engines, retries and partitionings, and every operator
+  * is exactly replayable by the DuckDB oracle (same digit-by-digit md5
+  * arithmetic as the simhash/HLL/LSH family).
+  */
+object TrainingData {
+
+  /** Non-negative 60-bit integer from the first 15 hex digits of md5. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic train/val/test assignment by content hash: bucket =
+    * h(doc_id) mod 100, split at `trainPct` / `trainPct + valPct`. Pure
+    * per-row projection — embarrassingly parallel, no shuffle, and stable
+    * when the corpus grows (a doc never changes split). */
+  def hashSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = h60(col("doc_id").cast("string")) % 100
+    docs.select(col("doc_id"), col("lang"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Deterministic pseudo-random negative sampling for contrastive training:
+    * `rounds` hash-bucket assignments per doc (round r: bucket =
+    * h(id:r) mod `buckets`); docs sharing a (round, bucket) cell form
+    * candidate pairs, ranked per anchor by the pair hash, top `k` kept.
+    * Expected pair count is n²·rounds/buckets — choosing buckets ∝ n bounds
+    * work per cell, so the all-pairs cross join never materializes; the
+    * joins shuffle on the (round, bucket) key. Pairs are emitted in both
+    * directions so every doc gets negatives. */
+  def negativeSample(docs: DataFrame, rounds: Int = 4, buckets: Int = 64,
+      k: Int = 2): DataFrame = {
+    val assign = docs.select(col("doc_id"),
+        explode(expr(s"sequence(0, ${rounds - 1})")).as("r"))
+      .select(col("doc_id"), col("r"),
+        (h60(concat(col("doc_id").cast("string"), lit(":"), col("r"))) % buckets)
+          .as("bucket"))
+    val pairs = assign.as("x").join(assign.as("y"),
+        col("x.r") === col("y.r") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val both = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .withColumn("score",
+        md5(concat(least(col("a"), col("b")).cast("string"), lit(":"),
+          greatest(col("a"), col("b")).cast("string"))))
+    val w = Window.partitionBy(col("a")).orderBy(col("score"), col("b"))
+    both.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("a").as("anchor"), col("b").as("negative"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Class-balanced downsampling: every `byCol` class keeps exactly
+    * min-class-size rows, chosen by content-hash order (deterministic, no
+    * RNG; hex md5 strings order identically everywhere). One window pass per
+    * class partition + a broadcast scalar — no per-class driver loop. */
+  def balancedSample(docs: DataFrame, byCol: String = "lang"): DataFrame = {
+    val m = docs.groupBy(col(byCol)).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("m"))
+    val w = Window.partitionBy(col(byCol))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("doc_id"), col(byCol))
+      .withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(m))
+      .filter(col("rk") <= col("m"))
+      .select(col("doc_id"), col(byCol))
+  }
+
+  /** Sequential sequence packing: docs are laid out in the pinned
+    * (partition, doc_id) order and cut into bins of ≤ `budget` tokens by
+    * prefix sum — the streaming-packer discipline (each bin closes when the
+    * next doc would overflow it; oversized docs get their own bin). Packing
+    * is per `partCol` partition, so the window sort distributes; at 100 TB
+    * the partition key gains a shard dimension, same operator. Returns one
+    * row per (partition, bin) with its doc span and token load. */
+  def sequencePacking(docs: DataFrame, budget: Int = 8192,
+      partCol: String = "lang"): DataFrame = {
+    val toks = TextAnalysis.tokenCount(col("text"))
+    val w = Window.partitionBy(col(partCol)).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(partCol), col("doc_id"), toks.as("n_tokens"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
+      .groupBy(col(partCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+}

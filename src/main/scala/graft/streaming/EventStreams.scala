@@ -132,6 +132,16 @@ object EventStreams {
       .select(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** Stream-static enrichment: each event joined to a static dimension by
+    * key. In streaming mode the static side is broadcast to every micro-batch
+    * (no stream state at all — the scale-safe enrich shape); the same code
+    * runs batch or streaming since the join is stateless. */
+  def enrichBatch(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), events("user_id") === dim(key))
+
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    enrichBatch(events, dim, key)
+
   /** Read the events parquet as a stream (for tests/demo: availableNow over
     * the static file). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

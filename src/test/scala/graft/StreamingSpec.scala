@@ -105,6 +105,33 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  test("stream-static enrich (broadcast dim per micro-batch) equals batch join") {
+    val batchDf = graft.Queries.events(spark, eventsDir)
+    val dim = spark.read.parquet(s"$eventsDir/customer.parquet")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getString(1))
+    val batch = EventStreams.enrichBatch(batchDf, dim, "c_custkey")
+      .select(col("event_id"), col("c_mktsegment")).collect().map(key).toSet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = java.nio.file.Files.createTempDirectory("events_enrich")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$eventsDir/events.parquet").schema)
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val q = EventStreams.enrichStream(raw, dim, "c_custkey")
+      .select(col("event_id"), col("c_mktsegment"))
+      .writeStream.format("memory").queryName("enrich_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT * FROM enrich_stream").collect().map(key).toSet
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("sessionize: stream state (flatMapGroupsWithState) agrees with batch") {
     import spark.implicits._
     val batchDf = graft.Queries.events(spark, eventsDir)
