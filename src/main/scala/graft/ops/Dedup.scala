@@ -165,12 +165,18 @@ object Dedup {
       .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(collect_list(struct(col("df"), col("tok"))).as("toks"))
       .select(col("doc_id"), col("lang"), col("source"),
+        size(col("toks")).cast("long").as("sz"),
         explode(expr(s"slice(array_sort(toks), 1, " +
           s"int(floor((1.0d - $threshold) * size(toks)) + 1))")).as("t"))
-      .select(col("doc_id"), col("lang"), col("source"), col("t.tok"))
+      .select(col("doc_id"), col("lang"), col("source"), col("sz"), col("t.tok"))
+    // size-band filter is LOSSLESS at the threshold: I ≤ min(A,B) and
+    // A+B−I ≥ max(A,B), so J ≥ t forces min ≥ t·max — evaluated inside the
+    // candidate join, it prunes pairs before they ever reach the intersect
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
-          col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+          col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.sz"), col("y.sz")).cast("double") >=
+            lit(threshold) * greatest(col("x.sz"), col("y.sz")).cast("double"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     // Verification: per-pair merge-intersect over sorted gram arrays (native
