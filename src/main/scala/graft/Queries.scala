@@ -2252,9 +2252,92 @@ object Queries {
              |FROM events e JOIN customer c ON c.c_custkey = e.user_id
              |GROUP BY 1, 2""".stripMargin)))
 
+  /** Unrolled fixed-step oracle for [[graft.graph.Analytics.deterministicWalks]]
+    * on the part↔supplier graph: each stage joins the ranked adjacency on the
+    * md5-selected neighbor index (same digit-replay hash as duckH60). */
+  private val walkSteps = 3
+  private val walkOracle: String = {
+    val base =
+      """WITH e AS (SELECT DISTINCT l_partkey AS a, 1000000 + l_suppkey AS b FROM lineitem),
+        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |adj AS MATERIALIZED (SELECT a, b,
+        |  row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS idx,
+        |  count(*) OVER (PARTITION BY a) AS deg FROM und),
+        |w0 AS (SELECT DISTINCT a AS walker, a AS cur FROM und)""".stripMargin
+    val stages = (1 to walkSteps).map { s =>
+      s"""w$s AS MATERIALIZED (SELECT w.walker, n.b AS cur
+         |  FROM w${s - 1} w JOIN adj n ON n.a = w.cur
+         |  AND n.idx = ${duckH60(s"CAST(w.walker AS VARCHAR) || ':$s'")} % n.deg)""".stripMargin
+    }
+    val union = (0 to walkSteps)
+      .map(s => s"SELECT walker, CAST($s AS BIGINT) AS step, cur AS node FROM w$s")
+      .mkString("\nUNION ALL\n")
+    (base +: stages).mkString(",\n") + "\n" + union
+  }
+
+  private val ext6Qs = Seq(
+    Q("q116_random_walks",
+      (s, d) => {
+        val e = FreshCheckpoint(psEdges(s, d))
+        val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+        graft.graph.Analytics.deterministicWalks(und, walkSteps)
+      },
+      Some(walkOracle)),
+
+    Q("q117_session_window",
+      (s, d) => {
+        // Spark's NATIVE session_window operator (merging dynamic-gap
+        // windows — the stock alternative to q47's flatMapGroupsWithState
+        // sessionization). Gap comparisons happen at full timestamp
+        // precision; a gap of exactly 30min starts a NEW session (event at
+        // ts+gap falls outside [ts, ts+gap)) — the oracle replays both at µs.
+        T(s, d, "events")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 2).as("total_value"))
+          .select(col("user_id"),
+            unix_timestamp(col("sw.start")).as("session_start"),
+            col("n_events"), col("total_value"))
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |numbered AS (
+             |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+             |  FROM flagged)
+             |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+             | count(*) AS n_events, round(sum(value), 2) AS total_value
+             |FROM numbered GROUP BY user_id, session_seq""".stripMargin)),
+
+    Q("q118_scd2_intervals",
+      (s, d) => {
+        // SCD-type-2 dimension build: each (user, signup) event's value is
+        // valid from its timestamp until the next signup by the same user;
+        // open interval (NULL valid_to) marks the current row. One window
+        // pass on the natural (user_id) partitioning.
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        T(s, d, "events").filter(col("event_type") === "signup")
+          .select(col("user_id"), round(col("value"), 2).as("attr"),
+            unix_timestamp(col("ts")).as("valid_from"),
+            unix_timestamp(lead(col("ts"), 1).over(w)).as("valid_to"),
+            when(lead(col("ts"), 1).over(w).isNull, 1L).otherwise(0L).as("is_current"))
+      },
+      Some("""SELECT user_id, round(value, 2) AS attr,
+             | CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+             | CAST(floor(epoch(lead(ts, 1) OVER w)) AS BIGINT) AS valid_to,
+             | CASE WHEN lead(ts, 1) OVER w IS NULL THEN CAST(1 AS BIGINT)
+             |      ELSE CAST(0 AS BIGINT) END AS is_current
+             |FROM events WHERE event_type = 'signup'
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
-      dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++ ext5Qs
+      dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
+      ext5Qs ++ ext6Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

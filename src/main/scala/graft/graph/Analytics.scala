@@ -389,6 +389,42 @@ object Analytics {
     }
   }
 
+  /** Deterministic "random" walks for embedding-corpus generation
+    * (node2vec/DeepWalk input): one walker starts at every vertex; at step s
+    * walker w moves from v to v's neighbor at index md5(w:s) mod deg(v)
+    * over the (a → sorted b) adjacency. Content-hash steps mean identical
+    * walks across engines, retries and partitionings — and an exactly
+    * SQL-replayable oracle. The adjacency is RELATIONAL (per-edge rank +
+    * degree via one window pass, no collected arrays), each step is one
+    * join on the current vertex with the index predicate — shuffle-on-key
+    * all the way, O(steps) rounds.
+    *
+    * @param edges directed (a, b); pass both directions for undirected.
+    * @return (walker, step, node) — step 0 is the start vertex.
+    */
+  def deterministicWalks(edges: DataFrame, steps: Int): DataFrame = {
+    val byA = org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
+    val adj = FreshCheckpoint(edges.select(col("a"), col("b")).distinct()
+      .withColumn("idx",
+        (row_number().over(byA.orderBy(col("b"))) - 1).cast("long"))
+      .withColumn("deg", count(lit(1)).over(byA).cast("long")))
+    def h60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    var walk = adj.select(col("a").as("walker")).distinct()
+      .withColumn("cur", col("walker"))
+    var paths = walk.select(col("walker"), lit(0L).as("step"),
+      col("cur").as("node"))
+    for (s <- 1 to steps) {
+      walk = FreshCheckpoint(walk.join(adj, col("cur") === col("a"))
+        .filter(col("idx") ===
+          h60(concat(col("walker").cast("string"), lit(s":$s"))) % col("deg"))
+        .select(col("walker"), col("b").as("cur")))
+      paths = paths.unionByName(
+        walk.select(col("walker"), lit(s.toLong).as("step"), col("cur").as("node")))
+    }
+    paths
+  }
+
   /** Edge endpoint type-pair counts (`utils/analyze.py:143-153`). */
   def edgeTypePairs(edges: DataFrame, entities: DataFrame): DataFrame = {
     val types = broadcast(entities.select(col("id"), col("type")))

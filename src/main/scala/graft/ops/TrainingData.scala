@@ -77,12 +77,14 @@ object TrainingData {
   }
 
   /** Sequential sequence packing: docs are laid out in the pinned
-    * (partition, doc_id) order and cut into bins of ≤ `budget` tokens by
-    * prefix sum — the streaming-packer discipline (each bin closes when the
-    * next doc would overflow it; oversized docs get their own bin). Packing
-    * is per `partCol` partition, so the window sort distributes; at 100 TB
-    * the partition key gains a shard dimension, same operator. Returns one
-    * row per (partition, bin) with its doc span and token load. */
+    * (partition, doc_id) order and assigned to bins by prefix sum — bin k
+    * covers token offsets [k·budget, (k+1)·budget), and a doc belongs to the
+    * bin containing its START offset (so a straddling doc can push a bin
+    * past `budget` by less than one doc — offset-window packing, one window
+    * pass, no sequential scan dependency). Packing is per `partCol`
+    * partition, so the window sort distributes; at 100 TB the partition key
+    * gains a shard dimension, same operator. Returns one row per
+    * (partition, bin) with its doc span and token load. */
   def sequencePacking(docs: DataFrame, budget: Int = 8192,
       partCol: String = "lang"): DataFrame = {
     val toks = TextAnalysis.tokenCount(col("text"))

@@ -21,6 +21,26 @@ class Batch3Spec extends SparkTestBase {
     assert(got(4L) === ((2L, 1L, 1.0)))
   }
 
+  test("deterministicWalks: complete paths, every hop follows an edge, stable") {
+    val e = (for (a <- 0L until 20L; b <- 0L until 20L
+      if a != b && (a * 7 + b * 13) % 3 == 0) yield (a, b)).toDF("a", "b")
+    val edgeSet = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val walks = Analytics.deterministicWalks(e, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byWalker = walks.groupBy(_._1)
+    byWalker.foreach { case (w, rows) =>
+      val path = rows.sortBy(_._2).map(_._3)
+      assert(path.length === 4, s"walker $w truncated")
+      assert(path.head === w)
+      path.sliding(2).foreach { case Array(u, v) =>
+        assert(edgeSet((u, v)), s"walker $w hopped $u->$v without an edge")
+      }
+    }
+    val again = Analytics.deterministicWalks(e, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(walks.toSet === again.toSet)
+  }
+
   test("localClustering: K4 all 1.0, C4 all 0.0, vertex totals sum to 3×triangles") {
     val k4 = (for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)).toDF("a", "b")
     assert(Analytics.localClustering(k4).collect()
