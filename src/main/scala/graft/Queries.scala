@@ -2275,7 +2275,41 @@ object Queries {
     (base +: stages).mkString(",\n") + "\n" + union
   }
 
+  /** Unrolled fixed-round Lloyd's k-means oracle
+    * ([[graft.ops.Quantize.kmeansCodebook]] semantics: first-k init,
+    * integer micro-unit coordinates, ties → min centroid id, 2 rounds +
+    * final assignment). Every stage MATERIALIZED — assignments feed both
+    * the next update and the distance carry. */
+  private val kmeansOracle: String = {
+    val rounds = 2
+    def assignStage(a: String, c: String) =
+      s"""$a AS MATERIALIZED (SELECT vec_id, cid, dist FROM (
+         |  SELECT vec_id, cid, dist,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM (
+         |   SELECT iv.vec_id, c.cid, sum((iv.x - c.cx) * (iv.x - c.cx)) AS dist
+         |   FROM iv JOIN $c c ON c.d = iv.d GROUP BY 1, 2)) WHERE rn = 1)""".stripMargin
+    def updateStage(c: String, a: String) =
+      s"""$c AS MATERIALIZED (SELECT a.cid, iv.d,
+         |  CAST(floor(sum(iv.x)::DOUBLE / count(*)) AS BIGINT) AS cx
+         | FROM $a a JOIN iv ON iv.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+    val base =
+      """WITH f AS (SELECT vec_id, unnest(embedding) AS v,
+        |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |iv AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
+        |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS x FROM f),
+        |c0 AS (SELECT vec_id AS cid, d, x AS cx FROM iv WHERE vec_id < 8)""".stripMargin
+    val stages = (1 to rounds).flatMap(r =>
+      Seq(assignStage(s"a${r - 1}", s"c${r - 1}"), updateStage(s"c$r", s"a${r - 1}")))
+    ((base +: stages) :+ assignStage(s"a$rounds", s"c$rounds")).mkString(",\n") +
+      s"\nSELECT vec_id, cid AS centroid, CAST(dist AS BIGINT) AS dist FROM a$rounds"
+  }
+
   private val ext6Qs = Seq(
+    Q("q120_kmeans_codebook",
+      (s, d) => graft.ops.Quantize.kmeansCodebook(
+        T(s, d, "embeddings"), k = 8, rounds = 2),
+      Some(kmeansOracle)),
+
     Q("q116_random_walks",
       (s, d) => {
         val e = FreshCheckpoint(psEdges(s, d))
@@ -2283,6 +2317,54 @@ object Queries {
         graft.graph.Analytics.deterministicWalks(und, walkSteps)
       },
       Some(walkOracle)),
+
+    Q("q119_count_min_sketch",
+      (s, d) => {
+        // count-min sketch (d=4 rows × w=256 buckets) over lineitem part
+        // keys, md5-derived row hashes — the sketch build is one
+        // (row, bucket)-keyed partial agg (1024 cells regardless of input
+        // size: mergeable across 1000 executors), estimates are min over a
+        // key's 4 cells. Like the HLL (q75): an approximate operator whose
+        // integer construction the oracle replays EXACTLY. Queried for keys
+        // with true count ≥ 40 alongside exact counts (est ≥ exact always;
+        // overestimate bounded by collisions).
+        def h60(c: Column): Column =
+          conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+        val li = T(s, d, "lineitem")
+        val rows = li.select(col("l_partkey"),
+            explode(expr("sequence(0, 3)")).as("j"))
+          .select(col("l_partkey"), col("j"),
+            (h60(concat(col("l_partkey").cast("string"), lit(":"), col("j"))) % 256)
+              .as("bucket"))
+        val cells = rows.groupBy(col("j"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val exact = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_exact"))
+          .filter(col("n_exact") >= 40)
+        val keyCells = exact.select(col("l_partkey"),
+            explode(expr("sequence(0, 3)")).as("j"))
+          .select(col("l_partkey"), col("j"),
+            (h60(concat(col("l_partkey").cast("string"), lit(":"), col("j"))) % 256)
+              .as("bucket"))
+          .join(cells, Seq("j", "bucket"))
+          .groupBy(col("l_partkey")).agg(min(col("cnt")).as("n_est"))
+        exact.join(keyCells, Seq("l_partkey"))
+          .select(col("l_partkey"), col("n_exact"), col("n_est"))
+      },
+      Some(s"""WITH rows_h AS (
+              | SELECT l_partkey, r.range AS j,
+              |  ${duckH60("CAST(l_partkey AS VARCHAR) || ':' || CAST(r.range AS VARCHAR)")} % 256 AS bucket
+              | FROM lineitem, range(4) r),
+              |cells AS (SELECT j, bucket, count(*) AS cnt FROM rows_h GROUP BY 1, 2),
+              |exact AS (SELECT l_partkey, count(*) AS n_exact FROM lineitem
+              |          GROUP BY 1 HAVING count(*) >= 40),
+              |kb AS (SELECT e.l_partkey, r.range AS j,
+              |  ${duckH60("CAST(e.l_partkey AS VARCHAR) || ':' || CAST(r.range AS VARCHAR)")} % 256 AS bucket
+              | FROM exact e, range(4) r),
+              |est AS (SELECT kb.l_partkey, min(c.cnt) AS n_est
+              | FROM kb JOIN cells c ON c.j = kb.j AND c.bucket = kb.bucket
+              | GROUP BY 1)
+              |SELECT e.l_partkey, e.n_exact, CAST(s.n_est AS BIGINT) AS n_est
+              |FROM exact e JOIN est s ON s.l_partkey = e.l_partkey""".stripMargin)),
 
     Q("q117_session_window",
       (s, d) => {
