@@ -2305,6 +2305,95 @@ object Queries {
   }
 
   private val ext6Qs = Seq(
+    Q("q121_equidepth_histogram",
+      (s, d) => {
+        // equi-depth histogram build (the zone-map/statistics op an
+        // optimizer's ANALYZE runs): exact interpolated quartiles per group,
+        // one partial-aggregable pass; surfaced exploded for hash-compare
+        T(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(percentile(col("l_extendedprice"),
+            array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+          .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("qi", "qv")))
+          .select(col("l_returnflag"), col("qi").cast("long").as("qi"),
+            round(col("qv"), 4).as("qv"))
+      },
+      Some("""WITH q AS (SELECT l_returnflag,
+             |   quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS qs
+             | FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag,
+             | CAST(generate_subscripts(qs, 1) - 1 AS BIGINT) AS qi,
+             | round(unnest(qs), 4) AS qv
+             |FROM q""".stripMargin)),
+
+    Q("q122_table_checksum",
+      (s, d) => {
+        // order-independent table fingerprint: md5-derived row hash folded
+        // to 40 bits, summed per group — commutative, so partitions/engines
+        // can disagree on order and still agree on the checksum. This is the
+        // anti-entropy primitive for verifying a 100 TB copy: one scan, one
+        // tiny partial agg, no sort. (Float columns excluded: their string
+        // rendering is engine-specific; ints/strings are canonical.)
+        def h60(c: Column): Column =
+          conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+        val rowRepr = concat_ws("|", col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"), col("l_returnflag"),
+          col("l_linestatus"))
+        T(s, d, "lineitem")
+          .select(col("l_returnflag"), (h60(rowRepr) % 1099511627776L).as("h40"))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("h40")).as("checksum"), count(lit(1)).as("n_rows"))
+      },
+      Some(s"""WITH h AS (SELECT l_returnflag,
+              |  ${duckH60("CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || l_returnflag || '|' || l_linestatus")} % 1099511627776 AS h40
+              | FROM lineitem)
+              |SELECT l_returnflag, CAST(sum(h40) AS BIGINT) AS checksum,
+              | count(*) AS n_rows
+              |FROM h GROUP BY 1""".stripMargin)),
+
+    Q("q123_hll_merge",
+      (s, d) => {
+        // sketch MERGEABILITY (the property that matters at 1000 executors):
+        // per-flag HLL registers (q75's construction) merged by register max
+        // across two groups, estimating the distinct-union without rescanning
+        // — compared against the exact union count
+        val li = T(s, d, "lineitem").filter(col("l_returnflag").isin("A", "R"))
+        val th = conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+          .cast("long")
+        val reg = li.select(col("l_returnflag"), th.as("th"))
+          .select(col("l_returnflag"), col("th").bitwiseAND(lit(511L)).as("bucket"),
+            shiftright(col("th"), 9).as("rem"))
+          .withColumn("rho",
+            when(col("rem") === 0, lit(52)).otherwise(lit(52) - length(bin(col("rem")))))
+          .groupBy(col("l_returnflag"), col("bucket")).agg(max(col("rho")).as("m"))
+        val merged = reg.groupBy(col("bucket")).agg(max(col("m")).as("m"))
+        val harm = merged.agg(sum(pow(lit(2.0), -col("m"))).as("s_present"),
+          count(lit(1)).as("n_present"))
+        val exact = li.agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        harm.crossJoin(exact)
+          .select(col("n_exact"),
+            round(lit(0.7213 / (1.0 + 1.079 / 512.0)) * lit(262144.0)
+              / (col("s_present") + (lit(512L) - col("n_present")).cast("double")), 4)
+              .as("hll_union_estimate"))
+      },
+      Some("""WITH li AS (SELECT * FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+             |th AS (SELECT l_returnflag,
+             |  CAST(list_sum(list_transform(range(15),
+             |    i -> (strpos('0123456789abcdef', substring(md5(CAST(l_orderkey AS VARCHAR)), CAST(i AS INT)+1, 1)) - 1)::BIGINT
+             |         << (4*(14-CAST(i AS INT))))) AS BIGINT) AS th
+             |  FROM li),
+             |reg AS (SELECT l_returnflag, th & 511 AS bucket,
+             |  CASE WHEN (th >> 9) = 0 THEN 52 ELSE 52 - length(bin(th >> 9)) END AS rho
+             | FROM th),
+             |mx AS (SELECT l_returnflag, bucket, max(rho) AS m FROM reg GROUP BY 1, 2),
+             |mg AS (SELECT bucket, max(m) AS m FROM mx GROUP BY 1),
+             |hs AS (SELECT sum(pow(2.0, -m)) AS s_present, count(*) AS n_present FROM mg),
+             |ex AS (SELECT count(DISTINCT l_orderkey) AS n_exact FROM li)
+             |SELECT ex.n_exact,
+             | round((0.7213/(1.0+1.079/512.0)) * 262144.0
+             |   / (hs.s_present + CAST(512 - hs.n_present AS DOUBLE)), 4) AS hll_union_estimate
+             |FROM hs, ex""".stripMargin)),
+
     Q("q120_kmeans_codebook",
       (s, d) => graft.ops.Quantize.kmeansCodebook(
         T(s, d, "embeddings"), k = 8, rounds = 2),
