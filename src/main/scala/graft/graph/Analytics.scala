@@ -415,10 +415,14 @@ object Analytics {
     var paths = walk.select(col("walker"), lit(0L).as("step"),
       col("cur").as("node"))
     for (s <- 1 to steps) {
-      walk = FreshCheckpoint(walk.join(adj, col("cur") === col("a"))
+      walk = walk.join(adj, col("cur") === col("a"))
         .filter(col("idx") ===
           h60(concat(col("walker").cast("string"), lit(s":$s"))) % col("deg"))
-        .select(col("walker"), col("b").as("cur")))
+        .select(col("walker"), col("b").as("cur"))
+      // periodic, not per-step: the union branches re-derive short join
+      // chains from the checkpointed adjacency more cheaply than a
+      // materialization per round; only long walks need lineage cuts
+      if (s % 8 == 0) walk = FreshCheckpoint(walk)
       paths = paths.unionByName(
         walk.select(col("walker"), lit(s.toLong).as("step"), col("cur").as("node")))
     }
