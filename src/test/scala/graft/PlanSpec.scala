@@ -1,0 +1,54 @@
+package graft
+
+/** Machine-checked physical-plan properties — the scale contract, asserted
+  * so a refactor can't silently regress it: filters/projections reach the
+  * parquet scans, dimension joins broadcast, top-k never global-sorts, the
+  * bucketed candidate joins stay equi (no nested-loop fallbacks).
+  */
+class PlanSpec extends SparkTestBase {
+
+  val sfDir = s"$testData/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = Queries.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q01: filter and projection are pushed into the parquet scan") {
+    val p = plan("q01_scan_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_returnflag)") || p.contains("EqualTo(l_returnflag"), p)
+    // pruned read schema: only the 5 referenced columns, not all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("dimension joins broadcast; fact side is never broadcast") {
+    val p = plan("q08_join_inner_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val p12 = plan("q12_join_multiway")
+    assert(p12.contains("BroadcastHashJoin"), p12)
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q15_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("GlobalSort"), p)
+  }
+
+  test("candidate-pair joins stay equi-joins (no nested-loop fallback)") {
+    for (q <- Seq("q35_dedup_minhash_lsh", "q36_ngram_jaccard", "q102_levenshtein_pairs"))
+      assert(!plan(q).contains("BroadcastNestedLoopJoin"), q)
+  }
+
+  test("whole-stage codegen covers the scan-agg pipeline") {
+    // AQE's pre-execution explain hides codegen stages; plan without it
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // formatted mode marks codegen'd operators with a "*" prefix
+      val p = plan("q02_agg_sum_groupby")
+      assert(p.contains("* HashAggregate"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
