@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.IastSortKey
+import graft.expr.{IastSortKey, SortedArrayIntersect, SortedLongIntersect, VectorDot}
 
 /** Session-extension entry point: wires the library's custom Catalyst
   * expressions into any session via configuration —
@@ -12,15 +12,27 @@ import graft.expr.IastSortKey
   * them without touching library code:
   * `SELECT * FROM entities ORDER BY iast_sort_key(label)`.
   *
-  * (The imperative alternative, [[graft.expr.Iast.register]], injects into an
-  * already-built session; this is the declarative seam for clusters where the
-  * session is constructed by infra.)
+  * (The imperative alternatives, [[graft.expr.Iast.register]] and
+  * [[graft.expr.VectorOps.register]], inject into an already-built session;
+  * this is the declarative seam for clusters where the session is
+  * constructed by infra.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("iast_sort_key"),
-      new ExpressionInfo(classOf[IastSortKey].getName, "iast_sort_key"),
-      (children: Seq[Expression]) => IastSortKey(children.head)))
+    def unary(name: String, cls: Class[_], f: Expression => Expression): Unit =
+      ext.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (children: Seq[Expression]) => f(children.head)))
+    def binary(name: String, cls: Class[_],
+        f: (Expression, Expression) => Expression): Unit =
+      ext.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (children: Seq[Expression]) => f(children.head, children(1))))
+    unary("iast_sort_key", classOf[IastSortKey], IastSortKey(_))
+    binary("vector_dot", classOf[VectorDot], VectorDot(_, _))
+    binary("sorted_array_intersect", classOf[SortedArrayIntersect],
+      SortedArrayIntersect(_, _))
+    binary("sorted_long_intersect", classOf[SortedLongIntersect],
+      SortedLongIntersect(_, _))
   }
 }
