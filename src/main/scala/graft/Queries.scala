@@ -2304,7 +2304,57 @@ object Queries {
       s"\nSELECT vec_id, cid AS centroid, CAST(dist AS BIGINT) AS dist FROM a$rounds"
   }
 
+  /** Unrolled fixed-round personalized-PageRank oracle
+    * ([[graft.graph.Centrality.personalizedPageRank]] semantics: teleport
+    * and dangling mass to the uniform seed distribution, 8 rounds, same
+    * customer→nation→region DAG as q81; seeds = custkey ≤ 25). */
+  private def pprOracle: String = {
+    val d = "0.85"
+    val stages = (1 to 8).map { k =>
+      val prev = if (k == 1) "x0" else s"x${k - 1}"
+      s"""dang$k AS MATERIALIZED (
+         |  SELECT coalesce(sum(x.score), 0.0) AS dm
+         |  FROM $prev x JOIN deg USING (id) WHERE deg.outdeg = 0),
+         |x$k AS MATERIALIZED (
+         |  SELECT x.id, (1.0 - $d) * x.w + $d * (coalesce(c.inc, 0.0) + dd.dm * x.w) AS score, x.w
+         |  FROM $prev x LEFT JOIN (
+         |    SELECT e.dst AS id, sum(y.score / deg.outdeg) AS inc
+         |    FROM e JOIN $prev y ON y.id = e.src JOIN deg ON deg.id = e.src GROUP BY e.dst
+         |  ) c ON c.id = x.id, dang$k dd)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT c_custkey AS src, 10000000 + CAST(c_nationkey AS BIGINT) AS dst FROM customer
+       |  UNION ALL
+       |  SELECT 10000000 + CAST(n_nationkey AS BIGINT) AS src, 20000000 + CAST(n_regionkey AS BIGINT) AS dst FROM nation),
+       |v AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |ns AS MATERIALIZED (SELECT count(*) AS n FROM v WHERE id <= 25),
+       |deg AS MATERIALIZED (SELECT v.id, coalesce(o.c, 0) AS outdeg FROM v LEFT JOIN (SELECT src AS id, count(*) AS c FROM e GROUP BY 1) o ON o.id = v.id),
+       |x0 AS MATERIALIZED (SELECT id,
+       |  CASE WHEN id <= 25 THEN 1.0/CAST(ns.n AS DOUBLE) ELSE 0.0 END AS score,
+       |  CASE WHEN id <= 25 THEN 1.0/CAST(ns.n AS DOUBLE) ELSE 0.0 END AS w
+       | FROM v, ns),
+       |$stages
+       |SELECT id, round(score, 10) AS score FROM x8""".stripMargin
+  }
+
   private val ext6Qs = Seq(
+    Q("q124_personalized_pagerank",
+      (s, d) => {
+        val c = T(s, d, "customer").select(col("c_custkey").as("src"),
+          (col("c_nationkey").cast("long") + 10000000L).as("dst"))
+        val n = T(s, d, "nation").select(
+          (col("n_nationkey").cast("long") + 10000000L).as("src"),
+          (col("n_regionkey").cast("long") + 20000000L).as("dst"))
+        val e = c.unionByName(n)
+        val v = e.select(col("src").as("id"))
+          .unionByName(e.select(col("dst").as("id"))).distinct()
+        val seeds = v.filter(col("id") <= 25)
+        graft.graph.Centrality.personalizedPageRank(v, e, seeds,
+            iters = 8, damping = 0.85)
+          .select(col("id"), round(col("score"), 10).as("score"))
+      },
+      Some(pprOracle)),
+
     Q("q121_equidepth_histogram",
       (s, d) => {
         // equi-depth histogram build (the zone-map/statistics op an

@@ -243,6 +243,49 @@ object Centrality {
     }
   }
 
+  /** Personalized PageRank, fixed `iters` rounds: teleport (and dangling
+    * mass) return to the SEED distribution instead of uniformly —
+    * ppr'(v) = (1−d)·e(v) + d·(Σ_{u→v} ppr(u)/outdeg(u) + dangling·e(v)),
+    * e = uniform over `seeds`. The recommender/locality variant of
+    * [[pageRank]] (scores concentrate around the seed neighborhood). Same
+    * execution shape: seeds broadcast onto the vertex frame once, then one
+    * contrib-join shuffle + one scalar dangling aggregation per round,
+    * checkpointed every 3 rounds; deterministic round count → the oracle
+    * replays every round. */
+  def personalizedPageRank(
+      vertices: DataFrame,
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int = 8,
+      damping: Double = 0.85): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val nS = seeds.count().toDouble
+    val e = FreshCheckpoint(edges.select($"src", $"dst"))
+    val od = e.groupBy($"src".as("id")).agg(count(lit(1)).as("outdeg"))
+    val v = FreshCheckpoint(vertices.select($"id")
+      .join(od, Seq("id"), "left").na.fill(0L, Seq("outdeg"))
+      .join(broadcast(seeds.select($"id", lit(1.0 / nS).as("w"))), Seq("id"), "left")
+      .na.fill(0.0, Seq("w")))
+    var x = v.select($"id", $"outdeg", $"w", $"w".as("score"))
+    var it = 0
+    while (it < iters) {
+      val dangling =
+        x.filter($"outdeg" === 0).agg(sum($"score")).as[Option[Double]].head().getOrElse(0.0)
+      val contrib = e.join(
+          x.filter($"outdeg" > 0) // dangling rows: no out-edges, and ANSI mode rejects the 0-divisor
+            .select($"id".as("src"), ($"score" / $"outdeg").as("c")), Seq("src"))
+        .groupBy($"dst".as("id")).agg(sum($"c").as("inc"))
+      val next = x.select($"id", $"outdeg", $"w").join(contrib, Seq("id"), "left")
+        .select($"id", $"outdeg", $"w",
+          (lit(1.0 - damping) * $"w" + lit(damping) *
+            (coalesce($"inc", lit(0.0)) + lit(dangling) * $"w")).as("score"))
+      it += 1
+      x = if (it % 3 == 0 || it == iters) FreshCheckpoint(next) else next
+    }
+    x.select($"id", $"score")
+  }
+
   /** Driver-local power iteration (n ≤ [[localThreshold]]): exactly
     * networkx's semantics — x' = x + A^T x, L2-normalized each round, stop
     * when Σ|x_t − x_{t−1}| < n·tol, None after maxIter (nx's
