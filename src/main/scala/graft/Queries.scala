@@ -2337,7 +2337,48 @@ object Queries {
        |SELECT id, round(score, 10) AS score FROM x8""".stripMargin
   }
 
+  /** DuckDB token-n-gram CTE fragment (toks + gram window), matching
+    * [[graft.ops.TextAnalysis]]'s whitespace tokenization. */
+  private def duckGrams(n: Int): String = {
+    val parts = ("tok" +: (1 until n).map(i => s"lead(tok,$i) OVER w")).mkString(" || ' ' || ")
+    s"""toks AS (SELECT doc_id,
+       |  unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok,
+       |  generate_subscripts(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), 1) AS pos
+       | FROM documents),
+       |g AS (SELECT doc_id, $parts AS gram
+       | FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))""".stripMargin
+  }
+
   private val ext6Qs = Seq(
+    Q("q125_redact_blocklist",
+      (s, d) => graft.ops.TextAnalysis.redactTerms(
+        T(s, d, "documents"), Seq("customer", "supplier")),
+      Some("""SELECT doc_id,
+             | CAST(len(regexp_extract_all(lower(text), '\b(customer|supplier)\b')) AS BIGINT) AS n_redacted,
+             | CAST(length(regexp_replace(lower(text), '\b(customer|supplier)\b', '[REDACTED]', 'g')) AS BIGINT) AS masked_len
+             |FROM documents""".stripMargin)),
+
+    Q("q126_repetition_ratio",
+      (s, d) => graft.ops.TextAnalysis.repetitionRatio(T(s, d, "documents"), 2),
+      Some(s"""WITH ${duckGrams(2)},
+              |v AS (SELECT doc_id, count(*) AS total_grams,
+              |   count(DISTINCT gram) AS uniq_grams
+              | FROM g WHERE gram IS NOT NULL AND len(string_split(gram, ' ')) = 2
+              | GROUP BY 1)
+              |SELECT doc_id, total_grams, uniq_grams,
+              | round(1.0 - uniq_grams / total_grams, 6) AS rep_ratio
+              |FROM v""".stripMargin)),
+
+    Q("q127_decontamination",
+      (s, d) => graft.ops.TextAnalysis.decontaminate(
+        T(s, d, "documents"), col("doc_id") % 7 === 0, 8),
+      Some(s"""WITH ${duckGrams(8)},
+              |gd AS (SELECT DISTINCT doc_id, gram FROM g
+              |  WHERE gram IS NOT NULL AND len(string_split(gram, ' ')) = 8)
+              |SELECT DISTINCT t.doc_id AS train_doc, b.doc_id AS bench_doc
+              |FROM gd t JOIN gd b ON b.gram = t.gram
+              | AND b.doc_id % 7 = 0 AND t.doc_id % 7 <> 0""".stripMargin)),
+
     Q("q124_personalized_pagerank",
       (s, d) => {
         val c = T(s, d, "customer").select(col("c_custkey").as("src"),

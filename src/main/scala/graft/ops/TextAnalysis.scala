@@ -139,6 +139,67 @@ object TextAnalysis {
     *
     * @return (a, b, cos) for pairs with cosine ≥ threshold, a < b.
     */
+  /** Blocklist redaction — the term-scrub pass of corpus hygiene (PII /
+    * sensitive-term removal). Word-boundary-anchored alternation, replaced
+    * globally; per-row projection only (embarrassingly parallel, no
+    * shuffle). Returns (doc_id, n_redacted, masked_len). */
+  def redactTerms(docs: DataFrame, terms: Seq[String],
+      marker: String = "[REDACTED]"): DataFrame = {
+    val pat = terms.mkString("\\b(", "|", ")\\b")
+    docs.select(col("doc_id"),
+      regexp_count(lower(col("text")), lit(pat)).cast("long").as("n_redacted"),
+      length(regexp_replace(lower(col("text")), pat, marker)).cast("long")
+        .as("masked_len"))
+  }
+
+  /** Intra-document repetition ratio (the Gopher/RefinedWeb-style quality
+    * rule): fraction of duplicated token n-grams per document. One
+    * (doc_id)-shuffle for the gram window, then a per-doc agg. */
+  def repetitionRatio(docs: DataFrame, n: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = tokenGrams(docs, n)
+    grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("total_grams"),
+        countDistinct(col("gram")).as("uniq_grams"))
+      .select(col("doc_id"), col("total_grams"), col("uniq_grams"),
+        round(lit(1.0) - col("uniq_grams").cast("double")
+          / col("total_grams").cast("double"), 6).as("rep_ratio"))
+  }
+
+  /** Benchmark decontamination: training docs sharing any token n-gram with
+    * a benchmark doc (the standard n-gram-collision test-set-leak check).
+    * Distinct (doc, gram) pairs joined through an inverted gram index — the
+    * join is on the gram key, so pairs are generated only for actual
+    * collisions, never all-pairs; at 100 TB the benchmark side is the small
+    * relation and broadcasts. */
+  def decontaminate(docs: DataFrame, isBench: Column, n: Int = 8): DataFrame = {
+    val gd = tokenGrams(docs.withColumn("bench", isBench), n)
+      .select(col("doc_id"), col("bench"), col("gram")).distinct()
+    val bench = gd.filter(col("bench")).select(col("doc_id").as("bench_doc"), col("gram"))
+    val train = gd.filter(!col("bench")).select(col("doc_id").as("train_doc"), col("gram"))
+    train.join(broadcast(bench), Seq("gram"))
+      .select(col("train_doc"), col("bench_doc")).distinct()
+  }
+
+  /** Token n-grams per document: whitespace tokens in document order,
+    * concatenated with single spaces via window leads (carries any extra
+    * input columns through). */
+  private def tokenGrams(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Dedup.fanOut(docs).select(col("*"),
+        posexplode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+          .as(Seq("pos", "tok")))
+      .drop("text")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(w))
+    // concat_ws SKIPS nulls (unlike SQL ||, which null-poisons), so trailing
+    // positions must be dropped explicitly — and a window can't live in a
+    // WHERE, so the last lead is materialized as a column first
+    toks.withColumn("gram", concat_ws(" ", parts: _*))
+      .withColumn("gram_complete", lead(col("tok"), n - 1).over(w).isNotNull)
+      .filter(col("gram_complete")).drop("gram_complete")
+  }
+
   def tfidfPairs(docs: DataFrame, dfCap: Long = 25, threshold: Double = 0.3): DataFrame = {
     import org.apache.spark.sql.graft.FreshCheckpoint
     val toks = Dedup.fanOut(docs).select(col("doc_id"),
