@@ -45,6 +45,35 @@ class TrainingDataSpec extends SparkTestBase {
     assert(sizes === Set(minClass))
   }
 
+  test("decontaminate: pairs are train×bench and share a real 8-gram") {
+    val isBench = col("doc_id") % 7 === 0
+    val pairs = graft.ops.TextAnalysis.decontaminate(docs, isBench, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "planted near-dups should leak at least one pair")
+    pairs.foreach { case (t, b) =>
+      assert(t % 7 != 0 && b % 7 == 0, s"pair ($t,$b) violates the split")
+    }
+    // spot-check: a reported pair really shares a token 8-gram
+    val (t0, b0) = pairs.head
+    val texts = docs.filter(col("doc_id").isin(t0, b0))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+    assert(grams(texts(t0)).intersect(grams(texts(b0))).nonEmpty)
+  }
+
+  test("redactTerms: counts match occurrences; masked length consistent") {
+    import spark.implicits._
+    val tiny = Seq((1L, "the customer met a supplier and a customer"),
+      (2L, "no blocked words here")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.redactTerms(tiny, Seq("customer", "supplier"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L)._1 === 3L)
+    // 3 terms (8+8+8 chars) -> 3 × "[REDACTED]" (10 chars): length grows by 6
+    assert(out(1L)._2 === tiny.filter($"doc_id" === 1).head().getString(1).length + 6)
+    assert(out(2L) === ((0L, 21L)))
+  }
+
   test("sequencePacking: bins partition the corpus; loads respect the window") {
     val bins = TrainingData.sequencePacking(docs, budget = 8192, partCol = "lang")
     assert(bins.agg(sum("n_docs")).head().getLong(0) === docs.count())
