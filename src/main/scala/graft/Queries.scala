@@ -2350,6 +2350,73 @@ object Queries {
   }
 
   private val ext6Qs = Seq(
+    Q("q128_mixture_weights",
+      (s, d) => {
+        // training-mixture reweighting: per-language resampling weight that
+        // moves the corpus from its observed language mix to a uniform
+        // target — weight = target_frac / actual_frac, expected post-resample
+        // count = weight · n. Two tiny aggs + a broadcast scalar; the 100 TB
+        // form is identical (the mixture table is vocabulary-sized).
+        val docs = T(s, d, "documents")
+        val per = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        val tot = per.agg(sum(col("n_docs")).as("n_total"),
+          count(lit(1)).as("n_langs"))
+        per.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_docs"),
+            round(col("n_docs").cast("double") / col("n_total"), 6).as("actual_frac"),
+            round((col("n_total").cast("double") / col("n_langs"))
+              / col("n_docs"), 6).as("weight"),
+            round((col("n_total").cast("double") / col("n_langs")), 2)
+              .as("expected_n"))
+      },
+      Some("""WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+             |        count(*) AS n_langs FROM per)
+             |SELECT lang, n_docs,
+             | round(n_docs / CAST(n_total AS DOUBLE), 6) AS actual_frac,
+             | round((n_total / CAST(n_langs AS DOUBLE)) / n_docs, 6) AS weight,
+             | round(n_total / CAST(n_langs AS DOUBLE), 2) AS expected_n
+             |FROM per, tot""".stripMargin)),
+
+    Q("q129_vocab_coverage",
+      (s, d) => {
+        // vocabulary induction by coverage: token doc-frequencies sorted by
+        // (freq desc, token), kept while the coverage BEFORE the token is
+        // < 95% of all token-document incidences — the smallest prefix
+        // vocabulary covering the target mass. The global window runs
+        // over the VOCABULARY (bounded, dimension-sized), not the corpus;
+        // the corpus-sized work is the one freq aggregation.
+        val toks = Dedup.tokens(T(s, d, "documents"))
+        val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        val total = freq.agg(sum(col("freq")).as("n_total"))
+        val w = Window.orderBy(col("freq").desc, col("tok"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        freq.crossJoin(broadcast(total))
+          .withColumn("cum_before", coalesce(sum(col("freq")).over(w), lit(0L)))
+          .filter(col("cum_before").cast("double") / col("n_total") < 0.95)
+          .select(
+            row_number().over(Window.orderBy(col("freq").desc, col("tok")))
+              .cast("long").as("rank"),
+            col("tok"), col("freq"),
+            round((col("cum_before") + col("freq")).cast("double")
+              / col("n_total"), 6).as("cum_frac"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, tok FROM (
+             |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+             |    FROM documents) WHERE tok <> ''),
+             |freq AS (SELECT tok, count(*) AS freq FROM (SELECT DISTINCT doc_id, tok FROM toks) t
+             |         GROUP BY 1),
+             |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM freq),
+             |c AS (SELECT tok, freq,
+             |   coalesce(sum(freq) OVER (ORDER BY freq DESC, tok
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+             | FROM freq)
+             |SELECT CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rank,
+             | tok, freq,
+             | round((cum_before + freq) / CAST(n_total AS DOUBLE), 6) AS cum_frac
+             |FROM c, tot WHERE cum_before / CAST(n_total AS DOUBLE) < 0.95""".stripMargin)),
+
     Q("q125_redact_blocklist",
       (s, d) => graft.ops.TextAnalysis.redactTerms(
         T(s, d, "documents"), Seq("customer", "supplier")),
