@@ -16,7 +16,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (q37 simhash bit arithmetic, q48 IAST collation). */
+    * the same parquet tables — every query carries one (approximate and
+    * iterative operators are replayed exactly: md5-derived hashes, unrolled
+    * fixed-round CTEs, integerized arithmetic). */
   def oracleSql: Map[String, String] = Queries.oracleSql
 }
