@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.ops.{AsOf, RangeJoin}
+import graft.ops.{AsOf, RangeJoin, TrainingData}
 
 /** Property-based checks (SURVEY §5.3) for the composed join operators:
   * generated inputs, equality with the naive formulation. (Raw ScalaCheck
@@ -56,6 +56,37 @@ class PropertySpec extends SparkTestBase {
                 else Some(cands.maxBy(r => (r._2.getTime, r._3))._3))
       }.toMap
       assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("property: packing bins cover every doc once; splits partition any corpus") {
+    import spark.implicits._
+    val gen = for {
+      seed <- Gen.choose(0L, 100000L)
+      nDocs <- Gen.choose(5, 400)
+      budget <- Gen.oneOf(50, 500, 8192)
+    } yield (seed, nDocs, budget)
+    samples(gen, 5).foreach { case (seed, nDocs, budget) =>
+      val docs = spark.range(0, nDocs)
+        .select($"id".as("doc_id"),
+          concat_ws(" ", (0 to 20).map(i =>
+            when(($"id" * 7 + i + seed) % 3 === 0, lit(s"w$i")).otherwise(lit(""))): _*)
+            .as("text"))
+        .withColumn("lang", concat(lit("l"), ($"doc_id" % 3).cast("string")))
+      val bins = TrainingData.sequencePacking(docs, budget, "lang")
+      assert(bins.agg(sum("n_docs")).head().getLong(0) === nDocs.toLong,
+        s"seed=$seed: bins must cover every doc exactly once")
+      // bin ids are dense from 0 within each partition
+      bins.groupBy($"lang").agg(min("bin").as("mn"), max("bin").as("mx"),
+          count(lit(1)).as("k"))
+        .collect().foreach { r =>
+          assert(r.getLong(1) === 0L && r.getLong(2) === r.getLong(3) - 1,
+            s"seed=$seed lang=${r.getString(0)}: bins not dense")
+        }
+      val split = TrainingData.hashSplit(docs)
+      assert(split.count() === nDocs.toLong)
+      assert(split.groupBy("doc_id").count().filter($"count" > 1).count() === 0L,
+        s"seed=$seed: split must assign each doc exactly once")
     }
   }
 }
