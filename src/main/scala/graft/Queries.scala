@@ -2350,6 +2350,19 @@ object Queries {
   }
 
   private val ext6Qs = Seq(
+    Q("q130_frame_sample",
+      (s, d) => Multimodal.frameSample(
+        Multimodal.ingest(T(s, d, "documents")), frameBytes = 256, stride = 4),
+      // corpus is ASCII, so byte slices ≡ char slices and md5 agrees
+      Some("""WITH m AS (SELECT doc_id AS media_id, text, strlen(text) AS n FROM documents),
+             |f AS (SELECT media_id, text, n,
+             |   unnest(range(0, CAST(ceil(n / 256.0) AS BIGINT))) AS frame_idx FROM m)
+             |SELECT media_id, frame_idx,
+             | CAST(least(256, n - frame_idx * 256) AS BIGINT) AS frame_len,
+             | md5(substr(text, CAST(frame_idx * 256 + 1 AS INT),
+             |   CAST(least(256, n - frame_idx * 256) AS INT))) AS frame_md5
+             |FROM f WHERE frame_idx % 4 = 0""".stripMargin)),
+
     Q("q128_mixture_weights",
       (s, d) => {
         // training-mixture reweighting: per-language resampling weight that

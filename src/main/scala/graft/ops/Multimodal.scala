@@ -71,6 +71,22 @@ object Multimodal {
       .select(col("media_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("chunk_offset"), col("chunk_len"))
 
+  /** Frame sampling: keep every `stride`-th fixed-size frame of each
+    * payload and slice + checksum the actual frame bytes (the video/audio
+    * "sample every k-th frame" pass). The slice is a pure column expression
+    * over the binary payload — no decode needed to subset frames, so the
+    * sampled relation can be shuffled/stored before any codec runs; the
+    * md5 frame checksum makes the byte slicing itself oracle-checkable. */
+  def frameSample(media: DataFrame, frameBytes: Int = 256,
+      stride: Int = 4): DataFrame =
+    chunkInventory(media, frameBytes)
+      .filter(col("chunk_idx") % stride === 0)
+      .join(media.select(col("media_id"), col("payload")), Seq("media_id"))
+      .select(col("media_id"), col("chunk_idx").as("frame_idx"),
+        col("chunk_len").as("frame_len"),
+        md5(expr("substring(payload, cast(chunk_offset + 1 as int), cast(chunk_len as int))"))
+          .as("frame_md5"))
+
   /** Integer-exact partition-local decoder: bytes → fixed-length LONG vector.
     * Unlike [[Decoder]]'s float features, these are order-independent integer
     * sums — replayable by the SQL oracle, so the mapPartitions decode path
