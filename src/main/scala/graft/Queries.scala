@@ -2350,6 +2350,102 @@ object Queries {
   }
 
   private val ext6Qs = Seq(
+    Q("q131_minmax_scale",
+      (s, d) => {
+        // per-dimension min-max feature scaling: bounds are a 64-row agg
+        // (broadcast back onto the coordinate relation); arithmetic on
+        // integerized micro-units so both engines scale identical values.
+        // Zero-range dims map to 0 (guarded divide).
+        val iv = graft.ops.Quantize.coords(T(s, d, "embeddings"))
+        val bounds = iv.groupBy(col("d"))
+          .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        iv.join(broadcast(bounds), Seq("d"))
+          .select(col("vec_id"), col("d"),
+            when(col("mx") === col("mn"), 0.0)
+              .otherwise((col("x") - col("mn")).cast("double")
+                / (col("mx") - col("mn")).cast("double"))
+              .as("scaled"))
+          .select(col("vec_id"), col("d"), round(col("scaled"), 6).as("scaled"))
+      },
+      Some("""WITH f AS (SELECT vec_id, unnest(embedding) AS v,
+             |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+             |iv AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
+             |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS x FROM f),
+             |b AS (SELECT d, min(x) AS mn, max(x) AS mx FROM iv GROUP BY 1)
+             |SELECT iv.vec_id, iv.d,
+             | round(CASE WHEN b.mx = b.mn THEN 0.0
+             |   ELSE (iv.x - b.mn) / CAST(b.mx - b.mn AS DOUBLE) END, 6) AS scaled
+             |FROM iv JOIN b ON b.d = iv.d""".stripMargin)),
+
+    Q("q132_feature_hashing",
+      (s, d) => {
+        // the hashing trick: tokens → md5-bucketed feature indices (1024
+        // dims), per-doc sparse counts — fixed-width featurization with no
+        // vocabulary build, the standard first step when the token space is
+        // unbounded. Pure projection + one (doc, idx) agg.
+        def h60(c: Column): Column =
+          conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+        T(s, d, "documents")
+          .select(col("doc_id"),
+            explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+              .as("tok"))
+          .select(col("doc_id"), (h60(col("tok")) % 1024).as("feature_idx"))
+          .groupBy(col("doc_id"), col("feature_idx"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+              |  unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+              | FROM documents)
+              |SELECT doc_id, ${duckH60("tok")} % 1024 AS feature_idx,
+              | count(*) AS n
+              |FROM toks GROUP BY 1, 2""".stripMargin)),
+
+    Q("q133_modularity",
+      (s, d) => {
+        // modularity Q of a labeled partition (brands) over the co-purchase
+        // graph: Q = Σ_c (e_c/m − (deg_c/2m)²) — evaluates how well an
+        // attribute explains the graph's structure. All counts integer-exact
+        // until the final division; one edge agg + one degree agg.
+        val li = T(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+        val e = FreshCheckpoint(li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+          .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+          .select(col("a"), col("b")))
+        val brand = T(s, d, "part")
+          .select(col("p_partkey").as("id"), col("p_brand").as("c"))
+        val lab = e
+          .join(broadcast(brand.select(col("id").as("a"), col("c").as("ca"))), Seq("a"))
+          .join(broadcast(brand.select(col("id").as("b"), col("c").as("cb"))), Seq("b"))
+        val m = lab.count().toDouble
+        val intra = lab.filter(col("ca") === col("cb"))
+          .groupBy(col("ca").as("c")).agg(count(lit(1)).as("ec"))
+        val deg = lab.select(col("a").as("id"), col("ca").as("c"))
+          .unionByName(lab.select(col("b").as("id"), col("cb").as("c")))
+          .groupBy(col("c")).agg(count(lit(1)).as("degc"))
+        deg.join(intra, Seq("c"), "left").na.fill(0L, Seq("ec"))
+          .select((col("ec") / m
+            - (col("degc") / (2.0 * m)) * (col("degc") / (2.0 * m))).as("qc"))
+          .agg(round(sum(col("qc")), 6).as("modularity"),
+            count(lit(1)).as("n_communities"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+             |e AS (SELECT x.p AS a, y.p AS b FROM li x JOIN li y
+             |      ON x.ok = y.ok AND x.p < y.p
+             |      GROUP BY 1, 2 HAVING count(*) >= 2),
+             |lab AS (SELECT e.a, e.b, pa.p_brand AS ca, pb.p_brand AS cb
+             |  FROM e JOIN part pa ON pa.p_partkey = e.a
+             |  JOIN part pb ON pb.p_partkey = e.b),
+             |m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM lab),
+             |intra AS (SELECT ca AS c, count(*) AS ec FROM lab WHERE ca = cb GROUP BY 1),
+             |deg AS (SELECT c, count(*) AS degc FROM (
+             |  SELECT a AS id, ca AS c FROM lab UNION ALL SELECT b, cb FROM lab) GROUP BY 1)
+             |SELECT round(sum(coalesce(i.ec, 0) / m.m
+             |    - (d.degc / (2.0 * m.m)) * (d.degc / (2.0 * m.m))), 6) AS modularity,
+             | count(*) AS n_communities
+             |FROM deg d LEFT JOIN intra i ON i.c = d.c, m""".stripMargin)),
+
     Q("q130_frame_sample",
       (s, d) => Multimodal.frameSample(
         Multimodal.ingest(T(s, d, "documents")), frameBytes = 256, stride = 4),
