@@ -2350,6 +2350,139 @@ object Queries {
   }
 
   private val ext6Qs = Seq(
+    Q("q134_assortativity",
+      (s, d) => {
+        // degree assortativity of the co-purchase graph: Pearson correlation
+        // of endpoint degrees over directed edge instances (both directions,
+        // the standard symmetric form). Degrees attach via two broadcast-able
+        // node-sized joins; corr is one partial-aggregable pass.
+        val li = T(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+        val e = FreshCheckpoint(li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+          .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+          .select(col("a"), col("b")))
+        val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+        val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+        und
+          .join(broadcast(deg.select(col("id").as("a"), col("deg").as("da"))), Seq("a"))
+          .join(broadcast(deg.select(col("id").as("b"), col("deg").as("db"))), Seq("b"))
+          .agg(round(corr(col("da").cast("double"), col("db").cast("double")), 6)
+            .as("assortativity"), count(lit(1)).as("n_edge_instances"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+             |e AS (SELECT x.p AS a, y.p AS b FROM li x JOIN li y
+             |      ON x.ok = y.ok AND x.p < y.p
+             |      GROUP BY 1, 2 HAVING count(*) >= 2),
+             |und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+             |deg AS (SELECT a AS id, count(*) AS deg FROM und GROUP BY 1)
+             |SELECT round(corr(CAST(da.deg AS DOUBLE), CAST(db.deg AS DOUBLE)), 6)
+             |   AS assortativity,
+             | count(*) AS n_edge_instances
+             |FROM und u JOIN deg da ON da.id = u.a JOIN deg db ON db.id = u.b""".stripMargin)),
+
+    Q("q135_rrf_fusion",
+      (s, d) => {
+        // reciprocal-rank fusion of two retrieval rankings (the standard
+        // RAG re-ranking combinator): per query, candidates ranked by cosine
+        // AND by integer-exact squared L2; fused score = Σ 1/(60 + rank).
+        // Ranks come from windows over the per-query candidate relation;
+        // both source rankings and the fusion are deterministic (ties →
+        // vec_id), so the oracle replays everything.
+        graft.expr.VectorOps.register(s)
+        val iv = graft.ops.Quantize.coords(T(s, d, "embeddings"))
+        val sq = iv.groupBy(col("vec_id"))
+          .agg(sum(col("x") * col("x")).as("ssq"))
+        val lab = T(s, d, "embeddings").select(col("vec_id"), col("label"))
+        val q = lab.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("label"))
+        val cand = q.join(lab.withColumnRenamed("vec_id", "cid"), Seq("label"))
+          .filter(col("cid") =!= col("qid"))
+          .select(col("qid"), col("cid"))
+        val dots = cand
+          .join(iv.select(col("vec_id").as("qid"), col("d"), col("x").as("xq")), Seq("qid"))
+          .join(iv.select(col("vec_id").as("cid"), col("d"), col("x").as("xc")),
+            Seq("cid", "d"))
+          .groupBy(col("qid"), col("cid")).agg(sum(col("xq") * col("xc")).as("dot"))
+        val scored = dots
+          .join(broadcast(sq.select(col("vec_id").as("qid"), col("ssq").as("nq"))), Seq("qid"))
+          .join(broadcast(sq.select(col("vec_id").as("cid"), col("ssq").as("nc"))), Seq("cid"))
+          .select(col("qid"), col("cid"),
+            (col("dot").cast("double")
+              / (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+              .as("cos"),
+            (col("nq") + col("nc") - lit(2L) * col("dot")).as("l2sq"))
+        val w1 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+        val w2 = Window.partitionBy(col("qid")).orderBy(col("l2sq"), col("cid"))
+        val fused = scored
+          .withColumn("r1", row_number().over(w1))
+          .withColumn("r2", row_number().over(w2))
+          .withColumn("rrf",
+            lit(1.0) / (lit(60) + col("r1")) + lit(1.0) / (lit(60) + col("r2")))
+        val w3 = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("cid"))
+        fused.withColumn("rank", row_number().over(w3))
+          .filter(col("rank") <= 10)
+          .select(col("qid"), col("cid"), round(col("rrf"), 8).as("rrf"),
+            col("rank").cast("long").as("rank"))
+      },
+      Some("""WITH f AS (SELECT vec_id, label, unnest(embedding) AS v,
+             |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+             |iv AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
+             |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS x FROM f),
+             |sq AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS ssq FROM iv GROUP BY 1),
+             |lab AS (SELECT DISTINCT vec_id, label FROM embeddings),
+             |cand AS (SELECT q.vec_id AS qid, c.vec_id AS cid
+             |  FROM (SELECT * FROM lab WHERE vec_id < 5) q
+             |  JOIN lab c ON c.label = q.label AND c.vec_id <> q.vec_id),
+             |dots AS (SELECT cand.qid, cand.cid, CAST(sum(a.x * b.x) AS BIGINT) AS dot
+             |  FROM cand JOIN iv a ON a.vec_id = cand.qid
+             |  JOIN iv b ON b.vec_id = cand.cid AND b.d = a.d
+             |  GROUP BY 1, 2),
+             |scored AS (SELECT d.qid, d.cid,
+             |   d.dot / (sqrt(CAST(nq.ssq AS DOUBLE)) * sqrt(CAST(nc.ssq AS DOUBLE))) AS cos,
+             |   nq.ssq + nc.ssq - 2 * d.dot AS l2sq
+             |  FROM dots d JOIN sq nq ON nq.vec_id = d.qid JOIN sq nc ON nc.vec_id = d.cid),
+             |fused AS (SELECT qid, cid,
+             |   1.0 / (60 + row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid))
+             |   + 1.0 / (60 + row_number() OVER (PARTITION BY qid ORDER BY l2sq, cid)) AS rrf
+             |  FROM scored),
+             |ranked AS (SELECT qid, cid, rrf,
+             |   row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS rank
+             |  FROM fused)
+             |SELECT qid, cid, round(rrf, 8) AS rrf, CAST(rank AS BIGINT) AS rank
+             |FROM ranked WHERE rank <= 10""".stripMargin)),
+
+    Q("q136_ab_significance",
+      (s, d) => {
+        // two-sample Welch z-test between event cohorts (the experimentation
+        // readout): per-group moments in one partial-aggregable pass, then
+        // scalar arithmetic. At 100 TB this is the same two-stage agg.
+        val ev = T(s, d, "events")
+          .filter(col("event_type").isin("click", "view"))
+        val g = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), avg(col("value")).as("m"),
+            var_samp(col("value")).as("v"))
+        val a = g.filter(col("event_type") === "click")
+          .select(col("n").as("na"), col("m").as("ma"), col("v").as("va"))
+        val b = g.filter(col("event_type") === "view")
+          .select(col("n").as("nb"), col("m").as("mb"), col("v").as("vb"))
+        a.crossJoin(b).select(
+          col("na"), col("nb"),
+          round(col("ma"), 6).as("mean_click"),
+          round(col("mb"), 6).as("mean_view"),
+          round((col("ma") - col("mb"))
+            / sqrt(col("va") / col("na") + col("vb") / col("nb")), 6).as("welch_z"))
+      },
+      Some("""WITH g AS (SELECT event_type, count(*) AS n, avg(value) AS m,
+             |   var_samp(value) AS v
+             | FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+             |a AS (SELECT n AS na, m AS ma, v AS va FROM g WHERE event_type = 'click'),
+             |b AS (SELECT n AS nb, m AS mb, v AS vb FROM g WHERE event_type = 'view')
+             |SELECT na, nb, round(ma, 6) AS mean_click, round(mb, 6) AS mean_view,
+             | round((ma - mb) / sqrt(va / na + vb / nb), 6) AS welch_z
+             |FROM a, b""".stripMargin)),
+
     Q("q131_minmax_scale",
       (s, d) => {
         // per-dimension min-max feature scaling: bounds are a 64-row agg
