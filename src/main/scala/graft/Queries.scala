@@ -2350,6 +2350,113 @@ object Queries {
   }
 
   private val ext6Qs = Seq(
+    Q("q137_scd2_lookup",
+      (s, d) => {
+        // point-in-time enrichment against the SCD2 dimension q118 builds:
+        // each click joined to the signup attribute valid AT its event time
+        // ([valid_from, valid_to) with an open current row). Per-user
+        // interval counts are tiny, so the inequality join stays bounded;
+        // at scale it becomes the bucketized range join (ops.RangeJoin).
+        val ev = T(s, d, "events")
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val dim = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), round(col("value"), 2).as("attr"),
+            unix_timestamp(col("ts")).as("valid_from"),
+            unix_timestamp(lead(col("ts"), 1).over(w)).as("valid_to"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("t"))
+        clicks.join(dim,
+            clicks("user_id") === dim("user_id") &&
+              col("t") >= col("valid_from") &&
+              (col("valid_to").isNull || col("t") < col("valid_to")))
+          .select(col("event_id"), clicks("user_id").as("user_id"), col("attr"))
+      },
+      Some("""WITH dim AS (
+             |  SELECT user_id, round(value, 2) AS attr,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+             |    CAST(floor(epoch(lead(ts, 1) OVER w)) AS BIGINT) AS valid_to
+             |  FROM events WHERE event_type = 'signup'
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |clicks AS (SELECT event_id, user_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS t
+             |  FROM events WHERE event_type = 'click')
+             |SELECT c.event_id, c.user_id, d.attr
+             |FROM clicks c JOIN dim d ON d.user_id = c.user_id
+             | AND c.t >= d.valid_from
+             | AND (d.valid_to IS NULL OR c.t < d.valid_to)""".stripMargin)),
+
+    Q("q138_late_data_audit",
+      (s, d) => {
+        // watermark planning input: how much data ARRIVES late per user —
+        // arrival order proxied by event_id, lateness = event time behind
+        // the per-user high-water mark by > 10 min at arrival. One
+        // (user_id)-shuffle window + an agg; this is the batch audit that
+        // sizes a streaming watermark.
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        T(s, d, "events")
+          .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("t"))
+          .withColumn("hwm", max(col("t")).over(w))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("t") < col("hwm") - 600, 1L).otherwise(0L)).as("n_late"))
+      },
+      Some("""WITH a AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             |  max(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id
+             |    ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+             | FROM events)
+             |SELECT user_id, count(*) AS n_events,
+             | CAST(sum(CASE WHEN t < hwm - 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+             |FROM a GROUP BY 1""".stripMargin)),
+
+    Q("q139_fixed_width_histogram",
+      (s, d) => {
+        // fixed-width histogram WITH empty bins: counts bucketized on a
+        // 25-unit width, then densified against the full bin spine (the
+        // q71 gap-fill pattern on a numeric axis) so downstream charting
+        // sees zeros — bins are data-bounded, so the spine is tiny.
+        val ev = T(s, d, "events")
+          .select((floor(col("value") / 25) * 25).cast("long").as("bin_lo"))
+        val per = ev.groupBy(col("bin_lo")).agg(count(lit(1)).as("n"))
+        val bounds = per.agg(min(col("bin_lo")).as("lo"), max(col("bin_lo")).as("hi"))
+        val spine = bounds.select(
+          explode(expr("sequence(lo, hi, 25)")).as("bin_lo"))
+        spine.join(per, Seq("bin_lo"), "left").na.fill(0L, Seq("n"))
+      },
+      Some("""WITH ev AS (SELECT CAST(floor(value / 25) * 25 AS BIGINT) AS bin_lo FROM events),
+             |per AS (SELECT bin_lo, count(*) AS n FROM ev GROUP BY 1),
+             |b AS (SELECT min(bin_lo) AS lo, max(bin_lo) AS hi FROM per),
+             |spine AS (SELECT unnest(range(lo, hi + 25, 25)) AS bin_lo FROM b)
+             |SELECT s.bin_lo, coalesce(p.n, 0) AS n
+             |FROM spine s LEFT JOIN per p ON p.bin_lo = s.bin_lo""".stripMargin)),
+
+    Q("q140_token_entropy",
+      (s, d) => {
+        // per-document Shannon entropy of the token distribution (the
+        // perplexity-flavored quality signal): one token explode, one
+        // (doc, tok) count, one per-doc agg — all partial-aggregable.
+        val toks = T(s, d, "documents")
+          .select(col("doc_id"),
+            explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+              .as("tok"))
+        val cnt = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+        cnt.groupBy(col("doc_id"))
+          .agg(sum(col("n")).as("total"),
+            sum(col("n").cast("double") * log2(col("n").cast("double"))).as("sxl"))
+          .select(col("doc_id"), col("total"),
+            round(log2(col("total").cast("double"))
+              - col("sxl") / col("total"), 6).as("entropy"))
+      },
+      // H = log2(T) - Σ n·log2(n)/T  (algebraic form avoids per-row division)
+      Some("""WITH toks AS (SELECT doc_id,
+             |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+             | FROM documents),
+             |cnt AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY 1, 2)
+             |SELECT doc_id, CAST(sum(n) AS BIGINT) AS total,
+             | round(log2(CAST(sum(n) AS DOUBLE))
+             |   - sum(n * log2(CAST(n AS DOUBLE))) / sum(n), 6) AS entropy
+             |FROM cnt GROUP BY 1""".stripMargin)),
+
     Q("q134_assortativity",
       (s, d) => {
         // degree assortativity of the co-purchase graph: Pearson correlation
