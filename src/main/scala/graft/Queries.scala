@@ -2409,6 +2409,49 @@ object Queries {
              | CAST(sum(CASE WHEN t < hwm - 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
              |FROM a GROUP BY 1""".stripMargin)),
 
+    Q("q141_partition_stats",
+      (s, d) => {
+        // table-format partition statistics (the zone-map/manifest entries
+        // an Iceberg/Delta-style layout keeps per partition): per order
+        // month, row count, key min/max, distinct customers, value sum —
+        // what enables partition pruning and file skipping at 100 TB. One
+        // pass, partial-aggregable.
+        T(s, d, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).as("part"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"),
+            countDistinct(col("o_custkey")).as("n_cust"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .select(unix_timestamp(col("part")).as("part"), col("n_rows"),
+            col("min_key"), col("max_key"), col("n_cust"), col("sum_price"))
+      },
+      Some("""SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS part,
+             | count(*) AS n_rows, min(o_orderkey) AS min_key,
+             | max(o_orderkey) AS max_key, count(DISTINCT o_custkey) AS n_cust,
+             | round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    Q("q142_incremental_agg",
+      (s, d) => {
+        // incremental materialized-view maintenance: the running aggregate
+        // is kept as MERGEABLE partials (count + sum), a new batch's
+        // partials merge without touching old raw data — the oracle is the
+        // full recompute, so the equivalence is driver-checked. Split is
+        // deterministic (event_id median threshold by construction).
+        val ev = T(s, d, "events")
+        def partial(df: DataFrame): DataFrame =
+          df.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+        val old = partial(ev.filter(col("event_id") % 5 =!= 0))
+        val fresh = partial(ev.filter(col("event_id") % 5 === 0))
+        old.unionByName(fresh)
+          .groupBy(col("event_type"))
+          .agg(sum(col("n")).as("n"), round(sum(col("sv")), 4).as("sum_value"))
+      },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+             |FROM events GROUP BY 1""".stripMargin)),
+
     Q("q139_fixed_width_histogram",
       (s, d) => {
         // fixed-width histogram WITH empty bins: counts bucketized on a
