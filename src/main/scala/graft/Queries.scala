@@ -2409,6 +2409,35 @@ object Queries {
              | CAST(sum(CASE WHEN t < hwm - 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
              |FROM a GROUP BY 1""".stripMargin)),
 
+    Q("q143_ewma",
+      (s, d) => {
+        // exponentially weighted moving average per user — the recursive
+        // smoother stock SQL windows cannot express; realized as an ordered
+        // fold (aggregate HOF) over each key's collected series. Bounded
+        // per-key state (the collected list), one shuffle; both engines
+        // fold in the identical pinned order, so the floats agree bitwise.
+        T(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(struct(
+            unix_timestamp(col("ts")).as("t"), col("event_id").as("eid"),
+            col("value").as("v")))).as("srt"))
+          .select(col("user_id"), size(col("srt")).cast("long").as("n"),
+            round(expr(
+              """aggregate(slice(srt, 2, size(srt) - 1),
+                | cast(srt[0].v as double),
+                | (acc, x) -> 0.2d * x.v + 0.8d * acc)""".stripMargin), 6)
+              .as("ewma"))
+      },
+      // ordered by (epoch second, event_id) — the EXACT key the Spark side
+      // sorts on; ordering by full-µs ts could interleave same-second
+      // events differently
+      Some("""WITH v AS (SELECT user_id,
+             |   array_agg(value ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS vals
+             | FROM events GROUP BY 1)
+             |SELECT user_id, CAST(len(vals) AS BIGINT) AS n,
+             | round(list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ewma
+             |FROM v""".stripMargin)),
+
     Q("q141_partition_stats",
       (s, d) => {
         // table-format partition statistics (the zone-map/manifest entries
