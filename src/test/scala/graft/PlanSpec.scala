@@ -38,7 +38,8 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("candidate-pair joins stay equi-joins (no nested-loop fallback)") {
-    for (q <- Seq("q35_dedup_minhash_lsh", "q36_ngram_jaccard", "q102_levenshtein_pairs"))
+    for (q <- Seq("q35_dedup_minhash_lsh", "q36_ngram_jaccard",
+        "q102_levenshtein_pairs", "q112_negative_sampling", "q137_scd2_lookup"))
       assert(!plan(q).contains("BroadcastNestedLoopJoin"), q)
   }
 
