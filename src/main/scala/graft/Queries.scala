@@ -2409,6 +2409,48 @@ object Queries {
              | CAST(sum(CASE WHEN t < hwm - 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
              |FROM a GROUP BY 1""".stripMargin)),
 
+    Q("q144_explode_outer",
+      (s, d) => {
+        // null-preserving flatten: explode_outer keeps parent rows whose
+        // array is empty (a LEFT-JOIN-LATERAL-unnest in SQL) — the corner
+        // where plain explode silently drops rows. Filter keeps 's'-words
+        // of the type column, most rows match nothing.
+        T(s, d, "part")
+          .select(col("p_partkey"),
+            explode_outer(filter(split(lower(col("p_type")), " "),
+              x => x.startsWith("s"))).as("tok"))
+      },
+      Some("""SELECT p.p_partkey, t.tok FROM part p
+             |LEFT JOIN LATERAL (SELECT unnest(list_filter(
+             |  string_split(lower(p.p_type), ' '), x -> x LIKE 's%')) AS tok) t
+             |ON true""".stripMargin)),
+
+    Q("q145_try_cast",
+      (s, d) => {
+        // error-tolerant ingestion: TRY_CAST turns unparseable values into
+        // NULLs instead of failing the job under ANSI semantics — the
+        // dirty-data contract. A third of the synthesized values carry a
+        // trailing letter; valid/invalid accounting per nation.
+        val dirty = concat(
+          regexp_extract(col("c_name"), "(\\d+)$", 1),
+          when(col("c_custkey") % 3 === 0, "x").otherwise(""))
+        T(s, d, "customer")
+          .select(col("c_nationkey"), dirty.as("dirty"))
+          .select(col("c_nationkey"), expr("try_cast(dirty AS BIGINT)").as("v"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(col("v")).as("n_valid"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_invalid"),
+            sum(col("v")).as("sum_parsed"))
+      },
+      Some("""WITH dirty AS (SELECT c_nationkey,
+             |   regexp_extract(c_name, '(\d+)$', 1)
+             |   || CASE WHEN c_custkey % 3 = 0 THEN 'x' ELSE '' END AS dv
+             | FROM customer)
+             |SELECT c_nationkey, count(TRY_CAST(dv AS BIGINT)) AS n_valid,
+             | CAST(sum(CASE WHEN TRY_CAST(dv AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+             | CAST(sum(TRY_CAST(dv AS BIGINT)) AS BIGINT) AS sum_parsed
+             |FROM dirty GROUP BY 1""".stripMargin)),
+
     Q("q143_ewma",
       (s, d) => {
         // exponentially weighted moving average per user — the recursive
