@@ -66,7 +66,14 @@ object Bench {
     val gcs = results.filter(_._2._2 >= 0.1)
       .map { case (k, (_, g)) => "\"" + k + f"\":$g%.1f" }.mkString("{", ",", "}")
     System.err.println(f"""BENCHGC {"gc_total_sec":$gcTotal%.1f,"gc_by_query":$gcs}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver stores only a truncated log tail (rounds 1-2 both ended with
+    // "parsed": null and invisible timings for most queries), so persist the
+    // full JSON to a file as the durable record and print it to stdout too.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    println(json)
     spark.stop()
   }
 }

@@ -2228,19 +2228,22 @@ object Queries {
              |SELECT doc_id, lang FROM r, m WHERE r.rk <= m.m""".stripMargin)),
 
     Q("q114_sequence_packing",
+      // shardDocs=128 so the skew-bounding shard dimension is exercised at
+      // verify scale (500 docs → 4 shards), not just a degenerate single shard
       (s, d) => graft.ops.TrainingData.sequencePacking(
-        T(s, d, "documents"), budget = 8192, partCol = "lang"),
-      Some("""WITH t AS (SELECT lang, doc_id,
+        T(s, d, "documents"), budget = 8192, partCol = "lang", shardDocs = 128),
+      Some("""WITH t AS (SELECT lang,
+             |  CAST(floor(doc_id / 128) AS BIGINT) AS shard, doc_id,
              |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
              |    AS BIGINT) AS n_tokens
              | FROM documents),
-             |c AS (SELECT lang, doc_id, n_tokens,
-             |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |c AS (SELECT lang, shard, doc_id, n_tokens,
+             |  coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre FROM t)
-             |SELECT lang, CAST(floor(pre / 8192) AS BIGINT) AS bin,
+             |SELECT lang, shard, CAST(floor(pre / 8192) AS BIGINT) AS bin,
              | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
              | min(doc_id) AS first_doc, max(doc_id) AS last_doc
-             |FROM c GROUP BY 1, 2""".stripMargin)),
+             |FROM c GROUP BY 1, 2, 3""".stripMargin)),
 
     Q("q115_stream_static_enrich",
       (s, d) => graft.streaming.EventStreams.enrichBatch(
@@ -2950,11 +2953,15 @@ object Queries {
     Q("q122_table_checksum",
       (s, d) => {
         // order-independent table fingerprint: md5-derived row hash folded
-        // to 40 bits, summed per group — commutative, so partitions/engines
-        // can disagree on order and still agree on the checksum. This is the
-        // anti-entropy primitive for verifying a 100 TB copy: one scan, one
-        // tiny partial agg, no sort. (Float columns excluded: their string
-        // rendering is engine-specific; ints/strings are canonical.)
+        // to 40 bits, XOR-folded per group — commutative AND closed under
+        // 64-bit arithmetic (a SUM of 40-bit hashes overflows a signed long
+        // at ~2^24 rows/group, exactly the scale this operator targets, and
+        // Spark wraps while DuckDB promotes to HUGEINT). XOR never widens.
+        // The row repr includes the (l_orderkey, l_linenumber) primary key,
+        // so identical-row cancellation can't occur. This is the anti-entropy
+        // primitive for verifying a 100 TB copy: one scan, one tiny partial
+        // agg, no sort. (Float columns excluded: their string rendering is
+        // engine-specific; ints/strings are canonical.)
         def h60(c: Column): Column =
           conv(substring(md5(c), 1, 15), 16, 10).cast("long")
         val rowRepr = concat_ws("|", col("l_orderkey").cast("string"),
@@ -2963,12 +2970,12 @@ object Queries {
         T(s, d, "lineitem")
           .select(col("l_returnflag"), (h60(rowRepr) % 1099511627776L).as("h40"))
           .groupBy(col("l_returnflag"))
-          .agg(sum(col("h40")).as("checksum"), count(lit(1)).as("n_rows"))
+          .agg(expr("bit_xor(h40)").as("checksum"), count(lit(1)).as("n_rows"))
       },
       Some(s"""WITH h AS (SELECT l_returnflag,
               |  ${duckH60("CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || l_returnflag || '|' || l_linestatus")} % 1099511627776 AS h40
               | FROM lineitem)
-              |SELECT l_returnflag, CAST(sum(h40) AS BIGINT) AS checksum,
+              |SELECT l_returnflag, CAST(bit_xor(h40) AS BIGINT) AS checksum,
               | count(*) AS n_rows
               |FROM h GROUP BY 1""".stripMargin)),
 

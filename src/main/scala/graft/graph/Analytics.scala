@@ -395,9 +395,11 @@ object Analytics {
     * over the (a → sorted b) adjacency. Content-hash steps mean identical
     * walks across engines, retries and partitionings — and an exactly
     * SQL-replayable oracle. The adjacency is RELATIONAL (per-edge rank +
-    * degree via one window pass, no collected arrays), each step is one
-    * join on the current vertex with the index predicate — shuffle-on-key
-    * all the way, O(steps) rounds.
+    * degree via one window pass, no collected arrays). Each step is two
+    * key-selective equi-joins: walker→(node, deg) computes the target
+    * neighbor index as a column, then (cur, tgt)→(a, idx) picks exactly
+    * that adjacency row — per-walker step cost is O(1) rows regardless of
+    * hub degree, shuffle-on-key all the way, O(steps) rounds.
     *
     * @param edges directed (a, b); pass both directions for undirected.
     * @return (walker, step, node) — step 0 is the start vertex.
@@ -410,14 +412,23 @@ object Analytics {
       .withColumn("deg", count(lit(1)).over(byA).cast("long")))
     def h60(c: Column): Column =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-    var walk = adj.select(col("a").as("walker")).distinct()
+    // One row per vertex: joining walkers here first keeps the step cost
+    // O(1) rows per walker. Joining the full adjacency and filtering after
+    // would materialize deg(v) rows per walker per step — on a degree-10^6
+    // hub that is a million-row fan-out for a single walker.
+    val degs = FreshCheckpoint(
+      adj.select(col("a").as("node"), col("deg")).distinct())
+    var walk = degs.select(col("node").as("walker"))
       .withColumn("cur", col("walker"))
     var paths = walk.select(col("walker"), lit(0L).as("step"),
       col("cur").as("node"))
     for (s <- 1 to steps) {
-      walk = walk.join(adj, col("cur") === col("a"))
-        .filter(col("idx") ===
-          h60(concat(col("walker").cast("string"), lit(s":$s"))) % col("deg"))
+      val target = walk.join(degs, col("cur") === col("node"))
+        .select(col("walker"), col("cur"),
+          (h60(concat(col("walker").cast("string"), lit(s":$s"))) % col("deg"))
+            .as("tgt"))
+      walk = target.join(adj,
+          target("cur") === adj("a") && target("tgt") === adj("idx"))
         .select(col("walker"), col("b").as("cur"))
       // periodic, not per-step: the union branches re-derive short join
       // chains from the checkpointed adjacency more cheaply than a

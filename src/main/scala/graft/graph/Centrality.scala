@@ -12,13 +12,12 @@ import scala.collection.mutable
   * - eigenvector: distributed power iteration — one shuffle per round,
   *   L2-normalized, None-on-non-convergence contract like the reference
   *   (`utils/analyze.py:169-174`).
-  * - betweenness: exact Brandes, parallelized over SOURCE vertices: the
-  *   adjacency is broadcast once and each partition of sources runs
-  *   independent single-source passes, partial scores summed by key. This is
-  *   embarrassingly parallel and exact; it presumes the adjacency fits in
-  *   executor memory (true for dimension-sized graphs like the reference's
-  *   17k nodes; for larger graphs use the k-sample approximation via
-  *   `sampleSources`).
+  * - betweenness: adaptive Brandes. At dimension scale (≤ localThreshold,
+  *   like the reference's 17k nodes) the adjacency is broadcast once and
+  *   each partition of sources runs independent exact single-source passes,
+  *   partial scores summed by key. Above the threshold nothing touches the
+  *   driver: k-sampled Brandes runs as level-synchronous DataFrame joins
+  *   (forward BFS for sigma, backward accumulation for delta).
   */
 object Centrality {
 
@@ -333,17 +332,37 @@ object Centrality {
     }
   }
 
-  /** Exact betweenness centrality (Brandes 2001), parallel over sources.
+  /** Betweenness centrality (Brandes 2001), adaptive like the other
+    * centralities: at or below `localCutoff` vertices the adjacency is
+    * broadcast and exact single-source passes run embarrassingly parallel
+    * over sources ([[betweennessLocal]]); above it NOTHING is collected to
+    * the driver — k-sampled Brandes runs as level-synchronous multi-source
+    * BFS + backward dependency accumulation, all shuffle-on-(source, vertex)
+    * DataFrame joins ([[betweennessDistributed]]).
     *
     * @param normalized divide by (n-1)(n-2) like networkx's directed default.
     * @param sampleSources if set, run from a deterministic sample of k sources
-    *        (scale path; estimator scales by n/k).
+    *        (estimator scales by n/k). Above `localCutoff` this defaults to
+    *        64 sources — exact all-source Brandes is O(n·m) and not a thing
+    *        anyone runs on a 100 TB graph.
     */
   def betweenness(
       vertices: DataFrame,
       edges: DataFrame,
       normalized: Boolean = true,
-      sampleSources: Option[Int] = None): DataFrame = {
+      sampleSources: Option[Int] = None,
+      localCutoff: Long = localThreshold): DataFrame = {
+    val n = vertices.count()
+    if (n <= localCutoff) betweennessLocal(vertices, edges, normalized, sampleSources)
+    else betweennessDistributed(vertices, edges, normalized,
+      sampleSources.getOrElse(64), n)
+  }
+
+  private def betweennessLocal(
+      vertices: DataFrame,
+      edges: DataFrame,
+      normalized: Boolean,
+      sampleSources: Option[Int]): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
 
@@ -409,6 +428,89 @@ object Centrality {
       (bcIds.value(i), partials(i) * scale / denom)
     }
     spark.createDataFrame(rows).toDF("id", "betweenness")
+  }
+
+  /** Distributed k-sampled Brandes: never materializes the graph on the
+    * driver. Sources are the same deterministic every-(n/k)-th-sorted-id
+    * sample as the local path. Phase 1 is a level-synchronous BFS carrying
+    * (source, vertex, dist, sigma) — one equi-join on the edge key per
+    * level, frontier checkpointed per round so lineage and stats stay
+    * grounded. Phase 2 replays levels deepest-first, accumulating Brandes
+    * dependencies delta(v) = Σ_w sigma_v/sigma_w·(1+delta_w) over the same
+    * edge join. State is O(k·n) rows, partitioned by (source, vertex) —
+    * shuffle-on-key all the way; round count is O(diameter) each phase. */
+  private def betweennessDistributed(
+      vertices: DataFrame,
+      edges: DataFrame,
+      normalized: Boolean,
+      k: Int,
+      nV: Long): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val e = FreshCheckpoint(edges.select($"src", $"dst"))
+
+    // deterministic sample: indices 0, step, 2·step, … of the id-sorted
+    // vertex list (identical rule to the local path). The rank window sorts
+    // only the n-row id column, not the edges.
+    val byId = org.apache.spark.sql.expressions.Window.orderBy($"id")
+    val step = math.max(1L, nV / math.min(k.toLong, nV))
+    val srcs = vertices.select($"id")
+      .withColumn("rn", row_number().over(byId).cast("long") - 1)
+      .filter($"rn" % step === 0 && $"rn" < step * k)
+      .select($"id")
+    val kActual = srcs.count()
+    val scale = if (kActual < nV) nV.toDouble / kActual else 1.0
+
+    // forward BFS: visited(s, v, dist, sigma)
+    var visited = FreshCheckpoint(srcs.select($"id".as("s"), $"id".as("v"),
+      lit(0).as("dist"), lit(1.0).as("sigma")))
+    var frontier = visited
+    var d = 0
+    var growing = true
+    while (growing) {
+      val nxt = FreshCheckpoint(
+        frontier.join(e, frontier("v") === e("src"))
+          .select($"s", $"dst".as("v"), $"sigma")
+          .join(visited.select($"s", $"v"), Seq("s", "v"), "left_anti")
+          .groupBy($"s", $"v").agg(sum($"sigma").as("sigma"))
+          .withColumn("dist", lit(d + 1)))
+      if (nxt.isEmpty) growing = false
+      else {
+        visited = FreshCheckpoint(visited.unionByName(
+          nxt.select($"s", $"v", $"dist", $"sigma")))
+        frontier = nxt
+        d += 1
+      }
+    }
+
+    // backward accumulation, deepest level first
+    var delta = FreshCheckpoint(visited.filter($"dist" === d)
+      .select($"s", $"v", lit(0.0).as("delta")))
+    var allDelta = delta
+    for (lvl <- d - 1 to 0 by -1) {
+      val cur = visited.filter($"dist" === lvl)
+      val below = visited.filter($"dist" === lvl + 1)
+        .select($"s", $"v".as("w"), $"sigma".as("sigma_w"))
+        .join(delta.select($"s", $"v".as("w"), $"delta".as("delta_w")),
+          Seq("s", "w"))
+      val contrib = cur.join(e, cur("v") === e("src"))
+        .select($"s", $"v", $"sigma", $"dst".as("w"))
+        .join(below, Seq("s", "w"))
+        .groupBy($"s", $"v")
+        .agg(sum($"sigma" / $"sigma_w" * (lit(1.0) + $"delta_w")).as("c"))
+      delta = FreshCheckpoint(
+        cur.select($"s", $"v").join(contrib, Seq("s", "v"), "left")
+          .select($"s", $"v", coalesce($"c", lit(0.0)).as("delta")))
+      allDelta = allDelta.unionByName(delta)
+      if (lvl % 8 == 0) allDelta = FreshCheckpoint(allDelta)
+    }
+
+    val denom = if (normalized && nV > 2) (nV - 1).toDouble * (nV - 2) else 1.0
+    val scores = allDelta.filter($"v" =!= $"s")
+      .groupBy($"v".as("id")).agg(sum($"delta").as("bc"))
+    vertices.select($"id").join(scores, Seq("id"), "left")
+      .select($"id",
+        (coalesce($"bc", lit(0.0)) * scale / denom).as("betweenness"))
   }
 
   /** Top-N per metric (`utils/analyze.py:178-209`) — plans as

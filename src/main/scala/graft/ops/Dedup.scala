@@ -19,8 +19,16 @@ object Dedup {
     * At cluster scale inputs already have ≥ parallelism partitions and this
     * is the identity — no extra shuffle. */
   private[ops] def fanOut(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    // Estimate the scan's partition count from Catalyst size stats instead of
+    // df.rdd.getNumPartitions — the RDD probe forces physical planning AND an
+    // RDD conversion of the analyzed plan on every call.
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val estParts = bytes / (if (maxPart > 0) maxPart else 1L) + 1
+    if (estParts < p) df.repartition(p) else df
   }
 
   /** Exact dedup: hash-groupBy on content. Returns one row per distinct text:

@@ -61,7 +61,11 @@ object Multimodal {
     * side of frame-sampling (pure column expressions; one output row per
     * chunk via explode over a computed sequence). */
   def chunkInventory(media: DataFrame, chunkBytes: Int = 64): DataFrame =
-    media.select(col("media_id"), col("n_bytes"),
+    // n_bytes = 0 must yield ZERO chunks: without the guard,
+    // sequence(0, ceil(0/chunk)-1) = sequence(0, -1) defaults to step -1 and
+    // emits a phantom [0, -1] spine (chunk_idx 0 over an empty payload).
+    media.filter(col("n_bytes") > 0)
+      .select(col("media_id"), col("n_bytes"),
         explode(sequence(lit(0),
           (ceil(col("n_bytes").cast("double") / chunkBytes) - 1).cast("int")))
           .as("chunk_idx"))

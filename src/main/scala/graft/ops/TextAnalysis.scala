@@ -145,7 +145,14 @@ object TextAnalysis {
     * shuffle). Returns (doc_id, n_redacted, masked_len). */
   def redactTerms(docs: DataFrame, terms: Seq[String],
       marker: String = "[REDACTED]"): DataFrame = {
-    val pat = terms.mkString("\\b(", "|", ")\\b")
+    // Blocklist terms are arbitrary user-supplied strings: escape each one so
+    // regex metacharacters ("c++", "a.b") can't break or widen the pattern,
+    // and lowercase to match the lowercased text (mixed-case terms would
+    // otherwise silently never match). Backslash-escaping (not Pattern.quote's
+    // \Q..\E, which RE2 rejects) keeps the pattern portable to the oracle.
+    val pat = terms.map(_.toLowerCase.flatMap { ch =>
+      if ("\\^$.|?*+()[]{}".indexOf(ch) >= 0) "\\" + ch else ch.toString
+    }).mkString("\\b(", "|", ")\\b")
     docs.select(col("doc_id"),
       regexp_count(lower(col("text")), lit(pat)).cast("long").as("n_redacted"),
       length(regexp_replace(lower(col("text")), pat, marker)).cast("long")

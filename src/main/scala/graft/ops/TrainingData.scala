@@ -77,23 +77,32 @@ object TrainingData {
   }
 
   /** Sequential sequence packing: docs are laid out in the pinned
-    * (partition, doc_id) order and assigned to bins by prefix sum — bin k
-    * covers token offsets [k·budget, (k+1)·budget), and a doc belongs to the
-    * bin containing its START offset (so a straddling doc can push a bin
-    * past `budget` by less than one doc — offset-window packing, one window
-    * pass, no sequential scan dependency). Packing is per `partCol`
-    * partition, so the window sort distributes; at 100 TB the partition key
-    * gains a shard dimension, same operator. Returns one row per
-    * (partition, bin) with its doc span and token load. */
+    * (partition, shard, doc_id) order and assigned to bins by prefix sum —
+    * bin k covers token offsets [k·budget, (k+1)·budget), and a doc belongs
+    * to the bin containing its START offset (so a straddling doc can push a
+    * bin past `budget` by less than one doc — offset-window packing, one
+    * window pass, no sequential scan dependency).
+    *
+    * The running-sum window is partitioned by (`partCol`, shard) where
+    * shard = doc_id div `shardDocs` — NOT by `partCol` alone: a real corpus
+    * is 50–90 % one language, and a lang-only window would funnel nearly the
+    * whole corpus through a single task. Sharding bounds every window
+    * partition at `shardDocs` rows while keeping doc ranges contiguous, so
+    * bins stay dense and parallelism is bounded below by corpus÷shardDocs
+    * regardless of language skew. Returns one row per (partition, shard,
+    * bin) with its doc span and token load. */
   def sequencePacking(docs: DataFrame, budget: Int = 8192,
-      partCol: String = "lang"): DataFrame = {
+      partCol: String = "lang", shardDocs: Int = 65536): DataFrame = {
     val toks = TextAnalysis.tokenCount(col("text"))
-    val w = Window.partitionBy(col(partCol)).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col(partCol), col("shard"))
+      .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col(partCol), col("doc_id"), toks.as("n_tokens"))
+    docs.select(col(partCol),
+        floor(col("doc_id") / shardDocs).cast("long").as("shard"),
+        col("doc_id"), toks.as("n_tokens"))
       .withColumn("bin",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
-      .groupBy(col(partCol), col("bin"))
+      .groupBy(col(partCol), col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }

@@ -136,11 +136,13 @@ object EventStreams {
     * key. In streaming mode the static side is broadcast to every micro-batch
     * (no stream state at all — the scale-safe enrich shape); the same code
     * runs batch or streaming since the join is stateless. */
-  def enrichBatch(events: DataFrame, dim: DataFrame, key: String): DataFrame =
-    events.join(broadcast(dim), events("user_id") === dim(key))
+  def enrichBatch(events: DataFrame, dim: DataFrame, dimKey: String,
+      eventKey: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), events(eventKey) === dim(dimKey))
 
-  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
-    enrichBatch(events, dim, key)
+  def enrichStream(events: DataFrame, dim: DataFrame, dimKey: String,
+      eventKey: String = "user_id"): DataFrame =
+    enrichBatch(events, dim, dimKey, eventKey)
 
   /** Read the events parquet as a stream (for tests/demo: availableNow over
     * the static file). */

@@ -78,6 +78,21 @@ class AnalyticsSpec extends SparkTestBase {
     assert(full === exact, "k >= n degenerates to the exact algorithm")
   }
 
+  test("betweenness: distributed path (no driver adjacency) agrees with local") {
+    // localCutoff = 0 forces the >threshold path; the deterministic source
+    // sample rule is shared with the local path, so the two k-sampled
+    // estimators must agree to float round-off
+    val local = Centrality.betweenness(h3._1, h3._2, sampleSources = Some(20))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dist = Centrality.betweenness(h3._1, h3._2, sampleSources = Some(20),
+      localCutoff = 0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(dist.keySet === local.keySet)
+    local.foreach { case (id, v) =>
+      assert(math.abs(dist(id) - v) < 1e-9, s"distributed mismatch at $id")
+    }
+  }
+
   test("eigenvector: non-convergence contract (None) like the reference") {
     assert(Centrality.eigenvector(h3._1, h3._2, maxIter = 25).isEmpty)
   }

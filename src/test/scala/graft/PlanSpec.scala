@@ -43,6 +43,23 @@ class PlanSpec extends SparkTestBase {
       assert(!plan(q).contains("BroadcastNestedLoopJoin"), q)
   }
 
+  test("walk steps join key-selectively on (a, idx), never fan out by degree") {
+    // every walk-step join must be an equi-join whose keys include the
+    // neighbor INDEX — a join on the vertex alone materializes deg(v) rows
+    // per walker per step (10^6 rows for one walker on a hub) before any
+    // filter; no nested-loop fallback may appear anywhere in the plan
+    val p = plan("q116_random_walks")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // formatted explain prints each hash/merge join's equi keys as
+    // "Left keys [n]: [...]" / "Right keys [n]: [...]": whenever the
+    // adjacency's a# is a join key, idx# must be one too
+    val keyLines = p.linesIterator
+      .filter(l => l.contains("keys [") && l.contains("a#")).toSeq
+    assert(keyLines.nonEmpty, p)
+    keyLines.foreach(l => assert(l.contains("idx#"),
+      s"adjacency join not keyed on neighbor index: $l"))
+  }
+
   test("whole-stage codegen covers the scan-agg pipeline") {
     // AQE's pre-execution explain hides codegen stages; plan without it
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -73,16 +73,22 @@ class PropertySpec extends SparkTestBase {
             when(($"id" * 7 + i + seed) % 3 === 0, lit(s"w$i")).otherwise(lit(""))): _*)
             .as("text"))
         .withColumn("lang", concat(lit("l"), ($"doc_id" % 3).cast("string")))
-      val bins = TrainingData.sequencePacking(docs, budget, "lang")
+      // shardDocs = 64 so the skew-bounding shard dimension is exercised
+      // (up to 400 docs → multiple shards per lang)
+      val bins = TrainingData.sequencePacking(docs, budget, "lang", shardDocs = 64)
       assert(bins.agg(sum("n_docs")).head().getLong(0) === nDocs.toLong,
         s"seed=$seed: bins must cover every doc exactly once")
-      // bin ids are dense from 0 within each partition
-      bins.groupBy($"lang").agg(min("bin").as("mn"), max("bin").as("mx"),
+      // bin ids are dense from 0 within each (lang, shard) window partition
+      bins.groupBy($"lang", $"shard").agg(min("bin").as("mn"), max("bin").as("mx"),
           count(lit(1)).as("k"))
         .collect().foreach { r =>
-          assert(r.getLong(1) === 0L && r.getLong(2) === r.getLong(3) - 1,
-            s"seed=$seed lang=${r.getString(0)}: bins not dense")
+          assert(r.getLong(2) === 0L && r.getLong(3) === r.getLong(4) - 1,
+            s"seed=$seed lang=${r.getString(0)} shard=${r.getLong(1)}: bins not dense")
         }
+      // no window partition exceeds the shard bound, whatever the lang skew
+      val biggest = bins.groupBy($"lang", $"shard").agg(sum("n_docs").as("nd"))
+        .agg(max("nd")).head().getLong(0)
+      assert(biggest <= 64L, s"seed=$seed: a window partition exceeds shardDocs")
       val split = TrainingData.hashSplit(docs)
       assert(split.count() === nDocs.toLong)
       assert(split.groupBy("doc_id").count().filter($"count" > 1).count() === 0L,
