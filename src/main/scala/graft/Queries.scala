@@ -2454,6 +2454,45 @@ object Queries {
              | CAST(sum(TRY_CAST(dv AS BIGINT)) AS BIGINT) AS sum_parsed
              |FROM dirty GROUP BY 1""".stripMargin)),
 
+    Q("q146_component_listings",
+      (s, d) => {
+        // the reference's component_info membership artifact
+        // (utils/analyze.py:297-323) over the nation-region graph: per
+        // (category, component) one id-sorted member-line block, built
+        // entirely in a per-component distributed aggregation
+        val edges = T(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("src"),
+            (col("n_regionkey").cast("long") + 1000L).as("dst"))
+        val vertices = edges.select(col("src").as("id"))
+          .unionByName(edges.select(col("dst").as("id"))).distinct()
+        val cc = graft.graph.Analytics.connectedComponents(vertices, edges)
+        val ents = T(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("id"),
+            col("n_name").as("name"), lit("nation").as("type"))
+          .unionByName(T(s, d, "region")
+            .select((col("r_regionkey").cast("long") + 1000L).as("id"),
+              col("r_name").as("name"), lit("region").as("type")))
+        graft.graph.Analytics.componentListings(cc, ents)
+          .select(col("category"), col("component"), col("size"), col("listing"))
+      },
+      Some("""WITH RECURSIVE und AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) AS a, CAST(n_regionkey AS BIGINT) + 1000 AS b FROM nation
+             |  UNION SELECT CAST(n_regionkey AS BIGINT) + 1000, CAST(n_nationkey AS BIGINT) FROM nation),
+             |nodes AS (SELECT DISTINCT a AS id FROM und),
+             |r(s, id) AS (SELECT id, id FROM nodes
+             |  UNION SELECT r.s, u.b FROM r JOIN und u ON u.a = r.id),
+             |cc AS (SELECT s AS id, min(id) AS component FROM r GROUP BY s),
+             |ents AS (SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name, 'nation' AS type FROM nation
+             |  UNION ALL SELECT CAST(r_regionkey AS BIGINT) + 1000, r_name, 'region' FROM region),
+             |sz AS (SELECT component, count(*) AS size FROM cc GROUP BY 1),
+             |cats(category, lo, hi) AS (VALUES ('isolated',1,1),('extra_small',2,4),('small',5,9),
+             |  ('medium',10,25),('large',25,100),('extra_large',101,10000)),
+             |catted AS (SELECT component, category, size FROM sz JOIN cats ON size >= lo AND size <= hi)
+             |SELECT c.category, c.component, CAST(c.size AS BIGINT) AS size,
+             |  string_agg('  ' || e.name || ' (' || m.id || ') (' || e.type || ')', chr(10) ORDER BY m.id) AS listing
+             |FROM cc m JOIN catted c ON m.component = c.component JOIN ents e ON e.id = m.id
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
     Q("q143_ewma",
       (s, d) => {
         // exponentially weighted moving average per user — the recursive

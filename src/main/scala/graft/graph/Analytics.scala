@@ -20,51 +20,80 @@ object Analytics {
   /** Connected components of the UNDIRECTED view (`utils/analyze.py:28-39`,
     * `nx.connected_components(G.to_undirected())`).
     *
-    * Min-label propagation to fixpoint: component id = min entity id (string
-    * order) reachable. Converges in O(diameter) rounds; each round is one
-    * shuffle. For 100 TB-scale graphs the round count is bounded by graph
-    * diameter — for short-diameter social-style graphs this is the standard
-    * production pattern (large-star/small-star is the upgrade path).
+    * Scale path is large-star/small-star alternation (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"): each round rewires
+    * every node's strictly-larger neighbors to its neighborhood minimum
+    * (large-star), then collapses the small side into stars (small-star).
+    * Converges in O(log n) rounds INDEPENDENT OF DIAMETER — a path graph
+    * that would cost min-label propagation O(n) shuffle rounds finishes in
+    * ~log n. Component id = min entity id (natural column order) reachable.
     *
     * @return (id, component) — component = min id in the component.
     */
   /** Below this vertex count, components are solved on collected driver
-    * arrays (union-find, exact, no per-round scheduling): min-label
-    * propagation costs O(diameter) shuffle rounds, which for dimension-sized
-    * graphs is pure overhead. The distributed loop remains the scale path. */
+    * arrays (union-find, exact, no per-round scheduling): any iterative
+    * distributed scheme costs per-round stage scheduling, which for
+    * dimension-sized graphs is pure overhead. LS/SS remains the scale path. */
   val localThreshold: Long = 65536
 
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       localCutoff: Long = localThreshold): DataFrame = {
-    val spark = vertices.sparkSession
-    import spark.implicits._
-
     val n = vertices.count()
     if (n <= localCutoff && n > 0) return ccLocal(vertices, edges)
+    ccLargeSmallStar(vertices, edges)._1
+  }
 
-    val und = FreshCheckpoint(edges.select($"src".as("a"), $"dst".as("b"))
-      .unionByName(edges.select($"dst".as("a"), $"src".as("b")))
-      .distinct())
-
-    var labels = FreshCheckpoint(vertices.select($"id", $"id".as("component")))
-    var changed = 1L
-    while (changed > 0) {
-      // candidate label for a node = min(own, min over neighbors' labels)
-      val nbrMin = und
-        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("component", "nbrComp"),
-          Seq("b"))
-        .groupBy($"a".as("id")).agg(min($"nbrComp").as("nbrComp"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select($"id",
-          least(coalesce($"nbrComp", $"component"), $"component").as("newComp"),
-          $"component")
-      val updated = FreshCheckpoint(next
-        .select($"id", $"newComp".as("component"),
-          ($"newComp" =!= $"component").cast("long").as("chg")))
-      changed = updated.agg(sum($"chg")).as[Long].head()
-      labels = FreshCheckpoint(updated.select($"id", $"component"))
+  /** Distributed large-star/small-star to fixpoint. Every step is an
+    * equi-join/groupBy on the node key — shuffle-on-key, no driver state;
+    * the per-round edge set is checkpointed so lineage and Catalyst stats
+    * stay grounded. Fixpoint detection is one tiny aggregate per round
+    * (row count + order-independent hash XOR of the edge multiset), not a
+    * full except/subtract. Returns (labels, rounds) — the round count is
+    * exposed so tests can assert the O(log n) bound on high-diameter
+    * graphs. */
+  private[graft] def ccLargeSmallStar(vertices: DataFrame,
+      edges: DataFrame): (DataFrame, Int) = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    var e = FreshCheckpoint(edges.select($"src".as("u"), $"dst".as("v"))
+      .filter($"u" =!= $"v").distinct())
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(hash(u, v))").cast("long"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
     }
-    labels
+    var prev = (-1L, 0L)
+    var cur = checksum(e)
+    var rounds = 0
+    while (cur != prev) {
+      // large-star: each node points its strictly-larger neighbors at the
+      // minimum of its closed neighborhood
+      val sym = e.select($"u", $"v")
+        .unionByName(e.select($"v".as("u"), $"u".as("v")))
+      val mins = sym.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"mn", $"u").as("m"))
+      val large = sym.join(mins, Seq("u")).filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v")).distinct()
+      // small-star: orient large→small, collapse each node and its smaller
+      // neighbors onto their common minimum
+      val o = large.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+        .filter($"u" =!= $"v").distinct()
+      val mins2 = o.groupBy($"u").agg(min($"v").as("m"))
+      val small = o.join(mins2, Seq("u"))
+        .select($"v".as("n"), $"m")
+        .unionByName(mins2.select($"u".as("n"), $"m"))
+        .filter($"n" =!= $"m")
+        .select($"n".as("u"), $"m".as("v")).distinct()
+      e = FreshCheckpoint(small)
+      prev = cur
+      cur = checksum(e)
+      rounds += 1
+    }
+    // fixpoint edge set is a star forest: (member, component-min)
+    val labels = vertices.select($"id")
+      .join(e.select($"u".as("id"), $"v".as("component")), Seq("id"), "left")
+      .select($"id", coalesce($"component", $"id").as("component"))
+    (labels, rounds)
   }
 
   /** Driver-local union-find (n ≤ [[localThreshold]]). Component label =
@@ -125,6 +154,61 @@ object Analytics {
     sizes.withColumn("bucket", bucketExpr(col("size")))
       .groupBy(col("bucket"))
       .agg(sum(col("size")).as("nodes"), count(lit(1)).as("components"))
+  }
+
+  /** Reference size taxonomy for the component_info listing artifact
+    * (`utils/analyze.py:15-22`). Bounds are INCLUSIVE on both ends and
+    * medium/large overlap at exactly 25 — the reference's range loops
+    * assign a size-25 component to BOTH files; reproduced faithfully. */
+  val sizeCategories: Seq[(String, Int, Int)] = Seq(
+    ("isolated", 1, 1), ("extra_small", 2, 4), ("small", 5, 9),
+    ("medium", 10, 25), ("large", 25, 100), ("extra_large", 101, 10000))
+
+  /** Per-component membership listing blocks (`utils/analyze.py:297-323`,
+    * `data/analysis_results/component_info/<cat>_components.txt`): one row per
+    * (category, component) with the component's members rendered as the
+    * reference's "  name (id) (type)" lines, id-sorted within the block.
+    * All heavy work is distributed — member lines build in a per-component
+    * aggregation (shuffle on the component key; entities is a broadcast
+    * dimension); only final file assembly ([[renderComponentListings]])
+    * touches the driver, as artifact emission must. */
+  def componentListings(components: DataFrame, entities: DataFrame): DataFrame = {
+    val spark = components.sparkSession
+    import spark.implicits._
+    val cats = sizeCategories.toDF("category", "lo", "hi")
+    val catted = components.groupBy($"component").agg(count(lit(1)).as("size"))
+      .join(broadcast(cats), $"size" >= $"lo" && $"size" <= $"hi")
+      .select($"component", $"category", $"size")
+    val lines = components
+      .join(broadcast(entities.select($"id", $"name", $"type")), Seq("id"))
+      .select($"component", $"id",
+        concat(lit("  "), $"name", lit(" ("), $"id", lit(") ("), $"type",
+          lit(")")).as("line"))
+    lines.join(catted, Seq("component"))
+      .groupBy($"category", $"component", $"size")
+      .agg(array_join(transform(array_sort(collect_list(struct($"id", $"line"))),
+        x => x.getField("line")), "\n").as("listing"))
+  }
+
+  /** Assemble [[componentListings]] rows into the reference's per-category
+    * text files (`utils/analyze.py:310-323`): header, "Component i:" blocks
+    * separated by "  ----". The reference numbers components in networkx
+    * set-iteration order, which no other engine can reproduce — blocks here
+    * are ordered by component label (min member id), so files match the
+    * reference's modulo block order. */
+  def renderComponentListings(listings: DataFrame): Map[String, String] = {
+    listings.select(col("category"), col("component"), col("listing"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (cat, rows) =>
+        val blocks = rows.map(r => (r.getString(1), r.getString(2)))
+          .sortBy(_._1).map(_._2)
+        val body = blocks.zipWithIndex.map { case (b, i) =>
+          s"\nComponent ${i + 1}:\n$b\n" +
+            (if (i < blocks.length - 1) "  ----\n" else "")
+        }.mkString
+        cat -> (s"${cat.capitalize} Components:\n" + body)
+      }
   }
 
   /** Degree table: (id, inDeg, outDeg, deg) via two aggregations + outer join

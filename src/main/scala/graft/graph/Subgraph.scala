@@ -103,6 +103,43 @@ object Subgraph {
     Result(nodes, kept)
   }
 
+  /** Hop-growth curve (`offline_mode.md:60-103`): the [[extract]] node count
+    * for every hop depth from 0 to the BFS fixpoint, plus one repeated entry
+    * proving the fixpoint, from ONE bfs run instead of one extract per depth.
+    *
+    * Valid for empty exclusion lists only: with no excluded nodes every
+    * visited node is expanded, so its own incident edges are emitted and the
+    * node enters the result either as an emitted-edge endpoint (degree ≥ 1)
+    * or via the isolated-expanded rule (degree 0) — the hop-h result node
+    * set is exactly the hop-h visited set, and the curve is the cumulative
+    * count over BFS levels. Each level is one equi-join round, checkpointed
+    * like [[extract]] — the same ≥25-round lineage discipline, exercised to
+    * real depth.
+    */
+  def growthCurve(spark: SparkSession, edges: DataFrame,
+      seeds: Seq[String]): Seq[Long] = {
+    import spark.implicits._
+    val adj = edges.select($"src".as("id"), $"dst".as("nbr"))
+      .unionByName(edges.select($"dst".as("id"), $"src".as("nbr")))
+    var visited = FreshCheckpoint(seeds.distinct.toDF("id"))
+    var frontier = visited
+    val counts = scala.collection.mutable.ArrayBuffer[Long](visited.count())
+    var done = false
+    while (!done) {
+      val next = FreshCheckpoint(frontier.join(adj, Seq("id"))
+        .select($"nbr".as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti"))
+      if (next.isEmpty) done = true
+      else {
+        visited = FreshCheckpoint(visited.unionByName(next))
+        frontier = next
+        counts += visited.count()
+      }
+    }
+    counts += counts.last // one more hop adds nothing: the fixpoint
+    counts.toSeq
+  }
+
   /** Annotation layer (`grapher.py:118-137` + `flask_app.py:211-226`): flag
     * centrality/exclusion and enrich with entity attributes via a broadcast
     * join against the (dimension-sized) entities table.
