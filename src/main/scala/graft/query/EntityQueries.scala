@@ -37,30 +37,38 @@ object EntityQueries {
       .orderBy(Iast.iastKey(col("label")))
   }
 
-  /** Point lookups `ids → {id, label}` (`flask_app.py:121-146`).
-    * Error contract parity: empty/invalid-chars input and all-invalid ids are
-    * client errors; a MIX of valid+unknown ids is a server error in the
-    * reference (unhandled KeyError → 500) — we surface the same distinction.
+  /** Point lookups `ids → {id, label}` (`flask_app.py:109-146`). The label
+    * here is the BARE entity name (`flask_app.py:142`), not the dropdown
+    * label — the endpoint resolves display names for already-known ids.
+    *
+    * Error contract parity, including the reference's Python-split quirks:
+    * empty/invalid-chars input and all-invalid ids are client errors with the
+    * reference's exact messages; a MIX of valid+unknown ids is a server error
+    * (unhandled KeyError → 500). `"1,,2".split(',')` keeps the empty segment
+    * in Python, so an empty segment beside valid ids is ALSO a KeyError → 500
+    * — reproduced by keeping empty segments in the requested set.
     */
   sealed trait LabelsResult
   case class LabelsOk(df: DataFrame) extends LabelsResult
   case class LabelsBadRequest(msg: String) extends LabelsResult     // → 400
   case class LabelsServerError(msg: String) extends LabelsResult    // → 500
 
+  val errEmpty = "List input must be non-empty."
+  val errChars = "List input should not contain any characters besides numbers " +
+    "and comma (no whitespace, quotation marks, etc.)"
+  val errNoValid = "No valid entity IDs provided"
+
   def labels(entities: DataFrame, idsParam: String): LabelsResult = {
     val stripped = Option(idsParam).map(_.trim).getOrElse("")
     if (stripped.isEmpty)
-      return LabelsBadRequest("ids must be a non-empty comma-separated list")
+      return LabelsBadRequest(errEmpty)
     if (!stripped.matches("[\\d,]*"))
-      return LabelsBadRequest("ids must contain only digits and commas")
-    val ids = stripped.split(",").filter(_.nonEmpty).toSeq
-    if (ids.isEmpty)
-      return LabelsBadRequest("ids must be a non-empty comma-separated list")
-    val requested = ids.distinct
+      return LabelsBadRequest(errChars)
+    val requested = stripped.split(",", -1).toSeq.distinct
     val found = entities.filter(col("id").isin(requested: _*))
-      .select(col("id"), labelCol.as("label"))
+      .select(col("id"), col("name").as("label"))
     val nFound = found.count()
-    if (nFound == 0) LabelsBadRequest("no valid ids")
+    if (nFound == 0) LabelsBadRequest(errNoValid)
     else if (nFound < requested.size)
       LabelsServerError(s"unknown ids among: ${requested.mkString(",")}")
     else LabelsOk(found)

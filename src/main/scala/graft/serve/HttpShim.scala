@@ -1,0 +1,175 @@
+package graft.serve
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.graph.Subgraph
+import graft.query.EntityQueries
+
+/** Thin HTTP facade over the engine's serving-layer queries: the three core
+  * reference endpoints (`flask_app.py:95-252`) with their documented response
+  * shapes and error contracts, backed by the cached entity/edge DataFrames.
+  *
+  * - `GET  /api/entities/{authors|works|all}` — IAST-collated dropdown
+  *   options, precomputed at startup like the reference (`flask_app.py:60-73`)
+  * - `GET  /api/entities/labels?ids=…`        — name lookups, 400/500
+  *   contract incl. the Python-split quirks (`flask_app.py:109-146`)
+  * - `POST /api/graph/subgraph`               — n-hop subgraph, annotated
+  *   (`flask_app.py:183-252`)
+  *
+  * The JDK's built-in `HttpServer` keeps the shim dependency-free; per-request
+  * work runs the same library operators the offline paths use. This is an API
+  * facade, not a data-plane component: responses are dimension-sized by
+  * construction (the reference's whole graph is ~17k nodes).
+  */
+class HttpShim(
+    spark: SparkSession,
+    entities: DataFrame,
+    edges: DataFrame,
+    etextNested: Map[String, Map[String, Either[Seq[String], Map[String, Seq[String]]]]] = Map.empty,
+    defaultHops: Int = 2) {
+
+  import JsonOut.jstr
+
+  /** Startup precompute, mirroring the reference's module-level
+    * `entity_dropdown_options` (`flask_app.py:60-73`): one engine-side
+    * IAST-collated sort per entity class, rendered once. */
+  private val dropdowns: Map[String, String] =
+    Seq("works", "authors", "all").map { t =>
+      val rows = EntityQueries.dropdownOptions(entities, t)
+        .select("id", "label").collect()
+      t -> rows.map(r =>
+          s"""{"id": ${jstr(r.getString(0))}, "label": ${jstr(r.getString(1))}}""")
+        .mkString("[", ", ", "]")
+    }.toMap
+
+  /** Known-id set for the subgraph KeyError contract (`flask_app.py:247-249`):
+    * expanding an unknown center raises KeyError in the reference → 400. */
+  private val knownIds: Set[String] =
+    entities.select("id").collect().map(_.getString(0)).toSet
+
+  private var server: HttpServer = _
+
+  /** Bind and start; pass port 0 for an ephemeral port. Returns the bound
+    * port. */
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/api/entities/", (ex: HttpExchange) => safely(ex) {
+      val path = ex.getRequestURI.getPath.stripPrefix("/api/entities/")
+      if (path == "labels") handleLabels(ex) else handleDropdown(ex, path)
+    })
+    server.createContext("/api/graph/subgraph",
+      (ex: HttpExchange) => safely(ex)(handleSubgraph(ex)))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // --- endpoint handlers ---
+
+  private def handleDropdown(ex: HttpExchange, entityType: String): Unit =
+    dropdowns.get(entityType) match {
+      case Some(json) => respond(ex, 200, json)
+      case None => respond(ex, 400, errJson(
+        "Invalid entity type. Choose from 'authors', 'works', or 'all'."))
+    }
+
+  private def handleLabels(ex: HttpExchange): Unit = {
+    val idsParam = queryParam(ex, "ids").orNull
+    EntityQueries.labels(entities, idsParam) match {
+      case EntityQueries.LabelsBadRequest(msg) => respond(ex, 400, errJson(msg))
+      case EntityQueries.LabelsServerError(_) =>
+        // flask-restx's unhandled-KeyError envelope
+        respond(ex, 500, """{"message": "Internal Server Error"}""")
+      case EntityQueries.LabelsOk(df) =>
+        val byId = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        // the reference renders over the REQUEST list — order and duplicates
+        // preserved (`flask_app.py:139-143`)
+        val ids = idsParam.trim.split(",", -1).toSeq
+        val body = ids.map(id =>
+            s"""{"id": ${jstr(id)}, "label": ${jstr(byId(id))}}""")
+          .mkString("[", ", ", "]")
+        respond(ex, 200, body)
+    }
+  }
+
+  private def handleSubgraph(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST")
+      return respond(ex, 405, errJson("method not allowed"))
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val json = try JsonMethods.parse(if (body.trim.isEmpty) "{}" else body)
+      catch { case _: Throwable =>
+        return respond(ex, 400, errJson("request body must be JSON")) }
+
+    def strList(field: String): Option[Seq[String]] = json \ field match {
+      case JNothing | JNull => Some(Nil)
+      case JArray(xs) if xs.forall(_.isInstanceOf[JString]) =>
+        Some(xs.collect { case JString(s) => s })
+      case _ => None
+    }
+    val (authors, works, excludeOpt) =
+      (strList("authors"), strList("works"), strList("exclude_list")) match {
+        case (Some(a), Some(w), e) => (a.distinct, w.distinct, e)
+        case _ => return respond(ex, 400, errJson("authors/works must be lists of ids"))
+      }
+    // validate_subgraph_inputs (`flask_app.py:163-170`), same messages
+    if (authors.isEmpty && works.isEmpty)
+      return respond(ex, 400, errJson("require either one or both of authors or works"))
+    val hops = json \ "hops" match {
+      case JNothing => defaultHops
+      case JInt(h) if h >= 0 && h <= Int.MaxValue => h.toInt
+      case _ => return respond(ex, 400, errJson("hops must be a non-negative integer"))
+    }
+    val exclude = excludeOpt match {
+      case Some(e) => e.distinct
+      case None => return respond(ex, 400, errJson("exclude_list must be a list"))
+    }
+    // the reference KeyErrors when it expands an unknown center (excluded
+    // centers are never expanded) → except KeyError → 400 with str(e),
+    // which Python renders with the id quoted (`flask_app.py:247-249`)
+    (authors ++ works).filterNot(exclude.contains)
+      .find(!knownIds.contains(_))
+      .foreach(id => return respond(ex, 400, errJson(s"Invalid ID: '$id'")))
+
+    val seeds = (authors ++ works).distinct
+    val result = Subgraph.extract(spark, edges, seeds, hops, exclude)
+    val annotated = Subgraph.annotate(result.nodes, entities, seeds, exclude)
+      .orderBy(col("id"))
+    val labeled = Subgraph.labelEdges(result.edges, entities)
+      .orderBy(col("source"), col("target"))
+    respond(ex, 200, JsonOut.subgraphResponse(
+      annotated, labeled, authors, works, hops, exclude, etextNested))
+  }
+
+  // --- plumbing ---
+
+  private def errJson(msg: String): String = s"""{"error": ${jstr(msg)}}"""
+
+  private def safely(ex: HttpExchange)(f: => Unit): Unit =
+    try f catch {
+      case t: Throwable =>
+        try respond(ex, 500, errJson(Option(t.getMessage).getOrElse("internal error")))
+        catch { case _: Throwable => () }
+    } finally ex.close()
+
+  private def queryParam(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getRawQuery).flatMap(_.split("&").collectFirst {
+      case kv if kv.takeWhile(_ != '=') == name =>
+        java.net.URLDecoder.decode(kv.dropWhile(_ != '=').drop(1), "UTF-8")
+    })
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.getResponseBody.close()
+  }
+}

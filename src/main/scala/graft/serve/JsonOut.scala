@@ -20,7 +20,7 @@ object JsonOut {
       case c => c.toString
     }
 
-  private def jstr(s: String): String = "\"" + esc(s) + "\""
+  private[serve] def jstr(s: String): String = "\"" + esc(s) + "\""
 
   /** Entities JSON sink (`utils/transform.py:167-171`): `{id: entity_dict}`
     * with null fields dropped (the reference's `to_dict` contract,

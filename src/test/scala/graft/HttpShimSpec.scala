@@ -1,0 +1,129 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.Subgraph
+import graft.query.EntityQueries
+import graft.serve.{HttpShim, JsonOut}
+
+/** End-to-end drive of the HTTP facade (SURVEY §2.9 / `flask_app.py:95-252`):
+  * a real server on an ephemeral port, hit over real HTTP, responses compared
+  * byte-for-byte against the library's own serving-layer composition and the
+  * reference's documented error contracts. */
+class HttpShimSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
+
+  lazy val entities = Fixtures.built.entities
+  lazy val edges = Fixtures.built.edges
+
+  lazy val shim = new HttpShim(spark, entities, edges)
+  lazy val port: Int = shim.start(0)
+  lazy val client: HttpClient = HttpClient.newHttpClient()
+
+  override def afterAll(): Unit = {
+    shim.stop()
+    super.afterAll()
+  }
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("GET /api/entities/{type}: collated dropdowns + invalid-type 400") {
+    val res = get("/api/entities/works")
+    assert(res.statusCode() === 200)
+    assert(res.headers().firstValue("Content-Type").get === "application/json")
+    // byte-equivalent to the engine-side collated query, rendered the same way
+    val expected = EntityQueries.dropdownOptions(entities, "works")
+      .select("id", "label").collect()
+      .map(r => s"""{"id": "${r.getString(0)}", "label": ${render(r.getString(1))}}""")
+      .mkString("[", ", ", "]")
+    assert(res.body() === expected)
+
+    val bad = get("/api/entities/bogus")
+    assert(bad.statusCode() === 400)
+    assert(bad.body() ===
+      """{"error": "Invalid entity type. Choose from 'authors', 'works', or 'all'."}""")
+  }
+
+  test("GET /api/entities/labels: ok path preserves request order + duplicates") {
+    val Array(a, b) = entities.orderBy("id").limit(2).collect().map(_.getString(0))
+    val names = entities.filter(col("id").isin(a, b))
+      .select("id", "name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val res = get(s"/api/entities/labels?ids=$b,$a,$b")
+    assert(res.statusCode() === 200)
+    val expected = Seq(b, a, b)
+      .map(id => s"""{"id": "$id", "label": ${render(names(id))}}""")
+      .mkString("[", ", ", "]")
+    assert(res.body() === expected)
+  }
+
+  test("GET /api/entities/labels: reference error contract over HTTP") {
+    val someId = entities.select("id").head().getString(0)
+    assert(get("/api/entities/labels").statusCode() === 400)
+    assert(get("/api/entities/labels?ids=").body() ===
+      s"""{"error": "${EntityQueries.errEmpty}"}""")
+    assert(get("/api/entities/labels?ids=12a,34").statusCode() === 400)
+    assert(get("/api/entities/labels?ids=1,2").body() ===
+      s"""{"error": "${EntityQueries.errNoValid}"}""")
+    // mixed valid+unknown → the reference's unhandled KeyError → 500
+    val mixed = get(s"/api/entities/labels?ids=$someId,999999999")
+    assert(mixed.statusCode() === 500)
+    assert(mixed.body() === """{"message": "Internal Server Error"}""")
+    // Python split keeps empty segments: a stray comma beside a valid id is
+    // ALSO a KeyError → 500 (while ids="," alone is all-invalid → 400)
+    assert(get(s"/api/entities/labels?ids=$someId,").statusCode() === 500)
+    assert(get("/api/entities/labels?ids=,").statusCode() === 400)
+  }
+
+  test("POST /api/graph/subgraph: golden query is byte-equivalent to the library composition") {
+    val res = post("/api/graph/subgraph", """{"works": ["89000"], "hops": 2}""")
+    assert(res.statusCode() === 200)
+    val result = Subgraph.extract(spark, edges, Seq("89000"), 2, Nil)
+    val expected = JsonOut.subgraphResponse(
+      Subgraph.annotate(result.nodes, entities, Seq("89000"), Nil).orderBy(col("id")),
+      Subgraph.labelEdges(result.edges, entities).orderBy(col("source"), col("target")),
+      authors = Nil, works = Seq("89000"), hops = 2, exclude = Nil)
+    assert(res.body() === expected)
+    // spot-check response envelope fields the UI consumes
+    assert(res.body().contains(""""parameters": {"authors": [], "works": ["89000"], "hops": 2, "exclude_list": []}"""))
+    assert(res.body().contains(""""is_central": true"""))
+  }
+
+  test("POST /api/graph/subgraph: validation + KeyError contract") {
+    assert(post("/api/graph/subgraph", """{}""").body() ===
+      """{"error": "require either one or both of authors or works"}""")
+    assert(post("/api/graph/subgraph", """{"works": ["89000"], "hops": -1}""").body() ===
+      """{"error": "hops must be a non-negative integer"}""")
+    assert(post("/api/graph/subgraph", """{"works": ["89000"], "hops": "two"}""").statusCode() === 400)
+    // unknown center id → the reference's KeyError → 400 with str(e)
+    val unknown = post("/api/graph/subgraph", """{"works": ["99999999"], "hops": 1}""")
+    assert(unknown.statusCode() === 400)
+    assert(unknown.body() === """{"error": "Invalid ID: '99999999'"}""")
+    // an unknown id that is EXCLUDED is never expanded → no KeyError (200)
+    val excluded = post("/api/graph/subgraph",
+      """{"works": ["89000", "99999999"], "hops": 1, "exclude_list": ["99999999"]}""")
+    assert(excluded.statusCode() === 200)
+  }
+
+  /** JSON-escape non-ASCII-safe characters the same way JsonOut does (the
+    * entity names carry IAST diacritics, which pass through raw). */
+  private def render(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

@@ -40,11 +40,17 @@ class QuerySpec extends SparkTestBase {
     }
     labels(entities, someId) match {
       case LabelsOk(df) =>
-        val r = df.head()
+        val r = df.select("id", "label").head()
         assert(r.getString(0) === someId)
-        assert(r.getString(1).contains(s"($someId)"))
+        // the reference's label here is the BARE name (flask_app.py:142),
+        // not the dropdown label
+        val name = entities.filter(col("id") === someId)
+          .select("name").head().getString(0)
+        assert(r.getString(1) === name)
       case other => fail(s"expected ok, got $other")
     }
+    // Python-split quirk: an empty segment beside a valid id → KeyError → 500
+    assert(labels(entities, s"$someId,").isInstanceOf[LabelsServerError])
   }
 
   test("SETI by_collection: strict vs include-other-collections") {
