@@ -33,7 +33,8 @@ class HttpShim(
     entities: DataFrame,
     edges: DataFrame,
     etextNested: Map[String, Map[String, Either[Seq[String], Map[String, Seq[String]]]]] = Map.empty,
-    defaultHops: Int = 2) {
+    defaultHops: Int = 2,
+    dataDir: Option[String] = None) {
 
   import JsonOut.jstr
 
@@ -66,6 +67,8 @@ class HttpShim(
     })
     server.createContext("/api/graph/subgraph",
       (ex: HttpExchange) => safely(ex)(handleSubgraph(ex)))
+    server.createContext("/data/",
+      (ex: HttpExchange) => safely(ex)(handleData(ex)))
     server.start()
     server.getAddress.getPort
   }
@@ -146,6 +149,33 @@ class HttpShim(
       .orderBy(col("source"), col("target"))
     respond(ex, 200, JsonOut.subgraphResponse(
       annotated, labeled, authors, works, hops, exclude, etextNested))
+  }
+
+  /** Static data passthrough (`flask_app.py:585-587`, flask
+    * `send_from_directory`): serve files under `dataDir` verbatim, with the
+    * same traversal protection (a resolved path escaping the directory is a
+    * 404, never served). */
+  private def handleData(ex: HttpExchange): Unit = {
+    val root = dataDir match {
+      case Some(d) => java.nio.file.Paths.get(d).toAbsolutePath.normalize()
+      case None => return respond(ex, 404, errJson("no data directory configured"))
+    }
+    val rel = java.net.URLDecoder.decode(
+      ex.getRequestURI.getPath.stripPrefix("/data/"), "UTF-8")
+    val target = root.resolve(rel).normalize()
+    if (!target.startsWith(root) || !java.nio.file.Files.isRegularFile(target))
+      return respond(ex, 404, errJson("not found"))
+    val bytes = java.nio.file.Files.readAllBytes(target)
+    val ctype = rel.toLowerCase match {
+      case p if p.endsWith(".json") => "application/json"
+      case p if p.endsWith(".csv") => "text/csv"
+      case p if p.endsWith(".txt") => "text/plain"
+      case _ => "application/octet-stream"
+    }
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(200, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.getResponseBody.close()
   }
 
   // --- plumbing ---

@@ -8,13 +8,19 @@ import graft.etl.{EntityBuilder, LinkBuilder}
   * dimension tables, and serve the reference's core API
   * (`flask_app.py:95-252`) over them.
   *
-  * Usage: ServeMain <entitiesCsv> [setiCsv] [port]
+  * Usage: ServeMain <entitiesCsv> [setiCsv] [port] [configJson] [dataDir]
+  *
+  * `configJson` supplies the reference's startup defaults (default hops for
+  * bodies that omit them, `utils/utils.py:9-13`); `dataDir` enables the
+  * `/data/<path>` static passthrough (`flask_app.py:585-587`).
   */
 object ServeMain {
   def main(args: Array[String]): Unit = {
     val entitiesCsv = args(0)
     val setiCsv = if (args.length > 1) Some(args(1)) else None
     val port = if (args.length > 2) args(2).toInt else 8080
+    val config = if (args.length > 3) Some(AppMeta.loadConfig(args(3))) else None
+    val dataDir = if (args.length > 4) Some(args(4)) else None
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_MASTER", "local[8]"))
@@ -31,7 +37,8 @@ object ServeMain {
       JsonOut.nestEtextLinks(LinkBuilder.build(spark, csv).links)
     }.getOrElse(Map.empty)
 
-    val shim = new HttpShim(spark, entities, edges, etext)
+    val shim = new HttpShim(spark, entities, edges, etext,
+      defaultHops = config.map(_.hops).getOrElse(2), dataDir = dataDir)
     val bound = shim.start(port)
     println(s"graft-serve listening on http://127.0.0.1:$bound/api/")
     Thread.currentThread().join() // serve until killed

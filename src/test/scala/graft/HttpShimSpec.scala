@@ -117,6 +117,41 @@ class HttpShimSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     assert(excluded.statusCode() === 200)
   }
 
+  test("GET /data/<path>: static passthrough with traversal protection") {
+    val dir = java.nio.file.Files.createTempDirectory("shimdata")
+    java.nio.file.Files.writeString(dir.resolve("x.json"), """{"k": 1}""")
+    val dataShim = new HttpShim(spark, entities, edges, dataDir = Some(dir.toString))
+    val p = dataShim.start(0)
+    try {
+      def fetch(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val ok = fetch("/data/x.json")
+      assert(ok.statusCode() === 200)
+      assert(ok.body() === """{"k": 1}""")
+      assert(ok.headers().firstValue("Content-Type").get === "application/json")
+      assert(fetch("/data/missing.csv").statusCode() === 404)
+      // flask send_from_directory's traversal protection
+      assert(fetch("/data/../x.json").statusCode() === 404)
+      assert(fetch("/data/%2e%2e/secret").statusCode() === 404)
+    } finally dataShim.stop()
+  }
+
+  test("POST subgraph without hops uses the config default (flask_app.py:196)") {
+    val cfg = graft.serve.AppMeta.loadConfig("/root/reference/config.json")
+    val cfgShim = new HttpShim(spark, entities, edges, defaultHops = cfg.hops)
+    val p = cfgShim.start(0)
+    try {
+      val res = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/graph/subgraph"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"works": ["89000"]}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(res.statusCode() === 200)
+      assert(res.body().contains(s""""hops": ${cfg.hops},"""))
+    } finally cfgShim.stop()
+  }
+
   /** JSON-escape non-ASCII-safe characters the same way JsonOut does (the
     * entity names carry IAST diacritics, which pass through raw). */
   private def render(s: String): String =
