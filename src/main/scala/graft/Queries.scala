@@ -2493,6 +2493,72 @@ object Queries {
              |FROM cc m JOIN catted c ON m.component = c.component JOIN ents e ON e.id = m.id
              |GROUP BY 1, 2, 3""".stripMargin)),
 
+    Q("q147_spring_layout",
+      (s, d) => {
+        // force-directed layout (grapher.py:166-168 draw_spring; G10): grid-
+        // variant Fruchterman-Reingold over the nation-region graph, 10
+        // deterministic rounds — md5-seeded init + per-round 9-dp rounding
+        // make the whole trajectory SQL-replayable (same discipline as q52)
+        val e0 = T(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("src"),
+            (col("n_regionkey").cast("long") + 1000L).as("dst"))
+        val v = e0.select(col("src").as("id"))
+          .unionByName(e0.select(col("dst").as("id"))).distinct()
+        graft.graph.Layout.fruchtermanReingold(v, e0, iterations = 10)
+          .select(col("id"), round(col("x"), 6).as("x"), round(col("y"), 6).as("y"))
+      },
+      // Exact replay: the oracle computes repulsion over ALL pairs within the
+      // 2k cutoff (the grid in the Spark plan is only the pair-FINDING
+      // strategy; the semantics is the distance cutoff, so a plain join
+      // reproduces it). Every stage MATERIALIZED like q52's power iteration.
+      Some {
+        val iters = 10
+        def g(e: String) = s"greatest($e, 1e-9)"
+        def sq(ax: String, ay: String, bx: String, by: String) =
+          s"sqrt(($ax-$bx)*($ax-$bx) + ($ay-$by)*($ay-$by))"
+        val stages = (1 to iters).map { i =>
+          val p = s"p${i - 1}"
+          val t = s"(0.1::DOUBLE * ${iters - i + 1}) / $iters"
+          val len = "sqrt(f.fx*f.fx + f.fy*f.fy)"
+          s"""d$i AS MATERIALIZED (
+             |  SELECT a.id, a.x, a.y, b.x AS x2, b.y AS y2,
+             |    ${sq("a.x", "a.y", "b.x", "b.y")} AS dist
+             |  FROM $p a JOIN $p b ON a.id <> b.id),
+             |r$i AS MATERIALIZED (
+             |  SELECT id,
+             |    round(sum((x - x2) * (k*k) / (${g("dist")}*${g("dist")})), 9) AS rfx,
+             |    round(sum((y - y2) * (k*k) / (${g("dist")}*${g("dist")})), 9) AS rfy
+             |  FROM d$i, prm WHERE dist < 2*k GROUP BY id),
+             |a$i AS MATERIALIZED (
+             |  SELECT e.u AS id,
+             |    round(sum(-(pu.x - pv.x) * ${sq("pu.x", "pu.y", "pv.x", "pv.y")} / k), 9) AS afx,
+             |    round(sum(-(pu.y - pv.y) * ${sq("pu.x", "pu.y", "pv.x", "pv.y")} / k), 9) AS afy
+             |  FROM e JOIN $p pu ON pu.id = e.u JOIN $p pv ON pv.id = e.v, prm GROUP BY e.u),
+             |f$i AS (
+             |  SELECT p.id, p.x, p.y,
+             |    coalesce(r.rfx, 0.0::DOUBLE) + coalesce(a.afx, 0.0::DOUBLE) AS fx,
+             |    coalesce(r.rfy, 0.0::DOUBLE) + coalesce(a.afy, 0.0::DOUBLE) AS fy
+             |  FROM $p p LEFT JOIN r$i r ON r.id = p.id LEFT JOIN a$i a ON a.id = p.id),
+             |p$i AS MATERIALIZED (
+             |  SELECT f.id,
+             |    round(f.x + f.fx * (CASE WHEN $len > 0
+             |      THEN least($len, $t) / $len ELSE 0.0::DOUBLE END), 9) AS x,
+             |    round(f.y + f.fy * (CASE WHEN $len > 0
+             |      THEN least($len, $t) / $len ELSE 0.0::DOUBLE END), 9) AS y
+             |  FROM f$i f)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS MATERIALIZED (SELECT CAST(n_nationkey AS BIGINT) AS u, CAST(n_regionkey AS BIGINT) + 1000 AS v FROM nation),
+           |e AS MATERIALIZED (SELECT DISTINCT u, v FROM (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0) t(u, v) WHERE u <> v),
+           |v AS (SELECT DISTINCT u AS id FROM e),
+           |prm AS (SELECT sqrt(CAST(1 AS DOUBLE) / (SELECT count(*) FROM v)) AS k),
+           |p0 AS MATERIALIZED (SELECT id,
+           |  round(CAST(${duckH60("CAST(id AS VARCHAR) || ':x'")} AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE), 9) AS x,
+           |  round(CAST(${duckH60("CAST(id AS VARCHAR) || ':y'")} AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE), 9) AS y
+           |  FROM v),
+           |$stages
+           |SELECT id, round(x, 6) AS x, round(y, 6) AS y FROM p$iters""".stripMargin
+      }),
+
     Q("q143_ewma",
       (s, d) => {
         // exponentially weighted moving average per user — the recursive
