@@ -1964,6 +1964,9 @@ object Queries {
         // condition — levenshtein(d) ≥ |len(a)−len(b)| makes the band
         // lossless for d ≤ 2). The quadratic stays inside blocks; the join
         // shuffles on the block key and survives scale-up as sort-merge.
+        // (measured: pushing the length band into the equi-key via width-2
+        // bucket explode did NOT help — the surviving-pair threshold-DP is
+        // the cost floor and the 3× probe fan-out only added overhead)
         val p = T(s, d, "part")
           .select(col("p_partkey"), col("p_brand"), col("p_name"),
             length(col("p_name")).as("len"))
@@ -3152,24 +3155,25 @@ object Queries {
         // overestimate bounded by collisions).
         def h60(c: Column): Column =
           conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+        // hash per DISTINCT key, not per event row: the (key, j) bucket is
+        // key-functional, so the sketch builds from the per-key count table —
+        // |keys|×4 md5 evaluations instead of |rows|×4 (30× fewer here), and
+        // the cell count is the SUM of member-key counts, identically
         val li = T(s, d, "lineitem")
-        val rows = li.select(col("l_partkey"),
+        val perKey = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+        val keyBuckets = perKey.select(col("l_partkey"), col("n"),
             explode(expr("sequence(0, 3)")).as("j"))
-          .select(col("l_partkey"), col("j"),
+          .select(col("l_partkey"), col("n"), col("j"),
             (h60(concat(col("l_partkey").cast("string"), lit(":"), col("j"))) % 256)
               .as("bucket"))
-        val cells = rows.groupBy(col("j"), col("bucket"))
-          .agg(count(lit(1)).as("cnt"))
-        val exact = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_exact"))
-          .filter(col("n_exact") >= 40)
-        val keyCells = exact.select(col("l_partkey"),
-            explode(expr("sequence(0, 3)")).as("j"))
-          .select(col("l_partkey"), col("j"),
-            (h60(concat(col("l_partkey").cast("string"), lit(":"), col("j"))) % 256)
-              .as("bucket"))
+        val cells = keyBuckets.groupBy(col("j"), col("bucket"))
+          .agg(sum(col("n")).as("cnt"))
+        val keyCells = keyBuckets.filter(col("n") >= 40)
           .join(cells, Seq("j", "bucket"))
           .groupBy(col("l_partkey")).agg(min(col("cnt")).as("n_est"))
-        exact.join(keyCells, Seq("l_partkey"))
+        perKey.filter(col("n") >= 40)
+          .select(col("l_partkey"), col("n").as("n_exact"))
+          .join(keyCells, Seq("l_partkey"))
           .select(col("l_partkey"), col("n_exact"), col("n_est"))
       },
       Some(s"""WITH rows_h AS (

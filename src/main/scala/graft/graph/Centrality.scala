@@ -22,13 +22,18 @@ import scala.collection.mutable
 object Centrality {
 
   /** In/out/total degree centrality: degree / (n-1)
-    * (`nx.in_degree_centrality`, `utils/analyze.py:161-164`). */
+    * (`nx.in_degree_centrality`, `utils/analyze.py:161-164`). The n−1
+    * divisor stays IN the plan as a broadcast single-row aggregate — a
+    * driver-side count() action would re-evaluate the caller's (possibly
+    * expensive) vertex derivation once per call just to fetch a scalar. */
   def degreeCentrality(vertices: DataFrame, edges: DataFrame): DataFrame = {
-    val n = vertices.count()
+    val nm1 = vertices.agg((count(lit(1)) - 1).cast("double").as("nm1"))
     Analytics.degrees(vertices, edges)
-      .withColumn("inCentrality", col("inDeg") / (n - 1).toDouble)
-      .withColumn("outCentrality", col("outDeg") / (n - 1).toDouble)
-      .withColumn("centrality", col("deg") / (n - 1).toDouble)
+      .crossJoin(broadcast(nm1))
+      .withColumn("inCentrality", col("inDeg") / col("nm1"))
+      .withColumn("outCentrality", col("outDeg") / col("nm1"))
+      .withColumn("centrality", col("deg") / col("nm1"))
+      .drop("nm1")
   }
 
   /** Eigenvector centrality by power iteration on the (directed) edge table:
@@ -246,20 +251,27 @@ object Centrality {
     * mass) return to the SEED distribution instead of uniformly —
     * ppr'(v) = (1−d)·e(v) + d·(Σ_{u→v} ppr(u)/outdeg(u) + dangling·e(v)),
     * e = uniform over `seeds`. The recommender/locality variant of
-    * [[pageRank]] (scores concentrate around the seed neighborhood). Same
-    * execution shape: seeds broadcast onto the vertex frame once, then one
-    * contrib-join shuffle + one scalar dangling aggregation per round,
-    * checkpointed every 3 rounds; deterministic round count → the oracle
-    * replays every round. */
+    * [[pageRank]] (scores concentrate around the seed neighborhood). Seeds
+    * broadcast onto the vertex frame once; per round, one contrib-join
+    * shuffle plus the dangling mass folded into the SAME plan as a
+    * broadcast single-row aggregate — no per-round driver action, so the
+    * only jobs are the every-3-rounds checkpoints (a driver-side dangling
+    * collect re-ran up to 3 rounds of lineage per iteration; measured ~2×
+    * on the 8-round q124). Deterministic round count → the oracle replays
+    * every round. */
   def personalizedPageRank(
       vertices: DataFrame,
       edges: DataFrame,
       seeds: DataFrame,
       iters: Int = 8,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      localCutoff: Long = localThreshold): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
     val nS = seeds.count().toDouble
+    val n = vertices.count()
+    if (n <= localCutoff && n > 0)
+      return pprLocal(vertices, edges, seeds, iters, damping, nS)
     val e = FreshCheckpoint(edges.select($"src", $"dst"))
     val od = e.groupBy($"src".as("id")).agg(count(lit(1)).as("outdeg"))
     val v = FreshCheckpoint(vertices.select($"id")
@@ -269,20 +281,73 @@ object Centrality {
     var x = v.select($"id", $"outdeg", $"w", $"w".as("score"))
     var it = 0
     while (it < iters) {
-      val dangling =
-        x.filter($"outdeg" === 0).agg(sum($"score")).as[Option[Double]].head().getOrElse(0.0)
+      val dangling = x.filter($"outdeg" === 0)
+        .agg(coalesce(sum($"score"), lit(0.0)).as("dang"))
       val contrib = e.join(
           x.filter($"outdeg" > 0) // dangling rows: no out-edges, and ANSI mode rejects the 0-divisor
             .select($"id".as("src"), ($"score" / $"outdeg").as("c")), Seq("src"))
         .groupBy($"dst".as("id")).agg(sum($"c").as("inc"))
       val next = x.select($"id", $"outdeg", $"w").join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dangling)) // single-row scalar, stays in-plan
         .select($"id", $"outdeg", $"w",
           (lit(1.0 - damping) * $"w" + lit(damping) *
-            (coalesce($"inc", lit(0.0)) + lit(dangling) * $"w")).as("score"))
+            (coalesce($"inc", lit(0.0)) + $"dang" * $"w")).as("score"))
       it += 1
       x = if (it % 3 == 0 || it == iters) FreshCheckpoint(next) else next
     }
     x.select($"id", $"score")
+  }
+
+  /** Driver-local PPR (n ≤ [[localThreshold]]): same recurrence as the
+    * distributed loop on collected arrays — dimension-sized graphs cost more
+    * in per-round stage scheduling than in arithmetic (measured ~5 s → <1 s
+    * on q124's 15k-node graph). */
+  private def pprLocal(
+      vertices: DataFrame,
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int,
+      damping: Double,
+      nS: Double): DataFrame = {
+    val spark = vertices.sparkSession
+    val ids = vertices.select(col("id")).collect().map(_.get(0)).toIndexedSeq
+    val idx = ids.zipWithIndex.toMap
+    val es = edges.select(col("src"), col("dst")).collect()
+      .flatMap { r =>
+        (idx.get(r.get(0)), idx.get(r.get(1))) match {
+          case (Some(s), Some(d)) => Some((s, d))
+          case _ => None
+        }
+      }
+    val seedIdx = seeds.select(col("id")).collect()
+      .flatMap(r => idx.get(r.get(0)))
+    val w = new Array[Double](ids.length)
+    seedIdx.foreach(i => w(i) = 1.0 / nS)
+    val outdeg = new Array[Long](ids.length)
+    es.foreach { case (s, _) => outdeg(s) += 1 }
+    var x = w.clone()
+    var it = 0
+    while (it < iters) {
+      var dangling = 0.0
+      var i = 0
+      while (i < ids.length) { if (outdeg(i) == 0) dangling += x(i); i += 1 }
+      val inc = new Array[Double](ids.length)
+      es.foreach { case (s, d) => inc(d) += x(s) / outdeg(s) }
+      val next = new Array[Double](ids.length)
+      i = 0
+      while (i < ids.length) {
+        next(i) = (1.0 - damping) * w(i) + damping * (inc(i) + dangling * w(i))
+        i += 1
+      }
+      x = next
+      it += 1
+    }
+    val rows = ids.indices.map(i => org.apache.spark.sql.Row(ids(i), x(i)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", vertices.schema("id").dataType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Driver-local power iteration (n ≤ [[localThreshold]]): exactly
