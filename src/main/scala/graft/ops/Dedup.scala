@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.FreshCheckpoint
 
 /** Deduplication operators for training-data pipelines over
   * `documents(doc_id, text, lang, source, n_chars)`.
@@ -82,7 +83,12 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.8): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val sigs = minhashSignatures(docs, numHashes)
+    // checkpoint the NARROW per-doc signature table (one row per doc): the
+    // band union references it numBands times and the candidate self-join
+    // doubles that, so an unmaterialized signature pipeline (shingle explode
+    // + 8-way min agg) would re-run up to 2·numBands times in one plan.
+    // (The wide exploded shingle relation stays uncached — see ngramJaccard.)
+    val sigs = FreshCheckpoint(minhashSignatures(docs, numHashes))
     val bandCols = (0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       md5(concat_ws("|", parts: _*)).as(s"band$b")
@@ -160,8 +166,14 @@ object Dedup {
           s"transform(sequence(1, greatest(length(text) - ${n - 1}, 0)), " +
             s"i -> substring(text, i, $n))"))).as("tok"))
     graft.expr.VectorOps.register(docs.sparkSession)
-    val gramArrays = grams.groupBy(col("doc_id"), col("lang"), col("source"))
-      .agg(sort_array(collect_list(col("tok"))).as("arr"))
+    // ONE row per doc (sorted gram array): six subplans read it (df, prefix,
+    // both candidate sides, both verify attaches), so materialize it once.
+    // This is NOT the 125 s localCheckpoint trap — that was the ~50M-row
+    // EXPLODED gram relation; this is |docs| rows, and its explode below
+    // re-derives the wide relation from the checkpoint, not from parquet.
+    val gramArrays = FreshCheckpoint(
+      grams.groupBy(col("doc_id"), col("lang"), col("source"))
+        .agg(sort_array(collect_list(col("tok"))).as("arr")))
     val exploded = gramArrays.select(col("doc_id"), col("lang"), col("source"),
       explode(col("arr")).as("tok"))
     // global doc-frequency per gram → deterministic rarity order (df, tok)
@@ -236,7 +248,11 @@ object Dedup {
   }
 
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val sigs = simhash(docs)
+    // same rationale as minhashLsh: one signature row per doc, referenced 8×
+    // across the 4 chunk-union branches and both candidate-join sides —
+    // materialize once instead of re-running the token explode + 60-bit
+    // vote aggregation per reference
+    val sigs = FreshCheckpoint(simhash(docs))
     val chunks = (0 until 4).map { c =>
       sigs.select(col("doc_id"), lit(c).as("chunk"),
         shiftright(col("simhash"), c * 15).bitwiseAND(0x7fff).as("key"),
