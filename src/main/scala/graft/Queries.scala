@@ -2562,6 +2562,56 @@ object Queries {
            |SELECT id, round(x, 6) AS x, round(y, 6) AS y FROM p$iters""".stripMargin
       }),
 
+    Q("q148_line_dedup",
+      (s, d) => graft.ops.TextAnalysis.lineDedup(
+        T(s, d, "documents"), sep = " line ", maxOcc = 2),
+      Some("""WITH lines AS (
+             |  SELECT doc_id, generate_subscripts(parts, 1) - 1 AS pos,
+             |         unnest(parts) AS line
+             |  FROM (SELECT doc_id, string_split(text, ' line ') AS parts
+             |        FROM documents) s),
+             |dups AS (SELECT line FROM lines GROUP BY line HAVING count(*) > 2),
+             |kept AS (SELECT doc_id, pos, line FROM lines
+             |         WHERE line NOT IN (SELECT line FROM dups)),
+             |counts AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1),
+             |ka AS (SELECT doc_id, count(*) AS n_kept,
+             |        string_agg(line, ' line ' ORDER BY pos) AS text_dedup
+             |       FROM kept GROUP BY 1)
+             |SELECT c.doc_id, CAST(c.n_lines AS BIGINT) AS n_lines,
+             |  CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+             |  coalesce(ka.text_dedup, '') AS text_dedup
+             |FROM counts c LEFT JOIN ka ON ka.doc_id = c.doc_id""".stripMargin)),
+
+    Q("q149_filter_cascade",
+      (s, d) => graft.ops.TextAnalysis.filterCascade(T(s, d, "documents")),
+      Some(s"""WITH ${duckGrams(1)},
+              |v AS (SELECT doc_id,
+              |   round(1.0 - count(DISTINCT gram) / count(*), 6) AS rep_ratio
+              | FROM g GROUP BY 1),
+              |m AS (SELECT doc_id,
+              |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+              |  round((
+              |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+              |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+              |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
+              |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
+              |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
+              |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio,
+              |  round(length(text)::DOUBLE
+              |    / greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE, 1.0), 4) AS mean_word_len
+              | FROM documents),
+              |r AS (SELECT m.doc_id,
+              |   list_sort(list_filter([
+              |     CASE WHEN m.n_tokens < 20 THEN 'too_short' END,
+              |     CASE WHEN m.stopword_ratio < 0.02 THEN 'low_stopword' END,
+              |     CASE WHEN v.rep_ratio > 0.65 THEN 'high_repetition' END,
+              |     CASE WHEN m.mean_word_len > 5.9 THEN 'long_words' END],
+              |     x -> x IS NOT NULL)) AS rs
+              | FROM m JOIN v ON v.doc_id = m.doc_id)
+              |SELECT doc_id,
+              |  coalesce(array_to_string(rs, ','), '') AS reject_reasons,
+              |  len(rs) = 0 AS keep FROM r""".stripMargin)),
+
     Q("q143_ewma",
       (s, d) => {
         // exponentially weighted moving average per user — the recursive

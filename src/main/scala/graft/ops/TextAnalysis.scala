@@ -188,6 +188,61 @@ object TextAnalysis {
       .select(col("train_doc"), col("bench_doc")).distinct()
   }
 
+  /** Line-level exact dedup (the RefinedWeb/Falcon boilerplate-removal pass):
+    * segment each document on `sep`, count every segment's occurrences across
+    * the WHOLE corpus, drop all copies of any segment occurring more than
+    * `maxOcc` times, and reassemble each document's survivors in original
+    * order. One posexplode + one global segment-frequency aggregate + an
+    * anti-join against the (small) over-represented segment set + one per-doc
+    * ordered re-aggregation — every step shuffles on a key, and the dup set
+    * is by construction the high-frequency tail, far smaller than the corpus.
+    * On real corpora `sep` is "\n"; the synthetic testdata has no newlines,
+    * so callers pick a frequent token as the segmenter.
+    *
+    * @return (doc_id, n_lines, n_kept, text_dedup) — text_dedup = "" when
+    *         every segment was boilerplate.
+    */
+  def lineDedup(docs: DataFrame, sep: String, maxOcc: Long = 1): DataFrame = {
+    val lines = Dedup.fanOut(docs).select(col("doc_id"),
+      posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val dups = lines.groupBy(col("line")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxOcc).select(col("line"))
+    val kept = lines.join(dups, Seq("line"), "left_anti")
+    val counts = lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), sep).as("text_dedup"))
+    counts.join(keptAgg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_kept")).na.fill("", Seq("text_dedup"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("text_dedup"))
+  }
+
+  /** Quality-filter cascade with an audit trail (the Gopher/RefinedWeb rule
+    * stack): every rule that fires lands in a sorted reject-reason list, so
+    * downstream can both filter and account for WHY mass was dropped. Pure
+    * column expressions over the quality metrics + the unigram repetition
+    * ratio — one (doc_id)-shuffle total, inherited from the repetition agg.
+    *
+    * @return (doc_id, reject_reasons ','-joined sorted, keep).
+    */
+  def filterCascade(docs: DataFrame): DataFrame = {
+    val q = qualityScore(docs)
+    val rep = repetitionRatio(docs, 1).select(col("doc_id"), col("rep_ratio"))
+    val rules: Seq[(String, Column)] = Seq(
+      "too_short" -> (col("n_tokens") < 20),
+      "low_stopword" -> (col("stopword_ratio") < 0.02),
+      "high_repetition" -> (col("rep_ratio") > 0.65),
+      "long_words" -> (col("mean_word_len") > 5.9))
+    val reasons = array_sort(filter(
+      array(rules.map { case (n, c) => when(c, lit(n)) }: _*), x => x.isNotNull))
+    q.join(rep, Seq("doc_id"))
+      .select(col("doc_id"),
+        array_join(reasons, ",").as("reject_reasons"),
+        (size(reasons) === 0).as("keep"))
+  }
+
   /** Token n-grams per document: whitespace tokens in document order,
     * concatenated with single spaces via window leads (carries any extra
     * input columns through). */

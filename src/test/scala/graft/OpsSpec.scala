@@ -106,6 +106,43 @@ class OpsSpec extends SparkTestBase {
     assert(allProbe === bruteAll)
   }
 
+  test("line dedup drops over-represented segments, preserves order") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "keep one\nboiler\nkeep two"),
+      (2L, "boiler\nunique a"),
+      (3L, "boiler\nunique b"),
+      (4L, "boiler")) // entirely boilerplate → empty survivor text
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lineDedup(d, sep = "\n", maxOcc = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) === ((3L, 2L, "keep one\nkeep two"))) // order preserved
+    assert(out(2L) === ((2L, 1L, "unique a")))
+    assert(out(3L) === ((2L, 1L, "unique b")))
+    assert(out(4L) === ((1L, 0L, ""))) // fully deduped doc still reported
+    // below the threshold nothing is dropped
+    val loose = TextAnalysis.lineDedup(d, "\n", maxOcc = 4).collect()
+    assert(loose.forall(r => r.getLong(1) === r.getLong(2)))
+  }
+
+  test("filter cascade: reasons are sorted, keep iff no rule fires") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "tiny xyzzyqw"), // too_short + low_stopword (+possibly more)
+      (2L, ("the dog " * 40).trim)) // long enough, stopworded, but repetitive
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.filterCascade(d)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    val (r1, k1) = out(1L)
+    assert(!k1 && r1.contains("too_short") && r1.contains("low_stopword"))
+    assert(r1.split(",").toSeq === r1.split(",").toSeq.sorted)
+    val (r2, k2) = out(2L)
+    assert(!k2 && r2.contains("high_repetition"))
+    // keep == empty reason list, by construction
+    assert(out.values.forall { case (r, k) => k === r.isEmpty })
+  }
+
   test("language-id argmax picks the profile with most markers") {
     import spark.implicits._
     val d = Seq(
