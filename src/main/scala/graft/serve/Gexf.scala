@@ -19,7 +19,10 @@ object Gexf {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
-  /** @param nodes DataFrame with columns id, label (nullable), color (red|green|gray, nullable)
+  /** @param nodes DataFrame with columns id, label (nullable), color
+    *              (red|green|gray, nullable), and optionally x/y layout
+    *              coordinates (e.g. from [[graft.graph.Layout]]) emitted as
+    *              `viz:position` so Gephi opens the graph pre-laid-out
     * @param edges DataFrame with columns src, dst
     */
   def render(nodes: DataFrame, edges: DataFrame): String = {
@@ -28,13 +31,17 @@ object Gexf {
     sb ++= """<gexf xmlns="http://gexf.net/1.2draft" xmlns:viz="http://gexf.net/1.2draft/viz" version="1.2">""" + "\n"
     sb ++= """  <graph defaultedgetype="directed" mode="static">""" + "\n"
     sb ++= "    <nodes>\n"
-    nodes.select("id", "label", "color").collect().foreach { r =>
+    val hasPos = nodes.columns.contains("x") && nodes.columns.contains("y")
+    val cols = Seq("id", "label", "color") ++ (if (hasPos) Seq("x", "y") else Nil)
+    nodes.select(cols.head, cols.tail: _*).collect().foreach { r =>
       val id = r.getString(0)
       val label = Option(r.getString(1)).getOrElse(s"Node $id")
       sb ++= s"""      <node id="${esc(id)}" label="${esc(label)}">"""
       Option(r.getString(2)).flatMap(rgb.get).foreach { case (cr, cg, cb) =>
         sb ++= s"""<viz:color r="$cr" g="$cg" b="$cb" />"""
       }
+      if (hasPos && !r.isNullAt(3) && !r.isNullAt(4))
+        sb ++= s"""<viz:position x="${r.getDouble(3)}" y="${r.getDouble(4)}" z="0.0" />"""
       sb ++= "</node>\n"
     }
     sb ++= "    </nodes>\n    <edges>\n"
