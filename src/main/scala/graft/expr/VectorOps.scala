@@ -147,6 +147,48 @@ case class SortedLongIntersect(left: Expression, right: Expression)
   override def prettyName: String = "sorted_long_intersect"
 }
 
+/** Sorted distinct character n-grams of a string, as one per-row expression —
+  * semantically `array_sort(array_distinct(transform(sequence(1, len-n+1),
+  * i -> substring(s, i, n))))` but with no per-gram row materialization: the
+  * relational formulation explodes ~|text| rows per document through a wide
+  * shuffle just to re-collect them per doc; this computes the final array in
+  * a TreeSet walk per row, so the gram-array build needs NO shuffle at all.
+  * Binary UTF8String ordering = `sort_array` ordering; code-point-based
+  * substringSQL = `substring` semantics. Empty array when len < n.
+  */
+case class SortedCharNgrams(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SortedCharNgrams.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.SortedCharNgrams.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): SortedCharNgrams =
+    copy(child = newChild)
+
+  override def prettyName: String = "sorted_char_ngrams"
+}
+
+object SortedCharNgrams {
+  /** Static entry point shared by eval and generated code. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val total = s.numChars() - n + 1
+    if (total <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val set = new java.util.TreeSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 1
+    while (i <= total) { set.add(s.substringSQL(i, n)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      set.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+}
+
 object VectorOps {
   /** Idempotent session registration (same seam as [[Iast.register]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -160,6 +202,9 @@ object VectorOps {
     reg.createOrReplaceTempFunction("sorted_long_intersect",
       (exprs: Seq[Expression]) => SortedLongIntersect(exprs.head, exprs(1)),
       "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_char_ngrams",
+      (exprs: Seq[Expression]) => SortedCharNgrams(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
   }
 
   def vectorDot(a: Column, b: Column): Column =
@@ -170,4 +215,8 @@ object VectorOps {
 
   def sortedLongIntersect(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("sorted_long_intersect", a, b)
+
+  def sortedCharNgrams(s: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function("sorted_char_ngrams", s,
+      org.apache.spark.sql.functions.lit(n))
 }

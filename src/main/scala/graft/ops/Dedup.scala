@@ -150,30 +150,28 @@ object Dedup {
     * off-heap/disk-only storage.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // Shuffle plan (the round-1 version paid THREE wide shuffles of the
-    // exploded gram relation — df, prefix groupBy, gramArrays groupBy — this
-    // one pays ONE): the per-doc sorted gram arrays are built first with the
-    // single doc-keyed shuffle; df and the prefix both derive from exploding
-    // those arrays, and because the explode preserves the doc_id hash
-    // partitioning, the prefix's re-group introduces NO new Exchange. The
-    // doc-frequency table is a bounded vocabulary (|charset|^n; 377 observed
-    // 3-grams in the synthetic corpus) and broadcast-joins onto the explode.
-    // NOTE also measured: columnar .persist()/localCheckpoint of the wide
-    // exploded relation bought nothing at sf0.1 and risked session-wide
-    // cache pressure (9 s → 125 s once) — derive, don't cache.
-    val grams = fanOut(docs).select(col("doc_id"), col("lang"), col("source"),
-        explode(array_distinct(expr(
-          s"transform(sequence(1, greatest(length(text) - ${n - 1}, 0)), " +
-            s"i -> substring(text, i, $n))"))).as("tok"))
     graft.expr.VectorOps.register(docs.sparkSession)
+    // Shuffle plan (round 1 paid THREE wide shuffles of the exploded gram
+    // relation; round 2 ONE; this pays NONE): the per-doc sorted gram array
+    // is computed by the native sorted_char_ngrams expression per ROW — the
+    // explode → groupBy → sort_array round trip that existed only to
+    // assemble that array disappears, and with it its wide shuffle. Docs are
+    // hash-repartitioned on the group keys first (narrow rows — the raw
+    // corpus, not the 3×-larger gram stream), and FreshCheckpoint preserves
+    // that partitioning, so the prefix's re-group below still introduces NO
+    // new Exchange. The doc-frequency table is a bounded vocabulary
+    // (|charset|^n; 377 observed 3-grams) and broadcast-joins onto the
+    // explode. NOTE measured: columnar .persist()/localCheckpoint of the
+    // wide EXPLODED relation bought nothing at sf0.1 and risked
+    // session-wide cache pressure (9 s → 125 s once) — derive, don't cache.
     // ONE row per doc (sorted gram array): six subplans read it (df, prefix,
     // both candidate sides, both verify attaches), so materialize it once.
-    // This is NOT the 125 s localCheckpoint trap — that was the ~50M-row
-    // EXPLODED gram relation; this is |docs| rows, and its explode below
-    // re-derives the wide relation from the checkpoint, not from parquet.
+    val p = docs.sparkSession.sparkContext.defaultParallelism
     val gramArrays = FreshCheckpoint(
-      grams.groupBy(col("doc_id"), col("lang"), col("source"))
-        .agg(sort_array(collect_list(col("tok"))).as("arr")))
+      docs.select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .repartition(p, col("doc_id"), col("lang"), col("source"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          graft.expr.VectorOps.sortedCharNgrams(col("text"), n).as("arr")))
     val exploded = gramArrays.select(col("doc_id"), col("lang"), col("source"),
       explode(col("arr")).as("tok"))
     // global doc-frequency per gram → deterministic rarity order (df, tok)

@@ -166,6 +166,24 @@ class OpsSpec extends SparkTestBase {
     assert(byId(1L)._1 <= nTokens - 2) // ≤ #grams, strictly compressed
   }
 
+  test("sorted_char_ngrams equals the relational formulation") {
+    import spark.implicits._
+    graft.expr.VectorOps.register(spark)
+    val texts = Seq("abcabcd", "xy", "aaa", "a", "", "héllo wörld").toDF("text")
+    val native = texts.select(
+      graft.expr.VectorOps.sortedCharNgrams(col("text"), 3).as("arr")).collect()
+    val relational = texts.select(sort_array(array_distinct(expr(
+      "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))")))
+      .as("arr")).collect()
+    // identical where the relational form is well-defined (len >= n); below
+    // that the native form returns [] while sequence(1,0) degenerates
+    texts.collect().map(_.getString(0)).zipWithIndex.foreach { case (t, i) =>
+      if (t.length >= 3)
+        assert(native(i).getSeq[String](0) === relational(i).getSeq[String](0), t)
+      else assert(native(i).getSeq[String](0).isEmpty, t)
+    }
+  }
+
   test("sorted_array_intersect: overlap, disjoint, empty, self") {
     import spark.implicits._
     graft.expr.VectorOps.register(spark)
