@@ -55,6 +55,17 @@ class HttpShim(
   private val knownIds: Set[String] =
     entities.select("id").collect().map(_.getString(0)).toSet
 
+  /** Work-entity ids (`flask_app.py:18` VALID_WORK_IDS) — the by_work
+    * validation set, distinct from the set of works that HAVE links. */
+  private val workIds: Set[String] =
+    entities.filter(col("type") === "work")
+      .select("id").collect().map(_.getString(0)).toSet
+
+  /** `VALID_COLLECTIONS` (`flask_app.py:24`): collections observed in the
+    * link data. */
+  private val collections: Set[String] =
+    etextNested.values.flatMap(_.keys).toSet
+
   private var server: HttpServer = _
 
   /** Bind and start; pass port 0 for an ephemeral port. Returns the bound
@@ -69,6 +80,15 @@ class HttpShim(
       (ex: HttpExchange) => safely(ex)(handleSubgraph(ex)))
     server.createContext("/data/",
       (ex: HttpExchange) => safely(ex)(handleData(ex)))
+    server.createContext("/api/seti/", (ex: HttpExchange) => safely(ex) {
+      ex.getRequestURI.getPath.stripPrefix("/api/seti/") match {
+        case "by_collection" => handleByCollection(ex)
+        case "by_collection/unique" => handleUnique(ex)
+        case "by_collection/overlap" => handleOverlap(ex)
+        case "by_work" => handleByWork(ex)
+        case _ => respond(ex, 404, errJson("not found"))
+      }
+    })
     server.start()
     server.getAddress.getPort
   }
@@ -149,6 +169,105 @@ class HttpShim(
       .orderBy(col("source"), col("target"))
     respond(ex, 200, JsonOut.subgraphResponse(
       annotated, labeled, authors, works, hops, exclude, etextNested))
+  }
+
+  // --- SETI namespace (`flask_app.py:259-454`) ---
+
+  private type Links = Either[Seq[String], Map[String, Seq[String]]]
+
+  /** Python's `sorted(VALID_COLLECTIONS)` list repr, as interpolated into the
+    * reference's error strings. */
+  private def collectionsRepr: String =
+    collections.toSeq.sorted.map(c => s"'$c'").mkString("[", ", ", "]")
+
+  private def linksJson(v: Links): String = v match {
+    case Left(ls) => ls.map(jstr).mkString("[", ", ", "]")
+    case Right(subs) => subs.toSeq.sortBy(_._1)
+      .map { case (s, ls) => jstr(s) + ": " + ls.map(jstr).mkString("[", ", ", "]") }
+      .mkString("{", ", ", "}")
+  }
+
+  /** `{wid: {collection: links...}}` with work ids sorted (the reference
+    * emits dict-insertion order, which is load order — key order is not part
+    * of the JSON contract) and per-work collections in the given order. */
+  private def worksJson(entries: Seq[(String, Seq[(String, Links)])]): String =
+    entries.sortBy(_._1).map { case (wid, colls) =>
+      jstr(wid) + ": " + colls.map { case (c, v) => jstr(c) + ": " + linksJson(v) }
+        .mkString("{", ", ", "}")
+    }.mkString("{", ", ", "}")
+
+  private def handleByCollection(ex: HttpExchange): Unit =
+    queryParam(ex, "collection").filter(_.nonEmpty) match {
+      case None => respond(ex, 400,
+        errJson("Missing required parameter: collection"))
+      case Some(c) if !collections.contains(c) => respond(ex, 400,
+        errJson(s"Invalid collection: $c. Valid options: $collectionsRepr"))
+      case Some(c) =>
+        val includeOther = queryParam(ex, "include_other_collections")
+          .getOrElse("false").toLowerCase == "true"
+        // works carrying the collection, placeholder '...' dropped
+        // (`flask_app.py:280-293`); strict mode hides other collections'
+        // contributions but keeps the work
+        val entries = etextNested.toSeq
+          .filter { case (wid, m) => m.contains(c) && wid != "..." }
+          .map { case (wid, m) =>
+            wid -> (if (includeOther) m.toSeq.sortBy(_._1) else Seq(c -> m(c))) }
+        respond(ex, 200, worksJson(entries))
+    }
+
+  private def handleUnique(ex: HttpExchange): Unit =
+    queryParam(ex, "collection").filter(_.nonEmpty) match {
+      case None => respond(ex, 400,
+        errJson("Missing required parameter: collection"))
+      case Some(c) if !collections.contains(c) => respond(ex, 400,
+        errJson(s"Invalid collection: $c. Valid options: $collectionsRepr"))
+      case Some(c) =>
+        // ONLY this collection present (`flask_app.py:355-360`; no '...' pop
+        // here — faithful to the reference)
+        val entries = etextNested.toSeq
+          .filter { case (_, m) => m.size == 1 && m.contains(c) }
+          .map { case (wid, m) => wid -> Seq(c -> m(c)) }
+        respond(ex, 200, worksJson(entries))
+    }
+
+  private def handleOverlap(ex: HttpExchange): Unit = {
+    val c1 = queryParam(ex, "collection1").filter(_.nonEmpty)
+    val c2 = queryParam(ex, "collection2").filter(_.nonEmpty)
+    (c1, c2) match {
+      case (Some(a), Some(b)) if collections.contains(a) && collections.contains(b) =>
+        def bucket(pred: Map[String, Links] => Boolean, cs: Seq[String]) =
+          worksJson(etextNested.toSeq.filter { case (_, m) => pred(m) }
+            .map { case (wid, m) => wid -> cs.distinct.map(c => c -> m(c)) })
+        val overlap = bucket(m => m.contains(a) && m.contains(b), Seq(a, b))
+        val only1 = bucket(m => m.contains(a) && !m.contains(b), Seq(a))
+        val only2 = bucket(m => m.contains(b) && !m.contains(a), Seq(b))
+        // c1 == c2 would duplicate the only_in key; Python's dict collapses
+        // it — emit the single key once
+        val tail = if (a == b) s""""only_in_$a": $only1"""
+          else s""""only_in_$a": $only1, "only_in_$b": $only2"""
+        respond(ex, 200, s"""{"overlap": $overlap, $tail}""")
+      case (Some(a), Some(b)) => respond(ex, 400, errJson(
+        s"Invalid collection(s): $a, $b. Valid options: $collectionsRepr"))
+      case _ => respond(ex, 400,
+        errJson("Both collection1 and collection2 are required"))
+    }
+  }
+
+  private def handleByWork(ex: HttpExchange): Unit = {
+    val idsParam = queryParam(ex, "ids").orNull
+    val stripped = Option(idsParam).map(_.trim).getOrElse("")
+    if (stripped.isEmpty)
+      return respond(ex, 400, errJson(EntityQueries.errEmpty))
+    if (!stripped.matches("[\\d,]*"))
+      return respond(ex, 400, errJson(EntityQueries.errChars))
+    // unknown ids are silently dropped here (unlike /labels — the reference
+    // guards the slice with a membership test, so no KeyError path)
+    val valid = stripped.split(",", -1).toSeq.filter(workIds.contains)
+    if (valid.isEmpty)
+      return respond(ex, 400, errJson("No valid work IDs provided"))
+    val entries = valid.distinct.filter(etextNested.contains)
+      .map(wid => wid -> etextNested(wid).toSeq.sortBy(_._1))
+    respond(ex, 200, worksJson(entries))
   }
 
   /** Static data passthrough (`flask_app.py:585-587`, flask

@@ -117,6 +117,73 @@ class HttpShimSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     assert(excluded.statusCode() === 200)
   }
 
+  test("GET /api/seti/*: collection slices, overlap partition, by_work, error contracts") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val nested = graft.serve.JsonOut.nestEtextLinks(
+      graft.etl.LinkBuilder.build(spark, s"$refData/2025-11-07-seti-master.csv").links)
+    val setiShim = new HttpShim(spark, entities, edges, etextNested = nested)
+    val p = setiShim.start(0)
+    def fetch(path: String) = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    try {
+      // strict: every returned work carries ONLY the requested collection,
+      // and the work set matches the nested map exactly (minus '...')
+      val strict = fetch("/api/seti/by_collection?collection=GRETIL")
+      assert(strict.statusCode() === 200)
+      val sObj = JsonMethods.parse(strict.body()).asInstanceOf[JObject].obj.toMap
+      val expected = nested.filter { case (w, m) => m.contains("GRETIL") && w != "..." }
+      assert(sObj.keySet === expected.keySet)
+      assert(sObj.values.forall {
+        case JObject(fields) => fields.map(_._1) == List("GRETIL")
+        case _ => false
+      })
+      // include_other_collections=true: full per-work collection maps
+      val wide = fetch("/api/seti/by_collection?collection=GRETIL&include_other_collections=true")
+      val wObj = JsonMethods.parse(wide.body()).asInstanceOf[JObject].obj.toMap
+      assert(wObj.keySet === expected.keySet)
+      val multi = expected.filter(_._2.size > 1).keySet
+      assert(multi.nonEmpty && multi.forall(w =>
+        wObj(w).asInstanceOf[JObject].obj.size === expected(w).size))
+
+      // unique: singleton-collection works only
+      val uniq = fetch("/api/seti/by_collection/unique?collection=GRETIL")
+      val uObj = JsonMethods.parse(uniq.body()).asInstanceOf[JObject].obj.toMap
+      assert(uObj.keySet === nested.filter { case (_, m) =>
+        m.size == 1 && m.contains("GRETIL") }.keySet)
+
+      // overlap: the three buckets partition correctly
+      val ov = fetch("/api/seti/by_collection/overlap?collection1=GRETIL&collection2=DCS")
+      val oObj = JsonMethods.parse(ov.body()).asInstanceOf[JObject].obj.toMap
+      assert(oObj.keySet === Set("overlap", "only_in_GRETIL", "only_in_DCS"))
+      def keys(f: JValue) = f.asInstanceOf[JObject].obj.map(_._1).toSet
+      assert(keys(oObj("overlap")) === nested.filter { case (_, m) =>
+        m.contains("GRETIL") && m.contains("DCS") }.keySet)
+      assert(keys(oObj("only_in_GRETIL")).forall(w => !nested(w).contains("DCS")))
+
+      // by_work: links for valid work ids; unknown ids silently dropped
+      val someWork = nested.keys.filter(workId => workId.forall(_.isDigit)).min
+      val bw = fetch(s"/api/seti/by_work?ids=$someWork,999999999")
+      assert(bw.statusCode() === 200)
+      assert(keys(JsonMethods.parse(bw.body())) === Set(someWork))
+
+      // error contracts, exact reference messages
+      assert(fetch("/api/seti/by_collection").body() ===
+        """{"error": "Missing required parameter: collection"}""")
+      val bad = fetch("/api/seti/by_collection?collection=BOGUS")
+      assert(bad.statusCode() === 400)
+      assert(bad.body().startsWith("""{"error": "Invalid collection: BOGUS. Valid options: ['"""))
+      // 'all' is rejected at the route's validation (dead lower-level branch)
+      assert(fetch("/api/seti/by_collection?collection=all").statusCode() === 400)
+      assert(fetch("/api/seti/by_collection/overlap?collection1=GRETIL").body() ===
+        """{"error": "Both collection1 and collection2 are required"}""")
+      assert(fetch("/api/seti/by_work?ids=12a").statusCode() === 400)
+      assert(fetch("/api/seti/by_work?ids=1,2").body() ===
+        """{"error": "No valid work IDs provided"}""")
+    } finally setiShim.stop()
+  }
+
   test("GET /data/<path>: static passthrough with traversal protection") {
     val dir = java.nio.file.Files.createTempDirectory("shimdata")
     java.nio.file.Files.writeString(dir.resolve("x.json"), """{"k": 1}""")
