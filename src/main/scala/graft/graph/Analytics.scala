@@ -485,10 +485,28 @@ object Analytics {
     * that adjacency row — per-walker step cost is O(1) rows regardless of
     * hub degree, shuffle-on-key all the way, O(steps) rounds.
     *
+    * Adaptive like the centralities: on dimension-sized LONG-id graphs
+    * (≤ [[localThreshold]] vertices) the walk runs on collected sorted
+    * adjacency arrays — identical md5 arithmetic, so results are
+    * bit-identical to the distributed loop — because 2·steps join rounds of
+    * stage scheduling dwarf the arithmetic there. Non-long id types always
+    * take the distributed path (the local sort must reproduce Spark's
+    * orderBy semantics, which is only guaranteed here for numeric ids).
+    *
     * @param edges directed (a, b); pass both directions for undirected.
     * @return (walker, step, node) — step 0 is the start vertex.
     */
-  def deterministicWalks(edges: DataFrame, steps: Int): DataFrame = {
+  def deterministicWalks(edges: DataFrame, steps: Int,
+      localCutoff: Long = localThreshold): DataFrame = {
+    if (edges.schema("a").dataType == org.apache.spark.sql.types.LongType &&
+        edges.schema("b").dataType == org.apache.spark.sql.types.LongType) {
+      val und = edges.select(col("a"), col("b")).distinct()
+      // size gate BEFORE any collect — above the cutoff nothing of the edge
+      // set ever reaches the driver
+      if (und.select(col("a")).distinct().count() <= localCutoff)
+        return walksLocal(edges.sparkSession,
+          und.collect().map(r => (r.getLong(0), r.getLong(1))), steps)
+    }
     val byA = org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
     val adj = FreshCheckpoint(edges.select(col("a"), col("b")).distinct()
       .withColumn("idx",
@@ -522,6 +540,44 @@ object Analytics {
         walk.select(col("walker"), lit(s.toLong).as("step"), col("cur").as("node")))
     }
     paths
+  }
+
+  /** Driver-local walks over collected sorted adjacency (long ids,
+    * n ≤ [[localThreshold]]): same md5(walker:s) % deg index arithmetic —
+    * `Long.parseLong(hex(md5)[0,15), 16)` ≡ `conv(substring(md5, 1, 15),
+    * 16, 10)` for 60-bit values — over the same ascending-neighbor order,
+    * so output is bit-identical to the distributed loop. */
+  private def walksLocal(spark: org.apache.spark.sql.SparkSession,
+      pairs: Array[(Long, Long)], steps: Int): DataFrame = {
+    import spark.implicits._
+    val adj = pairs.groupBy(_._1).map { case (a, es) =>
+      a -> es.map(_._2).sorted
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      md.reset()
+      val hex = d.map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    adj.keys.toSeq.sorted.foreach { w =>
+      out += ((w, 0L, w))
+      var cur = w
+      var s = 1
+      var alive = true
+      while (s <= steps && alive) {
+        adj.get(cur) match {
+          case Some(nbrs) =>
+            val tgt = (h60(s"$w:$s") % nbrs.length).toInt
+            cur = nbrs(tgt)
+            out += ((w, s.toLong, cur))
+          case None => alive = false // dead end: walker path stops (≡ inner join)
+        }
+        s += 1
+      }
+    }
+    out.toSeq.toDF("walker", "step", "node")
   }
 
   /** Edge endpoint type-pair counts (`utils/analyze.py:143-153`). */

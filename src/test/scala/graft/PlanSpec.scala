@@ -47,8 +47,15 @@ class PlanSpec extends SparkTestBase {
     // every walk-step join must be an equi-join whose keys include the
     // neighbor INDEX — a join on the vertex alone materializes deg(v) rows
     // per walker per step (10^6 rows for one walker on a hub) before any
-    // filter; no nested-loop fallback may appear anywhere in the plan
-    val p = plan("q116_random_walks")
+    // filter; no nested-loop fallback may appear anywhere in the plan.
+    // localCutoff=0 forces the distributed path (the adaptive gate would
+    // otherwise solve this dimension-sized graph on the driver)
+    import spark.implicits._
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L))
+      .toDF("a", "b")
+    val df = graft.graph.Analytics.deterministicWalks(es, 3, localCutoff = 0)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // formatted explain prints each hash/merge join's equi keys as
     // "Left keys [n]: [...]" / "Right keys [n]: [...]": whenever the
