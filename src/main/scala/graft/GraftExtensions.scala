@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{IastSortKey, SortedArrayIntersect, SortedLongIntersect, VectorDot}
+import graft.expr.{IastSortKey, SortedArrayIntersect, SortedCharNgrams, SortedLongIntersect, VectorDot}
 
 /** Session-extension entry point: wires the library's custom Catalyst
   * expressions into any session via configuration —
@@ -34,5 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SortedArrayIntersect(_, _))
     binary("sorted_long_intersect", classOf[SortedLongIntersect],
       SortedLongIntersect(_, _))
+    binary("sorted_char_ngrams", classOf[SortedCharNgrams],
+      (s, n) => SortedCharNgrams(s, n.eval().asInstanceOf[Int]))
   }
 }

@@ -11,7 +11,8 @@ object ExtCheck {
     val r2 = spark.sql("SELECT vector_dot(array(1.0D,2.0D), array(3.0D,4.0D))").head().getDouble(0)
     val r3 = spark.sql("SELECT sorted_long_intersect(array(1L,2L,3L), array(2L,3L,4L))").head().getLong(0)
     val r4 = spark.sql("SELECT sorted_array_intersect(array('a','b'), array('b','c'))").head().getLong(0)
-    println(s"EXTCHECK iast=${r1.nonEmpty} dot=$r2 longint=$r3 strint=$r4")
+    val r5 = spark.sql("SELECT sorted_char_ngrams('abab', 2)").head().getSeq[String](0)
+    println(s"EXTCHECK iast=${r1.nonEmpty} dot=$r2 longint=$r3 strint=$r4 ngrams=${r5.mkString(",")}")
     spark.stop()
   }
 }
