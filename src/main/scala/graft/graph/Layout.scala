@@ -82,18 +82,28 @@ object Layout {
   }
 
   /** Spring layout to `iterations` rounds. Returns (id, x, y) — positions on
-    * the unit-square scale (unclamped; consumers normalize for display). */
+    * the unit-square scale (unclamped; consumers normalize for display).
+    *
+    * Adaptive like the other iterative graph ops: at dimension scale
+    * (≤ [[Analytics.localThreshold]] vertices) the rounds run on collected
+    * arrays — ten distributed rounds of checkpointed joins on a 30-node
+    * graph are pure stage scheduling — with the identical arithmetic
+    * (same formulas, same per-round HALF_UP 9-decimal rounding Spark's
+    * `round` applies), so both paths and the SQL oracle agree. */
   def fruchtermanReingold(
       vertices: DataFrame,
       edges: DataFrame,
       iterations: Int = 50,
-      t0: Double = 0.1): DataFrame = {
+      t0: Double = 0.1,
+      localCutoff: Long = Analytics.localThreshold): DataFrame = {
     val n = vertices.count()
     require(n > 0, "layout of an empty graph")
     val k = math.sqrt(1.0 / n)
     val und = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
       .filter(col("u") =!= col("v")).distinct()
+    if (n <= localCutoff)
+      return layoutLocal(vertices, und, iterations, t0, k)
     var pos = FreshCheckpoint(initialPositions(vertices))
     for (i <- 1 to iterations) {
       val t = t0 * (iterations - i + 1).toDouble / iterations
@@ -114,5 +124,75 @@ object Layout {
       pos = FreshCheckpoint(upd)
     }
     pos
+  }
+
+  /** Driver-local rounds (n ≤ threshold): same trajectory as the
+    * distributed loop. Per-round 9-dp rounding makes summation-order ulp
+    * noise vanish before it can diverge paths, exactly as it does between
+    * the Spark and DuckDB evaluations. */
+  private def layoutLocal(vertices: DataFrame, und: DataFrame,
+      iterations: Int, t0: Double, k: Double): DataFrame = {
+    val spark = vertices.sparkSession
+    val cut = 2 * k
+    // Spark round() semantics: decimal HALF_UP at scale 9
+    def r9(v: Double): Double =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h01(s: String): Double = {
+      val d = md.digest(s.getBytes("UTF-8")); md.reset()
+      val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 60)
+    }
+    val ids = vertices.select(col("id")).collect().map(_.get(0)).toIndexedSeq
+    val idx = ids.zipWithIndex.toMap
+    val es = und.select(col("u"), col("v")).collect()
+      .flatMap(r => (idx.get(r.get(0)), idx.get(r.get(1))) match {
+        case (Some(a), Some(b)) => Some((a, b)); case _ => None
+      })
+    val m = ids.length
+    val x = Array.tabulate(m)(i => r9(h01(s"${ids(i)}:x")))
+    val y = Array.tabulate(m)(i => r9(h01(s"${ids(i)}:y")))
+    for (it <- 1 to iterations) {
+      val t = t0 * (iterations - it + 1).toDouble / iterations
+      val fx = new Array[Double](m); val fy = new Array[Double](m)
+      var i = 0
+      while (i < m) { // short-range repulsion, same 2k cutoff as the grid find
+        var rx = 0.0; var ry = 0.0
+        var j = 0
+        while (j < m) {
+          if (j != i) {
+            val dx = x(i) - x(j); val dy = y(i) - y(j)
+            val dist = math.sqrt(dx * dx + dy * dy)
+            if (dist < cut) {
+              val d = math.max(dist, 1e-9)
+              rx += dx * (k * k) / (d * d); ry += dy * (k * k) / (d * d)
+            }
+          }
+          j += 1
+        }
+        fx(i) = r9(rx); fy(i) = r9(ry)
+        i += 1
+      }
+      val ax = new Array[Double](m); val ay = new Array[Double](m)
+      es.foreach { case (u, v) =>
+        val dx = x(u) - x(v); val dy = y(u) - y(v)
+        val dist = math.sqrt(dx * dx + dy * dy)
+        ax(u) += -dx * dist / k; ay(u) += -dy * dist / k
+      }
+      i = 0
+      while (i < m) {
+        val tfx = fx(i) + r9(ax(i)); val tfy = fy(i) + r9(ay(i))
+        val len = math.sqrt(tfx * tfx + tfy * tfy)
+        val sc = if (len > 0) math.min(len, t) / len else 0.0
+        x(i) = r9(x(i) + tfx * sc); y(i) = r9(y(i) + tfy * sc)
+        i += 1
+      }
+    }
+    val rows = ids.indices.map(i => org.apache.spark.sql.Row(ids(i), x(i), y(i)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", vertices.schema("id").dataType),
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("y", org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 }

@@ -59,6 +59,18 @@ class LayoutSpec extends SparkTestBase {
       s"clique members should sit closer together (intra=$intra inter=$inter)")
   }
 
+  test("local path reproduces the distributed trajectory exactly") {
+    val (vs, es, _, _) = twoCliques()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val local = rows(Layout.fruchtermanReingold(vs, es, iterations = 10))
+    val dist = rows(Layout.fruchtermanReingold(vs, es, iterations = 10,
+      localCutoff = 0))
+    // per-round 9-dp rounding locks both paths to the same trajectory —
+    // exact equality, not tolerance
+    assert(local === dist)
+  }
+
   test("repulsion pair-finding stays an equi-join on grid cells (no cross join)") {
     val (vs, _, _, _) = twoCliques()
     val rep = Layout.repulsionForces(Layout.initialPositions(vs), k = 0.2)

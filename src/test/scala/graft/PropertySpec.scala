@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.ops.{AsOf, RangeJoin, TrainingData}
+import graft.ops.{AsOf, RangeJoin, TextAnalysis, TrainingData}
 
 /** Property-based checks (SURVEY §5.3) for the composed join operators:
   * generated inputs, equality with the naive formulation. (Raw ScalaCheck
@@ -56,6 +56,41 @@ class PropertySpec extends SparkTestBase {
                 else Some(cands.maxBy(r => (r._2.getTime, r._3))._3))
       }.toMap
       assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("property: line dedup reassembly is the identity below the threshold") {
+    import spark.implicits._
+    // random multi-line docs from a small segment alphabet (forces repeats)
+    val segGen = Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", "dd", "e f", ""))
+    val docsGen = Gen.nonEmptyListOf(segGen).map(_.take(30))
+    samples(docsGen, 3).foreach { segLists =>
+      val docs = segLists.zipWithIndex
+        .map { case (segs, i) => (i.toLong, segs.mkString("\n")) }
+        .toDF("doc_id", "text")
+      // maxOcc = ∞ → nothing dropped → text_dedup must equal the input text
+      val out = TextAnalysis.lineDedup(docs, "\n", maxOcc = Long.MaxValue)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      docs.collect().foreach { r =>
+        val (nl, nk, txt) = out(r.getLong(0))
+        assert(nl === nk, "nothing may be dropped below the threshold")
+        assert(txt === r.getString(1), "reassembly must preserve the document")
+      }
+      // at any threshold: kept-count totals equal total minus dropped copies,
+      // and every surviving doc's text is a subsequence of the original lines
+      val strict = TextAnalysis.lineDedup(docs, "\n", maxOcc = 1)
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      docs.collect().foreach { r =>
+        val orig = r.getString(1).split("\n", -1).toSeq
+        val kept = strict(r.getLong(0)) match {
+          case "" => Seq.empty
+          case s => s.split("\n", -1).toSeq
+        }
+        // subsequence check: kept lines appear in orig order
+        val it = orig.iterator
+        assert(kept.forall(k => it.contains(k)),
+          s"kept lines not an ordered subsequence: $kept vs $orig")
+      }
     }
   }
 
