@@ -35,6 +35,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     binary("sorted_long_intersect", classOf[SortedLongIntersect],
       SortedLongIntersect(_, _))
     binary("sorted_char_ngrams", classOf[SortedCharNgrams],
-      (s, n) => SortedCharNgrams(s, n.eval().asInstanceOf[Int]))
+      (s, n) => SortedCharNgrams(s, SortedCharNgrams.literalN(n)))
   }
 }

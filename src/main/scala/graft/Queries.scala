@@ -2607,7 +2607,7 @@ object Queries {
               |     CASE WHEN v.rep_ratio > 0.65 THEN 'high_repetition' END,
               |     CASE WHEN m.mean_word_len > 5.9 THEN 'long_words' END],
               |     x -> x IS NOT NULL)) AS rs
-              | FROM m JOIN v ON v.doc_id = m.doc_id)
+              | FROM m LEFT JOIN v ON v.doc_id = m.doc_id)
               |SELECT doc_id,
               |  coalesce(array_to_string(rs, ','), '') AS reject_reasons,
               |  len(rs) = 0 AS keep FROM r""".stripMargin)),

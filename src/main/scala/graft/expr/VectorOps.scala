@@ -176,6 +176,22 @@ case class SortedCharNgrams(child: Expression, n: Int)
 }
 
 object SortedCharNgrams {
+  /** Resolve the `n` argument from a registration-time expression: must be a
+    * foldable integer literal; anything else gets a clear analysis error
+    * instead of an opaque ClassCastException. */
+  def literalN(e: Expression): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      "sorted_char_ngrams(s, n): n must be an integer literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"sorted_char_ngrams(s, n): n must be an integer literal, got $other")
+    }
+  }
+
   /** Static entry point shared by eval and generated code. */
   def compute(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
     val total = s.numChars() - n + 1
@@ -204,7 +220,7 @@ object VectorOps {
       "scala_udf")
     reg.createOrReplaceTempFunction("sorted_char_ngrams",
       (exprs: Seq[Expression]) => SortedCharNgrams(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+        SortedCharNgrams.literalN(exprs(1))), "scala_udf")
   }
 
   def vectorDot(a: Column, b: Column): Column =

@@ -58,8 +58,11 @@ object Analytics {
     var e = FreshCheckpoint(edges.select($"src".as("u"), $"dst".as("v"))
       .filter($"u" =!= $"v").distinct())
     def checksum(df: DataFrame): (Long, Long) = {
+      // 64-bit xxhash (not 32-bit hash): a collision here would terminate
+      // the star alternation before its true fixpoint with silently wrong
+      // labels, so the false-convergence window is kept at ~2^-64 per round
       val r = df.agg(count(lit(1)),
-        coalesce(expr("bit_xor(hash(u, v))").cast("long"), lit(0L))).head()
+        coalesce(expr("bit_xor(xxhash64(u, v))").cast("long"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     var prev = (-1L, 0L)
@@ -201,7 +204,9 @@ object Analytics {
       .collect()
       .groupBy(_.getString(0))
       .map { case (cat, rows) =>
-        val blocks = rows.map(r => (r.getString(1), r.getString(2)))
+        // component labels may be any id type (string entity ids, long
+        // nation keys) — render order is by label's string form
+        val blocks = rows.map(r => (String.valueOf(r.get(1)), r.getString(2)))
           .sortBy(_._1).map(_._2)
         val body = blocks.zipWithIndex.map { case (b, i) =>
           s"\nComponent ${i + 1}:\n$b\n" +
@@ -501,9 +506,12 @@ object Analytics {
     if (edges.schema("a").dataType == org.apache.spark.sql.types.LongType &&
         edges.schema("b").dataType == org.apache.spark.sql.types.LongType) {
       val und = edges.select(col("a"), col("b")).distinct()
-      // size gate BEFORE any collect — above the cutoff nothing of the edge
-      // set ever reaches the driver
-      if (und.select(col("a")).distinct().count() <= localCutoff)
+      // size gate BEFORE any collect, on BOTH dimensions — a 65k-vertex
+      // graph can still carry billions of edges, so the vertex cutoff alone
+      // would not bound the driver materialization; one aggregate checks
+      // both, and above either bound nothing reaches the driver
+      val g = und.agg(countDistinct(col("a")), count(lit(1))).head()
+      if (g.getLong(0) <= localCutoff && g.getLong(1) <= 4000000L)
         return walksLocal(edges.sparkSession,
           und.collect().map(r => (r.getLong(0), r.getLong(1))), steps)
     }
@@ -553,13 +561,7 @@ object Analytics {
     val adj = pairs.groupBy(_._1).map { case (a, es) =>
       a -> es.map(_._2).sorted
     }
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def h60(s: String): Long = {
-      val d = md.digest(s.getBytes("UTF-8"))
-      md.reset()
-      val hex = d.map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    }
+    import graft.expr.Hash60.h60
     val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
     adj.keys.toSeq.sorted.foreach { w =>
       out += ((w, 0L, w))

@@ -268,15 +268,19 @@ object Centrality {
       localCutoff: Long = localThreshold): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
-    val nS = seeds.count().toDouble
+    // dedupe seeds up front: a duplicated seed row would otherwise fan the
+    // vertex row out through the broadcast join and double-count its mass
+    // (and the local path would disagree with the distributed one)
+    val seedIds = seeds.select($"id").distinct()
+    val nS = seedIds.count().toDouble
     val n = vertices.count()
     if (n <= localCutoff && n > 0)
-      return pprLocal(vertices, edges, seeds, iters, damping, nS)
+      return pprLocal(vertices, edges, seedIds, iters, damping, nS)
     val e = FreshCheckpoint(edges.select($"src", $"dst"))
     val od = e.groupBy($"src".as("id")).agg(count(lit(1)).as("outdeg"))
     val v = FreshCheckpoint(vertices.select($"id")
       .join(od, Seq("id"), "left").na.fill(0L, Seq("outdeg"))
-      .join(broadcast(seeds.select($"id", lit(1.0 / nS).as("w"))), Seq("id"), "left")
+      .join(broadcast(seedIds.select($"id", lit(1.0 / nS).as("w"))), Seq("id"), "left")
       .na.fill(0.0, Seq("w")))
     var x = v.select($"id", $"outdeg", $"w", $"w".as("score"))
     var it = 0
@@ -312,19 +316,19 @@ object Centrality {
     val spark = vertices.sparkSession
     val ids = vertices.select(col("id")).collect().map(_.get(0)).toIndexedSeq
     val idx = ids.zipWithIndex.toMap
-    val es = edges.select(col("src"), col("dst")).collect()
-      .flatMap { r =>
-        (idx.get(r.get(0)), idx.get(r.get(1))) match {
-          case (Some(s), Some(d)) => Some((s, d))
-          case _ => None
-        }
-      }
+    // mirror the distributed loop exactly: outdeg counts EVERY edge whose
+    // src is a known vertex (the distributed outdeg aggregates the raw edge
+    // table), while propagation to an unknown dst vanishes (the left join
+    // back onto the vertex frame drops it — leaked mass, same both paths)
+    val raw = edges.select(col("src"), col("dst")).collect()
+      .flatMap(r => idx.get(r.get(0)).map(s => (s, idx.get(r.get(1)))))
+    val outdeg = new Array[Long](ids.length)
+    raw.foreach { case (s, _) => outdeg(s) += 1 }
+    val es = raw.collect { case (s, Some(d)) => (s, d) }
     val seedIdx = seeds.select(col("id")).collect()
       .flatMap(r => idx.get(r.get(0)))
     val w = new Array[Double](ids.length)
     seedIdx.foreach(i => w(i) = 1.0 / nS)
-    val outdeg = new Array[Long](ids.length)
-    es.foreach { case (s, _) => outdeg(s) += 1 }
     var x = w.clone()
     var it = 0
     while (it < iters) {

@@ -28,10 +28,11 @@ import org.apache.spark.sql.graft.FreshCheckpoint
   */
 object Layout {
 
-  /** md5-derived uniform in [0,1): 60 bits of the digest scaled down. */
+  /** md5-derived uniform in [0,1): 60 bits of the digest scaled down
+    * (column twin of [[graft.expr.Hash60.h01]]). */
   private def h01(c: Column, salt: String): Column =
-    conv(substring(md5(concat(c, lit(salt))), 1, 15), 16, 10)
-      .cast("long").cast("double") / lit(math.pow(2, 60))
+    graft.expr.Hash60.h60Col(concat(c, lit(salt)))
+      .cast("double") / lit(math.pow(2, 60))
 
   /** Deterministic initial positions: (id, x, y) in [0,1)². */
   def initialPositions(vertices: DataFrame): DataFrame =
@@ -137,12 +138,6 @@ object Layout {
     // Spark round() semantics: decimal HALF_UP at scale 9
     def r9(v: Double): Double =
       BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def h01(s: String): Double = {
-      val d = md.digest(s.getBytes("UTF-8")); md.reset()
-      val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
-      java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 60)
-    }
     val ids = vertices.select(col("id")).collect().map(_.get(0)).toIndexedSeq
     val idx = ids.zipWithIndex.toMap
     val es = und.select(col("u"), col("v")).collect()
@@ -150,8 +145,8 @@ object Layout {
         case (Some(a), Some(b)) => Some((a, b)); case _ => None
       })
     val m = ids.length
-    val x = Array.tabulate(m)(i => r9(h01(s"${ids(i)}:x")))
-    val y = Array.tabulate(m)(i => r9(h01(s"${ids(i)}:y")))
+    val x = Array.tabulate(m)(i => r9(graft.expr.Hash60.h01(s"${ids(i)}:x")))
+    val y = Array.tabulate(m)(i => r9(graft.expr.Hash60.h01(s"${ids(i)}:y")))
     for (it <- 1 to iterations) {
       val t = t0 * (iterations - it + 1).toDouble / iterations
       val fx = new Array[Double](m); val fy = new Array[Double](m)

@@ -237,7 +237,11 @@ object TextAnalysis {
       "long_words" -> (col("mean_word_len") > 5.9))
     val reasons = array_sort(filter(
       array(rules.map { case (n, c) => when(c, lit(n)) }: _*), x => x.isNotNull))
-    q.join(rep, Seq("doc_id"))
+    // LEFT join: a zero-token doc produces no grams and hence no repetition
+    // row — an inner join would silently drop exactly the junkiest docs from
+    // the audit. Its rep_ratio stays NULL, so the repetition rule doesn't
+    // fire (NULL comparison → no reason), but the length rules still reject.
+    q.join(rep, Seq("doc_id"), "left")
       .select(col("doc_id"),
         array_join(reasons, ",").as("reject_reasons"),
         (size(reasons) === 0).as("keep"))

@@ -130,7 +130,8 @@ class OpsSpec extends SparkTestBase {
     import spark.implicits._
     val d = Seq(
       (1L, "tiny xyzzyqw"), // too_short + low_stopword (+possibly more)
-      (2L, ("the dog " * 40).trim)) // long enough, stopworded, but repetitive
+      (2L, ("the dog " * 40).trim), // long enough, stopworded, but repetitive
+      (3L, ""), (4L, "   ")) // zero tokens: must still appear, rejected
       .toDF("doc_id", "text")
     val out = TextAnalysis.filterCascade(d)
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
@@ -139,6 +140,14 @@ class OpsSpec extends SparkTestBase {
     assert(r1.split(",").toSeq === r1.split(",").toSeq.sorted)
     val (r2, k2) = out(2L)
     assert(!k2 && r2.contains("high_repetition"))
+    // zero-token docs produce no repetition grams — they must NOT vanish
+    // from the audit (left join), and length rules still reject them
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    Seq(3L, 4L).foreach { id =>
+      val (r, k) = out(id)
+      assert(!k && r.contains("too_short"), s"doc $id: $r")
+      assert(!r.contains("high_repetition"), "null rep_ratio must not fire")
+    }
     // keep == empty reason list, by construction
     assert(out.values.forall { case (r, k) => k === r.isEmpty })
   }
