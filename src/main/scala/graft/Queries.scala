@@ -2286,7 +2286,10 @@ object Queries {
     * integer micro-unit coordinates, ties → min centroid id, 2 rounds +
     * final assignment). Every stage MATERIALIZED — assignments feed both
     * the next update and the distance carry. */
-  private val kmeansOracle: String = {
+  /** The WITH-chain replaying [[graft.ops.Quantize.kmeansCodebook]] (2
+    * rounds, k=8); the final assignment lands in CTE `a2`. `recursive`
+    * prefixes WITH RECURSIVE so callers can append closure CTEs. */
+  private def kmeansStages(recursive: Boolean): String = {
     val rounds = 2
     def assignStage(a: String, c: String) =
       s"""$a AS MATERIALIZED (SELECT vec_id, cid, dist FROM (
@@ -2298,17 +2301,20 @@ object Queries {
       s"""$c AS MATERIALIZED (SELECT a.cid, iv.d,
          |  CAST(floor(sum(iv.x)::DOUBLE / count(*)) AS BIGINT) AS cx
          | FROM $a a JOIN iv ON iv.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+    val w = if (recursive) "WITH RECURSIVE" else "WITH"
     val base =
-      """WITH f AS (SELECT vec_id, unnest(embedding) AS v,
+      s"""$w f AS (SELECT vec_id, unnest(embedding) AS v,
         |   generate_subscripts(embedding, 1) AS i FROM embeddings),
         |iv AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
         |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS x FROM f),
         |c0 AS (SELECT vec_id AS cid, d, x AS cx FROM iv WHERE vec_id < 8)""".stripMargin
     val stages = (1 to rounds).flatMap(r =>
       Seq(assignStage(s"a${r - 1}", s"c${r - 1}"), updateStage(s"c$r", s"a${r - 1}")))
-    ((base +: stages) :+ assignStage(s"a$rounds", s"c$rounds")).mkString(",\n") +
-      s"\nSELECT vec_id, cid AS centroid, CAST(dist AS BIGINT) AS dist FROM a$rounds"
+    ((base +: stages) :+ assignStage(s"a$rounds", s"c$rounds")).mkString(",\n")
   }
+
+  private val kmeansOracle: String = kmeansStages(recursive = false) +
+    s"\nSELECT vec_id, cid AS centroid, CAST(dist AS BIGINT) AS dist FROM a2"
 
   /** Unrolled fixed-round personalized-PageRank oracle
     * ([[graft.graph.Centrality.personalizedPageRank]] semantics: teleport
@@ -2611,6 +2617,33 @@ object Queries {
               |SELECT doc_id,
               |  coalesce(array_to_string(rs, ','), '') AS reject_reasons,
               |  len(rs) = 0 AS keep FROM r""".stripMargin)),
+
+    Q("q150_semantic_dedup",
+      (s, d) => graft.ops.Similarity.semanticDedup(
+        T(s, d, "embeddings"), k = 8, rounds = 2, threshold = 0.3),
+      // kmeans cells → in-cell cosine pairs → recursive closure → min-member
+      // keeper: the full SemDeDup pipeline replayed stage by stage
+      Some(kmeansStages(recursive = true) + s""",
+           |cells AS (SELECT vec_id, cid FROM a2),
+           |pr AS (SELECT x.vec_id AS a, y.vec_id AS b
+           |  FROM cells x JOIN cells y
+           |    ON x.cid = y.cid AND x.vec_id < y.vec_id),
+           |dots AS (SELECT p.a, p.b, sum(CAST(fa.v AS DOUBLE) * fb.v) AS dp
+           |  FROM pr p JOIN f fa ON fa.vec_id = p.a
+           |  JOIN f fb ON fb.vec_id = p.b AND fb.i = fa.i
+           |  GROUP BY 1, 2),
+           |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
+           |nd AS (SELECT d.a, d.b
+           |  FROM dots d JOIN norms na ON na.vec_id = d.a
+           |  JOIN norms nb ON nb.vec_id = d.b
+           |  WHERE round(d.dp / (na.nrm * nb.nrm), 6) >= 0.3),
+           |und(a, b) AS (SELECT a, b FROM nd UNION SELECT b, a FROM nd),
+           |nodes AS (SELECT vec_id AS id FROM embeddings),
+           |r(s, id) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION SELECT r.s, u.b FROM r JOIN und u ON u.a = r.id),
+           |cc AS (SELECT s AS vec_id, min(id) AS keep_id FROM r GROUP BY s)
+           |SELECT vec_id, keep_id, vec_id = keep_id AS is_kept FROM cc""".stripMargin)),
 
     Q("q143_ewma",
       (s, d) => {

@@ -152,6 +152,36 @@ class OpsSpec extends SparkTestBase {
     assert(out.values.forall { case (r, k) => k === r.isEmpty })
   }
 
+  test("semantic dedup: planted duplicates collapse to the min-id keeper") {
+    import spark.implicits._
+    // 12 vectors in two tight groups + noise singletons; duplicates of the
+    // group archetypes must collapse, singletons must survive
+    // ids 0..3 seed the k=4 init centroids (kmeansCodebook takes the first
+    // k vec_ids), so they must be DIVERSE; the dup groups live at higher
+    // ids and snap to their nearest centroid together
+    def v(base: Seq[Double], eps: Double) = base.map(_ + eps)
+    val g1 = Seq(1.0, 0.0, 0.0, 5.0); val g2 = Seq(0.0, 3.0, 1.0, 0.0)
+    val rows = Seq(
+      (0L, Seq(9.0, -2.0, 4.4, 1.0)), (1L, Seq(-3.0, 7.0, 0.2, 2.2)),
+      (2L, Seq(2.0, 2.0, -2.0, -2.0)), (3L, Seq(0.1, 0.1, 8.0, -1.0)),
+      (4L, v(g1, 0.0)), (5L, v(g1, 0.001)), (6L, v(g1, 0.002)),
+      (7L, v(g2, 0.0)), (8L, v(g2, 0.001)),
+      (9L, Seq(-5.0, 1.0, 1.0, 1.0)), (10L, Seq(4.0, 4.0, 4.0, 4.0)),
+      (11L, Seq(1.0, -1.0, 1.0, -1.0)))
+    val emb = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = graft.ops.Similarity.semanticDedup(emb, k = 4, rounds = 2,
+        threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size === 12)
+    // group members share the min-id keeper (same cell: near-identical vecs)
+    assert(Seq(5L, 6L).forall(i => out(i) === ((4L, false))))
+    assert(out(4L) === ((4L, true)))
+    assert(out(8L) === ((7L, false)) && out(7L) === ((7L, true)))
+    // everything else keeps itself (pairwise cosines all below threshold)
+    assert((Seq(0L, 1L, 2L, 3L) ++ (9L to 11L)).forall(i => out(i) === ((i, true))))
+  }
+
   test("language-id argmax picks the profile with most markers") {
     import spark.implicits._
     val d = Seq(
