@@ -2307,14 +2307,19 @@ object Queries {
         |   generate_subscripts(embedding, 1) AS i FROM embeddings),
         |iv AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
         |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS x FROM f),
-        |c0 AS (SELECT vec_id AS cid, d, x AS cx FROM iv WHERE vec_id < 8)""".stripMargin
+        |c0 AS (SELECT vec_id AS cid, d, x AS cx FROM iv WHERE vec_id IN (
+        |   SELECT DISTINCT vec_id FROM iv ORDER BY vec_id LIMIT 8))""".stripMargin
     val stages = (1 to rounds).flatMap(r =>
       Seq(assignStage(s"a${r - 1}", s"c${r - 1}"), updateStage(s"c$r", s"a${r - 1}")))
     ((base +: stages) :+ assignStage(s"a$rounds", s"c$rounds")).mkString(",\n")
   }
 
+  /** Name of [[kmeansStages]]' final-assignment CTE — single source of truth
+    * for the two oracles that SELECT from it. */
+  private val kmeansFinalCte = "a2"
+
   private val kmeansOracle: String = kmeansStages(recursive = false) +
-    s"\nSELECT vec_id, cid AS centroid, CAST(dist AS BIGINT) AS dist FROM a2"
+    s"\nSELECT vec_id, cid AS centroid, CAST(dist AS BIGINT) AS dist FROM $kmeansFinalCte"
 
   /** Unrolled fixed-round personalized-PageRank oracle
     * ([[graft.graph.Centrality.personalizedPageRank]] semantics: teleport
@@ -2624,7 +2629,7 @@ object Queries {
       // kmeans cells → in-cell cosine pairs → recursive closure → min-member
       // keeper: the full SemDeDup pipeline replayed stage by stage
       Some(kmeansStages(recursive = true) + s""",
-           |cells AS (SELECT vec_id, cid FROM a2),
+           |cells AS (SELECT vec_id, cid FROM $kmeansFinalCte),
            |pr AS (SELECT x.vec_id AS a, y.vec_id AS b
            |  FROM cells x JOIN cells y
            |    ON x.cid = y.cid AND x.vec_id < y.vec_id),

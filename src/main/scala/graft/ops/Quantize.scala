@@ -47,7 +47,12 @@ object Quantize {
       assigned.join(iv, Seq("vec_id"))
         .groupBy(col("cid"), col("d"))
         .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long").as("cx"))
-    var cents = iv.filter(col("vec_id") < k)
+    // deterministic init = the k SMALLEST vec_ids (not `vec_id < k`, which
+    // silently yields an EMPTY codebook — and an all-pass dedup downstream —
+    // whenever ids don't start at 0)
+    val firstK = iv.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(k)
+    var cents = iv.join(firstK, Seq("vec_id"))
       .select(col("vec_id").as("cid"), col("d"), col("x").as("cx"))
     for (_ <- 1 to rounds)
       cents = FreshCheckpoint(update(assign(cents)))

@@ -182,50 +182,6 @@ object Similarity {
     * are interpreted, not codegen'd — hoisting them off the O(pairs) path is
     * a 3× saving), so the per-pair work is a single dot product.
     * Returns (a, b, cos), a < b. */
-  /** SemDeDup-style semantic dedup (cluster-then-prune): k-means cells bound
-    * the pair search — cosine is evaluated only within a cell, never
-    * all-pairs — then near-dup pairs transitively close into clusters and
-    * each cluster keeps its min-id member. The deliberate SemDeDup trade:
-    * near-dups that land in different cells are missed, in exchange for a
-    * pair budget of Σ|cell|² instead of n². Same narrow-candidate /
-    * attach-arrays-late plan as [[bucketedNearDups]]; the codebook is the
-    * deterministic fixed-round Lloyd's of [[Quantize.kmeansCodebook]], so the
-    * whole pipeline — centroids, cells, cosines, closure — replays exactly
-    * in SQL.
-    *
-    * @return (vec_id, keep_id, is_kept) — keep_id = min member of the
-    *         vector's near-dup cluster; is_kept marks the survivor.
-    */
-  def semanticDedup(embeddings: DataFrame, k: Int = 8, rounds: Int = 2,
-      threshold: Double = 0.95): DataFrame = {
-    graft.expr.VectorOps.register(embeddings.sparkSession)
-    val cells = Quantize.kmeansCodebook(embeddings, k, rounds)
-      .select(col("vec_id"), col("centroid"))
-    val e = Dedup.fanOut(embeddings)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("nrm", norm(col("emb")))
-      .join(cells, Seq("vec_id"))
-      .localCheckpoint(true)
-    val meta = e.select(col("centroid"), col("vec_id"))
-    val cand = meta.as("x").join(meta.as("y"),
-        col("x.centroid") === col("y.centroid") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
-    val hint: DataFrame => DataFrame =
-      if (embeddings.count() <= 65536) broadcast(_) else identity
-    val ea = e.select(col("vec_id").as("a"), col("emb").as("ea"), col("nrm").as("na"))
-    val eb = e.select(col("vec_id").as("b"), col("emb").as("eb"), col("nrm").as("nb"))
-    val pairs = cand.join(hint(ea), Seq("a")).join(hint(eb), Seq("b"))
-      .select(col("a").as("src"), col("b").as("dst"),
-        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos"))
-      .filter(col("cos") >= threshold)
-      .select(col("src"), col("dst"))
-    val cc = graft.graph.Analytics.connectedComponents(
-      embeddings.select(col("vec_id").as("id")), pairs)
-    cc.select(col("id").as("vec_id"), col("component").as("keep_id"),
-      (col("id") === col("component")).as("is_kept"))
-  }
-
   def bucketedNearDups(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
     graft.expr.VectorOps.register(embeddings.sparkSession)
     val e = Dedup.fanOut(embeddings).select(col("label"), col("vec_id"),
@@ -253,5 +209,33 @@ object Similarity {
       .select(col("a"), col("b"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** SemDeDup-style semantic dedup (cluster-then-prune): k-means cells bound
+    * the pair search — cosine is evaluated only within a cell, never
+    * all-pairs — then near-dup pairs transitively close into clusters and
+    * each cluster keeps its min-id member. The deliberate SemDeDup trade:
+    * near-dups that land in different cells are missed, in exchange for a
+    * pair budget of Σ|cell|² instead of n². The pair stage IS
+    * [[bucketedNearDups]] with the cell as the block label, and the codebook
+    * is the deterministic fixed-round Lloyd's of
+    * [[Quantize.kmeansCodebook]], so the whole pipeline — centroids, cells,
+    * cosines, closure — replays exactly in SQL.
+    *
+    * @return (vec_id, keep_id, is_kept) — keep_id = min member of the
+    *         vector's near-dup cluster; is_kept marks the survivor.
+    */
+  def semanticDedup(embeddings: DataFrame, k: Int = 8, rounds: Int = 2,
+      threshold: Double = 0.95): DataFrame = {
+    val cells = Quantize.kmeansCodebook(embeddings, k, rounds)
+      .select(col("vec_id"), col("centroid"))
+    val blocked = embeddings.select(col("vec_id"), col("embedding"))
+      .join(cells.withColumnRenamed("centroid", "label"), Seq("vec_id"))
+    val pairs = bucketedNearDups(blocked, threshold)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val cc = graft.graph.Analytics.connectedComponents(
+      embeddings.select(col("vec_id").as("id")), pairs)
+    cc.select(col("id").as("vec_id"), col("component").as("keep_id"),
+      (col("id") === col("component")).as("is_kept"))
   }
 }

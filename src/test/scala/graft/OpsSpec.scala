@@ -180,6 +180,15 @@ class OpsSpec extends SparkTestBase {
     assert(out(8L) === ((7L, false)) && out(7L) === ((7L, true)))
     // everything else keeps itself (pairwise cosines all below threshold)
     assert((Seq(0L, 1L, 2L, 3L) ++ (9L to 11L)).forall(i => out(i) === ((i, true))))
+
+    // ids not starting at 0: init must take the k SMALLEST ids, not fail
+    // to an empty codebook (which would silently report zero duplicates)
+    val shifted = emb.select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val out2 = graft.ops.Similarity.semanticDedup(shifted, k = 4, rounds = 2,
+        threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out2(1005L) === ((1004L, false)) && out2(1004L) === ((1004L, true)))
+    assert(out2.values.count(_._2) === out.values.count(_._2))
   }
 
   test("language-id argmax picks the profile with most markers") {
