@@ -34,7 +34,7 @@ object Analytics {
     * arrays (union-find, exact, no per-round scheduling): any iterative
     * distributed scheme costs per-round stage scheduling, which for
     * dimension-sized graphs is pure overhead. LS/SS remains the scale path. */
-  val localThreshold: Long = 65536
+  val localThreshold: Long = graft.Limits.dimensionRows
 
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       localCutoff: Long = localThreshold): DataFrame = {

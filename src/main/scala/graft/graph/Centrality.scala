@@ -47,7 +47,7 @@ object Centrality {
     * distributed join loop. Dimension-sized graphs — like the reference's
     * 17k nodes — cost ~10 Spark stages *per power-iteration round* in the
     * distributed formulation, all scheduling overhead. */
-  val localThreshold: Long = 65536
+  val localThreshold: Long = graft.Limits.dimensionRows
 
   def eigenvector(
       vertices: DataFrame,

@@ -206,7 +206,7 @@ object Dedup {
     // ~64k docs (≈60 MB of arrays) the attach falls back to a shuffle join —
     // the candidate shuffle stays narrow either way.
     val hint: DataFrame => DataFrame =
-      if (docs.count() <= 65536) broadcast(_) else identity
+      if (docs.count() <= graft.Limits.dimensionRows) broadcast(_) else identity
     val ga = gramArrays.select(col("doc_id").as("a"), col("arr").as("arrA"))
     val gb = gramArrays.select(col("doc_id").as("b"), col("arr").as("arrB"))
     cand.join(hint(ga), Seq("a")).join(hint(gb), Seq("b"))

@@ -202,7 +202,7 @@ object Similarity {
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
     val hint: DataFrame => DataFrame =
-      if (embeddings.count() <= 65536) broadcast(_) else identity
+      if (embeddings.count() <= graft.Limits.dimensionRows) broadcast(_) else identity
     val ea = e.select(col("vec_id").as("a"), col("emb").as("ea"), col("nrm").as("na"))
     val eb = e.select(col("vec_id").as("b"), col("emb").as("eb"), col("nrm").as("nb"))
     cand.join(hint(ea), Seq("a")).join(hint(eb), Seq("b"))
