@@ -17,7 +17,11 @@ import graft.streaming.EventStreams
   *
   * Parity conventions (hash-compare safety):
   *  - every aggregate/computed column aliased identically on both sides;
-  *  - doubles rounded (both engines round half-away-from-zero on doubles);
+  *  - doubles rounded (both engines round half-away-from-zero on doubles) —
+  *    EXCEPT values that are exact small rationals (rank/count ratios):
+  *    k/n can land exactly on a .xxxxxx5 boundary where Spark rounds
+  *    HALF_UP but DuckDB half-even (hit at sf0.1 by cume_dist: 0.5203125);
+  *    those use tie-free floor(x*1e6)/1e6 on both sides instead;
   *  - DuckDB integer sums cast to BIGINT (they default to HUGEINT);
   *  - timestamps surfaced as epoch seconds (both truncate sub-second);
   *  - arrays surfaced as sorted joined strings.
@@ -1205,16 +1209,21 @@ object Queries {
       (s, d) => {
         val w = Window.partitionBy(col("c_nationkey"))
           .orderBy(col("c_acctbal"), col("c_custkey"))
+        // percent_rank/cume_dist are exact rationals k/n whose doubles can
+        // land EXACTLY on a .xxxxxx5 rounding boundary (hit at sf0.1:
+        // 0.5203125), where Spark rounds HALF_UP and DuckDB half-even —
+        // floor of micro-units is tie-free (ties sit on integers, where
+        // floor is the identity) and keeps 6-digit resolution
         T(s, d, "customer").select(col("c_custkey"), col("c_nationkey"),
           ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"),
+          (floor(percent_rank().over(w) * 1000000d) / 1000000d).as("pr"),
+          (floor(cume_dist().over(w) * 1000000d) / 1000000d).as("cd"),
           dense_rank().over(w).cast("long").as("dr"))
       },
       Some("""SELECT c_custkey, c_nationkey,
              | ntile(4) OVER w AS quartile,
-             | round(percent_rank() OVER w, 6) AS pr,
-             | round(cume_dist() OVER w, 6) AS cd,
+             | floor(percent_rank() OVER w * 1000000) / 1000000 AS pr,
+             | floor(cume_dist() OVER w * 1000000) / 1000000 AS cd,
              | CAST(dense_rank() OVER w AS BIGINT) AS dr
              |FROM customer
              |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""".stripMargin)),
