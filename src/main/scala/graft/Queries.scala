@@ -746,8 +746,8 @@ object Queries {
              |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
              |  GROUP BY 1, 2)
              |SELECT c.a, c.b,
-             |  round(CAST(coalesce(i.i, 0) AS DOUBLE)
-             |    / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) AS jaccard
+             |  floor(CAST(coalesce(i.i, 0) AS DOUBLE)
+             |    / (sa.sz + sb.sz - coalesce(i.i, 0)) * 1000000) / 1000000 AS jaccard
              |FROM cand c
              |LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
              |JOIN sizes sa ON sa.doc_id = c.a
@@ -772,8 +772,8 @@ object Queries {
              |    ON tb.doc_id = c.b AND tb.tok = ta.tok
              |  GROUP BY 1, 2)
              |SELECT c.a, c.b,
-             |  round(CAST(coalesce(i.i, 0) AS DOUBLE)
-             |    / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) AS jaccard
+             |  floor(CAST(coalesce(i.i, 0) AS DOUBLE)
+             |    / (sa.sz + sb.sz - coalesce(i.i, 0)) * 1000000) / 1000000 AS jaccard
              |FROM cand c
              |LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
              |JOIN sizes sa ON sa.doc_id = c.a
@@ -2606,7 +2606,7 @@ object Queries {
       (s, d) => graft.ops.TextAnalysis.filterCascade(T(s, d, "documents")),
       Some(s"""WITH ${duckGrams(1)},
               |v AS (SELECT doc_id,
-              |   round(1.0 - count(DISTINCT gram) / count(*), 6) AS rep_ratio
+              |   floor((1.0 - count(DISTINCT gram) / count(*)) * 1000000) / 1000000 AS rep_ratio
               | FROM g GROUP BY 1),
               |m AS (SELECT doc_id,
               |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
@@ -3104,7 +3104,7 @@ object Queries {
               | FROM g WHERE gram IS NOT NULL AND len(string_split(gram, ' ')) = 2
               | GROUP BY 1)
               |SELECT doc_id, total_grams, uniq_grams,
-              | round(1.0 - uniq_grams / total_grams, 6) AS rep_ratio
+              | floor((1.0 - uniq_grams / total_grams) * 1000000) / 1000000 AS rep_ratio
               |FROM v""".stripMargin)),
 
     Q("q127_decontamination",

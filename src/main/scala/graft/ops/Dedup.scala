@@ -123,8 +123,12 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "szA"), Seq("a"))
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szB"), Seq("b"))
       .withColumn("jaccard",
-        round(col("inter").cast("double")
-          / (col("szA") + col("szB") - col("inter")).cast("double"), 6))
+        // floor micro-units, not round: jaccard is an exact small rational
+        // (see Queries' parity conventions — round() ties split across
+        // engines when the union size is 2^a*5^b)
+        floor(col("inter").cast("double")
+          / (col("szA") + col("szB") - col("inter")).cast("double")
+          * 1000000d) / 1000000d)
       .select(col("a"), col("b"), col("jaccard"))
   }
 
@@ -215,8 +219,12 @@ object Dedup {
         size(col("arrA")).cast("long").as("szA"),
         size(col("arrB")).cast("long").as("szB"))
       .withColumn("jaccard",
-        round(col("inter").cast("double")
-          / (col("szA") + col("szB") - col("inter")).cast("double"), 6))
+        // floor micro-units, not round: jaccard is an exact small rational
+        // (see Queries' parity conventions — round() ties split across
+        // engines when the union size is 2^a*5^b)
+        floor(col("inter").cast("double")
+          / (col("szA") + col("szB") - col("inter")).cast("double")
+          * 1000000d) / 1000000d)
       .select(col("a"), col("b"), col("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

@@ -169,8 +169,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("total_grams"),
         countDistinct(col("gram")).as("uniq_grams"))
       .select(col("doc_id"), col("total_grams"), col("uniq_grams"),
-        round(lit(1.0) - col("uniq_grams").cast("double")
-          / col("total_grams").cast("double"), 6).as("rep_ratio"))
+        // floor micro-units (tie-free) — an exact count ratio, see
+        // Queries' parity conventions
+        (floor((lit(1.0) - col("uniq_grams").cast("double")
+          / col("total_grams").cast("double")) * 1000000d) / 1000000d)
+          .as("rep_ratio"))
   }
 
   /** Benchmark decontamination: training docs sharing any token n-gram with
