@@ -453,10 +453,16 @@ object Centrality {
     val bcIds = spark.sparkContext.broadcast(ids)
 
     val sources: Seq[Int] = sampleSources match {
-      case Some(k) if k < nV => (0 until nV by math.max(1, nV / k)).take(k)
+      case Some(k) if k < nV =>
+        // same hash-mod rule as [[sampleSourceIds]] so the distributed twin
+        // picks the identical source set (AnalyticsSpec asserts 1e-9 parity)
+        val step = math.max(1L, nV.toLong / k)
+        val sel = (0 until nV).filter(i => graft.expr.Hash60.h60(ids(i)) % step == 0)
+        if (sel.nonEmpty) sel
+        else Seq((0 until nV).minBy(i => graft.expr.Hash60.h60(ids(i))))
       case _ => 0 until nV
     }
-    val scale = if (sampleSources.exists(_ < nV)) nV.toDouble / sources.size else 1.0
+    val scale = nV.toDouble / sources.size
 
     val partials = spark.sparkContext
       .parallelize(sources, math.min(sources.size, 256))
@@ -499,9 +505,22 @@ object Centrality {
     spark.createDataFrame(rows).toDF("id", "betweenness")
   }
 
+  /** Deterministic sort-free source sample shared by both Brandes paths:
+    * keep ids where h60(id) % step == 0 with step = max(1, n/k) — ~k sources
+    * in expectation, scale-corrected by the realized count. A pure filter
+    * over the vertex scan: no total order, no Window, no single-partition
+    * exchange (the `Window.orderBy(id)` + `row_number` rule this replaces
+    * funneled the ENTIRE vertex set through one sort task — the first stage
+    * to die on a billion-vertex graph). PlanSpec machine-checks the plan. */
+  private[graft] def sampleSourceIds(vertices: DataFrame, k: Int, nV: Long): DataFrame = {
+    val step = math.max(1L, nV / math.min(k.toLong, math.max(1L, nV)))
+    vertices.select(col("id"))
+      .filter(graft.expr.Hash60.h60Col(col("id")) % step === 0)
+  }
+
   /** Distributed k-sampled Brandes: never materializes the graph on the
-    * driver. Sources are the same deterministic every-(n/k)-th-sorted-id
-    * sample as the local path. Phase 1 is a level-synchronous BFS carrying
+    * driver. Sources are the same deterministic hash-mod sample as the local
+    * path ([[sampleSourceIds]]). Phase 1 is a level-synchronous BFS carrying
     * (source, vertex, dist, sigma) — one equi-join on the edge key per
     * level, frontier checkpointed per round so lineage and stats stay
     * grounded. Phase 2 replays levels deepest-first, accumulating Brandes
@@ -518,16 +537,18 @@ object Centrality {
     import spark.implicits._
     val e = FreshCheckpoint(edges.select($"src", $"dst"))
 
-    // deterministic sample: indices 0, step, 2·step, … of the id-sorted
-    // vertex list (identical rule to the local path). The rank window sorts
-    // only the n-row id column, not the edges.
-    val byId = org.apache.spark.sql.expressions.Window.orderBy($"id")
-    val step = math.max(1L, nV / math.min(k.toLong, nV))
-    val srcs = vertices.select($"id")
-      .withColumn("rn", row_number().over(byId).cast("long") - 1)
-      .filter($"rn" % step === 0 && $"rn" < step * k)
-      .select($"id")
-    val kActual = srcs.count()
+    // deterministic hash-mod sample, identical rule to the local path
+    val srcs0 = sampleSourceIds(vertices, k, nV)
+    var kActual = srcs0.count()
+    val srcs =
+      if (kActual > 0) srcs0
+      else {
+        // vanishingly unlikely (P ≈ e^-k) but cheap to guard: top-1 by hash
+        // — TakeOrdered, still no global sort
+        kActual = 1
+        vertices.select($"id")
+          .orderBy(graft.expr.Hash60.h60Col($"id")).limit(1)
+      }
     val scale = if (kActual < nV) nV.toDouble / kActual else 1.0
 
     // forward BFS: visited(s, v, dist, sigma)

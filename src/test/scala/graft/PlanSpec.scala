@@ -67,6 +67,19 @@ class PlanSpec extends SparkTestBase {
       s"adjacency join not keyed on neighbor index: $l"))
   }
 
+  test("betweenness source sample plans as a pure filter: no Window, no single-partition exchange") {
+    // the distributed Brandes sampler must never funnel the vertex set
+    // through one task (the Window.orderBy+row_number rule it replaced did)
+    import spark.implicits._
+    val v = spark.range(100000).select($"id".cast("string").as("id"))
+    val df = graft.graph.Centrality.sampleSourceIds(v, 64, 100000L)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort"), p)
+  }
+
   test("whole-stage codegen covers the scan-agg pipeline") {
     // AQE's pre-execution explain hides codegen stages; plan without it
     spark.conf.set("spark.sql.adaptive.enabled", "false")
