@@ -2495,7 +2495,14 @@ object Queries {
           .unionByName(T(s, d, "region")
             .select((col("r_regionkey").cast("long") + 1000L).as("id"),
               col("r_name").as("name"), lit("region").as("type")))
+        // the operator emits scale-safe per-member rows; the one-row-per-
+        // component listing STRING is this oracle artifact's shape, so the
+        // collect_list lives here, where the graph is dimension-sized by
+        // construction (nation-region), not in the operator
         graft.graph.Analytics.componentListings(cc, ents)
+          .groupBy(col("category"), col("component"), col("size"))
+          .agg(array_join(transform(array_sort(collect_list(struct(col("id"), col("line")))),
+            x => x.getField("line")), "\n").as("listing"))
           .select(col("category"), col("component"), col("size"), col("listing"))
       },
       Some("""WITH RECURSIVE und AS (

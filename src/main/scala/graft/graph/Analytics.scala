@@ -167,14 +167,18 @@ object Analytics {
     ("isolated", 1, 1), ("extra_small", 2, 4), ("small", 5, 9),
     ("medium", 10, 25), ("large", 25, 100), ("extra_large", 101, 10000))
 
-  /** Per-component membership listing blocks (`utils/analyze.py:297-323`,
-    * `data/analysis_results/component_info/<cat>_components.txt`): one row per
-    * (category, component) with the component's members rendered as the
-    * reference's "  name (id) (type)" lines, id-sorted within the block.
-    * All heavy work is distributed — member lines build in a per-component
-    * aggregation (shuffle on the component key; entities is a broadcast
-    * dimension); only final file assembly ([[renderComponentListings]])
-    * touches the driver, as artifact emission must. */
+  /** Per-component membership lines (`utils/analyze.py:297-323`,
+    * `data/analysis_results/component_info/<cat>_components.txt`): ONE ROW
+    * PER MEMBER — (category, component, size, id, line), line rendered as
+    * the reference's "  name (id) (type)". No row ever carries a whole
+    * component: at 100× the reference's XL component (53% of the graph) is
+    * tens of millions of members, so a per-component `collect_list` would
+    * pack a multi-GB string into one executor row. The entity attach
+    * broadcasts only when entities is dimension-sized (gate =
+    * [[graft.Limits.dimensionRows]], same pattern as the similarity ops);
+    * above it the attach is a plain shuffle equi-join. Text-block assembly
+    * happens only in [[renderComponentListings]], which is driver-side and
+    * reference-artifact-sized by intent. */
   def componentListings(components: DataFrame, entities: DataFrame): DataFrame = {
     val spark = components.sparkSession
     import spark.implicits._
@@ -182,32 +186,49 @@ object Analytics {
     val catted = components.groupBy($"component").agg(count(lit(1)).as("size"))
       .join(broadcast(cats), $"size" >= $"lo" && $"size" <= $"hi")
       .select($"component", $"category", $"size")
-    val lines = components
-      .join(broadcast(entities.select($"id", $"name", $"type")), Seq("id"))
+    val hint: DataFrame => DataFrame =
+      if (entities.count() <= graft.Limits.dimensionRows) broadcast(_) else identity
+    components
+      .join(hint(entities.select($"id", $"name", $"type")), Seq("id"))
       .select($"component", $"id",
         concat(lit("  "), $"name", lit(" ("), $"id", lit(") ("), $"type",
           lit(")")).as("line"))
-    lines.join(catted, Seq("component"))
-      .groupBy($"category", $"component", $"size")
-      .agg(array_join(transform(array_sort(collect_list(struct($"id", $"line"))),
-        x => x.getField("line")), "\n").as("listing"))
+      .join(catted, Seq("component"))
+      .select($"category", $"component", $"size", $"id", $"line")
   }
 
-  /** Assemble [[componentListings]] rows into the reference's per-category
-    * text files (`utils/analyze.py:310-323`): header, "Component i:" blocks
-    * separated by "  ----". The reference numbers components in networkx
-    * set-iteration order, which no other engine can reproduce — blocks here
-    * are ordered by component label (min member id), so files match the
-    * reference's modulo block order. */
+  /** Member ids may be any type (string entity ids, long nation keys); the
+    * within-block sort must match the column's natural order in either case
+    * (numeric for numbers — the oracle's ORDER BY m.id — lexicographic for
+    * strings). */
+  private val idOrdering: Ordering[Any] = new Ordering[Any] {
+    def compare(a: Any, b: Any): Int = (a, b) match {
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        java.lang.Double.compare(x.doubleValue, y.doubleValue)
+      case _ => String.valueOf(a).compareTo(String.valueOf(b))
+    }
+  }
+
+  /** Assemble [[componentListings]] member rows into the reference's
+    * per-category text files (`utils/analyze.py:310-323`): header,
+    * "Component i:" blocks separated by "  ----", members id-sorted within
+    * each block. The reference numbers components in networkx set-iteration
+    * order, which no other engine can reproduce — blocks here are ordered by
+    * component label (min member id), so files match the reference's modulo
+    * block order. Collect-based by design: the rendered artifact is a
+    * driver-side text file either way. */
   def renderComponentListings(listings: DataFrame): Map[String, String] = {
-    listings.select(col("category"), col("component"), col("listing"))
+    listings.select(col("category"), col("component"), col("id"), col("line"))
       .collect()
       .groupBy(_.getString(0))
       .map { case (cat, rows) =>
-        // component labels may be any id type (string entity ids, long
-        // nation keys) — render order is by label's string form
-        val blocks = rows.map(r => (String.valueOf(r.get(1)), r.getString(2)))
-          .sortBy(_._1).map(_._2)
+        // component labels may be any id type — render order is by the
+        // label's string form (unchanged from the one-row-per-component era)
+        val blocks = rows.groupBy(r => String.valueOf(r.get(1)))
+          .view.mapValues { members =>
+            members.map(r => (r.get(2), r.getString(3)))
+              .sortBy(_._1)(idOrdering).map(_._2).mkString("\n")
+          }.toSeq.sortBy(_._1).map(_._2)
         val body = blocks.zipWithIndex.map { case (b, i) =>
           s"\nComponent ${i + 1}:\n$b\n" +
             (if (i < blocks.length - 1) "  ----\n" else "")
