@@ -10,7 +10,7 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 import graft.graph.Subgraph
-import graft.query.EntityQueries
+import graft.query.{EntityQueries, SetiQueries}
 
 /** Thin HTTP facade over the engine's serving-layer queries: the three core
   * reference endpoints (`flask_app.py:95-252`) with their documented response
@@ -72,6 +72,11 @@ class HttpShim(
     * port. */
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    // Without an executor every request serializes on the single dispatcher
+    // thread — one slow subgraph POST would block dropdowns/labels/data for
+    // all clients. Spark job submission from concurrent handler threads is
+    // safe (the scheduler is thread-safe; local[n] interleaves stages).
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     server.createContext("/api/entities/", (ex: HttpExchange) => safely(ex) {
       val path = ex.getRequestURI.getPath.stripPrefix("/api/entities/")
       if (path == "labels") handleLabels(ex) else handleDropdown(ex, path)
@@ -89,11 +94,35 @@ class HttpShim(
         case _ => respond(ex, 404, errJson("not found"))
       }
     })
+    // app-level (un-prefixed) UI-bootstrap routes (`flask_app.py:467-541`)
+    server.createContext("/view",
+      (ex: HttpExchange) => safely(ex)(handleView(ex)))
+    server.createContext("/seti/by_collection/", (ex: HttpExchange) => safely(ex) {
+      val rel = ex.getRequestURI.getPath.stripPrefix("/seti/by_collection/")
+      rel.split("/", -1).toSeq match {
+        case Seq(c, "visualize") =>
+          handleVisualize(ex, java.net.URLDecoder.decode(c, "UTF-8"))
+        case _ => respond(ex, 404, errJson("not found"))
+      }
+    })
+    server.createContext("/", (ex: HttpExchange) => safely(ex) {
+      // `/` serves the UI with no initialization (`flask_app.py:498-503`);
+      // everything else falling through to the root context is unknown
+      if (ex.getRequestURI.getPath == "/")
+        respond(ex, 200, """{"initial_params": null}""")
+      else respond(ex, 404, errJson("not found"))
+    })
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = if (server != null) {
+    server.stop(0)
+    server.getExecutor match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ => ()
+    }
+  }
 
   // --- endpoint handlers ---
 
@@ -196,23 +225,43 @@ class HttpShim(
         .mkString("{", ", ", "}")
     }.mkString("{", ", ", "}")
 
+  /** `get_works_by_collection` (`flask_app.py:261-293`): case-insensitive
+    * "all" early-returns the ENTIRE link table — other collections'
+    * contributions and the '...' placeholder row included, since the
+    * reference returns before either filter runs. Any other unknown name is
+    * a 400. The non-all path keeps works carrying the collection, drops the
+    * placeholder, and (strict mode) hides other collections' contributions
+    * while keeping the work. */
+  private def worksByCollection(c: String, includeOther: Boolean)
+      : Either[String, Seq[(String, Seq[(String, Links)])]] =
+    // the "all" early-return is DEAD via the /api/seti/by_collection route
+    // (route-level validation rejects it first, `flask_app.py:318`) but LIVE
+    // via /seti/by_collection/<c>/visualize, which calls this helper without
+    // that validation (`flask_app.py:475`)
+    if (c.toLowerCase == "all")
+      Right(etextNested.toSeq.map { case (wid, m) => wid -> m.toSeq.sortBy(_._1) })
+    else if (!collections.contains(c))
+      Left(s"Invalid collection: $c. Valid options: $collectionsRepr")
+    else Right(etextNested.toSeq
+      .filter { case (wid, m) => m.contains(c) && wid != "..." }
+      .map { case (wid, m) =>
+        wid -> (if (includeOther) m.toSeq.sortBy(_._1) else Seq(c -> m(c))) })
+
   private def handleByCollection(ex: HttpExchange): Unit =
     queryParam(ex, "collection").filter(_.nonEmpty) match {
       case None => respond(ex, 400,
         errJson("Missing required parameter: collection"))
+      // route-level validation precedes the helper (`flask_app.py:318`), so
+      // "all" is rejected HERE — unlike the visualize route
       case Some(c) if !collections.contains(c) => respond(ex, 400,
         errJson(s"Invalid collection: $c. Valid options: $collectionsRepr"))
       case Some(c) =>
         val includeOther = queryParam(ex, "include_other_collections")
           .getOrElse("false").toLowerCase == "true"
-        // works carrying the collection, placeholder '...' dropped
-        // (`flask_app.py:280-293`); strict mode hides other collections'
-        // contributions but keeps the work
-        val entries = etextNested.toSeq
-          .filter { case (wid, m) => m.contains(c) && wid != "..." }
-          .map { case (wid, m) =>
-            wid -> (if (includeOther) m.toSeq.sortBy(_._1) else Seq(c -> m(c))) }
-        respond(ex, 200, worksJson(entries))
+        worksByCollection(c, includeOther) match {
+          case Left(err) => respond(ex, 400, errJson(err))
+          case Right(entries) => respond(ex, 200, worksJson(entries))
+        }
     }
 
   private def handleUnique(ex: HttpExchange): Unit =
@@ -270,6 +319,63 @@ class HttpShim(
     respond(ex, 200, worksJson(entries))
   }
 
+  // --- UI-bootstrap routes (`flask_app.py:467-541`) ---
+  // The reference renders `index.html` with an `initial_params` dict; the
+  // frontend template itself is presentation scope (SURVEY §2.1), so the shim
+  // emits the data-side JSON the template would receive — the full
+  // validation/derivation pipeline behind it is the engine part.
+
+  /** `/view` (`flask_app.py:510-541`): URL-param-initialized UI entry. Each
+    * comma list is validated digits+commas-only with empties allowed
+    * (`validate_comma_separated_list_input(allow_empty=True)`,
+    * `flask_app.py:78-93`); `hops` passes through as the RAW URL STRING — the
+    * reference does no int conversion on this route (only the POST body path
+    * parses it), so a provided value renders as a JSON string while the
+    * absent-default renders as the config integer. */
+  private def handleView(ex: HttpExchange): Unit = {
+    val params = Seq("authors", "works", "exclude_list").map(queryParam(ex, _))
+    // allow_empty: missing/blank passes; otherwise digits+commas only
+    if (params.exists(_.exists(s => s.trim.nonEmpty && !s.trim.matches("[\\d,]*"))))
+      return respond(ex, 400, errJson(EntityQueries.errChars))
+    // Python: `s.strip().split(',') if s else []` — truthiness is on the
+    // UNSTRIPPED string, so a whitespace-only param yields [""] (one empty
+    // segment), and interior empties survive. Mirrored exactly.
+    def parse(o: Option[String]): Seq[String] = o match {
+      case Some(s) if s.nonEmpty => s.trim.split(",", -1).toSeq
+      case _ => Nil
+    }
+    val Seq(authors, works, exclude) = params.map(parse)
+    val hops = queryParam(ex, "hops").map(jstr).getOrElse(defaultHops.toString)
+    def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ", ", "]")
+    respond(ex, 200,
+      s"""{"initial_params": {"authors": ${arr(authors)}, "works": ${arr(works)}, """ +
+        s""""hops": $hops, "exclude_list": ${arr(exclude)}}}""")
+  }
+
+  /** `/seti/by_collection/<c>/visualize` (`flask_app.py:467-490`): the
+    * collection's works plus every author of those works
+    * ([[SetiQueries.authorsOfWorks]], J8), packaged as the template-bootstrap
+    * params — hops=0 (works+authors are already the full intended graph), no
+    * excludes, repulsion 50. `get_author_ids_for_work_ids`
+    * (`flask_app.py:457-464`) indexes `ENTITIES_BY_ID` directly, so a work id
+    * with no entity row (e.g. the '...' placeholder the `all` path keeps) is
+    * an uncaught KeyError in the reference → 500. */
+  private def handleVisualize(ex: HttpExchange, collection: String): Unit =
+    worksByCollection(collection, includeOther = false) match {
+      case Left(err) => respond(ex, 400, errJson(err))
+      case Right(entries) =>
+        val works = entries.map(_._1).sorted
+        if (works.exists(!knownIds.contains(_)))
+          return respond(ex, 500, """{"message": "Internal Server Error"}""")
+        import spark.implicits._
+        val authors = SetiQueries.authorsOfWorks(entities, works.toDF("id"))
+          .collect().map(_.getString(0)).sorted.toSeq
+        def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ", ", "]")
+        respond(ex, 200,
+          s"""{"initial_params": {"works": ${arr(works)}, "authors": ${arr(authors)}, """ +
+            s""""hops": 0, "exclude_list": [], "repulsion": 50}}""")
+    }
+
   /** Static data passthrough (`flask_app.py:585-587`, flask
     * `send_from_directory`): serve files under `dataDir` verbatim, with the
     * same traversal protection (a resolved path escaping the directory is a
@@ -284,7 +390,16 @@ class HttpShim(
     val target = root.resolve(rel).normalize()
     if (!target.startsWith(root) || !java.nio.file.Files.isRegularFile(target))
       return respond(ex, 404, errJson("not found"))
-    val bytes = java.nio.file.Files.readAllBytes(target)
+    // lexical containment alone is spoofable by a symlink inside dataDir
+    // pointing outside it — compare the RESOLVED paths too
+    val real = try target.toRealPath() catch {
+      case _: java.io.IOException => return respond(ex, 404, errJson("not found"))
+    }
+    val realRoot = try root.toRealPath() catch {
+      case _: java.io.IOException => return respond(ex, 404, errJson("not found"))
+    }
+    if (!real.startsWith(realRoot))
+      return respond(ex, 404, errJson("not found"))
     val ctype = rel.toLowerCase match {
       case p if p.endsWith(".json") => "application/json"
       case p if p.endsWith(".csv") => "text/csv"
@@ -292,8 +407,10 @@ class HttpShim(
       case _ => "application/octet-stream"
     }
     ex.getResponseHeaders.set("Content-Type", ctype)
-    ex.sendResponseHeaders(200, bytes.length)
-    ex.getResponseBody.write(bytes)
+    // stream rather than buffer: a large artifact must not inflate the heap
+    // per request
+    ex.sendResponseHeaders(200, java.nio.file.Files.size(real))
+    java.nio.file.Files.copy(real, ex.getResponseBody)
     ex.getResponseBody.close()
   }
 

@@ -181,7 +181,75 @@ class HttpShimSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       assert(fetch("/api/seti/by_work?ids=12a").statusCode() === 400)
       assert(fetch("/api/seti/by_work?ids=1,2").body() ===
         """{"error": "No valid work IDs provided"}""")
+
+      // --- /seti/by_collection/<c>/visualize (flask_app.py:467-490) ---
+      // bootstrap: the collection's works + the union of their authors,
+      // hops=0, no excludes, repulsion 50. SARIT is a collection whose
+      // works ALL have entity rows (verified against the reference's own
+      // loaders), so its bootstrap succeeds.
+      val viz = fetch("/seti/by_collection/SARIT/visualize")
+      assert(viz.statusCode() === 200, viz.body())
+      val vObj = (JsonMethods.parse(viz.body()) \ "initial_params")
+        .asInstanceOf[JObject].obj.toMap
+      def strs(v: JValue) = v.asInstanceOf[JArray].arr.collect {
+        case JString(s) => s }.toSet
+      val saritWorks = nested.filter { case (w, m) =>
+        m.contains("SARIT") && w != "..." }.keySet
+      assert(strs(vObj("works")) === saritWorks)
+      val expectedAuthors = entities
+        .filter(col("type") === "work" &&
+          col("id").isin(saritWorks.toSeq: _*))
+        .select(explode(col("authorIds"))).distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(expectedAuthors.nonEmpty)
+      assert(strs(vObj("authors")) === expectedAuthors)
+      assert(vObj("hops") === JInt(0))
+      assert(vObj("exclude_list") === JArray(Nil))
+      assert(vObj("repulsion") === JInt(50))
+      // GRETIL's link table carries work 41906 with NO entity row: the
+      // reference's get_author_ids_for_work_ids hits an uncaught KeyError
+      // (only AttributeError is handled, flask_app.py:457-464) → 500. The
+      // reference's own visualize is genuinely broken for GRETIL/DCS on
+      // this data; the shim mirrors that contract.
+      val gret = fetch("/seti/by_collection/GRETIL/visualize")
+      assert(gret.statusCode() === 500)
+      assert(gret.body() === """{"message": "Internal Server Error"}""")
+      // get_works_by_collection's validation applies (no route-level check)
+      val vBad = fetch("/seti/by_collection/BOGUS/visualize")
+      assert(vBad.statusCode() === 400)
+      assert(vBad.body().startsWith("""{"error": "Invalid collection: BOGUS"""))
+      // 'all' IS live here (the helper's early return, dead via the API
+      // route) — it keeps the '...' placeholder, which has no entity row:
+      // same uncaught-KeyError 500
+      assert(nested.contains("..."))
+      assert(fetch("/seti/by_collection/all/visualize").statusCode() === 500)
     } finally setiShim.stop()
+  }
+
+  test("GET /view and /: URL-param bootstrap with the reference's validation quirks") {
+    // /view renders initial_params straight from URL params; hops passes
+    // through as the RAW STRING when provided (the reference does no int
+    // conversion on this route) and as the config integer when absent
+    val ok = get("/view?works=89000,89001&authors=&hops=3&exclude_list=41324")
+    assert(ok.statusCode() === 200, ok.body())
+    assert(ok.body() ===
+      """{"initial_params": {"authors": [], "works": ["89000", "89001"], """ +
+        """"hops": "3", "exclude_list": ["41324"]}}""")
+    assert(get("/view").body() ===
+      """{"initial_params": {"authors": [], "works": [], "hops": 2, "exclude_list": []}}""")
+    // validation: digits+commas only (blank allowed), exact reference message
+    val bad = get("/view?authors=x1")
+    assert(bad.statusCode() === 400)
+    assert(bad.body() === s"""{"error": "${EntityQueries.errChars}"}""")
+    // Python-truthiness quirk: whitespace-only param is truthy, strips to ""
+    // and splits to one empty segment
+    assert(get("/view?works=%20").body() ===
+      """{"initial_params": {"authors": [], "works": [""], "hops": 2, "exclude_list": []}}""")
+    // interior empties survive the split
+    assert(get("/view?works=1,,2").body().contains(""""works": ["1", "", "2"]"""))
+    // '/' serves the uninitialized entry; other root paths are unknown
+    assert(get("/").body() === """{"initial_params": null}""")
+    assert(get("/nope").statusCode() === 404)
   }
 
   test("GET /data/<path>: static passthrough with traversal protection") {
@@ -201,6 +269,15 @@ class HttpShimSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       // flask send_from_directory's traversal protection
       assert(fetch("/data/../x.json").statusCode() === 404)
       assert(fetch("/data/%2e%2e/secret").statusCode() === 404)
+      // a symlink INSIDE dataDir pointing outside it defeats lexical
+      // containment — the resolved-path check must refuse it
+      val outside = java.nio.file.Files.createTempFile("shimsecret", ".txt")
+      java.nio.file.Files.writeString(outside, "secret")
+      try {
+        java.nio.file.Files.createSymbolicLink(dir.resolve("link.txt"), outside)
+        assert(fetch("/data/link.txt").statusCode() === 404)
+      } catch { case _: UnsupportedOperationException => () // no symlink support
+      } finally java.nio.file.Files.deleteIfExists(outside)
     } finally dataShim.stop()
   }
 
