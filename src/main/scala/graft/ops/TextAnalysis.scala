@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.FreshCheckpoint
 
 /** Text-analysis operators for large-scale training-data pipelines, over the
   * `documents(doc_id, text, lang, source, n_chars)` table.
@@ -209,9 +210,25 @@ object TextAnalysis {
     val lines = Dedup.fanOut(docs).select(col("doc_id"),
       posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "line")))
-    val dups = lines.groupBy(col("line")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxOcc).select(col("line"))
-    val kept = lines.join(dups, Seq("line"), "left_anti")
+      // the 8-byte hash LEADS every per-line shuffle key: partitioning is
+      // driven by a fixed-width, well-mixed prefix instead of raw line bytes
+      // (a multi-KB boilerplate line is an expensive shuffle key), while the
+      // line itself stays in the key so 64-bit collisions can't conflate two
+      // distinct lines
+      .withColumn("line_key", xxhash64(col("line")))
+    // Materializing the dup set re-grounds its stats in REAL block sizes
+    // (FreshCheckpoint), so Catalyst broadcasts the anti-join whenever the
+    // over-represented tail is actually small — the typical case: boilerplate
+    // is by construction high-frequency, so distinct dup lines ≤ corpus
+    // lines / maxOcc. A broadcast anti-join never shuffles the fat lines
+    // stream at all, which is ALSO the skew story: all copies of a
+    // line-in-30%-of-docs stay where they are instead of funneling into one
+    // reducer. If the dup set really is huge, the planner falls back to a
+    // shuffle join, where AQE's skew-split applies.
+    val dups = FreshCheckpoint(lines
+      .groupBy(col("line_key"), col("line")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxOcc).select(col("line_key"), col("line")))
+    val kept = lines.join(dups, Seq("line_key", "line"), "left_anti")
     val counts = lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
     val keptAgg = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),

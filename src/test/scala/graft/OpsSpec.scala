@@ -126,6 +126,33 @@ class OpsSpec extends SparkTestBase {
     assert(loose.forall(r => r.getLong(1) === r.getLong(2)))
   }
 
+  test("line dedup: planted hot line (30% of docs) broadcasts the dup set — no skewed shuffle") {
+    import spark.implicits._
+    // one boilerplate line planted in 30% of 1,000 docs: the classic skew
+    // case where every copy of the hot line would funnel into a single
+    // reducer if the anti-join shuffled the lines stream on line content
+    val docs = spark.range(1000).select($"id".as("doc_id"),
+      concat(
+        when($"id" % 10 < 3, lit("SUBSCRIBE TO OUR NEWSLETTER\n")).otherwise(lit("")),
+        lit("unique line "), $"id", lit("\ntail "), $"id").as("text"))
+    val out = TextAnalysis.lineDedup(docs, "\n")
+    // the dup set is tiny (one line) and FreshCheckpoint hands its REAL size
+    // to Catalyst, so the anti-join must be a broadcast: the fat, skewed
+    // lines stream is never shuffled at all
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.toLowerCase.contains("leftanti"), plan.take(2000))
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(rows.size === 1000)
+    // hot docs lost exactly the boilerplate line; others kept everything
+    assert((0L until 1000L).forall { i =>
+      val (nl, nk, text) = rows(i)
+      if (i % 10 < 3) nl == 3 && nk == 2 && text == s"unique line $i\ntail $i"
+      else nl == 2 && nk == 2 && text == s"unique line $i\ntail $i"
+    })
+  }
+
   test("filter cascade: reasons are sorted, keep iff no rule fires") {
     import spark.implicits._
     val d = Seq(
