@@ -23,9 +23,12 @@ object Hash60 {
   /** [[h60]] scaled to a uniform in [0,1) — the layout's init draw. */
   def h01(s: String): Double = h60(s).toDouble / math.pow(2, 60)
 
-  /** Column-side twin of [[h60]]. */
+  /** Column-side twin of [[h60]]. The cast-to-string is an identity on the
+    * string-id callers and makes numeric ids hash exactly like the driver
+    * side's string form (md5 takes binary/string only — a bigint id column
+    * would otherwise fail analysis). */
   def h60Col(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
   }
 }

@@ -573,10 +573,25 @@ object Centrality {
       }
     }
 
-    // backward accumulation, deepest level first
+    // Backward accumulation, deepest level first. The per-level deltas feed
+    // the final score only through Σ_s delta(s,v) — an associative sum — so
+    // they are folded into per-vertex PARTIAL aggregates in chunks of 8
+    // levels rather than accumulated as one ever-growing union: the old
+    // `allDelta` form re-wrote the O(k·n) row history at every checkpoint
+    // (O(d·k·n) IO on a depth-d graph — quadratic on path-like graphs).
+    // Here each delta row is checkpointed exactly once more (inside its
+    // chunk partial), per-level plans stay O(chunk) wide, and the final
+    // merge unions d/8 lineage-free chunk scans a single time.
     var delta = FreshCheckpoint(visited.filter($"dist" === d)
       .select($"s", $"v", lit(0.0).as("delta")))
-    var allDelta = delta
+    var buf: List[DataFrame] = List(delta)
+    var chunks: List[DataFrame] = Nil
+    def flushChunk(): Unit = if (buf.nonEmpty) {
+      chunks ::= FreshCheckpoint(buf.reduce(_ unionByName _)
+        .filter($"v" =!= $"s")
+        .groupBy($"v".as("id")).agg(sum($"delta").as("bc")))
+      buf = Nil
+    }
     for (lvl <- d - 1 to 0 by -1) {
       val cur = visited.filter($"dist" === lvl)
       val below = visited.filter($"dist" === lvl + 1)
@@ -591,13 +606,14 @@ object Centrality {
       delta = FreshCheckpoint(
         cur.select($"s", $"v").join(contrib, Seq("s", "v"), "left")
           .select($"s", $"v", coalesce($"c", lit(0.0)).as("delta")))
-      allDelta = allDelta.unionByName(delta)
-      if (lvl % 8 == 0) allDelta = FreshCheckpoint(allDelta)
+      buf ::= delta
+      if (buf.size >= 8) flushChunk()
     }
+    flushChunk()
 
     val denom = if (normalized && nV > 2) (nV - 1).toDouble * (nV - 2) else 1.0
-    val scores = allDelta.filter($"v" =!= $"s")
-      .groupBy($"v".as("id")).agg(sum($"delta").as("bc"))
+    val scores = chunks.reduce(_ unionByName _)
+      .groupBy($"id").agg(sum($"bc").as("bc"))
     vertices.select($"id").join(scores, Seq("id"), "left")
       .select($"id",
         (coalesce($"bc", lit(0.0)) * scale / denom).as("betweenness"))

@@ -179,27 +179,111 @@ object Community {
     labels
   }
 
-  /** Distributed single-level Louvain local-move (synchronous): every pass
-    * moves each node to the adjacent community with max modularity gain
-    * ΔQ ∝ k_{i,in} - k_i·Σtot/2m. Synchronous updates may oscillate, so the
-    * pass count is bounded and the BEST labeling by modularity is returned.
-    * One shuffle per pass; [[FreshCheckpoint]] keeps planning O(1) per pass.
+  /** Distributed multi-level Louvain: synchronous local-move passes, then a
+    * fully-distributed coarsening (communities become weighted super-nodes,
+    * intra-community mass becomes self-loop weight), then local-move again on
+    * the coarse graph — the same level structure as the exact sequential
+    * path, with every step a shuffle-on-key DataFrame op. Coarsening is what
+    * lets the approximation merge whole communities at once, which single
+    * node moves cannot do once the first level converges; one coarse level
+    * closes most of the modularity gap to the sequential algorithm.
+    *
+    * Within a level, synchronous updates may oscillate, so the pass count is
+    * bounded, only half the nodes (hash ⊕ pass parity) may move per pass,
+    * and the BEST labeling by modularity is returned. One shuffle per pass;
+    * [[FreshCheckpoint]] keeps planning O(1) per pass. Modularity of a
+    * coarse partition equals the fine modularity of the partition it
+    * induces, so per-level best-tracking composes soundly.
     */
   def louvainDistributed(
       vertices: DataFrame,
       edges: DataFrame,
-      maxPasses: Int = 8): DataFrame = {
+      maxPasses: Int = 32,
+      levels: Int = 8,
+      moveFraction: Int = 8,
+      cycles: Int = 2): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
-    val und = FreshCheckpoint(edges.select($"src".as("a"), $"dst".as("b"))
-      .unionByName(edges.select($"dst".as("a"), $"src".as("b"))))
-    val m2 = und.count().toDouble // = 2m
-    val deg = FreshCheckpoint(
-      und.groupBy($"a".as("id")).agg(count(lit(1)).cast("double").as("k")))
+    // level-0 graph: weight-1 both-direction rows, no self-loops
+    val und0 = FreshCheckpoint(edges.select($"src".as("a"), $"dst".as("b"))
+      .unionByName(edges.select($"dst".as("a"), $"src".as("b")))
+      .withColumn("w", lit(1.0)))
+    val self0 = FreshCheckpoint(vertices.select($"id", lit(0.0).as("s")))
+    // Iterated V-cycles: a cycle's coarse levels move whole communities,
+    // which strands individually-misplaced nodes inside the blobs they were
+    // frozen into at level 0. The next cycle's level-0 pass is SEEDED with
+    // the composed labels (Leiden-style refinement; best-tracking starts
+    // from the seed's own modularity, so it can only improve) and the
+    // hierarchy then re-coarsens over the refined partition, letting the
+    // corrected communities merge as super-nodes. Q is monotone in cycles:
+    // a coarse level's singleton start IS the incoming partition.
+    var total: DataFrame = null
+    for (_ <- 0 until cycles) {
+      var und = und0
+      var self = self0
+      // composed fine-node -> current-level community mapping
+      var cycTotal: DataFrame = null
+      var lvl = 0
+      var done = false
+      while (lvl < levels && !done) {
+        val init = if (lvl == 0 && total != null) Some(total) else None
+        val passes = if (init.isDefined) math.max(1, maxPasses / 2) else maxPasses
+        val labels = localMoveLevel(und, self, passes, moveFraction, init)
+        cycTotal = if (cycTotal == null) labels
+          else FreshCheckpoint(cycTotal.withColumnRenamed("community", "mid")
+            .join(labels.withColumnRenamed("id", "mid"), Seq("mid"))
+            .select($"id", $"community"))
+        // no contraction → a further level would replay the same local-move
+        if (labels.select($"community").distinct().count() == self.count())
+          done = true
+        if (!done && lvl < levels - 1) {
+          val lab = labels
+          val labA = lab.withColumnRenamed("id", "a").withColumnRenamed("community", "ca")
+          val labB = lab.withColumnRenamed("id", "b").withColumnRenamed("community", "cb")
+          val mapped = und.join(labA, Seq("a")).join(labB, Seq("b"))
+          // inter-community mass keeps both directions (grouped per
+          // direction); intra-community rows appear twice per edge → /2
+          // into self-loops
+          val nextUnd = FreshCheckpoint(mapped.filter($"ca" =!= $"cb")
+            .groupBy($"ca".as("a"), $"cb".as("b")).agg(sum($"w").as("w")))
+          val intraSelf = mapped.filter($"ca" === $"cb")
+            .groupBy($"ca".as("id")).agg((sum($"w") / 2.0).as("s1"))
+          val carried = self.join(lab, Seq("id"))
+            .groupBy($"community".as("id")).agg(sum($"s").as("s2"))
+          val nextSelf = FreshCheckpoint(carried
+            .join(intraSelf, Seq("id"), "full")
+            .select($"id", (coalesce($"s1", lit(0.0)) + coalesce($"s2", lit(0.0))).as("s")))
+          und = nextUnd
+          self = nextSelf
+        }
+        lvl += 1
+      }
+      total = cycTotal
+    }
+    total
+  }
 
-    var labels = FreshCheckpoint(vertices.select($"id", $"id".as("community")))
+  /** Bounded synchronous local-move on a weighted graph with self-loops:
+    * `und` holds both-direction (a, b, w) rows for a ≠ b; `self` holds each
+    * node's internal weight s (counted once; k_i includes 2s). Starts from
+    * `init` when given (refinement sweeps), else singletons. Returns the
+    * best labeling seen by weighted modularity. */
+  private def localMoveLevel(
+      und: DataFrame, self: DataFrame, maxPasses: Int,
+      moveFraction: Int = 2, init: Option[DataFrame] = None): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    val deg = FreshCheckpoint(
+      und.groupBy($"a".as("id")).agg(sum($"w").as("kAdj"))
+        .join(self, Seq("id"), "full")
+        .select($"id",
+          (coalesce($"kAdj", lit(0.0)) + coalesce($"s", lit(0.0)) * 2.0).as("k")))
+    val m2 = deg.agg(coalesce(sum($"k"), lit(0.0))).as[Double].head() // = 2m
+    var labels = FreshCheckpoint(
+      init.getOrElse(deg.select($"id", $"id".as("community"))))
+    if (m2 == 0.0) return labels
     var best = labels
-    var bestQ = modularity(vertices, edges, labels)
+    var bestQ = weightedModularity(und, self, deg, m2, labels)
     var pass = 0
     var anyMoved = true
     while (anyMoved && pass < maxPasses) {
@@ -208,8 +292,15 @@ object Community {
         .groupBy($"community").agg(sum($"k").as("sigma"))
       val kIn = und
         .join(withC.withColumnRenamed("id", "b").withColumnRenamed("community", "nbrC"), Seq("b"))
-        .groupBy($"a", $"nbrC").agg(count(lit(1)).cast("double").as("kin"))
-      val cand = kIn
+        .groupBy($"a", $"nbrC").agg(sum($"w").as("kin"))
+      // explicit STAY candidate (kin=0 into the own community): a node whose
+      // community has no other adjacent member gets no kIn row for it, and
+      // without one the argmax would take the best MOVE even at negative
+      // gain. When a real own-community row exists it dominates this one
+      // (kin ≥ 0 on the same sigmaAdj), so the union is always safe.
+      val stay = withC.select($"id".as("a"), $"community".as("nbrC"),
+        lit(0.0).as("kin"))
+      val cand = kIn.unionByName(stay)
         .join(deg.withColumnRenamed("id", "a"), Seq("a"))
         .join(sigmaTot.withColumnRenamed("community", "nbrC"), Seq("nbrC"))
         .join(withC.withColumnRenamed("id", "a").withColumnRenamed("community", "curC"), Seq("a"))
@@ -225,7 +316,7 @@ object Community {
           struct((-$"gain").as("ng"),
             ($"nbrC" =!= $"curC").cast("int").as("isMove"), $"nbrC")).as("b"))
         .select($"id", $"b.nbrC".as("newC"), $"b.curC".as("curC"))
-        .filter(pmod(abs(hash($"id")) + lit(pass), lit(2)) === 0)
+        .filter(pmod(abs(hash($"id")) + lit(pass), lit(moveFraction)) === 0)
       val prev = labels
       labels = FreshCheckpoint(prev
         .join(moved.select($"id", $"newC"), Seq("id"), "left")
@@ -233,11 +324,32 @@ object Community {
         .select($"id", $"community"))
       anyMoved = labels.join(prev.withColumnRenamed("community", "prevC"), Seq("id"))
         .filter($"community" =!= $"prevC").limit(1).count() > 0
-      val q = modularity(vertices, edges, labels)
+      val q = weightedModularity(und, self, deg, m2, labels)
       if (q > bestQ) { bestQ = q; best = labels }
       pass += 1
     }
     best
+  }
+
+  /** Weighted modularity with self-loops (private, level-internal): self
+    * weight is always intra-community mass; und rows carry both directions
+    * so intra rows count each internal edge twice, matching m2. */
+  private def weightedModularity(
+      und: DataFrame, self: DataFrame, deg: DataFrame, m2: Double,
+      labels: DataFrame): Double = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    val lab = labels.select($"id", $"community")
+    val intraAdj = und
+      .join(lab.withColumnRenamed("id", "a").withColumnRenamed("community", "ca"), Seq("a"))
+      .join(lab.withColumnRenamed("id", "b").withColumnRenamed("community", "cb"), Seq("b"))
+      .filter($"ca" === $"cb")
+      .agg(coalesce(sum($"w"), lit(0.0))).as[Double].head()
+    val intraSelf = self.agg(coalesce(sum($"s" * 2.0), lit(0.0))).as[Double].head()
+    val sumSq = deg.join(lab, Seq("id"))
+      .groupBy($"community").agg(sum($"k").as("sigma"))
+      .agg(coalesce(sum($"sigma" * $"sigma"), lit(0.0))).as[Double].head()
+    (intraAdj + intraSelf) / m2 - sumSq / (m2 * m2)
   }
 
   /** Modularity of a partition on the undirected view — the structural
