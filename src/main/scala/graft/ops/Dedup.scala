@@ -26,10 +26,19 @@ object Dedup {
     // df.rdd.getNumPartitions — the RDD probe forces physical planning AND an
     // RDD conversion of the analyzed plan on every call.
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // Plans with no real statistics report the spark.sql.defaultSizeInBytes
+    // sentinel (Long.MaxValue unless tuned), which would make estParts
+    // astronomical and silently disable the fan-out. Only a trusted,
+    // non-sentinel estimate may skip the repartition; otherwise pay the one
+    // RDD probe — correctness of parallelism beats planning cost here.
+    val sentinel = BigInt(
+      spark.conf.get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString))
     val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
     val estParts = bytes / (if (maxPart > 0) maxPart else 1L) + 1
-    if (estParts < p) df.repartition(p) else df
+    if (bytes >= sentinel) {
+      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    } else if (estParts < p) df.repartition(p) else df
   }
 
   /** Exact dedup: hash-groupBy on content. Returns one row per distinct text:
@@ -52,23 +61,40 @@ object Dedup {
     * collides with every other and the bucket join degenerates to all-pairs.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleArrays(docs, n).select(col("doc_id"), explode(col("arr")).as("tok"))
+
+  /** Per-ROW sorted distinct shingle array (doc_id, arr) — the narrow form
+    * every MinHash stage derives from. Entirely column expressions: no
+    * explode, no shuffle of the shingle stream anywhere (the q36 lesson —
+    * the gram relation is ~n× the corpus and shuffling it was the dominant
+    * cost; a per-doc array computed per row shuffles NOTHING). Sorted so the
+    * verify stage can merge-intersect natively. May be empty (short doc). */
+  def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"),
         filter(split(lower(col("text")), "\\s+"), x => x =!= "").as("ta"))
       .select(col("doc_id"),
-        explode(array_distinct(expr(
+        array_sort(array_distinct(expr(
           s"if(size(ta) >= $n, transform(sequence(1, size(ta) - ${n - 1}), " +
-            s"i -> concat_ws(' ', slice(ta, i, $n))), array())"))).as("tok"))
+            s"i -> concat_ws(' ', slice(ta, i, $n))), array())"))).as("arr"))
 
-  /** MinHash signature: numHashes independent permutations simulated as
-    * min(md5(i || ':' || shingle)) per hash index — the standard salted-hash
-    * MinHash over word 3-gram shingles.
-    */
-  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
-    val toks = shingles(fanOut(docs))
-    val mins = (0 until numHashes).map(i =>
-      min(md5(concat(lit(i.toString), lit(":"), col("tok")))).as(s"h$i"))
-    toks.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-  }
+  /** The numHashes salted-min columns over a shingle array column: h_i =
+    * array_min(transform(arr, t -> md5(i || ':' || t))) ≡ the classic
+    * min-over-permutation, evaluated per ROW (array_min on hex strings is
+    * the same lexicographic min the old explode + min(…) aggregation took,
+    * and the same one the DuckDB oracle replays). */
+  private def minhashCols(arr: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i =>
+      array_min(transform(arr, t => md5(concat(lit(i.toString), lit(":"), t))))
+        .as(s"h$i"))
+
+  /** MinHash signature per doc with ≥1 shingle: (doc_id, h0..h_{k-1}).
+    * Pure per-row expressions over [[shingleArrays]] — zero shuffles. The
+    * empty-shingle filter mirrors the old aggregation form, where a doc with
+    * no shingles produced no group (an empty doc must NOT band-collide with
+    * other empty docs on a constant null-band key). */
+  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame =
+    shingleArrays(fanOut(docs)).filter(size(col("arr")) > 0)
+      .select(col("doc_id") +: minhashCols(col("arr"), numHashes): _*)
 
   /** MinHash + LSH banded near-dup candidates with exact-Jaccard verification.
     *
@@ -83,17 +109,20 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.8): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    // checkpoint the NARROW per-doc signature table (one row per doc): the
-    // band union references it numBands times and the candidate self-join
-    // doubles that, so an unmaterialized signature pipeline (shingle explode
-    // + 8-way min agg) would re-run up to 2·numBands times in one plan.
-    // (The wide exploded shingle relation stays uncached — see ngramJaccard.)
-    val sigs = FreshCheckpoint(minhashSignatures(docs, numHashes))
+    // ONE checkpointed narrow table (one row per doc: sorted shingle array +
+    // signature mins, all computed per row — zero shuffles to build it). The
+    // band union reads it numBands times, the candidate self-join doubles
+    // that, and the verify attaches read it twice more — so materialize
+    // once. (The wide EXPLODED shingle relation no longer exists at all;
+    // q36's lesson taken one step further.)
+    val base = FreshCheckpoint(
+      shingleArrays(fanOut(docs)).filter(size(col("arr")) > 0)
+        .select(col("doc_id") +: col("arr") +: minhashCols(col("arr"), numHashes): _*))
     val bandCols = (0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       md5(concat_ws("|", parts: _*)).as(s"band$b")
     }
-    val banded = sigs.select(col("doc_id") +: bandCols: _*)
+    val banded = base.select(col("doc_id") +: bandCols: _*)
     val bandRows = (0 until numBands).map { b =>
       banded.select(col("doc_id"), lit(b).as("band"), col(s"band$b").as("key"))
     }.reduce(_ unionByName _)
@@ -102,26 +131,34 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    verifyJaccard(docs, cand, threshold)
+    verifyJaccardArrays(base.select(col("doc_id"), col("arr")), cand, threshold)
   }
 
   /** Exact shingle-set Jaccard for candidate pairs (a, b); filter ≥ threshold.
     * (MinHash estimates shingle-set Jaccard, so verification uses the same
     * set definition.) */
-  def verifyJaccard(docs: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
-    val toks = shingles(fanOut(docs))
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    jaccardPairs(toks, sizes, cand).filter(col("jaccard") >= threshold)
-  }
+  def verifyJaccard(docs: DataFrame, cand: DataFrame, threshold: Double): DataFrame =
+    verifyJaccardArrays(shingleArrays(fanOut(docs)).filter(size(col("arr")) > 0),
+      cand, threshold)
 
-  private def jaccardPairs(toks: DataFrame, sizes: DataFrame, cand: DataFrame): DataFrame = {
-    val ta = toks.select(col("doc_id").as("a"), col("tok"))
-    val tb = toks.select(col("doc_id").as("b"), col("tok"))
-    val inter = cand.join(ta, Seq("a")).join(tb, Seq("b", "tok"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "szA"), Seq("a"))
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szB"), Seq("b"))
+  /** Verify over per-doc sorted shingle arrays (doc_id, arr): native
+    * merge-intersect per candidate pair instead of the relational
+    * candidates ⋈ tokens ⋈ tokens + groupBy, which enumerates Σ_pairs |set|
+    * intermediate rows and shuffles the token stream. Arrays attach to the
+    * narrow candidate pairs over id equi-joins — adaptive broadcast below
+    * the dimension threshold, same pattern as ngramJaccard's verify. */
+  private def verifyJaccardArrays(
+      arrays: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+    graft.expr.VectorOps.register(arrays.sparkSession)
+    val hint: DataFrame => DataFrame =
+      if (arrays.count() <= graft.Limits.dimensionRows) broadcast(_) else identity
+    val ga = arrays.select(col("doc_id").as("a"), col("arr").as("arrA"))
+    val gb = arrays.select(col("doc_id").as("b"), col("arr").as("arrB"))
+    cand.join(hint(ga), Seq("a")).join(hint(gb), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.expr.VectorOps.sortedArrayIntersect(col("arrA"), col("arrB")).as("inter"),
+        size(col("arrA")).cast("long").as("szA"),
+        size(col("arrB")).cast("long").as("szB"))
       .withColumn("jaccard",
         // floor micro-units, not round: jaccard is an exact small rational
         // (see Queries' parity conventions — round() ties split across
@@ -130,6 +167,7 @@ object Dedup {
           / (col("szA") + col("szB") - col("inter")).cast("double")
           * 1000000d) / 1000000d)
       .select(col("a"), col("b"), col("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Blocked n-gram Jaccard near-dup: candidate pairs limited to equal
