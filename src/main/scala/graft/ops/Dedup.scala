@@ -64,37 +64,42 @@ object Dedup {
     shingleArrays(docs, n).select(col("doc_id"), explode(col("arr")).as("tok"))
 
   /** Per-ROW sorted distinct shingle array (doc_id, arr) — the narrow form
-    * every MinHash stage derives from. Entirely column expressions: no
-    * explode, no shuffle of the shingle stream anywhere (the q36 lesson —
-    * the gram relation is ~n× the corpus and shuffling it was the dominant
-    * cost; a per-doc array computed per row shuffles NOTHING). Sorted so the
-    * verify stage can merge-intersect natively. May be empty (short doc). */
-  def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame =
+    * every MinHash stage derives from. One native expression per row
+    * ([[graft.expr.SortedWordShingles]]): no explode, no shuffle of the
+    * shingle stream anywhere (the q36 lesson — the gram relation is ~n× the
+    * corpus and shuffling it was the dominant cost), and none of the
+    * composed lower/split/transform/concat_ws/distinct/sort form's
+    * intermediate-array allocations, which measured as the pipeline's
+    * dominant per-row cost. Sorted so the verify stage can merge-intersect
+    * natively. May be empty (short doc). */
+  def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame = {
+    graft.expr.VectorOps.register(docs.sparkSession)
     docs.select(col("doc_id"),
-        filter(split(lower(col("text")), "\\s+"), x => x =!= "").as("ta"))
-      .select(col("doc_id"),
-        array_sort(array_distinct(expr(
-          s"if(size(ta) >= $n, transform(sequence(1, size(ta) - ${n - 1}), " +
-            s"i -> concat_ws(' ', slice(ta, i, $n))), array())"))).as("arr"))
+      graft.expr.VectorOps.sortedWordShingles(col("text"), n).as("arr"))
+  }
 
-  /** The numHashes salted-min columns over a shingle array column: h_i =
-    * array_min(transform(arr, t -> md5(i || ':' || t))) ≡ the classic
-    * min-over-permutation, evaluated per ROW (array_min on hex strings is
-    * the same lexicographic min the old explode + min(…) aggregation took,
-    * and the same one the DuckDB oracle replays). */
-  private def minhashCols(arr: Column, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map(i =>
-      array_min(transform(arr, t => md5(concat(lit(i.toString), lit(":"), t))))
-        .as(s"h$i"))
+  /** The numHashes salted-min columns over a shingle array column:
+    * h_i = min over tokens of md5(i || ':' || t) ≡ the classic
+    * min-over-permutation, all k mins computed in ONE native pass per row
+    * ([[graft.expr.MinHashSigs]] — the same lexicographic min the old
+    * explode + min(…) aggregation took, and the one the DuckDB oracle
+    * replays; the naive per-row HOF form allocated k md5-string arrays per
+    * doc and measured slower than the aggregation it replaced). */
+  private def minhashCols(arr: Column, numHashes: Int): Seq[Column] = {
+    val sigs = graft.expr.VectorOps.minhashSigs(arr, numHashes)
+    (0 until numHashes).map(i => sigs.getItem(i).as(s"h$i"))
+  }
 
   /** MinHash signature per doc with ≥1 shingle: (doc_id, h0..h_{k-1}).
     * Pure per-row expressions over [[shingleArrays]] — zero shuffles. The
     * empty-shingle filter mirrors the old aggregation form, where a doc with
     * no shingles produced no group (an empty doc must NOT band-collide with
     * other empty docs on a constant null-band key). */
-  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame =
+  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
+    graft.expr.VectorOps.register(docs.sparkSession)
     shingleArrays(fanOut(docs)).filter(size(col("arr")) > 0)
       .select(col("doc_id") +: minhashCols(col("arr"), numHashes): _*)
+  }
 
   /** MinHash + LSH banded near-dup candidates with exact-Jaccard verification.
     *
@@ -108,16 +113,17 @@ object Dedup {
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
       threshold: Double = 0.8): DataFrame = {
+    graft.expr.VectorOps.register(docs.sparkSession)
     val numBands = numHashes / rowsPerBand
-    // ONE checkpointed narrow table (one row per doc: sorted shingle array +
-    // signature mins, all computed per row — zero shuffles to build it). The
-    // band union reads it numBands times, the candidate self-join doubles
-    // that, and the verify attaches read it twice more — so materialize
-    // once. (The wide EXPLODED shingle relation no longer exists at all;
-    // q36's lesson taken one step further.)
-    val base = FreshCheckpoint(
-      shingleArrays(fanOut(docs)).filter(size(col("arr")) > 0)
-        .select(col("doc_id") +: col("arr") +: minhashCols(col("arr"), numHashes): _*))
+    // Checkpoint the NARROW signature table only (one row per doc,
+    // doc_id + k hex strings; the band union reads it numBands times and
+    // the candidate self-join doubles that). The per-doc shingle ARRAYS are
+    // deliberately NOT checkpointed: they are the tokenized corpus re-
+    // encoded (~text-sized per doc), and materializing them measured as the
+    // dominant cost of the whole query at sf0.1 — the verify stage instead
+    // recomputes arrays for CANDIDATE docs only (bounded by LSH buckets,
+    // orders of magnitude smaller than the corpus).
+    val base = FreshCheckpoint(minhashSignatures(docs, numHashes))
     val bandCols = (0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       md5(concat_ws("|", parts: _*)).as(s"band$b")
@@ -131,15 +137,29 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    verifyJaccardArrays(base.select(col("doc_id"), col("arr")), cand, threshold)
+    verifyJaccard(docs, cand, threshold)
   }
 
   /** Exact shingle-set Jaccard for candidate pairs (a, b); filter ≥ threshold.
     * (MinHash estimates shingle-set Jaccard, so verification uses the same
-    * set definition.) */
-  def verifyJaccard(docs: DataFrame, cand: DataFrame, threshold: Double): DataFrame =
-    verifyJaccardArrays(shingleArrays(fanOut(docs)).filter(size(col("arr")) > 0),
-      cand, threshold)
+    * set definition.) Shingle arrays are computed only for docs that appear
+    * in a candidate pair: the candidate ID SET broadcast-semi-joins onto the
+    * corpus scan (no shuffle of the doc table), so verify cost scales with
+    * the candidates, never the corpus. */
+  def verifyJaccard(docs: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+    val candC = FreshCheckpoint(cand)
+    val ids = candC.select(col("a").as("doc_id"))
+      .unionByName(candC.select(col("b").as("doc_id"))).distinct()
+    // adaptive: a candidate explosion past the dimension threshold falls
+    // back to a shuffle semi-join rather than an oversized broadcast
+    val hint: DataFrame => DataFrame =
+      if (candC.count() * 2 <= graft.Limits.dimensionRows) broadcast(_) else identity
+    val candDocs = fanOut(docs).join(hint(ids), Seq("doc_id"), "leftsemi")
+    // candidate-doc arrays are read three times (adaptive count + both
+    // attach sides) — materialize the candidate-bounded table once
+    verifyJaccardArrays(FreshCheckpoint(
+      shingleArrays(candDocs).filter(size(col("arr")) > 0)), candC, threshold)
+  }
 
   /** Verify over per-doc sorted shingle arrays (doc_id, arr): native
     * merge-intersect per candidate pair instead of the relational

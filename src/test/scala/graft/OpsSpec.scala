@@ -259,6 +259,38 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("sorted_word_shingles + minhash_sigs equal the composed formulations") {
+    import spark.implicits._
+    graft.expr.VectorOps.register(spark)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "  leading and\ttab\nnewline   runs  ",
+      "one two", "one two three", "UPPER Case MiXeD words here",
+      "héllo wörld ünïcode tokens again", "", "   \t\n  ",
+      "dup dup dup dup dup").toDF("text")
+    val native = texts.select(
+      graft.expr.VectorOps.sortedWordShingles(col("text"), 3).as("arr"))
+    val composed = texts
+      .select(expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')").as("ta"))
+      .select(sort_array(array_distinct(expr(
+        "if(size(ta) >= 3, transform(sequence(1, size(ta) - 2), " +
+          "i -> concat_ws(' ', slice(ta, i, 3))), array())"))).as("arr"))
+    native.collect().zip(composed.collect()).zip(texts.collect()).foreach {
+      case ((n, c), t) =>
+        assert(n.getSeq[String](0) === c.getSeq[String](0), t.getString(0))
+    }
+    // minhash mins: native one-pass vs per-index array_min(transform(md5))
+    val arrs = native.filter(size(col("arr")) > 0)
+    val nat = arrs.select((0 until 4).map(i =>
+      graft.expr.VectorOps.minhashSigs(col("arr"), 4).getItem(i).as(s"h$i")): _*)
+    val hof = arrs.select((0 until 4).map(i =>
+      array_min(transform(col("arr"),
+        t => md5(concat(lit(i.toString), lit(":"), t)))).as(s"h$i")): _*)
+    nat.collect().zip(hof.collect()).foreach { case (a, b) =>
+      (0 until 4).foreach(i => assert(a.getString(i) === b.getString(i)))
+    }
+  }
+
   test("sorted_array_intersect: overlap, disjoint, empty, self") {
     import spark.implicits._
     graft.expr.VectorOps.register(spark)
