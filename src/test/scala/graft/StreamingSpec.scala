@@ -158,4 +158,43 @@ class StreamingSpec extends SparkTestBase {
       assert(emittedN === batchPerUser(u) - 1, s"user $u emitted $emittedN")
     }
   }
+
+  test("streaming near-dup (LSH bucket state) equals batch minhashLsh over multi-batch arrival") {
+    import graft.streaming.NearDupStream
+    val docs = spark.read.parquet(s"$eventsDir/documents.parquet")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("jaccard"))
+    val batch = graft.ops.Dedup.minhashLsh(docs, 8, 2, 0.5)
+      .collect().map(key).toSet
+    assert(batch.nonEmpty, "corpus has no near-dup pairs at 0.5 — test vacuous")
+
+    // the SAME streaming plan evaluated in batch mode must already agree
+    val asBatch = NearDupStream.nearDupStream(spark, docs, 8, 2, 0.5)
+      .collect().map(key).toSet
+    assert(asBatch === batch)
+
+    // stream it: two files with interleaved doc_id parity → two availableNow
+    // micro-batches whose arrival order differs from id order; bucket state
+    // must carry pairs across the batch boundary
+    val stage = java.nio.file.Files.createTempDirectory("docs_neardup")
+    Seq(0, 1).foreach { p =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"docs_half$p")
+      docs.filter(col("doc_id") % 2 === p).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        stage.resolve(s"half$p.parquet"))
+    }
+    val raw = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+    val q = NearDupStream.nearDupStream(spark, raw, 8, 2, 0.5)
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val streamed = spark.sql("SELECT * FROM neardup_stream").collect().map(key).toSet
+    assert(streamed === batch)
+  }
 }
