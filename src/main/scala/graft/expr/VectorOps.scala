@@ -371,6 +371,83 @@ object MinHashSigs {
   }
 }
 
+/** 60-bit SimHash of a distinct-token array in one pass — semantically the
+  * explode → per-token `conv(substring(md5(tok),1,15),16,10)` → groupBy doc
+  * with 60 conditional ±1 sums → bit-assembly pipeline, without shuffling
+  * the token stream or running 60 aggregate columns: per token the 60-bit
+  * md5 prefix is taken straight from the digest bytes (15 hex chars = 7
+  * bytes + a high nibble) and votes accumulate in a local array; bit b of
+  * the result is set iff its vote total is positive. Matches the relational
+  * form bit-for-bit (and therefore the DuckDB oracle's digit-by-digit
+  * replay). Returns null for an empty array — the aggregation form's
+  * no-group analog (callers filter empties). */
+case class SimHash60(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash60.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val boxed = ctx.freshName("simhashBoxed")
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = -1L;
+        if (!${c.isNull}) {
+          java.lang.Long $boxed = graft.expr.SimHash60.compute(${c.value});
+          if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.longValue(); }
+        }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash60"
+}
+
+object SimHash60 {
+  private val md: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Static entry point shared by eval and generated code. Boxed Long so an
+    * empty array can return null (no tokens → no signature row upstream). */
+  def compute(arr: ArrayData): java.lang.Long = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val votes = new Array[Int](60)
+    val digest = md.get()
+    var t = 0
+    while (t < n) {
+      digest.reset()
+      val d = digest.digest(arr.getUTF8String(t).getBytes)
+      // first 15 hex chars of the digest = bytes 0..6 plus byte 7's high
+      // nibble, exactly parseLong(hex.substring(0,15), 16)
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      v = (v << 4) | ((d(7) & 0xffL) >>> 4)
+      var b = 0
+      while (b < 60) {
+        if (((v >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+}
+
 object VectorOps {
   /** Idempotent session registration (same seam as [[Iast.register]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -393,6 +470,8 @@ object VectorOps {
     reg.createOrReplaceTempFunction("sorted_word_shingles",
       (exprs: Seq[Expression]) => SortedWordShingles(exprs.head,
         SortedCharNgrams.literalN(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash60",
+      (exprs: Seq[Expression]) => SimHash60(exprs.head), "scala_udf")
   }
 
   def vectorDot(a: Column, b: Column): Column =
@@ -415,4 +494,7 @@ object VectorOps {
   def sortedWordShingles(s: Column, n: Int): Column =
     org.apache.spark.sql.functions.call_function("sorted_word_shingles", s,
       org.apache.spark.sql.functions.lit(n))
+
+  def simhash60(arr: Column): Column =
+    org.apache.spark.sql.functions.call_function("simhash60", arr)
 }

@@ -293,22 +293,19 @@ object Dedup {
     * least one of 4 chunks). Returns (a, b, hamming).
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = tokens(fanOut(docs))
-    // 60-bit token hash from the first 15 hex chars of md5: portable — the
-    // DuckDB oracle reconstructs the identical value digit-by-digit, so the
-    // whole simhash pipeline is hash-checkable cross-engine (vs the earlier
-    // xxhash64 variant, which was rows-only). Non-negative by construction,
-    // so arithmetic >> below is well-defined in both engines.
-    val withBits = toks.withColumn("th",
-      conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-    val bitCols = (0 until 60).map { b =>
-      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    val votes = withBits.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-    val sig = (0 until 60).map(b =>
-      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    votes.select(col("doc_id"), sig.as("simhash"))
+    // 60-bit token hash = first 15 hex chars of md5: portable — the DuckDB
+    // oracle reconstructs the identical value digit-by-digit, so the whole
+    // simhash pipeline is hash-checkable cross-engine. The signature is ONE
+    // native per-row pass over the distinct-token array
+    // ([[graft.expr.SimHash60]] over sorted_word_shingles(text, 1) ≡ the
+    // old tokens() explode → 60 conditional-sum aggregation, which shuffled
+    // the token stream and ran 60 agg columns); empty-token docs drop like
+    // the aggregation form's empty groups did.
+    graft.expr.VectorOps.register(docs.sparkSession)
+    fanOut(docs).select(col("doc_id"),
+        graft.expr.VectorOps.simhash60(
+          graft.expr.VectorOps.sortedWordShingles(col("text"), 1)).as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
@@ -322,14 +319,16 @@ object Dedup {
         shiftright(col("simhash"), c * 15).bitwiseAND(0x7fff).as("key"),
         col("simhash"))
     }.reduce(_ unionByName _)
-    val cand = chunks.as("x").join(chunks.as("y"),
+    // the hamming cut sits INSIDE the join condition: it runs during the
+    // hash-join probe, so only true near-dups (not every bucket collision)
+    // reach the distinct's shuffle — commutes with distinct over a
+    // deterministic projection, so output is unchanged
+    chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= maxHamming)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
-    cand.withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming"))
   }
 }

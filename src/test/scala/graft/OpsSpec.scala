@@ -291,6 +291,31 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("simhash60 equals the explode + 60-vote aggregation formulation") {
+    import spark.implicits._
+    graft.expr.VectorOps.register(spark)
+    val texts = Seq((1L, "the quick brown fox the quick"), (2L, "alpha beta gamma"),
+      (3L, "x"), (4L, "Mixed CASE mixed case"), (5L, "")).toDF("doc_id", "text")
+    val native = graft.ops.Dedup.simhash(texts).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val toks = texts.select(col("doc_id"),
+      explode(array_distinct(expr(
+        "filter(split(lower(text), '\\\\s+'), x -> x <> '')"))).as("tok"))
+    val withBits = toks.withColumn("th",
+      conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val bitCols = (0 until 60).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val votes = withBits.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val sig = (0 until 60).map(b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val agg = votes.select(col("doc_id"), sig.as("simhash")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === agg)
+    assert(!native.contains(5L), "empty doc must drop like an empty group")
+  }
+
   test("sorted_array_intersect: overlap, disjoint, empty, self") {
     import spark.implicits._
     graft.expr.VectorOps.register(spark)
