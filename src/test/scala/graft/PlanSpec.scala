@@ -37,6 +37,24 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("GlobalSort"), p)
   }
 
+  test("q35 minhash plans zero token-stream operators: no Generate, no shuffle before the band join") {
+    // the whole signature pipeline must be per-row native expressions — a
+    // Generate (explode) node anywhere in the plan means the shingle stream
+    // got materialized as rows again and its shuffle is one refactor away
+    val p = plan("q35_dedup_minhash_lsh")
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("q37 simhash: hamming cut runs inside the candidate join, before distinct") {
+    // the hamming filter must be part of a join's condition, not a
+    // post-distinct Filter node: only verified near-dups may reach the
+    // distinct's shuffle. Signature build is per-row native (no Generate).
+    val p = plan("q37_simhash_neardups")
+    assert(!p.contains("Generate"), p)
+    assert(p.linesIterator.exists(l =>
+      l.toLowerCase.contains("condition") && l.contains("bit_count")), p)
+  }
+
   test("candidate-pair joins stay equi-joins (no nested-loop fallback)") {
     for (q <- Seq("q35_dedup_minhash_lsh", "q36_ngram_jaccard",
         "q102_levenshtein_pairs", "q112_negative_sampling", "q137_scd2_lookup"))
