@@ -91,6 +91,33 @@ object JsonLoad {
     fromArr.unionByName(fromMap)
   }
 
+  /** [[etextLinks]] with list positions: `(workId, collection, subtype,
+    * link, idx, total)` — idx is the link's 0-based position within its
+    * (work, collection, subtype) list and total that list's size, the two
+    * values the presentation layer's label extractors receive
+    * (`static/js/graph.js:330-338`; the UTA Google-Doc enumeration needs
+    * them). posexplode preserves the JSON array order. */
+  def etextLinksIndexed(spark: SparkSession, path: String): DataFrame = {
+    val pairs = top(spark, path)
+      .select(explode(col("top.work_id_to_link_mapping")).as(Seq("workId", "colls")))
+      .select(col("workId"), explode(col("colls")).as(Seq("collection", "payload")))
+    val asArr = from_json(col("payload"), ArrayType(StringType))
+    val asMap = from_json(col("payload"), MapType(StringType, ArrayType(StringType)))
+    val fromArr = pairs.filter(asArr.isNotNull)
+      .select(col("workId"), col("collection"),
+        lit(null).cast("string").as("subtype"), size(asArr).as("total"),
+        posexplode(asArr).as(Seq("idx", "link")))
+    val fromMap = pairs.filter(asArr.isNull)
+      .select(col("workId"), col("collection"),
+        explode(asMap).as(Seq("subtype", "links")))
+      .select(col("workId"), col("collection"), col("subtype"),
+        size(col("links")).as("total"),
+        posexplode(col("links")).as(Seq("idx", "link")))
+    fromArr.unionByName(fromMap)
+      .select(col("workId"), col("collection"), col("subtype"),
+        col("link"), col("idx"), col("total"))
+  }
+
   /** Count side-tables → `(collection, etexts, etexts_missing_works)` —
     * the same shape as [[LinkBuilder.Built.collectionCounts]]. */
   def collectionCounts(spark: SparkSession, path: String): DataFrame = {
