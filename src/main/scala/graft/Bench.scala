@@ -21,6 +21,14 @@ object Bench {
       // run, so a 68-query session can accumulate enough heap debris to
       // throttle allocation-heavy queries. Fire it every minute instead.
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // The generated-class cache defaults to 100 entries; a 150-query
+      // session generates far more, so by the time a query re-runs its
+      // classes are evicted and janino recompiles them — measured: q36 costs
+      // ~5 s cold vs ~3.3 s warm PER SESSION-INTERLEAVED RUN even after a
+      // dedicated warm-up, because 35 queries run in between. A size that
+      // covers the whole inventory keeps every warm-up compilation live
+      // (static conf — must be set before the session starts).
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -71,8 +79,31 @@ object Bench {
       if (failed) (-1.0, 0.0) else (sec, gc)
     }
 
-    // warm-up (JVM + codegen + parquet footer caches)
+    // Warm-up (JVM + codegen + parquet footer caches). One stock query primes
+    // Spark's scan/agg machinery; the heavy-family pass at sf0.001 primes the
+    // native expression helpers (SortedCharNgrams.compute, MinHashSigs,
+    // SimHash60, SortedArrayIntersect — codegen calls static methods, so C2
+    // JIT state transfers across plans) plus janino's generated-class cache.
+    // Measured: q36's first execution in a session costs 9.4 s vs 2.8-3.6 s
+    // for every later one — ~6 s of one-time JIT, not plan cost; a steady-
+    // state benchmark should not bill that to whichever query runs first.
+    // sf0.001 keeps the whole warm-up pass under ~10 s of untimed work.
     runOne(SparkEntry.queries("q02_agg_sum_groupby"))
+    val warmDir = java.nio.file.Paths.get(sfDir).toAbsolutePath
+      .getParent.resolve("sf0.001")
+    if (java.nio.file.Files.isDirectory(warmDir)) {
+      val warmSet = Seq(
+        "q35_dedup_minhash_lsh", "q36_ngram_jaccard", "q37_simhash_neardups",
+        "q91_sssp_weighted", "q102_levenshtein_pairs", "q116_random_walks",
+        "q105_copurchase_pairs", "q150_semantic_dedup", "q31_bfs_2hop",
+        "q53_betweenness", "q148_line_dedup", "q112_negative_sampling")
+      warmSet.foreach { n =>
+        try SparkEntry.queries(n)(spark, warmDir.toString)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+      }
+      resetSessionState(0.0)
+    }
 
     // Optional subset for local iteration: comma-separated name prefixes.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
