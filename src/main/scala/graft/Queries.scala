@@ -3345,10 +3345,29 @@ object Queries {
              |FROM events WHERE event_type = 'signup'
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)))
 
+  private val ext7Qs = Seq(
+    Q("q151_substring_spans",
+      (s, d) => graft.ops.Dedup.repeatedSpans(T(s, d, "documents"), 64, 16),
+      // span hash replay: CAST('0x'||hex AS UBIGINT) parses the same 15-hex
+      // prefix conv() does on the Spark side — bit-identical 60-bit keys, so
+      // even a hash collision would collide identically in both engines
+      Some("""WITH sp AS (
+             |  SELECT doc_id,
+             |    CAST(CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 64)), 1, 15) AS UBIGINT) AS BIGINT) AS h
+             |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 63, 16)) AS i
+             |        FROM documents WHERE length(text) >= 64)),
+             |dup AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+             |tot AS (SELECT doc_id, count(*) AS total_spans FROM sp GROUP BY 1),
+             |dps AS (SELECT sp.doc_id, count(*) AS dup_spans FROM sp JOIN dup USING (h) GROUP BY 1)
+             |SELECT t.doc_id, CAST(t.total_spans AS BIGINT) AS total_spans,
+             |  CAST(COALESCE(p.dup_spans, 0) AS BIGINT) AS dup_spans,
+             |  floor(COALESCE(p.dup_spans, 0) * 1000000.0 / t.total_spans) / 1000000.0 AS dup_frac
+             |FROM tot t LEFT JOIN dps p USING (doc_id)""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
-      ext5Qs ++ ext6Qs
+      ext5Qs ++ ext6Qs ++ ext7Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -287,6 +287,52 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact repeated-span detection — the suffix-array "exact substring
+    * deduplication" pretraining pass (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better") re-expressed relationally:
+    * every length-`spanLen` character window at `stride` is hashed to the
+    * repo's portable 60-bit md5 key; a span whose hash occurs in ≥ 2
+    * DISTINCT documents is a duplicated region (intra-doc repeats alone
+    * don't count). Returns per-doc
+    * (doc_id, total_spans, dup_spans, dup_frac) for docs with ≥ 1 span;
+    * dup_spans counts positions, so two duplicated positions in one doc
+    * count twice.
+    *
+    * Scale path: the span relation is ~|corpus|/stride rows of
+    * (doc_id, int64) — the span TEXT never shuffles, only its 8-byte hash;
+    * duplicated hashes come from one groupBy on the hash (partial-agg
+    * combine) and rejoin by hash semi-join. No pairwise comparison, no
+    * driver state, no suffix array: the hash-bucket equi-join IS the
+    * candidate structure, same design rule as the MinHash/SimHash family.
+    * The per-row transform keeps the window enumeration inside codegen
+    * (one array of longs per doc, no exploded span strings).
+    */
+  def repeatedSpans(docs: DataFrame, spanLen: Int = 64, stride: Int = 16): DataFrame = {
+    val spans = fanOut(docs).filter(length(col("text")) >= spanLen)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, length(text) - ${spanLen - 1}, $stride), i -> " +
+            s"cast(conv(substring(md5(substring(text, i, $spanLen)), 1, 15), 16, 10) as long))"))
+          .as("h"))
+    // six readers below (dup groupBy, both semi-join sides, totals) — the
+    // narrow (doc_id, h) relation is cheap to keep; recomputing it re-runs
+    // the md5 window pass over the corpus per reader
+    val sp = FreshCheckpoint(spans)
+    val dupH = sp.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val dups = sp.join(dupH, Seq("h"), "leftsemi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_spans"))
+    sp.groupBy(col("doc_id")).agg(count(lit(1)).as("total_spans"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
+      .withColumn("dup_frac",
+        // floor micro-units: exact small rational (see Queries' parity notes)
+        floor(col("dup_spans").cast("double") / col("total_spans").cast("double")
+          * 1000000d) / 1000000d)
+  }
+
   /** SimHash (64-bit) from md5 of tokens: per-bit majority vote over token
     * hashes. Near-dups = pairs within `maxHamming` bits, bucketed by 16-bit
     * chunks for candidate generation (a pair within distance d ≤ 3 shares at

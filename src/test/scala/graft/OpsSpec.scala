@@ -41,6 +41,30 @@ class OpsSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("repeated spans: planted shared block flags cross-doc spans only") {
+    import spark.implicits._
+    val block = ("X" * 30) + "shared boilerplate block here!" + ("Y" * 30) // 90 chars
+    val selfRep = "Z" * 200 // intra-doc repeats only — must NOT count
+    val d = Seq(
+      (1L, s"unique prefix one ${block} unique suffix one ${"a" * 40}"),
+      (2L, s"different lead-in ${block} and a different tail ${"b" * 40}"),
+      (3L, selfRep),
+      (4L, "short"), // < spanLen: no spans, absent from output
+      (5L, s"wholly unrelated content ${"c" * 100} with no shared windows"))
+      .toDF("doc_id", "text")
+    val r = Dedup.repeatedSpans(d, spanLen = 32, stride = 8).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("total_spans"), x.getAs[Long]("dup_spans"))).toMap
+    assert(!r.contains(4L), "sub-spanLen doc must produce no rows")
+    assert(r(1L)._2 > 0 && r(2L)._2 > 0, s"shared block not flagged: $r")
+    // doc 3's spans repeat WITHIN the doc only (all-Z windows at every
+    // stride are identical) — distinct-doc rule keeps them clean
+    assert(r(3L)._2 === 0L, s"intra-doc repeat wrongly flagged: ${r(3L)}")
+    assert(r(5L)._2 === 0L)
+    // flagged count is bounded by the planted block's window count
+    assert(r(1L)._2 <= r(1L)._1)
+  }
+
   test("simhash: identical docs at hamming 0; unrelated docs far apart") {
     val sigs = Dedup.simhash(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
