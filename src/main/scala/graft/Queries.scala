@@ -3362,7 +3362,53 @@ object Queries {
              |SELECT t.doc_id, CAST(t.total_spans AS BIGINT) AS total_spans,
              |  CAST(COALESCE(p.dup_spans, 0) AS BIGINT) AS dup_spans,
              |  floor(COALESCE(p.dup_spans, 0) * 1000000.0 / t.total_spans) / 1000000.0 AS dup_frac
-             |FROM tot t LEFT JOIN dps p USING (doc_id)""".stripMargin)))
+             |FROM tot t LEFT JOIN dps p USING (doc_id)""".stripMargin)),
+
+    Q("q152_pq_ann",
+      (s, d) => graft.ops.Quantize.pqTopK(T(s, d, "embeddings"),
+        m = 4, k = 8, rounds = 2, nQueries = 5, topK = 10),
+      // full PQ replay: 2 Lloyd rounds per subspace (c0..c2), final codes,
+      // per-query ADC table against c2, integer micro-unit distances — every
+      // stage exact, same unrolled-CTE discipline as q120's codebook oracle
+      Some("""WITH f AS (SELECT vec_id, unnest(embedding) AS v,
+             |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+             |iv AS MATERIALIZED (SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub,
+             |   CAST((i - 1) % 16 AS BIGINT) AS dl,
+             |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS x FROM f),
+             |c0 AS (SELECT vec_id AS cid, sub, dl, x AS cx FROM iv WHERE vec_id IN (
+             |   SELECT DISTINCT vec_id FROM iv ORDER BY vec_id LIMIT 8)),
+             |a0 AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
+             |  SELECT vec_id, sub, cid,
+             |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM (
+             |   SELECT iv.vec_id, iv.sub, c.cid, sum((iv.x - c.cx) * (iv.x - c.cx)) AS dist
+             |   FROM iv JOIN c0 c ON c.sub = iv.sub AND c.dl = iv.dl GROUP BY 1, 2, 3)) WHERE rn = 1),
+             |c1 AS MATERIALIZED (SELECT a.cid, a.sub, iv.dl,
+             |  CAST(floor(sum(iv.x)::DOUBLE / count(*)) AS BIGINT) AS cx
+             | FROM a0 a JOIN iv ON iv.vec_id = a.vec_id AND iv.sub = a.sub GROUP BY 1, 2, 3),
+             |a1 AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
+             |  SELECT vec_id, sub, cid,
+             |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM (
+             |   SELECT iv.vec_id, iv.sub, c.cid, sum((iv.x - c.cx) * (iv.x - c.cx)) AS dist
+             |   FROM iv JOIN c1 c ON c.sub = iv.sub AND c.dl = iv.dl GROUP BY 1, 2, 3)) WHERE rn = 1),
+             |c2 AS MATERIALIZED (SELECT a.cid, a.sub, iv.dl,
+             |  CAST(floor(sum(iv.x)::DOUBLE / count(*)) AS BIGINT) AS cx
+             | FROM a1 a JOIN iv ON iv.vec_id = a.vec_id AND iv.sub = a.sub GROUP BY 1, 2, 3),
+             |codes AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
+             |  SELECT vec_id, sub, cid,
+             |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM (
+             |   SELECT iv.vec_id, iv.sub, c.cid, sum((iv.x - c.cx) * (iv.x - c.cx)) AS dist
+             |   FROM iv JOIN c2 c ON c.sub = iv.sub AND c.dl = iv.dl GROUP BY 1, 2, 3)) WHERE rn = 1),
+             |qd AS (SELECT iv.vec_id AS query_id, iv.sub, c.cid,
+             |   sum((iv.x - c.cx) * (iv.x - c.cx)) AS qdist
+             |  FROM iv JOIN c2 c ON c.sub = iv.sub AND c.dl = iv.dl
+             |  WHERE iv.vec_id < 5 GROUP BY 1, 2, 3),
+             |ad AS (SELECT qd.query_id, codes.vec_id, sum(qd.qdist) AS adist
+             |  FROM codes JOIN qd ON qd.sub = codes.sub AND qd.cid = codes.cid
+             |  WHERE codes.vec_id <> qd.query_id GROUP BY 1, 2),
+             |ranked AS (SELECT query_id, vec_id, CAST(adist AS BIGINT) AS adist,
+             |   CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS INT) AS rank
+             |  FROM ad)
+             |SELECT query_id, vec_id, adist, rank FROM ranked WHERE rank <= 10""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

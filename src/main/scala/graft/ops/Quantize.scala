@@ -59,4 +59,72 @@ object Quantize {
     assign(cents)
       .select(col("vec_id"), col("cid").as("centroid"), col("dist"))
   }
+
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search"): the embedding splits into `m` contiguous
+    * subvectors; each subspace trains its own `k`-centroid codebook
+    * (deterministic Lloyd's, same discipline as [[kmeansCodebook]]); every
+    * vector is encoded as m small codes; a query's approximate distance to
+    * ANY vector is then a table lookup — asymmetric distance computation
+    * (ADC): dist(q,v) ≈ Σ_sub ‖q_sub − centroid(code_sub(v))‖².
+    *
+    * This is the memory-compression scale path for ANN: at 100 TB the
+    * encoded corpus is m bytes per vector instead of 4·dim, the codebooks
+    * and the per-query distance TABLE (m·k rows) broadcast, and scoring the
+    * whole corpus is one equi-join of codes against the broadcast table +
+    * a (query, vec) partial-agg sum — no full-vector math anywhere near the
+    * fact side. All m subspaces train in ONE relational pipeline (sub is
+    * just a key column): per round one broadcast-join assignment + one
+    * (cid, sub, dl)-keyed mean, identical shuffle shape at any m.
+    *
+    * Deterministic by the same construction as [[kmeansCodebook]]
+    * (micro-unit ints, first-k init, ties by centroid id, fixed rounds), so
+    * the DuckDB oracle replays every round, code, and ADC sum exactly.
+    *
+    * @return (query_id, vec_id, adist, rank) — top `topK` per query by
+    *         (adist, vec_id), self-matches excluded; adist in micro-units².
+    */
+  def pqTopK(embeddings: DataFrame, m: Int = 4, k: Int = 8, rounds: Int = 2,
+      nQueries: Int = 5, topK: Int = 10): DataFrame = {
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val iv = FreshCheckpoint(coords(embeddings).select(col("vec_id"),
+      (col("d") / subDim).cast("long").as("sub"),
+      (col("d") % subDim).as("dl"), col("x")))
+    def assign(cents: DataFrame): DataFrame = {
+      val dists = iv.join(broadcast(cents), Seq("sub", "dl"))
+        .groupBy(col("vec_id"), col("sub"), col("cid"))
+        .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dist"))
+      val w = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("dist"), col("cid"))
+      dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("cid"))
+    }
+    def update(assigned: DataFrame): DataFrame =
+      assigned.join(iv, Seq("vec_id", "sub"))
+        .groupBy(col("cid"), col("sub"), col("dl"))
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long").as("cx"))
+    val firstK = iv.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(k)
+    var cents = iv.join(firstK, Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("sub"), col("dl"), col("x").as("cx"))
+    for (_ <- 1 to rounds)
+      cents = FreshCheckpoint(update(assign(cents)))
+    val centsF = FreshCheckpoint(cents) // read twice: encode + query table
+    val codes = assign(centsF)
+    // per-query ADC table: m·k rows per query — broadcast-sized by design
+    val qd = iv.filter(col("vec_id") < nQueries)
+      .join(broadcast(centsF), Seq("sub", "dl"))
+      .groupBy(col("vec_id").as("query_id"), col("sub"), col("cid"))
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("qdist"))
+    val ad = codes.join(broadcast(qd), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qdist")).as("adist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    ad.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id"), col("adist"), col("rank"))
+  }
 }

@@ -242,6 +242,32 @@ class OpsSpec extends SparkTestBase {
     assert(out2.values.count(_._2) === out.values.count(_._2))
   }
 
+  test("PQ ANN: query's exact duplicate attains the minimal ADC distance") {
+    import spark.implicits._
+    val base = Seq(1.0, 2.0, -1.0, 0.5, 3.0, -2.0, 0.0, 1.5)
+    def j(s: Seq[Double], e: Double) = s.map(_ + e)
+    val rows = Seq(
+      0L -> base, 1L -> j(base.map(-_), 0.1), 2L -> Seq.fill(8)(5.0),
+      3L -> j(base, 2.0), 4L -> Seq.fill(8)(-4.0),
+      5L -> base, // exact duplicate of query 0
+      6L -> j(base, 0.5), 7L -> j(base, 0.5), // identical pair
+      8L -> Seq(0.0, 0.0, 0.0, 0.0, 9.0, 9.0, 9.0, 9.0))
+    val emb = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = graft.ops.Quantize.pqTopK(emb, m = 2, k = 2, rounds = 1,
+        nQueries = 1, topK = 8).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("adist"), r.getAs[Int]("rank")))
+    assert(out.length === 8) // 9 vectors minus the excluded self-match
+    val byId = out.toMap
+    val best = out.minBy(_._2._2)._2._1
+    // the duplicate shares the query's codes, so its ADC distance is the
+    // query's own quantization error — the attainable minimum
+    assert(byId(5L)._1 === best, s"dup not at minimal adist: $out")
+    // identical vectors encode identically → identical ADC distance
+    assert(byId(6L)._1 === byId(7L)._1)
+  }
+
   test("language-id argmax picks the profile with most markers") {
     import spark.implicits._
     val d = Seq(
