@@ -98,6 +98,27 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Sort"), p)
   }
 
+  test("q151 spans: only the 8-byte hash shuffles — span text stays inside its stage") {
+    // the exploded span relation must be (doc_id, h:long) BEFORE any
+    // Exchange: if a refactor shuffles the span strings the pass pays
+    // spanLen/8 times the network it needs
+    val p = plan("q151_substring_spans")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // every hashpartitioning key is an id or the long hash, never `text`
+    // (`substring(...)` appearing in an Exchange line = span text on the wire)
+    exchanges.foreach(l => assert(!l.contains("substring"), l))
+  }
+
+  test("q152 PQ: ADC scoring broadcasts the distance table; codes never nest-loop") {
+    val p = plan("q152_pq_ann")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the qd-table join against the code relation must be a broadcast hash
+    // join — the corpus-sized code side must not shuffle to meet m·k rows
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("whole-stage codegen covers the scan-agg pipeline") {
     // AQE's pre-execution explain hides codegen stages; plan without it
     spark.conf.set("spark.sql.adaptive.enabled", "false")
