@@ -124,20 +124,71 @@ object Dedup {
     // recomputes arrays for CANDIDATE docs only (bounded by LSH buckets,
     // orders of magnitude smaller than the corpus).
     val base = FreshCheckpoint(minhashSignatures(docs, numHashes))
-    val bandCols = (0 until numBands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      md5(concat_ws("|", parts: _*)).as(s"band$b")
-    }
-    val banded = base.select(col("doc_id") +: bandCols: _*)
-    val bandRows = (0 until numBands).map { b =>
-      banded.select(col("doc_id"), lit(b).as("band"), col(s"band$b").as("key"))
-    }.reduce(_ unionByName _)
+    val bandRows = bandedKeys(base, numBands, rowsPerBand)
     val cand = bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     verifyJaccard(docs, cand, threshold)
+  }
+
+  /** (doc_id, band, key) LSH band rows from a signature table — the join
+    * key relation for any MinHash candidate generation (full self-join,
+    * incremental batch-vs-index, streaming buckets). */
+  private[ops] def bandedKeys(
+      sigs: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      md5(concat_ws("|", parts: _*)).as(s"band$b")
+    }
+    val banded = sigs.select(col("doc_id") +: bandCols: _*)
+    (0 until numBands).map { b =>
+      banded.select(col("doc_id"), lit(b).as("band"), col(s"band$b").as("key"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Incremental MinHash dedup — the production shape of near-dup removal on
+    * a growing corpus: each new BATCH is shingled and banded, then joined
+    * against the persisted signature INDEX of everything already accepted
+    * (plus itself, for within-batch dups). The corpus is never re-shingled:
+    * `corpusSigs` is the index a previous run produced
+    * ([[minhashSignatures]] output, at scale persisted bucketed by the band
+    * key via `sources.Store` so the candidate join co-locates without a
+    * corpus-side shuffle); corpus TEXT is touched only for docs that
+    * band-collide with the batch ([[verifyJaccard]] semi-joins candidates
+    * onto the scan).
+    *
+    * @return one row per batch doc: (doc_id, dup_of, is_novel) with dup_of =
+    *         the smallest verified-duplicate partner id (corpus or
+    *         earlier-id batch doc) at `threshold`, NULL when novel.
+    */
+  def incrementalMinhash(
+      corpusDocs: DataFrame,
+      corpusSigs: DataFrame,
+      batchDocs: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val batchSigs = FreshCheckpoint(minhashSignatures(batchDocs, numHashes))
+    val batchBands = bandedKeys(batchSigs, numBands, rowsPerBand)
+    // probe side = batch only; build side = index ∪ batch (within-batch dups
+    // resolve to the earlier id, same a < b rule as the full self-join)
+    val allBands = bandedKeys(corpusSigs, numBands, rowsPerBand)
+      .unionByName(batchBands)
+    val cand = allBands.as("x").join(batchBands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val verified = verifyJaccard(
+      corpusDocs.unionByName(batchDocs), cand, threshold)
+    batchDocs.select(col("doc_id"))
+      .join(verified.groupBy(col("b")).agg(min(col("a")).as("dup_of")),
+        col("doc_id") === col("b"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        col("dup_of").isNull.as("is_novel"))
   }
 
   /** Exact shingle-set Jaccard for candidate pairs (a, b); filter ≥ threshold.
