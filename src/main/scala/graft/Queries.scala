@@ -3410,10 +3410,66 @@ object Queries {
              |  FROM ad)
              |SELECT query_id, vec_id, adist, rank FROM ranked WHERE rank <= 10""".stripMargin)))
 
+  private val ext8Qs = Seq(
+    Q("q153_incremental_minhash",
+      (s, d) => {
+        // incremental corpus-growth shape: docs with id % 5 == 0 arrive as
+        // the new batch; the rest are the already-accepted corpus whose
+        // signature INDEX is reused (never re-shingled at scale)
+        val docs = T(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+        val corpusSigs = graft.ops.Dedup.minhashSignatures(corpus, 8)
+        graft.ops.Dedup.incrementalMinhash(corpus, corpusSigs, batch, 8, 2, 0.8)
+      },
+      // same md5 signature/band replay as q35, restricted to batch probes:
+      // corpus ∪ batch = all documents, so bands over `documents` equal the
+      // index ∪ batch union the operator joins against
+      Some("""WITH words AS (
+             |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+             |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> x <> '') AS tl FROM documents)),
+             |toks AS (
+             |  SELECT DISTINCT doc_id,
+             |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+             |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+             |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+             |sig AS (SELECT doc_id,
+             |  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
+             |  min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
+             |  min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
+             |  min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
+             |  FROM toks GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sig
+             |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+             |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+             |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
+             |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+             |   AND x.doc_id < y.doc_id
+             |  WHERE y.doc_id % 5 = 0),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+             |inter AS (SELECT c.a, c.b, count(*) AS i
+             |  FROM cand c JOIN toks ta ON ta.doc_id = c.a
+             |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+             |  GROUP BY 1, 2),
+             |ver AS (SELECT c.b AS doc_id, min(c.a) AS dup_of
+             |  FROM cand c
+             |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+             |  JOIN sizes sa ON sa.doc_id = c.a
+             |  JOIN sizes sb ON sb.doc_id = c.b
+             |  WHERE floor(CAST(coalesce(i.i, 0) AS DOUBLE)
+             |      / (sa.sz + sb.sz - coalesce(i.i, 0)) * 1000000) / 1000000 >= 0.8
+             |  GROUP BY 1)
+             |SELECT d.doc_id, v.dup_of, v.dup_of IS NULL AS is_novel
+             |FROM documents d LEFT JOIN ver v USING (doc_id)
+             |WHERE d.doc_id % 5 = 0""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
-      ext5Qs ++ ext6Qs ++ ext7Qs
+      ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -41,6 +41,29 @@ class OpsSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("incremental minhash: batch dedups against corpus index and itself") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "s1", 0L),
+      (2L, "some other corpus document about entirely unrelated matters here", "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again", "en", "s1", 0L), // dup of corpus 1
+      (15L, "a wholly novel batch document sharing nothing with the corpus", "en", "s1", 0L), // novel
+      (20L, "twin batch documents must resolve within the arriving batch too", "en", "s1", 0L),
+      (21L, "twin batch documents must resolve within the arriving batch too", "en", "s1", 0L)) // dup of 20
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sigs = Dedup.minhashSignatures(corpus, 8)
+    val r = Dedup.incrementalMinhash(corpus, sigs, batch, 8, 2, 0.8).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (Option(x.getAs[java.lang.Long]("dup_of")), x.getAs[Boolean]("is_novel"))).toMap
+    assert(r.keySet === Set(10L, 15L, 20L, 21L), s"one row per batch doc: $r")
+    assert(r(10L) === (Some(1L), false), s"corpus dup not detected: $r")
+    assert(r(15L) === (None, true), s"novel doc misflagged: $r")
+    assert(r(20L) === (None, true), s"earlier twin must stay novel (a < b rule): $r")
+    assert(r(21L) === (Some(20L), false), s"within-batch dup not resolved: $r")
+  }
+
   test("repeated spans: planted shared block flags cross-doc spans only") {
     import spark.implicits._
     val block = ("X" * 30) + "shared boilerplate block here!" + ("Y" * 30) // 90 chars
