@@ -37,13 +37,26 @@ object Queries {
     if (name == "events") events(s, dir)
     else s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and convert to a microsecond
-    * timestamp (matching DuckDB's ns→µs truncation on read). */
+  /** Normalize the events `ts` column to a session-TZ microsecond timestamp
+    * regardless of how the parquet encodes it. The testdata has shipped two
+    * shapes so far — TIMESTAMP(NANOS) (readable only via
+    * `legacy.parquet.nanosAsLong`, surfacing as int64 nanos) and plain
+    * TIMESTAMP(MICROS) without UTC adjustment (surfacing as TIMESTAMP_NTZ) —
+    * so branch on the READ schema instead of assuming either. Under the
+    * project-wide UTC session timezone, NTZ→TZ is an identity relabel and
+    * both branches agree with DuckDB's naive read. */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long legacy read
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df // already a session-TZ timestamp
+    }
+
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    normalizeEventsTs(s.read.parquet(s"$dir/events.parquet"))
   }
 
   /** Weighted co-purchase pair relation (a < b, cnt = shared distinct

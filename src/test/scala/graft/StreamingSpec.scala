@@ -24,10 +24,9 @@ class StreamingSpec extends SparkTestBase {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
       stage.resolve("events.parquet"))
-    val raw = spark.readStream
+    val raw = graft.Queries.normalizeEventsTs(spark.readStream
       .schema(spark.read.parquet(s"$eventsDir/events.parquet").schema)
-      .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .parquet(stage.toString))
     val q = EventStreams.windowedAggStream(raw)
       .writeStream.format("memory").queryName("win_agg")
       .outputMode("append")
@@ -59,10 +58,9 @@ class StreamingSpec extends SparkTestBase {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
       stage.resolve("b.parquet"))
-    val raw = spark.readStream
+    val raw = graft.Queries.normalizeEventsTs(spark.readStream
       .schema(spark.read.parquet(s"$eventsDir/events.parquet").schema)
-      .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .parquet(stage.toString))
     val q = EventStreams.dedupStream(raw)
       .select(col("event_id"))
       .writeStream.format("memory").queryName("dedup_stream")
@@ -88,10 +86,9 @@ class StreamingSpec extends SparkTestBase {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
       stage.resolve("events.parquet"))
-    def stream() = spark.readStream
+    def stream() = graft.Queries.normalizeEventsTs(spark.readStream
       .schema(spark.read.parquet(s"$eventsDir/events.parquet").schema)
-      .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .parquet(stage.toString))
     val q = EventStreams.attributionStream(
         stream().filter(col("event_type") === "click"),
         stream().filter(col("event_type") === "purchase"))
@@ -117,10 +114,9 @@ class StreamingSpec extends SparkTestBase {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
       stage.resolve("events.parquet"))
-    val raw = spark.readStream
+    val raw = graft.Queries.normalizeEventsTs(spark.readStream
       .schema(spark.read.parquet(s"$eventsDir/events.parquet").schema)
-      .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .parquet(stage.toString))
     val q = EventStreams.enrichStream(raw, dim, "c_custkey")
       .select(col("event_id"), col("c_mktsegment"))
       .writeStream.format("memory").queryName("enrich_stream")
