@@ -1733,13 +1733,16 @@ object Queries {
       (s, d) => {
         // weighted shortest paths on the undirected part↔supplier graph,
         // deterministic integer weights, fixed 6 relaxation rounds
-        // checkpoint the derived edge relation once — the vertex count, the
-        // local-path collect (or each distributed round) all rescan it, and
-        // both union branches re-run the distinct without it
+        // checkpoint the derived edge relation once — the vertex count and
+        // the local-path collect (or each distributed round) all rescan it,
+        // and both union branches re-run the distinct without it. The
+        // undirected doubling itself stays lazy: a union+projection over the
+        // checkpointed base is cheaper per rescan than materializing a
+        // second checkpoint twice the size
         val e0 = FreshCheckpoint(psEdges(s, d))
-        val und = FreshCheckpoint(
-          e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
-            .withColumn("w", (col("a") + col("b")) % 9 + 1))
+        val und = e0
+          .unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+          .withColumn("w", (col("a") + col("b")) % 9 + 1)
         val seed = T(s, d, "lineitem").agg(min(col("l_partkey"))).head().getLong(0)
         graft.graph.Analytics.sssp(und, seed, ssspRounds)
           .select(col("id"), col("dist"))

@@ -119,6 +119,71 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q153 incremental minhash: the corpus is never re-shingled — index reuse is real") {
+    // The operator's scale claim: signatures are computed for the BATCH only;
+    // the corpus contributes its persisted signature index, and corpus TEXT
+    // is touched only through the candidate semi-join. FreshCheckpoint makes
+    // the final plan string blind to earlier stages, so capture EVERY SQL
+    // execution the operator triggers and assert over all of them.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
+    import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val base = java.nio.file.Files.createTempDirectory("q153contract")
+    val corpusPath = s"$base/corpus_docs"
+    val batchPath = s"$base/batch_docs"
+    val sigsPath = s"$base/corpus_sigs"
+    docs.filter(col("doc_id") % 5 =!= 0).write.parquet(corpusPath)
+    docs.filter(col("doc_id") % 5 === 0).write.parquet(batchPath)
+    // the simulated prior run: building the index MAY shingle the corpus —
+    // that happens before the listener attaches
+    graft.ops.Dedup.minhashSignatures(spark.read.parquet(corpusPath), 8)
+      .write.parquet(sigsPath)
+
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new SparkListener {
+      override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+        case e: SparkListenerSQLExecutionStart =>
+          captured.add(e.physicalPlanDescription)
+        case _ =>
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.ops.Dedup.incrementalMinhash(
+          spark.read.parquet(corpusPath), spark.read.parquet(sigsPath),
+          spark.read.parquet(batchPath), 8, 2, 0.8)
+        .write.format("noop").mode("overwrite").save()
+      // listener bus is async: wait until the event stream goes quiet
+      var last = -1
+      var same = 0
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (same < 4 && System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        if (captured.size == last) same += 1 else { same = 0; last = captured.size }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    import scala.jdk.CollectionConverters._
+    val plans = captured.asScala.toSeq
+    val sigPlans = plans.filter(_.contains("minhash_sigs"))
+    assert(sigPlans.nonEmpty, "no captured execution computed signatures at all")
+    sigPlans.foreach { p =>
+      assert(p.contains(batchPath), s"signature build does not scan the batch:\n$p")
+      assert(!p.contains(corpusPath),
+        s"corpus docs reached a signature computation — index not reused:\n$p")
+    }
+    // shingling the BATCH once is the operator's job; shingling that reaches
+    // CORPUS text (the verify stage) must be candidate-bounded — the same
+    // execution carries the LeftSemi attach of candidate ids
+    val corpusShingles = plans
+      .filter(p => p.contains("sorted_word_shingles") && p.contains(corpusPath))
+    corpusShingles.foreach { p =>
+      assert(p.contains("LeftSemi"),
+        s"corpus text shingled outside a candidate semi-join:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the scan-agg pipeline") {
     // AQE's pre-execution explain hides codegen stages; plan without it
     spark.conf.set("spark.sql.adaptive.enabled", "false")
