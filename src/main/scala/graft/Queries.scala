@@ -3482,10 +3482,132 @@ object Queries {
              |FROM documents d LEFT JOIN ver v USING (doc_id)
              |WHERE d.doc_id % 5 = 0""".stripMargin)))
 
+  private val ext9Qs = Seq(
+    Q("q154_bm25_topk",
+      (s, d) => graft.ops.TextAnalysis.bm25TopK(T(s, d, "documents")),
+      // integer micro-unit BM25 replay: idf_u and the saturation term are
+      // floored to 1e-6 BEFORE the sum, so the score is an order-independent
+      // BIGINT on both engines; fractional constants are ::DOUBLE to keep
+      // DuckDB out of DECIMAL arithmetic
+      Some("""WITH words AS (
+             |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+             |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> x <> '') AS tl FROM documents)),
+             |toks AS (
+             |  SELECT doc_id,
+             |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+             |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+             |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |len AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |sl AS (SELECT CAST(sum(tf) AS BIGINT) AS sl FROM tf),
+             |idf AS (SELECT tok,
+             |    CAST(floor(ln(CAST(1.0 AS DOUBLE) + (n.n - df + CAST(0.5 AS DOUBLE))
+             |      / (df + CAST(0.5 AS DOUBLE))) * 1000000) AS BIGINT) AS idf_u
+             |  FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1) d, n
+             |  WHERE df >= 2 AND df * 2 <= n.n),
+             |q AS (SELECT t.doc_id AS query_id, t.tok, i.idf_u
+             |  FROM tf t JOIN idf i USING (tok) WHERE t.doc_id % 251 = 0),
+             |scored AS (SELECT q.query_id, t.doc_id,
+             |    CAST(sum(q.idf_u * CAST(floor((t.tf * CAST(2.2 AS DOUBLE)
+             |      / (t.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+             |        + CAST(0.75 AS DOUBLE) * ((l.len * n.n) / sl.sl)))) * 1000000) AS BIGINT))
+             |      AS BIGINT) AS score_u
+             |  FROM q JOIN tf t ON t.tok = q.tok
+             |  JOIN len l ON l.doc_id = t.doc_id, n, sl
+             |  GROUP BY 1, 2)
+             |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score_u FROM (
+             |  SELECT query_id, doc_id, score_u,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, doc_id) AS rank
+             |  FROM scored) WHERE rank <= 5""".stripMargin)),
+
+    Q("q155_leakage_split",
+      (s, d) => {
+        // near-dup clusters (same LSH family as q35) become the split unit:
+        // a cluster never straddles the train/test boundary
+        val docs = T(s, d, "documents")
+        val pairs = graft.ops.Dedup.minhashLsh(docs, 8, 2, 0.8)
+          .select(col("a"), col("b"))
+        graft.ops.TrainingData.leakageSafeSplit(docs, pairs)
+      },
+      // q35's verified-pair replay + recursive transitive closure (q67's
+      // pattern) + q111's h60 split keyed on the CLUSTER label
+      Some(s"""WITH RECURSIVE words AS (
+              |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+              |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+              |    x -> x <> '') AS tl FROM documents)),
+              |toks AS (
+              |  SELECT DISTINCT doc_id,
+              |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+              |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+              |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+              |sig AS (SELECT doc_id,
+              |  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
+              |  min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
+              |  min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
+              |  min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
+              |  FROM toks GROUP BY doc_id),
+              |bands AS (
+              |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sig
+              |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+              |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+              |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
+              |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+              |   AND x.doc_id < y.doc_id),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+              |inter AS (SELECT c.a, c.b, count(*) AS i
+              |  FROM cand c JOIN toks ta ON ta.doc_id = c.a
+              |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+              |  GROUP BY 1, 2),
+              |nd AS (SELECT c.a, c.b FROM cand c
+              |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+              |  JOIN sizes sa ON sa.doc_id = c.a
+              |  JOIN sizes sb ON sb.doc_id = c.b
+              |  WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE)
+              |      / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= 0.8),
+              |und(a, b) AS (SELECT a, b FROM nd UNION SELECT b, a FROM nd),
+              |r(s, id) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION SELECT r.s, u.b FROM r JOIN und u ON u.a = r.id),
+              |cl AS (SELECT s AS doc_id, min(id) AS cluster FROM r GROUP BY s)
+              |SELECT doc_id, cluster,
+              |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM (SELECT doc_id, cluster,
+              |  ${duckH60("CAST(cluster AS VARCHAR)")} % 100 AS h FROM cl)""".stripMargin)),
+
+    Q("q156_scalar_quantize",
+      (s, d) => graft.ops.Quantize.scalarQuantize(T(s, d, "embeddings")),
+      // pure +,−,·,/,floor on doubles in pinned association order — both
+      // engines run the identical IEEE ops, so every code and error term is
+      // bit-equal; sums are integerized before aggregation
+      Some("""WITH f AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+             |mm AS (SELECT vec_id, min(v) AS mn, max(v) AS mx, count(*) AS nd
+             |  FROM f GROUP BY 1),
+             |c AS (SELECT f.vec_id, f.i, f.v, mm.mn, mm.mx, mm.nd,
+             |    CASE WHEN mm.mx = mm.mn THEN 0
+             |      ELSE CAST(least(floor((f.v - mm.mn) * CAST(255.0 AS DOUBLE)
+             |        / (mm.mx - mm.mn) + CAST(0.5 AS DOUBLE)), CAST(255.0 AS DOUBLE))
+             |        AS BIGINT) END AS code
+             |  FROM f JOIN mm USING (vec_id)),
+             |r AS (SELECT vec_id, i, nd, mn, mx, code,
+             |    (v - (mn + (code * (mx - mn)) / CAST(255.0 AS DOUBLE)))
+             |      * (v - (mn + (code * (mx - mn)) / CAST(255.0 AS DOUBLE))) AS sq
+             |  FROM c)
+             |SELECT vec_id, CAST(nd AS BIGINT) AS n_dims,
+             |  CAST(floor(mn * 1000000) AS BIGINT) AS mn_u,
+             |  CAST(floor(mx * 1000000) AS BIGINT) AS mx_u,
+             |  string_agg(CAST(code AS VARCHAR), ',' ORDER BY i) AS codes,
+             |  CAST(sum(CAST(floor(sq * 1000000000000.0) AS BIGINT)) AS BIGINT) AS err_u
+             |FROM r GROUP BY vec_id, nd, mn, mx""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
-      ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs
+      ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -60,6 +60,42 @@ object Quantize {
       .select(col("vec_id"), col("cid").as("centroid"), col("dist"))
   }
 
+  /** Per-vector int8 scalar quantization (SQ8) with reconstruction error —
+    * the embedding-compression step between "store 4·dim bytes" and "store
+    * dim bytes": code_i = round((v_i − min) · 255 / (max − min)), recon_i =
+    * min + code_i·(max − min)/255. A PURE per-row projection over array
+    * higher-order functions — no explode, no shuffle, embarrassingly
+    * parallel at any corpus size; constant vectors (max == min) code to 0.
+    *
+    * Everything surfaced is integerized (micro-unit min/max, a joined code
+    * string, pico-unit squared error summed in array order as BIGINT) so the
+    * result is bitwise-deterministic and the DuckDB oracle replays the exact
+    * same IEEE double arithmetic: every operation here is +,−,·,/,floor on
+    * doubles in a pinned association order — no libm calls at all.
+    *
+    * @return (vec_id, n_dims, mn_u, mx_u, codes, err_u) — codes as a
+    *         comma-joined string (array parity convention), err_u = Σ
+    *         floor((v−recon)²·1e12).
+    */
+  def scalarQuantize(embeddings: DataFrame): DataFrame = {
+    val dv = transform(col("embedding"), v => v.cast("double"))
+    val mn = array_min(dv)
+    val mx = array_max(dv)
+    val code = (v: Column) =>
+      when(mx === mn, lit(0L)).otherwise(
+        least(floor((v - mn) * lit(255.0) / (mx - mn) + lit(0.5)), lit(255.0))
+          .cast("long"))
+    val recon = (v: Column) => mn + (code(v) * (mx - mn)) / lit(255.0)
+    val errTerm = (v: Column) =>
+      floor((v - recon(v)) * (v - recon(v)) * lit(1000000000000.0)).cast("long")
+    embeddings.select(col("vec_id"),
+      size(col("embedding")).cast("long").as("n_dims"),
+      floor(mn * 1000000d).cast("long").as("mn_u"),
+      floor(mx * 1000000d).cast("long").as("mx_u"),
+      array_join(transform(dv, v => code(v).cast("string")), ",").as("codes"),
+      aggregate(dv, lit(0L), (acc, v) => acc + errTerm(v)).as("err_u"))
+  }
+
   /** Product-quantization ANN (Jégou et al., "Product Quantization for
     * Nearest Neighbor Search"): the embedding splits into `m` contiguous
     * subvectors; each subspace trains its own `k`-centroid codebook

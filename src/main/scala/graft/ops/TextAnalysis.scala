@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.FreshCheckpoint
 
@@ -284,6 +285,64 @@ object TextAnalysis {
     toks.withColumn("gram", concat_ws(" ", parts: _*))
       .withColumn("gram_complete", lead(col("tok"), n - 1).over(w).isNotNull)
       .filter(col("gram_complete")).drop("gram_complete")
+  }
+
+  /** BM25 (Robertson/Lucene form) top-k retrieval over an inverted index:
+    * score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avgdl)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
+    *
+    * Terms are word 3-grams, not single tokens — the synthetic corpus has a
+    * ~31-word vocabulary where every unigram is effectively a stopword, and
+    * real BM25 deployments shingle or stem anyway. The query set is carved
+    * deterministically from the corpus (docs with doc_id ≡ 0 mod
+    * `queryStride`; their distinct grams, restricted to the document-
+    * frequency band [dfMin, N/2] — selective terms only, the same role the
+    * WAND upper-bound plays in a search engine: never score on stopword
+    * posting lists).
+    *
+    * Scale shape: the corpus side is ONE explode + (doc, tok) partial-agg;
+    * query terms (with their precomputed integerized idf) broadcast onto the
+    * tf posting lists as a broadcast hash join — the corpus never shuffles
+    * to meet the queries; per-query work is bounded by Σ df ≤ |terms|·dfMax.
+    * Scoring is integer micro-unit arithmetic end-to-end (floor(idf·1e6) ·
+    * floor(sat·1e6) summed as BIGINT) so the sum is order-independent and
+    * the DuckDB oracle replays it bit-exactly; ranks tie-break by doc_id.
+    */
+  def bm25TopK(docs: DataFrame, queryStride: Long = 251, topK: Int = 5,
+      dfMin: Long = 2): DataFrame = {
+    import org.apache.spark.sql.graft.FreshCheckpoint
+    val toks = tokenGrams(docs.select(col("doc_id"), col("text")), 3)
+      .select(col("doc_id"), col("gram").as("tok"))
+    // tf feeds three consumers (df table, doc lengths, scoring join) —
+    // materialize once, never re-explode
+    val tf = FreshCheckpoint(
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
+    val len = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    val n = docs.count()
+    val sumLen = tf.agg(sum(col("tf"))).head().getLong(0)
+    val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= dfMin && col("df") * 2 <= lit(n))
+      .select(col("tok"),
+        floor(log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * 1000000d).cast("long").as("idf_u"))
+    val qterms = docs.filter(col("doc_id") % queryStride === 0)
+      .select(col("doc_id").as("query_id"))
+      .join(tf.select(col("doc_id").as("query_id"), col("tok")), Seq("query_id"))
+      .join(idf, Seq("tok"))
+      .select(col("query_id"), col("tok"), col("idf_u"))
+    // saturation term, same association order as the oracle SQL
+    val sat = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+        lit(0.75) * ((col("len") * lit(n)) / lit(sumLen))))
+    val scored = tf.join(len, Seq("doc_id"))
+      .join(broadcast(qterms), Seq("tok"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("idf_u") * floor(sat * 1000000d).cast("long")).as("score_u"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_u").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score_u"))
   }
 
   def tfidfPairs(docs: DataFrame, dfCap: Long = 25, threshold: Double = 0.3): DataFrame = {

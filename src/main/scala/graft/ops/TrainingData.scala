@@ -29,6 +29,31 @@ object TrainingData {
         .otherwise("test").as("split"))
   }
 
+  /** Near-dup-aware ("leakage-safe") train/val/test split: a plain per-doc
+    * hash split can put two near-duplicate documents on opposite sides of
+    * the train/test boundary — the classic eval-contamination bug. Here the
+    * split unit is the NEAR-DUP CLUSTER: `nearDupPairs` (a, b) — e.g.
+    * [[Dedup.minhashLsh]] output — closes transitively via the distributed
+    * connected-components operator (label = min member id), singletons form
+    * their own cluster, and the h(cluster) mod-100 bucket assigns the whole
+    * cluster to one side. Adding new corpus batches never moves an existing
+    * doc across the boundary unless its cluster label changes.
+    *
+    * Scale: CC is the O(log n) large/small-star loop on the pair graph
+    * (pairs ≪ corpus); the split itself is a pure projection. */
+  def leakageSafeSplit(docs: DataFrame, nearDupPairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val vertices = docs.select(col("doc_id").as("id"))
+    val comps = graft.graph.Analytics.connectedComponents(
+      vertices, nearDupPairs.select(col("a").as("src"), col("b").as("dst")))
+    val bucket = h60(col("cluster").cast("string")) % 100
+    comps.select(col("id").as("doc_id"), col("component").as("cluster"))
+      .select(col("doc_id"), col("cluster"),
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Deterministic pseudo-random negative sampling for contrastive training:
     * `rounds` hash-bucket assignments per doc (round r: bucket =
     * h(id:r) mod `buckets`); docs sharing a (round, bucket) cell form

@@ -28,6 +28,71 @@ class TrainingDataSpec extends SparkTestBase {
     half.foreach { case (id, s) => assert(full(id) === s) }
   }
 
+  test("leakageSafeSplit: a near-dup cluster never straddles the split boundary") {
+    // planted pair graph: {1,2,3} chained, {10,11} paired, rest singletons
+    val ids = (1L to 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val split = TrainingData.leakageSafeSplit(ids, pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(split.size === 20) // exhaustive: every doc assigned
+    // transitive closure: the whole chain shares one cluster AND one side
+    assert(split(1L) === split(2L) && split(2L) === split(3L))
+    assert(split(10L) === split(11L))
+    assert(split(1L)._1 === 1L && split(10L)._1 === 10L) // label = min member
+    // a singleton's split equals the plain cluster-hash bucket of its own id
+    val bucketed = TrainingData.hashSplit(ids.withColumn("lang", lit("x")))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    (4L to 9L).foreach(id => assert(split(id)._2 === bucketed(id)))
+  }
+
+  test("scalarQuantize: exact codes on a planted vector; constant vectors code to 0") {
+    val emb = Seq(
+      (1L, Array(0.0f, 1.0f, 0.5f, 0.25f)), // range [0,1]: codes 0,255,128,64
+      (2L, Array(3.0f, 3.0f, 3.0f, 3.0f))   // constant: mx==mn guard
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.Quantize.scalarQuantize(emb)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5))).toMap
+    // replicate the op's pinned IEEE arithmetic for the expected error
+    def code(v: Double) = math.min(math.floor(v * 255.0 / 1.0 + 0.5), 255.0).toLong
+    def errT(v: Double) = {
+      val r = 0.0 + (code(v) * 1.0) / 255.0
+      math.floor((v - r) * (v - r) * 1000000000000.0).toLong
+    }
+    val expErr = Seq(0.0, 1.0, 0.5, 0.25).map(errT).sum
+    assert(out(1L) === ((4L, 0L, 1000000L, "0,255,128,64", expErr)))
+    val (nd, mn, mx, codes, err) = out(2L)
+    assert(nd === 4L && mn === 3000000L && mx === 3000000L)
+    assert(codes === "0,0,0,0")
+    // reconstruction of a constant vector is mn exactly -> zero error
+    assert(err === 0L)
+  }
+
+  test("bm25TopK: a doc containing the query's rare gram outranks one without it") {
+    // corpus engineered so gram dfs are in-band: the query doc shares gram
+    // "x y z" with doc 2 only; docs 3/4 share filler grams
+    val docs = Seq(
+      (0L, "x y z q r s"), // query doc (0 % 251 == 0)
+      (2L, "x y z a b c"),
+      (3L, "a b c d e f"),
+      (4L, "a b c d e f"),
+      (5L, "q r s t u v"),
+      (6L, "t u v w a b")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.bm25TopK(docs, queryStride = 251, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._1 == 0L))
+    // doc 2 (shares "x y z" and "y z ..."-adjacent grams) must rank above
+    // docs 3/4 which share no gram with the query beyond the df band
+    val ranks = out.map(t => t._2 -> t._3).toMap
+    assert(ranks.contains(2L), s"doc 2 missing from top-k: $out")
+    ranks.get(3L).foreach(r3 => assert(r3 > ranks(2L)))
+    // scores strictly ordered by rank within the query
+    val byRank = out.sortBy(_._3).map(_._4)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
+
   test("negativeSample: no self-pairs, <= k per anchor, deterministic") {
     val neg = TrainingData.negativeSample(docs, rounds = 4, buckets = 64, k = 2)
     assert(neg.filter($"anchor" === $"negative").count() === 0)
