@@ -78,22 +78,37 @@ object Quantize {
     *         floor((v−recon)²·1e12).
     */
   def scalarQuantize(embeddings: DataFrame): DataFrame = {
-    val dv = transform(col("embedding"), v => v.cast("double"))
-    val mn = array_min(dv)
-    val mx = array_max(dv)
+    // Array higher-order functions are NOT codegen'd (interpreted eval per
+    // element), so any subexpression inside a lambda re-evaluates per
+    // element: an inlined array_min(dv) inside the error lambda is O(dim²)
+    // per row — measured 7-8 s for 2000×64 floats. Stage dv/mn/mx/codes as
+    // projection steps instead (CollapseProject keeps non-cheap aliases
+    // referenced >1× staged, SPARK-36718), so each lambda body is scalar
+    // arithmetic over bound attributes and each element is computed once.
+    val mn = col("mn")
+    val mx = col("mx")
     val code = (v: Column) =>
       when(mx === mn, lit(0L)).otherwise(
         least(floor((v - mn) * lit(255.0) / (mx - mn) + lit(0.5)), lit(255.0))
           .cast("long"))
-    val recon = (v: Column) => mn + (code(v) * (mx - mn)) / lit(255.0)
-    val errTerm = (v: Column) =>
-      floor((v - recon(v)) * (v - recon(v)) * lit(1000000000000.0)).cast("long")
-    embeddings.select(col("vec_id"),
-      size(col("embedding")).cast("long").as("n_dims"),
-      floor(mn * 1000000d).cast("long").as("mn_u"),
-      floor(mx * 1000000d).cast("long").as("mx_u"),
-      array_join(transform(dv, v => code(v).cast("string")), ",").as("codes"),
-      aggregate(dv, lit(0L), (acc, v) => acc + errTerm(v)).as("err_u"))
+    val errElem = (v: Column, c: Column) => {
+      val recon = mn + (c * (mx - mn)) / lit(255.0)
+      floor((v - recon) * (v - recon) * lit(1000000000000.0)).cast("long")
+    }
+    embeddings
+      .select(col("vec_id"), size(col("embedding")).cast("long").as("n_dims"),
+        transform(col("embedding"), v => v.cast("double")).as("dv"))
+      .select(col("vec_id"), col("n_dims"), col("dv"),
+        array_min(col("dv")).as("mn"), array_max(col("dv")).as("mx"))
+      .select(col("vec_id"), col("n_dims"), col("dv"), mn, mx,
+        transform(col("dv"), code).as("codes_arr"))
+      .select(col("vec_id"), col("n_dims"),
+        floor(mn * 1000000d).cast("long").as("mn_u"),
+        floor(mx * 1000000d).cast("long").as("mx_u"),
+        array_join(transform(col("codes_arr"), c => c.cast("string")), ",")
+          .as("codes"),
+        aggregate(zip_with(col("dv"), col("codes_arr"), errElem), lit(0L),
+          (acc, x) => acc + x).as("err_u"))
   }
 
   /** Product-quantization ANN (Jégou et al., "Product Quantization for

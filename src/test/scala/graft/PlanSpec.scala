@@ -119,6 +119,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q154 BM25: query terms broadcast onto the posting lists; no nested-loop anywhere") {
+    // the corpus-sized tf relation must never shuffle to meet the (small)
+    // query-term side: the scoring join is a BroadcastHashJoin with the
+    // qterms side broadcast
+    val p = plan("q154_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q153 incremental minhash: the corpus is never re-shingled — index reuse is real") {
     // The operator's scale claim: signatures are computed for the BATCH only;
     // the corpus contributes its persisted signature index, and corpus TEXT
