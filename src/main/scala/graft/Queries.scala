@@ -3578,6 +3578,62 @@ object Queries {
               |FROM (SELECT doc_id, cluster,
               |  ${duckH60("CAST(cluster AS VARCHAR)")} % 100 AS h FROM cl)""".stripMargin)),
 
+    Q("q157_cluster_keeper",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val pairs = graft.ops.Dedup.minhashLsh(docs, 8, 2, 0.8)
+          .select(col("a"), col("b"))
+        graft.ops.Dedup.clusterKeepers(docs, pairs)
+      },
+      // q155's verified-pair + closure chain, then a longest-copy election
+      // per cluster (ties to the smallest doc_id)
+      Some("""WITH RECURSIVE words AS (
+             |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+             |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> x <> '') AS tl FROM documents)),
+             |toks AS (
+             |  SELECT DISTINCT doc_id,
+             |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+             |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+             |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+             |sig AS (SELECT doc_id,
+             |  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
+             |  min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
+             |  min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
+             |  min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
+             |  FROM toks GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sig
+             |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+             |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+             |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
+             |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+             |   AND x.doc_id < y.doc_id),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+             |inter AS (SELECT c.a, c.b, count(*) AS i
+             |  FROM cand c JOIN toks ta ON ta.doc_id = c.a
+             |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+             |  GROUP BY 1, 2),
+             |nd AS (SELECT c.a, c.b FROM cand c
+             |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+             |  JOIN sizes sa ON sa.doc_id = c.a
+             |  JOIN sizes sb ON sb.doc_id = c.b
+             |  WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE)
+             |      / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= 0.8),
+             |und(a, b) AS (SELECT a, b FROM nd UNION SELECT b, a FROM nd),
+             |r(s, id) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION SELECT r.s, u.b FROM r JOIN und u ON u.a = r.id),
+             |cl AS (SELECT s AS doc_id, min(id) AS cluster FROM r GROUP BY s),
+             |nt AS (SELECT doc_id,
+             |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+             |    AS BIGINT) AS n_tokens FROM documents)
+             |SELECT cl.doc_id, cl.cluster, nt.n_tokens,
+             |  row_number() OVER (PARTITION BY cl.cluster
+             |    ORDER BY nt.n_tokens DESC, cl.doc_id) = 1 AS keep
+             |FROM cl JOIN nt ON nt.doc_id = cl.doc_id""".stripMargin)),
+
     Q("q156_scalar_quantize",
       (s, d) => graft.ops.Quantize.scalarQuantize(T(s, d, "embeddings")),
       // pure +,−,·,/,floor on doubles in pinned association order — both

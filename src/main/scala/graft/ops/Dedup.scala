@@ -191,6 +191,33 @@ object Dedup {
         col("dup_of").isNull.as("is_novel"))
   }
 
+  /** Near-dup cluster resolution with a best-copy keeper policy: production
+    * dedup does not keep an arbitrary cluster member — it keeps the BEST one
+    * (here: most tokens, the "longest copy" heuristic; ties break to the
+    * smallest doc_id so the choice is total). Pairs close transitively via
+    * the distributed connected-components operator; the keeper election is
+    * one window pass partitioned by cluster. Near-dup clusters are small by
+    * construction (band-verified pairs), so the per-cluster window never
+    * concentrates a corpus-scale partition; the integer token count keeps
+    * the election free of cross-engine double comparisons.
+    *
+    * @return one row per doc: (doc_id, cluster, n_tokens, keep).
+    */
+  def clusterKeepers(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comps = graft.graph.Analytics.connectedComponents(
+        docs.select(col("doc_id").as("id")),
+        pairs.select(col("a").as("src"), col("b").as("dst")))
+      .select(col("id").as("doc_id"), col("component").as("cluster"))
+    val scored = comps.join(
+      docs.select(col("doc_id"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("n_tokens").desc, col("doc_id"))
+    scored.withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster"), col("n_tokens"), col("keep"))
+  }
+
   /** Exact shingle-set Jaccard for candidate pairs (a, b); filter ≥ threshold.
     * (MinHash estimates shingle-set Jaccard, so verification uses the same
     * set definition.) Shingle arrays are computed only for docs that appear

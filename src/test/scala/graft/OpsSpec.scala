@@ -493,4 +493,27 @@ class OpsSpec extends SparkTestBase {
     assert(f1 === f2) // deterministic decode: identical payloads → identical features
     assert(f1.length === 8)
   }
+
+  test("clusterKeepers: longest copy wins its cluster; singletons keep themselves") {
+    import spark.implicits._
+    val kdocs = Seq(
+      (1L, "a b c d e"),       // 5 tokens, cluster {1,2,3}
+      (2L, "a b c d e f g"),   // 7 tokens -> the keeper
+      (3L, "a b c"),           // 3 tokens
+      (7L, "p q r"), (8L, "p q r"), // tie on 3 tokens -> smaller id keeps
+      (9L, "z z z z")          // singleton
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val out = Dedup.clusterKeepers(kdocs, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(2L) === ((1L, 7L, true)))
+    assert(out(1L) === ((1L, 5L, false)))
+    assert(out(3L) === ((1L, 3L, false)))
+    assert(out(7L) === ((7L, 3L, true)))  // tie-break: smallest doc_id
+    assert(out(8L) === ((7L, 3L, false)))
+    assert(out(9L) === ((9L, 4L, true)))
+    // exactly one keeper per cluster, always
+    val perCluster = out.values.groupBy(_._1).view.mapValues(_.count(_._3)).toMap
+    assert(perCluster.values.forall(_ == 1))
+  }
 }
