@@ -106,10 +106,15 @@ object Bench {
     }
 
     // Optional subset for local iteration: comma-separated name prefixes.
+    // A subset runs in the ONLY-list's order (debris accumulates forward, so
+    // the heavy-isolation child lists its most allocation-heavy queries
+    // first and they run against the freshest JVM); a full run is name-order.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
-      only.forall(_.exists(n.startsWith))
-    }
+        only.forall(_.exists(n.startsWith))
+      }.sortBy { case (n, _) =>
+        only.map(_.indexWhere(n.startsWith)).getOrElse(0)
+      }
 
     // Heavy-family process isolation. Two rounds of adjudication (r3: q36
     // 16.8 s recorded / 5 s isolated; r4: 18.4 s / 5.5 s) proved that
@@ -120,10 +125,11 @@ object Bench {
     // classpath, its own warm-up) and merges those timings; the in-session
     // numbers for them are discarded. Subset runs (SPARK_GRAFT_ONLY set,
     // including the child itself) never recurse.
+    // descending expected cost: the priciest queries meet the freshest JVM
     val heavySet = Seq(
-      "q36_ngram_jaccard", "q91_sssp_weighted", "q102_levenshtein_pairs",
-      "q150_semantic_dedup", "q151_substring_spans", "q152_pq_ann",
-      "q153_incremental_minhash")
+      "q36_ngram_jaccard", "q102_levenshtein_pairs", "q152_pq_ann",
+      "q153_incremental_minhash", "q150_semantic_dedup", "q91_sssp_weighted",
+      "q151_substring_spans")
     def runHeavyIsolated(): Option[Map[String, Double]] =
       try {
         val childOut = java.nio.file.Files.createTempFile("bench_heavy", ".json")
