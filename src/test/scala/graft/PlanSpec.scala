@@ -119,6 +119,33 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("temporal/events family: no nested-loop or cartesian fallback anywhere") {
+    // as-of, interval, window, funnel and SCD2 shapes are the classic
+    // nested-loop traps — every one must stay equi-join (bucketized where
+    // the predicate is a range) or join-free (as-of via union + window)
+    for (q <- Seq("q59_asof_join", "q60_range_join", "q68_attribution_join",
+        "q86_hopping_window", "q100_funnel", "q104_max_concurrency",
+        "q117_session_window", "q118_scd2_intervals")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q59 as-of join is join-free: one union, one keyed window, no join operator") {
+    // the backward as-of composition must never degenerate into a range
+    // join: no Join node of any kind may appear, and the only wide exchange
+    // is the hash partitioning on the as-of key
+    val p = plan("q59_asof_join")
+    assert(!p.toLowerCase.contains("join"), p)
+    // formatted explain puts partitioning in the detail "Arguments:" lines:
+    // hash partitioning on the key only — never a single-partition funnel or
+    // a global range sort
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    assert(p.contains("hashpartitioning"), p)
+  }
+
   test("q154 BM25: query terms broadcast onto the posting lists; no nested-loop anywhere") {
     // the corpus-sized tf relation must never shuffle to meet the (small)
     // query-term side: the scoring join is a BroadcastHashJoin with the
