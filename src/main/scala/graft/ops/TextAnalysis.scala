@@ -325,17 +325,26 @@ object TextAnalysis {
       .select(col("tok"),
         floor(log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
           * 1000000d).cast("long").as("idf_u"))
-    val qterms = docs.filter(col("doc_id") % queryStride === 0)
+    // query-term derivation never shuffles the corpus relations: the query
+    // doc-id list broadcasts onto tf, then the resulting (small) gram set
+    // broadcasts onto the df-banded idf table — both corpus-sized sides are
+    // scanned in place. (idf itself can be vocabulary-sized at scale, so it
+    // is the scan side, never a broadcast.)
+    val qids = docs.filter(col("doc_id") % queryStride === 0)
       .select(col("doc_id").as("query_id"))
-      .join(tf.select(col("doc_id").as("query_id"), col("tok")), Seq("query_id"))
-      .join(idf, Seq("tok"))
+    val qgrams = tf.join(broadcast(qids), col("doc_id") === col("query_id"))
+      .select(col("query_id"), col("tok"))
+    val qterms = idf.join(broadcast(qgrams), Seq("tok"))
       .select(col("query_id"), col("tok"), col("idf_u"))
     // saturation term, same association order as the oracle SQL
     val sat = col("tf") * lit(2.2) /
       (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
         lit(0.75) * ((col("len") * lit(n)) / lit(sumLen))))
-    val scored = tf.join(len, Seq("doc_id"))
-      .join(broadcast(qterms), Seq("tok"))
+    // restrict the posting lists to query terms FIRST (broadcast hash join —
+    // output bounded by Σ df of the query terms), then attach doc lengths to
+    // that small relation, never to the full corpus-sized tf
+    val scored = tf.join(broadcast(qterms), Seq("tok"))
+      .join(len, Seq("doc_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("idf_u") * floor(sat * 1000000d).cast("long")).as("score_u"))
     val w = Window.partitionBy(col("query_id"))
