@@ -93,7 +93,9 @@ class PlanSpec extends SparkTestBase {
     val df = graft.graph.Centrality.sampleSourceIds(v, 64, 100000L)
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(!p.contains("Exchange SinglePartition"), p)
+    // bare "SinglePartition": formatted explain splits the Exchange tree
+    // line from its "Arguments: SinglePartition" detail line
+    assert(!p.contains("SinglePartition"), p)
     assert(!p.contains("Window"), p)
     assert(!p.contains("Sort"), p)
   }

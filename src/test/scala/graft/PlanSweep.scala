@@ -1,0 +1,63 @@
+package graft
+
+/** Inventory-wide physical-plan regression lock (sf0.001 plans).
+  *
+  * Patterns that kill a plan at cluster scale — nested-loop joins against a
+  * non-tiny side, cartesian products, single-partition exchanges, global
+  * range sorts — must never appear in any inventory query. The only
+  * tolerated nested loops are the documented broadcast-of-a-scalar (or
+  * tiny-dimension non-equi) attaches, where the broadcast side is O(1) rows
+  * by construction; those are pinned in an explicit allowlist so any NEW
+  * nested loop fails this suite.
+  */
+class PlanSweep extends SparkTestBase {
+
+  /** Queries whose single BroadcastNestedLoopJoin is a broadcast-scalar /
+    * tiny-dim attach (side sizes are O(1) by construction):
+    *  - q38/q49: query-vector set (nQueries rows) against scored corpus
+    *  - q51: 1-row vertex-count scalar for degree normalization
+    *  - q113: 1-row min-class-size scalar
+    *  - q123: 1-row merged-HLL register set
+    *  - q128: 1-row corpus-total scalar for mixture shares
+    *  - q129: 1-row total-token-mass scalar for the coverage cut
+    *  - q136: 1-row pooled-moments scalar for the z-test
+    *  - q146: 6-row category table on a size-range (non-equi) predicate
+    */
+  private val allowedBnlj = Set(
+    "q38_ann_cosine_topk", "q49_ann_ivf", "q51_degree_centrality",
+    "q113_balanced_sample", "q123_hll_merge", "q128_mixture_weights",
+    "q129_vocab_coverage", "q136_ab_significance", "q146_component_listings")
+
+  /** Queries whose single-partition exchange carries only a BOUNDED
+    * relation, never corpus-sized rows:
+    *  - global-scalar final aggregations (partials merge to ≤ a few rows:
+    *    q22, q51, q90, q95, q113, q123, q128, q133, q134)
+    *  - bounded spine generation from a 1-row min/max scalar (q71, q139)
+    *  - a global window over the vocabulary / a dropdown-sized artifact,
+    *    documented at the call site (q129, q48)
+    */
+  private val allowedSinglePartition = Set(
+    "q22_degree_stats", "q48_iast_sortkey", "q51_degree_centrality",
+    "q71_month_series", "q90_triangle_count", "q95_profile_columns",
+    "q113_balanced_sample", "q123_hll_merge", "q128_mixture_weights",
+    "q129_vocab_coverage", "q133_modularity", "q134_assortativity",
+    "q139_fixed_width_histogram")
+
+  test("no query plans a cartesian, single-partition exchange, global sort, or unlisted nested loop") {
+    val sfDir = s"$testData/sf0.001"
+    val bad = Queries.all.flatMap { q =>
+      val p = Queries.queries(q.name)(spark, sfDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val tags = Seq(
+        "CartesianProduct" -> p.contains("CartesianProduct"),
+        "SinglePartition" ->
+          (p.contains("SinglePartition") && !allowedSinglePartition(q.name)),
+        "rangepartitioning" -> p.contains("rangepartitioning"),
+        "BroadcastNestedLoopJoin" ->
+          (p.contains("BroadcastNestedLoopJoin") && !allowedBnlj(q.name))
+      ).collect { case (t, true) => t }
+      if (tags.nonEmpty) Some(s"${q.name}: ${tags.mkString(",")}") else None
+    }
+    assert(bad.isEmpty, s"risky plan patterns:\n${bad.mkString("\n")}")
+  }
+}
