@@ -3634,6 +3634,34 @@ object Queries {
              |    ORDER BY nt.n_tokens DESC, cl.doc_id) = 1 AS keep
              |FROM cl JOIN nt ON nt.doc_id = cl.doc_id""".stripMargin)),
 
+    Q("q158_snapshot_diff",
+      (s, d) => {
+        // deterministic synthetic snapshots of the same corpus: the "old"
+        // snapshot misses doc_id % 7 == 0 (added later), the "new" one
+        // dropped doc_id % 5 == 0, and doc_id % 3 == 0 texts were revised
+        val docs = T(s, d, "documents")
+        val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("text"))
+        val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        graft.ops.TrainingData.snapshotDiff(oldSnap, newSnap)
+      },
+      Some("""WITH o AS (SELECT doc_id, md5(text) AS old_hash FROM documents
+             |  WHERE doc_id % 7 <> 0),
+             |n AS (SELECT doc_id,
+             |    md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END)
+             |      AS new_hash
+             |  FROM documents WHERE doc_id % 5 <> 0)
+             |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             |  CASE WHEN o.old_hash IS NULL THEN 'added'
+             |       WHEN n.new_hash IS NULL THEN 'removed'
+             |       WHEN o.old_hash = n.new_hash THEN 'unchanged'
+             |       ELSE 'changed' END AS status,
+             |  o.old_hash, n.new_hash
+             |FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id""".stripMargin)),
+
     Q("q156_scalar_quantize",
       (s, d) => graft.ops.Quantize.scalarQuantize(T(s, d, "embeddings")),
       // pure +,−,·,/,floor on doubles in pinned association order — both

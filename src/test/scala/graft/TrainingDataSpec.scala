@@ -93,6 +93,15 @@ class TrainingDataSpec extends SparkTestBase {
     assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
   }
 
+  test("snapshotDiff: classifies added/removed/changed/unchanged exactly") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val out = TrainingData.snapshotDiff(oldSnap, newSnap).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("negativeSample: no self-pairs, <= k per anchor, deterministic") {
     val neg = TrainingData.negativeSample(docs, rounds = 4, buckets = 64, k = 2)
     assert(neg.filter($"anchor" === $"negative").count() === 0)
