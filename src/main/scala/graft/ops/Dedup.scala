@@ -195,11 +195,13 @@ object Dedup {
     * dedup does not keep an arbitrary cluster member — it keeps the BEST one
     * (here: most tokens, the "longest copy" heuristic; ties break to the
     * smallest doc_id so the choice is total). Pairs close transitively via
-    * the distributed connected-components operator; the keeper election is
-    * one window pass partitioned by cluster. Near-dup clusters are small by
-    * construction (band-verified pairs), so the per-cluster window never
-    * concentrates a corpus-scale partition; the integer token count keeps
-    * the election free of cross-engine double comparisons.
+    * the distributed connected-components operator; the keeper is elected
+    * with a partial-aggregated max(struct(n_tokens, −doc_id)) per cluster —
+    * NOT a per-cluster sort window, because a boilerplate-heavy corpus can
+    * collapse into one corpus-scale cluster, and a combiner-backed agg (plus
+    * an AQE-skew-splittable rejoin) survives that where a single sorted
+    * window partition does not. The integer token count keeps the election
+    * free of cross-engine double comparisons.
     *
     * @return one row per doc: (doc_id, cluster, n_tokens, keep).
     */
@@ -212,10 +214,14 @@ object Dedup {
       docs.select(col("doc_id"),
         graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tokens")),
       Seq("doc_id"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster")).orderBy(col("n_tokens").desc, col("doc_id"))
-    scored.withColumn("keep", row_number().over(w) === 1)
-      .select(col("doc_id"), col("cluster"), col("n_tokens"), col("keep"))
+    // lexicographic struct max = (most tokens, then smallest id) — the same
+    // total order the oracle's row_number() ORDER BY replays
+    val elected = scored.groupBy(col("cluster"))
+      .agg(max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id"))).as("w"))
+      .select(col("cluster"), (-col("w.neg_id")).cast("long").as("keeper_id"))
+    scored.join(elected, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("n_tokens"),
+        (col("doc_id") === col("keeper_id")).as("keep"))
   }
 
   /** Exact shingle-set Jaccard for candidate pairs (a, b); filter ≥ threshold.
