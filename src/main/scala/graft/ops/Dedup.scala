@@ -153,11 +153,13 @@ object Dedup {
     * against the persisted signature INDEX of everything already accepted
     * (plus itself, for within-batch dups). The corpus is never re-shingled:
     * `corpusSigs` is the index a previous run produced
-    * ([[minhashSignatures]] output, at scale persisted bucketed by the band
-    * key via `sources.Store` so the candidate join co-locates without a
-    * corpus-side shuffle); corpus TEXT is touched only for docs that
-    * band-collide with the batch ([[verifyJaccard]] semi-joins candidates
-    * onto the scan).
+    * ([[minhashSignatures]] output; at scale the BANDED form is persisted
+    * bucketed on a single composite `band:key` column via `sources.Store`,
+    * so the candidate join co-locates with no corpus-side shuffle — v1
+    * bucketing eliminates the exchange only when the join key equals the
+    * bucket key exactly; machine-checked in `SigIndexSpec`); corpus TEXT is
+    * touched only for docs that band-collide with the batch
+    * ([[verifyJaccard]] semi-joins candidates onto the scan).
     *
     * @return one row per batch doc: (doc_id, dup_of, is_novel) with dup_of =
     *         the smallest verified-duplicate partner id (corpus or
