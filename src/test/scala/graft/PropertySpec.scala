@@ -130,4 +130,54 @@ class PropertySpec extends SparkTestBase {
         s"seed=$seed: split must assign each doc exactly once")
     }
   }
+
+  test("property: snapshotDiff statuses partition; diff(x,x)=unchanged; diff(0,x)=added") {
+    import spark.implicits._
+    samples(Gen.choose(0L, 100000L), 3).foreach { seed =>
+      val a = (0 until 80).filter(i => (i * 7 + seed) % 3 != 0)
+        .map(i => (i.toLong, s"text-${(i * 13 + seed) % 20}")).toDF("doc_id", "text")
+      val b = (0 until 80).filter(i => (i * 11 + seed) % 4 != 0)
+        .map(i => (i.toLong, s"text-${(i * 17 + seed) % 20}")).toDF("doc_id", "text")
+      val d = TrainingData.snapshotDiff(a, b).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val aIds = a.select("doc_id").collect().map(_.getLong(0)).toSet
+      val bIds = b.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(d.keySet === (aIds ++ bIds)) // exhaustive, no phantom rows
+      d.foreach { case (id, st) =>
+        val expected =
+          if (!aIds(id)) "added" else if (!bIds(id)) "removed"
+          else if (a.filter($"doc_id" === id).head().getString(1) ==
+            b.filter($"doc_id" === id).head().getString(1)) "unchanged" else "changed"
+        assert(st === expected, s"doc $id seed=$seed")
+      }
+      // identities
+      assert(TrainingData.snapshotDiff(a, a).select("status").distinct()
+        .collect().map(_.getString(0)).toSeq == Seq("unchanged"))
+      val empty = a.filter(lit(false))
+      assert(TrainingData.snapshotDiff(empty, a).select("status").distinct()
+        .collect().map(_.getString(0)).toSeq == Seq("added"))
+    }
+  }
+
+  test("property: scalarQuantize codes in [0,255]; error bounded by half-step") {
+    import spark.implicits._
+    samples(Gen.choose(0L, 100000L), 3).foreach { seed =>
+      val emb = (0 until 40).map { i =>
+        (i.toLong, Array.tabulate(16)(j =>
+          (((i * 31 + j * 17 + seed) % 2000) - 1000) / 250.0f))
+      }.toDF("vec_id", "embedding")
+      graft.ops.Quantize.scalarQuantize(emb).collect().foreach { r =>
+        val codes = r.getString(4).split(",").map(_.toLong)
+        assert(codes.forall(c => c >= 0 && c <= 255))
+        val (mnU, mxU, errU) = (r.getLong(2), r.getLong(3), r.getLong(5))
+        assert(errU >= 0)
+        // per-element |v - recon| <= half a quantization step (+1 for the
+        // floor round-down per element, in pico-units)
+        val range = (mxU - mnU) / 1e6
+        val halfStep = range / 255.0 / 2.0
+        val bound = (16 * (halfStep * halfStep * 1e12 + 1)).toLong
+        assert(errU <= bound, s"err $errU > bound $bound (range $range)")
+      }
+    }
+  }
 }
