@@ -3634,6 +3634,27 @@ object Queries {
              |    ORDER BY nt.n_tokens DESC, cl.doc_id) = 1 AS keep
              |FROM cl JOIN nt ON nt.doc_id = cl.doc_id""".stripMargin)),
 
+    Q("q159_zorder_key",
+      (s, d) => graft.ops.ZOrder.withKey(
+          T(s, d, "lineitem"), "l_partkey", "l_suppkey", 16)
+        .select(col("l_orderkey"), col("l_linenumber"), col("z")),
+      Some("""WITH s AS (SELECT CAST(min(l_partkey) AS BIGINT) AS mna,
+             |  CAST(max(l_partkey) AS BIGINT) AS mxa,
+             |  CAST(min(l_suppkey) AS BIGINT) AS mnb,
+             |  CAST(max(l_suppkey) AS BIGINT) AS mxb FROM lineitem),
+             |k AS (SELECT l_orderkey, l_linenumber,
+             |  CAST(floor((l_partkey - mna) * CAST(65536.0 AS DOUBLE)
+             |    / (mxa - mna + 1)) AS BIGINT) AS ba,
+             |  CAST(floor((l_suppkey - mnb) * CAST(65536.0 AS DOUBLE)
+             |    / (mxb - mnb + 1)) AS BIGINT) AS bb
+             |  FROM lineitem, s)
+             |SELECT l_orderkey, l_linenumber,
+             |  CAST(list_sum(list_transform(range(16), i ->
+             |    (((ba >> i) & 1) << (2 * i))
+             |      + (((bb >> i) & 1) << (2 * i + 1))))
+             |    AS BIGINT) AS z
+             |FROM k""".stripMargin)),
+
     Q("q158_snapshot_diff",
       (s, d) => {
         // deterministic synthetic snapshots of the same corpus: the "old"
