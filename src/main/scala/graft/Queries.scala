@@ -3634,6 +3634,49 @@ object Queries {
              |    ORDER BY nt.n_tokens DESC, cl.doc_id) = 1 AS keep
              |FROM cl JOIN nt ON nt.doc_id = cl.doc_id""".stripMargin)),
 
+    Q("q160_ohlc_downsample",
+      (s, d) => {
+        // per-user hourly OHLC candle — the standard temporal downsampling
+        // shape for metric streams. Open/close are elected by window rank
+        // over (ts, event_id) — a total order, so ties at the same
+        // microsecond resolve identically in both engines; high/low/count
+        // are plain partial-agg'd extrema
+        val ev = events(s, d)
+          .withColumn("hour", date_trunc("hour", col("ts")))
+        val wAsc = Window.partitionBy(col("user_id"), col("hour"))
+          .orderBy(col("ts"), col("event_id"))
+        val wDesc = Window.partitionBy(col("user_id"), col("hour"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        ev.withColumn("rna", row_number().over(wAsc))
+          .withColumn("rnd", row_number().over(wDesc))
+          .groupBy(col("user_id"), col("hour"))
+          .agg(
+            max(when(col("rna") === 1, col("value"))).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max(when(col("rnd") === 1, col("value"))).as("close"),
+            count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_timestamp(col("hour")).as("hour_ts"),
+            round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+            round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+            col("n_events"))
+      },
+      Some("""WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hour, ts,
+             |    event_id, value,
+             |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+             |      ORDER BY ts, event_id) AS rna,
+             |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+             |      ORDER BY ts DESC, event_id DESC) AS rnd
+             |  FROM events)
+             |SELECT user_id, CAST(floor(epoch(hour)) AS BIGINT) AS hour_ts,
+             |  round(max(CASE WHEN rna = 1 THEN value END), 6) AS open,
+             |  round(max(value), 6) AS high,
+             |  round(min(value), 6) AS low,
+             |  round(max(CASE WHEN rnd = 1 THEN value END), 6) AS close,
+             |  count(*) AS n_events
+             |FROM e GROUP BY 1, 2""".stripMargin)),
+
     Q("q159_zorder_key",
       (s, d) => graft.ops.ZOrder.withKey(
           T(s, d, "lineitem"), "l_partkey", "l_suppkey", 16)
