@@ -187,23 +187,29 @@ object Bench {
     // bench_out.json is the stable latest-run record (the judge reads it);
     // every run ALSO appends to bench_history.jsonl so overwriting the
     // stable name never silently loses a prior run's timings.
-    // File outputs: an explicit SPARK_GRAFT_BENCH_OUT always wins (that's how
-    // the heavy-isolation child hands results back). Otherwise only a FULL
-    // inventory run may touch the canonical bench_out.json / history — a
-    // subset repro run overwriting them (and poisoning per-query history
-    // medians with -1 sentinels) is exactly what happened in round 4.
+    // File outputs: an explicit SPARK_GRAFT_BENCH_OUT redirects the stable-
+    // name output (that's how the heavy-isolation child hands results back),
+    // but history accrual is keyed ONLY on isFullRun: any full inventory run
+    // appends to bench_history.jsonl regardless of where its primary output
+    // goes, so a canonical run invoked with an explicit path keeps accruing
+    // history. Subset repro runs touch neither file — overwriting them (and
+    // poisoning per-query history medians with -1 sentinels) is exactly what
+    // happened in round 4. History consumers must filter on the "sf" field
+    // before comparing medians: the file mixes scale factors by design.
     sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
       case Some(p) =>
         java.nio.file.Files.write(
           java.nio.file.Paths.get(p), (json + "\n").getBytes("UTF-8"))
       case None if isFullRun =>
-        val out = java.nio.file.Paths.get("bench_out.json")
-        java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
-        val hist = out.resolveSibling("bench_history.jsonl")
-        java.nio.file.Files.write(hist, (json + "\n").getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench_out.json"), (json + "\n").getBytes("UTF-8"))
       case None => // subset run: stdout only
+    }
+    if (isFullRun) {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_history.jsonl"), (json + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     }
     println(json)
     spark.stop()

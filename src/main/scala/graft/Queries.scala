@@ -48,7 +48,10 @@ object Queries {
   def normalizeEventsTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // nanos-as-long legacy read
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // `div` keeps the ns→µs truncation in 64-bit integer arithmetic;
+        // `/` would promote to double and epoch nanos (~1.7e18) exceed the
+        // 2^53 mantissa, truncating ~1-2% of values off-by-one µs vs DuckDB.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _: org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df // already a session-TZ timestamp

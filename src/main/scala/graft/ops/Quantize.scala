@@ -96,6 +96,9 @@ object Quantize {
       floor((v - recon) * (v - recon) * lit(1000000000000.0)).cast("long")
     }
     embeddings
+      // empty vectors have no min/max and no codes — drop them, matching
+      // the oracle's unnest (zero rows → the vec never reaches its GROUP BY)
+      .filter(size(col("embedding")) > 0)
       .select(col("vec_id"), size(col("embedding")).cast("long").as("n_dims"),
         transform(col("embedding"), v => v.cast("double")).as("dv"))
       .select(col("vec_id"), col("n_dims"), col("dv"),

@@ -304,12 +304,18 @@ object TextAnalysis {
     * query terms (with their precomputed integerized idf) broadcast onto the
     * tf posting lists as a broadcast hash join — the corpus never shuffles
     * to meet the queries; per-query work is bounded by Σ df ≤ |terms|·dfMax.
+    * The broadcast invariant is that the QUERY SET stays broadcast-sized:
+    * |qterms| ≈ Σ len(query docs) ≈ sumLen/queryStride grows linearly with
+    * the corpus at fixed stride, so past `maxBroadcastQueryTerms` (estimated
+    * from sumLen/queryStride — free, no extra job) the hints switch to
+    * SHUFFLE_HASH: tf shuffles once on tok, which at that query cardinality
+    * is cheaper than materializing a >100 MB broadcast on every executor.
     * Scoring is integer micro-unit arithmetic end-to-end (floor(idf·1e6) ·
     * floor(sat·1e6) summed as BIGINT) so the sum is order-independent and
     * the DuckDB oracle replays it bit-exactly; ranks tie-break by doc_id.
     */
   def bm25TopK(docs: DataFrame, queryStride: Long = 251, topK: Int = 5,
-      dfMin: Long = 2): DataFrame = {
+      dfMin: Long = 2, maxBroadcastQueryTerms: Long = 2000000L): DataFrame = {
     import org.apache.spark.sql.graft.FreshCheckpoint
     val toks = tokenGrams(docs.select(col("doc_id"), col("text")), 3)
       .select(col("doc_id"), col("gram").as("tok"))
@@ -330,11 +336,19 @@ object TextAnalysis {
     // broadcasts onto the df-banded idf table — both corpus-sized sides are
     // scanned in place. (idf itself can be vocabulary-sized at scale, so it
     // is the scan side, never a broadcast.)
+    // Broadcast only while the estimated query-term cardinality (total
+    // corpus grams / stride — both already computed, no extra job) stays
+    // bounded; past that the query side itself is corpus-scale and the
+    // posting-list join must become a shuffle hash join instead.
+    val estQueryTerms = sumLen / math.max(queryStride, 1L)
+    val broadcastable = estQueryTerms <= maxBroadcastQueryTerms
+    def qHint(df: DataFrame): DataFrame =
+      if (broadcastable) broadcast(df) else df.hint("shuffle_hash")
     val qids = docs.filter(col("doc_id") % queryStride === 0)
       .select(col("doc_id").as("query_id"))
-    val qgrams = tf.join(broadcast(qids), col("doc_id") === col("query_id"))
+    val qgrams = tf.join(qHint(qids), col("doc_id") === col("query_id"))
       .select(col("query_id"), col("tok"))
-    val qterms = idf.join(broadcast(qgrams), Seq("tok"))
+    val qterms = idf.join(qHint(qgrams), Seq("tok"))
       .select(col("query_id"), col("tok"), col("idf_u"))
     // saturation term, same association order as the oracle SQL
     val sat = col("tf") * lit(2.2) /
@@ -343,7 +357,7 @@ object TextAnalysis {
     // restrict the posting lists to query terms FIRST (broadcast hash join —
     // output bounded by Σ df of the query terms), then attach doc lengths to
     // that small relation, never to the full corpus-sized tf
-    val scored = tf.join(broadcast(qterms), Seq("tok"))
+    val scored = tf.join(qHint(qterms), Seq("tok"))
       .join(len, Seq("doc_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("idf_u") * floor(sat * 1000000d).cast("long")).as("score_u"))

@@ -34,11 +34,20 @@ object ZOrder {
     * range computation a writer's OPTIMIZE pass already owns), THEN
     * interleaved, so both dimensions contribute equally at every bit
     * position. Bucketing arithmetic is floor over exact double products —
-    * bit-identical cross-engine. */
+    * bit-identical cross-engine.
+    *
+    * NOTE: computing the ranges runs a Spark job EAGERLY at composition time
+    * (one tiny min/max aggregate) — callers composing lazy pipelines should
+    * invoke this where a job is acceptable, the same place a writer's
+    * OPTIMIZE pass sits. On an empty input (or all-NULL key columns) there
+    * is no range to normalize against, so the input is returned with a NULL
+    * `out` column rather than throwing from a null aggregate row. */
   def withKey(df: org.apache.spark.sql.DataFrame, a: String, b: String,
       bits: Int = 16, out: String = "z"): org.apache.spark.sql.DataFrame = {
     val r = df.agg(min(col(a)).cast("long"), max(col(a)).cast("long"),
       min(col(b)).cast("long"), max(col(b)).cast("long")).head()
+    if (r.isNullAt(0) || r.isNullAt(2))
+      return df.withColumn(out, lit(null).cast("long"))
     val scale = (1L << bits).toDouble
     def bucket(c: Column, mn: Long, mx: Long): Column =
       floor((c - lit(mn)) * lit(scale) / lit((mx - mn + 1).toDouble)).cast("long")

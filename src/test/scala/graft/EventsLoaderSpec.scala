@@ -13,7 +13,12 @@ import org.apache.spark.sql.types._
   */
 class EventsLoaderSpec extends SparkTestBase {
 
-  private val micros = Seq(0L, 1700000000000000L, 1700000123456789L)
+  // 1700000123456016/-080 are planted regressions for the nanos branch:
+  // their ns encodings (≈1.7e18, ulp 256 as double) round across a µs
+  // boundary under double division, so `(ts / 1000L).cast("long")` yields
+  // an off-by-one µs — only integral `ts div 1000` maps them back exactly.
+  private val micros = // sorted: compared against outMicros' sorted output
+    Seq(0L, 1700000000000000L, 1700000123456016L, 1700000123456080L, 1700000123456789L)
 
   private def outMicros(df: DataFrame): Seq[Long] =
     Queries.normalizeEventsTs(df)

@@ -41,6 +41,16 @@ class ZOrderSpec extends SparkTestBase {
       s"z-order layout cost $costZ not materially below single-column $costA")
   }
 
+  test("withKey on empty / all-NULL input yields a NULL key, not a throw") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ZOrder.withKey(empty, "a", "b").count() === 0)
+    val allNull = Seq((1L, 2L)).toDF("a", "b")
+      .select(lit(null).cast("long").as("a"), lit(null).cast("long").as("b"))
+    val out = ZOrder.withKey(allNull, "a", "b")
+    assert(out.count() === 1 && out.select(col("z")).head().isNullAt(0))
+  }
+
   test("morton key interleaves bits exactly") {
     import spark.implicits._
     // a=0b101 (bits at 0,2 -> positions 0,4), b=0b11 (bits at 0,1 -> 1,3)
