@@ -2005,27 +2005,21 @@ object Queries {
 
     Q("q102_levenshtein_pairs",
       (s, d) => {
-        // edit-distance near-dup pairs with blocking: candidate pairs only
-        // within a brand block AND length band ±2 (both pushed into the join
-        // condition — levenshtein(d) ≥ |len(a)−len(b)| makes the band
-        // lossless for d ≤ 2). The quadratic stays inside blocks; the join
-        // shuffles on the block key and survives scale-up as sort-merge.
-        // (measured: pushing the length band into the equi-key via width-2
-        // bucket explode did NOT help — the surviving-pair threshold-DP is
-        // the cost floor and the 3× probe fan-out only added overhead)
-        val p = T(s, d, "part")
-          .select(col("p_partkey"), col("p_brand"), col("p_name"),
-            length(col("p_name")).as("len"))
-        p.as("a").join(p.as("b"),
-            col("a.p_brand") === col("b.p_brand") &&
-              col("a.p_partkey") < col("b.p_partkey") &&
-              abs(col("a.len") - col("b.len")) <= 2)
-          .select(col("a.p_partkey").as("pa"), col("b.p_partkey").as("pb"),
-            // threshold form early-abandons the DP at distance > 2 (returns
-            // -1): O(d·len) per pair instead of O(len²) on the 99% of
-            // candidates that miss
-            levenshtein(col("a.p_name"), col("b.p_name"), 2).cast("long").as("dist"))
-          .filter(col("dist") >= 0)
+        // edit-distance near-dup pairs via Ed-Join prefix filtering
+        // (ops/Dedup.editDistancePairs): candidates enumerated by an
+        // equi-join on (brand, rarest-prefix q-gram), never a per-block
+        // cross product — candidate volume is Σ_gram (bucket choose 2) over
+        // RARE grams, near-linear on diverse names, where the former
+        // brand-block nested loop was O(n²/|brands|) with |brands| fixed at
+        // 25 (quadratic at any scale-up). Verification stays the threshold
+        // DP (levenshtein 3-arg early-abandons at > 2). q=3 fits this
+        // corpus (grams ≪ 26³); at larger scale q grows with the corpus so
+        // |Σ|^q stays ≫ total grams — see editDistanceCandidates' scaladoc
+        // (measured here: q=5 costs 6.7 s vs 4.1 s at sf0.1, all prefix
+        // overhead, no candidate reduction — the knob matters, pick per sf).
+        Dedup.editDistancePairs(
+          T(s, d, "part"), "p_partkey", "p_name", Seq("p_brand"), maxDist = 2)
+          .select(col("pa"), col("pb"), col("dist"))
       },
       Some("""SELECT a.p_partkey AS pa, b.p_partkey AS pb,
              | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.FreshCheckpoint
 
@@ -463,4 +464,91 @@ object Dedup {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
   }
+
+  /** Ed-Join-style candidate enumeration for an edit-distance self-join
+    * (Xiao/Wang/Lin, "Ed-Join"; Gravano et al. q-gram count filtering).
+    * One edit operation destroys at most `q` of a string's character
+    * q-grams, so ed(a,b) ≤ d implies the (occurrence-numbered) gram sets
+    * overlap in ≥ |G| − d·q elements on each side; ordering every gram set
+    * by ascending global frequency and keeping only each string's first
+    * d·q+1 grams (its PREFIX — by construction the globally rarest), any
+    * true pair must collide on at least one prefix gram. Candidates are
+    * therefore enumerated by an equi-join on (block…, prefix gram) —
+    * NO per-block cross product, and the join buckets are small by
+    * construction because prefixes hold the rarest grams. The length band
+    * |len(a)−len(b)| ≤ d (lossless: ed ≥ length difference) rides in the
+    * join condition.
+    *
+    * Count filtering is vacuous when a string has ≤ d·q grams (two 7-char
+    * strings at distance 2 can share zero 3-grams: "abcdefg" vs "abXdeYg"),
+    * so every string with fewer than q·(d+1) chars ADDITIONALLY carries a
+    * sentinel gram. Any true pair with a vacuous-count side has both sides
+    * short (length band ≤ d), hence both sentineled and still colliding;
+    * pairs with one side ≥ q·(d+1) chars have a non-vacuous bound on the
+    * longer side and the standard prefix theorem applies. Short strings have
+    * ≤ d·q+1 grams including the sentinel, so their whole gram set fits the
+    * prefix — losslessness never depends on the frequency ordering there.
+    *
+    * Scale shape: gram explode is O(n·len) rows but immediately partial-
+    * aggregated; the only shuffles are keyed on gram / (block, gram) /
+    * candidate pair — candidate volume grows with Σ_gram (bucket choose 2)
+    * over RARE grams, near-linear on diverse text, never O(n²/|blocks|).
+    * `q` is the scale knob: collision noise stays near-linear only while
+    * |Σ|^q ≫ total corpus grams (the same diversity condition as an LSH
+    * band width), so grow q ~ log_|Σ|(corpus) as data grows — q=3 saturates
+    * past ~10⁴ lowercase strings, q=5 carries ~10⁷, q=7 beyond. Larger q
+    * costs a longer prefix (q·d+1 rows/string through the rank window), so
+    * pick the smallest q that clears the diversity condition.
+    *
+    * @return distinct candidate pairs (pa, pb, sa, sb) with pa < pb —
+    *         a superset of the true ≤ d pairs; verify with [[editDistancePairs]].
+    */
+  def editDistanceCandidates(df: DataFrame, id: String, str: String,
+      block: Seq[String], maxDist: Int = 2, q: Int = 3): DataFrame = {
+    val prefLen = q * maxDist + 1
+    val base = fanOut(df).select(
+      Seq(col(id).as("pk"), col(str).as("s"), length(col(str)).as("len")) ++
+        block.map(col): _*)
+    // positional char q-grams; occurrence-number duplicates so multiset
+    // count filtering becomes set semantics ("abcabc" → abc#1, abc#2, …)
+    val grams = base.select(col("pk"),
+        posexplode(when(length(col("s")) < lit(q * (maxDist + 1)),
+            concat(expr(s"transform(sequence(1, greatest(length(s)-${q - 1}, 0)), i -> substring(s, i, $q))"),
+              array(lit(" "))))
+          .otherwise(expr(s"transform(sequence(1, length(s)-${q - 1}), i -> substring(s, i, $q))"))))
+      .select(col("pk"), col("pos"), col("col").as("g"))
+      .withColumn("gk", concat(col("g"), lit("#"),
+        row_number().over(Window.partitionBy(col("pk"), col("g"))
+          .orderBy(col("pos"))).cast("string")))
+      .select(col("pk"), col("gk"))
+    val freq = grams.groupBy(col("gk")).agg(count(lit(1)).as("cnt"))
+    // per-string prefix: the prefLen globally-rarest grams (ties by gram
+    // text — any consistent total order preserves losslessness)
+    val prefix = grams.join(freq, Seq("gk"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("pk")).orderBy(col("cnt"), col("gk"))))
+      .filter(col("rk") <= prefLen)
+      .join(base, Seq("pk"))
+    val blockEq = block.map(c => col(s"x.$c") === col(s"y.$c"))
+      .foldLeft(lit(true))(_ && _)
+    prefix.as("x").join(prefix.as("y"),
+        col("x.gk") === col("y.gk") && blockEq &&
+          col("x.pk") < col("y.pk") &&
+          abs(col("x.len") - col("y.len")) <= maxDist)
+      .select(col("x.pk").as("pa"), col("y.pk").as("pb"),
+        col("x.s").as("sa"), col("y.s").as("sb"))
+      .distinct()
+  }
+
+  /** Edit-distance self-join: all pairs within `block` at levenshtein
+    * distance ≤ maxDist, enumerated via [[editDistanceCandidates]] (prefix
+    * filter — no block cross product) and verified with the threshold DP
+    * (levenshtein's 3-arg form early-abandons at > maxDist: O(d·len) per
+    * candidate, not O(len²)). Returns (pa, pb, dist), pa < pb. */
+  def editDistancePairs(df: DataFrame, id: String, str: String,
+      block: Seq[String], maxDist: Int = 2, q: Int = 3): DataFrame =
+    editDistanceCandidates(df, id, str, block, maxDist, q)
+      .select(col("pa"), col("pb"),
+        levenshtein(col("sa"), col("sb"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
 }
