@@ -63,30 +63,12 @@ object Queries {
   }
 
   /** Weighted co-purchase pair relation (a < b, cnt = shared distinct
-    * orders) — the graph that q90/q97/q105/q109/q133/q134 all traverse. Each
-    * independent re-derivation pays the lineitem self-join (the single
-    * biggest shared term in the bench tail), so the first call per sf dir
-    * materializes the relation to a session-scoped parquet and later calls
-    * scan it — a materialized view, exactly what a cluster deployment would
-    * keep. A parquet round-trip (not cache/checkpoint) makes the memo
-    * lineage-free and immune to the bench's per-query state reset. */
-  private val copurchaseMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def copurchasePairs(s: SparkSession, d: String): DataFrame = {
-    val path = copurchaseMemo.computeIfAbsent(d, _ => {
-      val li = T(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-      val pairs = li.as("x").join(li.as("y"),
-          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-        .agg(count(lit(1)).as("cnt"))
-      val out = java.nio.file.Files.createTempDirectory("graft-copurchase")
-        .resolve("pairs.parquet").toString
-      pairs.write.mode("overwrite").parquet(out)
-      out
-    })
-    s.read.parquet(path)
-  }
+    * orders) — the graph that q90/q97/q105/q109/q133/q134 all traverse, now
+    * a first-class bucketed materialized view in [[graft.sources.Store]]
+    * (bucketed+sorted on `a`, so consumers read it Exchange-free for
+    * `a`-keyed work — StoreSpec locks the contract). */
+  private def copurchasePairs(s: SparkSession, d: String): DataFrame =
+    graft.sources.Store.copurchase(s, d)
 
   // ---------------------------------------------------------------- scans/projections
   private val scanQs = Seq(

@@ -35,4 +35,56 @@ object Store {
       .saveAsTable(table)
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Materialized co-purchase pair relation `(a, b, cnt)` — parts adjacent
+    * iff they share a distinct order, `cnt` = number of shared orders, with
+    * `a < b`. Six inventory queries (q90 triangles, q97 k-core, q105 pairs,
+    * q109 clustering, q133 modularity, q134 assortativity) traverse this
+    * graph; each independent re-derivation would pay the lineitem self-join
+    * — the single biggest shared subplan in the bench tail — so the first
+    * call per sf dir derives it ONCE and persists it as a first-class
+    * bucketed external table (the materialized view a cluster deployment
+    * keeps next to the fact table).
+    *
+    * Layout: bucketed + sorted on `a` (the source-node key every consumer's
+    * first groupBy/join uses). A single bucket column because v1 bucketing
+    * only eliminates an Exchange when the shuffle keys EXACTLY match the
+    * bucket column; hash on `a` also satisfies any clustering that contains
+    * it (e.g. groupBy(a, b)). Consumers therefore read the pair relation
+    * with zero Exchange for per-source aggregates and `a`-keyed joins —
+    * StoreSpec locks this contract.
+    *
+    * The files outlive any one SparkSession; the catalog entry is
+    * per-session, so a session that finds the files but not the table
+    * re-registers it with DDL (CLUSTERED BY metadata intact). */
+  def copurchase(spark: SparkSession, dir: String, buckets: Int = 32): DataFrame = {
+    val tbl = "graft_copurchase_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val path = copurchaseMemo.computeIfAbsent(dir, _ => {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(org.apache.spark.sql.functions.col("l_orderkey").as("ok"),
+          org.apache.spark.sql.functions.col("l_partkey").as("p"))
+        .distinct()
+      val x = li.as("x"); val y = li.as("y")
+      import org.apache.spark.sql.functions._
+      val pairs = x.join(y, col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").cast("long").as("a"), col("y.p").cast("long").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val p = java.nio.file.Files.createTempDirectory("graft-copurchase")
+        .resolve("pairs").toString
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      pairs.write.mode("overwrite").format("parquet")
+        .option("path", p)
+        .bucketBy(buckets, "a").sortBy("a")
+        .saveAsTable(tbl)
+      p
+    })
+    if (!spark.catalog.tableExists(tbl))
+      spark.sql(s"""CREATE TABLE $tbl (a BIGINT, b BIGINT, cnt BIGINT)
+        |USING parquet CLUSTERED BY (a) SORTED BY (a) INTO $buckets BUCKETS
+        |LOCATION '$path'""".stripMargin)
+    spark.table(tbl)
+  }
+  private val copurchaseMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

@@ -45,6 +45,43 @@ class StoreSpec extends SparkTestBase {
     }
   }
 
+  test("copurchase MV: consumers read the bucketed view Exchange-free") {
+    val d = s"$testData/sf0.001"
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // q105 is a pure filter+project over the view: its WHOLE plan must be
+      // a bucketed scan with zero Exchange — no lineitem self-join replay
+      val q105 = SparkEntry.queries("q105_copurchase_pairs")(spark, d)
+      val p105 = q105.queryExecution.executedPlan.toString
+      assert(!p105.contains("Exchange"),
+        "q105 should read the materialized view shuffle-free:\n" + p105.take(2000))
+      assert(p105.contains("graft_copurchase"),
+        "q105 no longer reads the materialized view:\n" + p105.take(2000))
+      // the per-source-node aggregate (first op of the degree-style
+      // consumers) collapses partial+final over the bucket distribution —
+      // no Exchange between scan and aggregate
+      val deg = Store.copurchase(spark, d).groupBy(col("a"))
+        .agg(sum(col("cnt")).as("w"))
+      val pDeg = deg.queryExecution.executedPlan.toString
+      assert(!pDeg.contains("Exchange hashpartitioning(a"),
+        "a-keyed aggregate reshuffled despite bucketing on a:\n" + pDeg.take(2000))
+      // and the view's content equals the direct derivation
+      val li = spark.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val direct = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").cast("long").as("a"), col("y.p").cast("long").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = Store.copurchase(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === direct)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("partitioned layout prunes directories at scan") {
     val dir = tmp("partitioned")
     val docs = spark.read.parquet(s"$testData/sf0.001/documents.parquet")
