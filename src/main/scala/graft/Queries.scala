@@ -2206,6 +2206,60 @@ object Queries {
        |  (strpos('0123456789abcdef', substring(md5($x), CAST(i AS INT) + 1, 1)) - 1)::BIGINT
        |  << (4 * (14 - CAST(i AS INT))))) AS BIGINT)""".stripMargin
 
+  /** Shared WITH-prefix replaying [[graft.graph.Layout.fruchtermanReingold]]
+    * over the nation-region graph through `p$layoutIters` (id, x, y) — used
+    * by q147 (coordinates) and q161 (GEXF export relation). The oracle
+    * computes repulsion over ALL pairs within the 2k cutoff (the grid in the
+    * Spark plan is only the pair-FINDING strategy); every stage MATERIALIZED
+    * like q52's power iteration. */
+  private val layoutIters = 10
+  private lazy val layoutOracleWith: String = {
+    val iters = layoutIters
+    def g(e: String) = s"greatest($e, 1e-9)"
+    def sq(ax: String, ay: String, bx: String, by: String) =
+      s"sqrt(($ax-$bx)*($ax-$bx) + ($ay-$by)*($ay-$by))"
+    val stages = (1 to iters).map { i =>
+      val p = s"p${i - 1}"
+      val t = s"(0.1::DOUBLE * ${iters - i + 1}) / $iters"
+      val len = "sqrt(f.fx*f.fx + f.fy*f.fy)"
+      s"""d$i AS MATERIALIZED (
+         |  SELECT a.id, a.x, a.y, b.x AS x2, b.y AS y2,
+         |    ${sq("a.x", "a.y", "b.x", "b.y")} AS dist
+         |  FROM $p a JOIN $p b ON a.id <> b.id),
+         |r$i AS MATERIALIZED (
+         |  SELECT id,
+         |    round(sum((x - x2) * (k*k) / (${g("dist")}*${g("dist")})), 9) AS rfx,
+         |    round(sum((y - y2) * (k*k) / (${g("dist")}*${g("dist")})), 9) AS rfy
+         |  FROM d$i, prm WHERE dist < 2*k GROUP BY id),
+         |a$i AS MATERIALIZED (
+         |  SELECT e.u AS id,
+         |    round(sum(-(pu.x - pv.x) * ${sq("pu.x", "pu.y", "pv.x", "pv.y")} / k), 9) AS afx,
+         |    round(sum(-(pu.y - pv.y) * ${sq("pu.x", "pu.y", "pv.x", "pv.y")} / k), 9) AS afy
+         |  FROM e JOIN $p pu ON pu.id = e.u JOIN $p pv ON pv.id = e.v, prm GROUP BY e.u),
+         |f$i AS (
+         |  SELECT p.id, p.x, p.y,
+         |    coalesce(r.rfx, 0.0::DOUBLE) + coalesce(a.afx, 0.0::DOUBLE) AS fx,
+         |    coalesce(r.rfy, 0.0::DOUBLE) + coalesce(a.afy, 0.0::DOUBLE) AS fy
+         |  FROM $p p LEFT JOIN r$i r ON r.id = p.id LEFT JOIN a$i a ON a.id = p.id),
+         |p$i AS MATERIALIZED (
+         |  SELECT f.id,
+         |    round(f.x + f.fx * (CASE WHEN $len > 0
+         |      THEN least($len, $t) / $len ELSE 0.0::DOUBLE END), 9) AS x,
+         |    round(f.y + f.fy * (CASE WHEN $len > 0
+         |      THEN least($len, $t) / $len ELSE 0.0::DOUBLE END), 9) AS y
+         |  FROM f$i f)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (SELECT CAST(n_nationkey AS BIGINT) AS u, CAST(n_regionkey AS BIGINT) + 1000 AS v FROM nation),
+       |e AS MATERIALIZED (SELECT DISTINCT u, v FROM (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0) t(u, v) WHERE u <> v),
+       |v AS (SELECT DISTINCT u AS id FROM e),
+       |prm AS (SELECT sqrt(CAST(1 AS DOUBLE) / (SELECT count(*) FROM v)) AS k),
+       |p0 AS MATERIALIZED (SELECT id,
+       |  round(CAST(${duckH60("CAST(id AS VARCHAR) || ':x'")} AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE), 9) AS x,
+       |  round(CAST(${duckH60("CAST(id AS VARCHAR) || ':y'")} AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE), 9) AS y
+       |  FROM v),
+       |$stages""".stripMargin
+  }
+
   private val ext5Qs = Seq(
     Q("q111_hash_split",
       (s, d) => graft.ops.TrainingData.hashSplit(T(s, d, "documents")),
@@ -2545,53 +2599,9 @@ object Queries {
       // 2k cutoff (the grid in the Spark plan is only the pair-FINDING
       // strategy; the semantics is the distance cutoff, so a plain join
       // reproduces it). Every stage MATERIALIZED like q52's power iteration.
-      Some {
-        val iters = 10
-        def g(e: String) = s"greatest($e, 1e-9)"
-        def sq(ax: String, ay: String, bx: String, by: String) =
-          s"sqrt(($ax-$bx)*($ax-$bx) + ($ay-$by)*($ay-$by))"
-        val stages = (1 to iters).map { i =>
-          val p = s"p${i - 1}"
-          val t = s"(0.1::DOUBLE * ${iters - i + 1}) / $iters"
-          val len = "sqrt(f.fx*f.fx + f.fy*f.fy)"
-          s"""d$i AS MATERIALIZED (
-             |  SELECT a.id, a.x, a.y, b.x AS x2, b.y AS y2,
-             |    ${sq("a.x", "a.y", "b.x", "b.y")} AS dist
-             |  FROM $p a JOIN $p b ON a.id <> b.id),
-             |r$i AS MATERIALIZED (
-             |  SELECT id,
-             |    round(sum((x - x2) * (k*k) / (${g("dist")}*${g("dist")})), 9) AS rfx,
-             |    round(sum((y - y2) * (k*k) / (${g("dist")}*${g("dist")})), 9) AS rfy
-             |  FROM d$i, prm WHERE dist < 2*k GROUP BY id),
-             |a$i AS MATERIALIZED (
-             |  SELECT e.u AS id,
-             |    round(sum(-(pu.x - pv.x) * ${sq("pu.x", "pu.y", "pv.x", "pv.y")} / k), 9) AS afx,
-             |    round(sum(-(pu.y - pv.y) * ${sq("pu.x", "pu.y", "pv.x", "pv.y")} / k), 9) AS afy
-             |  FROM e JOIN $p pu ON pu.id = e.u JOIN $p pv ON pv.id = e.v, prm GROUP BY e.u),
-             |f$i AS (
-             |  SELECT p.id, p.x, p.y,
-             |    coalesce(r.rfx, 0.0::DOUBLE) + coalesce(a.afx, 0.0::DOUBLE) AS fx,
-             |    coalesce(r.rfy, 0.0::DOUBLE) + coalesce(a.afy, 0.0::DOUBLE) AS fy
-             |  FROM $p p LEFT JOIN r$i r ON r.id = p.id LEFT JOIN a$i a ON a.id = p.id),
-             |p$i AS MATERIALIZED (
-             |  SELECT f.id,
-             |    round(f.x + f.fx * (CASE WHEN $len > 0
-             |      THEN least($len, $t) / $len ELSE 0.0::DOUBLE END), 9) AS x,
-             |    round(f.y + f.fy * (CASE WHEN $len > 0
-             |      THEN least($len, $t) / $len ELSE 0.0::DOUBLE END), 9) AS y
-             |  FROM f$i f)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH e0 AS MATERIALIZED (SELECT CAST(n_nationkey AS BIGINT) AS u, CAST(n_regionkey AS BIGINT) + 1000 AS v FROM nation),
-           |e AS MATERIALIZED (SELECT DISTINCT u, v FROM (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0) t(u, v) WHERE u <> v),
-           |v AS (SELECT DISTINCT u AS id FROM e),
-           |prm AS (SELECT sqrt(CAST(1 AS DOUBLE) / (SELECT count(*) FROM v)) AS k),
-           |p0 AS MATERIALIZED (SELECT id,
-           |  round(CAST(${duckH60("CAST(id AS VARCHAR) || ':x'")} AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE), 9) AS x,
-           |  round(CAST(${duckH60("CAST(id AS VARCHAR) || ':y'")} AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE), 9) AS y
-           |  FROM v),
-           |$stages
-           |SELECT id, round(x, 6) AS x, round(y, 6) AS y FROM p$iters""".stripMargin
-      }),
+      Some(s"""$layoutOracleWith
+          |SELECT id, round(x, 6) AS x, round(y, 6) AS y FROM p$layoutIters"""
+        .stripMargin)),
 
     Q("q148_line_dedup",
       (s, d) => graft.ops.TextAnalysis.lineDedup(
@@ -3729,7 +3739,52 @@ object Queries {
              |  CAST(floor(mx * 1000000) AS BIGINT) AS mx_u,
              |  string_agg(CAST(code AS VARCHAR), ',' ORDER BY i) AS codes,
              |  CAST(sum(CAST(floor(sq * 1000000000000.0) AS BIGINT)) AS BIGINT) AS err_u
-             |FROM r GROUP BY vec_id, nd, mn, mx""".stripMargin)))
+             |FROM r GROUP BY vec_id, nd, mn, mx""".stripMargin)),
+
+    Q("q161_gexf_relation",
+      (s, d) => {
+        // the GEXF export surface as a relation (serve/Gexf.relation — the
+        // exact fields render() serializes: ids, resolved labels, viz color
+        // channels, micro-unit positions, ordinal edge ids), over the
+        // nation-region graph q147 lays out. A green row here certifies the
+        // export path's field VALUES cross-engine, not just XML shape
+        // (grapher.py:140-163 write_gexf).
+        val e0 = T(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("src"),
+            (col("n_regionkey").cast("long") + 1000L).as("dst"))
+        val v = e0.select(col("src").as("id"))
+          .unionByName(e0.select(col("dst").as("id"))).distinct()
+        val pos = graft.graph.Layout.fruchtermanReingold(v, e0, layoutIters)
+        val nodes = T(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("id"),
+            col("n_name").as("label"), lit("green").as("color"))
+          .unionByName(T(s, d, "region")
+            .select((col("r_regionkey").cast("long") + 1000L).as("id"),
+              col("r_name").as("label"), lit("red").as("color")))
+          .join(pos, Seq("id"))
+        graft.serve.Gexf.relation(nodes, e0)
+      },
+      Some(s"""$layoutOracleWith,
+          |nat AS (SELECT CAST(n_nationkey AS BIGINT) AS nid, n_name AS label,
+          |  'green' AS color FROM nation),
+          |reg AS (SELECT CAST(r_regionkey AS BIGINT) + 1000 AS nid, r_name AS label,
+          |  'red' AS color FROM region),
+          |alln AS (SELECT * FROM nat UNION ALL SELECT * FROM reg),
+          |nodes AS (SELECT 'node' AS kind, CAST(n.nid AS VARCHAR) AS id, n.label,
+          |  CAST(CASE n.color WHEN 'red' THEN 255 WHEN 'green' THEN 6 ELSE 128 END AS BIGINT) AS cr,
+          |  CAST(CASE n.color WHEN 'red' THEN 0 WHEN 'green' THEN 200 ELSE 128 END AS BIGINT) AS cg,
+          |  CAST(CASE n.color WHEN 'red' THEN 0 WHEN 'green' THEN 50 ELSE 128 END AS BIGINT) AS cb,
+          |  CAST(floor(p.x * 1000000) AS BIGINT) AS x_u,
+          |  CAST(floor(p.y * 1000000) AS BIGINT) AS y_u,
+          |  CAST(NULL AS VARCHAR) AS src, CAST(NULL AS VARCHAR) AS dst
+          |  FROM alln n JOIN p$layoutIters p ON p.id = n.nid),
+          |edges AS (SELECT 'edge' AS kind,
+          |  CAST(row_number() OVER (ORDER BY CAST(u AS VARCHAR), CAST(v AS VARCHAR)) - 1 AS VARCHAR) AS id,
+          |  CAST(NULL AS VARCHAR) AS label,
+          |  CAST(NULL AS BIGINT) AS cr, CAST(NULL AS BIGINT) AS cg, CAST(NULL AS BIGINT) AS cb,
+          |  CAST(NULL AS BIGINT) AS x_u, CAST(NULL AS BIGINT) AS y_u,
+          |  CAST(u AS VARCHAR) AS src, CAST(v AS VARCHAR) AS dst FROM e0)
+          |SELECT * FROM nodes UNION ALL SELECT * FROM edges""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

@@ -1,6 +1,8 @@
 package graft.serve
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** GEXF (Gephi) sink (`grapher.py:140-163`, `utils/construct_full_graph.py`).
   *
@@ -33,7 +35,9 @@ object Gexf {
     sb ++= "    <nodes>\n"
     val hasPos = nodes.columns.contains("x") && nodes.columns.contains("y")
     val cols = Seq("id", "label", "color") ++ (if (hasPos) Seq("x", "y") else Nil)
-    nodes.select(cols.head, cols.tail: _*).collect().foreach { r =>
+    // canonical order (id / (src, dst) — same as [[relation]]) so repeated
+    // exports of the same graph are byte-identical
+    nodes.select(cols.head, cols.tail: _*).orderBy("id").collect().foreach { r =>
       val id = r.getString(0)
       val label = Option(r.getString(1)).getOrElse(s"Node $id")
       sb ++= s"""      <node id="${esc(id)}" label="${esc(label)}">"""
@@ -45,11 +49,53 @@ object Gexf {
       sb ++= "</node>\n"
     }
     sb ++= "    </nodes>\n    <edges>\n"
-    edges.select("src", "dst").collect().zipWithIndex.foreach { case (r, i) =>
-      sb ++= s"""      <edge id="$i" source="${esc(r.getString(0))}" target="${esc(r.getString(1))}" />""" + "\n"
-    }
+    edges.select("src", "dst").orderBy("src", "dst").collect().zipWithIndex
+      .foreach { case (r, i) =>
+        sb ++= s"""      <edge id="$i" source="${esc(r.getString(0))}" target="${esc(r.getString(1))}" />""" + "\n"
+      }
     sb ++= "    </edges>\n  </graph>\n</gexf>\n"
     sb.toString
+  }
+
+  /** The export surface as a RELATION — exactly the fields [[render]]
+    * serializes, in its canonical order, with positions integerized to
+    * micro-units so the relation hash-compares across engines. One row per
+    * node (`kind='node'`: id, resolved label, viz color channels, x_u/y_u =
+    * floor(coord·1e6)) and one per edge (`kind='edge'`: ordinal id by
+    * (src, dst) — the same numbering render emits). This is what an
+    * inventory/oracle query checks: a green row here certifies the export
+    * path's field values, not just its XML well-formedness.
+    *
+    * Exports are dimension-sized (the reference's full graph is ~17k nodes),
+    * so the single-partition ordinal window is acceptable here — this is a
+    * sink-side relation, not a pipeline operator. */
+  def relation(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val hasPos = nodes.columns.contains("x") && nodes.columns.contains("y")
+    def chan(pick: ((Int, Int, Int)) => Int): Column =
+      rgb.foldLeft(lit(null).cast("long")) { case (acc, (name, c)) =>
+        when(col("color") === name, lit(pick(c).toLong)).otherwise(acc)
+      }
+    def posU(c: String): Column =
+      if (hasPos) floor(col(c) * 1000000d).cast("long")
+      else lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    val n = nodes.select(lit("node").as("kind"),
+      col("id").cast("string").as("id"),
+      coalesce(col("label"), concat(lit("Node "), col("id"))).as("label"),
+      chan(_._1).as("cr"), chan(_._2).as("cg"), chan(_._3).as("cb"),
+      posU("x").as("x_u"), posU("y").as("y_u"),
+      nullS.as("src"), nullS.as("dst"))
+    val e = edges
+      .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
+      .withColumn("eid",
+        row_number().over(Window.orderBy(col("src"), col("dst"))) - 1)
+      .select(lit("edge").as("kind"), col("eid").cast("string").as("id"),
+        nullS.as("label"),
+        lit(null).cast("long").as("cr"), lit(null).cast("long").as("cg"),
+        lit(null).cast("long").as("cb"),
+        lit(null).cast("long").as("x_u"), lit(null).cast("long").as("y_u"),
+        col("src"), col("dst"))
+    n.unionByName(e)
   }
 
   def write(nodes: DataFrame, edges: DataFrame, path: String): Unit = {
