@@ -3786,10 +3786,94 @@ object Queries {
           |  CAST(u AS VARCHAR) AS src, CAST(v AS VARCHAR) AS dst FROM e0)
           |SELECT * FROM nodes UNION ALL SELECT * FROM edges""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-6 extensions
+  // Link prediction over the co-purchase graph, domain balancing, weighted
+  // deterministic sampling, and the declarative data-quality audit — all
+  // integer- or md5-keyed so the oracle replays them exactly.
+  private val ext10Qs = Seq(
+    Q("q162_adamic_adar",
+      (s, d) => {
+        // candidate "related products": Adamic-Adar over the co-purchase-≥2
+        // graph (same edge set q97/q109 traverse). Wedges enumerate via a
+        // hash equi-join on the shared neighbor with a 64-degree hub cap, so
+        // enumeration is bounded by cap·|E| — not corpus-quadratic.
+        graft.graph.LinkPrediction.adamicAdar(
+          graft.sources.Store.copurchase(s, d).filter(col("cnt") >= 2))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+             |cp AS (SELECT x.p AS a, y.p AS b FROM li x JOIN li y
+             |   ON x.ok = y.ok AND x.p < y.p GROUP BY 1, 2 HAVING count(*) >= 2),
+             |nb AS (SELECT a AS u, b AS w FROM cp UNION ALL SELECT b AS u, a AS w FROM cp),
+             |deg AS (SELECT u AS node, count(*) AS d FROM nb GROUP BY 1),
+             |tw AS (SELECT nb.u, nb.w,
+             |   CAST(floor(CAST(1000000.0 AS DOUBLE) / ln(deg.d)) AS BIGINT) AS term_u
+             |  FROM nb JOIN deg ON deg.node = nb.w WHERE deg.d BETWEEN 2 AND 64),
+             |wg AS (SELECT x.u AS u, y.u AS v, x.term_u
+             |  FROM tw x JOIN tw y ON x.w = y.w AND x.u < y.u),
+             |sc AS (SELECT wg.u, wg.v, CAST(sum(wg.term_u) AS BIGINT) AS score_u
+             |  FROM wg LEFT JOIN cp e ON e.a = wg.u AND e.b = wg.v
+             |  WHERE e.a IS NULL GROUP BY 1, 2)
+             |SELECT u, v, score_u FROM sc ORDER BY score_u DESC, u, v LIMIT 100""".stripMargin)),
+
+    Q("q163_source_cap",
+      (s, d) => graft.ops.TrainingData.sourceCap(T(s, d, "documents")),
+      Some("""WITH cap AS (SELECT CAST(count(*) * 2 // count(DISTINCT source) AS BIGINT) AS cap
+             |  FROM documents),
+             |r AS (SELECT doc_id, source,
+             |   CAST(row_number() OVER (PARTITION BY source
+             |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+             |  FROM documents)
+             |SELECT doc_id, source, rk FROM r, cap WHERE rk <= cap.cap""".stripMargin)),
+
+    Q("q164_weighted_sample",
+      (s, d) => graft.ops.TrainingData.weightedSample(T(s, d, "documents")),
+      Some(s"""SELECT doc_id, round(w, 6) AS weight, round(ln(u) / w, 9) AS samp_key
+              |FROM (SELECT doc_id, ln(CAST(1.0 AS DOUBLE) + n_chars) AS w,
+              |   CAST(${duckH60("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+              |     / CAST(1152921504606846976 AS DOUBLE) AS u
+              |  FROM documents WHERE n_chars >= 1)
+              |ORDER BY samp_key DESC, doc_id LIMIT 500""".stripMargin)),
+
+    Q("q165_quality_audit",
+      (s, d) => {
+        import graft.ops.QualityAudit._
+        audit(T(s, d, "lineitem"), Seq(
+          NotNull("orderkey_not_null", "l_orderkey"),
+          Bounds("quantity_range", "l_quantity", 1, 50),
+          Bounds("discount_range", "l_discount", 0, 0.1),
+          InSet("returnflag_domain", "l_returnflag", Seq("A", "N", "R")),
+          Unique("pk_unique", Seq("l_orderkey", "l_linenumber")),
+          RefIntegrity("orderkey_ri", "l_orderkey", T(s, d, "orders"), "o_orderkey"),
+          RefIntegrity("partkey_ri", "l_partkey", T(s, d, "part"), "p_partkey")))
+      },
+      Some("""WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total,
+             |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+             |  CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+             |  CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+             |  CAST(sum(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A', 'N', 'R')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS v_rf
+             | FROM lineitem),
+             |u AS (SELECT CAST(sum(cnt - 1) AS BIGINT) AS viol, CAST(sum(cnt) AS BIGINT) AS total
+             |  FROM (SELECT count(*) AS cnt FROM lineitem GROUP BY l_orderkey, l_linenumber)),
+             |r1 AS (SELECT CAST(count(*) AS BIGINT) AS viol FROM lineitem l
+             |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+             |r2 AS (SELECT CAST(count(*) AS BIGINT) AS viol FROM lineitem l
+             |  WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+             |SELECT rule, violations, total, violations = 0 AS pass FROM (
+             | SELECT 'orderkey_not_null' AS rule, v_nn AS violations, total FROM t
+             | UNION ALL SELECT 'quantity_range', v_qty, total FROM t
+             | UNION ALL SELECT 'discount_range', v_disc, total FROM t
+             | UNION ALL SELECT 'returnflag_domain', v_rf, total FROM t
+             | UNION ALL SELECT 'pk_unique', viol, total FROM u
+             | UNION ALL SELECT 'orderkey_ri', viol, (SELECT total FROM t) FROM r1
+             | UNION ALL SELECT 'partkey_ri', viol, (SELECT total FROM t) FROM r2)""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
-      ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs
+      ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -154,4 +154,54 @@ object TrainingData {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirtakis A-ES): draw `k` docs with inclusion probability ∝ `weight`
+    * by ranking on key = ln(u)/w where u ∈ (0,1] is the doc's content-hash
+    * uniform — the exponential-sort-keys trick that turns weighted
+    * reservoir sampling into a plain distributed top-k. No RNG state: u is
+    * md5-derived, so the same doc draws the same key on any engine, any
+    * partitioning, any retry — the property that makes an importance-
+    * resampled training mixture auditable. The top-k plans as
+    * TakeOrderedAndProject (per-partition heads merge at the driver — no
+    * global sort, no range exchange).
+    *
+    * Default weight ln(1+n_chars) upweights long documents sub-linearly —
+    * the usual length-vs-diversity compromise when resampling a corpus.
+    *
+    * @return (doc_id, weight, samp_key) — top `k` by (key desc, doc_id)
+    */
+  def weightedSample(docs: DataFrame, k: Int = 500): DataFrame = {
+    val u = (h60(col("doc_id").cast("string")) + 1).cast("double") /
+      lit(1152921504606846976.0) // 2^60
+    val w = log(lit(1.0) + col("n_chars"))
+    docs.filter(col("n_chars") >= 1)
+      .select(col("doc_id"), round(w, 6).as("weight"),
+        round(log(u) / w, 9).as("samp_key"))
+      .orderBy(col("samp_key").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Per-source document cap — domain balancing (the C4/RefinedWeb-style
+    * "no single domain dominates the mixture" step): every `source` keeps
+    * at most 2× the MEAN source size docs, selected in content-hash order.
+    * The cap rule is pure integer arithmetic (⌊2·total/n_sources⌋), so it
+    * is exact on any engine — no percentile-interpolation ambiguity — and
+    * the hash order makes the kept set stable across retries and engines.
+    * One window pass per source partition + a broadcast 1-row scalar; the
+    * doc texts never move (projection before the window shuffle).
+    *
+    * @return (doc_id, source, rk) for kept docs
+    */
+  def sourceCap(docs: DataFrame): DataFrame = {
+    val cap = docs.agg(
+      (count(lit(1)) * 2 / countDistinct(col("source"))).as("cap"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(cap))
+      .filter(col("rk") <= col("cap"))
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
 }

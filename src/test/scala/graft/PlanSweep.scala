@@ -26,7 +26,9 @@ class PlanSweep extends SparkTestBase {
   private val allowedBnlj = Set(
     "q38_ann_cosine_topk", "q49_ann_ivf", "q51_degree_centrality",
     "q113_balanced_sample", "q123_hll_merge", "q128_mixture_weights",
-    "q129_vocab_coverage", "q136_ab_significance", "q146_component_listings")
+    "q129_vocab_coverage", "q136_ab_significance", "q146_component_listings",
+    "q163_source_cap", // 1-row mean-cap scalar attach
+    "q165_quality_audit") // 1-row total-count scalar attach per RI rule
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -41,11 +43,23 @@ class PlanSweep extends SparkTestBase {
     "q71_month_series", "q90_triangle_count", "q95_profile_columns",
     "q113_balanced_sample", "q123_hll_merge", "q128_mixture_weights",
     "q129_vocab_coverage", "q133_modularity", "q134_assortativity",
-    "q139_fixed_width_histogram")
+    "q139_fixed_width_histogram",
+    // q161: ordinal edge ids for the GEXF EXPORT relation — a bounded
+    // artifact (the reference's full graph is ~17k nodes and the sink
+    // renders driver-side XML regardless), same class as q48's dropdown
+    "q161_gexf_relation",
+    "q163_source_cap", // 1-row cap scalar
+    "q165_quality_audit") // per-rule scalar aggregates merge to ≤7 rows
 
-  test("no query plans a cartesian, single-partition exchange, global sort, or unlisted nested loop") {
-    val sfDir = s"$testData/sf0.001"
-    val bad = Queries.all.flatMap { q =>
+  /** Compile every inventory query against `sfDir` and collect plans that
+    * contain a scale-killing physical pattern. Run at more than one scale:
+    * size-based planner decisions (broadcast thresholds, CBO stats from
+    * file sizes) flip between sf0.001 and sf0.1, so a plan that is clean at
+    * the small scale can pick a different — and riskier — physical operator
+    * at the scale the bench actually runs.
+    */
+  private def sweep(sfDir: String): Seq[String] =
+    Queries.all.flatMap { q =>
       val p = Queries.queries(q.name)(spark, sfDir).queryExecution
         .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       val tags = Seq(
@@ -58,6 +72,14 @@ class PlanSweep extends SparkTestBase {
       ).collect { case (t, true) => t }
       if (tags.nonEmpty) Some(s"${q.name}: ${tags.mkString(",")}") else None
     }
-    assert(bad.isEmpty, s"risky plan patterns:\n${bad.mkString("\n")}")
+
+  test("no query plans a cartesian, single-partition exchange, global sort, or unlisted nested loop (sf0.001)") {
+    val bad = sweep(s"$testData/sf0.001")
+    assert(bad.isEmpty, s"risky plan patterns at sf0.001:\n${bad.mkString("\n")}")
+  }
+
+  test("no query plans a cartesian, single-partition exchange, global sort, or unlisted nested loop (sf0.1)") {
+    val bad = sweep(s"$testData/sf0.1")
+    assert(bad.isEmpty, s"risky plan patterns at sf0.1:\n${bad.mkString("\n")}")
   }
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{QualityAudit, TrainingData}
+import graft.graph.LinkPrediction
+
+/** Planted-case specs for the round-6 operators: Adamic-Adar link
+  * prediction, per-source caps, weighted deterministic sampling, and the
+  * declarative quality audit. */
+class Round6OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("adamicAdar scores non-adjacent pairs by inverse-log common-neighbor degree") {
+    // square with one diagonal: 1-2, 1-3, 2-3, 2-4, 3-4.
+    // Non-adjacent pair (1,4): common neighbors {2, 3}, both degree 3
+    //   → score = 2 * floor(1e6 / ln 3) = 2 * 910239 = 1820478
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val out = LinkPrediction.adamicAdar(edges).collect()
+    assert(out.length === 1) // every other pair is an existing edge
+    assert(out.head.getLong(0) === 1L && out.head.getLong(1) === 4L)
+    assert(out.head.getLong(2) === 2L * math.floor(1e6 / math.log(3)).toLong)
+  }
+
+  test("adamicAdar hub cap drops high-degree common neighbors from wedges") {
+    // star: hub 99 connects 1..5; spokes are otherwise unconnected. All
+    // candidate pairs' only common neighbor is the hub (degree 5).
+    val edges = (1L to 5L).map(i => (i, 99L)).toDF("a", "b")
+    assert(LinkPrediction.adamicAdar(edges, maxDeg = 4).isEmpty)
+    val kept = LinkPrediction.adamicAdar(edges, maxDeg = 8).collect()
+    assert(kept.length === 10) // C(5,2) spoke pairs scored via the hub
+    assert(kept.forall(_.getLong(2) === math.floor(1e6 / math.log(5)).toLong))
+  }
+
+  test("sourceCap keeps at most 2x-mean docs per source, by content-hash order") {
+    // sizes 10/1/1 → total 12, 3 sources → cap = floor(24/3) = 8
+    val docs = ((1L to 10L).map(i => (i, "big")) ++
+      Seq((11L, "s1"), (12L, "s2"))).toDF("doc_id", "source")
+    val out = TrainingData.sourceCap(docs)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc === Map("big" -> 8L, "s1" -> 1L, "s2" -> 1L))
+    assert(out.agg(max("rk")).head.getLong(0) === 8L)
+    // deterministic: the same 8 docs survive on re-run
+    val kept1 = out.filter($"source" === "big").select("doc_id").collect().toSet
+    val kept2 = TrainingData.sourceCap(docs).filter($"source" === "big")
+      .select("doc_id").collect().toSet
+    assert(kept1 === kept2 && kept1.size === 8)
+  }
+
+  test("weightedSample is a deterministic top-k favoring heavier docs") {
+    val docs = (1L to 200L).map(i => (i, "x" * 10, i * 37 % 400 + 1))
+      .toDF("doc_id", "text", "n_chars")
+      .unionByName(Seq((999L, "", 0L)).toDF("doc_id", "text", "n_chars"))
+    val out = TrainingData.weightedSample(docs, k = 50).collect()
+    assert(out.length === 50)
+    assert(!out.exists(_.getLong(0) === 999L)) // zero-length doc filtered
+    // keys are ln(u)/w with u in (0,1] → all ≤ 0, sorted descending
+    val keys = out.map(_.getDouble(2))
+    assert(keys.forall(_ <= 0.0) && (keys sameElements keys.sortBy(-_)))
+    // determinism across runs (no RNG state)
+    val again = TrainingData.weightedSample(docs, k = 50).collect()
+    assert(out.map(_.getLong(0)) sameElements again.map(_.getLong(0)))
+    // inclusion is weight-biased: sampled docs skew longer than the corpus
+    val sampledMean = out.map(r => math.exp(r.getDouble(1)) - 1).sum / 50
+    assert(sampledMean > 200.0) // corpus mean n_chars ≈ 200
+  }
+
+  test("quality audit counts each planted violation class exactly once") {
+    val fact = Seq(
+      (Some(1L), 1, 10.0, "A", 100L),   // clean
+      (Some(1L), 1, 10.0, "A", 100L),   // duplicate (1,1) key
+      (None, 2, 10.0, "N", 100L),       // null key
+      (Some(2L), 1, 99.0, "R", 100L),   // quantity out of range
+      (Some(3L), 1, 10.0, "X", 100L),   // bad enum
+      (Some(4L), 1, 10.0, "A", 555L))   // dangling FK
+      .toDF("k", "ln", "qty", "flag", "fk")
+    val dim = Seq(100L).toDF("dk")
+    import QualityAudit._
+    val out = audit(fact, Seq(
+      NotNull("nn", "k"),
+      Bounds("rng", "qty", 0, 50),
+      InSet("dom", "flag", Seq("A", "N", "R")),
+      Unique("uq", Seq("k", "ln")),
+      RefIntegrity("ri", "fk", dim, "dk"))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out("nn") === ((1L, 6L, false)))
+    assert(out("rng") === ((1L, 6L, false)))
+    assert(out("dom") === ((1L, 6L, false)))
+    assert(out("uq") === ((1L, 6L, false)))
+    assert(out("ri") === ((1L, 6L, false)))
+  }
+
+  test("quality audit passes a clean table") {
+    val fact = Seq((1L, 1, 10.0), (1L, 2, 20.0)).toDF("k", "ln", "qty")
+    import QualityAudit._
+    val out = audit(fact, Seq(
+      NotNull("nn", "k"), Bounds("rng", "qty", 0, 50),
+      Unique("uq", Seq("k", "ln")))).collect()
+    assert(out.length === 3 && out.forall(_.getBoolean(3)))
+    assert(out.forall(_.getLong(2) === 2L))
+  }
+}
