@@ -2356,7 +2356,11 @@ object Queries {
   /** The WITH-chain replaying [[graft.ops.Quantize.kmeansCodebook]] (2
     * rounds, k=8); the final assignment lands in CTE `a2`. `recursive`
     * prefixes WITH RECURSIVE so callers can append closure CTEs. */
-  private def kmeansStages(recursive: Boolean): String = {
+  /** `autoK = true` replays [[graft.ops.Similarity.semanticDedup]]'s
+    * corpus-scaled cell count (k = max(8, ⌈n/256⌉), integer arithmetic);
+    * false pins k = 8 — the codebook-size contract of q120/q152, where a
+    * fixed k is a model hyperparameter rather than a scale bug. */
+  private def kmeansStages(recursive: Boolean, autoK: Boolean = false): String = {
     val rounds = 2
     def assignStage(a: String, c: String) =
       s"""$a AS MATERIALIZED (SELECT vec_id, cid, dist FROM (
@@ -2369,13 +2373,23 @@ object Queries {
          |  CAST(floor(sum(iv.x)::DOUBLE / count(*)) AS BIGINT) AS cx
          | FROM $a a JOIN iv ON iv.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
     val w = if (recursive) "WITH RECURSIVE" else "WITH"
+    val seedCte =
+      if (autoK)
+        """kk AS (SELECT GREATEST(8, CAST((count(DISTINCT vec_id) + 255) // 256 AS BIGINT)) AS k
+          |   FROM iv),
+          |ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+          |   FROM (SELECT DISTINCT vec_id FROM iv)),
+          |c0 AS (SELECT vec_id AS cid, d, x AS cx FROM iv WHERE vec_id IN (
+          |   SELECT vec_id FROM ids, kk WHERE ids.rn <= kk.k))""".stripMargin
+      else
+        """c0 AS (SELECT vec_id AS cid, d, x AS cx FROM iv WHERE vec_id IN (
+          |   SELECT DISTINCT vec_id FROM iv ORDER BY vec_id LIMIT 8))""".stripMargin
     val base =
       s"""$w f AS (SELECT vec_id, unnest(embedding) AS v,
         |   generate_subscripts(embedding, 1) AS i FROM embeddings),
         |iv AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
         |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS x FROM f),
-        |c0 AS (SELECT vec_id AS cid, d, x AS cx FROM iv WHERE vec_id IN (
-        |   SELECT DISTINCT vec_id FROM iv ORDER BY vec_id LIMIT 8))""".stripMargin
+        |$seedCte""".stripMargin
     val stages = (1 to rounds).flatMap(r =>
       Seq(assignStage(s"a${r - 1}", s"c${r - 1}"), updateStage(s"c$r", s"a${r - 1}")))
     ((base +: stages) :+ assignStage(s"a$rounds", s"c$rounds")).mkString(",\n")
@@ -2655,10 +2669,13 @@ object Queries {
 
     Q("q150_semantic_dedup",
       (s, d) => graft.ops.Similarity.semanticDedup(
-        T(s, d, "embeddings"), k = 8, rounds = 2, threshold = 0.3),
+        T(s, d, "embeddings"), rounds = 2, threshold = 0.3),
       // kmeans cells → in-cell cosine pairs → recursive closure → min-member
-      // keeper: the full SemDeDup pipeline replayed stage by stage
-      Some(kmeansStages(recursive = true) + s""",
+      // keeper: the full SemDeDup pipeline replayed stage by stage. Cell
+      // count is corpus-scaled (k = max(8, ceil(n/256)) in BOTH engines) so
+      // the in-cell pair budget stays linear — the sf1 probe measured 11.7×
+      // time at 10× data with the old fixed k = 8.
+      Some(kmeansStages(recursive = true, autoK = true) + s""",
            |cells AS (SELECT vec_id, cid FROM $kmeansFinalCte),
            |pr AS (SELECT x.vec_id AS a, y.vec_id AS b
            |  FROM cells x JOIN cells y

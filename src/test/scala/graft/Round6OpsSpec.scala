@@ -92,6 +92,29 @@ class Round6OpsSpec extends SparkTestBase {
     assert(out("ri") === ((1L, 6L, false)))
   }
 
+  test("semanticDedup auto-k scales cells with the corpus and still finds planted dups") {
+    // below the 2048-vector knee auto-k pins to 8 → identical to explicit k=8
+    val small = (1L to 40L).map(i =>
+      (i, Array(i.toFloat, (i * 3 % 7).toFloat, 1f, (i % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val auto = graft.ops.Similarity.semanticDedup(small, rounds = 2, threshold = 0.999)
+      .collect().sortBy(_.getLong(0))
+    val pinned = graft.ops.Similarity.semanticDedup(small, k = 8, rounds = 2,
+      threshold = 0.999).collect().sortBy(_.getLong(0))
+    assert(auto.map(_.toString) sameElements pinned.map(_.toString))
+
+    // above it, k = ceil(n/256) cells — and an exact duplicate pair still
+    // lands in one cell (identical vectors assign identically)
+    val big = ((1L to 3000L).map(i =>
+      (i, Array((i % 97).toFloat, (i % 89).toFloat, (i % 83).toFloat, 1f))) :+
+      (9001L, Array(500f, -500f, 500f, -500f)) :+
+      (9002L, Array(500f, -500f, 500f, -500f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.semanticDedup(big, rounds = 2, threshold = 0.9999)
+    val planted = out.filter($"vec_id" === 9002L).head()
+    assert(planted.getLong(1) === 9001L && !planted.getBoolean(2))
+  }
+
   test("quality audit passes a clean table") {
     val fact = Seq((1L, 1, 10.0), (1L, 2, 20.0)).toDF("k", "ln", "qty")
     import QualityAudit._
