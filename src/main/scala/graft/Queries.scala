@@ -3885,7 +3885,47 @@ object Queries {
              | UNION ALL SELECT 'returnflag_domain', v_rf, total FROM t
              | UNION ALL SELECT 'pk_unique', viol, total FROM u
              | UNION ALL SELECT 'orderkey_ri', viol, (SELECT total FROM t) FROM r1
-             | UNION ALL SELECT 'partkey_ri', viol, (SELECT total FROM t) FROM r2)""".stripMargin)))
+             | UNION ALL SELECT 'partkey_ri', viol, (SELECT total FROM t) FROM r2)""".stripMargin)),
+
+    Q("q166_unigram_logprob",
+      (s, d) => graft.ops.TextAnalysis.unigramLogProb(T(s, d, "documents")),
+      Some("""WITH tl AS (SELECT doc_id,
+             |   unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+             |  FROM documents),
+             |lm AS (SELECT tok, count(*) AS cnt FROM tl GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tl),
+             |terms AS (SELECT t.doc_id,
+             |   CAST(floor((ln(CAST(n.n AS DOUBLE)) - ln(CAST(lm.cnt AS DOUBLE)))
+             |     * 1000000) AS BIGINT) AS term_u
+             |  FROM tl t JOIN lm USING (tok), n)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(term_u) // count(*) AS BIGINT) AS avg_nll_u
+             |FROM terms GROUP BY 1""".stripMargin)),
+
+    Q("q167_cdc_chunk_dedup",
+      (s, d) => graft.ops.Chunking.chunkDedup(T(s, d, "documents")),
+      // NB: the position column must NOT be named `i` — duckH60 expands to
+      // a list_transform lambda whose variable `i` would capture it and
+      // hash a constant window (observed: every position became a boundary)
+      Some(s"""WITH ch AS (SELECT doc_id, text, length(text) AS len FROM documents),
+              |pos AS (SELECT doc_id, text, len, unnest(range(16, len + 1)) AS p
+              |  FROM ch WHERE len >= 16),
+              |bnd AS (SELECT doc_id, p FROM pos
+              |  WHERE ${duckH60("substring(text, CAST(p - 15 AS INT), 16)")} % 64 = 0),
+              |alb AS (SELECT DISTINCT doc_id, p FROM (
+              |  SELECT doc_id, CAST(p AS BIGINT) AS p FROM bnd
+              |  UNION ALL SELECT doc_id, 0 FROM ch
+              |  UNION ALL SELECT doc_id, CAST(len AS BIGINT) FROM ch)),
+              |sp AS (SELECT doc_id, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS s,
+              |   p AS e FROM alb),
+              |cks AS (SELECT c.doc_id,
+              |   md5(substring(c.text, CAST(sp.s + 1 AS INT), CAST(sp.e - sp.s AS INT))) AS chunk_hash,
+              |   CAST(sp.e - sp.s AS BIGINT) AS chunk_len
+              |  FROM sp JOIN ch c ON c.doc_id = sp.doc_id
+              |  WHERE sp.s IS NOT NULL AND sp.e > sp.s)
+              |SELECT chunk_hash, chunk_len, CAST(count(*) AS BIGINT) AS n_copies,
+              |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              |FROM cks GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Content-defined chunking (Rabin/FastCDC family): chunk boundaries are
+  * chosen by the CONTENT of a sliding window — position i ends a chunk when
+  * hash(window ending at i) ≡ 0 (mod 2^k) — so inserting or deleting bytes
+  * re-aligns every boundary after the edit point and identical regions of
+  * DIFFERENT documents still produce identical chunks. That is the property
+  * fixed-size chunking lacks and the reason CDC is the storage/transfer
+  * dedup primitive (and the shifted-content complement to the exact
+  * SUBSTRING dedup of [[Dedup]]: spans need a shared anchor grid, CDC
+  * chunks self-synchronize).
+  *
+  * Execution shape: boundary detection is a pure per-row array expression
+  * (positions → window hashes → filter), so the only shuffle in the whole
+  * pipeline is the final chunk-hash groupBy — narrow (hash, len) rows, the
+  * chunk texts never move. The window hash is the repo-standard md5-derived
+  * h60 (portable, exactly replayed by the oracle); a production deployment
+  * would swap a gear-hash codegen `Expression` into the same plan shape.
+  */
+object Chunking {
+
+  /** Cross-document chunk-level dedup stats: documents are CDC-chunked
+    * (window-hash boundary rule, expected chunk ≈ `mask + 1` chars), and
+    * chunks shared by ≥ 2 (doc, position) sites are surfaced with their
+    * copy/document counts — the "how much of this corpus is re-used
+    * byte-ranges" relation a storage layer acts on.
+    *
+    * @return (chunk_hash, chunk_len, n_copies, n_docs), n_copies ≥ 2
+    */
+  def chunkDedup(docs: DataFrame, window: Int = 16, mask: Int = 63): DataFrame = {
+    val h = conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+    // boundary positions: every i in [window, len] whose trailing window
+    // hashes to 0 mod (mask+1); 0 and len close the first and last chunk.
+    // array_distinct guards len coinciding with a boundary (and empty text).
+    // guard: sequence(a, b) DESCENDS when a > b, so short docs (< window
+    // chars) must yield an empty boundary set, not reversed positions
+    val positions = when(length(col("text")) >= window,
+      sequence(lit(window), length(col("text"))))
+      .otherwise(array().cast("array<int>"))
+    val bounds = array_sort(array_distinct(concat(
+      array(lit(0)),
+      filter(
+        transform(positions,
+          i => when(
+            conv(substring(md5(col("text").substr(i - window + 1, lit(window))),
+              1, 15), 16, 10).cast("long") % (mask + 1) === 0, i)),
+        x => x.isNotNull),
+      array(length(col("text"))))))
+    val spans = docs.select(col("doc_id"), col("text"), bounds.as("b"))
+      .select(col("doc_id"), col("text"),
+        posexplode(expr("transform(sequence(0, size(b) - 2), j -> struct(b[j] AS s, b[j + 1] AS e))"))
+          .as(Seq("chunk_idx", "sp")))
+      .filter(col("sp.e") > col("sp.s"))
+    spans
+      .select(
+        md5(col("text").substr(col("sp.s") + 1, col("sp.e") - col("sp.s")))
+          .as("chunk_hash"),
+        (col("sp.e") - col("sp.s")).cast("long").as("chunk_len"),
+        col("doc_id"))
+      .groupBy(col("chunk_hash"), col("chunk_len"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_copies") >= 2)
+  }
+}

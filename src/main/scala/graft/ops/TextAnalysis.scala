@@ -399,4 +399,43 @@ object TextAnalysis {
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Per-document cross-entropy against the corpus unigram LM — the
+    * CCNet-style quality signal: avg −ln p(tok) with p(tok) = cnt/N from
+    * the corpus itself. Unusually common-word-heavy docs (boilerplate,
+    * keyword stuffing) score LOW; rare-token soup (mojibake, code dumps in
+    * a prose corpus) scores HIGH; the band in between is "normal prose" —
+    * the filter keeps the band.
+    *
+    * Shape: one token groupBy builds the LM (vocabulary-sized — ≪ corpus),
+    * the LM broadcasts back onto the token stream, and the per-doc average
+    * is one partial agg; the corpus-total N is a 1-row broadcast scalar.
+    * Per-token terms are floored to 1e-6 units BEFORE summing, so the
+    * per-doc sum is an order-independent BIGINT and the integer-division
+    * average replays exactly on any engine.
+    *
+    * @return (doc_id, n_tokens, avg_nll_u) — avg −ln p in 1e-6 units
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = Dedup.fanOut(docs).select(col("doc_id"),
+      explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+        .as("tok"))
+    val lm = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val n = toks.agg(count(lit(1)).as("n"))
+    // vocabulary grows sub-linearly (Heaps' law) but is not bounded: gate
+    // the broadcast on corpus size like the bm25 query side — past the
+    // dimension bound the LM attach falls back to a shuffle hash join on
+    // tok (still narrow: the token stream carries 2 columns)
+    val lmHint =
+      if (docs.count() <= graft.Limits.dimensionRows) broadcast(lm) else lm
+    toks.join(lmHint, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        floor((log(col("n").cast("double")) - log(col("cnt").cast("double")))
+          * 1000000).cast("long").as("term_u"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("term_u")).as("sum_u"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("sum_u div n_tokens").as("avg_nll_u"))
+  }
 }

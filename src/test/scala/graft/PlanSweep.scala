@@ -28,7 +28,8 @@ class PlanSweep extends SparkTestBase {
     "q113_balanced_sample", "q123_hll_merge", "q128_mixture_weights",
     "q129_vocab_coverage", "q136_ab_significance", "q146_component_listings",
     "q163_source_cap", // 1-row mean-cap scalar attach
-    "q165_quality_audit") // 1-row total-count scalar attach per RI rule
+    "q165_quality_audit", // 1-row total-count scalar attach per RI rule
+    "q166_unigram_logprob") // 1-row corpus-token-total scalar attach
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -49,7 +50,8 @@ class PlanSweep extends SparkTestBase {
     // renders driver-side XML regardless), same class as q48's dropdown
     "q161_gexf_relation",
     "q163_source_cap", // 1-row cap scalar
-    "q165_quality_audit") // per-rule scalar aggregates merge to ≤7 rows
+    "q165_quality_audit", // per-rule scalar aggregates merge to ≤7 rows
+    "q166_unigram_logprob") // 1-row corpus-token-total scalar
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:

@@ -115,6 +115,39 @@ class Round6OpsSpec extends SparkTestBase {
     assert(planted.getLong(1) === 9001L && !planted.getBoolean(2))
   }
 
+  test("unigramLogProb scores docs by corpus-LM cross-entropy, integer-exact") {
+    val docs = Seq((1L, "a a a a"), (2L, "a b"), (3L, "z"))
+      .toDF("doc_id", "text")
+    // counts: a=5, b=1, z=1, N=7; term_u = floor((ln N - ln cnt) * 1e6)
+    val tA = math.floor((math.log(7) - math.log(5)) * 1e6).toLong // 336472
+    val t1 = math.floor(math.log(7) * 1e6).toLong                 // 1945910
+    val out = graft.ops.TextAnalysis.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((4L, tA)))
+    assert(out(2L) === ((2L, (tA + t1) / 2)))
+    assert(out(3L) === ((1L, t1)))
+  }
+
+  test("CDC chunking self-synchronizes: a shared region chunks identically at different offsets") {
+    // the shared region is long enough (~600 chars) to contain interior
+    // content-defined boundaries whp (expected gap = 64); the differing
+    // prefixes have different LENGTHS, so fixed-size chunking could never
+    // align the copies — boundary self-synchronization is what's under test
+    val shared = (1 to 120).map(i => (i * 7919 % 97).toString).mkString(".")
+    val docs = Seq(
+      (1L, "pfx-one " + shared),
+      (2L, "a-much-longer-prefix-two " + shared))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Chunking.chunkDedup(docs).collect()
+    assert(out.nonEmpty, "no shared chunk found — boundary re-sync failed")
+    assert(out.forall(r => r.getLong(2) === 2L && r.getLong(3) === 2L))
+    // and an exact duplicate doc shares every chunk with its twin
+    val dup = Seq((1L, shared), (2L, shared)).toDF("doc_id", "text")
+    val dd = graft.ops.Chunking.chunkDedup(dup).collect()
+    assert(dd.nonEmpty && dd.forall(_.getLong(2) === 2L))
+    assert(dd.map(_.getLong(1)).sum === shared.length.toLong)
+  }
+
   test("quality audit passes a clean table") {
     val fact = Seq((1L, 1, 10.0), (1L, 2, 20.0)).toDF("k", "ln", "qty")
     import QualityAudit._
