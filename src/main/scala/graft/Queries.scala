@@ -3925,7 +3925,48 @@ object Queries {
               |  WHERE sp.s IS NOT NULL AND sp.e > sp.s)
               |SELECT chunk_hash, chunk_len, CAST(count(*) AS BIGINT) AS n_copies,
               |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-              |FROM cks GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)))
+              |FROM cks GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)),
+
+    Q("q168_pmi_pairs",
+      (s, d) => graft.ops.TextAnalysis.pmiPairs(T(s, d, "documents")),
+      Some("""WITH tl AS (SELECT doc_id, unnest(tl) AS tok, generate_subscripts(tl, 1) AS pos
+             |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> x <> '') AS tl FROM documents)),
+             |cw AS (SELECT tok, count(*) AS c FROM tl GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tl),
+             |band AS (SELECT cw.tok, cw.c FROM cw, n WHERE cw.c >= 5 AND cw.c * 20 <= n.n),
+             |t AS (SELECT tl.doc_id, tl.pos, tl.tok FROM tl JOIN band USING (tok)),
+             |ev AS (SELECT least(x.tok, y.tok) AS a, greatest(x.tok, y.tok) AS b
+             |  FROM t x JOIN t y ON x.doc_id = y.doc_id
+             |    AND y.pos BETWEEN x.pos + 1 AND x.pos + 3),
+             |p AS (SELECT CAST(count(*) AS BIGINT) AS p FROM ev),
+             |cab AS (SELECT a, b, count(*) AS cab FROM ev GROUP BY 1, 2 HAVING count(*) >= 5)
+             |SELECT cab.a, cab.b, CAST(cab.cab AS BIGINT) AS n_cooc,
+             |  CAST(floor((ln(CAST(cab.cab AS DOUBLE)) - ln(CAST(p.p AS DOUBLE))
+             |    + 2 * ln(CAST(n.n AS DOUBLE))
+             |    - ln(CAST(ca.c AS DOUBLE)) - ln(CAST(cb.c AS DOUBLE)))
+             |    * 1000000) AS BIGINT) AS pmi_u
+             |FROM cab JOIN band ca ON ca.tok = cab.a
+             |JOIN band cb ON cb.tok = cab.b, p, n
+             |ORDER BY pmi_u DESC, cab.a, cab.b LIMIT 200""".stripMargin)),
+
+    Q("q169_harmonic_centrality",
+      (s, d) => graft.graph.Centrality.harmonicSampled(
+        graft.sources.Store.copurchase(s, d).filter(col("cnt") >= 2)),
+      Some("""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+             |cp AS (SELECT x.p AS a, y.p AS b FROM li x JOIN li y
+             |   ON x.ok = y.ok AND x.p < y.p GROUP BY 1, 2 HAVING count(*) >= 2),
+             |e AS (SELECT a, b FROM cp UNION SELECT b, a FROM cp),
+             |src AS (SELECT DISTINCT a AS s FROM e WHERE a % 97 = 0),
+             |bfs(s, v, d) AS (
+             |  SELECT s, s, 0 FROM src
+             |  UNION SELECT bfs.s, e.b, bfs.d + 1 FROM bfs JOIN e ON e.a = bfs.v
+             |    WHERE bfs.d < 4),
+             |md AS (SELECT s, v, min(d) AS d FROM bfs GROUP BY 1, 2)
+             |SELECT v AS node,
+             |  CAST(sum(CAST(floor(1000000.0 / d) AS BIGINT)) AS BIGINT) AS score_u,
+             |  CAST(count(*) AS BIGINT) AS n_sources
+             |FROM md WHERE d >= 1 GROUP BY 1""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

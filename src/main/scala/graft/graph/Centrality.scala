@@ -623,4 +623,44 @@ object Centrality {
     * TakeOrderedAndProject (no full sort). */
   def topN(scores: DataFrame, metricCol: String, n: Int = 10): DataFrame =
     scores.orderBy(col(metricCol).desc, col("id")).limit(n)
+
+  /** Sampled harmonic centrality: score(v) = Σ_{s ∈ S, 0 < d(s,v) ≤ depth}
+    * 1/d(s,v) over a deterministic id-mod source sample — the same
+    * sort-free sampling scheme as the distributed Brandes above, applied
+    * to the closeness family (harmonic handles disconnected graphs where
+    * classic closeness degenerates, which is why it's the variant that
+    * survives sampling).
+    *
+    * Shape: one multi-source BFS — frontier rows are (source, vertex)
+    * pairs, each round is an adjacency hash join + an anti-join against
+    * the reached set, lineage cut per round. Work is bounded by
+    * |S|·|V|·depth with |S| = |V|/sampleMod, the standard
+    * accuracy-for-cost dial (Eppstein-Wang style estimation). Per-distance
+    * terms are integerized (⌊10⁶/d⌋) so the score sum is an
+    * order-independent BIGINT, exactly replayable by a bounded-depth
+    * recursive SQL.
+    *
+    * @param edges undirected pair relation (a, b)
+    * @return (node, score_u, n_sources) for vertices reached by ≥1 sample
+    */
+  def harmonicSampled(edges: DataFrame, sampleMod: Long = 97,
+      depth: Int = 4): DataFrame = {
+    val und = FreshCheckpoint(edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct())
+    val sources = und.select(col("a").as("s")).distinct()
+      .filter(col("s") % sampleMod === 0)
+    var frontier = FreshCheckpoint(sources.select(col("s"), col("s").as("v")))
+    var reached = frontier.withColumn("d", lit(0))
+    for (k <- 1 to depth) {
+      frontier = FreshCheckpoint(frontier.join(und, col("v") === col("a"))
+        .select(col("s"), col("b").as("v")).distinct()
+        .join(reached.select(col("s"), col("v")), Seq("s", "v"), "left_anti"))
+      reached = reached.unionByName(frontier.withColumn("d", lit(k)))
+    }
+    reached.filter(col("d") >= 1)
+      .groupBy(col("v").as("node"))
+      .agg(sum(floor(lit(1000000.0) / col("d")).cast("long")).as("score_u"),
+        countDistinct(col("s")).as("n_sources"))
+  }
 }

@@ -49,7 +49,8 @@ object Chunking {
               1, 15), 16, 10).cast("long") % (mask + 1) === 0, i)),
         x => x.isNotNull),
       array(length(col("text"))))))
-    val spans = docs.select(col("doc_id"), col("text"), bounds.as("b"))
+    val spans = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), bounds.as("b"))
       .select(col("doc_id"), col("text"),
         posexplode(expr("transform(sequence(0, size(b) - 2), j -> struct(b[j] AS s, b[j + 1] AS e))"))
           .as(Seq("chunk_idx", "sp")))

@@ -44,6 +44,7 @@ object QualityAudit {
   /** Audit `df` against `rules`; returns (rule, violations, total, pass)
     * with one row per rule, in rule order. */
   def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "audit needs at least one rule")
     val rowRules = rules.collect {
       case r @ (_: NotNull | _: Bounds | _: InSet) => r
     }

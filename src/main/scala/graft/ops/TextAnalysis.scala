@@ -438,4 +438,58 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"),
         expr("sum_u div n_tokens").as("avg_nll_u"))
   }
+
+  /** Windowed PMI co-occurrence pairs — the distributional-statistics
+    * primitive (collocation mining, phrase induction, embedding-training
+    * diagnostics): PMI(a,b) = ln(p(a,b) / (p(a)·p(b))) over co-occurrence
+    * events within `window` token positions.
+    *
+    * Scale shape: the event space is enumerated by an EQUI-join — each
+    * kept token explodes into its `window` forward probe positions and
+    * meets the token stream on (doc, position) — so enumeration is
+    * len·window per document, never len². The frequency band
+    * ([minCount, N/maxShareInv]) drops both hapaxes (PMI is noise at
+    * c_ab≈1) and stopwords (whose probe fan-out would dominate the join
+    * for no signal). The PMI itself is one ln-expression per surviving
+    * pair, integerized for the order-independent top-k.
+    *
+    * @return top `topK` (a, b, n_cooc, pmi_u) by (pmi desc, a, b)
+    */
+  def pmiPairs(docs: DataFrame, window: Int = 3, minCount: Long = 5,
+      maxShareInv: Long = 20, minPair: Long = 5, topK: Int = 200): DataFrame = {
+    val toks = Dedup.fanOut(docs).select(col("doc_id"),
+      posexplode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+        .as(Seq("pos", "tok")))
+    val cw = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val n = toks.agg(count(lit(1)).as("n"))
+    val band = cw.crossJoin(broadcast(n))
+      .filter(col("c") >= minCount && col("c") * maxShareInv <= col("n"))
+      .select(col("tok"), col("c"))
+    // banded vocab is dictionary-sized; same broadcast-vs-dimension gate
+    // as unigramLogProb for the corpus-growth case
+    val hint: DataFrame => DataFrame =
+      if (docs.count() <= graft.Limits.dimensionRows) broadcast(_) else identity
+    val t = toks.join(hint(band.select(col("tok"))), Seq("tok"))
+    val probes = t.select(col("doc_id"), col("tok").as("t1"),
+      explode(sequence(col("pos") + 1, col("pos") + window)).as("pp"))
+    val ev = probes.join(
+        t.select(col("doc_id"), col("pos").as("pp"), col("tok").as("t2")),
+        Seq("doc_id", "pp"))
+      .select(least(col("t1"), col("t2")).as("a"),
+        greatest(col("t1"), col("t2")).as("b"))
+    val p = ev.agg(count(lit(1)).as("p"))
+    val cab = ev.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minPair)
+    cab
+      .join(hint(band.select(col("tok").as("a"), col("c").as("ca"))), Seq("a"))
+      .join(hint(band.select(col("tok").as("b"), col("c").as("cb"))), Seq("b"))
+      .crossJoin(broadcast(p)).crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("cab").as("n_cooc"),
+        floor((log(col("cab").cast("double")) - log(col("p").cast("double"))
+          + lit(2) * log(col("n").cast("double"))
+          - log(col("ca").cast("double")) - log(col("cb").cast("double")))
+          * 1000000).cast("long").as("pmi_u"))
+      .orderBy(col("pmi_u").desc, col("a"), col("b"))
+      .limit(topK)
+  }
 }

@@ -29,7 +29,8 @@ class PlanSweep extends SparkTestBase {
     "q129_vocab_coverage", "q136_ab_significance", "q146_component_listings",
     "q163_source_cap", // 1-row mean-cap scalar attach
     "q165_quality_audit", // 1-row total-count scalar attach per RI rule
-    "q166_unigram_logprob") // 1-row corpus-token-total scalar attach
+    "q166_unigram_logprob", // 1-row corpus-token-total scalar attach
+    "q168_pmi_pairs") // 1-row N / pair-total scalar attaches
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -51,7 +52,8 @@ class PlanSweep extends SparkTestBase {
     "q161_gexf_relation",
     "q163_source_cap", // 1-row cap scalar
     "q165_quality_audit", // per-rule scalar aggregates merge to ≤7 rows
-    "q166_unigram_logprob") // 1-row corpus-token-total scalar
+    "q166_unigram_logprob", // 1-row corpus-token-total scalar
+    "q168_pmi_pairs") // 1-row N / pair-total scalars
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:

@@ -148,6 +148,40 @@ class Round6OpsSpec extends SparkTestBase {
     assert(dd.map(_.getLong(1)).sum === shared.length.toLong)
   }
 
+  test("pmiPairs surfaces banded collocations and drops out-of-band tokens") {
+    // xq/yq perfectly collocated in all 20 docs; junk tokens are hapaxes
+    // (below the frequency band) and must never reach the pair stage
+    val docs = (1 to 20).map { i =>
+      val junk = (1 to 20).map(j => s"junk${i}_$j").mkString(" ")
+      (i.toLong, s"xq yq aa ${if (i % 2 == 0) "bb " else ""}$junk")
+    }.toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.pmiPairs(docs).collect()
+    val asMap = out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(asMap(("xq", "yq")) === 20L)
+    assert(asMap(("aa", "bb")) === 10L)
+    assert(!out.exists(r => r.getString(0).startsWith("junk") ||
+      r.getString(1).startsWith("junk")))
+    // perfectly-dependent pairs have equal PMI regardless of frequency:
+    // ln(c_ab·N²/(P·c_a·c_b)) is scale-free — both planted pairs tie
+    val pmi = out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(pmi(("xq", "yq")) === pmi(("aa", "bb")))
+  }
+
+  test("harmonicSampled: exact inverse-distance sums from id-mod sources") {
+    // path 0-1-2-3-4-5 plus spur 1-97; sources = {0, 97} (ids % 97 == 0)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 97L))
+      .toDF("a", "b")
+    val out = graft.graph.Centrality.harmonicSampled(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((2000000L, 2L)))      // d=1 from both sources
+    assert(out(2L) === ((1000000L, 2L)))      // d=2 from both
+    assert(out(3L) === ((666666L, 2L)))       // 2·⌊10⁶/3⌋
+    assert(out(4L) === ((500000L, 2L)))       // d=4 from both (depth cap)
+    assert(out(0L) === ((500000L, 1L)))       // seen only from 97 at d=2
+    assert(out(97L) === ((500000L, 1L)))
+    assert(!out.contains(5L))                 // d=5 > depth from both
+  }
+
   test("quality audit passes a clean table") {
     val fact = Seq((1L, 1, 10.0), (1L, 2, 20.0)).toDF("k", "ln", "qty")
     import QualityAudit._
