@@ -36,5 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SortedLongIntersect(_, _))
     binary("sorted_char_ngrams", classOf[SortedCharNgrams],
       (s, n) => SortedCharNgrams(s, SortedCharNgrams.literalN(n)))
+    // predicate strengthening: levenshtein(a,b) ≤ k gains its implied O(1)
+    // length band so the DP short-circuits (see EditDistanceBandRule)
+    ext.injectOptimizerRule(_ => graft.plans.EditDistanceBandRule)
   }
 }

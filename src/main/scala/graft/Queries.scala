@@ -3966,7 +3966,25 @@ object Queries {
              |SELECT v AS node,
              |  CAST(sum(CAST(floor(1000000.0 / d) AS BIGINT)) AS BIGINT) AS score_u,
              |  CAST(count(*) AS BIGINT) AS n_sources
-             |FROM md WHERE d >= 1 GROUP BY 1""".stripMargin)))
+             |FROM md WHERE d >= 1 GROUP BY 1""".stripMargin)),
+
+    Q("q170_keywords",
+      (s, d) => graft.ops.TextAnalysis.keywords(T(s, d, "documents")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> x <> '')) AS tok FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |nd AS (SELECT count(*) AS nd FROM documents),
+             |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1
+             |  HAVING count(*) >= 2 AND count(*) * 2 <= (SELECT nd FROM nd)),
+             |w AS (SELECT tf.doc_id, tf.tok,
+             |   CAST(tf.tf * CAST(floor(1000.0 * (SELECT nd FROM nd) / dft.df) AS BIGINT)
+             |     AS BIGINT) AS w_u
+             |  FROM tf JOIN dft USING (tok))
+             |SELECT doc_id, tok, w_u, CAST(rk AS BIGINT) AS rk FROM (
+             |  SELECT doc_id, tok, w_u,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY w_u DESC, tok) AS rk
+             |  FROM w) WHERE rk <= 3""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

@@ -421,7 +421,10 @@ object TextAnalysis {
       explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
         .as("tok"))
     val lm = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val n = toks.agg(count(lit(1)).as("n"))
+    // N from the LM, not from a second pass over the token explode: the
+    // re-aggregation reuses lm's exchange (ReusedExchange) and touches
+    // vocabulary-sized data only
+    val n = lm.agg(sum(col("cnt")).as("n"))
     // vocabulary grows sub-linearly (Heaps' law) but is not bounded: gate
     // the broadcast on corpus size like the bm25 query side — past the
     // dimension bound the LM attach falls back to a shuffle hash join on
@@ -437,6 +440,37 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), sum(col("term_u")).as("sum_u"))
       .select(col("doc_id"), col("n_tokens"),
         expr("sum_u div n_tokens").as("avg_nll_u"))
+  }
+
+  /** Per-document top-`k` TF-IDF keywords — the tagging/faceting step of a
+    * corpus pipeline (and the cheap "what is this doc about" signal for
+    * mixture routing). Same integerized weighting as [[tfidfPairs]]
+    * (tf · ⌊1000·N/df⌋ — exact on any engine), df-banded to drop hapaxes
+    * and corpus-half stopwords, then one per-doc window pass; the doc
+    * texts never move past the token aggregate.
+    *
+    * @return (doc_id, tok, w_u, rk), rk ≤ k by (weight desc, tok)
+    */
+  def keywords(docs: DataFrame, k: Int = 3, minDf: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Dedup.fanOut(docs).select(col("doc_id"),
+      explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+        .as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val nDocs = docs.count()
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") * 2 <= nDocs)
+    val hint: DataFrame => DataFrame =
+      if (nDocs <= graft.Limits.dimensionRows) broadcast(_) else identity
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("w_u").desc, col("tok"))
+    tf.join(hint(dft), Seq("tok"))
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * floor(lit(1000.0 * nDocs) / col("df")).cast("long"))
+          .as("w_u"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("tok"), col("w_u"), col("rk"))
   }
 
   /** Windowed PMI co-occurrence pairs — the distributional-statistics
@@ -477,9 +511,13 @@ object TextAnalysis {
         Seq("doc_id", "pp"))
       .select(least(col("t1"), col("t2")).as("a"),
         greatest(col("t1"), col("t2")).as("b"))
-    val p = ev.agg(count(lit(1)).as("p"))
-    val cab = ev.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
-      .filter(col("cab") >= minPair)
+    // group FIRST, then derive both the pair total and the kept pairs from
+    // the grouped relation — the event stream (the expensive subtree) is
+    // aggregated once and P's re-aggregation reuses that exchange instead
+    // of re-enumerating every co-occurrence
+    val cabAll = ev.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val p = cabAll.agg(sum(col("cab")).as("p"))
+    val cab = cabAll.filter(col("cab") >= minPair)
     cab
       .join(hint(band.select(col("tok").as("a"), col("c").as("ca"))), Seq("a"))
       .join(hint(band.select(col("tok").as("b"), col("c").as("cb"))), Seq("b"))

@@ -182,6 +182,26 @@ class Round6OpsSpec extends SparkTestBase {
     assert(!out.contains(5L))                 // d=5 > depth from both
   }
 
+  test("keywords: per-doc top-k tf-idf terms, stopwords df-banded away") {
+    // "common" appears in every doc (df=10 → stopword band drops it);
+    // "rareword" df=2, tf=3 in doc 1 → w_u = 3·⌊1000·10/2⌋ = 15000
+    val docs = (1L to 10L).map { i =>
+      val extra = i match {
+        case 1 => " rareword rareword rareword midword"
+        case 2 => " rareword"
+        case 3 => " midword midword"
+        case _ => ""
+      }
+      (i, s"common common$extra")
+    }.toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.keywords(docs).collect()
+    assert(!out.exists(_.getString(1) === "common"))
+    val d1 = out.filter(_.getLong(0) === 1L).sortBy(_.getLong(3))
+    assert(d1.map(_.getString(1)).toSeq === Seq("rareword", "midword"))
+    assert(d1.head.getLong(2) === 15000L)
+    assert(out.forall(_.getLong(3) <= 3L))
+  }
+
   test("quality audit passes a clean table") {
     val fact = Seq((1L, 1, 10.0), (1L, 2, 20.0)).toDF("k", "ln", "qty")
     import QualityAudit._
