@@ -3957,7 +3957,8 @@ object Queries {
              |cp AS (SELECT x.p AS a, y.p AS b FROM li x JOIN li y
              |   ON x.ok = y.ok AND x.p < y.p GROUP BY 1, 2 HAVING count(*) >= 2),
              |e AS (SELECT a, b FROM cp UNION SELECT b, a FROM cp),
-             |src AS (SELECT DISTINCT a AS s FROM e WHERE a % 97 = 0),
+             |src AS (SELECT DISTINCT a AS s FROM e WHERE a %
+             |  (SELECT GREATEST(97, CAST(count(DISTINCT a) // 64 AS BIGINT)) FROM e) = 0),
              |bfs(s, v, d) AS (
              |  SELECT s, s, 0 FROM src
              |  UNION SELECT bfs.s, e.b, bfs.d + 1 FROM bfs JOIN e ON e.a = bfs.v

@@ -640,16 +640,26 @@ object Centrality {
     * order-independent BIGINT, exactly replayable by a bounded-depth
     * recursive SQL.
     *
+    * `sampleMod = 0` (the default) derives the modulus from the graph:
+    * mod = max(97, ⌊|V|/64⌋), so the sample stays ~64 sources and total
+    * BFS work is ~64·|V|·depth — LINEAR in the graph — as it grows. A
+    * fixed modulus would grow |S| ∝ |V| and the frontier ∝ |V|²/mod, the
+    * same fixed-parameter scale bug the sf1 probe caught in SemDeDup. The
+    * |V| count is one eager distinct-count at composition time.
+    *
     * @param edges undirected pair relation (a, b)
     * @return (node, score_u, n_sources) for vertices reached by ≥1 sample
     */
-  def harmonicSampled(edges: DataFrame, sampleMod: Long = 97,
+  def harmonicSampled(edges: DataFrame, sampleMod: Long = 0,
       depth: Int = 4): DataFrame = {
     val und = FreshCheckpoint(edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct())
+    val mod =
+      if (sampleMod > 0) sampleMod
+      else math.max(97L, und.select(col("a")).distinct().count() / 64L)
     val sources = und.select(col("a").as("s")).distinct()
-      .filter(col("s") % sampleMod === 0)
+      .filter(col("s") % mod === 0)
     var frontier = FreshCheckpoint(sources.select(col("s"), col("s").as("v")))
     var reached = frontier.withColumn("d", lit(0))
     for (k <- 1 to depth) {

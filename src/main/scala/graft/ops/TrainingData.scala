@@ -188,18 +188,36 @@ object TrainingData {
     * The cap rule is pure integer arithmetic (⌊2·total/n_sources⌋), so it
     * is exact on any engine — no percentile-interpolation ambiguity — and
     * the hash order makes the kept set stable across retries and engines.
-    * One window pass per source partition + a broadcast 1-row scalar; the
-    * doc texts never move (projection before the window shuffle).
+    *
+    * The rank is computed in TWO phases, not one per-source window: a real
+    * corpus is dominated by a handful of mega-sources, and a window
+    * partitioned on `source` alone would funnel billions of rows through
+    * single tasks (the skew the sequencePacking scaladoc already calls
+    * out). Because the order key is the md5 hex string, its FIRST BYTE is
+    * an order-preserving range partitioner: rank-within-(source, shard) +
+    * the cumulative count of lexicographically smaller shards (≤256 rows
+    * per source, a trivial window) reconstructs the exact global per-source
+    * rank. Identical `rk` values, 256-way parallel per source.
     *
     * @return (doc_id, source, rk) for kept docs
     */
   def sourceCap(docs: DataFrame): DataFrame = {
     val cap = docs.agg(
       (count(lit(1)) * 2 / countDistinct(col("source"))).as("cap"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    docs.select(col("doc_id"), col("source"))
-      .withColumn("rk", row_number().over(w).cast("long"))
+    val keyed = docs.select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("m"))
+      .withColumn("shard", substring(col("m"), 1, 2))
+    val wIn = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("m"), col("doc_id"))
+    val ranked = keyed.withColumn("rin", row_number().over(wIn).cast("long"))
+    val wSh = Window.partitionBy(col("source")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wSh), lit(0L)))
+      .select(col("source"), col("shard"), col("off"))
+    ranked.join(offsets, Seq("source", "shard"))
+      .select(col("doc_id"), col("source"), (col("off") + col("rin")).as("rk"))
       .crossJoin(broadcast(cap))
       .filter(col("rk") <= col("cap"))
       .select(col("doc_id"), col("source"), col("rk"))

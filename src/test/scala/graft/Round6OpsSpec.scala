@@ -48,6 +48,23 @@ class Round6OpsSpec extends SparkTestBase {
     assert(kept1 === kept2 && kept1.size === 8)
   }
 
+  test("sourceCap two-phase rank equals the single-window per-source rank") {
+    // the md5-prefix sharded rank must reconstruct the EXACT global
+    // per-source rank a skew-prone single window would compute
+    val docs = (1L to 600L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val twoPhase = TrainingData.sourceCap(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val cap = 600L * 2 / 3
+    val reference = docs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= cap)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(twoPhase === reference)
+  }
+
   test("weightedSample is a deterministic top-k favoring heavier docs") {
     val docs = (1L to 200L).map(i => (i, "x" * 10, i * 37 % 400 + 1))
       .toDF("doc_id", "text", "n_chars")
