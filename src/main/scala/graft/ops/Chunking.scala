@@ -22,16 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
-  /** Cross-document chunk-level dedup stats: documents are CDC-chunked
-    * (window-hash boundary rule, expected chunk ≈ `mask + 1` chars), and
-    * chunks shared by ≥ 2 (doc, position) sites are surfaced with their
-    * copy/document counts — the "how much of this corpus is re-used
-    * byte-ranges" relation a storage layer acts on.
+  /** The chunk relation itself — one row per (doc, chunk) with its span and
+    * content hash. Pure per-row computation (no shuffle at all); chunks
+    * exactly tile each document: start₀ = 0, endₖ = startₖ₊₁, end_last =
+    * length(text) — ChunkingPropertySpec holds this for arbitrary text.
     *
-    * @return (chunk_hash, chunk_len, n_copies, n_docs), n_copies ≥ 2
+    * @return (doc_id, chunk_idx, start, end, chunk_hash) — [start, end)
+    *         0-based character spans
     */
-  def chunkDedup(docs: DataFrame, window: Int = 16, mask: Int = 63): DataFrame = {
-    val h = conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+  def chunks(docs: DataFrame, window: Int = 16, mask: Int = 63): DataFrame = {
     // boundary positions: every i in [window, len] whose trailing window
     // hashes to 0 mod (mask+1); 0 and len close the first and last chunk.
     // array_distinct guards len coinciding with a boundary (and empty text).
@@ -49,21 +48,34 @@ object Chunking {
               1, 15), 16, 10).cast("long") % (mask + 1) === 0, i)),
         x => x.isNotNull),
       array(length(col("text"))))))
-    val spans = docs.filter(col("text").isNotNull)
+    docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"), bounds.as("b"))
+      // empty text collapses bounds to the single [0]: sequence(0, -1)
+      // would DESCEND and index past the array — no spans to emit anyway
+      .filter(size(col("b")) >= 2)
       .select(col("doc_id"), col("text"),
         posexplode(expr("transform(sequence(0, size(b) - 2), j -> struct(b[j] AS s, b[j + 1] AS e))"))
           .as(Seq("chunk_idx", "sp")))
       .filter(col("sp.e") > col("sp.s"))
-    spans
-      .select(
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("sp.s").cast("long").as("start"), col("sp.e").cast("long").as("end"),
         md5(col("text").substr(col("sp.s") + 1, col("sp.e") - col("sp.s")))
-          .as("chunk_hash"),
-        (col("sp.e") - col("sp.s")).cast("long").as("chunk_len"),
+          .as("chunk_hash"))
+  }
+
+  /** Cross-document chunk-level dedup stats over [[chunks]]: chunks shared
+    * by ≥ 2 (doc, position) sites are surfaced with their copy/document
+    * counts — the "how much of this corpus is re-used byte-ranges" relation
+    * a storage layer acts on.
+    *
+    * @return (chunk_hash, chunk_len, n_copies, n_docs), n_copies ≥ 2
+    */
+  def chunkDedup(docs: DataFrame, window: Int = 16, mask: Int = 63): DataFrame =
+    chunks(docs, window, mask)
+      .select(col("chunk_hash"), (col("end") - col("start")).as("chunk_len"),
         col("doc_id"))
       .groupBy(col("chunk_hash"), col("chunk_len"))
       .agg(count(lit(1)).as("n_copies"),
         countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_copies") >= 2)
-  }
 }

@@ -180,4 +180,63 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("property: CDC chunks exactly tile every generated document") {
+    import spark.implicits._
+    val charGen = Gen.frequency(8 -> Gen.alphaNumChar, 2 -> Gen.const(' '))
+    val textGen = for {
+      n <- Gen.choose(0, 300)
+      cs <- Gen.listOfN(n, charGen)
+    } yield cs.mkString
+    val texts = samples(textGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val got = graft.ops.Chunking.chunks(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .groupBy(_._1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    texts.filter(_._2.nonEmpty).foreach { case (id, t) =>
+      val cs = got.getOrElse(id, Array.empty).sortBy(_._2)
+      assert(cs.nonEmpty, s"doc $id produced no chunks")
+      assert(cs.head._3 === 0L && cs.last._4 === t.length.toLong)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 === b._3, s"gap in doc $id")
+        case _ =>
+      }
+      cs.foreach { case (_, _, s, e, h) =>
+        val hex = md.digest(t.substring(s.toInt, e.toInt).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(h === hex, s"hash mismatch for doc $id span [$s,$e)")
+      }
+    }
+    assert(!got.contains(
+      texts.collectFirst { case (id, t) if t.isEmpty => id }.getOrElse(-1L)))
+  }
+
+  test("property: EditDistanceBandRule never changes filter results") {
+    import spark.implicits._
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.EditDistanceBandRule
+    try {
+      val wordGen = for {
+        n <- Gen.choose(0, 12)
+        cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString
+      val words = samples(wordGen, 120).distinct
+      val df = spark.createDataset(
+        spark.sparkContext.parallelize(words, 4)).toDF("w")
+      for (k <- Seq(0, 1, 3)) {
+        val got = df.filter(expr(s"levenshtein(w, 'abcab') <= $k"))
+          .collect().map(_.getString(0)).toSet
+        val want = words.filter(w =>
+          org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
+            .apply(w, "abcab") <= k).toSet
+        assert(got === want, s"k=$k")
+      }
+    } finally {
+      spark.experimental.extraOptimizations = spark.experimental
+        .extraOptimizations.filterNot(_ == graft.plans.EditDistanceBandRule)
+    }
+  }
 }
