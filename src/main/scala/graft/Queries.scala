@@ -3987,10 +3987,133 @@ object Queries {
              |    row_number() OVER (PARTITION BY doc_id ORDER BY w_u DESC, tok) AS rk
              |  FROM w) WHERE rk <= 3""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-6 batch 2
+  // Time-series repair, robust outliers, positional fingerprinting,
+  // containment dedup, bigram LM scoring, kNN label transfer.
+  private val ext11Qs = Seq(
+    Q("q171_interpolate",
+      (s, d) => graft.ops.TimeSeries.interpolate(T(s, d, "events")),
+      Some("""WITH obs AS (SELECT event_type,
+             |   CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS bucket,
+             |   round(avg(value), 4) AS v
+             |  FROM events GROUP BY 1, 2),
+             |rng AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+             |  FROM obs GROUP BY 1),
+             |grid AS (SELECT event_type, unnest(range(lo, hi + 1, 300)) AS bucket FROM rng),
+             |s AS (SELECT g.event_type, g.bucket, o.v
+             |  FROM grid g LEFT JOIN obs o USING (event_type, bucket)),
+             |nbrs AS (SELECT event_type, bucket, v,
+             |   last_value(v IGNORE NULLS) OVER wp AS pv,
+             |   last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wp AS pb,
+             |   first_value(v IGNORE NULLS) OVER wn AS nv,
+             |   first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wn AS nxb
+             |  FROM s WINDOW
+             |   wp AS (PARTITION BY event_type ORDER BY bucket
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |   wn AS (PARTITION BY event_type ORDER BY bucket
+             |     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+             |SELECT event_type, bucket,
+             |  CAST(floor(coalesce(v, pv + (nv - pv)
+             |    * CAST(bucket - pb AS DOUBLE) / CAST(nxb - pb AS DOUBLE))
+             |    * 1000000) AS BIGINT) AS v_u,
+             |  CASE WHEN v IS NOT NULL THEN 'obs'
+             |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+             |       ELSE 'edge' END AS src
+             |FROM nbrs""".stripMargin)),
+
+    Q("q172_mad_outliers",
+      (s, d) => graft.ops.TimeSeries.madOutliers(T(s, d, "events")),
+      Some("""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             |  FROM events GROUP BY 1),
+             |mad AS (SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+             |  FROM events e JOIN med m USING (event_type) GROUP BY 1),
+             |st AS (SELECT med.event_type, med.med, mad.mad
+             |  FROM med JOIN mad USING (event_type) WHERE mad.mad > 0)
+             |SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+             |  CAST(floor(abs(e.value - st.med) / st.mad * 1000000) AS BIGINT) AS dev_u
+             |FROM events e JOIN st USING (event_type)
+             |WHERE abs(e.value - st.med) > 3.5 * st.mad""".stripMargin)),
+
+    Q("q173_winnowing",
+      (s, d) => graft.ops.Winnowing.sharedFingerprints(T(s, d, "documents")),
+      Some(s"""WITH ch AS (SELECT doc_id, text, length(text) AS len
+              |  FROM documents WHERE length(text) >= 8),
+              |pos AS (SELECT doc_id, text, unnest(range(1, len - 6)) AS p FROM ch),
+              |h AS (SELECT doc_id, p,
+              |   ${duckH60("substring(text, CAST(p AS INT), 8)")} AS h FROM pos),
+              |sel AS (SELECT doc_id, h,
+              |   min(h) OVER (PARTITION BY doc_id ORDER BY p
+              |     ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS mn
+              |  FROM h),
+              |fp AS (SELECT DISTINCT doc_id, h FROM sel WHERE h <= coalesce(mn, h)),
+              |rare AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 50),
+              |fpc AS (SELECT fp.doc_id, fp.h FROM fp JOIN rare USING (h))
+              |SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+              |FROM fpc x JOIN fpc y ON x.h = y.h AND x.doc_id < y.doc_id
+              |GROUP BY 1, 2 HAVING count(*) >= 8""".stripMargin)),
+
+    Q("q174_containment",
+      (s, d) => graft.ops.Dedup.containment(T(s, d, "documents"), 8, 0.8),
+      Some("""WITH g AS (SELECT DISTINCT doc_id, substr(text, CAST(r.range AS INT), 8) AS tok
+             |  FROM documents d JOIN range(1, 5000) r ON r.range <= length(d.text) - 7),
+             |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+             |  FROM g a JOIN g b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT inter.ia AS inner_id, inter.ib AS outer_id,
+             |  CAST(floor(CAST(inter.i AS DOUBLE) / sa.sz * 1000000) AS BIGINT)
+             |    AS containment_u
+             |FROM inter JOIN sz sa ON sa.doc_id = inter.ia
+             |WHERE floor(CAST(inter.i AS DOUBLE) / sa.sz * 1000000) >= 800000""".stripMargin)),
+
+    Q("q175_bigram_logprob",
+      (s, d) => graft.ops.TextAnalysis.bigramLogProb(T(s, d, "documents")),
+      Some("""WITH tl AS (SELECT doc_id, unnest(tl) AS tok,
+             |   generate_subscripts(tl, 1) AS pos
+             |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> x <> '') AS tl FROM documents)),
+             |bg AS (SELECT x.doc_id, x.tok AS w1, y.tok AS w2
+             |  FROM tl x JOIN tl y ON x.doc_id = y.doc_id AND y.pos = x.pos + 1),
+             |cw AS (SELECT tok AS w1, count(*) AS c1 FROM tl GROUP BY 1),
+             |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cw),
+             |cb AS (SELECT w1, w2, count(*) AS cab FROM bg GROUP BY 1, 2),
+             |terms AS (SELECT bg.doc_id,
+             |   CAST(floor((ln(CAST(cw.c1 AS DOUBLE) + CAST(v.v AS DOUBLE))
+             |     - ln(CAST(cb.cab AS DOUBLE) + 1)) * 1000000) AS BIGINT) AS term_u
+             |  FROM bg JOIN cb USING (w1, w2) JOIN cw USING (w1), v)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(term_u) // count(*) AS BIGINT) AS avg_nll_u
+             |FROM terms GROUP BY 1""".stripMargin)),
+
+    Q("q176_knn_classify",
+      (s, d) => graft.ops.Similarity.knnClassify(T(s, d, "embeddings")),
+      Some("""WITH f AS (SELECT vec_id, unnest(embedding) AS v,
+             |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+             |dots AS (SELECT q.vec_id AS query_id, f.vec_id, sum(CAST(q.v AS DOUBLE) * f.v) AS dp
+             |  FROM f q JOIN f ON q.i = f.i AND f.vec_id <> q.vec_id GROUP BY 1, 2),
+             |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
+             |cos AS (SELECT d.query_id, d.vec_id,
+             |   round(d.dp / (nq.nrm * nc.nrm), 6) AS cos
+             |  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+             |  JOIN norms nc ON nc.vec_id = d.vec_id),
+             |nbrs AS (SELECT query_id, vec_id FROM (SELECT *,
+             |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+             |  FROM cos) WHERE rk <= 5),
+             |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl FROM embeddings),
+             |votes AS (SELECT n.query_id, l.lbl AS nbr_label, count(*) AS n_votes
+             |  FROM nbrs n JOIN lab l ON l.vec_id = n.vec_id GROUP BY 1, 2),
+             |win AS (SELECT query_id, nbr_label, n_votes FROM (SELECT *,
+             |   row_number() OVER (PARTITION BY query_id
+             |     ORDER BY n_votes DESC, nbr_label) AS rk FROM votes) WHERE rk = 1)
+             |SELECT w.query_id AS vec_id, l.lbl AS true_label,
+             |  w.nbr_label AS pred_label, CAST(w.n_votes AS BIGINT) AS n_votes,
+             |  l.lbl = w.nbr_label AS agree
+             |FROM win w JOIN lab l ON l.vec_id = w.query_id""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
-      ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs
+      ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -551,4 +551,64 @@ object Dedup {
       .select(col("pa"), col("pb"),
         levenshtein(col("sa"), col("sb"), maxDist).cast("long").as("dist"))
       .filter(col("dist") >= 0)
+
+  /** ASYMMETRIC n-gram containment: ordered pairs (inner, outer) with
+    * C = |G(inner) ∩ G(outer)| / |G(inner)| ≥ `threshold` over distinct
+    * char n-gram sets — the quote/subset detector Jaccard structurally
+    * misses (a doc embedded verbatim in a 10× larger one has J ≈ 0.1 but
+    * C = 1.0). No (lang, source) blocking: quotations cross sources.
+    *
+    * Prefix filter, containment form: the overlap bound is t·|A| against
+    * the INNER side only, so a qualifying pair must share a gram within
+    * inner's ⌊(1−t)·|A|⌋+1 globally-rarest grams — but the outer side must
+    * index ALL its grams (any of them may be the witness). Candidate
+    * buckets therefore pair inner-PREFIX grams (rare by construction — the
+    * prefix sorts by ascending global df) against the full outer posting
+    * list, and the size band |B| ≥ t·|A| (|A∩B| ≤ |B|) prunes inside the
+    * join. Verification is the same per-pair sorted-array merge-intersect
+    * as [[ngramJaccard]] — candidate-bounded, texts never shuffle.
+    *
+    * @return (inner_id, outer_id, containment_u) — containment floored to
+    *         micro-units (exact small rational; integer compare is
+    *         tie-free across engines)
+    */
+  def containment(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    graft.expr.VectorOps.register(docs.sparkSession)
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val gramArrays = FreshCheckpoint(
+      docs.select(col("doc_id"), col("text"))
+        .repartition(p, col("doc_id"))
+        .select(col("doc_id"),
+          graft.expr.VectorOps.sortedCharNgrams(col("text"), n).as("arr"))
+        .filter(size(col("arr")) > 0))
+    val exploded = gramArrays.select(col("doc_id"), explode(col("arr")).as("tok"))
+    val dfTab = exploded.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // inner prefix: rarest ⌊(1−t)·sz⌋+1 grams per doc (group-local top-k,
+    // no global window sort — partitioning carried from gramArrays)
+    val prefix = exploded.join(broadcast(dfTab), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("df"), col("tok"))).as("toks"))
+      .select(col("doc_id").as("ia"), size(col("toks")).cast("long").as("szA"),
+        explode(expr(s"slice(array_sort(toks), 1, " +
+          s"int(floor((1.0d - $threshold) * size(toks)) + 1))")).as("t"))
+      .select(col("ia"), col("szA"), col("t.tok"))
+    val postings = exploded.select(col("doc_id").as("ib"), col("tok"))
+      .join(gramArrays.select(col("doc_id").as("ib"),
+        size(col("arr")).cast("long").as("szB")), Seq("ib"))
+    val cand = prefix.join(postings,
+        prefix("tok") === postings("tok") && col("ia") =!= col("ib") &&
+          col("szB").cast("double") >= lit(threshold) * col("szA").cast("double"))
+      .select(col("ia"), col("ib"))
+      .distinct()
+    val hint: DataFrame => DataFrame =
+      if (docs.count() <= graft.Limits.dimensionRows) broadcast(_) else identity
+    cand
+      .join(hint(gramArrays.select(col("doc_id").as("ia"), col("arr").as("arrA"))), Seq("ia"))
+      .join(hint(gramArrays.select(col("doc_id").as("ib"), col("arr").as("arrB"))), Seq("ib"))
+      .select(col("ia").as("inner_id"), col("ib").as("outer_id"),
+        floor(graft.expr.VectorOps.sortedArrayIntersect(col("arrA"), col("arrB"))
+            .cast("double") / size(col("arrA")).cast("double") * 1000000d)
+          .cast("long").as("containment_u"))
+      .filter(col("containment_u") >= (threshold * 1000000).toLong)
+  }
 }

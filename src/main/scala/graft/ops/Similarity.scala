@@ -251,4 +251,36 @@ object Similarity {
     cc.select(col("id").as("vec_id"), col("component").as("keep_id"),
       (col("id") === col("component")).as("is_kept"))
   }
+
+  /** k-NN majority-vote label assignment: each vector is classified by the
+    * labels of its `k` nearest (cosine) OTHER vectors — the label-transfer
+    * / weak-supervision primitive (propagate a small labeled seed onto an
+    * unlabeled corpus) and the standard leave-one-out sanity check on an
+    * embedding space.
+    *
+    * Neighbor generation delegates to [[cosineTopK]] (exact, broadcast
+    * query side) so the plan shape — and its scale limits — are exactly the
+    * ANN family's: at corpus scale the same vote aggregation runs unchanged
+    * over [[ivfTopK]]'s cell-pruned candidates instead. Votes break ties by
+    * (count desc, label asc) for a deterministic winner.
+    *
+    * @return (vec_id, true_label, pred_label, n_votes, agree)
+    */
+  def knnClassify(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val labels = embeddings.select(col("vec_id"), col("label").cast("long").as("lbl"))
+    val nbrs = cosineTopK(embeddings,
+      embeddings.select(col("vec_id").as("query_id"), col("embedding")), k)
+    val votes = nbrs.join(labels.withColumnRenamed("lbl", "nbr_label"), Seq("vec_id"))
+      .groupBy(col("query_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("nbr_label"))
+    votes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("query_id").as("vec_id"), col("nbr_label").as("pred_label"),
+        col("n_votes"))
+      .join(labels, Seq("vec_id"))
+      .select(col("vec_id"), col("lbl").as("true_label"), col("pred_label"),
+        col("n_votes"), (col("lbl") === col("pred_label")).as("agree"))
+  }
 }

@@ -530,4 +530,48 @@ object TextAnalysis {
       .orderBy(col("pmi_u").desc, col("a"), col("b"))
       .limit(topK)
   }
+
+  /** Per-document bigram cross-entropy under an add-1-smoothed bigram LM
+    * trained on the corpus itself — the sharper perplexity signal next to
+    * [[unigramLogProb]] (a doc of common words in an ungrammatical ORDER
+    * scores fluent under a unigram LM, degenerate under a bigram one).
+    *
+    * nll(w₁w₂) = ln((c(w₁) + V) / (c(w₁w₂) + 1)), V = vocabulary size.
+    *
+    * Scale shape: bigram events enumerate via the (doc, pos+1) equi-join on
+    * the positional token stream (same as [[pmiPairs]] — never len² work);
+    * the bigram count table is corpus-vocabulary-sized and attaches back by
+    * a shuffle hash join on the pair key (a bigram LM outgrows any
+    * broadcast bound by construction — unlike the unigram attach there is
+    * no broadcast fast path to gate). Unigram counts and V ride the same
+    * broadcast-vs-dimension gate as every other dictionary here.
+    *
+    * @return (doc_id, n_bigrams, avg_nll_u) for docs with ≥ 1 bigram;
+    *         avg_nll_u = Σfloor(nll·1e6) div n
+    */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = Dedup.fanOut(docs).select(col("doc_id"),
+      posexplode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+        .as(Seq("pos", "tok")))
+    val bigrams = toks.select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("tok").as("w1"))
+      .join(toks.select(col("doc_id"), col("pos"), col("tok").as("w2")),
+        Seq("doc_id", "pos"))
+    val cw = toks.groupBy(col("tok").as("w1")).agg(count(lit(1)).as("c1"))
+    val v = cw.agg(count(lit(1)).as("v"))
+    val cb = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+    val hint: DataFrame => DataFrame =
+      if (docs.count() <= graft.Limits.dimensionRows) broadcast(_) else identity
+    bigrams.join(cb, Seq("w1", "w2"))
+      .join(hint(cw), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        floor((log(col("c1").cast("double") + col("v").cast("double"))
+          - log(col("cab").cast("double") + 1d)) * 1000000)
+          .cast("long").as("term_u"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term_u")).as("sum_u"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_u div n_bigrams").as("avg_nll_u"))
+  }
 }

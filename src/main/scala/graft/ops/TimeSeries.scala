@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series repair and robust anomaly primitives over the events table —
+  * the gap-fill / outlier-screen steps a metrics or sensor pipeline runs
+  * before any downstream model sees the series.
+  *
+  * Scale shape: both operators are per-key window passes over BUCKETED
+  * aggregates, never over raw events. The grid cardinality is
+  * (time-range / bucket) × |keys| — a function of wall-clock coverage, not
+  * corpus size, so the gap-fill's generated grid stays dimension-sized at
+  * 100 TB while the raw-event reduction underneath is a partial-agg
+  * (map-side combine) groupBy.
+  */
+object TimeSeries {
+
+  /** 5-minute-bucket mean series per event_type with LINEAR INTERPOLATION
+    * over empty buckets — the resample+fill step (complement of q89's
+    * forward-fill: interpolation needs BOTH neighbors, so head/tail gaps
+    * stay null and are tagged 'edge').
+    *
+    * The bucket mean is rounded to 4 places BEFORE interpolating so the
+    * arithmetic downstream of the double sum is reproducible across engines
+    * (same convention as q94's z-score); the interpolated value is floored
+    * to micro-units (exact small rationals can land on round-half
+    * boundaries, see Queries' parity notes).
+    *
+    * @param bucketSec grid step in seconds
+    * @return (event_type, bucket, v_u, src) — bucket = epoch-seconds grid
+    *         point, v_u = floor(value·1e6) nullable, src ∈ obs|interp|edge
+    */
+  def interpolate(events: DataFrame, bucketSec: Int = 300): DataFrame = {
+    val obs = events
+      .groupBy(col("event_type"),
+        (floor(col("ts").cast("double") / bucketSec).cast("long") * bucketSec)
+          .as("bucket"))
+      .agg(round(avg(col("value")), 4).as("v"))
+    // dense grid: one sequence per key — range/bucketSec elements, bounded
+    // by wall-clock coverage (the min/max agg reuses obs's exchange)
+    val grid = obs.groupBy(col("event_type"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(bucketSec.toLong)))
+          .as("bucket"))
+    val series = grid.join(obs, Seq("event_type", "bucket"), "left")
+    // both neighbor lookups use GROWING frames ([unboundedPreceding, -1]
+    // under asc/desc order): Spark evaluates growing frames incrementally
+    // (O(n) per key) but recomputes [x, unboundedFollowing] frames from
+    // scratch per row (O(n²) — measured 20 s vs 0.5 s on a 43k-row grid)
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNextRev = Window.partitionBy(col("event_type")).orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withNbr = series
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pb", last(when(col("v").isNotNull, col("bucket")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", last(col("v"), ignoreNulls = true).over(wNextRev))
+      .withColumn("nb", last(when(col("v").isNotNull, col("bucket")),
+        ignoreNulls = true).over(wNextRev))
+    val interp = col("pv") + (col("nv") - col("pv")) *
+      (col("bucket") - col("pb")).cast("double") /
+      (col("nb") - col("pb")).cast("double")
+    withNbr.select(col("event_type"), col("bucket"),
+      floor(coalesce(col("v"), interp) * 1000000).cast("long").as("v_u"),
+      when(col("v").isNotNull, "obs")
+        .when(col("pv").isNotNull && col("nv").isNotNull, "interp")
+        .otherwise("edge").as("src"))
+  }
+
+  /** Robust per-key outlier screen: flag events whose |value − median| >
+    * `cut` × MAD (median absolute deviation) — the heavy-tail-safe
+    * alternative to q94's z-score (one wild value shifts a mean/stddev but
+    * not a median/MAD, so contaminated series don't mask their own
+    * outliers).
+    *
+    * Exact medians here (two `percentile` passes) because the key space is
+    * tiny and the oracle replays them bit-for-bit; at corpus scale the
+    * drop-in is `approx_percentile` (t-digest sketch, mergeable, bounded
+    * memory) on the same plan shape. Both passes are partial-aggregating;
+    * events join the 5-row stats table by broadcast.
+    *
+    * @return (event_id, event_type, value, dev_u) for flagged rows;
+    *         dev_u = floor(|v − med| / mad · 1e6)
+    */
+  def madOutliers(events: DataFrame, cut: Double = 3.5): DataFrame = {
+    val med = events.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val mad = events.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+    val stats = broadcast(med.join(mad, Seq("event_type")).filter(col("mad") > 0))
+    events.join(stats, Seq("event_type"))
+      .filter(abs(col("value") - col("med")) > lit(cut) * col("mad"))
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"),
+        floor(abs(col("value") - col("med")) / col("mad") * 1000000)
+          .cast("long").as("dev_u"))
+  }
+}

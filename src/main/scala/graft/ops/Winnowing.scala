@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03
+  * — the MOSS plagiarism-detection primitive): hash every k-gram of a
+  * document, then keep only window-local minima, guaranteeing any shared
+  * run of ≥ k+w−1 characters between two documents leaves at least one
+  * IDENTICAL selected fingerprint in both — a positional-overlap detector
+  * that MinHash (whole-set similarity) and CDC chunking (block identity)
+  * don't provide.
+  *
+  * Selection rule (deterministic on both engines): position p is selected
+  * iff hash(p) ≤ min(hash(p+1 .. p+w−1)) — the rightmost-minimum variant;
+  * expected density 1/w with 60-bit hashes making ties negligible.
+  *
+  * Scale shape mirrors [[Chunking]]: gram hashing AND window-min selection
+  * are pure per-row array expressions (no window-function shuffle — the
+  * sliding min reads a slice of the same row's hash array), so the only
+  * shuffles are over the selected-fingerprint relation at ~1/w the gram
+  * density, each row a narrow (doc_id, int64). The pair stage is the
+  * repo-standard bucketed equi-join: candidates share a fingerprint hash,
+  * and the df-cap drops boilerplate hashes whose buckets would square.
+  */
+object Winnowing {
+
+  /** Distinct selected fingerprints per document: (doc_id, fp). */
+  def fingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val n = length(col("text")) - (k - 1)
+    val hs = transform(sequence(lit(1), n),
+      p => conv(substring(md5(col("text").substr(p, lit(k))), 1, 15), 16, 10)
+        .cast("long"))
+    Dedup.fanOut(docs).filter(length(col("text")) >= k)
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(filter(hs, (h, p) -> " +
+          s"h <= coalesce(array_min(slice(hs, p + 2, ${w - 1})), h)))"))
+          .as("fp"))
+    // already distinct: one row per doc upstream, array_distinct in-row
+  }
+
+  /** Document pairs sharing ≥ `minShared` selected fingerprints —
+    * (a, b, n_shared), a < b. `dfCap` drops fingerprints present in more
+    * documents than that (boilerplate; their buckets would enumerate
+    * quadratically and a hash shared by half the corpus carries no
+    * pair-specific signal anyway).
+    */
+  def sharedFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4,
+      dfCap: Long = 50, minShared: Long = 8): DataFrame = {
+    val fp = fingerprints(docs, k, w)
+    val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("fp"))
+    val kept = fp.join(rare, Seq("fp"))
+    kept.select(col("fp"), col("doc_id").as("a"))
+      .join(kept.select(col("fp"), col("doc_id").as("b")), Seq("fp"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}
