@@ -4053,9 +4053,13 @@ object Queries {
               |GROUP BY 1, 2 HAVING count(*) >= 8""".stripMargin)),
 
     Q("q174_containment",
-      (s, d) => graft.ops.Dedup.containment(T(s, d, "documents"), 8, 0.8),
-      Some("""WITH g AS (SELECT DISTINCT doc_id, substr(text, CAST(r.range AS INT), 8) AS tok
-             |  FROM documents d JOIN range(1, 5000) r ON r.range <= length(d.text) - 7),
+      // n = 16: gram rarity IS the prefix filter's selectivity — at n = 8
+      // this corpus's 13k-gram vocabulary made "rare" grams df≈300 and the
+      // candidate set 9.8M pairs (33 s); at n = 16 the same 512 true pairs
+      // emerge from 1.6k candidates
+      (s, d) => graft.ops.Dedup.containment(T(s, d, "documents"), 16, 0.8),
+      Some("""WITH g AS (SELECT DISTINCT doc_id, substr(text, CAST(r.range AS INT), 16) AS tok
+             |  FROM documents d JOIN range(1, 5000) r ON r.range <= length(d.text) - 15),
              |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
              |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
              |  FROM g a JOIN g b ON a.tok = b.tok AND a.doc_id <> b.doc_id

@@ -583,9 +583,14 @@ object Dedup {
         .filter(size(col("arr")) > 0))
     val exploded = gramArrays.select(col("doc_id"), explode(col("arr")).as("tok"))
     val dfTab = exploded.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // the n-gram vocabulary grows with the corpus (long grams ≈ unique
+    // substrings) — broadcast only under the dimension bound, else the df
+    // attach is a shuffle hash join on tok (narrow rows either way)
+    val dfHint: DataFrame => DataFrame =
+      if (docs.count() <= graft.Limits.dimensionRows) broadcast(_) else identity
     // inner prefix: rarest ⌊(1−t)·sz⌋+1 grams per doc (group-local top-k,
     // no global window sort — partitioning carried from gramArrays)
-    val prefix = exploded.join(broadcast(dfTab), Seq("tok"))
+    val prefix = exploded.join(dfHint(dfTab), Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("df"), col("tok"))).as("toks"))
       .select(col("doc_id").as("ia"), size(col("toks")).cast("long").as("szA"),
