@@ -127,9 +127,9 @@ object Bench {
     // including the child itself) never recurse.
     // descending expected cost: the priciest queries meet the freshest JVM
     val heavySet = Seq(
-      "q36_ngram_jaccard", "q102_levenshtein_pairs", "q152_pq_ann",
-      "q153_incremental_minhash", "q150_semantic_dedup", "q91_sssp_weighted",
-      "q151_substring_spans")
+      "q36_ngram_jaccard", "q174_containment", "q102_levenshtein_pairs",
+      "q152_pq_ann", "q153_incremental_minhash", "q150_semantic_dedup",
+      "q91_sssp_weighted", "q151_substring_spans")
     def runHeavyIsolated(): Option[Map[String, Double]] =
       try {
         val childOut = java.nio.file.Files.createTempFile("bench_heavy", ".json")

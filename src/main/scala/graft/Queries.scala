@@ -4114,10 +4114,74 @@ object Queries {
              |  l.lbl = w.nbr_label AS agree
              |FROM win w JOIN lab l ON l.vec_id = w.query_id""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-6 batch 3
+  // Lakehouse maintenance (compaction planning, CDC merge-apply) and
+  // tokenizer-training statistics.
+  private val ext12Qs = Seq(
+    Q("q177_compaction_plan",
+      (s, d) => graft.ops.Compaction.planDocuments(T(s, d, "documents")),
+      Some("""WITH inv AS (SELECT source, doc_id // 16 AS file_id,
+             |   CAST(sum(n_chars) AS BIGINT) AS bytes FROM documents GROUP BY 1, 2),
+             |b AS (SELECT source, file_id, bytes,
+             |   coalesce(sum(bytes) OVER (PARTITION BY source
+             |     ORDER BY bytes DESC, file_id
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+             |  FROM inv),
+             |bb AS (SELECT source, file_id, bytes, cum_before // 65536 AS bin FROM b)
+             |SELECT source, file_id, bytes, bin,
+             |  CAST(sum(bytes) OVER (PARTITION BY source, bin) AS BIGINT) AS bin_bytes,
+             |  CAST(count(*) OVER (PARTITION BY source, bin) AS BIGINT) AS bin_files
+             |FROM bb""".stripMargin)),
+
+    Q("q178_bpe_pairs",
+      (s, d) => graft.ops.TextAnalysis.bpePairStats(T(s, d, "documents")),
+      Some("""WITH tw AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> x <> '')) AS w FROM documents),
+             |wf AS (SELECT w, count(*) AS freq FROM tw GROUP BY 1),
+             |pr AS (SELECT substring(w, CAST(p AS INT), 2) AS pair, freq
+             |  FROM (SELECT w, freq, unnest(range(1, length(w))) AS p
+             |        FROM wf WHERE length(w) >= 2))
+             |SELECT pair, CAST(sum(freq) AS BIGINT) AS weight
+             |FROM pr GROUP BY 1 ORDER BY weight DESC, pair LIMIT 100""".stripMargin)),
+
+    Q("q179_cdc_apply",
+      (s, d) => {
+        // deterministic synthetic changelog over the documents snapshot:
+        // %7 → update (uppercased text), %11 → delete, %13 → insert under a
+        // shifted key. A key hit by both U and D stays, with the U payload
+        // (anti-join drops it, the U row re-inserts it) — replayed as-is by
+        // the oracle.
+        val base = T(s, d, "documents")
+        val cols = Seq(col("doc_id"), col("op"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        val changes = base.filter(col("doc_id") % 7 === 0)
+          .withColumn("op", lit("U")).withColumn("text", upper(col("text")))
+          .select(cols: _*)
+          .unionByName(base.filter(col("doc_id") % 11 === 3)
+            .withColumn("op", lit("D")).select(cols: _*))
+          .unionByName(base.filter(col("doc_id") % 13 === 1)
+            .withColumn("doc_id", col("doc_id") + 1000000)
+            .withColumn("op", lit("I")).withColumn("text", reverse(col("text")))
+            .select(cols: _*))
+        graft.ops.TrainingData.applyChangelog(base, changes)
+          .select(col("doc_id"), md5(col("text")).as("content_hash"),
+            col("lang"), col("source"), col("n_chars"))
+      },
+      Some("""WITH surv AS (SELECT doc_id, text, lang, source, n_chars FROM documents
+             |  WHERE NOT (doc_id % 7 = 0 OR doc_id % 11 = 3)),
+             |u AS (SELECT doc_id, upper(text) AS text, lang, source, n_chars
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |ins AS (SELECT doc_id + 1000000 AS doc_id, reverse(text) AS text,
+             |   lang, source, n_chars FROM documents WHERE doc_id % 13 = 1)
+             |SELECT doc_id, md5(text) AS content_hash, lang, source, n_chars
+             |FROM (SELECT * FROM surv UNION ALL SELECT * FROM u
+             |      UNION ALL SELECT * FROM ins)""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
-      ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs
+      ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
+      ext12Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

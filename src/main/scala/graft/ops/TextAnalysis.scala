@@ -574,4 +574,34 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"),
         expr("sum_u div n_bigrams").as("avg_nll_u"))
   }
+
+  /** One round of BPE merge-candidate statistics (Sennrich et al. 2016 —
+    * the inner loop of tokenizer training): corpus-weighted counts of
+    * adjacent symbol pairs, here over character symbols. The would-be next
+    * merge is the top pair.
+    *
+    * Scale shape — the BPE trick IS the scale path: aggregate the corpus to
+    * its WORD VOCABULARY first (Heaps-law-sized, with corpus frequencies),
+    * then enumerate symbol pairs over vocabulary entries only; the corpus
+    * text is never touched again after the word count's partial-agg
+    * groupBy. Pair enumeration is a per-row array expression
+    * (multiplicity-preserving), and the final pair aggregate is
+    * vocabulary × word-length sized.
+    *
+    * @return top `k` (pair, weight) by (weight desc, pair) — weight = total
+    *         corpus occurrences of the adjacent pair
+    */
+  def bpePairStats(docs: DataFrame, k: Int = 100): DataFrame = {
+    val words = Dedup.fanOut(docs).select(
+        explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+          .as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    words.filter(length(col("w")) >= 2)
+      .select(col("freq"),
+        explode(expr("transform(sequence(1, length(w) - 1), " +
+          "p -> substring(w, p, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("weight"))
+      .orderBy(col("weight").desc, col("pair"))
+      .limit(k)
+  }
 }

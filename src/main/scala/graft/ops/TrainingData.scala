@@ -124,6 +124,27 @@ object TrainingData {
         col("old_hash"), col("new_hash"))
   }
 
+  /** CDC MERGE-apply: materialize the next corpus snapshot from a base
+    * snapshot plus a keyed changelog — the ingest side of the
+    * [[snapshotDiff]] pair (diff derives a changelog; this applies one).
+    * Change ops: D drops the key, U replaces the row's payload, I inserts a
+    * new key (last-writer-wins is the caller's concern: one op per key
+    * expected, enforced upstream).
+    *
+    * Scale shape: survivors = base ⟕-anti (D ∪ U keys) ∪ changelog(U, I) —
+    * one hash equi-join on the key plus a union; payloads move once, and
+    * the anti-join side carries keys only. At 100 TB this is the MERGE
+    * INTO plan a lakehouse engine would produce, minus file rewrites.
+    *
+    * @return the new snapshot, base schema
+    */
+  def applyChangelog(base: DataFrame, changes: DataFrame): DataFrame = {
+    val cols = base.columns.map(col).toSeq
+    val touched = changes.filter(col("op").isin("D", "U")).select(col("doc_id"))
+    base.join(touched, Seq("doc_id"), "left_anti")
+      .unionByName(changes.filter(col("op").isin("U", "I")).select(cols: _*))
+  }
+
   /** Sequential sequence packing: docs are laid out in the pinned
     * (partition, shard, doc_id) order and assigned to bins by prefix sum —
     * bin k covers token offsets [k·budget, (k+1)·budget), and a doc belongs

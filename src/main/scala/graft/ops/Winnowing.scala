@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   * iff hash(p) ≤ min(hash(p+1 .. p+w−1)) — the rightmost-minimum variant;
   * expected density 1/w with 60-bit hashes making ties negligible.
   *
+  * Complements [[TextAnalysis.fingerprint]] (token-gram winnowing reduced
+  * to per-doc summary stats): this variant keeps the SELECTED SET and
+  * surfaces the cross-document shared-fingerprint pair relation — the
+  * actual match output a plagiarism/overlap detector serves.
+  *
   * Scale shape mirrors [[Chunking]]: gram hashing AND window-min selection
   * are pure per-row array expressions (no window-function shuffle — the
   * sliding min reads a slice of the same row's hash array), so the only
