@@ -4058,7 +4058,8 @@ object Queries {
       // candidate set 9.8M pairs (33 s); at n = 16 the same 512 true pairs
       // emerge from 1.6k candidates
       (s, d) => graft.ops.Dedup.containment(T(s, d, "documents"), 16, 0.8),
-      Some("""WITH g AS (SELECT DISTINCT doc_id, substr(text, CAST(r.range AS INT), 16) AS tok
+      Some(s"""WITH g AS (SELECT DISTINCT doc_id,
+             |   ${duckH60("substr(text, CAST(r.range AS INT), 16)")} AS tok
              |  FROM documents d JOIN range(1, 5000) r ON r.range <= length(d.text) - 15),
              |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
              |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
@@ -4091,11 +4092,17 @@ object Queries {
 
     Q("q176_knn_classify",
       (s, d) => graft.ops.Similarity.knnClassify(T(s, d, "embeddings")),
-      Some("""WITH f AS (SELECT vec_id, unnest(embedding) AS v,
-             |   generate_subscripts(embedding, 1) AS i FROM embeddings),
-             |dots AS (SELECT q.vec_id AS query_id, f.vec_id, sum(CAST(q.v AS DOUBLE) * f.v) AS dp
-             |  FROM f q JOIN f ON q.i = f.i AND f.vec_id <> q.vec_id GROUP BY 1, 2),
+      // cell-blocked kNN: the kmeans chain is the q150/q120 oracle helper
+      // (autoK = corpus-scaled cells), pairs restricted to equal cells
+      Some(kmeansStages(recursive = false, autoK = true) + s""",
              |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
+             |pr AS (SELECT x.vec_id AS qa, y.vec_id AS vb
+             |  FROM $kmeansFinalCte x JOIN $kmeansFinalCte y
+             |    ON x.cid = y.cid AND x.vec_id <> y.vec_id),
+             |dots AS (SELECT pr.qa AS query_id, pr.vb AS vec_id,
+             |   sum(CAST(q.v AS DOUBLE) * c.v) AS dp
+             |  FROM pr JOIN f q ON q.vec_id = pr.qa
+             |  JOIN f c ON c.vec_id = pr.vb AND c.i = q.i GROUP BY 1, 2),
              |cos AS (SELECT d.query_id, d.vec_id,
              |   round(d.dp / (nq.nrm * nc.nrm), 6) AS cos
              |  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id

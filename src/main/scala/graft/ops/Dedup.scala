@@ -575,43 +575,66 @@ object Dedup {
   def containment(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
     graft.expr.VectorOps.register(docs.sparkSession)
     val p = docs.sparkSession.sparkContext.defaultParallelism
+    // grams are HASHED to the repo-standard 60-bit md5 key per row, before
+    // anything joins or sorts: a long-gram stream carries ~(n+8)-byte string
+    // keys through every exchange (measured 437 s at sf1 — the sort-merge
+    // sorts dominate), while the hashed stream is (doc_id, int64) — the
+    // same narrow-key discipline as repeatedSpans/minhash. The oracle
+    // replays the identical hash (duckH60), so containment counts over
+    // hashed gram SETS are bit-identical across engines.
+    val hashedGrams = array_sort(array_distinct(transform(
+      graft.expr.VectorOps.sortedCharNgrams(col("text"), n),
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))))
     val gramArrays = FreshCheckpoint(
       docs.select(col("doc_id"), col("text"))
         .repartition(p, col("doc_id"))
-        .select(col("doc_id"),
-          graft.expr.VectorOps.sortedCharNgrams(col("text"), n).as("arr"))
+        .select(col("doc_id"), hashedGrams.as("arr"))
         .filter(size(col("arr")) > 0))
     val exploded = gramArrays.select(col("doc_id"), explode(col("arr")).as("tok"))
     val dfTab = exploded.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // the n-gram vocabulary grows with the corpus (long grams ≈ unique
-    // substrings) — broadcast only under the dimension bound, else the df
-    // attach is a shuffle hash join on tok (narrow rows either way)
-    val dfHint: DataFrame => DataFrame =
-      if (docs.count() <= graft.Limits.dimensionRows) broadcast(_) else identity
-    // inner prefix: rarest ⌊(1−t)·sz⌋+1 grams per doc (group-local top-k,
-    // no global window sort — partitioning carried from gramArrays)
-    val prefix = exploded.join(dfHint(dfTab), Seq("tok"))
+    // NO broadcast hints anywhere in this operator: long-gram relations
+    // break the Limits.dimensionRows row-count heuristic (a 16-char-gram
+    // vocabulary is ~unique-substring-sized, and per-doc gram ARRAYS are
+    // ~5 KB/row — 64k rows is 300 MB, not "a few tens of MB"). An explicit
+    // hint would override Spark's size check and ship that; AQE instead
+    // broadcasts from MEASURED runtime sizes, so small corpora still get
+    // broadcast plans and large ones degrade to shuffle joins on narrow
+    // keys. Measured at sf1 (10x): 116 s with hints, see bench history.
+    // EXTENDED prefix + lossless count filter: the single-witness prefix
+    // bound (rarest ⌊(1−t)·sz⌋+1 grams must share ≥ 1) collapses on a
+    // corpus with correlated rare grams — the sf1 scaled corpus enumerates
+    // 8.9M candidate pairs for 5.1k true results. Extending the prefix by
+    // cExt grams guarantees a qualifying pair shares ≥ cExt of them
+    // (|A\B| ≤ ⌊(1−t)|A|⌋ while the prefix has ⌊(1−t)|A|⌋+cExt grams), so
+    // `HAVING count ≥ cExt` is STILL LOSSLESS and cuts candidates 113×
+    // (8.9M → 79k measured). Short docs whose whole gram set fits in the
+    // prefix get the correspondingly weaker exact bound (cReq below).
+    val cExt = 8
+    val prefix = exploded.join(dfTab, Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("df"), col("tok"))).as("toks"))
       .select(col("doc_id").as("ia"), size(col("toks")).cast("long").as("szA"),
         explode(expr(s"slice(array_sort(toks), 1, " +
-          s"int(floor((1.0d - $threshold) * size(toks)) + 1))")).as("t"))
+          s"int(floor((1.0d - $threshold) * size(toks)) + $cExt))")).as("t"))
       .select(col("ia"), col("szA"), col("t.tok"))
     val postings = exploded.select(col("doc_id").as("ib"), col("tok"))
       .join(gramArrays.select(col("doc_id").as("ib"),
         size(col("arr")).cast("long").as("szB")), Seq("ib"))
+    val slack = floor(lit(1.0d - threshold) * col("szA").cast("double"))
+    val cReq = greatest(lit(1L),
+      least(col("szA"), slack + cExt) - slack)
     val cand = prefix.join(postings,
         prefix("tok") === postings("tok") && col("ia") =!= col("ib") &&
           col("szB").cast("double") >= lit(threshold) * col("szA").cast("double"))
+      .groupBy(col("ia"), col("ib"), col("szA"))
+      .agg(count(lit(1)).as("nshared"))
+      .filter(col("nshared") >= cReq)
       .select(col("ia"), col("ib"))
-      .distinct()
-    val hint: DataFrame => DataFrame =
-      if (docs.count() <= graft.Limits.dimensionRows) broadcast(_) else identity
     cand
-      .join(hint(gramArrays.select(col("doc_id").as("ia"), col("arr").as("arrA"))), Seq("ia"))
-      .join(hint(gramArrays.select(col("doc_id").as("ib"), col("arr").as("arrB"))), Seq("ib"))
+      .join(gramArrays.select(col("doc_id").as("ia"), col("arr").as("arrA")), Seq("ia"))
+      .join(gramArrays.select(col("doc_id").as("ib"), col("arr").as("arrB")), Seq("ib"))
       .select(col("ia").as("inner_id"), col("ib").as("outer_id"),
-        floor(graft.expr.VectorOps.sortedArrayIntersect(col("arrA"), col("arrB"))
+        floor(graft.expr.VectorOps.sortedLongIntersect(col("arrA"), col("arrB"))
             .cast("double") / size(col("arrA")).cast("double") * 1000000d)
           .cast("long").as("containment_u"))
       .filter(col("containment_u") >= (threshold * 1000000).toLong)

@@ -34,26 +34,52 @@ object Quantize {
     * @return (vec_id, centroid, dist) — dist = squared L2 in micro-units².
     */
   def kmeansCodebook(embeddings: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val iv = FreshCheckpoint(coords(embeddings))
+    graft.expr.VectorOps.register(embeddings.sparkSession)
+    // Per-row coordinate ARRAYS, not (vec_id, d, x) rows: the relational
+    // assign (coords ⋈ centroids on d, then a (vec, cid) re-group) streams
+    // n·k·dim rows per round — 627M at 50k vectors × 196 auto-k cells,
+    // measured as the whole cost of cell-blocked consumers at sf1. Here
+    // dist = |x|² + |c|² − 2·x·c with one native dot per (vec, centroid):
+    // n·k array ops, no exploded stream, no re-group. All coordinates are
+    // micro-unit integers with |x| < 2^21, so every double product/sum
+    // stays < 2^53 and the arithmetic — and therefore every assignment and
+    // the oracle replay — is EXACTLY the old integer math.
+    val xsCol = transform(col("embedding"),
+      v => floor(v.cast("double") * 1000000d).cast("double"))
+    val vecs = FreshCheckpoint(Dedup.fanOut(embeddings)
+      .select(col("vec_id"), xsCol.as("xs"))
+      .withColumn("xx", graft.expr.VectorOps.vectorDot(col("xs"), col("xs"))))
     def assign(cents: DataFrame): DataFrame = {
-      val dists = iv.join(broadcast(cents), Seq("d"))
-        .groupBy(col("vec_id"), col("cid"))
-        .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dist"))
+      val scored = vecs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          (col("xx") + col("cc") - lit(2d) *
+            graft.expr.VectorOps.vectorDot(col("xs"), col("cxs")))
+            .cast("long").as("dist"))
       val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-      dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("vec_id"), col("cid"), col("dist"))
     }
+    // (cid, d, cx) rows → (cid, cxs, cc) centroid arrays, d-ordered
+    def centsOf(perDim: DataFrame): DataFrame =
+      perDim.groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("d"), col("cx")))).as("p"))
+        .select(col("cid"),
+          expr("transform(p, q -> CAST(q.cx AS DOUBLE))").as("cxs"))
+        .withColumn("cc", graft.expr.VectorOps.vectorDot(col("cxs"), col("cxs")))
+    // per-dimension means over the assigned vectors (the update explode is
+    // n·dim NARROW rows once per round — the cheap half of Lloyd's)
     def update(assigned: DataFrame): DataFrame =
-      assigned.join(iv, Seq("vec_id"))
+      centsOf(assigned.join(vecs, Seq("vec_id"))
+        .select(col("cid"), posexplode(col("xs")).as(Seq("d", "x")))
         .groupBy(col("cid"), col("d"))
-        .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long").as("cx"))
+        .agg(floor(sum(col("x")) / count(lit(1))).cast("long").as("cx")))
     // deterministic init = the k SMALLEST vec_ids (not `vec_id < k`, which
     // silently yields an EMPTY codebook — and an all-pass dedup downstream —
     // whenever ids don't start at 0)
-    val firstK = iv.select(col("vec_id")).distinct()
-      .orderBy(col("vec_id")).limit(k)
-    var cents = iv.join(firstK, Seq("vec_id"))
-      .select(col("vec_id").as("cid"), col("d"), col("x").as("cx"))
+    val firstK = vecs.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
+    var cents = centsOf(vecs.join(firstK, Seq("vec_id"))
+      .select(col("vec_id").as("cid"), posexplode(col("xs")).as(Seq("d", "x")))
+      .select(col("cid"), col("d"), col("x").cast("long").as("cx")))
     for (_ <- 1 to rounds)
       cents = FreshCheckpoint(update(assign(cents)))
     assign(cents)

@@ -253,23 +253,49 @@ object Similarity {
   }
 
   /** k-NN majority-vote label assignment: each vector is classified by the
-    * labels of its `k` nearest (cosine) OTHER vectors — the label-transfer
-    * / weak-supervision primitive (propagate a small labeled seed onto an
-    * unlabeled corpus) and the standard leave-one-out sanity check on an
-    * embedding space.
+    * labels of its `k` nearest (cosine) neighbors within its k-means cell —
+    * the label-transfer / weak-supervision primitive (propagate a small
+    * labeled seed onto an unlabeled corpus) and the standard leave-one-out
+    * sanity check on an embedding space.
     *
-    * Neighbor generation delegates to [[cosineTopK]] (exact, broadcast
-    * query side) so the plan shape — and its scale limits — are exactly the
-    * ANN family's: at corpus scale the same vote aggregation runs unchanged
-    * over [[ivfTopK]]'s cell-pruned candidates instead. Votes break ties by
-    * (count desc, label asc) for a deterministic winner.
+    * All-vs-all here means BOTH sides are corpus-sized, so neither the
+    * brute-force crossJoin (measured 195 s at 50k vectors — quadratic by
+    * construction) nor [[ivfTopK]]'s broadcast-query design applies.
+    * Instead the [[semanticDedup]] shape: corpus-scaled k-means cells
+    * (k = ⌈n/256⌉, so expected occupancy — and per-vector candidate count —
+    * stays ~256 as the corpus grows), one hash equi-join on the cell id,
+    * exact top-k + vote inside each cell. Neighbors are cell-local (IVF
+    * nprobe=1 recall semantics, like every ANN-family operator here).
+    * Votes break ties by (count desc, label asc) for a deterministic
+    * winner.
     *
+    * @param cellK cells override; 0 derives ⌈n/256⌉ like [[semanticDedup]]
     * @return (vec_id, true_label, pred_label, n_votes, agree)
     */
-  def knnClassify(embeddings: DataFrame, k: Int = 5): DataFrame = {
+  def knnClassify(embeddings: DataFrame, k: Int = 5, cellK: Int = 0,
+      rounds: Int = 2): DataFrame = {
+    graft.expr.VectorOps.register(embeddings.sparkSession)
+    val kk =
+      if (cellK > 0) cellK
+      else math.max(8L, (embeddings.count() + 255L) / 256L).toInt
+    val cells = Quantize.kmeansCodebook(embeddings, kk, rounds)
+      .select(col("vec_id"), col("centroid").as("cell"))
     val labels = embeddings.select(col("vec_id"), col("label").cast("long").as("lbl"))
-    val nbrs = cosineTopK(embeddings,
-      embeddings.select(col("vec_id").as("query_id"), col("embedding")), k)
+    val vecs = Dedup.fanOut(embeddings)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+      .join(cells, Seq("vec_id"))
+    val q = vecs.select(col("cell"), col("vec_id").as("query_id"),
+      col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val scored = q.join(vecs, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 6))
+    val wn = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val nbrs = scored.withColumn("rk", row_number().over(wn))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"))
     val votes = nbrs.join(labels.withColumnRenamed("lbl", "nbr_label"), Seq("vec_id"))
       .groupBy(col("query_id"), col("nbr_label"))
       .agg(count(lit(1)).as("n_votes"))

@@ -152,15 +152,31 @@ class Round6Batch2Spec extends SparkTestBase {
   }
 
   test("knnClassify recovers planted cluster labels and flags the mislabeled point") {
-    // two tight clusters in 2D; vec 10 sits in cluster 0 but is labeled 9
-    val c0 = (1 to 6).map(i => (i.toLong, Array(1.0f + i * 0.001f, 0.1f), 0))
-    val c1 = (11 to 16).map(i => (i.toLong, Array(0.1f, 1.0f + i * 0.001f), 1))
+    // two tight clusters in 2D; vec 10 sits in cluster 0 but is labeled 9.
+    // cellK = 2 with kmeans seeds = the two smallest vec_ids — ids 1 and 2
+    // are planted one per cluster so the cells converge to the true ones
+    val c0 = Seq(1L, 3L, 4L, 5L, 6L, 7L)
+      .map(i => (i, Array(1.0f + i * 0.001f, 0.1f), 0))
+    val c1 = Seq(2L, 11L, 12L, 13L, 14L, 15L)
+      .map(i => (i, Array(0.1f, 1.0f + i * 0.001f), 1))
     val odd = Seq((10L, Array(1.0f, 0.1f), 9))
     val emb = (c0 ++ c1 ++ odd).toDF("vec_id", "embedding", "label")
-    val out = Similarity.knnClassify(emb, 5).collect()
+    val out = Similarity.knnClassify(emb, 5, cellK = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
     val byId = out.map(t => t._1 -> t).toMap
     assert(byId(10L)._3 === 0L && !byId(10L)._4) // predicted 0, disagrees with label 9
     assert(out.count(_._4) === 12) // all true-cluster members agree
+  }
+
+  test("knnClassify auto-k scales cells with the corpus (pair budget stays ~256n)") {
+    // 600 vecs → kk = max(8, ceil(600/256)) = 8 cells; every vector still
+    // gets a prediction and votes come from its own cell only
+    val emb = (1L to 600L).map { i =>
+      val c = (i % 3).toInt
+      (i, Array.tabulate(4)(d => if (d == c) 1.0f else 0.001f * i), c)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(emb, 5)
+    assert(out.count() === 600)
+    assert(out.filter(col("agree")).count() >= 590) // tight clusters recovered
   }
 }
