@@ -4184,11 +4184,67 @@ object Queries {
              |FROM (SELECT * FROM surv UNION ALL SELECT * FROM u
              |      UNION ALL SELECT * FROM ins)""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-6 batch 4
+  // k-truss cohesion, mutual-kNN symmetrization, exact stratified folds.
+  private val ext13Qs = Seq(
+    Q("q180_ktruss",
+      // k = 3 (support ≥ 1): the ≥2-shared-orders graph is triangle-sparse
+      // (a 4-truss is empty at every sf), and a triangle whose edges all
+      // survive round 1 is a fixpoint — so the k=3 output is exactly the
+      // triangle-supported core, non-empty at every scale
+      (s, d) => graft.graph.Analytics.kTruss(
+        graft.sources.Store.copurchase(s, d).filter(col("cnt") >= 2), k = 3),
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+             |e0 AS (SELECT x.p AS a, y.p AS b FROM li x JOIN li y
+             |   ON x.ok = y.ok AND x.p < y.p GROUP BY 1, 2 HAVING count(*) >= 2),
+             |t0 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e0 e1
+             |  JOIN e0 e2 ON e2.a = e1.b JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |c0 AS (SELECT a, b, count(*) AS s FROM (
+             |  SELECT x AS a, y AS b FROM t0 UNION ALL SELECT x AS a, z AS b FROM t0
+             |  UNION ALL SELECT y AS a, z AS b FROM t0) GROUP BY 1, 2),
+             |e1 AS (SELECT a, b FROM c0 WHERE s >= 1),
+             |t1 AS (SELECT p1.a AS x, p1.b AS y, p2.b AS z FROM e1 p1
+             |  JOIN e1 p2 ON p2.a = p1.b JOIN e1 p3 ON p3.a = p1.a AND p3.b = p2.b),
+             |c1 AS (SELECT a, b, count(*) AS s FROM (
+             |  SELECT x AS a, y AS b FROM t1 UNION ALL SELECT x AS a, z AS b FROM t1
+             |  UNION ALL SELECT y AS a, z AS b FROM t1) GROUP BY 1, 2)
+             |SELECT a, b, CAST(s AS BIGINT) AS support FROM c1 WHERE s >= 1""".stripMargin)),
+
+    Q("q181_mutual_knn",
+      (s, d) => graft.ops.Similarity.mutualKnn(T(s, d, "embeddings")),
+      Some(kmeansStages(recursive = false, autoK = true) + s""",
+             |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
+             |pr AS (SELECT x.vec_id AS qa, y.vec_id AS vb
+             |  FROM $kmeansFinalCte x JOIN $kmeansFinalCte y
+             |    ON x.cid = y.cid AND x.vec_id <> y.vec_id),
+             |dots AS (SELECT pr.qa AS query_id, pr.vb AS vec_id,
+             |   sum(CAST(q.v AS DOUBLE) * c.v) AS dp
+             |  FROM pr JOIN f q ON q.vec_id = pr.qa
+             |  JOIN f c ON c.vec_id = pr.vb AND c.i = q.i GROUP BY 1, 2),
+             |cos AS (SELECT d.query_id, d.vec_id,
+             |   round(d.dp / (nq.nrm * nc.nrm), 6) AS cos
+             |  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+             |  JOIN norms nc ON nc.vec_id = d.vec_id),
+             |nbrs AS (SELECT query_id, vec_id, cos FROM (SELECT *,
+             |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+             |  FROM cos) WHERE rk <= 5)
+             |SELECT x.query_id AS a, x.vec_id AS b, x.cos
+             |FROM nbrs x JOIN nbrs y
+             |  ON y.query_id = x.vec_id AND y.vec_id = x.query_id
+             |WHERE x.query_id < x.vec_id""".stripMargin)),
+
+    Q("q182_stratified_kfold",
+      (s, d) => graft.ops.TrainingData.stratifiedFolds(T(s, d, "documents")),
+      Some("""SELECT doc_id, lang, source,
+             |  CAST((row_number() OVER (PARTITION BY lang, source
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 5 AS BIGINT) AS fold
+             |FROM documents""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
-      ext12Qs
+      ext12Qs ++ ext13Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -611,4 +611,63 @@ object Analytics {
       .join(types.withColumnRenamed("id", "dst").withColumnRenamed("type", "dstType"), Seq("dst"))
       .groupBy(col("srcType"), col("dstType")).agg(count(lit(1)).as("n"))
   }
+
+  /** Per-edge triangle support over a canonical (a < b) undirected edge
+    * set: degree-oriented triangle ENUMERATION (each triangle surfaces once
+    * from its orientation source via a sorted-adjacency intersect, same
+    * O(m^1.5) bound as [[triangleCount]]), then each triangle credits its
+    * three canonical edges. The credit explode is output-sized (3 rows per
+    * triangle), never wedge-sized. */
+  private def edgeSupport(e: DataFrame): DataFrame = {
+    val deg = FreshCheckpoint(
+      e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg")))
+    val hint: DataFrame => DataFrame =
+      if (deg.count() <= localThreshold) broadcast(_) else identity
+    val withDeg = e
+      .join(hint(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "da")), Seq("a"))
+      .join(hint(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db")), Seq("b"))
+    val oriented = FreshCheckpoint(withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("src"), col("b").as("dst")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst")))
+    val adj = FreshCheckpoint(oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
+    val tri = oriented
+      .join(hint(adj.select(col("src"), col("nbrs").as("nbrsA"))), Seq("src"))
+      .join(hint(adj.select(col("src").as("dst"), col("nbrs").as("nbrsB"))), Seq("dst"))
+      .select(col("src").as("u"), col("dst").as("v"),
+        explode(array_intersect(col("nbrsA"), col("nbrsB"))).as("w"))
+    tri.select(explode(array(
+        struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b"))))
+        .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+  }
+
+  /** Fixed-round k-truss peeling: each round computes per-edge triangle
+    * support on the CURRENT edge set and keeps edges with support ≥ k−2
+    * (every edge of a k-truss lies in ≥ k−2 triangles of the truss). The
+    * round count is pinned — the same
+    * approximate-iteration-with-exact-replay discipline as the power-
+    * iteration and Lloyd's operators (full convergence is a while-loop on
+    * the same body; each round is two shuffle joins + one explode).
+    *
+    * @return surviving edges (a, b, support) with the support that
+    *         qualified them in the final round
+    */
+  def kTruss(edges: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame = {
+    var e = FreshCheckpoint(edges.select(
+      col("a").cast("long").as("a"), col("b").cast("long").as("b")))
+    var result: DataFrame = null
+    for (_ <- 1 to rounds) {
+      result = e.join(edgeSupport(e), Seq("a", "b"))
+        .filter(col("support") >= k - 2)
+      e = FreshCheckpoint(result.select(col("a"), col("b")))
+    }
+    result
+  }
 }

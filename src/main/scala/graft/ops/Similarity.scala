@@ -274,27 +274,8 @@ object Similarity {
     */
   def knnClassify(embeddings: DataFrame, k: Int = 5, cellK: Int = 0,
       rounds: Int = 2): DataFrame = {
-    graft.expr.VectorOps.register(embeddings.sparkSession)
-    val kk =
-      if (cellK > 0) cellK
-      else math.max(8L, (embeddings.count() + 255L) / 256L).toInt
-    val cells = Quantize.kmeansCodebook(embeddings, kk, rounds)
-      .select(col("vec_id"), col("centroid").as("cell"))
     val labels = embeddings.select(col("vec_id"), col("label").cast("long").as("lbl"))
-    val vecs = Dedup.fanOut(embeddings)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("nrm", norm(col("emb")))
-      .join(cells, Seq("vec_id"))
-    val q = vecs.select(col("cell"), col("vec_id").as("query_id"),
-      col("emb").as("qemb"), col("nrm").as("qnrm"))
-    val scored = q.join(vecs, Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos",
-        round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 6))
-    val wn = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    val nbrs = scored.withColumn("rk", row_number().over(wn))
-      .filter(col("rk") <= k)
+    val nbrs = cellKnn(embeddings, k, cellK, rounds)
       .select(col("query_id"), col("vec_id"))
     val votes = nbrs.join(labels.withColumnRenamed("lbl", "nbr_label"), Seq("vec_id"))
       .groupBy(col("query_id"), col("nbr_label"))
@@ -308,5 +289,55 @@ object Similarity {
       .join(labels, Seq("vec_id"))
       .select(col("vec_id"), col("lbl").as("true_label"), col("pred_label"),
         col("n_votes"), (col("lbl") === col("pred_label")).as("agree"))
+  }
+
+  /** Cell-blocked exact-in-cell kNN relation (query_id, vec_id, cos, rk) —
+    * the neighbor generator [[knnClassify]] and [[mutualKnn]] share:
+    * corpus-scaled k-means cells (⌈n/256⌉ unless `cellK` pins it), one
+    * hash equi-join on the cell id, per-query top-`k` by (cos desc,
+    * vec_id). Per-vector candidate count stays ~cell occupancy (~256) as
+    * the corpus grows. */
+  def cellKnn(embeddings: DataFrame, k: Int = 5, cellK: Int = 0,
+      rounds: Int = 2): DataFrame = {
+    graft.expr.VectorOps.register(embeddings.sparkSession)
+    val kk =
+      if (cellK > 0) cellK
+      else math.max(8L, (embeddings.count() + 255L) / 256L).toInt
+    val cells = Quantize.kmeansCodebook(embeddings, kk, rounds)
+      .select(col("vec_id"), col("centroid").as("cell"))
+    val vecs = Dedup.fanOut(embeddings)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+      .join(cells, Seq("vec_id"))
+    val q = vecs.select(col("cell"), col("vec_id").as("query_id"),
+      col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val scored = q.join(vecs, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 6))
+    val wn = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(wn))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rk"))
+  }
+
+  /** Mutual-kNN graph: pairs where EACH vector is in the other's in-cell
+    * top-`k` — the standard symmetrization that strips hub/chain links
+    * before density clustering (a hub appears in thousands of kNN lists
+    * but reciprocates at most k of them, so mutuality bounds per-node
+    * degree at k by construction).
+    *
+    * @return (a, b, cos), a < b
+    */
+  def mutualKnn(embeddings: DataFrame, k: Int = 5, cellK: Int = 0,
+      rounds: Int = 2): DataFrame = {
+    val nbrs = FreshCheckpoint(cellKnn(embeddings, k, cellK, rounds)
+      .select(col("query_id"), col("vec_id"), col("cos")))
+    nbrs.filter(col("query_id") < col("vec_id"))
+      .join(nbrs.filter(col("query_id") > col("vec_id"))
+          .select(col("vec_id").as("query_id"), col("query_id").as("vec_id")),
+        Seq("query_id", "vec_id"))
+      .select(col("query_id").as("a"), col("vec_id").as("b"), col("cos"))
   }
 }

@@ -243,4 +243,35 @@ object TrainingData {
       .filter(col("rk") <= col("cap"))
       .select(col("doc_id"), col("source"), col("rk"))
   }
+
+  /** Exact stratified k-fold assignment: within each (lang, source)
+    * stratum, documents are ranked in md5-content order and dealt
+    * round-robin into `folds` folds — every fold holds ⌊n_s/folds⌋ or
+    * ⌈n_s/folds⌉ docs of every stratum EXACTLY (a plain hash-mod split
+    * only balances in expectation, with binomial noise per stratum).
+    *
+    * The stratum rank reuses [[sourceCap]]'s two-phase skew-proof scheme:
+    * rank inside (stratum, md5-prefix shard), then add cumulative shard
+    * offsets — a single-stratum corpus never funnels one window task.
+    *
+    * @return (doc_id, lang, source, fold), fold ∈ [0, folds)
+    */
+  def stratifiedFolds(docs: DataFrame, folds: Int = 5): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("lang"), col("source"),
+        md5(col("doc_id").cast("string")).as("m"))
+      .withColumn("shard", substring(col("m"), 1, 2))
+    val wIn = Window.partitionBy(col("lang"), col("source"), col("shard"))
+      .orderBy(col("m"), col("doc_id"))
+    val ranked = keyed.withColumn("rin", row_number().over(wIn).cast("long"))
+    val wSh = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy(col("lang"), col("source"), col("shard"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wSh), lit(0L)))
+      .select(col("lang"), col("source"), col("shard"), col("off"))
+    ranked.join(offsets, Seq("lang", "source", "shard"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        ((col("off") + col("rin") - 1) % folds).as("fold"))
+  }
 }

@@ -30,7 +30,14 @@ class PlanSweep extends SparkTestBase {
     "q163_source_cap", // 1-row mean-cap scalar attach
     "q165_quality_audit", // 1-row total-count scalar attach per RI rule
     "q166_unigram_logprob", // 1-row corpus-token-total scalar attach
-    "q168_pmi_pairs") // 1-row N / pair-total scalar attaches
+    "q168_pmi_pairs", // 1-row N / pair-total scalar attaches
+    // kmeans assign: one native dot per (vector, centroid) against the
+    // broadcast CODEBOOK — a model artifact (k rows: pinned hyperparameter
+    // for q120, ⌈n/256⌉ auto-k for q176's cells, i.e. ~200 rows per 50k
+    // vectors; a cluster deployment pins k IVF-style). The BNLJ replaced
+    // the relational coords⋈centroids equi-join that streamed n·k·dim rows
+    "q120_kmeans_codebook", "q176_knn_classify",
+    "q175_bigram_logprob") // 1-row vocabulary-size scalar attach
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -53,7 +60,8 @@ class PlanSweep extends SparkTestBase {
     "q163_source_cap", // 1-row cap scalar
     "q165_quality_audit", // per-rule scalar aggregates merge to ≤7 rows
     "q166_unigram_logprob", // 1-row corpus-token-total scalar
-    "q168_pmi_pairs") // 1-row N / pair-total scalars
+    "q168_pmi_pairs", // 1-row N / pair-total scalars
+    "q175_bigram_logprob") // 1-row vocabulary-size scalar
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:
