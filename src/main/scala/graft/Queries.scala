@@ -4240,11 +4240,66 @@ object Queries {
              |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 5 AS BIGINT) AS fold
              |FROM documents""".stripMargin)))
 
+  /** Unrolled power-iteration stages for the q183 PCA oracle: p_r = S·v_{r-1},
+    * v_r = round₉(p_r/‖p_r‖) — the q52 stage-replay discipline on the O(1)
+    * scatter matrix. */
+  private def pcaOracle(rounds: Int): String = {
+    val base =
+      """WITH f AS (SELECT vec_id, unnest(embedding) AS v,
+        |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |iv AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
+        |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS x FROM f),
+        |mu AS (SELECT d, CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS mu
+        |  FROM iv GROUP BY 1),
+        |ce AS MATERIALIZED (SELECT iv.vec_id, iv.d, iv.x - mu.mu AS c
+        |  FROM iv JOIN mu USING (d)),
+        |sc AS MATERIALIZED (SELECT a.d AS i, b.d AS j, CAST(sum(a.c * b.c) AS BIGINT) AS s
+        |  FROM ce a JOIN ce b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |v0 AS (SELECT d, CAST(0.125 AS DOUBLE) AS v FROM mu)""".stripMargin
+    val stages = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT sc.i AS d, sum(CAST(sc.s AS DOUBLE) * w.v) AS sv
+         |  FROM sc JOIN v${r - 1} w ON w.d = sc.j GROUP BY 1),
+         |v$r AS MATERIALIZED (SELECT d,
+         |  round(sv / (SELECT sqrt(sum(sv * sv)) FROM p$r), 9) AS v FROM p$r)""".stripMargin
+    }
+    (base +: stages).mkString(",\n") +
+      s"\nSELECT d, CAST(floor(v * 1000000) AS BIGINT) AS loading_u FROM v$rounds"
+  }
+
+  // ---------------------------------------------------------------- round-6 batch 5
+  // Spectral analytics (PCA whitening direction) and drift monitoring (PSI).
+  private val ext14Qs = Seq(
+    Q("q183_pca_component",
+      (s, d) => graft.ops.Decomposition.pcaTopComponent(T(s, d, "embeddings")),
+      Some(pcaOracle(8))),
+
+    Q("q184_psi_drift",
+      (s, d) => graft.ops.Decomposition.psiDrift(
+        T(s, d, "documents"), "n_chars", col("doc_id") % 2 === 0),
+      Some("""WITH t AS (SELECT CAST(n_chars AS BIGINT) AS v,
+             |   CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cmp' END AS side
+             |  FROM documents),
+             |rng AS (SELECT min(v) AS mn, max(v) AS mx FROM t WHERE side = 'ref'),
+             |b AS (SELECT side, LEAST(9, GREATEST(0,
+             |   CAST(((v - mn) * 10) // (mx - mn + 1) AS BIGINT))) AS bin FROM t, rng),
+             |c AS (SELECT bin,
+             |   CAST(sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             |   CAST(sum(CASE WHEN side = 'cmp' THEN 1 ELSE 0 END) AS BIGINT) AS n_cmp
+             |  FROM b GROUP BY 1),
+             |tot AS (SELECT sum(n_ref) AS tr, sum(n_cmp) AS tc FROM c)
+             |SELECT bin, n_ref, n_cmp,
+             |  CAST(floor((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)
+             |    - CAST(n_cmp + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+             |    * (ln(CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE))
+             |      - ln(CAST(n_cmp + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE)))
+             |    * 1000000000) AS BIGINT) AS term_u
+             |FROM c, tot""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
-      ext12Qs ++ ext13Qs
+      ext12Qs ++ ext13Qs ++ ext14Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Spectral decomposition primitives over the embedding table — the
+  * whitening / drift-diagnostic step between raw embeddings and an index
+  * build (dominant-direction removal is the standard post-processing for
+  * anisotropic embedding spaces).
+  *
+  * Scale shape: the corpus-sized work is ONE pass — scatter-matrix
+  * accumulation is a (dim², long-sum) partial aggregate (map-side combine;
+  * 4096 cells for dim=64), and everything after runs on the dim×dim
+  * matrix, which is O(1) in the corpus. The power iteration is the
+  * fixed-round, stage-replayable discipline of q52: deterministic seed,
+  * per-round 9-decimal normalization, so the DuckDB oracle replays every
+  * stage.
+  *
+  * Integer-exactness envelope: coordinates are micro-unit ints (|x| ≲ 2²¹),
+  * centered products ≤ 2⁴⁴, so BIGINT scatter sums stay exact up to ~2³⁰
+  * vectors per cell; past that, pre-scale the coordinates (documented knob)
+  * — the plan shape is unchanged.
+  */
+object Decomposition {
+
+  /** Top principal component of the embedding cloud by `rounds` power
+    * iterations on the exact integer scatter matrix S = Σ (x−μ)(x−μ)ᵀ.
+    *
+    * @return (d, loading_u) — dim rows, loading_u = floor(v_d · 1e6) of the
+    *         unit-norm dominant eigenvector (seed = uniform 0.125, so the
+    *         sign convention is the seed's)
+    */
+  def pcaTopComponent(embeddings: DataFrame, rounds: Int = 8): DataFrame = {
+    val coords = Dedup.fanOut(embeddings).select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        floor(col("v").cast("double") * 1000000d).cast("long").as("x"))
+    // floor-division via doubles (exact: |Σx| ≤ n·2²¹ ≪ 2⁵³), NOT integer
+    // `div` — coordinate sums can be NEGATIVE and Spark's div truncates
+    // toward zero while DuckDB's // floors
+    val mu = coords.groupBy(col("d"))
+      .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long").as("mu"))
+    val centered = coords.join(broadcast(mu), Seq("d"))
+      .select(col("vec_id"), col("d"), (col("x") - col("mu")).as("c"))
+    // scatter matrix: one self-join on the vector key (64×64 products per
+    // vector), partial-agg combined down to dim² cells
+    // MATERIALIZE the scatter once and every round's vector: the rounds
+    // form a recurrence, and without checkpoints round r's plan embeds the
+    // corpus-sized scatter subtree ~2^r times (measured: 296 s at sf0.1 for
+    // an op whose data-plane work is seconds) — the q52 "every stage
+    // materialized" discipline
+    val scatter = org.apache.spark.sql.graft.FreshCheckpoint(
+      centered.select(col("vec_id"), col("d").as("i"), col("c").as("ci"))
+        .join(centered.select(col("vec_id"), col("d").as("j"), col("c").as("cj")),
+          Seq("vec_id"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("ci") * col("cj")).as("s")))
+    // power iteration on the O(1) matrix: v ← round₉(S·v / ‖S·v‖)
+    var v = mu.select(col("d"), lit(0.125d).as("v"))
+    for (_ <- 1 to rounds) {
+      val prod = scatter
+        .join(v.select(col("d").as("j"), col("v")), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(col("s").cast("double") * col("v")).as("sv"))
+      val nrm = prod.agg(sqrt(sum(col("sv") * col("sv"))).as("nrm"))
+      v = org.apache.spark.sql.graft.FreshCheckpoint(
+        prod.crossJoin(broadcast(nrm))
+          .select(col("i").as("d"), round(col("sv") / col("nrm"), 9).as("v")))
+    }
+    v.select(col("d"), floor(col("v") * 1000000d).cast("long").as("loading_u"))
+  }
+
+  /** Population-stability index between two corpus slices — the
+    * distribution-drift alarm a serving pipeline runs against its training
+    * snapshot. Ten fixed-width bins over the REFERENCE slice's [min, max]
+    * (integer bin arithmetic — engine-exact), add-one smoothing, one
+    * (p−q)·ln(p/q) term per bin.
+    *
+    * @param valueCol integer-valued column to compare
+    * @param refFilter rows forming the reference distribution; the rest are
+    *        the comparison slice
+    * @return (bin, n_ref, n_cmp, term_u) — PSI = Σ term_u / 1e9
+    */
+  def psiDrift(df: DataFrame, valueCol: String,
+      refFilter: org.apache.spark.sql.Column, bins: Int = 10): DataFrame = {
+    val tagged = df.select(col(valueCol).cast("long").as("v"),
+      when(refFilter, lit("ref")).otherwise(lit("cmp")).as("side"))
+    val rng = tagged.filter(col("side") === "ref")
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val binned = tagged.crossJoin(broadcast(rng))
+      .select(col("side"),
+        least(lit(bins - 1), greatest(lit(0),
+          expr(s"((v - mn) * $bins) div (mx - mn + 1)"))).as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("side") === "ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("side") === "cmp", 1L).otherwise(0L)).as("n_cmp"))
+    val tot = binned.agg(sum(col("n_ref")).as("tr"), sum(col("n_cmp")).as("tc"))
+    binned.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cmp"),
+        floor(((col("n_ref") + 1).cast("double") / (col("tr") + bins).cast("double")
+          - (col("n_cmp") + 1).cast("double") / (col("tc") + bins).cast("double"))
+          * (log((col("n_ref") + 1).cast("double") / (col("tr") + bins).cast("double"))
+            - log((col("n_cmp") + 1).cast("double") / (col("tc") + bins).cast("double")))
+          * 1000000000d).cast("long").as("term_u"))
+  }
+}

@@ -37,7 +37,9 @@ class PlanSweep extends SparkTestBase {
     // vectors; a cluster deployment pins k IVF-style). The BNLJ replaced
     // the relational coords⋈centroids equi-join that streamed n·k·dim rows
     "q120_kmeans_codebook", "q176_knn_classify",
-    "q175_bigram_logprob") // 1-row vocabulary-size scalar attach
+    "q175_bigram_logprob", // 1-row vocabulary-size scalar attach
+    "q183_pca_component", // 1-row norm scalar per power-iteration round
+    "q184_psi_drift") // 1-row ref-range / totals scalar attaches
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -61,7 +63,11 @@ class PlanSweep extends SparkTestBase {
     "q165_quality_audit", // per-rule scalar aggregates merge to ≤7 rows
     "q166_unigram_logprob", // 1-row corpus-token-total scalar
     "q168_pmi_pairs", // 1-row N / pair-total scalars
-    "q175_bigram_logprob") // 1-row vocabulary-size scalar
+    "q175_bigram_logprob", // 1-row vocabulary-size scalar
+    // q183: every post-scatter stage runs on the dim×dim (O(1)) matrix —
+    // global aggregates there are norm scalars, not corpus reductions
+    "q183_pca_component",
+    "q184_psi_drift") // bins-sized totals
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:
