@@ -4295,11 +4295,74 @@ object Queries {
              |    * 1000000000) AS BIGINT) AS term_u
              |FROM c, tot""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-6 batch 6
+  // Clustering and anomaly screening over the shared kmeans-cell machinery.
+  private val ext15Qs = Seq(
+    Q("q185_density_clusters",
+      (s, d) => graft.ops.Similarity.densityClusters(T(s, d, "embeddings")),
+      Some(kmeansStages(recursive = true, autoK = true) + s""",
+             |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
+             |pr AS (SELECT x.vec_id AS qa, y.vec_id AS vb
+             |  FROM $kmeansFinalCte x JOIN $kmeansFinalCte y
+             |    ON x.cid = y.cid AND x.vec_id <> y.vec_id),
+             |dots AS (SELECT pr.qa AS query_id, pr.vb AS vec_id,
+             |   sum(CAST(q.v AS DOUBLE) * c.v) AS dp
+             |  FROM pr JOIN f q ON q.vec_id = pr.qa
+             |  JOIN f c ON c.vec_id = pr.vb AND c.i = q.i GROUP BY 1, 2),
+             |cos AS (SELECT d.query_id, d.vec_id,
+             |   round(d.dp / (nq.nrm * nc.nrm), 6) AS cos
+             |  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+             |  JOIN norms nc ON nc.vec_id = d.vec_id),
+             |nbrs AS (SELECT query_id, vec_id, cos FROM (SELECT *,
+             |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+             |  FROM cos) WHERE rk <= 5),
+             |mut AS (SELECT x.query_id AS a, x.vec_id AS b
+             |  FROM nbrs x JOIN nbrs y
+             |    ON y.query_id = x.vec_id AND y.vec_id = x.query_id
+             |  WHERE x.query_id < x.vec_id AND x.cos >= 0.0),
+             |und AS (SELECT a, b FROM mut UNION SELECT b, a FROM mut),
+             |vx AS (SELECT DISTINCT vec_id AS id FROM embeddings),
+             |r(s, id) AS (SELECT id, id FROM vx
+             |  UNION SELECT r.s, u.b FROM r JOIN und u ON u.a = r.id),
+             |cc AS (SELECT s AS vec_id, min(id) AS cluster FROM r GROUP BY s),
+             |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+             |  FROM cc GROUP BY 1)
+             |SELECT cc.vec_id, cc.cluster, sz.cluster_size
+             |FROM cc JOIN sz USING (cluster)""".stripMargin)),
+
+    Q("q186_embedding_outliers",
+      // the synthetic embeddings are uniform (max dist/median ratio 1.097 —
+      // no natural anomalies at any cut), so the inventory query plants
+      // five deterministic corrupt rows (10× magnitude under shifted ids)
+      // and the op must flag exactly that contamination
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val planted = emb.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 1000000).as("vec_id"),
+            // scale in DOUBLE: float×int multiplies in float here but in
+            // double under DuckDB's list_transform — ±1 micro-unit skew
+            transform(col("embedding"), v => v.cast("double") * 10d).as("embedding"),
+            col("label"))
+        graft.ops.Similarity.embeddingOutliers(emb.unionByName(planted))
+      },
+      Some(kmeansStages(recursive = false, autoK = true).replace(
+        "FROM embeddings),",
+        """FROM (SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL SELECT vec_id + 1000000,
+          |    list_transform(embedding, v -> CAST(v AS DOUBLE) * 10)
+          |  FROM embeddings WHERE vec_id < 5)),""".stripMargin) + s""",
+             |med AS (SELECT cid, quantile_cont(CAST(dist AS DOUBLE), 0.5) AS med
+             |  FROM $kmeansFinalCte GROUP BY 1 HAVING quantile_cont(CAST(dist AS DOUBLE), 0.5) > 0)
+             |SELECT a.vec_id, a.cid AS centroid, CAST(a.dist AS BIGINT) AS dist,
+             |  CAST(floor(CAST(a.dist AS DOUBLE) / med.med * 1000000) AS BIGINT) AS ratio_u
+             |FROM $kmeansFinalCte a JOIN med ON med.cid = a.cid
+             |WHERE CAST(a.dist AS DOUBLE) > 4.0 * med.med""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
-      ext12Qs ++ ext13Qs ++ ext14Qs
+      ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

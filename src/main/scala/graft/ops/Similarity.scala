@@ -340,4 +340,53 @@ object Similarity {
         Seq("query_id", "vec_id"))
       .select(col("query_id").as("a"), col("vec_id").as("b"), col("cos"))
   }
+
+  /** Density clusters = connected components of the [[mutualKnn]] graph —
+    * the DBSCAN-flavored grouping a dedup/curation pipeline uses when it
+    * wants CLUSTERS rather than pairs: mutuality bounds degree at k, so
+    * chains through hubs can't glue unrelated regions, and the CC closure
+    * is the O(log n) large/small-star loop on a pair graph that is ≤ k·n/2
+    * edges by construction. Isolated vectors form singleton clusters.
+    *
+    * @return (vec_id, cluster, cluster_size) — cluster = min member id
+    */
+  def densityClusters(embeddings: DataFrame, k: Int = 5, cellK: Int = 0,
+      rounds: Int = 2, minCos: Double = 0.0): DataFrame = {
+    val pairs = mutualKnn(embeddings, k, cellK, rounds)
+      .filter(col("cos") >= minCos)
+    val cc = graft.graph.Analytics.connectedComponents(
+      embeddings.select(col("vec_id").as("id")),
+      pairs.select(col("a").as("src"), col("b").as("dst")))
+    val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, Seq("component"))
+      .select(col("id").as("vec_id"), col("component").as("cluster"),
+        col("cluster_size"))
+  }
+
+  /** In-cell distance outliers: vectors whose squared distance to their
+    * k-means centroid exceeds `cut` × the cell's median — the
+    * embedding-space anomaly screen (mislabeled points, corrupt encodes,
+    * out-of-distribution rows) on the same cells every ANN consumer here
+    * already builds. Exact in-cell medians (cells are ~256 vectors by the
+    * auto-k sizing; `approx_percentile` is the unbounded-cell fallback).
+    *
+    * @return (vec_id, centroid, dist, ratio_u) for flagged vectors;
+    *         ratio_u = floor(dist/median · 1e6)
+    */
+  def embeddingOutliers(embeddings: DataFrame, cut: Double = 4.0,
+      cellK: Int = 0, rounds: Int = 2): DataFrame = {
+    val kk =
+      if (cellK > 0) cellK
+      else math.max(8L, (embeddings.count() + 255L) / 256L).toInt
+    val assigned = FreshCheckpoint(
+      Quantize.kmeansCodebook(embeddings, kk, rounds))
+    val med = assigned.groupBy(col("centroid"))
+      .agg(percentile(col("dist"), lit(0.5)).as("med"))
+      .filter(col("med") > 0)
+    assigned.join(broadcast(med), Seq("centroid"))
+      .filter(col("dist").cast("double") > lit(cut) * col("med"))
+      .select(col("vec_id"), col("centroid"), col("dist"),
+        floor(col("dist").cast("double") / col("med") * 1000000d)
+          .cast("long").as("ratio_u"))
+  }
 }
