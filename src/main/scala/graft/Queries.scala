@@ -2356,11 +2356,11 @@ object Queries {
   /** The WITH-chain replaying [[graft.ops.Quantize.kmeansCodebook]] (2
     * rounds, k=8); the final assignment lands in CTE `a2`. `recursive`
     * prefixes WITH RECURSIVE so callers can append closure CTEs. */
-  /** `autoK = true` replays [[graft.ops.Similarity.semanticDedup]]'s
-    * corpus-scaled cell count (k = max(8, ⌈n/256⌉), integer arithmetic);
-    * false pins k = 8 — the codebook-size contract of q120/q152, where a
-    * fixed k is a model hyperparameter rather than a scale bug. */
-  private def kmeansStages(recursive: Boolean, autoK: Boolean = false): String = {
+  /** Pinned k = 8 — the codebook-size contract of q120/q152, where a fixed
+    * k is a model hyperparameter rather than a scale bug. (The corpus-
+    * scaled ANN consumers replay [[hplaneCellStages]] instead — round 7
+    * removed their O(n·k) k-means assignment.) */
+  private def kmeansStages(recursive: Boolean): String = {
     val rounds = 2
     def assignStage(a: String, c: String) =
       s"""$a AS MATERIALIZED (SELECT vec_id, cid, dist FROM (
@@ -2374,16 +2374,8 @@ object Queries {
          | FROM $a a JOIN iv ON iv.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
     val w = if (recursive) "WITH RECURSIVE" else "WITH"
     val seedCte =
-      if (autoK)
-        """kk AS (SELECT GREATEST(8, CAST((count(DISTINCT vec_id) + 255) // 256 AS BIGINT)) AS k
-          |   FROM iv),
-          |ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
-          |   FROM (SELECT DISTINCT vec_id FROM iv)),
-          |c0 AS (SELECT vec_id AS cid, d, x AS cx FROM iv WHERE vec_id IN (
-          |   SELECT vec_id FROM ids, kk WHERE ids.rn <= kk.k))""".stripMargin
-      else
-        """c0 AS (SELECT vec_id AS cid, d, x AS cx FROM iv WHERE vec_id IN (
-          |   SELECT DISTINCT vec_id FROM iv ORDER BY vec_id LIMIT 8))""".stripMargin
+      """c0 AS (SELECT vec_id AS cid, d, x AS cx FROM iv WHERE vec_id IN (
+        |   SELECT DISTINCT vec_id FROM iv ORDER BY vec_id LIMIT 8))""".stripMargin
     val base =
       s"""$w f AS (SELECT vec_id, unnest(embedding) AS v,
         |   generate_subscripts(embedding, 1) AS i FROM embeddings),
@@ -2398,6 +2390,37 @@ object Queries {
   /** Name of [[kmeansStages]]' final-assignment CTE — single source of truth
     * for the two oracles that SELECT from it. */
   private val kmeansFinalCte = "a2"
+
+  /** The WITH-chain replaying [[graft.ops.Similarity.hyperplaneCells]]'
+    * corpus-scaled cell assignment: micro-unit coords (`fi`), per-dim
+    * integer means (`mu`), plane count = smallest p ∈ [3,30] with
+    * 2ᵖ·256 ≥ n (`np`), md5-digit hyperplane components (the q98
+    * technique), centered projections, and the final `cells(vec_id,
+    * cell)`. Also exposes `f` (unnested floats) for the downstream
+    * dot/norm CTEs the five ANN-family consumers share. `recursive`
+    * prefixes WITH RECURSIVE so callers can append closure CTEs. */
+  private def hplaneCellStages(recursive: Boolean): String = {
+    val w = if (recursive) "WITH RECURSIVE" else "WITH"
+    s"""$w f AS (SELECT vec_id, unnest(embedding) AS v,
+       |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+       |fi AS MATERIALIZED (SELECT vec_id, i,
+       |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS iv FROM f),
+       |nn AS (SELECT count(DISTINCT vec_id) AS n FROM fi),
+       |np AS (SELECT min(p) AS np FROM range(3, 31) t(p), nn
+       |   WHERE (1::BIGINT << CAST(p AS INT)) * 256 >= nn.n),
+       |mu AS (SELECT i, CAST(floor(sum(iv)::DOUBLE / count(*)) AS BIGINT) AS m
+       |   FROM fi GROUP BY 1),
+       |planes AS (SELECT p, d,
+       |   (list_sum(list_transform(range(15), j ->
+       |      CAST(strpos('0123456789abcdef', substr(md5(p || ':' || d), CAST(j + 1 AS INT), 1)) - 1
+       |        AS BIGINT) * (1::BIGINT << CAST(4 * (14 - j) AS INT)))) % 2001) - 1000 AS h
+       |  FROM range(30) t(p), range(64) s(d), np WHERE p < np.np),
+       |proj AS (SELECT fi.vec_id, pl.p, sum((fi.iv - mu.m) * pl.h) AS pr
+       |  FROM fi JOIN mu USING (i) JOIN planes pl ON pl.d = fi.i - 1 GROUP BY 1, 2),
+       |cells AS MATERIALIZED (SELECT vec_id,
+       |   CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS cell
+       |  FROM proj GROUP BY 1)""".stripMargin
+  }
 
   private val kmeansOracle: String = kmeansStages(recursive = false) +
     s"\nSELECT vec_id, cid AS centroid, CAST(dist AS BIGINT) AS dist FROM $kmeansFinalCte"
@@ -2670,16 +2693,16 @@ object Queries {
     Q("q150_semantic_dedup",
       (s, d) => graft.ops.Similarity.semanticDedup(
         T(s, d, "embeddings"), rounds = 2, threshold = 0.3),
-      // kmeans cells → in-cell cosine pairs → recursive closure → min-member
-      // keeper: the full SemDeDup pipeline replayed stage by stage. Cell
-      // count is corpus-scaled (k = max(8, ceil(n/256)) in BOTH engines) so
-      // the in-cell pair budget stays linear — the sf1 probe measured 11.7×
-      // time at 10× data with the old fixed k = 8.
-      Some(kmeansStages(recursive = true, autoK = true) + s""",
-           |cells AS (SELECT vec_id, cid FROM $kmeansFinalCte),
+      // hyperplane cells → in-cell cosine pairs → recursive closure →
+      // min-member keeper: the full SemDeDup pipeline replayed stage by
+      // stage. Cell count is corpus-scaled (2^p·256 >= n in BOTH engines)
+      // so the in-cell pair budget stays linear, and the signature
+      // assignment is a per-row column — no O(n·k) scoring join (the
+      // round-6 quadratic) in either engine.
+      Some(hplaneCellStages(recursive = true) + s""",
            |pr AS (SELECT x.vec_id AS a, y.vec_id AS b
            |  FROM cells x JOIN cells y
-           |    ON x.cid = y.cid AND x.vec_id < y.vec_id),
+           |    ON x.cell = y.cell AND x.vec_id < y.vec_id),
            |dots AS (SELECT p.a, p.b, sum(CAST(fa.v AS DOUBLE) * fb.v) AS dp
            |  FROM pr p JOIN f fa ON fa.vec_id = p.a
            |  JOIN f fb ON fb.vec_id = p.b AND fb.i = fa.i
@@ -4092,13 +4115,14 @@ object Queries {
 
     Q("q176_knn_classify",
       (s, d) => graft.ops.Similarity.knnClassify(T(s, d, "embeddings")),
-      // cell-blocked kNN: the kmeans chain is the q150/q120 oracle helper
-      // (autoK = corpus-scaled cells), pairs restricted to equal cells
-      Some(kmeansStages(recursive = false, autoK = true) + s""",
+      // cell-blocked kNN: the hyperplane-cell chain is the q150 oracle
+      // helper (corpus-scaled signature cells), pairs restricted to equal
+      // cells
+      Some(hplaneCellStages(recursive = false) + s""",
              |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
              |pr AS (SELECT x.vec_id AS qa, y.vec_id AS vb
-             |  FROM $kmeansFinalCte x JOIN $kmeansFinalCte y
-             |    ON x.cid = y.cid AND x.vec_id <> y.vec_id),
+             |  FROM cells x JOIN cells y
+             |    ON x.cell = y.cell AND x.vec_id <> y.vec_id),
              |dots AS (SELECT pr.qa AS query_id, pr.vb AS vec_id,
              |   sum(CAST(q.v AS DOUBLE) * c.v) AS dp
              |  FROM pr JOIN f q ON q.vec_id = pr.qa
@@ -4134,10 +4158,12 @@ object Queries {
              |     ORDER BY bytes DESC, file_id
              |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
              |  FROM inv),
-             |bb AS (SELECT source, file_id, bytes, cum_before // 65536 AS bin FROM b)
+             |bb AS (SELECT source, file_id, bytes,
+             |   CAST(cum_before // 65536 AS BIGINT) AS bin FROM b)
              |SELECT source, file_id, bytes, bin,
              |  CAST(sum(bytes) OVER (PARTITION BY source, bin) AS BIGINT) AS bin_bytes,
-             |  CAST(count(*) OVER (PARTITION BY source, bin) AS BIGINT) AS bin_files
+             |  CAST(count(*) OVER (PARTITION BY source, bin) AS BIGINT) AS bin_files,
+             |  CAST(count(*) OVER (PARTITION BY source, bin) - 1 AS BIGINT) AS files_saved
              |FROM bb""".stripMargin)),
 
     Q("q178_bpe_pairs",
@@ -4212,11 +4238,11 @@ object Queries {
 
     Q("q181_mutual_knn",
       (s, d) => graft.ops.Similarity.mutualKnn(T(s, d, "embeddings")),
-      Some(kmeansStages(recursive = false, autoK = true) + s""",
+      Some(hplaneCellStages(recursive = false) + s""",
              |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
              |pr AS (SELECT x.vec_id AS qa, y.vec_id AS vb
-             |  FROM $kmeansFinalCte x JOIN $kmeansFinalCte y
-             |    ON x.cid = y.cid AND x.vec_id <> y.vec_id),
+             |  FROM cells x JOIN cells y
+             |    ON x.cell = y.cell AND x.vec_id <> y.vec_id),
              |dots AS (SELECT pr.qa AS query_id, pr.vb AS vec_id,
              |   sum(CAST(q.v AS DOUBLE) * c.v) AS dp
              |  FROM pr JOIN f q ON q.vec_id = pr.qa
@@ -4300,11 +4326,11 @@ object Queries {
   private val ext15Qs = Seq(
     Q("q185_density_clusters",
       (s, d) => graft.ops.Similarity.densityClusters(T(s, d, "embeddings")),
-      Some(kmeansStages(recursive = true, autoK = true) + s""",
+      Some(hplaneCellStages(recursive = true) + s""",
              |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
              |pr AS (SELECT x.vec_id AS qa, y.vec_id AS vb
-             |  FROM $kmeansFinalCte x JOIN $kmeansFinalCte y
-             |    ON x.cid = y.cid AND x.vec_id <> y.vec_id),
+             |  FROM cells x JOIN cells y
+             |    ON x.cell = y.cell AND x.vec_id <> y.vec_id),
              |dots AS (SELECT pr.qa AS query_id, pr.vb AS vec_id,
              |   sum(CAST(q.v AS DOUBLE) * c.v) AS dp
              |  FROM pr JOIN f q ON q.vec_id = pr.qa
@@ -4345,17 +4371,24 @@ object Queries {
             col("label"))
         graft.ops.Similarity.embeddingOutliers(emb.unionByName(planted))
       },
-      Some(kmeansStages(recursive = false, autoK = true).replace(
+      Some(hplaneCellStages(recursive = false).replace(
         "FROM embeddings),",
         """FROM (SELECT vec_id, embedding FROM embeddings
           |  UNION ALL SELECT vec_id + 1000000,
           |    list_transform(embedding, v -> CAST(v AS DOUBLE) * 10)
           |  FROM embeddings WHERE vec_id < 5)),""".stripMargin) + s""",
-             |med AS (SELECT cid, quantile_cont(CAST(dist AS DOUBLE), 0.5) AS med
-             |  FROM $kmeansFinalCte GROUP BY 1 HAVING quantile_cont(CAST(dist AS DOUBLE), 0.5) > 0)
-             |SELECT a.vec_id, a.cid AS centroid, CAST(a.dist AS BIGINT) AS dist,
+             |cmu AS (SELECT c.cell, f2.i,
+             |   CAST(floor(sum(f2.iv)::DOUBLE / count(*)) AS BIGINT) AS cx
+             |  FROM cells c JOIN fi f2 ON f2.vec_id = c.vec_id GROUP BY 1, 2),
+             |dst AS MATERIALIZED (SELECT c.vec_id, c.cell,
+             |   sum((fi.iv - cmu.cx) * (fi.iv - cmu.cx)) AS dist
+             |  FROM cells c JOIN fi ON fi.vec_id = c.vec_id
+             |  JOIN cmu ON cmu.cell = c.cell AND cmu.i = fi.i GROUP BY 1, 2),
+             |med AS (SELECT cell, quantile_cont(CAST(dist AS DOUBLE), 0.5) AS med
+             |  FROM dst GROUP BY 1 HAVING quantile_cont(CAST(dist AS DOUBLE), 0.5) > 0)
+             |SELECT a.vec_id, a.cell AS centroid, CAST(a.dist AS BIGINT) AS dist,
              |  CAST(floor(CAST(a.dist AS DOUBLE) / med.med * 1000000) AS BIGINT) AS ratio_u
-             |FROM $kmeansFinalCte a JOIN med ON med.cid = a.cid
+             |FROM dst a JOIN med ON med.cell = a.cell
              |WHERE CAST(a.dist AS DOUBLE) > 4.0 * med.med""".stripMargin)))
 
   val all: Seq[Q] =

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
 
 /** Native vector dot product over `array<double>` columns.
   *
@@ -21,6 +21,24 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  // Strict typing: the eval loop reads raw array slots as doubles, so an
+  // array<long> input (e.g. from Spark's LONG-returning floor()) would be
+  // REINTERPRETED BITS, not converted values — fail analysis instead of
+  // silently producing NaN/garbage. Callers cast explicitly so the plan
+  // shows where the conversion happens.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vector_dot needs array<double> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -660,11 +660,16 @@ object Analytics {
     *         qualified them in the final round
     */
   def kTruss(edges: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"kTruss needs rounds >= 1, got $rounds")
     var e = FreshCheckpoint(edges.select(
       col("a").cast("long").as("a"), col("b").cast("long").as("b")))
     var result: DataFrame = null
     for (_ <- 1 to rounds) {
-      result = e.join(edgeSupport(e), Seq("a", "b"))
+      // left join: edgeSupport only emits edges that lie in ≥1 triangle, so
+      // an inner join would silently drop triangle-free edges — wrong for
+      // the degenerate k ≤ 2 case where support ≥ k−2 = 0 keeps every edge
+      result = e.join(edgeSupport(e), Seq("a", "b"), "left")
+        .withColumn("support", coalesce(col("support"), lit(0L)))
         .filter(col("support") >= k - 2)
       e = FreshCheckpoint(result.select(col("a"), col("b")))
     }

@@ -33,27 +33,52 @@ object Compaction {
       .agg(sum(col("n_chars")).as("bytes"), count(lit(1)).as("n_docs"))
 
   /** The compaction plan over a (partition, file_id, bytes) inventory:
-    * (source, file_id, bytes, bin, bin_bytes, bin_files), where files with
-    * bin_files = 1 need no rewrite.
+    * (source, file_id, bytes, bin, bin_bytes, bin_files, files_saved),
+    * where files with bin_files = 1 need no rewrite and files_saved =
+    * bin_files − 1 is the bin's rewrite payoff (files removed from the
+    * listing if the bin compacts) — sum(files_saved)/count(*) over the plan
+    * is the table's direct OPTIMIZE value metric.
     *
     * @param target bin size in bytes
+    * @param maxBinFiles ≤ 0 = unlimited (bin = byte quotient, the r6
+    *        numbering). > 0 additionally splits each byte bin into runs of
+    *        at most that many files — the standard guard against a rewrite
+    *        task slurping thousands of tiny files (task open-file /
+    *        manifest limits); bins are then renumbered densely per
+    *        partition, byte overshoot stays ≤ one max-size file per byte
+    *        bin, and the extra cost is one more window pass on the SAME
+    *        per-partition key (no new shuffle).
     */
-  def plan(inventory: DataFrame, target: Long = 65536): DataFrame = {
+  def plan(inventory: DataFrame, target: Long = 65536,
+      maxBinFiles: Int = 0): DataFrame = {
     val order = Window.partitionBy(col("source"))
       .orderBy(col("bytes").desc, col("file_id"))
-    val binned = inventory
+    val byteBinned = inventory
       .withColumn("cum_before",
         coalesce(sum(col("bytes")).over(order.rowsBetween(
           Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("bin", expr(s"cum_before div ${target}L"))
+      .withColumn("byte_bin", expr(s"cum_before div ${target}L"))
+    val binned =
+      if (maxBinFiles <= 0) byteBinned.withColumn("bin", col("byte_bin"))
+      else {
+        val inBin = Window.partitionBy(col("source"), col("byte_bin"))
+          .orderBy(col("bytes").desc, col("file_id"))
+        byteBinned
+          .withColumn("rn", row_number().over(inBin))
+          .withColumn("sub", expr(s"CAST(rn - 1 AS BIGINT) div $maxBinFiles"))
+          .withColumn("bin",
+            dense_rank().over(Window.partitionBy(col("source"))
+              .orderBy(col("byte_bin"), col("sub"))).cast("long") - 1L)
+      }
     val perBin = Window.partitionBy(col("source"), col("bin"))
     binned.select(col("source"), col("file_id"), col("bytes"), col("bin"),
         sum(col("bytes")).over(perBin).as("bin_bytes"),
         count(lit(1)).over(perBin).as("bin_files"))
+      .withColumn("files_saved", col("bin_files") - 1L)
   }
 
   /** [[fileInventory]] ∘ [[plan]] for the documents table. */
   def planDocuments(docs: DataFrame, groupSize: Int = 16,
-      target: Long = 65536): DataFrame =
-    plan(fileInventory(docs, groupSize), target)
+      target: Long = 65536, maxBinFiles: Int = 0): DataFrame =
+    plan(fileInventory(docs, groupSize), target, maxBinFiles)
 }

@@ -16,10 +16,17 @@ import org.apache.spark.sql.functions._
   * per-round 9-decimal normalization, so the DuckDB oracle replays every
   * stage.
   *
-  * Integer-exactness envelope: coordinates are micro-unit ints (|x| ≲ 2²¹),
-  * centered products ≤ 2⁴⁴, so BIGINT scatter sums stay exact up to ~2³⁰
-  * vectors per cell; past that, pre-scale the coordinates (documented knob)
-  * — the plan shape is unchanged.
+  * Integer-exactness envelope: coordinates are micro-unit ints (centered
+  * |c| ≲ 2²²), so per-pair products reach ~2⁴⁴ and the worst-case BIGINT
+  * scatter sum stays provably exact only up to 2⁶³⁻⁴⁴ = 2¹⁹ (~5×10⁵)
+  * vectors per cell — and Spark's non-ANSI Long sum would wrap SILENTLY
+  * while DuckDB widens to HUGEINT, so past the envelope the engines
+  * diverge rather than both saturating. The scatter aggregate therefore
+  * carries a count-based runtime guard (raise_error once any cell exceeds
+  * 2¹⁹ rows) — no extra pass, the count rides the same partial aggregate.
+  * For larger corpora, pre-scale the coordinates (drop the micro-unit
+  * multiplier from 10⁶ to 10⁴ to buy 2¹³ more rows of headroom at 100×
+  * coarser loadings); the plan shape is unchanged.
   */
 object Decomposition {
 
@@ -54,7 +61,16 @@ object Decomposition {
         .join(centered.select(col("vec_id"), col("d").as("j"), col("c").as("cj")),
           Seq("vec_id"))
         .groupBy(col("i"), col("j"))
-        .agg(sum(col("ci") * col("cj")).as("s")))
+        .agg(sum(col("ci") * col("cj")).as("s"), count(lit(1)).as("cnt"))
+        // exactness guard (see header): |ci·cj| ≲ 2⁴⁴, so a cell past 2¹⁹
+        // rows can silently wrap the non-ANSI Long sum while DuckDB widens
+        // — fail loudly instead of diverging; the count rides the same
+        // partial aggregate, no extra pass
+        .select(col("i"), col("j"),
+          when(col("cnt") > (1L << 19), raise_error(concat(
+            lit("pcaTopComponent: scatter cell exceeds the 2^19-row exact-"),
+            lit("BIGINT envelope; pre-scale coordinates (see scaladoc)"))))
+            .otherwise(col("s")).as("s")))
     // power iteration on the O(1) matrix: v ← round₉(S·v / ‖S·v‖)
     var v = mu.select(col("d"), lit(0.125d).as("v"))
     for (_ <- 1 to rounds) {

@@ -140,6 +140,19 @@ object Similarity {
     * @return (query_id, vec_id, cos, rank) — exact top-k *within the
     *         query's bucket*; recall < 1 vs brute force by construction.
     */
+  /** Plane p as a dim-length literal vector of [[planeComponent]]s. */
+  private[ops] def planeVectors(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map(p => (0 until dim).map(d => planeComponent(p, d).toDouble))
+
+  /** Signature bits over integer-valued double coordinates: bit p = sign of
+    * the projection onto plane p. Exact: |coord| ≲ 2²², |h| ≤ 1000, so every
+    * product (< 2³²) and dim-length sum (< 2³⁸) is an exact double — the
+    * sign, and therefore the bucketing, replays bit-for-bit in any engine. */
+  private[ops] def sigOf(iemb: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (pl, p) =>
+      when(dot(iemb, typedlit(pl)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   def lshTopK(
       embeddings: DataFrame,
       queries: DataFrame,
@@ -147,15 +160,12 @@ object Similarity {
       dim: Int = 64,
       k: Int = 10): DataFrame = {
     graft.expr.VectorOps.register(embeddings.sparkSession)
-    val planes = (0 until nPlanes).map(p =>
-      (0 until dim).map(d => planeComponent(p, d).toDouble))
+    val planes = planeVectors(nPlanes, dim)
     def sig(emb: Column): Column = {
       // integerized embedding: values are whole numbers ≤ ~1e6·|v|, products
       // vs |h| ≤ 1000 stay < 2^53 → the double dot product is EXACT
       val iemb = transform(emb, v => floor(v * lit(1e6)).cast("double"))
-      (0 until nPlanes).map { p =>
-        when(dot(iemb, typedlit(planes(p))) >= 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
+      sigOf(iemb, planes)
     }
     val corpus = Dedup.fanOut(embeddings).select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
@@ -211,6 +221,72 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Corpus-scaled cell-count sizing for the blocked ANN family: the
+    * smallest p ∈ [3, 30] with 2ᵖ·256 ≥ n, so the expected cell stays ~256
+    * vectors as the corpus grows. Pure integer arithmetic — the SQL oracle
+    * derives the identical plane count. */
+  private[ops] def autoPlanes(n: Long): Int = {
+    var p = 3
+    while (p < 30 && (1L << p) * 256L < n) p += 1
+    p
+  }
+
+  /** Corpus-scaled hyperplane cell keys — the auto-k cell assigner behind
+    * [[semanticDedup]], [[cellKnn]] and [[embeddingOutliers]].
+    *
+    * Cell id = the [[lshTopK]] signature of the MEAN-CENTERED integerized
+    * embedding: bit p is the sign of the projection onto md5-derived
+    * hyperplane p ([[planeComponent]]), with the per-dimension corpus mean
+    * subtracted first so the common positive-orthant bias doesn't push
+    * every projection to one side — centered, each plane splits the corpus
+    * near-evenly and 2^nPlanes cells stay ~n/2^nPlanes occupied.
+    *
+    * This is the scale fix for the round-6 auto-k finding: a k-means cell
+    * assignment with corpus-scaled k scores every vector against every
+    * centroid — O(n·k) = O(n²/256) dots per round plus an O(n)-growing
+    * codebook broadcast. The signature is a PURE PER-ROW COLUMN:
+    * O(n·nPlanes·dim) = O(n·log n) map-side work, no assignment join, and
+    * the only non-row-local inputs are the dim-length mean vector (an O(1)
+    * broadcast) and nPlanes·dim plane literals baked into the plan. At
+    * cluster scale the corpus can be written bucketed by `cell`.
+    * [[Quantize.kmeansCodebook]] remains the PINNED-k path (codebooks, PQ
+    * subspaces, explicit `cellK`) where k is a model hyperparameter and the
+    * broadcast is bounded by design.
+    *
+    * Determinism: micro-unit integer coordinates, floor'd integer means
+    * (exact while n·2²¹ < 2⁵³, i.e. n < 2³²), integer-valued double dots
+    * (see [[sigOf]]) — the DuckDB oracle replays every bit.
+    *
+    * @param dim plane length; dims beyond the actual embedding length are
+    *        ignored (min-length dot), so the default covers any dim ≤ 64
+    * @return (vec_id, cell) — cell ∈ [0, 2^nPlanes)
+    */
+  def hyperplaneCells(embeddings: DataFrame, nPlanes: Int,
+      dim: Int = 64): DataFrame = {
+    graft.expr.VectorOps.register(embeddings.sparkSession)
+    val planes = planeVectors(nPlanes, dim)
+    val iv = Dedup.fanOut(embeddings).select(col("vec_id"),
+      transform(col("embedding"),
+        v => floor(v.cast("double") * 1000000d).cast("double")).as("iemb"))
+    // per-dimension integer mean — floor via double division, NOT integer
+    // div: sums can be negative and div truncates toward zero while the
+    // oracle's floor floors (the pcaTopComponent note); dim rows total
+    val mu = iv.select(posexplode(col("iemb")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(floor(sum(col("x")) / count(lit(1))).as("m"))
+    val muArr = mu.agg(array_sort(collect_list(struct(col("d"), col("m")))).as("p"))
+      .select(expr("transform(p, q -> q.m)").as("mu"))
+    iv.crossJoin(broadcast(muArr))
+      .withColumn("cemb", zip_with(col("iemb"), col("mu"), (x, m) => x - m))
+      .select(col("vec_id"), sigOf(col("cemb"), planes).as("cell"))
+  }
+
+  /** Auto-path cell relation (vec_id, cell) shared by the corpus-scaled
+    * consumers; the count() is one eager columnar scan at composition time
+    * (same class as ZOrder's range pass). */
+  private def autoCells(embeddings: DataFrame): DataFrame =
+    hyperplaneCells(embeddings, autoPlanes(embeddings.count()))
+
   /** SemDeDup-style semantic dedup (cluster-then-prune): k-means cells bound
     * the pair search — cosine is evaluated only within a cell, never
     * all-pairs — then near-dup pairs transitively close into clusters and
@@ -222,26 +298,26 @@ object Similarity {
     * [[Quantize.kmeansCodebook]], so the whole pipeline — centroids, cells,
     * cosines, closure — replays exactly in SQL.
     *
-    * `k = 0` (the default) derives the cell count from the corpus:
-    * k = max(8, ⌈n/256⌉), integer arithmetic so any engine agrees. This is
-    * the scale-critical knob: a FIXED k means cells grow with the corpus
-    * and the in-cell pair budget Σ|cell|² grows quadratically (measured:
-    * 11.7× time at 10× data with k=8); with k ∝ n the expected cell stays
-    * ~256 vectors and the budget is ~256·n — linear. A codebook-style
-    * fixed k remains available for callers that want it, but dedup should
-    * scale cells, not fill them. The count() is one eager columnar scan at
-    * composition time (same class as ZOrder's range pass).
+    * `k = 0` (the default) derives the cell count from the corpus via
+    * [[hyperplaneCells]]: 2ᵖ cells with 2ᵖ·256 ≥ n, integer arithmetic so
+    * any engine agrees. This is the scale-critical knob twice over: a
+    * FIXED k means cells grow with the corpus and the in-cell pair budget
+    * Σ|cell|² grows quadratically (measured: 11.7× time at 10× data with
+    * k=8), and a corpus-scaled k-MEANS assignment is itself O(n·k) =
+    * O(n²/256) dots (the round-6 finding) — the signature cells keep the
+    * budget ~256·n AND make assignment a per-row map. A codebook-style
+    * pinned k (> 0) trains Lloyd's instead — there k is a model
+    * hyperparameter and the O(n·k) assign is the IVF contract.
     *
     * @return (vec_id, keep_id, is_kept) — keep_id = min member of the
     *         vector's near-dup cluster; is_kept marks the survivor.
     */
   def semanticDedup(embeddings: DataFrame, k: Int = 0, rounds: Int = 2,
       threshold: Double = 0.95): DataFrame = {
-    val cellK =
-      if (k > 0) k
-      else math.max(8L, (embeddings.count() + 255L) / 256L).toInt
-    val cells = Quantize.kmeansCodebook(embeddings, cellK, rounds)
-      .select(col("vec_id"), col("centroid"))
+    val cells =
+      if (k > 0) Quantize.kmeansCodebook(embeddings, k, rounds)
+        .select(col("vec_id"), col("centroid"))
+      else autoCells(embeddings).select(col("vec_id"), col("cell").as("centroid"))
     val blocked = embeddings.select(col("vec_id"), col("embedding"))
       .join(cells.withColumnRenamed("centroid", "label"), Seq("vec_id"))
     val pairs = bucketedNearDups(blocked, threshold)
@@ -293,18 +369,18 @@ object Similarity {
 
   /** Cell-blocked exact-in-cell kNN relation (query_id, vec_id, cos, rk) —
     * the neighbor generator [[knnClassify]] and [[mutualKnn]] share:
-    * corpus-scaled k-means cells (⌈n/256⌉ unless `cellK` pins it), one
-    * hash equi-join on the cell id, per-query top-`k` by (cos desc,
-    * vec_id). Per-vector candidate count stays ~cell occupancy (~256) as
-    * the corpus grows. */
+    * corpus-scaled [[hyperplaneCells]] (2ᵖ·256 ≥ n; per-row signature, no
+    * assignment join) unless `cellK` pins a Lloyd's codebook, one hash
+    * equi-join on the cell id, per-query top-`k` by (cos desc, vec_id).
+    * Per-vector candidate count stays ~cell occupancy (~256) as the
+    * corpus grows. */
   def cellKnn(embeddings: DataFrame, k: Int = 5, cellK: Int = 0,
       rounds: Int = 2): DataFrame = {
     graft.expr.VectorOps.register(embeddings.sparkSession)
-    val kk =
-      if (cellK > 0) cellK
-      else math.max(8L, (embeddings.count() + 255L) / 256L).toInt
-    val cells = Quantize.kmeansCodebook(embeddings, kk, rounds)
-      .select(col("vec_id"), col("centroid").as("cell"))
+    val cells =
+      if (cellK > 0) Quantize.kmeansCodebook(embeddings, cellK, rounds)
+        .select(col("vec_id"), col("centroid").as("cell"))
+      else autoCells(embeddings)
     val vecs = Dedup.fanOut(embeddings)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", norm(col("emb")))
@@ -364,26 +440,62 @@ object Similarity {
   }
 
   /** In-cell distance outliers: vectors whose squared distance to their
-    * k-means centroid exceeds `cut` × the cell's median — the
-    * embedding-space anomaly screen (mislabeled points, corrupt encodes,
-    * out-of-distribution rows) on the same cells every ANN consumer here
-    * already builds. Exact in-cell medians (cells are ~256 vectors by the
-    * auto-k sizing; `approx_percentile` is the unbounded-cell fallback).
+    * cell centroid exceeds `cut` × the cell's median — the embedding-space
+    * anomaly screen (mislabeled points, corrupt encodes, out-of-
+    * distribution rows) on the same cells every ANN consumer here already
+    * builds. Auto path: [[hyperplaneCells]] + per-cell integer-mean
+    * centroids met by EQUI-joins on the cell id (~n/256 keys — nothing
+    * n-proportional is broadcast anywhere on this path, including the
+    * median relation, which is k rows and AQE's call); `cellK` > 0 pins a
+    * Lloyd's codebook, which carries its own centroid distances. Exact
+    * in-cell medians (cells are ~256 vectors by the auto sizing;
+    * `approx_percentile` is the unbounded-cell fallback).
     *
     * @return (vec_id, centroid, dist, ratio_u) for flagged vectors;
+    *         centroid = the cell id, dist in micro-units²,
     *         ratio_u = floor(dist/median · 1e6)
     */
   def embeddingOutliers(embeddings: DataFrame, cut: Double = 4.0,
       cellK: Int = 0, rounds: Int = 2): DataFrame = {
-    val kk =
-      if (cellK > 0) cellK
-      else math.max(8L, (embeddings.count() + 255L) / 256L).toInt
+    graft.expr.VectorOps.register(embeddings.sparkSession)
     val assigned = FreshCheckpoint(
-      Quantize.kmeansCodebook(embeddings, kk, rounds))
+      if (cellK > 0) Quantize.kmeansCodebook(embeddings, cellK, rounds)
+      else {
+        val cells = autoCells(embeddings)
+        val iv = Dedup.fanOut(embeddings).select(col("vec_id"),
+            transform(col("embedding"),
+              v => floor(v.cast("double") * 1000000d).cast("double")).as("xs"))
+          .withColumn("xx", graft.expr.VectorOps.vectorDot(col("xs"), col("xs")))
+          .join(cells, Seq("vec_id"))
+        // per-cell integer-mean centroid, rebuilt as d-ordered arrays (the
+        // kmeansCodebook centsOf shape) — n·dim NARROW rows once, then one
+        // native dot per vector: dist = |x|² + |c|² − 2·x·c, every term an
+        // integer-valued double < 2⁵⁰ so the Long cast is exact
+        val cmu = iv.select(col("cell"), posexplode(col("xs")).as(Seq("d", "x")))
+          .groupBy(col("cell"), col("d"))
+          .agg(floor(sum(col("x")) / count(lit(1))).as("cx"))
+        // CAST in the transform: Spark's floor() yields LONG, and VectorDot
+        // reads raw array slots as doubles — an array<long> input is
+        // reinterpreted bits, not converted values (the kmeans centsOf cast)
+        val cents = cmu.groupBy(col("cell"))
+          .agg(array_sort(collect_list(struct(col("d"), col("cx")))).as("p"))
+          .select(col("cell"),
+            expr("transform(p, q -> CAST(q.cx AS DOUBLE))").as("cxs"))
+          .withColumn("cc",
+            graft.expr.VectorOps.vectorDot(col("cxs"), col("cxs")))
+        iv.join(cents, Seq("cell"))
+          .select(col("vec_id"), col("cell").as("centroid"),
+            (col("xx") + col("cc") - lit(2d) *
+              graft.expr.VectorOps.vectorDot(col("xs"), col("cxs")))
+              .cast("long").as("dist"))
+      })
     val med = assigned.groupBy(col("centroid"))
       .agg(percentile(col("dist"), lit(0.5)).as("med"))
       .filter(col("med") > 0)
-    assigned.join(broadcast(med), Seq("centroid"))
+    // no broadcast hint: med is ~n/256 rows — an explicit hint on an
+    // n-proportional relation overrides Spark's size check (the Limits
+    // .dimensionRows trap containment's comment documents); AQE decides
+    assigned.join(med, Seq("centroid"))
       .filter(col("dist").cast("double") > lit(cut) * col("med"))
       .select(col("vec_id"), col("centroid"), col("dist"),
         floor(col("dist").cast("double") / col("med") * 1000000d)

@@ -3,17 +3,24 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03
-  * — the MOSS plagiarism-detection primitive): hash every k-gram of a
-  * document, then keep only window-local minima, guaranteeing any shared
-  * run of ≥ k+w−1 characters between two documents leaves at least one
-  * IDENTICAL selected fingerprint in both — a positional-overlap detector
-  * that MinHash (whole-set similarity) and CDC chunking (block identity)
-  * don't provide.
+/** Winnowing-style document fingerprints (after Schleimer, Wilkerson &
+  * Aiken, SIGMOD'03 — the MOSS plagiarism-detection primitive): hash every
+  * k-gram of a document, then keep only forward-window local minima — a
+  * positional-overlap detector that MinHash (whole-set similarity) and CDC
+  * chunking (block identity) don't provide.
   *
   * Selection rule (deterministic on both engines): position p is selected
-  * iff hash(p) ≤ min(hash(p+1 .. p+w−1)) — the rightmost-minimum variant;
-  * expected density 1/w with 60-bit hashes making ties negligible.
+  * iff hash(p) ≤ min(hash(p+1 .. p+w−1)) — a FORWARD-window local-min
+  * variant, not SWA'03's per-window rightmost-minimum. The variant keeps
+  * SWA's expected density (~1/w, 60-bit hashes making ties negligible) and
+  * in practice selects from shared runs, but it does NOT carry the paper's
+  * hard guarantee that every shared run of ≥ k+w−1 characters yields a
+  * shared fingerprint: selection at a position can depend on hashes up to
+  * w−1 grams PAST the run, so a run sitting before, e.g., a monotonically
+  * decreasing hash tail in one document only can go unselected there. For
+  * the hard guarantee, per-window rightmost-min winnowing (state over the
+  * last w hashes) is the upgrade; the probabilistic variant is kept because
+  * it is a pure per-row slice expression with no cross-gram state.
   *
   * Complements [[TextAnalysis.fingerprint]] (token-gram winnowing reduced
   * to per-doc summary stats): this variant keeps the SELECTED SET and

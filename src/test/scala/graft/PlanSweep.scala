@@ -31,12 +31,18 @@ class PlanSweep extends SparkTestBase {
     "q165_quality_audit", // 1-row total-count scalar attach per RI rule
     "q166_unigram_logprob", // 1-row corpus-token-total scalar attach
     "q168_pmi_pairs", // 1-row N / pair-total scalar attaches
-    // kmeans assign: one native dot per (vector, centroid) against the
-    // broadcast CODEBOOK — a model artifact (k rows: pinned hyperparameter
-    // for q120, ⌈n/256⌉ auto-k for q176's cells, i.e. ~200 rows per 50k
-    // vectors; a cluster deployment pins k IVF-style). The BNLJ replaced
-    // the relational coords⋈centroids equi-join that streamed n·k·dim rows
-    "q120_kmeans_codebook", "q176_knn_classify",
+    // q120: kmeans assign — one native dot per (vector, centroid) against
+    // the broadcast CODEBOOK, a model artifact whose k rows are a PINNED
+    // hyperparameter (the IVF contract; this BNLJ replaced the relational
+    // coords⋈centroids equi-join that streamed n·k·dim rows). The
+    // corpus-scaled ANN consumers (q150/q176/q181/q185/q186) deliberately
+    // do NOT take this shape — their auto cell count grows with n, so
+    // round 7 moved them to per-row hyperplane signatures whose only BNLJ
+    // is the 1-ROW mean-vector scalar attach below
+    "q120_kmeans_codebook",
+    // hyperplaneCells: 1-row dim-length mean-vector scalar attach
+    "q150_semantic_dedup", "q176_knn_classify", "q181_mutual_knn",
+    "q185_density_clusters", "q186_embedding_outliers",
     "q175_bigram_logprob", // 1-row vocabulary-size scalar attach
     "q183_pca_component", // 1-row norm scalar per power-iteration round
     "q184_psi_drift") // 1-row ref-range / totals scalar attaches
@@ -67,7 +73,12 @@ class PlanSweep extends SparkTestBase {
     // q183: every post-scatter stage runs on the dim×dim (O(1)) matrix —
     // global aggregates there are norm scalars, not corpus reductions
     "q183_pca_component",
-    "q184_psi_drift") // bins-sized totals
+    "q184_psi_drift", // bins-sized totals
+    // hyperplaneCells consumers: the dim-row per-dimension mean relation
+    // collapses to ONE dim-length array row (the centering scalar) — a
+    // bounded global aggregate, not a corpus reduction
+    "q150_semantic_dedup", "q176_knn_classify", "q181_mutual_knn",
+    "q185_density_clusters", "q186_embedding_outliers")
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:

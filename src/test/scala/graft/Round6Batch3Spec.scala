@@ -25,6 +25,21 @@ class Round6Batch3Spec extends SparkTestBase {
     assert(out(("q", 9L)) === ((0L, 500L, 1L))) // untouched singleton
   }
 
+  test("compaction maxBinFiles splits byte bins and renumbers densely; files_saved = bin_files - 1") {
+    // 6 equal tiny files under one byte bin (total 60 < target 1000);
+    // maxBinFiles = 2 must split them into dense bins of exactly 2 files
+    val inv = (1 to 6).map(i => ("p", i.toLong, 10L)).toDF("source", "file_id", "bytes")
+    val out = Compaction.plan(inv, target = 1000L, maxBinFiles = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(5), r.getLong(6)))
+    assert(out.map(_._2).distinct.sorted.toSeq === Seq(0L, 1L, 2L)) // dense bins
+    assert(out.forall(_._3 == 2L)) // every bin capped at 2 files
+    assert(out.forall(_._4 == 1L)) // files_saved = bin_files - 1
+    // unlimited default keeps the r6 numbering (bin = byte quotient)
+    val deflt = Compaction.plan(inv, target = 1000L).collect()
+    assert(deflt.forall(r => r.getLong(3) == 0L && r.getLong(5) == 6L
+      && r.getLong(6) == 5L))
+  }
+
   test("compaction never merges across partitions") {
     val inv = (1 to 50).map(i => (s"part${i % 5}", i.toLong, 10L))
       .toDF("source", "file_id", "bytes")

@@ -29,6 +29,18 @@ class Round6Batch4Spec extends SparkTestBase {
     assert(Analytics.kTruss(edges.toDF("a", "b"), k = 4).isEmpty)
   }
 
+  test("kTruss degenerate k <= 2 keeps triangle-free edges with support 0") {
+    // a bare path has no triangles; support >= k - 2 = 0 must keep every
+    // edge (the r6 inner join silently dropped them)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val out = Analytics.kTruss(path.toDF("a", "b"), k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet === path.toSet)
+    assert(out.values.forall(_ === 0L))
+    assertThrows[IllegalArgumentException](
+      Analytics.kTruss(path.toDF("a", "b"), k = 2, rounds = 0))
+  }
+
   test("mutualKnn keeps only reciprocated links and bounds degree by k") {
     // cluster of 4 mutually-close vectors plus a far outlier whose kNN list
     // contains cluster members, but no cluster member reciprocates at k=2

@@ -110,18 +110,21 @@ class Round6OpsSpec extends SparkTestBase {
   }
 
   test("semanticDedup auto-k scales cells with the corpus and still finds planted dups") {
-    // below the 2048-vector knee auto-k pins to 8 → identical to explicit k=8
-    val small = (1L to 40L).map(i =>
-      (i, Array(i.toFloat, (i * 3 % 7).toFloat, 1f, (i % 5).toFloat)))
+    // auto path = hyperplane signature cells (round 7: the corpus-scaled
+    // k-means assignment was O(n²/256)); an exact duplicate pair projects
+    // identically, so it always shares a cell and dedups at any corpus size
+    val small = ((1L to 40L).map(i =>
+      (i, Array(i.toFloat, (i * 3 % 7).toFloat, 1f, (i % 5).toFloat))) :+
+      (41L, Array(100f, 3f, 1f, 1f)) :+ (42L, Array(100f, 3f, 1f, 1f)))
       .toDF("vec_id", "embedding")
-    val auto = graft.ops.Similarity.semanticDedup(small, rounds = 2, threshold = 0.999)
-      .collect().sortBy(_.getLong(0))
-    val pinned = graft.ops.Similarity.semanticDedup(small, k = 8, rounds = 2,
-      threshold = 0.999).collect().sortBy(_.getLong(0))
-    assert(auto.map(_.toString) sameElements pinned.map(_.toString))
+    val byId = graft.ops.Similarity.semanticDedup(small, rounds = 2, threshold = 0.99999)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(byId(42L) === ((41L, false))) // dup collapses onto the min id
+    assert(byId(41L) === ((41L, true)))
+    assert(byId.size === 42)
 
-    // above it, k = ceil(n/256) cells — and an exact duplicate pair still
-    // lands in one cell (identical vectors assign identically)
+    // at 3k vectors, cells = 2^p with 2^p·256 >= n — and an exact duplicate
+    // pair still lands in one cell (identical vectors assign identically)
     val big = ((1L to 3000L).map(i =>
       (i, Array((i % 97).toFloat, (i % 89).toFloat, (i % 83).toFloat, 1f))) :+
       (9001L, Array(500f, -500f, 500f, -500f)) :+

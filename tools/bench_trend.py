@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Round-over-round bench trend on bench_history.jsonl, noise-aware.
+
+This box's run-to-run noise is +/-50-100%, and the history file mixes
+scale factors (sf0.1 full runs, sf1 probe runs) and inventory sizes
+(partial SPARK_GRAFT_ONLY runs, -1 entries for skipped queries), so a
+naive totals comparison is meaningless (the round-6 "regression" was
+exactly this artifact). The robust comparison, per the round-6 judge:
+
+  1. keep only entries whose `sf` matches the requested scale dir suffix;
+  2. drop per-query values < 0 (skipped) and entries with fewer than
+     --min-queries timed queries (partial runs distort minima);
+  3. take each query's MINIMUM across the kept entries of each window;
+  4. compare the two windows on their SHARED query set only.
+
+Usage:
+  bench_trend.py [--history bench_history.jsonl] [--sf sf0.1]
+                 [--baseline-last K] [--current-last N] [--min-queries M]
+                 [--top T]
+
+Windows: the last N kept entries are "current"; the K kept entries before
+them are "baseline". Defaults (K=N=3) smooth single-run noise on both
+sides. Exit code 0 always — this is a report, not a gate.
+"""
+import argparse
+import json
+import sys
+
+
+def load(path, sf_suffix, min_queries):
+    kept = []
+    for i, line in enumerate(open(path)):
+        line = line.strip()
+        if not line:
+            continue
+        d = json.loads(line)
+        sf = d.get("sf", "")
+        if not sf.rstrip("/").endswith(sf_suffix):
+            continue
+        qs = {k: v for k, v in d.get("queries", {}).items() if v >= 0}
+        if len(qs) < min_queries:
+            continue
+        kept.append((i, qs))
+    return kept
+
+
+def minima(entries):
+    out = {}
+    for _, qs in entries:
+        for k, v in qs.items():
+            if k not in out or v < out[k]:
+                out[k] = v
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--history", default="bench_history.jsonl")
+    ap.add_argument("--sf", default="sf0.1",
+                    help="suffix of the sf dir to keep (default sf0.1)")
+    ap.add_argument("--baseline-last", type=int, default=3,
+                    help="entries in the baseline window (default 3)")
+    ap.add_argument("--current-last", type=int, default=3,
+                    help="entries in the current window (default 3)")
+    ap.add_argument("--min-queries", type=int, default=100,
+                    help="drop partial runs with fewer timed queries")
+    ap.add_argument("--top", type=int, default=10,
+                    help="worst regressors to list")
+    a = ap.parse_args()
+
+    kept = load(a.history, a.sf, a.min_queries)
+    if len(kept) < a.baseline_last + a.current_last:
+        print(f"only {len(kept)} qualifying entries for sf={a.sf} "
+              f"(need {a.baseline_last + a.current_last}); "
+              f"lower --min-queries or the window sizes")
+        return
+    cur_entries = kept[-a.current_last:]
+    base_entries = kept[-(a.baseline_last + a.current_last):-a.current_last]
+    cur, base = minima(cur_entries), minima(base_entries)
+    shared = sorted(set(cur) & set(base))
+    ct = sum(cur[q] for q in shared)
+    bt = sum(base[q] for q in shared)
+    print(f"entries kept: {len(kept)} (sf={a.sf}, >= {a.min_queries} queries)")
+    print(f"baseline window: history lines {[i for i, _ in base_entries]}")
+    print(f"current  window: history lines {[i for i, _ in cur_entries]}")
+    print(f"shared queries: {len(shared)}  "
+          f"new-only: {len(set(cur) - set(base))}  "
+          f"gone: {len(set(base) - set(cur))}")
+    print(f"per-query-minima total: baseline {bt:.1f}s -> current {ct:.1f}s "
+          f"= {ct / bt:.2f}x" if bt else "no shared queries")
+    regress = sorted(((cur[q] / base[q], q) for q in shared if base[q] > 0),
+                     reverse=True)[:a.top]
+    print(f"\nworst {a.top} per-query ratios (current_min / baseline_min):")
+    for r, q in regress:
+        print(f"  {q:36s} {base[q]:7.2f}s -> {cur[q]:7.2f}s  {r:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

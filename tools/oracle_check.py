@@ -37,6 +37,30 @@ def normalize(df):
     return df
 
 
+def dtype_lint(ours, ref):
+    """Pre-unification dtype check (round-6 q177 lesson).
+
+    The driver's value hasher is format-sensitive: a DuckDB HUGEINT (from a
+    window sum over BIGINT) reaches pandas as float64/object and renders
+    "3.0" against Spark's int64 "3" — rows/schema checks pass, the hash
+    does not.  Warn whenever the same column is integer on one side but
+    float/object-numeric on the other, BEFORE normalize() papers over it.
+    """
+    warns = []
+    for c in sorted(set(ours.columns) & set(ref.columns)):
+        a, b = ours[c], ref[c]
+        a_int = pd.api.types.is_integer_dtype(a)
+        b_int = pd.api.types.is_integer_dtype(b)
+        a_num = a_int or pd.api.types.is_float_dtype(a)
+        b_num = b_int or pd.api.types.is_float_dtype(b)
+        if a_int != b_int and a_num and b_num:
+            warns.append(f"{c}: spark={a.dtype} vs oracle={b.dtype}")
+        elif b.dtype == object and a_num:
+            # DuckDB HUGEINT/DECIMAL surfaces as object-of-ints in pandas
+            warns.append(f"{c}: spark={a.dtype} vs oracle=object ({type(b.iloc[0]).__name__ if len(b) else 'empty'})")
+    return warns
+
+
 def compare(a, b):
     if list(a.columns) != list(b.columns):
         return f"column mismatch: {list(a.columns)} vs {list(b.columns)}"
@@ -68,7 +92,7 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_ok = n_fail = n_skip = 0
+    n_ok = n_fail = n_skip = n_warn = 0
     for name in sorted(oracle):
         if only and name not in only:
             continue
@@ -83,6 +107,10 @@ def main():
             print(f"[ORACLE-ERR] {name}: {e}")
             n_fail += 1
             continue
+        for w in dtype_lint(res.reindex(sorted(res.columns), axis=1),
+                            ref.reindex(sorted(ref.columns), axis=1)):
+            print(f"[DTYPE-WARN] {name}: {w}")
+            n_warn += 1
         err = compare(normalize(res), normalize(ref))
         if err:
             print(f"[FAIL] {name}: {err}")
@@ -101,7 +129,7 @@ def main():
             status = "rows-only" if res is not None and len(res) > 0 else "EMPTY"
             print(f"[{status}] {name} ({0 if res is None else len(res)} rows)")
             n_skip += 1
-    print(f"== {n_ok} ok, {n_fail} fail, {n_skip} rows-only ==")
+    print(f"== {n_ok} ok, {n_fail} fail, {n_skip} rows-only, {n_warn} dtype-warn ==")
     sys.exit(1 if n_fail else 0)
 
 
