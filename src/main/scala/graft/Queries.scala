@@ -4391,11 +4391,142 @@ object Queries {
              |FROM dst a JOIN med ON med.cell = a.cell
              |WHERE CAST(a.dist AS DOUBLE) > 4.0 * med.med""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-7 batch
+  // HITS hubs/authorities, Matryoshka prefix-dim fidelity, corpus n-gram
+  // diversity, densest-subgraph peeling.
+  private val ext16Qs = Seq(
+    Q("q187_hits",
+      (s, d) => {
+        // customer→nation→region DAG (the q81 graph): customers are pure
+        // hubs, regions pure authorities, nations both — the structure
+        // HITS separates and PageRank blurs
+        val ec = T(s, d, "customer")
+          .select(col("c_custkey").cast("long").as("src"),
+            (col("c_nationkey").cast("long") + 1000000L).as("dst"))
+        val en = T(s, d, "nation")
+          .select((col("n_nationkey").cast("long") + 1000000L).as("src"),
+            (col("n_regionkey").cast("long") + 2000000L).as("dst"))
+        val e = ec.unionByName(en)
+        val v = e.select(col("src").as("id"))
+          .unionByName(e.select(col("dst").as("id"))).distinct()
+        graft.graph.Centrality.hits(v, e, rounds = 3)
+      },
+      // Unrolled 3-round Gauss-Seidel chain, every stage MATERIALIZED (the
+      // q52 replay discipline); all intermediate scores are exact integers
+      Some {
+        val stages = (1 to 3).map { k =>
+          val prev = if (k == 1) "x0" else s"x${k - 1}"
+          s"""a$k AS MATERIALIZED (SELECT x.id, x.hub, x.auth + coalesce(ai.inc, 0.0) AS auth
+             |  FROM $prev x LEFT JOIN (SELECT e.dst AS id, sum(y.hub) AS inc
+             |    FROM e JOIN $prev y ON y.id = e.src GROUP BY 1) ai ON ai.id = x.id),
+             |x$k AS MATERIALIZED (SELECT a.id, a.hub + coalesce(hi.inc, 0.0) AS hub, a.auth
+             |  FROM a$k a LEFT JOIN (SELECT e.src AS id, sum(y.auth) AS inc
+             |    FROM e JOIN a$k y ON y.id = e.dst GROUP BY 1) hi ON hi.id = a.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ec AS (SELECT CAST(c_custkey AS BIGINT) AS src,
+           |   CAST(c_nationkey AS BIGINT) + 1000000 AS dst FROM customer),
+           |en AS (SELECT CAST(n_nationkey AS BIGINT) + 1000000 AS src,
+           |   CAST(n_regionkey AS BIGINT) + 2000000 AS dst FROM nation),
+           |e AS MATERIALIZED (SELECT src, dst FROM ec UNION ALL SELECT src, dst FROM en),
+           |v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)),
+           |x0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS hub, 0.0::DOUBLE AS auth FROM v),
+           |$stages,
+           |nrm AS (SELECT sqrt(sum(hub*hub)) AS nh, sqrt(sum(auth*auth)) AS na FROM x3)
+           |SELECT id, round(hub / (CASE WHEN nh = 0 THEN 1.0 ELSE nh END), 6) AS hub,
+           |  round(auth / (CASE WHEN na = 0 THEN 1.0 ELSE na END), 6) AS auth
+           |FROM x3, nrm""".stripMargin
+      }),
+
+    Q("q188_matryoshka_fidelity",
+      (s, d) => graft.ops.Quantize.matryoshkaFidelity(T(s, d, "embeddings")),
+      Some("""WITH f AS (SELECT vec_id, unnest(embedding) AS v,
+             |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+             |pr AS (SELECT a.vec_id AS qa, a.vec_id + 7 AS vb
+             |  FROM (SELECT DISTINCT vec_id FROM embeddings) a
+             |  JOIN (SELECT DISTINCT vec_id FROM embeddings) b ON b.vec_id = a.vec_id + 7),
+             |j AS MATERIALIZED (SELECT pr.qa, fa.i, CAST(fa.v AS DOUBLE) AS va,
+             |   CAST(fb.v AS DOUBLE) AS vb
+             |  FROM pr JOIN f fa ON fa.vec_id = pr.qa
+             |  JOIN f fb ON fb.vec_id = pr.vb AND fb.i = fa.i),
+             |pd AS (SELECT j.qa, b.db,
+             |   sum(CASE WHEN j.i <= b.db THEN j.va * j.vb ELSE 0 END) AS dp,
+             |   sum(CASE WHEN j.i <= b.db THEN j.va * j.va ELSE 0 END) AS na2,
+             |   sum(CASE WHEN j.i <= b.db THEN j.vb * j.vb ELSE 0 END) AS nb2,
+             |   sum(j.va * j.vb) AS dpf, sum(j.va * j.va) AS naf,
+             |   sum(j.vb * j.vb) AS nbf
+             |  FROM j, (SELECT unnest([8, 16, 32]) AS db) b GROUP BY 1, 2),
+             |er AS (SELECT qa, db, round(abs(
+             |   (CASE WHEN na2 = 0 OR nb2 = 0 THEN 0.0
+             |     ELSE round(dp / (sqrt(na2) * sqrt(nb2)), 6) END) -
+             |   (CASE WHEN naf = 0 OR nbf = 0 THEN 0.0
+             |     ELSE round(dpf / (sqrt(naf) * sqrt(nbf)), 6) END)) * 1000000) AS e
+             |  FROM pd)
+             |SELECT CAST(db AS BIGINT) AS dim_budget, CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(sum(e) AS BIGINT) AS sum_abs_err_u,
+             |  CAST(max(e) AS BIGINT) AS max_abs_err_u
+             |FROM er GROUP BY 1""".stripMargin)),
+
+    Q("q189_corpus_diversity",
+      (s, d) => graft.ops.TextAnalysis.corpusDiversity(T(s, d, "documents")),
+      Some("""WITH tl AS (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> x <> '') AS tl FROM documents),
+             |g AS (
+             |  SELECT 1 AS n, unnest(tl) AS gram FROM tl
+             |  UNION ALL
+             |  SELECT 2, array_to_string(tl[i:i+1], ' ')
+             |  FROM (SELECT tl, unnest(range(1, len(tl))) AS i FROM tl)
+             |  UNION ALL
+             |  SELECT 3, array_to_string(tl[i:i+2], ' ')
+             |  FROM (SELECT tl, unnest(range(1, len(tl) - 1)) AS i FROM tl)),
+             |gc AS (SELECT n, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+             |SELECT CAST(n AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS total_grams,
+             |  CAST(count(*) AS BIGINT) AS distinct_grams,
+             |  CAST(max(cnt) AS BIGINT) AS max_gram_count,
+             |  CAST(count(*) * 1000000 // sum(cnt) AS BIGINT) AS ttr_u,
+             |  CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT) AS top_share_u
+             |FROM gc GROUP BY 1""".stripMargin)),
+
+    Q("q190_densest_subgraph",
+      (s, d) => graft.graph.Analytics.densestSubgraph(
+        T(s, d, "lineitem").select(col("l_partkey").cast("long").as("a"),
+          (col("l_suppkey").cast("long") + 1000000L).as("b")).distinct(),
+        rounds = 4),
+      // Unrolled 4-round peel over the part↔supplier co-occurrence graph;
+      // peel predicate and density are pure integer arithmetic
+      Some {
+        val stages = (0 until 4).map { r =>
+          s"""d$r AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
+             |   SELECT a AS v FROM e$r UNION ALL SELECT b FROM e$r) GROUP BY 1),
+             |t$r AS (SELECT count(*) AS nv,
+             |   CAST(coalesce(sum(deg), 0) // 2 AS BIGINT) AS ne FROM d$r),
+             |k$r AS (SELECT d.v FROM d$r d, t$r t WHERE d.deg * t.nv * 10 > t.ne * 2 * 11),
+             |e${r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$r e
+             |  JOIN k$r x ON x.v = e.a JOIN k$r y ON y.v = e.b)""".stripMargin
+        }.mkString(",\n")
+        val statRows = (0 to 4).map { r =>
+          s"SELECT $r AS round, nv, ne FROM t$r"
+        }.mkString("\nUNION ALL ")
+        s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS a,
+           |   CAST(l_suppkey AS BIGINT) + 1000000 AS b FROM lineitem),
+           |$stages,
+           |d4 AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
+           |   SELECT a AS v FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1),
+           |t4 AS (SELECT count(*) AS nv,
+           |   CAST(coalesce(sum(deg), 0) // 2 AS BIGINT) AS ne FROM d4),
+           |st AS ($statRows)
+           |SELECT CAST(round AS BIGINT) AS round, CAST(nv AS BIGINT) AS n_vertices,
+           |  CAST(ne AS BIGINT) AS n_edges,
+           |  CAST(CASE WHEN nv > 0 THEN ne * 1000000 // nv ELSE 0 END AS BIGINT) AS density_u,
+           |  row_number() OVER (ORDER BY
+           |    (CASE WHEN nv > 0 THEN ne * 1000000 // nv ELSE 0 END) DESC, round) = 1 AS is_best
+           |FROM st""".stripMargin
+      }))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
-      ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs
+      ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

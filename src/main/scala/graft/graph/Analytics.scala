@@ -331,11 +331,16 @@ object Analytics {
     val deg = FreshCheckpoint(
       e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg")))
-    // deg and adj are node-sized; below the local threshold broadcast them so
-    // the edge relation is never shuffled for the attaches (the scale path
-    // above it is plain shuffle joins on the node key)
+    // deg and adj are node-sized; below the local threshold broadcast them
+    // so the edge relation is never shuffled for the attaches. On the scale
+    // path the attaches are shuffle joins on the node key — pinned to
+    // ShuffledHashJoin (build = the node-sized side, 1/parts of it per
+    // task) because the SortMergeJoin default SORTS the edge stream, and
+    // once edges carry adjacency-array payloads that sort spills: the sf1
+    // probe measured 38× at 10× data crossing the broadcast→shuffle flip,
+    // with the 6 GB payload sort as the dominant term.
     val hint: DataFrame => DataFrame =
-      if (deg.count() <= localThreshold) broadcast(_) else identity
+      if (deg.count() <= localThreshold) broadcast(_) else _.hint("shuffle_hash")
     val withDeg = e
       .join(hint(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "da")), Seq("a"))
       .join(hint(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db")), Seq("b"))
@@ -380,8 +385,10 @@ object Analytics {
     val deg = FreshCheckpoint(
       e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg")))
+    // scale path pins ShuffledHashJoin for the same payload-sort reason as
+    // triangleCount (build side = node-sized relation / parts per task)
     val hint: DataFrame => DataFrame =
-      if (deg.count() <= localThreshold) broadcast(_) else identity
+      if (deg.count() <= localThreshold) broadcast(_) else _.hint("shuffle_hash")
     val withDeg = e
       .join(hint(deg.select(col("id").as("a"), col("deg").as("da"))), Seq("a"))
       .join(hint(deg.select(col("id").as("b"), col("deg").as("db"))), Seq("b"))
@@ -486,16 +493,34 @@ object Analytics {
         if (alive(a) && alive(b)) deg(a) = deg.getOrElse(a, 0L) + 1L }
       deg.toSeq.toDF("id", "deg")
     } else {
-      def aliveDeg(alive: DataFrame): DataFrame = und
-        .join(alive.select($"id".as("a")), Seq("a"), "left_semi")
-        .join(alive.select($"id".as("b")), Seq("b"), "left_semi")
-        .groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
-      var alive = FreshCheckpoint(und.select($"a".as("id")).distinct())
+      // Delta peeling: removing a vertex only changes its NEIGHBORS'
+      // surviving degrees, so each round (a) drops sub-k vertices from the
+      // node-sized degree relation and (b) subtracts one per edge into the
+      // removed set — found with a single semi-join of the edge relation
+      // against the small, shrinking removed set (AQE broadcasts it when
+      // it fits, so the full edge relation is never reshuffled after the
+      // initial degree build). The previous form re-semi-joined all edges
+      // against the alive set twice per round — three full-edge shuffles a
+      // round, the cost the sf1 probe surfaced (36.8 s vs a sub-second
+      // local path at sf0.1). Synchronous-peel semantics are identical:
+      // removed_r = {v : deg_r(v) < k}, deg_{r+1} = induced degree after
+      // removal — by induction the same relation aliveDeg(alive_r)
+      // produced.
+      var deg = FreshCheckpoint(
+        und.groupBy($"a".as("id")).agg(count(lit(1)).as("deg")))
       for (_ <- 1 to rounds) {
-        alive = FreshCheckpoint(
-          aliveDeg(alive).filter($"deg" >= k).select($"id"))
+        val removed = deg.filter($"deg" < k).select($"id")
+        val delta = und
+          .join(removed.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+          .groupBy($"a".as("id")).agg(count(lit(1)).as("d"))
+        deg = FreshCheckpoint(
+          deg.join(removed, Seq("id"), "left_anti")
+            .join(delta, Seq("id"), "left")
+            .select($"id", ($"deg" - coalesce($"d", lit(0L))).as("deg")))
       }
-      aliveDeg(alive)
+      // the aliveDeg formulation emitted no row for a survivor whose last
+      // neighbor was peeled (no surviving edge to aggregate) — match it
+      deg.filter($"deg" > 0)
     }
   }
 
@@ -674,5 +699,61 @@ object Analytics {
       e = FreshCheckpoint(result.select(col("a"), col("b")))
     }
     result
+  }
+
+  /** Fixed-round densest-subgraph peeling (Charikar greedy via the
+    * Bahmani–Kumar–Vazirani parallel variant, VLDB'12): each round drops
+    * every vertex whose degree is ≤ (1+ε) × the CURRENT average degree,
+    * then records the surviving subgraph's density. The best density seen
+    * across rounds is a 2(1+ε)-approximation of the optimum; the parallel
+    * peel needs only O(log n) rounds where the sequential greedy needs n.
+    *
+    * Determinism: the peel condition and the density are pure integer
+    * arithmetic — with ε = 1/10, drop iff deg · nV · 10 ≤ 2 · nE · 11
+    * (cross-multiplied, no division), density_u = (nE · 10⁶) div nV — so
+    * both engines replay every round exactly and the fixed round count is
+    * the q52-family discipline (full convergence = the same body in a
+    * while-loop).
+    *
+    * Scale shape per round: one degree aggregate, one 1-row (nV, nE)
+    * scalar, one semi-join of edges against surviving vertices — all
+    * equi-keyed; nothing corpus-sized is broadcast.
+    *
+    * @param edges undirected pair relation (a, b), a < b, deduplicated
+    * @return one row per round: (round, n_vertices, n_edges, density_u,
+    *         is_best) — is_best marks the earliest densest round
+    */
+  def densestSubgraph(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"densestSubgraph needs rounds >= 1, got $rounds")
+    var e = FreshCheckpoint(edges.select(
+      col("a").cast("long").as("a"), col("b").cast("long").as("b")))
+    var stats: DataFrame = null
+    for (r <- 0 to rounds) {
+      val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val degC = FreshCheckpoint(deg)
+      val tot = degC.agg(count(lit(1)).as("nv"),
+        (coalesce(sum(col("deg")), lit(0L)) / 2).cast("long").as("ne"))
+      val row = tot.select(lit(r.toLong).as("round"), col("nv").as("n_vertices"),
+        col("ne").as("n_edges"),
+        when(col("nv") > 0, expr("ne * 1000000 div nv")).otherwise(lit(0L))
+          .as("density_u"))
+      stats = if (stats == null) row else stats.unionByName(row)
+      if (r < rounds) {
+        val keep = degC.crossJoin(broadcast(tot))
+          .filter(col("deg") * col("nv") * 10 > col("ne") * 2 * 11)
+          .select(col("v"))
+        val keepC = FreshCheckpoint(keep)
+        e = FreshCheckpoint(
+          e.join(keepC.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+            .join(keepC.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+            .select(col("a"), col("b")))
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("density_u").desc, col("round"))
+    // the stats relation is rounds+1 rows — O(1); the global window is on
+    // that bounded artifact, not on corpus-sized data
+    stats.withColumn("is_best", row_number().over(w) === 1)
   }
 }

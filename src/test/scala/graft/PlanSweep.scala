@@ -43,6 +43,8 @@ class PlanSweep extends SparkTestBase {
     // hyperplaneCells: 1-row dim-length mean-vector scalar attach
     "q150_semantic_dedup", "q176_knn_classify", "q181_mutual_knn",
     "q185_density_clusters", "q186_embedding_outliers",
+    "q187_hits", // 1-row L2-norm scalar attach
+    "q190_densest_subgraph", // 1-row (nv, ne) scalar attach per peel round
     "q175_bigram_logprob", // 1-row vocabulary-size scalar attach
     "q183_pca_component", // 1-row norm scalar per power-iteration round
     "q184_psi_drift") // 1-row ref-range / totals scalar attaches
@@ -78,7 +80,11 @@ class PlanSweep extends SparkTestBase {
     // collapses to ONE dim-length array row (the centering scalar) — a
     // bounded global aggregate, not a corpus reduction
     "q150_semantic_dedup", "q176_knn_classify", "q181_mutual_knn",
-    "q185_density_clusters", "q186_embedding_outliers")
+    "q185_density_clusters", "q186_embedding_outliers",
+    "q187_hits", // 1-row norm scalar
+    // q190: per-round 1-row (nv, ne) scalars; the final window runs on the
+    // rounds+1-row stats artifact, not corpus data
+    "q190_densest_subgraph")
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:
