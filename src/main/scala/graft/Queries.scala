@@ -732,6 +732,49 @@ object Queries {
              |GROUP BY 1""".stripMargin)))
 
   // ---------------------------------------------------------------- dedup / text ops
+  /** The WITH-chain replaying [[graft.ops.Dedup.minhashLsh]] (8 hashes,
+    * 4 bands of 2, threshold 0.8) through the final verified pair relation
+    * `mh(a, b, jaccard)` — shared by q35 and the q192 cross-source
+    * rollup. */
+  private val minhashPairCtes: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> x <> '') AS tl FROM documents)),
+      |toks AS (
+      |  SELECT DISTINCT doc_id,
+      |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+      |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+      |sig AS (SELECT doc_id,
+      |  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
+      |  min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
+      |  min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
+      |  min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
+      |  FROM toks GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sig
+      |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+      |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+      |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+      |   AND x.doc_id < y.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+      |inter AS (SELECT c.a, c.b, count(*) AS i
+      |  FROM cand c JOIN toks ta ON ta.doc_id = c.a
+      |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+      |  GROUP BY 1, 2),
+      |mh AS (SELECT c.a, c.b,
+      |  floor(CAST(coalesce(i.i, 0) AS DOUBLE)
+      |    / (sa.sz + sb.sz - coalesce(i.i, 0)) * 1000000) / 1000000 AS jaccard
+      |FROM cand c
+      |LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+      |JOIN sizes sa ON sa.doc_id = c.a
+      |JOIN sizes sb ON sb.doc_id = c.b
+      |WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE)
+      |    / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= 0.8)""".stripMargin
+
   private val dedupQs = Seq(
     Q("q34_dedup_exact",
       (s, d) => Dedup.exact(T(s, d, "documents")),
@@ -741,43 +784,7 @@ object Queries {
 
     Q("q35_dedup_minhash_lsh",
       (s, d) => Dedup.minhashLsh(T(s, d, "documents"), 8, 2, 0.8),
-      Some("""WITH words AS (
-             |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
-             |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
-             |    x -> x <> '') AS tl FROM documents)),
-             |toks AS (
-             |  SELECT DISTINCT doc_id,
-             |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
-             |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
-             |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
-             |sig AS (SELECT doc_id,
-             |  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
-             |  min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
-             |  min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
-             |  min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
-             |  FROM toks GROUP BY doc_id),
-             |bands AS (
-             |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sig
-             |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
-             |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
-             |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
-             |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-             |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
-             |   AND x.doc_id < y.doc_id),
-             |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
-             |inter AS (SELECT c.a, c.b, count(*) AS i
-             |  FROM cand c JOIN toks ta ON ta.doc_id = c.a
-             |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
-             |  GROUP BY 1, 2)
-             |SELECT c.a, c.b,
-             |  floor(CAST(coalesce(i.i, 0) AS DOUBLE)
-             |    / (sa.sz + sb.sz - coalesce(i.i, 0)) * 1000000) / 1000000 AS jaccard
-             |FROM cand c
-             |LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
-             |JOIN sizes sa ON sa.doc_id = c.a
-             |JOIN sizes sb ON sb.doc_id = c.b
-             |WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE)
-             |    / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= 0.8""".stripMargin)),
+      Some(minhashPairCtes + "\nSELECT a, b, jaccard FROM mh")),
 
     Q("q36_ngram_jaccard",
       (s, d) => Dedup.ngramJaccard(T(s, d, "documents"), 3, 0.8),
@@ -4522,11 +4529,100 @@ object Queries {
            |FROM st""".stripMargin
       }))
 
+  // ---------------------------------------------------------------- round-7 batch 2
+  // Record linkage, cross-source dup matrix, JL projection audit,
+  // cluster silhouette.
+  private val ext17Qs = Seq(
+    Q("q191_record_linkage",
+      (s, d) => graft.ops.RecordLinkage.linkParts(T(s, d, "part")),
+      // the oracle enumerates candidates naively per mfgr block (the
+      // prefix filter is lossless for dist <= maxDist, so the verified
+      // pair sets agree); scoring is pure integer arithmetic
+      Some("""WITH cand AS (SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+             |   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+             |   a.p_brand AS ba, b.p_brand AS bb,
+             |   a.p_size AS za, b.p_size AS zb,
+             |   CAST(floor(a.p_retailprice * 100) AS BIGINT) AS pa_c,
+             |   CAST(floor(b.p_retailprice * 100) AS BIGINT) AS pb_c
+             |  FROM part a JOIN part b ON a.p_type = b.p_type
+             |   AND a.p_partkey < b.p_partkey
+             |   AND abs(strlen(a.p_name) - strlen(b.p_name)) <= 2
+             |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+             |sc AS (SELECT pa, pb, dist,
+             |   500000 - dist * 150000
+             |   + CASE WHEN ba = bb THEN 200000 ELSE 0 END
+             |   + CASE WHEN abs(za - zb) <= 1 THEN 100000 ELSE 0 END
+             |   + CASE WHEN abs(pa_c - pb_c) <= 100 THEN 50000 ELSE 0 END AS score_u
+             |  FROM cand)
+             |SELECT pa, pb, dist, CAST(score_u AS BIGINT) AS score_u,
+             |  CASE WHEN score_u >= 700000 THEN 'match'
+             |       WHEN score_u >= 400000 THEN 'possible' END AS band
+             |FROM sc WHERE score_u >= 400000""".stripMargin)),
+
+    Q("q192_cross_source_matrix",
+      (s, d) => graft.ops.Dedup.crossSourceMatrix(T(s, d, "documents")),
+      Some(minhashPairCtes + """
+             |SELECT least(da.source, db.source) AS source_x,
+             |  greatest(da.source, db.source) AS source_y,
+             |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(sum(CAST(round(mh.jaccard * 1000000) AS BIGINT)) AS BIGINT) AS sum_j_u,
+             |  CAST(max(CAST(round(mh.jaccard * 1000000) AS BIGINT)) AS BIGINT) AS max_j_u
+             |FROM mh JOIN documents da ON da.doc_id = mh.a
+             |JOIN documents db ON db.doc_id = mh.b
+             |GROUP BY 1, 2""".stripMargin)),
+
+    Q("q193_jl_projection",
+      (s, d) => graft.ops.Decomposition.jlProjectionAudit(T(s, d, "embeddings")),
+      Some(s"""WITH f AS (SELECT vec_id, unnest(embedding) AS v,
+             |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+             |iv AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
+             |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS x FROM f),
+             |sg AS (SELECT p AS j, d,
+             |   CASE WHEN (list_sum(list_transform(range(15), jj ->
+             |      CAST(strpos('0123456789abcdef', substr(md5(p || ':' || d), CAST(jj + 1 AS INT), 1)) - 1
+             |        AS BIGINT) * (1::BIGINT << CAST(4 * (14 - jj) AS INT)))) % 2001) - 1000 >= 0
+             |     THEN 1 ELSE -1 END AS sgn
+             |  FROM range(16) t(p), range(64) s(d)),
+             |pj AS MATERIALIZED (SELECT iv.vec_id, sg.j, sum(sg.sgn * iv.x) AS p
+             |  FROM iv JOIN sg ON sg.d = iv.d GROUP BY 1, 2),
+             |dp AS (SELECT a.vec_id, sum((a.p - b.p) * (a.p - b.p)) AS d2_proj
+             |  FROM pj a JOIN pj b ON b.vec_id = a.vec_id + 7 AND b.j = a.j GROUP BY 1),
+             |dorig AS (SELECT a.vec_id, sum((a.x - b.x) * (a.x - b.x)) AS d2_orig
+             |  FROM iv a JOIN iv b ON b.vec_id = a.vec_id + 7 AND b.d = a.d GROUP BY 1),
+             |r AS (SELECT dp.vec_id,
+             |   CAST(dp.d2_proj // greatest(1, (16 * dorig.d2_orig) // 1000000) AS BIGINT) AS ratio_u
+             |  FROM dp JOIN dorig ON dorig.vec_id = dp.vec_id
+             |  WHERE dorig.d2_orig >= 1000000)
+             |SELECT CAST(ratio_u // 100000 AS BIGINT) AS band,
+             |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(min(ratio_u) AS BIGINT) AS min_ratio_u,
+             |  CAST(max(ratio_u) AS BIGINT) AS max_ratio_u
+             |FROM r GROUP BY 1""".stripMargin)),
+
+    Q("q194_cluster_silhouette",
+      (s, d) => graft.ops.Quantize.clusterSilhouette(T(s, d, "embeddings")),
+      // the kmeans chain through the final codebook c2, then BOTH nearest
+      // and runner-up distances per vector (a2 keeps only rn = 1)
+      Some(kmeansStages(recursive = false) + s""",
+             |sall AS (SELECT vec_id, cid, dist,
+             |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             |  FROM (SELECT iv.vec_id, c.cid, sum((iv.x - c.cx) * (iv.x - c.cx)) AS dist
+             |        FROM iv JOIN c2 c ON c.d = iv.d GROUP BY 1, 2)),
+             |ab AS (SELECT a.vec_id, a.cid, a.dist AS da, b.dist AS db
+             |  FROM sall a JOIN sall b ON b.vec_id = a.vec_id
+             |   AND a.rn = 1 AND b.rn = 2),
+             |s AS (SELECT cid,
+             |   (db - da) // greatest(1, greatest(da, db) // 1000000) AS s_u FROM ab)
+             |SELECT CAST(cid AS BIGINT) AS centroid, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(s_u) // count(*) AS BIGINT) AS mean_s_u,
+             |  CAST(min(s_u) AS BIGINT) AS min_s_u
+             |FROM s GROUP BY 1""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
-      ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs
+      ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

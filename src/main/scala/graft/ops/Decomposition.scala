@@ -119,4 +119,59 @@ object Decomposition {
             - log((col("n_cmp") + 1).cast("double") / (col("tc") + bins).cast("double")))
           * 1000000000d).cast("long").as("term_u"))
   }
+
+  /** Johnson–Lindenstrauss ±1 random-projection distortion audit: project
+    * every embedding to `k` dimensions through a deterministic md5-derived
+    * sign matrix (Achlioptas'01 — a ±1 matrix satisfies JL with the same
+    * guarantees as Gaussian), then measure how well pairwise squared
+    * distances survive on a linear deterministic pair sample (vector i vs
+    * i + `pairStep`, the [[Quantize.matryoshkaFidelity]] sampling shape).
+    * E[‖P(a−b)‖²] = k·‖a−b‖², so ratio_u ≈ 10⁶ when the projection is
+    * faithful; the banded histogram is the go/no-go artifact for serving
+    * ANN from the compressed space.
+    *
+    * ENTIRELY integer arithmetic: micro-unit coords, ±1 signs, BIGINT
+    * squared sums (|proj| ≤ dim·2²⁰ → squares < 2⁵⁶, sums < 2⁶⁰), and the
+    * ratio computed with a div-first rescale so nothing overflows — both
+    * engines agree bit-for-bit with no floating point anywhere. Pairs
+    * closer than 10⁻³ L2 (d2_orig < 10⁶ µ²) are excluded: their ratio is
+    * noise-dominated and the rescale would divide by zero.
+    *
+    * Scale shape: the projection is one equi-join of exploded coords
+    * against a broadcast k·dim sign literal + a (vec, j) partial agg —
+    * linear; pair stages are equi-joins on the shifted key.
+    *
+    * @return (band, n_pairs, min_ratio_u, max_ratio_u) — band =
+    *         ratio_u div 100000 (0.1-wide ratio buckets)
+    */
+  def jlProjectionAudit(embeddings: DataFrame, k: Int = 16, dim: Int = 64,
+      pairStep: Int = 7): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val signs = (0 until k).flatMap(j => (0 until dim).map(d =>
+        (j.toLong, d.toLong,
+          if (Similarity.planeComponent(j, d) >= 0) 1L else -1L)))
+      .toDF("j", "d", "sgn")
+    val coords = Quantize.coords(Dedup.fanOut(embeddings))
+    val proj = coords.join(broadcast(signs), Seq("d"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("sgn") * col("x")).as("p"))
+    val d2proj = proj.select(col("vec_id"), col("j"), col("p").as("pa"))
+      .join(proj.select((col("vec_id") - pairStep).as("vec_id"), col("j"),
+        col("p").as("pb")), Seq("vec_id", "j"))
+      .groupBy(col("vec_id"))
+      .agg(sum((col("pa") - col("pb")) * (col("pa") - col("pb"))).as("d2_proj"))
+    val d2orig = coords.select(col("vec_id"), col("d"), col("x").as("xa"))
+      .join(coords.select((col("vec_id") - pairStep).as("vec_id"), col("d"),
+        col("x").as("xb")), Seq("vec_id", "d"))
+      .groupBy(col("vec_id"))
+      .agg(sum((col("xa") - col("xb")) * (col("xa") - col("xb"))).as("d2_orig"))
+    d2proj.join(d2orig, Seq("vec_id"))
+      .filter(col("d2_orig") >= 1000000L)
+      .withColumn("ratio_u",
+        expr(s"d2_proj div greatest(1, ($k * d2_orig) div 1000000)"))
+      .groupBy(expr("ratio_u div 100000").as("band"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("ratio_u")).as("min_ratio_u"),
+        max(col("ratio_u")).as("max_ratio_u"))
+  }
 }

@@ -134,6 +134,35 @@ object Dedup {
     verifyJaccard(docs, cand, threshold)
   }
 
+  /** Cross-source near-duplicate matrix: [[minhashLsh]] pairs rolled up to
+    * (source, source) cells — the mixture-design diagnostic that tells a
+    * pretraining pipeline WHERE its duplication lives (a heavy diagonal =
+    * crawl self-duplication, a heavy off-diagonal = two feeds mirroring
+    * each other, i.e. double-counted weight in the mixture). Source pairs
+    * are normalized (source_x ≤ source_y) so each unordered cell is one
+    * row; jaccard sums ride as round(j·10⁶) integers so the rollup is
+    * engine-exact.
+    *
+    * Scale shape: everything corpus-sized is [[minhashLsh]]'s banded
+    * machinery; this adds two narrow equi-joins (pair id → source) and a
+    * |sources|²-bounded aggregate.
+    *
+    * @return (source_x, source_y, n_pairs, sum_j_u, max_j_u)
+    */
+  def crossSourceMatrix(docs: DataFrame, numHashes: Int = 8,
+      rowsPerBand: Int = 2, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLsh(docs, numHashes, rowsPerBand, threshold)
+      .withColumn("j_u", round(col("jaccard") * 1000000d).cast("long"))
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), Seq("a"))
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), Seq("b"))
+      .groupBy(least(col("sa"), col("sb")).as("source_x"),
+        greatest(col("sa"), col("sb")).as("source_y"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("j_u")).as("sum_j_u"),
+        max(col("j_u")).as("max_j_u"))
+  }
+
   /** (doc_id, band, key) LSH band rows from a signature table — the join
     * key relation for any MinHash candidate generation (full self-join,
     * incremental batch-vs-index, streaming buckets). */

@@ -33,7 +33,16 @@ object Quantize {
     *
     * @return (vec_id, centroid, dist) — dist = squared L2 in micro-units².
     */
-  def kmeansCodebook(embeddings: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kmeansCodebook(embeddings: DataFrame, k: Int, rounds: Int): DataFrame =
+    lloydScoredTop(embeddings, k, rounds, topN = 1)
+      .select(col("vec_id"), col("cid").as("centroid"), col("dist"))
+
+  /** The Lloyd's pipeline of [[kmeansCodebook]], returning each vector's
+    * `topN` NEAREST centroids of the final codebook as (vec_id, cid, dist,
+    * rn) — rn = 1 is the assignment, rn = 2 the runner-up that silhouette-
+    * style quality metrics need. */
+  private def lloydScoredTop(embeddings: DataFrame, k: Int, rounds: Int,
+      topN: Int): DataFrame = {
     graft.expr.VectorOps.register(embeddings.sparkSession)
     // Per-row coordinate ARRAYS, not (vec_id, d, x) rows: the relational
     // assign (coords ⋈ centroids on d, then a (vec, cid) re-group) streams
@@ -49,16 +58,17 @@ object Quantize {
     val vecs = FreshCheckpoint(Dedup.fanOut(embeddings)
       .select(col("vec_id"), xsCol.as("xs"))
       .withColumn("xx", graft.expr.VectorOps.vectorDot(col("xs"), col("xs"))))
-    def assign(cents: DataFrame): DataFrame = {
+    def scoredTop(cents: DataFrame, n: Int): DataFrame = {
       val scored = vecs.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("cid"),
           (col("xx") + col("cc") - lit(2d) *
             graft.expr.VectorOps.vectorDot(col("xs"), col("cxs")))
             .cast("long").as("dist"))
       val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("dist"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
     }
+    def assign(cents: DataFrame): DataFrame =
+      scoredTop(cents, 1).select(col("vec_id"), col("cid"), col("dist"))
     // (cid, d, cx) rows → (cid, cxs, cc) centroid arrays, d-ordered
     def centsOf(perDim: DataFrame): DataFrame =
       perDim.groupBy(col("cid"))
@@ -82,8 +92,36 @@ object Quantize {
       .select(col("cid"), col("d"), col("x").cast("long").as("cx")))
     for (_ <- 1 to rounds)
       cents = FreshCheckpoint(update(assign(cents)))
-    assign(cents)
-      .select(col("vec_id"), col("cid").as("centroid"), col("dist"))
+    scoredTop(cents, topN)
+  }
+
+  /** Silhouette-style cluster-quality audit on the pinned-k codebook: per
+    * vector, a = squared distance to its own (nearest) centroid, b = to the
+    * runner-up centroid; s_u = (b − a) / max(a, b) in micro-units ∈
+    * [0, 10⁶] — the simplified (centroid-based, not pairwise) silhouette
+    * that is O(n·k) instead of O(n²), which is the only silhouette a
+    * 100 TB corpus can afford. Low mean s_u for a cell = its members sit
+    * near another centroid (over-clustered / boundary-heavy); min s_u ~ 0
+    * flags straddlers. Integer throughout (div-first rescale, the
+    * [[Decomposition.jlProjectionAudit]] overflow discipline).
+    *
+    * @return (centroid, n, mean_s_u, min_s_u), one row per cell
+    */
+  def clusterSilhouette(embeddings: DataFrame, k: Int = 8,
+      rounds: Int = 2): DataFrame = {
+    require(k >= 2, s"clusterSilhouette needs k >= 2, got $k")
+    val top2 = FreshCheckpoint(lloydScoredTop(embeddings, k, rounds, topN = 2))
+    val a = top2.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("dist").as("da"))
+    val b = top2.filter(col("rn") === 2)
+      .select(col("vec_id"), col("dist").as("db"))
+    a.join(b, Seq("vec_id"))
+      .withColumn("s_u",
+        expr("(db - da) div greatest(1, greatest(da, db) div 1000000)"))
+      .groupBy(col("cid").as("centroid"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(s_u) div count(1)").as("mean_s_u"),
+        min(col("s_u")).as("min_s_u"))
   }
 
   /** Per-vector int8 scalar quantization (SQ8) with reconstruction error —

@@ -40,6 +40,7 @@ class PlanSweep extends SparkTestBase {
     // round 7 moved them to per-row hyperplane signatures whose only BNLJ
     // is the 1-ROW mean-vector scalar attach below
     "q120_kmeans_codebook",
+    "q194_cluster_silhouette", // same pinned-k codebook broadcast as q120
     // hyperplaneCells: 1-row dim-length mean-vector scalar attach
     "q150_semantic_dedup", "q176_knn_classify", "q181_mutual_knn",
     "q185_density_clusters", "q186_embedding_outliers",

@@ -57,6 +57,67 @@ class Round7Spec extends SparkTestBase {
     assert(out(3L) === ((2L, 1L, 2L, 500000L, 1000000L)))
   }
 
+  test("linkParts fuses name distance with attribute agreement into FS bands") {
+    val parts = Seq(
+      (1L, "alpha beta gamma", "T1", "B1", 5L, 900.0),
+      // dist 1 to #1, brand/size/price agree → 350k+200k+100k+50k = match
+      (2L, "alpha beta gamma!", "T1", "B1", 5L, 900.5),
+      // dist 1 to #1 but every attribute differs → 350k alone = dropped
+      (3L, "alpha beta gamm", "T1", "B2", 20L, 450.0),
+      // identical name but different type → blocked, never a candidate
+      (4L, "alpha beta gamma", "T2", "B1", 5L, 900.0))
+      .toDF("p_partkey", "p_name", "p_type", "p_brand", "p_size",
+        "p_retailprice")
+    val out = graft.ops.RecordLinkage.linkParts(parts).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out.keySet === Set((1L, 2L)))
+    assert(out((1L, 2L)) === ((1L, 700000L, "match")))
+  }
+
+  test("crossSourceMatrix attributes a cross-feed duplicate to the right cell") {
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, dup, "web"), (2L, dup, "books"),
+      (3L, "completely different text with nothing shared at all here now", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ops.Dedup.crossSourceMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(("books", "web") -> ((1L, 1000000L, 1000000L))))
+  }
+
+  test("jlProjectionAudit: a single-axis displacement projects to the exact JL ratio") {
+    // pair (1, 8): identical except dim 5 differs by 0.5 (exact in float) —
+    // every ±1 row sees the same |delta|, so d2_proj = k·d2_orig exactly
+    // and ratio_u = 10^6 (band 10). Pair (0, 7) is identical → d2_orig = 0
+    // → excluded by the degenerate-pair guard.
+    val base = Array.fill(64)(0.25f)
+    val moved = base.clone(); moved(5) = 0.75f
+    val emb = Seq((0L, base), (7L, base), (1L, base), (8L, moved))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Decomposition.jlProjectionAudit(emb).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 10L) // band
+    assert(out.head.getLong(1) === 1L) // n_pairs
+    assert(out.head.getLong(2) === 1000000L && out.head.getLong(3) === 1000000L)
+  }
+
+  test("clusterSilhouette scores tight well-separated clusters near 10^6") {
+    // seeds (first-2 ids) are planted one per true cluster
+    val emb = (Seq(1L, 3L, 4L).map(i => (i, Array(1.0f + 0.001f * i, 0.0f))) ++
+      Seq(2L, 5L, 6L).map(i => (i, Array(0.0f, 1.0f + 0.001f * i))))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Quantize.clusterSilhouette(emb, k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.size === 2)
+    out.values.foreach { case (n, mean, minv) =>
+      assert(n === 3L)
+      assert(mean > 700000L && minv > 500000L)
+    }
+  }
+
   test("densestSubgraph peels the pendant tail and flags the clique round as best") {
     // K4 on {1,2,3,4} with a pendant path 4-100-101: round 0 = whole graph
     // (density 8/6), round 1 = the K4 after the tail peels (density 6/4 —
