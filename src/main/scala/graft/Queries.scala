@@ -733,13 +733,13 @@ object Queries {
 
   // ---------------------------------------------------------------- dedup / text ops
   /** The WITH-chain replaying [[graft.ops.Dedup.minhashLsh]] (8 hashes,
-    * 4 bands of 2, threshold 0.8) through the final verified pair relation
-    * `mh(a, b, jaccard)` — shared by q35 and the q192 cross-source
-    * rollup. */
-  private val minhashPairCtes: String =
-    """WITH words AS (
+    * 4 bands of 2) through the final verified pair relation
+    * `mh(a, b, jaccard)` — shared by q35, the q192 cross-source rollup and
+    * the q195 threshold sweep (threshold 0 keeps every banded candidate). */
+  private def minhashPairCtes(threshold: Double = 0.8): String =
+    s"""WITH words AS (
       |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
-      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
       |    x -> x <> '') AS tl FROM documents)),
       |toks AS (
       |  SELECT DISTINCT doc_id,
@@ -773,7 +773,7 @@ object Queries {
       |JOIN sizes sa ON sa.doc_id = c.a
       |JOIN sizes sb ON sb.doc_id = c.b
       |WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE)
-      |    / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= 0.8)""".stripMargin
+      |    / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= $threshold)""".stripMargin
 
   private val dedupQs = Seq(
     Q("q34_dedup_exact",
@@ -784,7 +784,7 @@ object Queries {
 
     Q("q35_dedup_minhash_lsh",
       (s, d) => Dedup.minhashLsh(T(s, d, "documents"), 8, 2, 0.8),
-      Some(minhashPairCtes + "\nSELECT a, b, jaccard FROM mh")),
+      Some(minhashPairCtes() + "\nSELECT a, b, jaccard FROM mh")),
 
     Q("q36_ngram_jaccard",
       (s, d) => Dedup.ngramJaccard(T(s, d, "documents"), 3, 0.8),
@@ -4546,8 +4546,8 @@ object Queries {
              |   CAST(floor(b.p_retailprice * 100) AS BIGINT) AS pb_c
              |  FROM part a JOIN part b ON a.p_type = b.p_type
              |   AND a.p_partkey < b.p_partkey
-             |   AND abs(strlen(a.p_name) - strlen(b.p_name)) <= 2
-             |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+             |   AND abs(strlen(a.p_name) - strlen(b.p_name)) <= 1
+             |  WHERE levenshtein(a.p_name, b.p_name) <= 1),
              |sc AS (SELECT pa, pb, dist,
              |   500000 - dist * 150000
              |   + CASE WHEN ba = bb THEN 200000 ELSE 0 END
@@ -4561,7 +4561,7 @@ object Queries {
 
     Q("q192_cross_source_matrix",
       (s, d) => graft.ops.Dedup.crossSourceMatrix(T(s, d, "documents")),
-      Some(minhashPairCtes + """
+      Some(minhashPairCtes() + """
              |SELECT least(da.source, db.source) AS source_x,
              |  greatest(da.source, db.source) AS source_y,
              |  CAST(count(*) AS BIGINT) AS n_pairs,
@@ -4618,11 +4618,92 @@ object Queries {
              |  CAST(min(s_u) AS BIGINT) AS min_s_u
              |FROM s GROUP BY 1""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-7 batch 3
+  // ANN index-quality evaluation and dedup threshold calibration.
+  private val ext18Qs = Seq(
+    Q("q195_ann_recall",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        graft.ops.Similarity.annRecall(emb, queries, k = 10)
+      },
+      // exact chain (q38) + LSH chain (q98) under prefixed CTEs, then the
+      // hit/recall/MRR rollup — all integer micro-units
+      Some("""WITH f AS (SELECT vec_id, unnest(embedding) AS v,
+             |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+             |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
+             |q AS (SELECT vec_id AS query_id, v AS qv, i FROM f WHERE vec_id < 5),
+             |edots AS (SELECT q.query_id, f.vec_id, sum(CAST(q.qv AS DOUBLE) * f.v) AS dp
+             |  FROM q JOIN f ON q.i = f.i WHERE f.vec_id <> q.query_id GROUP BY 1, 2),
+             |ecos AS (SELECT d.query_id, d.vec_id,
+             |   round(d.dp / (nq.nrm * nc.nrm), 6) AS cos
+             |  FROM edots d JOIN norms nq ON nq.vec_id = d.query_id
+             |  JOIN norms nc ON nc.vec_id = d.vec_id),
+             |exact AS (SELECT query_id, vec_id,
+             |   CAST(row_number() OVER (PARTITION BY query_id
+             |     ORDER BY cos DESC, vec_id) AS BIGINT) AS exact_rank
+             |  FROM ecos QUALIFY exact_rank <= 10),
+             |fi AS (SELECT vec_id, i,
+             |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS iv FROM f),
+             |planes AS (SELECT p, d,
+             |   (list_sum(list_transform(range(15), j ->
+             |      CAST(strpos('0123456789abcdef', substr(md5(p || ':' || d), CAST(j + 1 AS INT), 1)) - 1
+             |        AS BIGINT) * (1::BIGINT << CAST(4 * (14 - j) AS INT)))) % 2001) - 1000 AS h
+             |  FROM range(6) t(p), range(64) s(d)),
+             |proj AS (SELECT fi.vec_id, pl.p, sum(fi.iv * pl.h) AS pr
+             |  FROM fi JOIN planes pl ON pl.d = fi.i - 1 GROUP BY 1, 2),
+             |sig AS (SELECT vec_id,
+             |   CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS sig
+             |  FROM proj GROUP BY 1),
+             |acand AS (SELECT qs.vec_id AS query_id, cs.vec_id
+             |  FROM (SELECT * FROM sig WHERE vec_id < 5) qs
+             |  JOIN sig cs ON cs.sig = qs.sig AND cs.vec_id <> qs.vec_id),
+             |adots AS (SELECT c.query_id, c.vec_id, sum(CAST(fq.v AS DOUBLE) * fc.v) AS dp
+             |  FROM acand c JOIN f fq ON fq.vec_id = c.query_id
+             |  JOIN f fc ON fc.vec_id = c.vec_id AND fc.i = fq.i GROUP BY 1, 2),
+             |acos AS (SELECT d.query_id, d.vec_id, round(d.dp / (nq.nrm * nc.nrm), 6) AS cos
+             |  FROM adots d JOIN norms nq ON nq.vec_id = d.query_id
+             |  JOIN norms nc ON nc.vec_id = d.vec_id),
+             |approx AS (SELECT query_id, vec_id,
+             |   CAST(row_number() OVER (PARTITION BY query_id
+             |     ORDER BY cos DESC, vec_id) AS BIGINT) AS approx_rank
+             |  FROM acos QUALIFY approx_rank <= 10),
+             |hits AS (SELECT e.query_id, count(*) AS n_hit
+             |  FROM exact e JOIN approx a ON a.query_id = e.query_id
+             |   AND a.vec_id = e.vec_id GROUP BY 1),
+             |perq AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1),
+             |m AS (SELECT e.query_id,
+             |   coalesce(CAST(1000000 // a.approx_rank AS BIGINT), 0) AS mrr_u
+             |  FROM exact e LEFT JOIN approx a ON a.query_id = e.query_id
+             |   AND a.vec_id = e.vec_id
+             |  WHERE e.exact_rank = 1)
+             |SELECT p.query_id, CAST(p.n_exact AS BIGINT) AS n_exact,
+             |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+             |  CAST(coalesce(h.n_hit, 0) * 1000000 // p.n_exact AS BIGINT) AS recall_u,
+             |  CAST(coalesce(m.mrr_u, 0) AS BIGINT) AS mrr_u
+             |FROM perq p LEFT JOIN hits h ON h.query_id = p.query_id
+             |LEFT JOIN m ON m.query_id = p.query_id""".stripMargin)),
+
+    Q("q196_threshold_sweep",
+      (s, d) => graft.ops.Dedup.thresholdSweep(T(s, d, "documents")),
+      Some(minhashPairCtes(0.0) + """,
+             |bb AS (SELECT CAST(round(jaccard * 1000000) AS BIGINT) // 100000 AS band,
+             |   a, b FROM mh),
+             |dk AS (SELECT band, count(DISTINCT d) AS n_docs FROM (
+             |   SELECT band, a AS d FROM bb UNION ALL SELECT band, b FROM bb)
+             |  GROUP BY 1)
+             |SELECT CAST(bb.band AS BIGINT) AS band,
+             |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(dk.n_docs AS BIGINT) AS n_docs
+             |FROM bb JOIN dk ON dk.band = bb.band
+             |GROUP BY 1, dk.n_docs""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
-      ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs
+      ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++ ext18Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

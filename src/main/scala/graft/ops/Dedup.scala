@@ -149,6 +149,28 @@ object Dedup {
     *
     * @return (source_x, source_y, n_pairs, sum_j_u, max_j_u)
     */
+  /** Dedup threshold-sweep diagnostic: verified MinHash-LSH pairs bucketed
+    * by jaccard decile, with pair counts and distinct-document coverage
+    * per band — the calibration artifact for choosing a dedup threshold
+    * (how many pairs/docs each cut would touch) BEFORE committing to one.
+    * Candidates stay LSH-banded (threshold 0 only disables the verify
+    * filter, not the banding), so the sweep costs the same as one dedup
+    * pass; bands are integer deciles of round(j·10⁶), engine-exact.
+    *
+    * @return (band, n_pairs, n_docs) — band = decile 0..10
+    */
+  def thresholdSweep(docs: DataFrame, numHashes: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    val pairs = minhashLsh(docs, numHashes, rowsPerBand, threshold = 0.0)
+      .withColumn("band",
+        expr("CAST(round(jaccard * 1000000) AS BIGINT) div 100000"))
+    val docsPerBand = pairs.select(col("band"), col("a").as("d"))
+      .unionByName(pairs.select(col("band"), col("b").as("d")))
+      .groupBy(col("band")).agg(countDistinct(col("d")).as("n_docs"))
+    pairs.groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+      .join(docsPerBand, Seq("band"))
+  }
+
   def crossSourceMatrix(docs: DataFrame, numHashes: Int = 8,
       rowsPerBand: Int = 2, threshold: Double = 0.8): DataFrame = {
     val pairs = minhashLsh(docs, numHashes, rowsPerBand, threshold)

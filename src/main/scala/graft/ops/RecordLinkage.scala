@@ -30,9 +30,16 @@ object RecordLinkage {
     * +50000. Bands: ≥ 700000 match, ≥ 400000 possible, below → dropped
     * (the FS reject region).
     *
+    * Default `maxDist = 1`: the Ed-Join prefix length is q·d+1, so the
+    * candidate volume (and the verify bill) grows steeply with the radius
+    * — the sf1 probe measured the d=2 variant at 114 s vs ~35 s for d=1 at
+    * 10× data, for pairs whose extra name distance the score then mostly
+    * rejects anyway (a d=2 name-only pair scores 200k, deep in the reject
+    * region). Callers wanting a wider radius pass it explicitly.
+    *
     * @return (pa, pb, dist, score_u, band), pa < pb
     */
-  def linkParts(part: DataFrame, maxDist: Int = 2): DataFrame = {
+  def linkParts(part: DataFrame, maxDist: Int = 1): DataFrame = {
     val attrs = part.select(col("p_partkey").as("pk"), col("p_brand").as("brand"),
       col("p_size").cast("long").as("psize"),
       floor(col("p_retailprice").cast("double") * 100d).cast("long").as("cents"))

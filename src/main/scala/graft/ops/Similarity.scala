@@ -186,6 +186,41 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** ANN index-quality evaluation: recall@k and MRR of [[lshTopK]] against
+    * the exact [[cosineTopK]] ground truth, per query — the measurement
+    * that decides whether an approximate index is good enough to serve
+    * (publish recall@k; alert when a re-ingest degrades it). Deterministic
+    * by composition: both sides are the repo's deterministic rankers, and
+    * the metrics are integer micro-units (div rescale).
+    *
+    * Scale shape: both rankers broadcast the (small) query side; the
+    * evaluation itself adds only equi-joins on (query_id, vec_id) and
+    * query-sized aggregates.
+    *
+    * @return (query_id, n_exact, n_hit, recall_u, mrr_u) — mrr_u =
+    *         ⌊10⁶ / rank-of-the-true-NN in the approx list⌋, 0 on a miss
+    */
+  def annRecall(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+      nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val exact = cosineTopK(embeddings, queries, k)
+      .select(col("query_id"), col("vec_id"), col("rank").as("exact_rank"))
+    val approx = lshTopK(embeddings, queries, nPlanes, dim, k)
+      .select(col("query_id"), col("vec_id"), col("rank").as("approx_rank"))
+    val hits = exact.join(approx, Seq("query_id", "vec_id"))
+    val perQ = exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+    val hitAgg = hits.groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    val mrr = exact.filter(col("exact_rank") === 1)
+      .join(approx, Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"),
+        coalesce(expr("1000000 div approx_rank"), lit(0L)).as("mrr_u"))
+    perQ.join(hitAgg, Seq("query_id"), "left")
+      .join(mrr, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0) * 1000000 div n_exact").as("recall_u"),
+        coalesce(col("mrr_u"), lit(0L)).as("mrr_u"))
+  }
+
   /** Embedding near-dup detection: pairwise cosine ≥ threshold within
     * coarse-quantizer buckets (IVF-style; `label` is the cell id here).
     * Norms are computed once per vector BEFORE the pair join (array lambdas

@@ -118,6 +118,32 @@ class Round7Spec extends SparkTestBase {
     }
   }
 
+  test("annRecall: an all-duplicate corpus gives perfect recall and MRR") {
+    // identical vectors share an LSH signature with certainty, so the
+    // approx list equals the exact list → recall_u = mrr_u = 10^6
+    val v = Array.tabulate(64)(i => 0.125f * ((i % 3) + 1))
+    val emb = (0L to 11L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val out = graft.ops.Similarity.annRecall(emb, queries, k = 10).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 10L && r.getLong(2) === 10L) // n_exact, n_hit
+    assert(r.getLong(3) === 1000000L && r.getLong(4) === 1000000L)
+  }
+
+  test("thresholdSweep: an exact duplicate lands in the top decile with doc coverage") {
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq((1L, dup), (2L, dup),
+      (3L, "one two three four five six seven eight"),
+      (4L, "nine ten eleven twelve thirteen fourteen fifteen sixteen"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.thresholdSweep(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet.forall(b => b >= 0 && b <= 10))
+    assert(out(10L)._1 >= 1L && out(10L)._2 >= 2L) // the planted dup pair
+  }
+
   test("densestSubgraph peels the pendant tail and flags the clique round as best") {
     // K4 on {1,2,3,4} with a pendant path 4-100-101: round 0 = whole graph
     // (density 8/6), round 1 = the K4 after the tail peels (density 6/4 —
