@@ -2413,7 +2413,7 @@ object Queries {
        |fi AS MATERIALIZED (SELECT vec_id, i,
        |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS iv FROM f),
        |nn AS (SELECT count(DISTINCT vec_id) AS n FROM fi),
-       |np AS (SELECT min(p) AS np FROM range(3, 31) t(p), nn
+       |np AS (SELECT coalesce(min(p), 30) AS np FROM range(3, 31) t(p), nn
        |   WHERE (1::BIGINT << CAST(p AS INT)) * 256 >= nn.n),
        |mu AS (SELECT i, CAST(floor(sum(iv)::DOUBLE / count(*)) AS BIGINT) AS m
        |   FROM fi GROUP BY 1),
@@ -4612,7 +4612,10 @@ object Queries {
              |  FROM sall a JOIN sall b ON b.vec_id = a.vec_id
              |   AND a.rn = 1 AND b.rn = 2),
              |s AS (SELECT cid,
-             |   (db - da) // greatest(1, greatest(da, db) // 1000000) AS s_u FROM ab)
+             |   CASE WHEN greatest(da, db) < 9000000000000
+             |     THEN (db - da) * 1000000 // greatest(1, greatest(da, db))
+             |     ELSE (db - da) // greatest(1, greatest(da, db) // 1000000)
+             |   END AS s_u FROM ab)
              |SELECT CAST(cid AS BIGINT) AS centroid, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(s_u) // count(*) AS BIGINT) AS mean_s_u,
              |  CAST(min(s_u) AS BIGINT) AS min_s_u

@@ -687,9 +687,15 @@ object Centrality {
     * the q52/q124 discipline. Normalization (per-vector L2, round₆) is a
     * pure rescale applied ONCE at the end.
     *
-    * Exactness envelope: scores grow like Π(1 + deg) per half-round —
-    * with the default 3 rounds they stay < 2⁵³ for max degree up to ~4·10⁵
-    * (the PCA-style documented bound); for bigger hubs lower `rounds`.
+    * Exactness envelope: scores grow like Π(1 + deg) per half-round, so
+    * they stay < 2⁵³ only while (1 + max degree)^(2·rounds) < 2⁵³; for
+    * bigger hubs lower `rounds`. Unlike an a-priori degree estimate, the
+    * envelope is ENFORCED exactly at runtime: hub/auth values are
+    * non-negative and monotone non-decreasing across half-rounds, so any
+    * intermediate partial sum that crossed 2⁵³ leaves the FINAL value at
+    * or above it — the pre-normalization projection raise_errors on
+    * max(hub, auth) ≥ 2⁵³ (the `pcaTopComponent` guard pattern, riding an
+    * existing projection — no extra pass, no false positives).
     *
     * Scale shape: each half-round is one contrib equi-join + keyed sum on
     * the edge relation — two shuffles per round, checkpointed; nothing
@@ -716,9 +722,19 @@ object Centrality {
           (col("hub") + coalesce(col("hinc"), lit(0.0))).as("hub"),
           col("auth")))
     }
-    val nrm = x.agg(sqrt(sum(col("hub") * col("hub"))).as("nh"),
+    // exactness guard (see header): monotone non-negative scores mean a
+    // 2^53 breach anywhere in the iteration is still visible in the final
+    // values — fail loudly instead of silently diverging from the oracle
+    val guarded = x.select(col("id"),
+      when(greatest(col("hub"), col("auth")) >= lit(9007199254740992.0),
+        raise_error(concat(
+          lit("hits: score exceeds the 2^53 exact-integer envelope; "),
+          lit("lower `rounds` for this degree distribution (see scaladoc)"))))
+        .otherwise(col("hub")).as("hub"),
+      col("auth"))
+    val nrm = guarded.agg(sqrt(sum(col("hub") * col("hub"))).as("nh"),
       sqrt(sum(col("auth") * col("auth"))).as("na"))
-    x.crossJoin(broadcast(nrm))
+    guarded.crossJoin(broadcast(nrm))
       .select(col("id"),
         round(col("hub") / when(col("nh") === 0, 1.0).otherwise(col("nh")), 6)
           .as("hub"),

@@ -134,21 +134,6 @@ object Dedup {
     verifyJaccard(docs, cand, threshold)
   }
 
-  /** Cross-source near-duplicate matrix: [[minhashLsh]] pairs rolled up to
-    * (source, source) cells — the mixture-design diagnostic that tells a
-    * pretraining pipeline WHERE its duplication lives (a heavy diagonal =
-    * crawl self-duplication, a heavy off-diagonal = two feeds mirroring
-    * each other, i.e. double-counted weight in the mixture). Source pairs
-    * are normalized (source_x ≤ source_y) so each unordered cell is one
-    * row; jaccard sums ride as round(j·10⁶) integers so the rollup is
-    * engine-exact.
-    *
-    * Scale shape: everything corpus-sized is [[minhashLsh]]'s banded
-    * machinery; this adds two narrow equi-joins (pair id → source) and a
-    * |sources|²-bounded aggregate.
-    *
-    * @return (source_x, source_y, n_pairs, sum_j_u, max_j_u)
-    */
   /** Dedup threshold-sweep diagnostic: verified MinHash-LSH pairs bucketed
     * by jaccard decile, with pair counts and distinct-document coverage
     * per band — the calibration artifact for choosing a dedup threshold
@@ -171,6 +156,21 @@ object Dedup {
       .join(docsPerBand, Seq("band"))
   }
 
+  /** Cross-source near-duplicate matrix: [[minhashLsh]] pairs rolled up to
+    * (source, source) cells — the mixture-design diagnostic that tells a
+    * pretraining pipeline WHERE its duplication lives (a heavy diagonal =
+    * crawl self-duplication, a heavy off-diagonal = two feeds mirroring
+    * each other, i.e. double-counted weight in the mixture). Source pairs
+    * are normalized (source_x ≤ source_y) so each unordered cell is one
+    * row; jaccard sums ride as round(j·10⁶) integers so the rollup is
+    * engine-exact.
+    *
+    * Scale shape: everything corpus-sized is [[minhashLsh]]'s banded
+    * machinery; this adds two narrow equi-joins (pair id → source) and a
+    * |sources|²-bounded aggregate.
+    *
+    * @return (source_x, source_y, n_pairs, sum_j_u, max_j_u)
+    */
   def crossSourceMatrix(docs: DataFrame, numHashes: Int = 8,
       rowsPerBand: Int = 2, threshold: Double = 0.8): DataFrame = {
     val pairs = minhashLsh(docs, numHashes, rowsPerBand, threshold)

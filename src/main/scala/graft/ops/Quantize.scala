@@ -102,8 +102,12 @@ object Quantize {
     * that is O(n·k) instead of O(n²), which is the only silhouette a
     * 100 TB corpus can afford. Low mean s_u for a cell = its members sit
     * near another centroid (over-clustered / boundary-heavy); min s_u ~ 0
-    * flags straddlers. Integer throughout (div-first rescale, the
-    * [[Decomposition.jlProjectionAudit]] overflow discipline).
+    * flags straddlers. Integer throughout, branching on magnitude: while
+    * max(a,b) < 9·10¹² µ² the rescale multiplies first ((b−a)·10⁶ ≤
+    * 9·10¹⁸ < 2⁶³, exact), past that it divides first — so s_u keeps full
+    * micro-unit resolution on small-distance cells AND never overflows on
+    * huge ones (the [[Decomposition.jlProjectionAudit]] overflow
+    * discipline).
     *
     * @return (centroid, n, mean_s_u, min_s_u), one row per cell
     */
@@ -117,7 +121,9 @@ object Quantize {
       .select(col("vec_id"), col("dist").as("db"))
     a.join(b, Seq("vec_id"))
       .withColumn("s_u",
-        expr("(db - da) div greatest(1, greatest(da, db) div 1000000)"))
+        expr("""CASE WHEN greatest(da, db) < 9000000000000
+          THEN (db - da) * 1000000 div greatest(1, greatest(da, db))
+          ELSE (db - da) div greatest(1, greatest(da, db) div 1000000) END"""))
       .groupBy(col("cid").as("centroid"))
       .agg(count(lit(1)).as("n"),
         expr("sum(s_u) div count(1)").as("mean_s_u"),

@@ -247,7 +247,7 @@ object Similarity {
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
     val hint: DataFrame => DataFrame =
-      if (embeddings.count() <= graft.Limits.dimensionRows) broadcast(_) else identity
+      if (corpusCount(embeddings) <= graft.Limits.dimensionRows) broadcast(_) else identity
     val ea = e.select(col("vec_id").as("a"), col("emb").as("ea"), col("nrm").as("na"))
     val eb = e.select(col("vec_id").as("b"), col("emb").as("eb"), col("nrm").as("nb"))
     cand.join(hint(ea), Seq("a")).join(hint(eb), Seq("b"))
@@ -317,10 +317,29 @@ object Similarity {
   }
 
   /** Auto-path cell relation (vec_id, cell) shared by the corpus-scaled
-    * consumers; the count() is one eager columnar scan at composition time
-    * (same class as ZOrder's range pass). */
+    * consumers. The sizing count() is MEMOIZED per (session, canonicalized
+    * plan): five consumers composing over the same corpus pay ONE eager
+    * columnar count, not five (the round-7 finding — at 100 TB each count
+    * is a full scan). Session-scoped like the co-purchase memo: a corpus
+    * that mutates under the same plan within one session would reuse the
+    * old n, which only perturbs the cell-count heuristic, never
+    * correctness of the cells themselves. */
   private def autoCells(embeddings: DataFrame): DataFrame =
-    hyperplaneCells(embeddings, autoPlanes(embeddings.count()))
+    hyperplaneCells(embeddings, autoPlanes(corpusCount(embeddings)))
+
+  /** Memoized row count keyed by session UUID + canonicalized-plan semantic
+    * hash. `countProbes` counts the actual count() executions (spec hook). */
+  private[graft] def corpusCount(df: DataFrame): Long = {
+    val key = System.identityHashCode(df.sparkSession) + ":" +
+      df.queryExecution.analyzed.canonicalized.semanticHash()
+    countMemo.computeIfAbsent(key, _ => {
+      countProbes.incrementAndGet()
+      java.lang.Long.valueOf(df.count())
+    }).longValue()
+  }
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] val countProbes = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** SemDeDup-style semantic dedup (cluster-then-prune): k-means cells bound
     * the pair search — cosine is evaluated only within a cell, never

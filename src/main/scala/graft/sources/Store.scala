@@ -58,29 +58,38 @@ object Store {
     * per-session, so a session that finds the files but not the table
     * re-registers it with DDL (CLUSTERED BY metadata intact). */
   def copurchase(spark: SparkSession, dir: String, buckets: Int = 32): DataFrame = {
-    val tbl = "graft_copurchase_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    // Collision-resistant MV identity: a 32-bit String.hashCode key (the
+    // round-7 shape) admits two source dirs silently sharing one MV path +
+    // table name — the staleness guard only checks the REQUESTED dir's
+    // inputs, so a collision would serve one dir's pair relation to the
+    // other. Key on a SHA-256 digest of the ABSOLUTE NORMALIZED path
+    // instead (also collapses "./sf0.1" vs "sf0.1" to one MV).
+    val absDir = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+    val key = dirDigest(absDir)
+    val tbl = "graft_copurchase_" + key
     // Deterministic on-disk location per source dir: the MV files survive
     // JVM restarts (a fresh-JVM bench/probe run must NOT pay the lineitem
     // self-join again — exactly like a production MV next to the fact
     // table). The _SUCCESS marker gates reuse; a partial/killed write
     // rebuilds. The session-local memo only skips repeated FS checks.
-    val path = copurchaseMemo.computeIfAbsent(dir, _ => {
+    val path = copurchaseMemo.computeIfAbsent(absDir, _ => {
       val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft-copurchase-" + java.lang.Integer.toHexString(dir.hashCode),
-        "pairs")
+        "graft-copurchase-" + key, "pairs")
       // staleness guard: a regenerated source dir (same path, newer files)
-      // must not serve the old MV — rebuild when lineitem is newer than
-      // the MV's completion marker
+      // must not serve the old MV — rebuild when ANY file under
+      // lineitem.parquet (a single file or a directory of part files;
+      // in-place part rewrites keep the DIRECTORY entry's mtime, so the
+      // walk looks at the files themselves) is newer than the MV's
+      // completion marker
       val marker = p.resolve("_SUCCESS")
       val fresh = java.nio.file.Files.exists(marker) && {
-        val src = java.nio.file.Paths.get(dir, "lineitem.parquet")
+        val src = java.nio.file.Paths.get(absDir, "lineitem.parquet")
         try java.nio.file.Files.getLastModifiedTime(marker)
-          .compareTo(java.nio.file.Files.getLastModifiedTime(src)) >= 0
+          .toMillis >= maxMtime(src)
         catch { case _: java.io.IOException => false }
       }
       if (!fresh) {
-        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        val li = spark.read.parquet(s"$absDir/lineitem.parquet")
           .select(org.apache.spark.sql.functions.col("l_orderkey").as("ok"),
             org.apache.spark.sql.functions.col("l_partkey").as("p"))
           .distinct()
@@ -105,4 +114,31 @@ object Store {
   }
   private val copurchaseMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drops the session-lifetime FS-check memo, forcing the next
+    * [[copurchase]] call to re-run the on-disk staleness walk — the
+    * fresh-JVM condition, reproducible in-process for the spec. */
+  private[graft] def resetCopurchaseMemoForTest(): Unit = copurchaseMemo.clear()
+
+  /** First 16 hex chars of SHA-256 over the path bytes — 64 collision-
+    * resistant bits (vs String.hashCode's 32), valid in a table identifier. */
+  private[graft] def dirDigest(absDir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(absDir.getBytes("UTF-8"))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
+
+  /** Newest last-modified time (millis) under `p`: the file itself, or for a
+    * directory the max over contained files — so an in-place part rewrite
+    * that preserves filenames still bumps the staleness clock. */
+  private[graft] def maxMtime(p: java.nio.file.Path): Long = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.iterator.asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.getLastModifiedTime(_).toMillis)
+        .foldLeft(java.nio.file.Files.getLastModifiedTime(p).toMillis)(math.max)
+      finally s.close()
+    } else java.nio.file.Files.getLastModifiedTime(p).toMillis
+  }
 }
