@@ -736,8 +736,9 @@ object Queries {
     * 4 bands of 2) through the final verified pair relation
     * `mh(a, b, jaccard)` — shared by q35, the q192 cross-source rollup and
     * the q195 threshold sweep (threshold 0 keeps every banded candidate). */
-  private def minhashPairCtes(threshold: Double = 0.8): String =
-    s"""WITH words AS (
+  private def minhashPairCtes(threshold: Double = 0.8,
+      recursive: Boolean = false): String =
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}words AS (
       |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
       |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
       |    x -> x <> '') AS tl FROM documents)),
@@ -4702,11 +4703,178 @@ object Queries {
              |FROM bb JOIN dk ON dk.band = bb.band
              |GROUP BY 1, dk.n_docs""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-8 batch
+  // PII scrub, perceptual near-dups, canonical entity resolution, and the
+  // calibrate→commit dedup loop (threshold choice + calibrated dedup).
+  /** Shared q201/q202 cut-statistics + choice CTEs over the `bb` banded
+    * pair relation (appended after [[minhashPairCtes]](0.0)): per-cut
+    * coverage over a total 0..10 spine, then the budgeted choice
+    * (smallest cut with frac_u ≤ target, fallback 10). */
+  private def cutChoiceCtes(targetFracU: Long): String =
+    s"""bb AS (SELECT a, b,
+       |   CAST(round(jaccard * 1000000) AS BIGINT) // 100000 AS band FROM mh),
+       |pc AS (SELECT t.range AS cut, a, b FROM bb
+       |  JOIN range(0, 11) t ON t.range <= bb.band),
+       |spine AS (SELECT range AS cut FROM range(0, 11)),
+       |pcnt AS (SELECT cut, count(*) AS n_pairs_ge FROM pc GROUP BY 1),
+       |dcnt AS (SELECT cut, count(DISTINCT d) AS n_docs_ge FROM (
+       |   SELECT cut, a AS d FROM pc UNION ALL SELECT cut, b FROM pc)
+       |  GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_total FROM documents),
+       |st AS (SELECT s.cut,
+       |   coalesce(pcnt.n_pairs_ge, 0) AS n_pairs_ge,
+       |   coalesce(dcnt.n_docs_ge, 0) AS n_docs_ge,
+       |   coalesce(dcnt.n_docs_ge, 0) * 1000000 // tot.n_total AS frac_u
+       |  FROM spine s
+       |  LEFT JOIN pcnt ON pcnt.cut = s.cut
+       |  LEFT JOIN dcnt ON dcnt.cut = s.cut, tot),
+       |ch AS (SELECT coalesce(
+       |   min(CASE WHEN frac_u <= $targetFracU THEN cut END), 10) AS chosen_cut
+       |  FROM st)""".stripMargin
+
+  private val ext19Qs = Seq(
+    Q("q198_pii_scrub",
+      // the corpus text is digit-free word soup, so the query plants
+      // deterministic doc_id-derived PII (an email per doc; phone / SSN /
+      // account-number classes on residue classes) — both engines build
+      // the identical augmented corpus, then scrub it
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val aug = docs.withColumn("text", concat(col("text"),
+          lit(" reach u"), col("doc_id").cast("string"),
+          lit("@mail.example.com"),
+          when(col("doc_id") % 3 === 0, lit(" phone 555-123-4567"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" ssn 987-65-4321"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" acct 123456789"))
+            .otherwise(lit(""))))
+        graft.ops.TextAnalysis.piiScrub(aug)
+      },
+      Some("""WITH aug AS (SELECT doc_id,
+             |   lower(text || ' reach u' || CAST(doc_id AS VARCHAR)
+             |    || '@mail.example.com'
+             |    || CASE WHEN doc_id % 3 = 0 THEN ' phone 555-123-4567' ELSE '' END
+             |    || CASE WHEN doc_id % 5 = 0 THEN ' ssn 987-65-4321' ELSE '' END
+             |    || CASE WHEN doc_id % 7 = 0 THEN ' acct 123456789' ELSE '' END) AS t
+             |  FROM documents),
+             |m AS (SELECT doc_id,
+             |   CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+             |   CAST(len(regexp_extract_all(t, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT) AS n_phone,
+             |   CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+             |   CAST(len(regexp_extract_all(t, '\b[0-9]{9,}\b')) AS BIGINT) AS n_digit,
+             |   CAST(length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+             |     '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+             |     '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '[PHONE]', 'g'),
+             |     '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+             |     '\b[0-9]{9,}\b', '[ID]', 'g')) AS BIGINT) AS masked_len
+             |  FROM aug)
+             |SELECT doc_id, n_email, n_phone, n_ssn, n_digit,
+             |  n_email + n_phone + n_ssn + n_digit AS n_redacted, masked_len
+             |FROM m""".stripMargin)),
+
+    Q("q199_perceptual_neardups",
+      (s, d) => graft.ops.Multimodal.perceptualNearDups(
+        graft.ops.Multimodal.ingest(T(s, d, "documents"))),
+      // full cross-engine dHash: byte-fold features replayed as char
+      // arithmetic (ASCII corpus, q96 technique), gradient bits against a
+      // 0..59 spine (dims past the payload fold to 0), 15-bit chunk
+      // buckets, banded hamming join
+      Some("""WITH pos AS (SELECT doc_id, text,
+             |   unnest(range(1, strlen(text) + 1)) AS i FROM documents),
+             |feat AS (SELECT doc_id AS media_id, CAST((i - 1) % 60 AS BIGINT) AS k,
+             |   CAST(sum(ord(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS f
+             |  FROM pos GROUP BY 1, 2),
+             |spine AS (SELECT d.doc_id AS media_id, r.range AS k
+             |  FROM documents d, range(0, 60) r),
+             |ff AS (SELECT s.media_id, s.k, coalesce(f.f, 0) AS f
+             |  FROM spine s LEFT JOIN feat f
+             |   ON f.media_id = s.media_id AND f.k = s.k),
+             |bits AS (SELECT a.media_id,
+             |   CASE WHEN a.f > b.f THEN 1::BIGINT << CAST(a.k AS INT) ELSE 0::BIGINT END AS bit
+             |  FROM ff a JOIN ff b ON b.media_id = a.media_id
+             |   AND b.k = (a.k + 1) % 60),
+             |sig AS (SELECT media_id, CAST(sum(bit) AS BIGINT) AS phash
+             |  FROM bits GROUP BY 1),
+             |chunks AS (SELECT media_id, c.range AS chunk,
+             |   (phash >> CAST(c.range * 15 AS INT)) & 32767 AS key, phash
+             |  FROM sig, range(0, 4) c)
+             |SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+             |  CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+             |FROM chunks x JOIN chunks y ON y.chunk = x.chunk
+             | AND y.key = x.key AND x.media_id < y.media_id
+             |WHERE bit_count(xor(x.phash, y.phash)) <= 3""".stripMargin)),
+
+    Q("q200_canonical_parts",
+      (s, d) => graft.ops.RecordLinkage.canonicalParts(T(s, d, "part")),
+      // q191's candidate+score chain restricted to the match band, then the
+      // recursive transitive closure (q155 pattern) and a min-id canonical
+      // election with member counts
+      Some("""WITH RECURSIVE cand AS (SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+             |   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+             |   a.p_brand AS ba, b.p_brand AS bb,
+             |   a.p_size AS za, b.p_size AS zb,
+             |   CAST(floor(a.p_retailprice * 100) AS BIGINT) AS pa_c,
+             |   CAST(floor(b.p_retailprice * 100) AS BIGINT) AS pb_c
+             |  FROM part a JOIN part b ON a.p_type = b.p_type
+             |   AND a.p_partkey < b.p_partkey
+             |   AND abs(strlen(a.p_name) - strlen(b.p_name)) <= 1
+             |  WHERE levenshtein(a.p_name, b.p_name) <= 1),
+             |mp AS (SELECT pa, pb FROM cand
+             |  WHERE 500000 - dist * 150000
+             |   + CASE WHEN ba = bb THEN 200000 ELSE 0 END
+             |   + CASE WHEN abs(za - zb) <= 1 THEN 100000 ELSE 0 END
+             |   + CASE WHEN abs(pa_c - pb_c) <= 100 THEN 50000 ELSE 0 END
+             |   >= 700000),
+             |und(a, b) AS (SELECT CAST(pa AS BIGINT), CAST(pb AS BIGINT) FROM mp
+             |  UNION SELECT CAST(pb AS BIGINT), CAST(pa AS BIGINT) FROM mp),
+             |r(s, id) AS (
+             |  SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey AS BIGINT) FROM part
+             |  UNION SELECT r.s, u.b FROM r JOIN und u ON u.a = r.id),
+             |cl AS (SELECT s AS p_partkey, min(id) AS canonical_id FROM r GROUP BY s),
+             |sz AS (SELECT canonical_id, count(*) AS n_members FROM cl GROUP BY 1)
+             |SELECT cl.p_partkey, cl.canonical_id,
+             |  CAST(sz.n_members AS BIGINT) AS n_members,
+             |  cl.p_partkey = cl.canonical_id AS is_canonical
+             |FROM cl JOIN sz USING (canonical_id)""".stripMargin)),
+
+    Q("q201_threshold_choice",
+      (s, d) => graft.ops.Dedup.thresholdChoice(T(s, d, "documents")),
+      Some(minhashPairCtes(0.0) + ",\n" + cutChoiceCtes(100000) + """
+             |SELECT CAST(st.cut AS BIGINT) AS cut,
+             |  CAST(st.n_pairs_ge AS BIGINT) AS n_pairs_ge,
+             |  CAST(st.n_docs_ge AS BIGINT) AS n_docs_ge,
+             |  CAST(st.frac_u AS BIGINT) AS frac_u,
+             |  st.cut = ch.chosen_cut AS chosen
+             |FROM st, ch""".stripMargin)),
+
+    Q("q202_calibrated_dedup",
+      (s, d) => graft.ops.Dedup.calibratedDedup(T(s, d, "documents")),
+      // one banded pass → budgeted cut choice → pairs at/above the cut →
+      // recursive closure → longest-copy keeper election (q157 tail), with
+      // the chosen cut riding every audit row
+      Some(minhashPairCtes(0.0, recursive = true) + ",\n" + cutChoiceCtes(100000) + """,
+             |nd AS (SELECT a, b FROM bb, ch WHERE bb.band >= ch.chosen_cut),
+             |und2(a, b) AS (SELECT a, b FROM nd UNION SELECT b, a FROM nd),
+             |r(s, id) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION SELECT r.s, u.b FROM r JOIN und2 u ON u.a = r.id),
+             |cl AS (SELECT s AS doc_id, min(id) AS cluster FROM r GROUP BY s),
+             |nt AS (SELECT doc_id,
+             |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+             |    AS BIGINT) AS n_tokens FROM documents)
+             |SELECT cl.doc_id, cl.cluster, nt.n_tokens,
+             |  row_number() OVER (PARTITION BY cl.cluster
+             |    ORDER BY nt.n_tokens DESC, cl.doc_id) = 1 AS keep,
+             |  CAST(ch.chosen_cut AS BIGINT) AS chosen_cut
+             |FROM cl JOIN nt ON nt.doc_id = cl.doc_id, ch""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
-      ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++ ext18Qs
+      ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
+      ext18Qs ++ ext19Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -146,14 +146,102 @@ object Dedup {
     */
   def thresholdSweep(docs: DataFrame, numHashes: Int = 8,
       rowsPerBand: Int = 2): DataFrame = {
-    val pairs = minhashLsh(docs, numHashes, rowsPerBand, threshold = 0.0)
-      .withColumn("band",
-        expr("CAST(round(jaccard * 1000000) AS BIGINT) div 100000"))
+    val pairs = sweepPairs(docs, numHashes, rowsPerBand)
     val docsPerBand = pairs.select(col("band"), col("a").as("d"))
       .unionByName(pairs.select(col("band"), col("b").as("d")))
       .groupBy(col("band")).agg(countDistinct(col("d")).as("n_docs"))
     pairs.groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
       .join(docsPerBand, Seq("band"))
+  }
+
+  /** All banded candidates with their jaccard decile (a, b, band) — ONE
+    * banded pass (threshold 0 disables only the verify filter), shared by
+    * the sweep/choice/calibrated-dedup family. */
+  private def sweepPairs(docs: DataFrame, numHashes: Int,
+      rowsPerBand: Int): DataFrame =
+    minhashLsh(docs, numHashes, rowsPerBand, threshold = 0.0)
+      .withColumn("band",
+        expr("CAST(round(jaccard * 1000000) AS BIGINT) div 100000"))
+
+  /** Per-cut sweep statistics (cut, n_pairs_ge, n_docs_ge, frac_u) over a
+    * fixed 0..10 decile spine: for each candidate jaccard cut, how many
+    * verified pairs survive and what fraction of the corpus (micro-units)
+    * a dedup at that cut would touch. */
+  private def cutStats(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val spine = docs.sparkSession.range(0, 11).select(col("id").as("cut"))
+    // one row per (pair, qualifying cut): a band-b pair survives every
+    // cut <= b, so the per-cut rollup is a <= 11-way fan-out of the
+    // candidate-bounded pair relation, never of the corpus
+    val perCut = pairs.select(
+      explode(sequence(lit(0L), col("band"))).as("cut"), col("a"), col("b"))
+    val pairCounts = perCut.groupBy(col("cut"))
+      .agg(count(lit(1)).as("n_pairs_ge"))
+    val docCounts = perCut.select(col("cut"), col("a").as("d"))
+      .unionByName(perCut.select(col("cut"), col("b").as("d")))
+      .groupBy(col("cut")).agg(countDistinct(col("d")).as("n_docs_ge"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    spine.join(pairCounts, Seq("cut"), "left")
+      .join(docCounts, Seq("cut"), "left")
+      .na.fill(0L, Seq("n_pairs_ge", "n_docs_ge"))
+      .crossJoin(broadcast(total))
+      .withColumn("frac_u", expr("n_docs_ge * 1000000 div n_total"))
+      .select(col("cut"), col("n_pairs_ge"), col("n_docs_ge"), col("frac_u"))
+  }
+
+  /** The chosen decile cut as a 1-row relation (chosen_cut): the SMALLEST
+    * (most aggressive) cut whose touched-doc fraction fits the budget, or
+    * 10 (exact-dup territory) when even the top decile overshoots. */
+  private def chosenCut(stats: DataFrame, targetFracU: Long): DataFrame =
+    stats.agg(coalesce(
+      min(when(col("frac_u") <= targetFracU, col("cut"))), lit(10L))
+      .as("chosen_cut"))
+
+  /** Threshold chooser over the [[thresholdSweep]] calibration — the
+    * decide half of the calibrate→commit loop: per candidate cut, the pair
+    * and doc coverage a dedup at that cut would commit to, plus which cut
+    * the coverage budget selects. `targetFracU` is the knob: the largest
+    * acceptable fraction (micro-units) of the corpus a dedup pass may
+    * touch — the chosen cut is the most aggressive one inside the budget
+    * (fallback: 10 when every cut overshoots, i.e. dedup only
+    * near-identical docs).
+    *
+    * Scale shape: one banded LSH pass (the [[thresholdSweep]] cost), an
+    * ≤ 11-way fan-out of the candidate-bounded pair relation, and two
+    * 1-row scalar broadcasts — nothing corpus-proportional beyond the
+    * pass itself.
+    *
+    * @return (cut, n_pairs_ge, n_docs_ge, frac_u, chosen), 11 rows
+    */
+  def thresholdChoice(docs: DataFrame, targetFracU: Long = 100000,
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val pairs = FreshCheckpoint(sweepPairs(docs, numHashes, rowsPerBand))
+    val stats = cutStats(docs, pairs)
+    stats.crossJoin(broadcast(chosenCut(stats, targetFracU)))
+      .select(col("cut"), col("n_pairs_ge"), col("n_docs_ge"), col("frac_u"),
+        (col("cut") === col("chosen_cut")).as("chosen"))
+  }
+
+  /** Calibrated near-dup resolution — the commit half: run ONE banded
+    * pass, let [[thresholdChoice]]'s rule pick the jaccard cut for the
+    * coverage budget, keep the pairs at or above it, and elect cluster
+    * keepers ([[clusterKeepers]] policy). The chosen cut rides every row
+    * (scalar broadcast) so the audit trail records which calibration the
+    * commit used — no driver round-trip anywhere: calibration, choice and
+    * commit are one plan.
+    *
+    * @return one row per doc: (doc_id, cluster, n_tokens, keep, chosen_cut)
+    */
+  def calibratedDedup(docs: DataFrame, targetFracU: Long = 100000,
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val pairs = FreshCheckpoint(sweepPairs(docs, numHashes, rowsPerBand))
+    val chosen = chosenCut(cutStats(docs, pairs), targetFracU)
+    val dedupPairs = pairs.crossJoin(broadcast(chosen))
+      .filter(col("band") >= col("chosen_cut"))
+      .select(col("a"), col("b"))
+    clusterKeepers(docs, dedupPairs)
+      .crossJoin(broadcast(chosen))
+      .select(col("doc_id"), col("cluster"), col("n_tokens"), col("keep"),
+        col("chosen_cut"))
   }
 
   /** Cross-source near-duplicate matrix: [[minhashLsh]] pairs rolled up to

@@ -132,6 +132,60 @@ object Multimodal {
       }(encoder)
   }
 
+  /** 60-bit perceptual (difference-hash) signature per media row — the
+    * image/audio cousin of [[graft.ops.Dedup.simhashNearDups]]'s text
+    * signature: decode the payload to `dim` integer features (the
+    * [[ByteFoldDecoder]] STUB stands in for a real downscale-to-grayscale;
+    * the plumbing — decode, gradient bits, packing — is the real dHash
+    * shape), then bit i = [feature i > feature (i+1) mod dim]. Gradient
+    * comparisons make the signature robust to uniform payload shifts
+    * (brightness in the image case), which is exactly what a checksum
+    * can't give. dim = 60 keeps the packed signature non-negative in a
+    * BIGINT for engine-portable chunking.
+    *
+    * Scale shape: decode is partition-local, the bit-pack is a pure
+    * per-row expression — map-only end to end.
+    *
+    * @return (media_id, phash) — phash ∈ [0, 2⁶⁰)
+    */
+  def perceptualHash(media: DataFrame, dim: Int = 60): DataFrame = {
+    require(dim > 1 && dim <= 60, s"perceptualHash needs 1 < dim <= 60, got $dim")
+    extractFeaturesLong(media, new ByteFoldDecoder(dim))
+      .select(col("media_id"), expr(
+        s"""aggregate(transform(sequence(0, ${dim - 1}),
+           |  i -> IF(features[i] > features[(i + 1) % $dim],
+           |          shiftleft(1L, i), 0L)),
+           |  0L, (acc, x) -> acc + x)""".stripMargin).as("phash"))
+  }
+
+  /** Perceptual near-duplicate pairs over binary payloads: [[perceptualHash]]
+    * signatures, then the banded hamming join of the simhash family — the
+    * 60-bit signature splits into 4 chunks of 15 bits, and a pair within
+    * hamming distance ≤ 3 dirties at most 3 chunks, so it collides on at
+    * least one clean chunk key (pigeonhole: the multi-index guarantee is
+    * LOSSLESS for maxHamming ≤ 3; larger cuts trade recall like any LSH).
+    * The hamming cut rides INSIDE the join condition, so only true
+    * near-dups reach the distinct's shuffle.
+    *
+    * @return (a, b, hamming) with a < b over media_id
+    */
+  def perceptualNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = org.apache.spark.sql.graft.FreshCheckpoint(perceptualHash(media))
+    val chunks = (0 until 4).map { c =>
+      sigs.select(col("media_id"), lit(c).as("chunk"),
+        shiftright(col("phash"), c * 15).bitwiseAND(0x7fff).as("key"),
+        col("phash"))
+    }.reduce(_ unionByName _)
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
+          col("x.media_id") < col("y.media_id") &&
+          bit_count(col("x.phash").bitwiseXOR(col("y.phash"))) <= maxHamming)
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).cast("long")
+          .as("hamming"))
+      .distinct()
+  }
+
   /** Feature extraction via partition-local decode (mapPartitions batch
     * contract — the decoder is instantiated once per partition, not per row).
     */

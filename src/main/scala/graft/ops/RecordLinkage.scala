@@ -65,4 +65,32 @@ object RecordLinkage {
       .filter(col("band").isNotNull)
     scored.select(col("pa"), col("pb"), col("dist"), col("score_u"), col("band"))
   }
+
+  /** Canonical entity resolution — the last step of the customer-360 story
+    * [[linkParts]] starts: `match`-band pairs close transitively via the
+    * distributed connected-components operator (transitivity is the point:
+    * A≈B and B≈C put A and C in one entity even when the A–C evidence alone
+    * is sub-threshold), and each entity elects its canonical record as the
+    * min partkey (total, engine-exact). `possible`-band pairs are
+    * deliberately NOT closed over — a review queue must not merge entities.
+    *
+    * Scale shape: match pairs ≪ records (the FS accept region), so CC is
+    * the O(log n) large/small-star loop on a small pair graph; the member
+    * rollup is one count per canonical id.
+    *
+    * @return one row per record: (p_partkey, canonical_id, n_members,
+    *         is_canonical)
+    */
+  def canonicalParts(part: DataFrame, maxDist: Int = 1): DataFrame = {
+    val pairs = linkParts(part, maxDist).filter(col("band") === "match")
+      .select(col("pa").as("src"), col("pb").as("dst"))
+    val cc = graft.graph.Analytics.connectedComponents(
+      part.select(col("p_partkey").cast("long").as("id")), pairs)
+      .select(col("id").as("p_partkey"), col("component").as("canonical_id"))
+    val sizes = cc.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("n_members"))
+    cc.join(sizes, Seq("canonical_id"))
+      .select(col("p_partkey"), col("canonical_id"), col("n_members"),
+        (col("p_partkey") === col("canonical_id")).as("is_canonical"))
+  }
 }

@@ -161,6 +161,44 @@ object TextAnalysis {
         .as("masked_len"))
   }
 
+  /** PII scrub — the pattern-class hygiene pass [[redactTerms]]'s literal
+    * blocklist can't express: emails, phone-shaped, SSN-shaped and long
+    * bare digit-run tokens are counted per class on the original
+    * (lowercased) text and masked SEQUENTIALLY (email → phone → SSN →
+    * digit-run, so an already-masked class can't partially re-match a
+    * later pattern). Patterns are RE2-portable (no lookaround, no \Q\E,
+    * ASCII \b) so the SQL oracle replays them verbatim; the four classes
+    * are mutually non-overlapping by construction (3-3-4 phone vs 3-2-4
+    * SSN separators; digit runs require ≥9 UNBROKEN digits).
+    *
+    * Pure per-row projection — embarrassingly parallel, no shuffle, and
+    * the masked text itself never leaves the row (only counts and the
+    * masked length surface), so nothing corpus-sized moves.
+    *
+    * @return one audit row per doc: (doc_id, n_email, n_phone, n_ssn,
+    *         n_digit, n_redacted, masked_len)
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val classes = Seq(
+      "email" -> ("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]"),
+      "phone" -> ("\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b", "[PHONE]"),
+      "ssn" -> ("\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "[SSN]"),
+      "digit" -> ("\\b[0-9]{9,}\\b", "[ID]"))
+    val t = lower(col("text"))
+    val masked = classes.foldLeft(t) { case (acc, (_, (pat, marker))) =>
+      regexp_replace(acc, pat, marker)
+    }
+    val counts = classes.map { case (name, (pat, _)) =>
+      regexp_count(t, lit(pat)).cast("long").as(s"n_$name")
+    }
+    docs.select(col("doc_id") +:
+        (counts :+ length(masked).cast("long").as("masked_len")): _*)
+      .withColumn("n_redacted",
+        col("n_email") + col("n_phone") + col("n_ssn") + col("n_digit"))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ssn"),
+        col("n_digit"), col("n_redacted"), col("masked_len"))
+  }
+
   /** Intra-document repetition ratio (the Gopher/RefinedWeb-style quality
     * rule): fraction of duplicated token n-grams per document. One
     * (doc_id)-shuffle for the gram window, then a per-doc agg. */

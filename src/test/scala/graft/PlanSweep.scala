@@ -49,7 +49,10 @@ class PlanSweep extends SparkTestBase {
     "q190_densest_subgraph", // 1-row (nv, ne) scalar attach per peel round
     "q175_bigram_logprob", // 1-row vocabulary-size scalar attach
     "q183_pca_component", // 1-row norm scalar per power-iteration round
-    "q184_psi_drift") // 1-row ref-range / totals scalar attaches
+    "q184_psi_drift", // 1-row ref-range / totals scalar attaches
+    // calibrate→commit loop: 1-row corpus-total and chosen-cut scalar
+    // attaches (the pair relation itself stays candidate-bounded)
+    "q201_threshold_choice", "q202_calibrated_dedup")
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -86,7 +89,10 @@ class PlanSweep extends SparkTestBase {
     "q187_hits", // 1-row norm scalar
     // q190: per-round 1-row (nv, ne) scalars; the final window runs on the
     // rounds+1-row stats artifact, not corpus data
-    "q190_densest_subgraph")
+    "q190_densest_subgraph",
+    // q201/q202: corpus-total + chosen-cut 1-row scalar aggregations; the
+    // 11-row cut spine is a literal range
+    "q201_threshold_choice", "q202_calibrated_dedup")
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:

@@ -92,6 +92,91 @@ class Round8Spec extends SparkTestBase {
     assert(Similarity.countProbes.get() - before === 2)
   }
 
+  test("piiScrub counts and masks each class independently") {
+    val docs = Seq(
+      (1L, "mail Bob.Smith+x@corp-mail.example.org and call 415-555-0133 now"),
+      (2L, "ssn 123-45-6789 next to account 9876543210 and 555.123.4567"),
+      (3L, "nothing sensitive here at all"),
+      // 8-digit run: too short for the digit class; 3-3-4 with mixed
+      // separators still phone-shaped
+      (4L, "ref 12345678 dial 800 555 0199"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out(1L)._1 === 1L && out(1L)._2 === 1L && out(1L)._3 === 0L &&
+      out(1L)._4 === 0L && out(1L)._5 === 2L)
+    assert(out(2L) === ((0L, 1L, 1L, 1L, 3L,
+      ("ssn [SSN] next to account [ID] and [PHONE]").length.toLong)))
+    assert(out(3L) === ((0L, 0L, 0L, 0L, 0L,
+      "nothing sensitive here at all".length.toLong)))
+    assert(out(4L)._2 === 1L && out(4L)._4 === 0L)
+  }
+
+  test("perceptualNearDups pairs a brightness-shifted payload with its original") {
+    // payloads whose byte-fold GRADIENTS agree: doc 2 = doc 1 with every
+    // byte +1 (uniform brightness shift -> identical dHash, hamming 0);
+    // doc 3 is unrelated
+    val base = (0 until 240).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val shifted = base.map(c => (c + 1).toChar)
+    val media = Seq((1L, base), (2L, shifted),
+      (3L, (0 until 240).map(i => ('a' + (i * i + 3) % 26).toChar).mkString))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Multimodal.perceptualNearDups(
+      graft.ops.Multimodal.ingest(media)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) === 0L)
+    assert(!out.keySet.exists(p => p._1 === 3L || p._2 === 3L))
+  }
+
+  test("canonicalParts merges a transitive match chain to one canonical id") {
+    // A~B and B~C are match-band; A~C alone is distance 2 (never a
+    // candidate) — transitivity must still put all three in one entity
+    val parts = Seq(
+      (10L, "widget alpha nine", "T1", "B1", 5L, 100.0),
+      (11L, "widget alpha nin", "T1", "B1", 5L, 100.2),
+      (12L, "widget alpha ni", "T1", "B1", 5L, 100.4),
+      (20L, "other thing entirely", "T1", "B2", 9L, 500.0))
+      .toDF("p_partkey", "p_name", "p_type", "p_brand", "p_size",
+        "p_retailprice")
+    val out = graft.ops.RecordLinkage.canonicalParts(parts).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out(10L) === ((10L, 3L, true)))
+    assert(out(11L) === ((10L, 3L, false)))
+    assert(out(12L) === ((10L, 3L, false)))
+    assert(out(20L) === ((20L, 1L, true)))
+  }
+
+  test("thresholdChoice picks the most aggressive cut inside the budget and calibratedDedup commits it") {
+    // two exact-dup groups (jaccard 1.0, band 10) + one unrelated doc:
+    // docs touched at cut<=10 = 4 of 5 (800000 u). A 900000-u budget
+    // admits every cut -> chosen = 0; a 100000-u budget admits none ->
+    // fallback 10.
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten eleven"
+    val docs = Seq((1L, t1), (2L, t1), (3L, t2), (4L, t2),
+      (5L, "completely different words never repeat anywhere else at all"))
+      .toDF("doc_id", "text")
+    val loose = graft.ops.Dedup.thresholdChoice(docs, targetFracU = 900000)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(loose.size === 11)
+    assert(loose(0L)._4 === true && loose(10L)._4 === false)
+    assert(loose(10L)._1 === 2L && loose(10L)._2 === 4L && loose(10L)._3 === 800000L)
+    val tight = graft.ops.Dedup.thresholdChoice(docs, targetFracU = 100000)
+      .collect().filter(_.getBoolean(4)).map(_.getLong(0))
+    assert(tight.toSeq === Seq(10L), "no-cut-fits must fall back to 10")
+    // commit: at the 800000-u budget the chosen cut dedups both groups —
+    // keepers are the min ids (equal token counts tie-break)
+    val dd = graft.ops.Dedup.calibratedDedup(docs, targetFracU = 800000)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(3), r.getLong(4)))).toMap
+    assert(dd(1L)._2 === true && dd(2L) === ((1L, false, dd(1L)._3)))
+    assert(dd(3L)._2 === true && dd(4L)._1 === 3L && dd(4L)._2 === false)
+    assert(dd(5L)._2 === true)
+  }
+
   test("clusterSilhouette keeps micro-unit resolution on small-distance cells") {
     // 1-D corpus, k=2, all distances < 9e12 u^2 -> the multiply-first
     // branch; values are exact binary fractions so float->micro-unit
