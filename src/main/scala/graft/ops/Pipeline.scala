@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.FreshCheckpoint
+
+/** End-to-end training-corpus pipeline — the COMPOSED product the individual
+  * operators exist for (the reference's own value is its composed chain,
+  * `Makefile:1-13`: extract → build → link → serve; this is the
+  * LLM-data-curation equivalent over `documents`):
+  *
+  *   1. [[TextAnalysis.filterCascade]] — quality gate (audited reject
+  *      reasons), keep only clean docs;
+  *   2. [[TextAnalysis.lineDedup]] — strip corpus-frequent boilerplate
+  *      segments from the survivors' text;
+  *   3. ONE banded MinHash pass at the LOOSE threshold, cut two ways:
+  *      pairs ≥ 0.8 close into clusters and [[Dedup.clusterKeepers]] keeps
+  *      the best copy (dedup), while the full ≥ 0.5 pair set is remembered
+  *      for the split stage — the near-dups that SURVIVE dedup are exactly
+  *      the 0.5–0.8 band, and they must not straddle train/test;
+  *   4. [[TextAnalysis.decontaminate]] — benchmark docs (held-out slice)
+  *      knock out every training doc sharing an 8-gram, then leave the
+  *      corpus themselves;
+  *   5. [[TrainingData.leakageSafeSplit]] — cluster-unit assignment over
+  *      the surviving near-dup pairs;
+  *   6. [[TrainingData.sequencePacking]] — the train split laid into
+  *      fixed-token-budget bins.
+  *
+  * Per-stage row accounting rides every output row as scalar columns
+  * (n_raw → n_cascade → n_dedup → n_clean → n_train), so the relation is
+  * its own funnel audit — the first thing a pipeline owner asks for.
+  *
+  * Scale shape: every stage is the already-probed operator (banded LSH,
+  * O(log n) CC, gram-keyed equi-joins, sharded packing windows); the
+  * composition adds only semi-joins on doc_id between stages and five
+  * 1-row scalar attaches. Stage boundaries are checkpointed so no stage's
+  * subtree is re-derived by its consumers.
+  */
+object Pipeline {
+
+  /** @param benchMod docs with doc_id % benchMod == 0 play the held-out
+    *        benchmark slice for decontamination
+    * @return one row per (lang, shard, bin) of the packed TRAIN split:
+    *         (lang, shard, bin, n_docs, sum_tokens, first_doc, last_doc,
+    *         n_raw, n_cascade, n_dedup, n_clean, n_train)
+    */
+  def pretrainCorpus(docs: DataFrame, budget: Int = 2048,
+      shardDocs: Int = 128, benchMod: Int = 7): DataFrame = {
+    val raw = docs.select(col("doc_id"), col("lang"), col("text"))
+    // 1. quality cascade
+    val kept1 = FreshCheckpoint(raw.join(
+      TextAnalysis.filterCascade(docs).filter(col("keep"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "leftsemi"))
+    // 2. boilerplate line dedup (segment frequencies measured on the
+    // POST-cascade corpus — junk docs must not inflate line counts)
+    val docs2 = FreshCheckpoint(
+      kept1.select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.lineDedup(kept1, sep = " line ", maxOcc = 2)
+          .select(col("doc_id"), col("text_dedup").as("text")), Seq("doc_id")))
+    // 3. one banded pass, two cuts
+    val pairsAll = FreshCheckpoint(
+      Dedup.minhashLsh(docs2, numHashes = 8, rowsPerBand = 2, threshold = 0.5))
+    val pairs08 = pairsAll.filter(col("jaccard") >= 0.8)
+      .select(col("a"), col("b"))
+    val keepers = Dedup.clusterKeepers(docs2, pairs08)
+    val docs3 = FreshCheckpoint(docs2.join(
+      keepers.filter(col("keep")).select(col("doc_id")),
+      Seq("doc_id"), "leftsemi"))
+    // 4. benchmark decontamination (bench docs leave with the slice)
+    val isBench = col("doc_id") % benchMod === 0
+    val contaminated = TextAnalysis.decontaminate(docs3, isBench, n = 8)
+      .select(col("train_doc").as("doc_id")).distinct()
+    val docs4 = FreshCheckpoint(docs3.filter(!isBench)
+      .join(contaminated, Seq("doc_id"), "left_anti"))
+    // 5. leakage-safe split over the near-dup pairs that survived dedup
+    val ids4 = docs4.select(col("doc_id"))
+    val pairs4 = pairsAll.select(col("a"), col("b"))
+      .join(ids4.select(col("doc_id").as("a")), Seq("a"), "leftsemi")
+      .join(ids4.select(col("doc_id").as("b")), Seq("b"), "leftsemi")
+    val split = FreshCheckpoint(TrainingData.leakageSafeSplit(docs4, pairs4))
+    // 6. pack the train split
+    val train = docs4.join(split.filter(col("split") === "train")
+      .select(col("doc_id")), Seq("doc_id"), "leftsemi")
+    val packed = TrainingData.sequencePacking(train, budget, "lang", shardDocs)
+    // funnel accounting — five 1-row scalar attaches
+    def cnt(df: DataFrame, name: String) =
+      broadcast(df.agg(count(lit(1)).as(name)))
+    packed
+      .crossJoin(cnt(raw, "n_raw"))
+      .crossJoin(cnt(kept1, "n_cascade"))
+      .crossJoin(cnt(docs3, "n_dedup"))
+      .crossJoin(cnt(docs4, "n_clean"))
+      .crossJoin(cnt(train, "n_train"))
+  }
+}

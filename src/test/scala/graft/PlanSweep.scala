@@ -52,7 +52,8 @@ class PlanSweep extends SparkTestBase {
     "q184_psi_drift", // 1-row ref-range / totals scalar attaches
     // calibrate→commit loop: 1-row corpus-total and chosen-cut scalar
     // attaches (the pair relation itself stays candidate-bounded)
-    "q201_threshold_choice", "q202_calibrated_dedup")
+    "q201_threshold_choice", "q202_calibrated_dedup",
+    "q197_pretrain_pipeline") // five 1-row funnel-count scalar attaches
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -92,7 +93,8 @@ class PlanSweep extends SparkTestBase {
     "q190_densest_subgraph",
     // q201/q202: corpus-total + chosen-cut 1-row scalar aggregations; the
     // 11-row cut spine is a literal range
-    "q201_threshold_choice", "q202_calibrated_dedup")
+    "q201_threshold_choice", "q202_calibrated_dedup",
+    "q197_pretrain_pipeline") // five 1-row funnel-count scalar aggregations
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:

@@ -177,6 +177,38 @@ class Round8Spec extends SparkTestBase {
     assert(dd(5L)._2 === true)
   }
 
+  test("pretrainCorpus funnel: each stage drops exactly the planted casualties") {
+    val good1 = "the quick brown fox jumps over a lazy dog and then runs far " +
+      "away to find some food of great taste in the woods tonight"
+    val good2 = "a calm river flows past the old stone mill and carries tiny " +
+      "boats of leaves to the quiet valley below the northern hills"
+    val bench = "every quiz item lists four answer choices and the correct " +
+      "letter sits at the end of each line so all graders can mark it"
+    // shares the 8-token span "lists four answer choices and the correct
+    // letter" with the bench doc -> decontaminated
+    val leaky = "my training doc lists four answer choices and the correct " +
+      "letter too which is exactly the kind of leak a pipeline must catch"
+    val docs = Seq(
+      (1L, "en", "tiny"), // cascade reject (too_short)
+      (2L, "en", good1), (3L, "en", good1), // exact dups -> keeper 2
+      (4L, "en", leaky),
+      (5L, "en", good2),
+      (6L, "de", good2 + " and some extra german flavored words follow here"),
+      (7L, "en", bench)) // bench slice (id % 7 == 0)
+      .toDF("doc_id", "lang", "text")
+    val out = graft.ops.Pipeline.pretrainCorpus(docs).collect()
+    assert(out.nonEmpty, "no train docs survived — repick planted ids")
+    val r0 = out.head
+    def c(name: String) = r0.getLong(r0.fieldIndex(name))
+    assert(c("n_raw") === 7L)
+    assert(c("n_cascade") === 6L, "only the too_short doc should fall")
+    assert(c("n_dedup") === 5L, "exactly one dup copy should fall")
+    assert(c("n_clean") === 3L, "bench doc leaves, leaky doc decontaminated")
+    val packedDocs = out.map(r => r.getLong(r.fieldIndex("n_docs"))).sum
+    assert(c("n_train") === packedDocs, "packed bins must cover the train split")
+    assert(c("n_train") >= 1L && c("n_train") <= 3L)
+  }
+
   test("clusterSilhouette keeps micro-unit resolution on small-distance cells") {
     // 1-D corpus, k=2, all distances < 9e12 u^2 -> the multiply-first
     // branch; values are exact binary fractions so float->micro-unit
