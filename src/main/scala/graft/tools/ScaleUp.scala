@@ -49,7 +49,6 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val Array(src, dst, factorS) = args.take(3)
-    val factor = factorS.toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -57,6 +56,14 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, factorS.toInt)
+    spark.stop()
+  }
+
+  /** In-process entry (no session lifecycle) — lets the sf1 plan sweep
+    * regenerate tmp/sf1 inside a test JVM when a prior session's output
+    * was cleaned away. */
+  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
     def in(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def out(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
@@ -111,6 +118,5 @@ object ScaleUp {
     }, "embeddings")
 
     println(s"ScaleUp: wrote ${factor}x of $src to $dst")
-    spark.stop()
   }
 }

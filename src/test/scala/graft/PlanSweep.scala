@@ -11,6 +11,23 @@ package graft
   * nested loop fails this suite.
   */
 class PlanSweep extends SparkTestBase {
+  import PlanSweepSupport._
+
+  test("no query plans a cartesian, single-partition exchange, global sort, or unlisted nested loop (sf0.001)") {
+    val bad = sweep(spark, s"$testData/sf0.001", Queries.all)
+    assert(bad.isEmpty, s"risky plan patterns at sf0.001:\n${bad.mkString("\n")}")
+  }
+
+  test("no query plans a cartesian, single-partition exchange, global sort, or unlisted nested loop (sf0.1)") {
+    val bad = sweep(spark, s"$testData/sf0.1", Queries.all)
+    assert(bad.isEmpty, s"risky plan patterns at sf0.1:\n${bad.mkString("\n")}")
+  }
+}
+
+/** Shared allowlists + sweep used by [[PlanSweep]] (full inventory at the
+  * verify scales) and [[PlanSweepSf1]] (heavy family past the
+  * broadcast→shuffle flip). */
+object PlanSweepSupport {
 
   /** Queries whose single BroadcastNestedLoopJoin is a broadcast-scalar /
     * tiny-dim attach (side sizes are O(1) by construction):
@@ -103,8 +120,9 @@ class PlanSweep extends SparkTestBase {
     * the small scale can pick a different — and riskier — physical operator
     * at the scale the bench actually runs.
     */
-  private def sweep(sfDir: String): Seq[String] =
-    Queries.all.flatMap { q =>
+  def sweep(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      queries: Seq[Queries.Q]): Seq[String] =
+    queries.flatMap { q =>
       val p = Queries.queries(q.name)(spark, sfDir).queryExecution
         .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       val tags = Seq(
@@ -117,14 +135,4 @@ class PlanSweep extends SparkTestBase {
       ).collect { case (t, true) => t }
       if (tags.nonEmpty) Some(s"${q.name}: ${tags.mkString(",")}") else None
     }
-
-  test("no query plans a cartesian, single-partition exchange, global sort, or unlisted nested loop (sf0.001)") {
-    val bad = sweep(s"$testData/sf0.001")
-    assert(bad.isEmpty, s"risky plan patterns at sf0.001:\n${bad.mkString("\n")}")
-  }
-
-  test("no query plans a cartesian, single-partition exchange, global sort, or unlisted nested loop (sf0.1)") {
-    val bad = sweep(s"$testData/sf0.1")
-    assert(bad.isEmpty, s"risky plan patterns at sf0.1:\n${bad.mkString("\n")}")
-  }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Heavy-family physical-plan lock at sf1 — the scale PAST the
+  * broadcast→shuffle flip.
+  *
+  * Both round-7 scale bugs (the k-core full-edge reshuffle and the
+  * triangle/clustering SMJ array-payload spill) were planner-flip failures
+  * that the sf0.001/sf0.1 sweeps structurally could not catch: size-based
+  * decisions (broadcast thresholds, CBO file-size stats) choose different —
+  * and riskier — physical operators only once the inputs outgrow the
+  * thresholds. This suite compiles the ~30 probed heavy queries against the
+  * 10× ScaleUp dir and applies the same risky-pattern checks, turning the
+  * sf1 probes' wall-clock evidence into a locked plan contract.
+  *
+  * tmp/sf1 is regenerated in-process when absent (deterministic ScaleUp,
+  * ~35 s), so the suite is self-contained across sessions.
+  */
+class PlanSweepSf1 extends SparkTestBase {
+
+  /** The probed heavy family: every query with an sf1 wall-clock probe in
+    * rounds 6–8 (graph/co-purchase, dedup/similarity candidates, text
+    * aggregation, decomposition) plus the round-8 additions. */
+  private val heavy = Set(
+    "q36_ngram_jaccard", "q90_triangle_count", "q92_tfidf_pairs",
+    "q95_profile_columns", "q97_kcore", "q102_levenshtein_pairs",
+    "q105_copurchase_pairs", "q109_clustering_coeff", "q133_modularity",
+    "q134_assortativity", "q150_semantic_dedup", "q154_bm25_topk",
+    "q167_cdc_chunk_dedup", "q174_containment", "q176_knn_classify",
+    "q181_mutual_knn", "q185_density_clusters", "q186_embedding_outliers",
+    "q187_hits", "q188_matryoshka_fidelity", "q189_corpus_diversity",
+    "q190_densest_subgraph", "q191_record_linkage",
+    "q192_cross_source_matrix", "q193_jl_projection",
+    "q194_cluster_silhouette", "q195_ann_recall", "q196_threshold_sweep",
+    "q197_pretrain_pipeline", "q199_perceptual_neardups",
+    "q200_canonical_parts", "q202_calibrated_dedup")
+
+  private val sf1Dir = "/root/repo/tmp/sf1"
+
+  test("heavy family plans no cartesian, single-partition exchange, global sort, or unlisted nested loop at sf1") {
+    if (!Files.exists(Paths.get(sf1Dir, "documents.parquet")))
+      graft.tools.ScaleUp.run(spark, s"$testData/sf0.1", sf1Dir, 10)
+    val qs = Queries.all.filter(q => heavy(q.name))
+    assert(qs.size === heavy.size,
+      s"stale heavy list: ${heavy -- qs.map(_.name).toSet}")
+    val bad = PlanSweepSupport.sweep(spark, sf1Dir, qs)
+    assert(bad.isEmpty, s"risky plan patterns at sf1:\n${bad.mkString("\n")}")
+  }
+}
