@@ -5013,12 +5013,131 @@ object Queries {
              |  c3.n_clean, c4.n_train
              |FROM packed p, c0, c1, c2, c3, c4""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-8 batch 3
+  // Corpus-mixture assembly: temperature resampling, token-budget selection,
+  // and the streaming curation composition's batch twin.
+  private val ext21Qs = Seq(
+    Q("q203_mixture_sample",
+      (s, d) => graft.ops.TrainingData.mixtureSample(T(s, d, "documents")),
+      // exact per-source takes: w_s = floor(sqrt(n_s)) (α = 0.5), take_s =
+      // min(n_s, targetDocs·w_s div W), md5-rank cut — all integer
+      Some("""WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source
+             |  FROM documents GROUP BY 1),
+             |w AS (SELECT source, n_source,
+             |   CAST(floor(sqrt(CAST(n_source AS DOUBLE))) AS BIGINT) AS w_source
+             |  FROM st),
+             |tot AS (SELECT CAST(sum(w_source) AS BIGINT) AS w_total FROM w),
+             |tk AS (SELECT source, n_source, w_source,
+             |   CAST(least(n_source, CAST(300 AS BIGINT) * w_source // w_total)
+             |     AS BIGINT) AS take
+             |  FROM w, tot),
+             |r AS (SELECT doc_id, source,
+             |   CAST(row_number() OVER (PARTITION BY source
+             |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+             |  FROM documents)
+             |SELECT r.doc_id, r.source, tk.n_source, tk.w_source, tk.take, r.rk
+             |FROM r JOIN tk ON tk.source = r.source WHERE r.rk <= tk.take""".stripMargin)),
+
+    Q("q204_budget_select",
+      (s, d) => graft.ops.TrainingData.budgetSelect(T(s, d, "documents")),
+      // greedy by stopword-ratio bin, boundary bin filled in md5 order up
+      // to the remaining token budget; the oracle's single inclusive
+      // prefix-sum window equals the operator's two-phase shard scheme
+      // because the shard is an order-preserving md5 prefix
+      Some("""WITH m AS (SELECT doc_id,
+             |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             |  round((
+             |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
+             |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio
+             | FROM documents),
+             |b AS (SELECT doc_id, n_tokens,
+             |   CAST(least(9, CAST(floor(stopword_ratio * 10) AS BIGINT)) AS BIGINT) AS bin
+             |  FROM m),
+             |bs AS (SELECT bin, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+             |  FROM b GROUP BY 1),
+             |cum AS (SELECT bin, bin_tokens,
+             |   CAST(coalesce(sum(bin_tokens) OVER (ORDER BY bin DESC
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+             |  FROM bs),
+             |fullb AS (SELECT bin FROM cum WHERE cum_before + bin_tokens <= 20000),
+             |bound AS (SELECT bin, CAST(20000 - cum_before AS BIGINT) AS remaining
+             |  FROM cum WHERE cum_before < 20000 AND cum_before + bin_tokens > 20000),
+             |keepf AS (SELECT b.doc_id, b.bin, b.n_tokens, FALSE AS boundary
+             |  FROM b JOIN fullb USING (bin)),
+             |bd AS (SELECT b.doc_id, b.bin, b.n_tokens, bound.remaining,
+             |   CAST(sum(b.n_tokens) OVER (ORDER BY md5(CAST(b.doc_id AS VARCHAR)), b.doc_id
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_in
+             |  FROM b JOIN bound ON bound.bin = b.bin)
+             |SELECT doc_id, bin, n_tokens, boundary FROM keepf
+             |UNION ALL
+             |SELECT doc_id, bin, n_tokens, TRUE AS boundary FROM bd
+             |WHERE cum_in <= remaining""".stripMargin)),
+
+    Q("q205_curation_batch",
+      // the streaming curation composition's batch twin (same function,
+      // same plan shape minus the micro-batch scheduler): cascade rules →
+      // PII audit → known-dup anti-join. PII is planted doc_id-derived
+      // (q198 technique) so the scrub has real work; the known-dup list is
+      // a deterministic residue-class stand-in for a persisted keeper
+      // election (index provenance is orthogonal to the composition).
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val aug = docs.withColumn("text", concat(col("text"),
+          lit(" reach u"), col("doc_id").cast("string"),
+          lit("@mail.example.com")))
+        val dups = docs.filter(col("doc_id") % 13 === 5).select(col("doc_id"))
+        graft.streaming.CurationStream.curationStream(aug, dups)
+      },
+      Some("""WITH aug AS (SELECT doc_id, lang,
+             |   text || ' reach u' || CAST(doc_id AS VARCHAR) || '@mail.example.com' AS text
+             |  FROM documents),
+             |m AS (SELECT doc_id, lang,
+             |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tl,
+             |  round((
+             |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
+             |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio,
+             |  round(length(text)::DOUBLE
+             |    / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 4) AS mean_word_len,
+             |  lower(text) AS t
+             | FROM aug),
+             |r AS (SELECT *,
+             |   CASE WHEN len(tl) = 0 THEN NULL
+             |    ELSE floor((1.0 - len(list_distinct(tl))::DOUBLE / len(tl)) * 1000000) / 1000000
+             |   END AS rep_ratio
+             |  FROM m),
+             |keep AS (SELECT * FROM r
+             |  WHERE NOT (n_tokens < 20) AND NOT (stopword_ratio < 0.02)
+             |   AND NOT coalesce(rep_ratio > 0.65, FALSE)
+             |   AND NOT (mean_word_len > 5.9) AND doc_id % 13 <> 5),
+             |pii AS (SELECT doc_id, lang, n_tokens, rep_ratio,
+             |   CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+             |   + CAST(len(regexp_extract_all(t, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT)
+             |   + CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT)
+             |   + CAST(len(regexp_extract_all(t, '\b[0-9]{9,}\b')) AS BIGINT) AS n_redacted,
+             |   CAST(length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+             |     '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+             |     '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '[PHONE]', 'g'),
+             |     '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+             |     '\b[0-9]{9,}\b', '[ID]', 'g')) AS BIGINT) AS masked_len
+             |  FROM keep)
+             |SELECT doc_id, lang, n_tokens, rep_ratio, n_redacted, masked_len
+             |FROM pii""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
-      ext18Qs ++ ext19Qs ++ ext20Qs
+      ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -176,9 +176,11 @@ object TextAnalysis {
     * masked length surface), so nothing corpus-sized moves.
     *
     * @return one audit row per doc: (doc_id, n_email, n_phone, n_ssn,
-    *         n_digit, n_redacted, masked_len)
+    *         n_digit, n_redacted, masked_len) — plus any `carry` columns
+    *         passed through unchanged (keeps single-projection callers like
+    *         [[graft.streaming.CurationStream]] join-free)
     */
-  def piiScrub(docs: DataFrame): DataFrame = {
+  def piiScrub(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val classes = Seq(
       "email" -> ("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]"),
       "phone" -> ("\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b", "[PHONE]"),
@@ -192,11 +194,13 @@ object TextAnalysis {
       regexp_count(t, lit(pat)).cast("long").as(s"n_$name")
     }
     docs.select(col("doc_id") +:
-        (counts :+ length(masked).cast("long").as("masked_len")): _*)
+        (counts ++ (length(masked).cast("long").as("masked_len") +:
+          carry.map(col))): _*)
       .withColumn("n_redacted",
         col("n_email") + col("n_phone") + col("n_ssn") + col("n_digit"))
-      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ssn"),
-        col("n_digit"), col("n_redacted"), col("masked_len"))
+      .select(col("doc_id") +: col("n_email") +: col("n_phone") +:
+        col("n_ssn") +: col("n_digit") +: col("n_redacted") +:
+        col("masked_len") +: carry.map(col): _*)
   }
 
   /** Intra-document repetition ratio (the Gopher/RefinedWeb-style quality

@@ -274,4 +274,134 @@ object TrainingData {
       .select(col("doc_id"), col("lang"), col("source"),
         ((col("off") + col("rin") - 1) % folds).as("fold"))
   }
+
+  /** Temperature-based domain mixing (the multilingual-LM resampling rule:
+    * p_s ∝ n_s^α): re-balance a multi-source corpus toward `targetDocs`
+    * total documents, taking take_s = min(n_s, ⌊targetDocs·w_s/W⌋) docs
+    * from each source where w_s = n_s^α and W = Σ w_s — α < 1 upweights
+    * small sources relative to their raw share (α = 0 is uniform across
+    * sources, α = 1 is proportional, i.e. a plain global subsample).
+    *
+    * EXACT take counts, not expected ones: rate-style hash sampling only
+    * hits the mixture in expectation (binomial noise per source), while a
+    * rank cut takes exactly take_s docs — the property that makes the
+    * emitted mixture auditable against its spec. All arithmetic is
+    * integer: α is restricted to {0, 0.5, 1} so w_s is 1 / ⌊√n_s⌋ / n_s
+    * (IEEE sqrt is correctly rounded, so ⌊√n⌋ is engine-exact), W is an
+    * integer sum, and the take is a single `div`. No double accumulation
+    * whose summation order could differ across engines.
+    *
+    * Scale shape: per-source stats are one tiny aggregate (sources ≪
+    * docs), takes broadcast back, and the per-source rank is the
+    * [[sourceCap]] two-phase md5-shard scheme — no per-source window
+    * funnels a mega-source through one task. Exact while
+    * targetDocs·w_s < 2⁶³.
+    *
+    * @return (doc_id, source, n_source, w_source, take, rk) for kept docs
+    */
+  def mixtureSample(docs: DataFrame, targetDocs: Long = 300,
+      temperature: Double = 0.5): DataFrame = {
+    require(Set(0.0, 0.5, 1.0).contains(temperature),
+      s"temperature must be 0, 0.5 or 1 (integer-exact weights); got $temperature")
+    val w = temperature match {
+      case 0.0 => lit(1L)
+      case 0.5 => floor(sqrt(col("n_source").cast("double"))).cast("long")
+      case 1.0 => col("n_source")
+    }
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_source"))
+      .withColumn("w_source", w)
+    val takes = stats
+      .crossJoin(broadcast(stats.agg(sum(col("w_source")).as("w_total"))))
+      .select(col("source"), col("n_source"), col("w_source"),
+        least(col("n_source"),
+          expr(s"CAST($targetDocs AS BIGINT) * w_source div w_total"))
+          .as("take"))
+    val keyed = docs.select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("m"))
+      .withColumn("shard", substring(col("m"), 1, 2))
+    val wIn = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("m"), col("doc_id"))
+    val ranked = keyed.withColumn("rin", row_number().over(wIn).cast("long"))
+    val wSh = Window.partitionBy(col("source")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wSh), lit(0L)))
+      .select(col("source"), col("shard"), col("off"))
+    ranked.join(offsets, Seq("source", "shard"))
+      .select(col("doc_id"), col("source"), (col("off") + col("rin")).as("rk"))
+      .join(broadcast(takes), Seq("source"))
+      .filter(col("rk") <= col("take"))
+      .select(col("doc_id"), col("source"), col("n_source"), col("w_source"),
+        col("take"), col("rk"))
+  }
+
+  /** Token-budget corpus selection: keep the highest-quality documents
+    * whose token counts fit a global `budgetTokens` budget — greedy by
+    * quality BIN, never by a global quality sort (a global sort is the one
+    * plan shape that cannot survive 100 TB; a range exchange on quality
+    * would also break ties non-deterministically).
+    *
+    * Quality is bucketed into `bins` stopword-ratio bins (the cascade's
+    * own integerized signal); the per-bin token totals (≤ `bins` rows)
+    * cumulate best-bin-first to find the BOUNDARY bin — every better bin
+    * is kept whole, every worse bin dropped whole, and the boundary bin is
+    * filled in md5-content order until the remaining budget is exhausted.
+    * The boundary fill is the [[sourceCap]] two-phase scheme with a
+    * RUNNING SUM instead of a rank: per-(shard) token sums give shard
+    * offsets (≤ 256-row window), and the inclusive within-shard running
+    * sum plus the offset is the exact global prefix sum in (md5, doc_id)
+    * order — a doc is kept iff its inclusive prefix sum ≤ remaining
+    * budget. Deterministic on any engine, any partitioning.
+    *
+    * @return kept docs (doc_id, bin, n_tokens, boundary) — boundary marks
+    *         docs admitted by the partial fill rather than a whole bin
+    */
+  def budgetSelect(docs: DataFrame, budgetTokens: Long = 20000,
+      bins: Int = 10): DataFrame = {
+    val q = TextAnalysis.qualityColumns(col("text"))
+      .foldLeft(docs.select(col("doc_id"), col("text"))) {
+        case (df, (name, c)) => df.withColumn(name, c)
+      }
+      .select(col("doc_id"), col("n_tokens"),
+        least(lit(bins - 1L),
+          floor(col("stopword_ratio") * bins)).cast("long").as("bin"))
+    val scored = org.apache.spark.sql.graft.FreshCheckpoint(q)
+    val binW = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ `bins` rows: the single-partition window is over a tiny aggregate
+    val binStats = scored.groupBy(col("bin"))
+      .agg(sum(col("n_tokens")).as("bin_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("bin_tokens")).over(binW), lit(0L)))
+      .select(col("bin"), col("bin_tokens"), col("cum_before"),
+        (col("cum_before") + col("bin_tokens") <= budgetTokens).as("full_keep"),
+        (col("cum_before") < budgetTokens &&
+          col("cum_before") + col("bin_tokens") > budgetTokens).as("is_boundary"),
+        (lit(budgetTokens) - col("cum_before")).as("remaining"))
+    val fullBins = binStats.filter(col("full_keep")).select(col("bin"))
+    val kept = scored.join(broadcast(fullBins), Seq("bin"), "leftsemi")
+      .select(col("doc_id"), col("bin"), col("n_tokens"),
+        lit(false).as("boundary"))
+    val bBin = binStats.filter(col("is_boundary"))
+      .select(col("bin"), col("remaining"))
+    val bDocs = scored.join(broadcast(bBin), Seq("bin"))
+      .withColumn("m", md5(col("doc_id").cast("string")))
+      .withColumn("shard", substring(col("m"), 1, 2))
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("m"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withIn = bDocs.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+    val wSh = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ 256 rows (one per md5-prefix shard)
+    val offsets = withIn.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wSh), lit(0L)))
+      .select(col("shard"), col("off"))
+    val boundary = withIn.join(broadcast(offsets), Seq("shard"))
+      .filter(col("off") + col("cum_in") <= col("remaining"))
+      .select(col("doc_id"), col("bin"), col("n_tokens"),
+        lit(true).as("boundary"))
+    kept.unionByName(boundary)
+  }
 }

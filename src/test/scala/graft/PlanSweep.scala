@@ -70,7 +70,8 @@ object PlanSweepSupport {
     // calibrate→commit loop: 1-row corpus-total and chosen-cut scalar
     // attaches (the pair relation itself stays candidate-bounded)
     "q201_threshold_choice", "q202_calibrated_dedup",
-    "q197_pretrain_pipeline") // five 1-row funnel-count scalar attaches
+    "q197_pretrain_pipeline", // five 1-row funnel-count scalar attaches
+    "q203_mixture_sample") // 1-row W = Σ w_s scalar attach
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -111,7 +112,12 @@ object PlanSweepSupport {
     // q201/q202: corpus-total + chosen-cut 1-row scalar aggregations; the
     // 11-row cut spine is a literal range
     "q201_threshold_choice", "q202_calibrated_dedup",
-    "q197_pretrain_pipeline") // five 1-row funnel-count scalar aggregations
+    "q197_pretrain_pipeline", // five 1-row funnel-count scalar aggregations
+    "q203_mixture_sample", // 1-row weight-total scalar aggregation
+    // q204: the bin cumulation window runs on the ≤ bins-row aggregate and
+    // the boundary shard-offset window on the ≤ 256-row shard totals —
+    // never corpus rows (the per-doc prefix sums are shard-partitioned)
+    "q204_budget_select")
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:
