@@ -5132,12 +5132,314 @@ object Queries {
              |SELECT doc_id, lang, n_tokens, rep_ratio, n_redacted, masked_len
              |FROM pii""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-8 batch 3
+  // Corpus-health audits and mining: char-mass repetition profile, semantic
+  // diversity cap, contrastive hard negatives, dup-cluster histogram,
+  // post-split leakage audit.
+  private val ext22Qs = Seq(
+    Q("q206_repetition_profile",
+      (s, d) => graft.ops.TextAnalysis.repetitionProfile(T(s, d, "documents")),
+      // per-n gram mass rollup; dup/top fractions as BIGINT floor micro-units
+      Some("""WITH toks AS (SELECT doc_id,
+             |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok,
+             |  generate_subscripts(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), 1) AS pos
+             | FROM documents),
+             |g2 AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS gram
+             | FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+             |g3 AS (SELECT doc_id,
+             |  tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+             | FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+             |c2 AS (SELECT doc_id, gram, count(*) AS cnt,
+             |  CAST(length(gram) * count(*) AS BIGINT) AS mass
+             | FROM g2 WHERE gram IS NOT NULL GROUP BY 1, 2),
+             |c3 AS (SELECT doc_id, gram, count(*) AS cnt,
+             |  CAST(length(gram) * count(*) AS BIGINT) AS mass
+             | FROM g3 WHERE gram IS NOT NULL GROUP BY 1, 2),
+             |r2 AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rk FROM c2),
+             |r3 AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rk FROM c3),
+             |a2 AS (SELECT doc_id, CAST(2 AS BIGINT) AS n,
+             |  CAST(sum(mass) AS BIGINT) AS total_mass,
+             |  CAST(coalesce(sum(mass) FILTER (cnt >= 2), 0) AS BIGINT) AS dup_mass,
+             |  CAST(max(mass) FILTER (rk = 1) AS BIGINT) AS top_mass
+             | FROM r2 GROUP BY 1),
+             |a3 AS (SELECT doc_id, CAST(3 AS BIGINT) AS n,
+             |  CAST(sum(mass) AS BIGINT) AS total_mass,
+             |  CAST(coalesce(sum(mass) FILTER (cnt >= 2), 0) AS BIGINT) AS dup_mass,
+             |  CAST(max(mass) FILTER (rk = 1) AS BIGINT) AS top_mass
+             | FROM r3 GROUP BY 1),
+             |u AS (SELECT * FROM a2 UNION ALL SELECT * FROM a3)
+             |SELECT doc_id, n, total_mass,
+             |  CAST(dup_mass * 1000000 // total_mass AS BIGINT) AS dup_frac_u,
+             |  CAST(top_mass * 1000000 // total_mass AS BIGINT) AS top_frac_u,
+             |  (top_mass * 1000000 // total_mass) > 200000
+             |    OR (dup_mass * 1000000 // total_mass) > 600000 AS flagged
+             |FROM u""".stripMargin)),
+
+    Q("q207_semantic_cap",
+      (s, d) => graft.ops.Similarity.semanticCap(T(s, d, "embeddings")),
+      // the q150 hyperplane-cell chain + an md5-order rank inside each cell
+      Some(hplaneCellStages(recursive = false) + """,
+             |sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS cell_size FROM cells GROUP BY 1),
+             |rk AS (SELECT vec_id, cell,
+             |   CAST(row_number() OVER (PARTITION BY cell
+             |     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+             |  FROM cells)
+             |SELECT r.vec_id, r.cell, s.cell_size, r.rk, r.rk <= 8 AS keep
+             |FROM rk r JOIN sz s USING (cell)""".stripMargin)),
+
+    Q("q208_hard_negatives",
+      (s, d) => graft.ops.Similarity.hardNegatives(T(s, d, "embeddings")),
+      // q176's in-cell cosine chain with a [0.3, 0.95) band before the rank
+      Some(hplaneCellStages(recursive = false) + """,
+             |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
+             |pr AS (SELECT x.vec_id AS qa, y.vec_id AS vb
+             |  FROM cells x JOIN cells y
+             |    ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+             |dots AS (SELECT pr.qa AS query_id, pr.vb AS vec_id,
+             |   sum(CAST(q.v AS DOUBLE) * c.v) AS dp
+             |  FROM pr JOIN f q ON q.vec_id = pr.qa
+             |  JOIN f c ON c.vec_id = pr.vb AND c.i = q.i GROUP BY 1, 2),
+             |cos AS (SELECT d.query_id, d.vec_id,
+             |   round(d.dp / (nq.nrm * nc.nrm), 6) AS cos
+             |  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+             |  JOIN norms nc ON nc.vec_id = d.vec_id),
+             |band AS (SELECT * FROM cos WHERE cos >= 0.3 AND cos < 0.95),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |   ORDER BY cos DESC, vec_id) AS rk FROM band)
+             |SELECT query_id AS anchor, vec_id AS negative, cos,
+             |  CAST(rk AS BIGINT) AS rk
+             |FROM rk WHERE rk <= 3""".stripMargin)),
+
+    Q("q209_dup_cluster_profile",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val pairs = graft.ops.Dedup.minhashLsh(docs, 8, 2, 0.8)
+          .select(col("a"), col("b"))
+        graft.ops.Dedup.dupClusterProfile(docs, pairs)
+      },
+      // q157's verified-pair + transitive-closure chain, rolled to a
+      // cluster-size histogram (singletons included)
+      Some("""WITH RECURSIVE words AS (
+             |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+             |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> x <> '') AS tl FROM documents)),
+             |toks AS (
+             |  SELECT DISTINCT doc_id,
+             |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+             |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+             |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+             |sig AS (SELECT doc_id,
+             |  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
+             |  min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
+             |  min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
+             |  min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
+             |  FROM toks GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sig
+             |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+             |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+             |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
+             |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+             |   AND x.doc_id < y.doc_id),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+             |inter AS (SELECT c.a, c.b, count(*) AS i
+             |  FROM cand c JOIN toks ta ON ta.doc_id = c.a
+             |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+             |  GROUP BY 1, 2),
+             |nd AS (SELECT c.a, c.b FROM cand c
+             |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+             |  JOIN sizes sa ON sa.doc_id = c.a
+             |  JOIN sizes sb ON sb.doc_id = c.b
+             |  WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE)
+             |      / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= 0.8),
+             |und(a, b) AS (SELECT a, b FROM nd UNION SELECT b, a FROM nd),
+             |r(s, id) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION SELECT r.s, u.b FROM r JOIN und u ON u.a = r.id),
+             |cl AS (SELECT s AS doc_id, min(id) AS cluster FROM r GROUP BY s),
+             |szs AS (SELECT cluster, count(*) AS cluster_size FROM cl GROUP BY 1)
+             |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+             |  CAST(count(*) AS BIGINT) AS n_clusters,
+             |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+             |FROM szs GROUP BY cluster_size""".stripMargin)),
+
+    Q("q210_split_leakage_audit",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val pairs = graft.ops.Dedup.minhashLsh(docs, 8, 2, 0.8)
+          .select(col("a"), col("b"))
+        graft.ops.TrainingData.splitLeakageAudit(docs, pairs)
+      },
+      // q155's split chain + rare-8-gram cross-split collisions + the
+      // straddle count the cluster-unit split makes zero by construction
+      Some(s"""WITH RECURSIVE words AS (
+              |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+              |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+              |    x -> x <> '') AS tl FROM documents)),
+              |toks AS (
+              |  SELECT DISTINCT doc_id,
+              |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+              |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+              |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+              |sig AS (SELECT doc_id,
+              |  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
+              |  min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
+              |  min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
+              |  min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
+              |  FROM toks GROUP BY doc_id),
+              |bands AS (
+              |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sig
+              |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+              |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+              |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
+              |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+              |   AND x.doc_id < y.doc_id),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+              |inter AS (SELECT c.a, c.b, count(*) AS i
+              |  FROM cand c JOIN toks ta ON ta.doc_id = c.a
+              |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+              |  GROUP BY 1, 2),
+              |nd AS (SELECT c.a, c.b FROM cand c
+              |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+              |  JOIN sizes sa ON sa.doc_id = c.a
+              |  JOIN sizes sb ON sb.doc_id = c.b
+              |  WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE)
+              |      / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= 0.8),
+              |und(a, b) AS (SELECT a, b FROM nd UNION SELECT b, a FROM nd),
+              |r(s, id) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION SELECT r.s, u.b FROM r JOIN und u ON u.a = r.id),
+              |cl AS (SELECT s AS doc_id, min(id) AS cluster FROM r GROUP BY s),
+              |sp AS (SELECT doc_id,
+              |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+              |       ELSE 'test' END AS split
+              | FROM (SELECT doc_id, ${duckH60("CAST(cluster AS VARCHAR)")} % 100 AS h FROM cl)),
+              |g8 AS (SELECT DISTINCT doc_id,
+              |  w || ' ' || lead(w, 1) OVER win8 || ' ' || lead(w, 2) OVER win8
+              |    || ' ' || lead(w, 3) OVER win8 || ' ' || lead(w, 4) OVER win8
+              |    || ' ' || lead(w, 5) OVER win8 || ' ' || lead(w, 6) OVER win8
+              |    || ' ' || lead(w, 7) OVER win8 AS gram
+              |  FROM words WINDOW win8 AS (PARTITION BY doc_id ORDER BY pos)
+              |  QUALIFY lead(w, 7) OVER win8 IS NOT NULL),
+              |rare AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM g8 GROUP BY 1)
+              |  WHERE df <= 25),
+              |gx AS (SELECT g.doc_id, g.gram, sp.split
+              |  FROM g8 g JOIN rare USING (gram) JOIN sp ON sp.doc_id = g.doc_id),
+              |x AS (SELECT a.split AS split_a, b.split AS split_b,
+              |   a.doc_id AS da, b.doc_id AS db, a.gram AS gram
+              |  FROM gx a JOIN gx b ON a.gram = b.gram AND a.split < b.split),
+              |dp AS (SELECT split_a, split_b, count(*) AS n_doc_pairs
+              |  FROM (SELECT DISTINCT split_a, split_b, da, db FROM x) GROUP BY 1, 2),
+              |sg AS (SELECT split_a, split_b, count(*) AS n_shared_grams
+              |  FROM (SELECT DISTINCT split_a, split_b, gram FROM x) GROUP BY 1, 2),
+              |st AS (SELECT least(sa.split, sb.split) AS split_a,
+              |   greatest(sa.split, sb.split) AS split_b, count(*) AS n_straddle
+              |  FROM nd JOIN sp sa ON sa.doc_id = nd.a
+              |  JOIN sp sb ON sb.doc_id = nd.b
+              |  WHERE sa.split <> sb.split GROUP BY 1, 2),
+              |spine AS (SELECT 'test' AS split_a, 'train' AS split_b
+              |  UNION ALL SELECT 'test', 'val' UNION ALL SELECT 'train', 'val')
+              |SELECT spine.split_a, spine.split_b,
+              |  CAST(coalesce(dp.n_doc_pairs, 0) AS BIGINT) AS n_doc_pairs,
+              |  CAST(coalesce(sg.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+              |  CAST(coalesce(st.n_straddle, 0) AS BIGINT) AS n_straddle
+              |FROM spine
+              |LEFT JOIN dp ON dp.split_a = spine.split_a AND dp.split_b = spine.split_b
+              |LEFT JOIN sg ON sg.split_a = spine.split_a AND sg.split_b = spine.split_b
+              |LEFT JOIN st ON st.split_a = spine.split_a AND st.split_b = spine.split_b""".stripMargin)))
+
+  /** One unrolled BPE merge round in DuckDB — the SQL twin of
+    * [[graft.ops.TextAnalysis]]'s bpeRounds loop body: pair weights off the
+    * vocabulary, best-pair election (max weight, ties to the smallest
+    * pair), gaps-and-islands odd-ordinal merging, per-word re-aggregation. */
+  private def bpeRoundSql(r: Int): String = {
+    val p = r - 1
+    s"""q$r AS (SELECT w, freq, s, pos,
+       |   lead(s) OVER (PARTITION BY w ORDER BY pos) AS s2
+       |  FROM (SELECT w, freq, unnest(syms) AS s,
+       |     generate_subscripts(syms, 1) AS pos FROM v$p)),
+       |pw$r AS (SELECT s || ' ' || s2 AS pair, CAST(sum(freq) AS BIGINT) AS weight
+       |  FROM q$r WHERE s2 IS NOT NULL GROUP BY 1),
+       |b$r AS (SELECT min(pair) AS bp, max(weight) AS bw,
+       |   split_part(min(pair), ' ', 1) AS p0, split_part(min(pair), ' ', 2) AS p1
+       |  FROM pw$r WHERE weight = (SELECT max(weight) FROM pw$r)),
+       |g$r AS (SELECT *, sum(CASE WHEN mtch THEN 0 ELSE 1 END)
+       |    OVER (PARTITION BY w ORDER BY pos) AS grp
+       |  FROM (SELECT q.*, (q.s2 IS NOT NULL AND q.s = b.p0 AND q.s2 = b.p1) AS mtch
+       |        FROM q$r q, b$r b)),
+       |x$r AS (SELECT *, (mtch AND mo % 2 = 1) AS merged,
+       |   coalesce(lag(mtch AND mo % 2 = 1) OVER (PARTITION BY w ORDER BY pos),
+       |     FALSE) AS consumed
+       |  FROM (SELECT *, sum(CASE WHEN mtch THEN 1 ELSE 0 END)
+       |     OVER (PARTITION BY w, grp ORDER BY pos) AS mo FROM g$r)),
+       |v$r AS MATERIALIZED (SELECT w, freq,
+       |   list(CASE WHEN merged THEN s || s2 ELSE s END ORDER BY pos) AS syms
+       |  FROM x$r WHERE NOT consumed GROUP BY 1, 2),
+       |n$r AS (SELECT CAST(sum(freq * len(syms)) AS BIGINT) AS n_symbols FROM v$r)""".stripMargin
+  }
+
+  private val bpeVocabSql: String =
+    s"""WITH words AS (SELECT w, count(*) AS freq FROM (
+       |   SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |     x -> x <> '')) AS w FROM documents) GROUP BY 1),
+       |v0 AS MATERIALIZED (SELECT w, freq,
+       |   list_transform(range(length(w)),
+       |     i -> substring(w, CAST(i + 1 AS INT), 1)) AS syms
+       |  FROM words),
+       |${bpeRoundSql(1)},
+       |${bpeRoundSql(2)},
+       |${bpeRoundSql(3)}""".stripMargin
+
+  // ---------------------------------------------------------------- round-8 batch 4
+  // Tokenizer training/evaluation on the vocabulary relation + the RAG
+  // sliding-window chunker.
+  private val ext23Qs = Seq(
+    Q("q211_bpe_merges",
+      (s, d) => graft.ops.TextAnalysis.bpeMerges(T(s, d, "documents")),
+      Some(bpeVocabSql + """
+             |SELECT CAST(1 AS BIGINT) AS round, b1.bp AS pair, b1.bw AS weight,
+             |  n1.n_symbols FROM b1, n1
+             |UNION ALL SELECT 2, b2.bp, b2.bw, n2.n_symbols FROM b2, n2
+             |UNION ALL SELECT 3, b3.bp, b3.bw, n3.n_symbols FROM b3, n3""".stripMargin)),
+
+    Q("q212_sliding_chunks",
+      (s, d) => graft.ops.Chunking.slidingChunks(T(s, d, "documents")),
+      Some("""WITH t AS (SELECT doc_id,
+             |   list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tl
+             |  FROM documents),
+             |t2 AS (SELECT doc_id, tl, len(tl) AS n FROM t WHERE len(tl) > 0),
+             |c AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+             |   list_slice(tl, CAST(ci * 24 + 1 AS BIGINT),
+             |     CAST(ci * 24 + 32 AS BIGINT)) AS chunk
+             |  FROM (SELECT doc_id, tl, unnest(range((n - 1) // 24 + 1)) AS ci FROM t2))
+             |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens,
+             |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+             |FROM c""".stripMargin)),
+
+    Q("q213_tokenizer_fertility",
+      (s, d) => graft.ops.TextAnalysis.tokenizerFertility(T(s, d, "documents")),
+      Some(bpeVocabSql + """,
+             |sw AS (SELECT source, w, count(*) AS occ FROM (
+             |   SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |     x -> x <> '')) AS w FROM documents) GROUP BY 1, 2),
+             |j AS (SELECT sw.source, sw.occ, len(v3.syms) AS ns, length(sw.w) AS lw
+             |  FROM sw JOIN v3 ON v3.w = sw.w),
+             |a AS (SELECT source, CAST(sum(occ) AS BIGINT) AS n_tokens,
+             |   CAST(sum(occ * ns) AS BIGINT) AS n_symbols,
+             |   CAST(sum(occ * lw) AS BIGINT) AS n_chars FROM j GROUP BY 1)
+             |SELECT source, n_tokens, n_symbols,
+             |  CAST(n_symbols * 1000000 // n_tokens AS BIGINT) AS fertility_u,
+             |  CAST(n_chars * 1000000 // n_symbols AS BIGINT) AS compression_u
+             |FROM a""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
-      ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs
+      ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -22,6 +22,31 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
+  /** Fixed-size sliding token windows with overlap — the RAG/embedding-index
+    * chunker (stride < window ⇒ window−stride tokens of context repeat at
+    * each boundary), complementing the content-defined [[chunks]]: CDC
+    * self-synchronizes for DEDUP, sliding windows preserve context for
+    * RETRIEVAL. Chunk k covers token positions [k·stride, k·stride+window);
+    * the final chunk is the (possibly short) tail so every token is covered
+    * ≥ once. Pure per-row explode — no shuffle anywhere in the plan; chunk
+    * payloads surface as (n_tokens, md5) so the wide text never moves.
+    *
+    * @return (doc_id, chunk_idx, n_tokens, chunk_hash)
+    */
+  def slidingChunks(docs: DataFrame, window: Int = 32,
+      stride: Int = 24): DataFrame =
+    Dedup.fanOut(docs).select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), x => x =!= "").as("tl"))
+      .withColumn("len", size(col("tl")))
+      .filter(col("len") > 0)
+      .select(col("doc_id"), col("tl"),
+        explode(expr(s"sequence(0, (len - 1) div $stride)")).as("ci"))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        expr(s"slice(tl, ci * $stride + 1, $window)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+
   /** The chunk relation itself — one row per (doc, chunk) with its span and
     * content hash. Pure per-row computation (no shuffle at all); chunks
     * exactly tile each document: start₀ = 0, endₖ = startₖ₊₁, end_last =

@@ -273,6 +273,24 @@ object Dedup {
         max(col("j_u")).as("max_j_u"))
   }
 
+  /** Duplicate-cluster size profile — the corpus-health histogram every
+    * dedup run should publish: close `pairs` (e.g. [[minhashLsh]] output)
+    * transitively via distributed connected components (singletons included,
+    * so the size-1 row is the untouched-corpus mass) and roll cluster sizes
+    * up to (cluster_size, n_clusters, n_docs). A heavy tail here means one
+    * boilerplate template dominates the corpus; the profile is what decides
+    * between keeper-election ([[clusterKeepers]]) and outright cluster
+    * drops. Scale: CC is the O(log n) large/small-star loop on the pair
+    * graph (pairs ≪ corpus); the rollup is two tiny key-partitioned aggs. */
+  def dupClusterProfile(docs: DataFrame, pairs: DataFrame): DataFrame =
+    graft.graph.Analytics.connectedComponents(
+        docs.select(col("doc_id").as("id")),
+        pairs.select(col("a").as("src"), col("b").as("dst")))
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
   /** (doc_id, band, key) LSH band rows from a signature table — the join
     * key relation for any MinHash candidate generation (full self-join,
     * incremental batch-vs-index, streaming buckets). */

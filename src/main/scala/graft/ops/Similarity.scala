@@ -430,6 +430,20 @@ object Similarity {
     * corpus grows. */
   def cellKnn(embeddings: DataFrame, k: Int = 5, cellK: Int = 0,
       rounds: Int = 2): DataFrame = {
+    val scored = cellScored(embeddings, cellK, rounds)
+    val wn = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(wn))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rk"))
+  }
+
+  /** Shared cell-blocked cosine relation (query_id, vec_id, cos) behind
+    * [[cellKnn]] and [[hardNegatives]]: one hash equi-join on the cell id,
+    * candidates per query bounded by cell occupancy (~256 at any corpus
+    * size). Extracted verbatim from cellKnn — identical plan. */
+  private def cellScored(embeddings: DataFrame, cellK: Int,
+      rounds: Int): DataFrame = {
     graft.expr.VectorOps.register(embeddings.sparkSession)
     val cells =
       if (cellK > 0) Quantize.kmeansCodebook(embeddings, cellK, rounds)
@@ -441,15 +455,59 @@ object Similarity {
       .join(cells, Seq("vec_id"))
     val q = vecs.select(col("cell"), col("vec_id").as("query_id"),
       col("emb").as("qemb"), col("nrm").as("qnrm"))
-    val scored = q.join(vecs, Seq("cell"))
+    q.join(vecs, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos",
         round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 6))
+  }
+
+  /** Hard-negative mining for contrastive training: for every anchor, the
+    * top-`k` in-cell neighbors whose cosine falls in [`lo`, `hi`) — similar
+    * enough to be informative, below the near-dup band (`hi`) so positives
+    * and leaked duplicates never become negatives. The standard ANN-mined
+    * hard-negative recipe (DPR/SimCSE-style), expressed as the [[cellKnn]]
+    * relation with a band filter before the per-anchor rank: same
+    * hyperplane-cell equi-join, same ~256-candidate bound per anchor, the
+    * band is a row filter — no extra shuffle at any corpus size.
+    *
+    * @return (anchor, negative, cos, rk), rk 1..k by cos desc
+    */
+  def hardNegatives(embeddings: DataFrame, lo: Double = 0.3,
+      hi: Double = 0.95, k: Int = 3, cellK: Int = 0,
+      rounds: Int = 2): DataFrame = {
+    val banded = cellScored(embeddings, cellK, rounds)
+      .filter(col("cos") >= lo && col("cos") < hi)
     val wn = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(wn))
+    banded.withColumn("rk", row_number().over(wn))
       .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos"), col("rk"))
+      .select(col("query_id").as("anchor"), col("vec_id").as("negative"),
+        col("cos"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Per-semantic-cell diversity cap — the embedding-space twin of
+    * [[graft.ops.TrainingData.sourceCap]]: rank every vector inside its
+    * corpus-scaled hyperplane cell by content-hash order (md5 of the id —
+    * deterministic, no RNG) and keep the first `m`. Caps how much any one
+    * semantic neighborhood can contribute to a training mix, which
+    * down-weights over-represented boilerplate regions that exact/near-dup
+    * passes miss (distinct texts, same meaning). The rank window partitions
+    * on the cell id whose occupancy [[hyperplaneCells]] holds at ~256
+    * regardless of corpus size, so the per-partition sort is O(256·log 256)
+    * everywhere.
+    *
+    * @return every vector: (vec_id, cell, cell_size, rk, keep = rk ≤ m)
+    */
+  def semanticCap(embeddings: DataFrame, m: Int = 8): DataFrame = {
+    val cells = autoCells(embeddings)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    cells
+      .withColumn("cell_size",
+        count(lit(1)).over(Window.partitionBy(col("cell"))).cast("long"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("cell"), col("cell_size"), col("rk"),
+        (col("rk") <= m).as("keep"))
   }
 
   /** Mutual-kNN graph: pairs where EACH vector is in the other's in-cell

@@ -220,6 +220,44 @@ object TextAnalysis {
           .as("rep_ratio"))
   }
 
+  /** Gopher-style char-mass repetition profile — the duplicate-content
+    * metrics the Gopher/MassiveText quality rules threshold on, which
+    * [[repetitionRatio]]'s unique-gram COUNT fraction can't express: a doc
+    * whose one repeated gram is a 40-char boilerplate phrase is far more
+    * repetitive than one repeating a 3-char gram the same number of times.
+    * Per (doc, n): `total_mass` = Σ len(gram)·occurrences (the gram char
+    * mass), `dup_frac_u` = mass in grams occurring ≥ 2× within the doc,
+    * `top_frac_u` = mass of the single most frequent gram (ties to the
+    * lexicographically smallest), both as floor micro-unit fractions —
+    * ALL-integer arithmetic (BIGINT mass · 10⁶ div mass), so the DuckDB
+    * oracle replays every bit. `flagged` applies the Gopher-shaped cut
+    * (top gram > 20 % of char mass, or > 60 % duplicated mass).
+    *
+    * Scale: per n, one (doc_id, gram) partial-agg off the gram window and
+    * one per-doc rollup — everything shuffles on doc_id, nothing is
+    * corpus-global; the n-loop unions fixed-size plans (|ns| is a
+    * hyperparameter, not data). */
+  def repetitionProfile(docs: DataFrame, ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ns.map { n =>
+      val counted = tokenGrams(docs, n)
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+        .withColumn("mass", length(col("gram")).cast("long") * col("cnt"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("cnt").desc, col("gram"))
+      counted.withColumn("rk", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("mass")).as("total_mass"),
+          sum(when(col("cnt") >= 2, col("mass")).otherwise(0L)).as("dup_mass"),
+          max(when(col("rk") === 1, col("mass"))).as("top_mass"))
+        .select(col("doc_id"), lit(n.toLong).as("n"), col("total_mass"),
+          expr("dup_mass * 1000000 div total_mass").as("dup_frac_u"),
+          expr("top_mass * 1000000 div total_mass").as("top_frac_u"))
+    }.reduce(_ unionByName _)
+      .withColumn("flagged",
+        col("top_frac_u") > 200000L || col("dup_frac_u") > 600000L)
+  }
+
   /** Benchmark decontamination: training docs sharing any token n-gram with
     * a benchmark doc (the standard n-gram-collision test-set-leak check).
     * Distinct (doc, gram) pairs joined through an inverted gram index — the
@@ -353,7 +391,7 @@ object TextAnalysis {
   /** Token n-grams per document: whitespace tokens in document order,
     * concatenated with single spaces via window leads (carries any extra
     * input columns through). */
-  private def tokenGrams(docs: DataFrame, n: Int): DataFrame = {
+  private[ops] def tokenGrams(docs: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Dedup.fanOut(docs).select(col("*"),
         posexplode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
@@ -685,5 +723,112 @@ object TextAnalysis {
       .groupBy(col("pair")).agg(sum(col("freq")).as("weight"))
       .orderBy(col("weight").desc, col("pair"))
       .limit(k)
+  }
+
+  /** The full BPE training loop (Sennrich et al. 2016), `rounds` merges
+    * deep — what [[bpePairStats]]'s single-round statistics feed: per round,
+    * elect the heaviest adjacent symbol pair (ties to the lexicographically
+    * smallest) and MERGE it left-to-right non-overlapping across the
+    * vocabulary, then recount. The left-to-right rule is relational, not
+    * sequential: within each maximal run of consecutive match positions,
+    * exactly the odd match ordinals merge (a run of k overlapping matches —
+    * possible only when p0 = p1 — merges ⌈k/2⌉ times, exactly what a
+    * sequential scan does), a gaps-and-islands window over (word, pos).
+    *
+    * Scale shape — the BPE trick IS the scale path: ONE corpus pass builds
+    * the Heaps-law-sized word-frequency vocabulary; every merge round
+    * (explode → pair weights → 1-row best-pair scalar → island windows →
+    * per-word re-aggregation) runs on vocabulary rows only. `rounds` is a
+    * plan-size knob, not a data knob; each round's vocabulary is
+    * plan-isolated via [[org.apache.spark.sql.graft.FreshCheckpoint]] so
+    * the unrolled chain keeps honest size statistics.
+    *
+    * @return one row per round: (round, pair "p0 p1", weight = corpus
+    *         occurrences at election time, n_symbols = corpus symbol count
+    *         AFTER applying the merge)
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val (merges, _) = bpeRounds(docs, rounds)
+    merges.reduce(_ unionByName _)
+  }
+
+  /** Per-source tokenizer-quality metrics after `rounds` BPE merges —
+    * fertility (symbols emitted per word; the standard tokenizer-fit
+    * measure, high on out-of-domain sources) and compression (chars per
+    * symbol), both floor micro-unit integer ratios. One corpus word-count
+    * pass per source joined against the [[bpeMerges]]-trained vocabulary —
+    * the (word, syms) relation stays vocabulary-sized. */
+  def tokenizerFertility(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val (_, vocab) = bpeRounds(docs, rounds)
+    val srcWords = Dedup.fanOut(docs).select(col("source"),
+        explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+          .as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("occ"))
+    srcWords.join(vocab.select(col("w"), size(col("syms")).cast("long").as("ns")),
+        Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("occ")).as("n_tokens"),
+        sum(col("occ") * col("ns")).as("n_symbols"),
+        sum(col("occ") * length(col("w")).cast("long")).as("n_chars"))
+      .select(col("source"), col("n_tokens"), col("n_symbols"),
+        expr("n_symbols * 1000000 div n_tokens").as("fertility_u"),
+        expr("n_chars * 1000000 div n_symbols").as("compression_u"))
+  }
+
+  /** Shared merge-loop driver: (per-round 1-row merge relations, final
+    * vocabulary (w, freq, syms)). */
+  private def bpeRounds(docs: DataFrame,
+      rounds: Int): (Seq[DataFrame], DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val v0 = Dedup.fanOut(docs).select(
+        explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+          .as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms", filter(split(col("w"), ""), x => x =!= ""))
+    val out = Seq.newBuilder[DataFrame]
+    var v = FreshCheckpoint(v0)
+    for (r <- 1 to rounds) {
+      val wp = Window.partitionBy(col("w")).orderBy(col("pos"))
+      val pos = v.select(col("w"), col("freq"),
+          posexplode(col("syms")).as(Seq("pos", "s")))
+        .withColumn("s2", lead(col("s"), 1).over(wp))
+      val weights = pos.filter(col("s2").isNotNull)
+        .groupBy(concat_ws(" ", col("s"), col("s2")).as("pair"))
+        .agg(sum(col("freq")).as("weight"))
+      // best pair: max weight, ties to the smallest pair — two chained
+      // 1-row scalar aggregations (a struct max can't tie-break a string
+      // ascending under a numeric descending)
+      val mw = weights.agg(max(col("weight")).as("mw"))
+      val best = weights.join(broadcast(mw), col("weight") === col("mw"))
+        .agg(min(col("pair")).as("bp"), max(col("weight")).as("bw"))
+        .select(col("bp"), col("bw"),
+          element_at(split(col("bp"), " "), 1).as("p0"),
+          element_at(split(col("bp"), " "), 2).as("p1"))
+      val flagged = pos.crossJoin(broadcast(best))
+        .withColumn("mtch", col("s2").isNotNull &&
+          col("s") === col("p0") && col("s2") === col("p1"))
+        .withColumn("grp",
+          sum(when(!col("mtch"), 1L).otherwise(0L)).over(wp))
+      val wg = Window.partitionBy(col("w"), col("grp")).orderBy(col("pos"))
+      val merged = flagged
+        .withColumn("mo", sum(when(col("mtch"), 1L).otherwise(0L)).over(wg))
+        .withColumn("merged", col("mtch") && col("mo") % 2 === 1)
+        .withColumn("consumed",
+          coalesce(lag(col("merged"), 1).over(wp), lit(false)))
+        .filter(!col("consumed"))
+        .withColumn("ns",
+          when(col("merged"), concat(col("s"), col("s2"))).otherwise(col("s")))
+      val rebuilt = merged.groupBy(col("w"), col("freq"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("ns")))).as("p"))
+        .select(col("w"), col("freq"),
+          expr("transform(p, q -> q.ns)").as("syms"))
+      v = FreshCheckpoint(rebuilt)
+      val nSym = v.agg(sum(col("freq") * size(col("syms")).cast("long"))
+        .as("n_symbols"))
+      out += best.select(lit(r.toLong).as("round"), col("bp").as("pair"),
+          col("bw").as("weight"))
+        .crossJoin(broadcast(nSym))
+    }
+    (out.result(), v)
   }
 }

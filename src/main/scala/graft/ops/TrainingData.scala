@@ -54,6 +54,66 @@ object TrainingData {
           .otherwise("test").as("split"))
   }
 
+  /** Post-split leakage audit — the measurement that VERIFIES what
+    * [[leakageSafeSplit]] promises and quantifies what it can't: per
+    * cross-split pair (train/val, train/test, val/test),
+    * `n_straddle` = near-dup pairs with endpoints on opposite sides
+    * (0 by construction — clusters never straddle; the audit proves the
+    * invariant instead of assuming it), plus the residual RARE-n-gram
+    * overlap near-dup closure cannot see: `n_doc_pairs` distinct cross-split
+    * doc pairs sharing an n-gram with corpus df ≤ `dfCap`, `n_shared_grams`
+    * distinct such grams. The df band is the scale guard AND the semantic
+    * one: a gram in d docs yields ≤ d² pairs (bounded by dfCap²), and
+    * high-df grams are common boilerplate — line-dedup's job, not
+    * leakage signal. Everything joins on gram/doc keys; no all-pairs
+    * product exists anywhere in the plan. */
+  def splitLeakageAudit(docs: DataFrame, nearDupPairs: DataFrame,
+      n: Int = 8, dfCap: Long = 25, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    val split = leakageSafeSplit(docs, nearDupPairs, trainPct, valPct)
+      .select(col("doc_id"), col("split"))
+    val grams = TextAnalysis.tokenGrams(docs, n)
+      .select(col("doc_id"), col("gram")).distinct()
+    val rare = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
+      .select(col("gram"))
+    val g = grams.join(rare, Seq("gram")).join(split, Seq("doc_id"))
+    // split names order lexicographically (test < train < val), so the
+    // strict < both dedups the pair and fixes (split_a, split_b) ordering
+    val x = g.as("x").join(g.as("y"),
+        col("x.gram") === col("y.gram") && col("x.split") < col("y.split"))
+      .select(col("x.split").as("split_a"), col("y.split").as("split_b"),
+        col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        col("x.gram").as("gram"))
+    val docPairs = x.select(col("split_a"), col("split_b"), col("da"), col("db"))
+      .distinct().groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_doc_pairs"))
+    val sharedGrams = x.select(col("split_a"), col("split_b"), col("gram"))
+      .distinct().groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    val straddle = nearDupPairs.select(col("a"), col("b"))
+      .join(split.select(col("doc_id").as("a"), col("split").as("sa")), Seq("a"))
+      .join(split.select(col("doc_id").as("b"), col("split").as("sb")), Seq("b"))
+      .filter(col("sa") =!= col("sb"))
+      .groupBy(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .agg(count(lit(1)).as("n_straddle"))
+    // the audit REPORTS its zeros: a fixed row per split boundary, so a
+    // fully clean corpus yields three explicit all-zero rows, not an empty
+    // relation indistinguishable from a query that matched nothing
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val spine = Seq(("test", "train"), ("test", "val"), ("train", "val"))
+      .toDF("split_a", "split_b")
+    spine.join(docPairs, Seq("split_a", "split_b"), "left")
+      .join(sharedGrams, Seq("split_a", "split_b"), "left")
+      .join(straddle, Seq("split_a", "split_b"), "left")
+      .select(col("split_a"), col("split_b"),
+        coalesce(col("n_doc_pairs"), lit(0L)).as("n_doc_pairs"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        coalesce(col("n_straddle"), lit(0L)).as("n_straddle"))
+  }
+
   /** Deterministic pseudo-random negative sampling for contrastive training:
     * `rounds` hash-bucket assignments per doc (round r: bucket =
     * h(id:r) mod `buckets`); docs sharing a (round, bucket) cell form

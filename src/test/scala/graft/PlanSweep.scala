@@ -62,6 +62,7 @@ object PlanSweepSupport {
     // hyperplaneCells: 1-row dim-length mean-vector scalar attach
     "q150_semantic_dedup", "q176_knn_classify", "q181_mutual_knn",
     "q185_density_clusters", "q186_embedding_outliers",
+    "q207_semantic_cap", "q208_hard_negatives", // same mean-vector attach
     "q187_hits", // 1-row L2-norm scalar attach
     "q190_densest_subgraph", // 1-row (nv, ne) scalar attach per peel round
     "q175_bigram_logprob", // 1-row vocabulary-size scalar attach
@@ -71,7 +72,11 @@ object PlanSweepSupport {
     // attaches (the pair relation itself stays candidate-bounded)
     "q201_threshold_choice", "q202_calibrated_dedup",
     "q197_pretrain_pipeline", // five 1-row funnel-count scalar attaches
-    "q203_mixture_sample") // 1-row W = Σ w_s scalar attach
+    "q203_mixture_sample", // 1-row W = Σ w_s scalar attach
+    // q211: per-round 1-row best-pair and corpus-symbol-count scalar
+    // attaches onto the VOCABULARY relation (the corpus is touched once,
+    // in the word-frequency pass)
+    "q211_bpe_merges")
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -105,6 +110,7 @@ object PlanSweepSupport {
     // bounded global aggregate, not a corpus reduction
     "q150_semantic_dedup", "q176_knn_classify", "q181_mutual_knn",
     "q185_density_clusters", "q186_embedding_outliers",
+    "q207_semantic_cap", "q208_hard_negatives", // same mean-centering scalar
     "q187_hits", // 1-row norm scalar
     // q190: per-round 1-row (nv, ne) scalars; the final window runs on the
     // rounds+1-row stats artifact, not corpus data
@@ -117,7 +123,10 @@ object PlanSweepSupport {
     // q204: the bin cumulation window runs on the ≤ bins-row aggregate and
     // the boundary shard-offset window on the ≤ 256-row shard totals —
     // never corpus rows (the per-doc prefix sums are shard-partitioned)
-    "q204_budget_select")
+    "q204_budget_select",
+    // q211: max-weight / best-pair / symbol-count global scalars merge
+    // vocabulary-sized partials to 1 row each
+    "q211_bpe_merges")
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:
