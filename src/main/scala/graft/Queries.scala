@@ -5434,12 +5434,72 @@ object Queries {
              |  CAST(n_chars * 1000000 // n_symbols AS BIGINT) AS compression_u
              |FROM a""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-8 batch 5
+  // Epoch weighting, n-gram novelty, embedding drift monitoring.
+  private val ext24Qs = Seq(
+    Q("q214_epoch_mix",
+      (s, d) => graft.ops.TrainingData.epochMix(T(s, d, "documents")),
+      // q204's stopword-ratio bin replay + a per-tier range explode
+      Some("""WITH m AS (SELECT doc_id,
+             |  round((
+             |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
+             |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio
+             | FROM documents),
+             |b AS (SELECT doc_id,
+             |   CAST(least(9, CAST(floor(stopword_ratio * 10) AS BIGINT)) AS BIGINT) AS bin
+             |  FROM m),
+             |e AS (SELECT doc_id, bin,
+             |   CAST(CASE WHEN bin >= 2 THEN 3 WHEN bin >= 1 THEN 2 ELSE 1 END AS BIGINT) AS epochs
+             |  FROM b)
+             |SELECT doc_id, bin, epochs, CAST(copy AS BIGINT) AS copy,
+             |  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)) AS order_key
+             |FROM (SELECT doc_id, bin, epochs, unnest(range(1, epochs + 1)) AS copy FROM e)""".stripMargin)),
+
+    Q("q215_gram_novelty",
+      (s, d) => graft.ops.TextAnalysis.gramNovelty(T(s, d, "documents")),
+      Some("""WITH toks AS (SELECT doc_id,
+             |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok,
+             |  generate_subscripts(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), 1) AS pos
+             | FROM documents),
+             |g AS (SELECT DISTINCT doc_id,
+             |  tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+             | FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+             | QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+             |dfq AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+             |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |  CAST(coalesce(sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_unique,
+             |  CAST(coalesce(sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END), 0)
+             |    * 1000000 // count(*) AS BIGINT) AS novelty_u
+             |FROM g JOIN dfq USING (gram) GROUP BY 1""".stripMargin)),
+
+    Q("q216_cell_drift",
+      // deterministic synthetic snapshots: even vec_id = reference, odd =
+      // current — the q158 snapshot-diff convention for a single-table drill
+      (s, d) => graft.ops.Similarity.cellDrift(
+        T(s, d, "embeddings"), col("vec_id") % 2 === 0),
+      Some(hplaneCellStages(recursive = false) + """,
+             |sided AS (SELECT c.cell, (c.vec_id % 2 = 0) AS ref FROM cells c),
+             |per AS (SELECT cell,
+             |   CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             |   CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+             |  FROM sided GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+             |   CAST(sum(n_cur) AS BIGINT) AS tc FROM per)
+             |SELECT cell, n_ref, n_cur,
+             |  CAST(abs(n_ref * tc - n_cur * tr) AS BIGINT) AS imbalance
+             |FROM per, tot""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
-      ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs
+      ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
+      ext24Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -341,6 +341,31 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private[graft] val countProbes = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Embedding-distribution drift between two corpus snapshots, measured on
+    * the shared hyperplane-cell histogram — the embedding-space twin of the
+    * scalar PSI monitor ([[graft.ops.Decomposition]].psiDrift): cells are
+    * computed ONCE over the union (same planes, same mean, so both sides
+    * land in comparable buckets), then per cell the ref/cur occupancies and
+    * the cross-multiplied integer imbalance |n_ref·N_cur − n_cur·N_ref| —
+    * zero when the cell holds the same SHARE of each snapshot, division-free
+    * so the oracle replays it exactly. A drifting embedding pipeline (new
+    * encoder version, corrupted batch) shows up as mass concentrating in
+    * cells the reference snapshot barely occupies. Map-side signatures +
+    * one cell-keyed agg + a 1-row totals attach. */
+  def cellDrift(embeddings: DataFrame, isRef: Column): DataFrame = {
+    val cells = autoCells(embeddings)
+    val sided = cells.join(
+      embeddings.select(col("vec_id"), isRef.as("ref")), Seq("vec_id"))
+    val per = sided.groupBy(col("cell"))
+      .agg(sum(when(col("ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("ref"), 1L).otherwise(0L)).as("n_cur"))
+    val tot = per.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_ref"), col("n_cur"),
+        abs(col("n_ref") * col("tc") - col("n_cur") * col("tr"))
+          .as("imbalance"))
+  }
+
   /** SemDeDup-style semantic dedup (cluster-then-prune): k-means cells bound
     * the pair search — cosine is evaluated only within a cell, never
     * all-pairs — then near-dup pairs transitively close into clusters and

@@ -725,6 +725,28 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-document n-gram novelty — the memorization-risk / contribution
+    * signal: what fraction of a doc's DISTINCT n-grams appear nowhere else
+    * in the corpus (df = 1). High novelty = unique long-tail content worth
+    * keeping; near-zero novelty = the doc is assembled from corpus
+    * boilerplate (even if no single near-dup partner exists — the signal
+    * LSH pair-finding structurally can't produce). One distinct
+    * (doc, gram) pass, one gram-keyed df aggregate, one doc-keyed rollup;
+    * every shuffle is on the gram or doc key.
+    *
+    * @return (doc_id, n_grams, n_unique, novelty_u) — floor micro-units
+    */
+  def gramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val g = tokenGrams(docs, n).select(col("doc_id"), col("gram")).distinct()
+    val dfreq = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    g.join(dfreq, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        expr("n_unique * 1000000 div n_grams").as("novelty_u"))
+  }
+
   /** The full BPE training loop (Sennrich et al. 2016), `rounds` merges
     * deep — what [[bpePairStats]]'s single-round statistics feed: per round,
     * elect the heaviest adjacent symbol pair (ties to the lexicographically

@@ -145,6 +145,41 @@ object TrainingData {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Quality-tiered epoch weighting — the "repeat good data" half of a
+    * pretraining mix (the complement of [[mixtureSample]]'s down-sampling):
+    * docs in the top stopword-ratio quality tier appear `maxEpochs` times,
+    * the mid tier twice, the rest once. Binning reuses [[budgetSelect]]'s
+    * convention (bin = ⌊stopword_ratio·bins⌋ clamped); `hiBin`/`midBin`
+    * are corpus-calibrated cuts — pick them off the bin histogram the same
+    * way [[graft.ops.Dedup]].thresholdChoice picks the jaccard cut (the
+    * defaults match the synthetic corpus, whose ratios concentrate in bins
+    * 0–2). Replication is a pure per-row sequence explode — no shuffle at
+    * all — and each copy
+    * carries an md5(doc:copy) order key so downstream consumers get a
+    * deterministic interleave instead of epoch-contiguous runs.
+    *
+    * @return one row per copy: (doc_id, bin, epochs, copy, order_key)
+    */
+  def epochMix(docs: DataFrame, maxEpochs: Int = 3, bins: Int = 10,
+      hiBin: Int = 2, midBin: Int = 1): DataFrame = {
+    val q = TextAnalysis.qualityColumns(col("text"))
+      .foldLeft(docs.select(col("doc_id"), col("text"))) {
+        case (df, (name, c)) => df.withColumn(name, c)
+      }
+      .select(col("doc_id"),
+        least(lit(bins - 1L),
+          floor(col("stopword_ratio") * bins)).cast("long").as("bin"))
+    q.withColumn("epochs",
+        when(col("bin") >= hiBin, maxEpochs.toLong)
+          .when(col("bin") >= midBin, 2L).otherwise(1L))
+      .select(col("doc_id"), col("bin"), col("epochs"),
+        explode(expr("sequence(1, epochs)")).as("copy"))
+      .select(col("doc_id"), col("bin"), col("epochs"),
+        col("copy").cast("long").as("copy"),
+        md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("copy").cast("string"))).as("order_key"))
+  }
+
   /** Class-balanced downsampling: every `byCol` class keeps exactly
     * min-class-size rows, chosen by content-hash order (deterministic, no
     * RNG; hex md5 strings order identically everywhere). One window pass per
