@@ -34,7 +34,13 @@ class PlanSweepSf1 extends SparkTestBase {
     "q192_cross_source_matrix", "q193_jl_projection",
     "q194_cluster_silhouette", "q195_ann_recall", "q196_threshold_sweep",
     "q197_pretrain_pipeline", "q199_perceptual_neardups",
-    "q200_canonical_parts", "q202_calibrated_dedup")
+    "q200_canonical_parts", "q202_calibrated_dedup",
+    // round-8 batch 3-5 non-trivial additions (gram, LSH-pair, vocabulary
+    // and hyperplane-cell families — the shapes that flip past broadcast)
+    "q206_repetition_profile", "q207_semantic_cap", "q208_hard_negatives",
+    "q209_dup_cluster_profile", "q210_split_leakage_audit",
+    "q211_bpe_merges", "q213_tokenizer_fertility", "q215_gram_novelty",
+    "q216_cell_drift")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 
