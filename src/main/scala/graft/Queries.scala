@@ -5493,13 +5493,103 @@ object Queries {
              |  CAST(abs(n_ref * tc - n_cur * tr) AS BIGINT) AS imbalance
              |FROM per, tot""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-8 batch 6
+  // Crawl-saturation and cascade-tuning audits.
+  private val ext25Qs = Seq(
+    Q("q217_novelty_decay",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val pairs = graft.ops.Dedup.minhashLsh(docs, 8, 2, 0.8)
+          .select(col("a"), col("b"))
+        graft.ops.Dedup.noveltyDecay(docs, pairs)
+      },
+      // q35's verified-pair chain; redundancy = the later (greater-id) side
+      Some("""WITH words AS (
+             |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+             |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> x <> '') AS tl FROM documents)),
+             |toks AS (
+             |  SELECT DISTINCT doc_id,
+             |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+             |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+             |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+             |sig AS (SELECT doc_id,
+             |  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
+             |  min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
+             |  min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
+             |  min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
+             |  FROM toks GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sig
+             |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+             |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+             |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
+             |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+             |   AND x.doc_id < y.doc_id),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+             |inter AS (SELECT c.a, c.b, count(*) AS i
+             |  FROM cand c JOIN toks ta ON ta.doc_id = c.a
+             |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+             |  GROUP BY 1, 2),
+             |nd AS (SELECT c.a, c.b FROM cand c
+             |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+             |  JOIN sizes sa ON sa.doc_id = c.a
+             |  JOIN sizes sb ON sb.doc_id = c.b
+             |  WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE)
+             |      / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= 0.8),
+             |red AS (SELECT DISTINCT greatest(a, b) AS doc_id FROM nd),
+             |bt AS (SELECT d.doc_id, d.doc_id // 100 AS batch,
+             |   (red.doc_id IS NOT NULL) AS red
+             |  FROM documents d LEFT JOIN red ON red.doc_id = d.doc_id)
+             |SELECT batch, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN red THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant,
+             |  CAST(sum(CASE WHEN red THEN 1 ELSE 0 END) * 1000000 // count(*)
+             |    AS BIGINT) AS redundancy_u
+             |FROM bt GROUP BY 1""".stripMargin)),
+
+    Q("q218_rule_matrix",
+      (s, d) => graft.ops.TextAnalysis.ruleMatrix(T(s, d, "documents")),
+      // q205's quality/repetition formula replays + a double unnest of the
+      // sorted reason list
+      Some("""WITH m AS (SELECT doc_id,
+             |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tl,
+             |  round((
+             |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
+             |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio,
+             |  round(length(text)::DOUBLE
+             |    / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 4) AS mean_word_len
+             | FROM documents),
+             |r AS (SELECT *,
+             |   CASE WHEN len(tl) = 0 THEN NULL
+             |    ELSE floor((1.0 - len(list_distinct(tl))::DOUBLE / len(tl)) * 1000000) / 1000000
+             |   END AS rep_ratio
+             |  FROM m),
+             |f AS (SELECT doc_id, list_sort(list_filter([
+             |   CASE WHEN n_tokens < 20 THEN 'too_short' END,
+             |   CASE WHEN stopword_ratio < 0.02 THEN 'low_stopword' END,
+             |   CASE WHEN rep_ratio > 0.65 THEN 'high_repetition' END,
+             |   CASE WHEN mean_word_len > 5.9 THEN 'long_words' END],
+             |   x -> x IS NOT NULL)) AS rs
+             |  FROM r),
+             |rej AS (SELECT doc_id, rs FROM f WHERE len(rs) > 0),
+             |x AS (SELECT rs, unnest(rs) AS ra FROM rej),
+             |y AS (SELECT ra, unnest(rs) AS rb FROM x)
+             |SELECT ra AS rule_a, rb AS rule_b, CAST(count(*) AS BIGINT) AS n_docs
+             |FROM y WHERE ra <= rb GROUP BY 1, 2""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs
+      ext24Qs ++ ext25Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

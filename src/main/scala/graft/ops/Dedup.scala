@@ -291,6 +291,32 @@ object Dedup {
       .select(col("cluster_size"), col("n_clusters"),
         (col("cluster_size") * col("n_clusters")).as("n_docs"))
 
+  /** Novelty-decay curve by ingestion batch — the crawl-saturation monitor:
+    * bucket the corpus into arrival batches (id order IS ingestion order
+    * for an append-only corpus) and measure, per batch, the fraction of
+    * docs that arrived REDUNDANT — i.e. near-duplicate `pairs` partner
+    * with a smaller id exists (the later side of each (a < b) pair). A
+    * rising curve says the crawl is re-fetching what it already has and
+    * the next epoch's marginal data is mostly dup mass. One distinct
+    * projection of the pair relation + a left semi-style flag join on the
+    * doc key; batch rollup is counts only.
+    *
+    * @return (batch, n_docs, n_redundant, redundancy_u) — floor micro-units
+    */
+  def noveltyDecay(docs: DataFrame, pairs: DataFrame,
+      batchSize: Long = 100): DataFrame = {
+    val redundant = pairs
+      .select(greatest(col("a"), col("b")).as("doc_id")).distinct()
+      .withColumn("red", lit(true))
+    docs.select(col("doc_id"), expr(s"doc_id div $batchSize").as("batch"))
+      .join(redundant, Seq("doc_id"), "left")
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("red"), 1L).otherwise(0L)).as("n_redundant"))
+      .select(col("batch"), col("n_docs"), col("n_redundant"),
+        expr("n_redundant * 1000000 div n_docs").as("redundancy_u"))
+  }
+
   /** (doc_id, band, key) LSH band rows from a signature table — the join
     * key relation for any MinHash candidate generation (full self-join,
     * incremental batch-vs-index, streaming buckets). */

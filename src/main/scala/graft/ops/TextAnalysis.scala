@@ -348,6 +348,27 @@ object TextAnalysis {
         (size(reasons) === 0).as("keep"))
   }
 
+  /** Cascade rule co-fire matrix — the audit that tunes a filter cascade:
+    * for every (rule, rule) pair, how many rejected docs fire BOTH. The
+    * diagonal is each rule's kill count; an off-diagonal cell near its
+    * diagonal means the second rule is redundant (its kills are a subset)
+    * and can be dropped from the hot path. Reuses [[filterCascade]]'s
+    * reason relation; the pair enumeration is a DOUBLE per-row explode of
+    * the ≤ |rules| reason array — no self-join, no shuffle beyond the
+    * final rules²-sized aggregate.
+    *
+    * @return (rule_a ≤ rule_b lexicographically, n_docs)
+    */
+  def ruleMatrix(docs: DataFrame): DataFrame = {
+    val rejected = filterCascade(docs).filter(!col("keep"))
+      .select(col("doc_id"), split(col("reject_reasons"), ",").as("rs"))
+    rejected.select(col("rs"), explode(col("rs")).as("ra"))
+      .select(col("ra"), explode(col("rs")).as("rb"))
+      .filter(col("ra") <= col("rb"))
+      .groupBy(col("ra").as("rule_a"), col("rb").as("rule_b"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Corpus-level n-gram diversity profile — the distinct-n / self-BLEU-
     * adjacent measurement a pretraining mix needs corpus-wide (the per-doc
     * complement is [[repetitionRatio]]): for each n ≤ `maxN`, the corpus
