@@ -5583,13 +5583,125 @@ object Queries {
              |SELECT ra AS rule_a, rb AS rule_b, CAST(count(*) AS BIGINT) AS n_docs
              |FROM y WHERE ra <= rb GROUP BY 1, 2""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-8 batch 7
+  // Contrastive triplet emit and the one-row dataset card.
+  private val ext26Qs = Seq(
+    Q("q219_contrastive_triplets",
+      (s, d) => graft.ops.Similarity.contrastiveTriplets(T(s, d, "embeddings")),
+      // q208's in-cell cosine chain; positives at >= 0.4, top-2 negatives
+      // in [0.1, 0.4) — cuts calibrated to the synthetic corpus' in-cell
+      // cosine range (max ~0.47), joined per anchor
+      Some(hplaneCellStages(recursive = false) + """,
+             |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
+             |pr AS (SELECT x.vec_id AS qa, y.vec_id AS vb
+             |  FROM cells x JOIN cells y
+             |    ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+             |dots AS (SELECT pr.qa AS query_id, pr.vb AS vec_id,
+             |   sum(CAST(q.v AS DOUBLE) * c.v) AS dp
+             |  FROM pr JOIN f q ON q.vec_id = pr.qa
+             |  JOIN f c ON c.vec_id = pr.vb AND c.i = q.i GROUP BY 1, 2),
+             |cos AS (SELECT d.query_id, d.vec_id,
+             |   round(d.dp / (nq.nrm * nc.nrm), 6) AS cos
+             |  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+             |  JOIN norms nc ON nc.vec_id = d.vec_id),
+             |posr AS (SELECT query_id AS anchor, vec_id AS positive, cos AS pos_cos
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             |     ORDER BY cos DESC, vec_id) AS rk FROM cos WHERE cos >= 0.4)
+             |  WHERE rk = 1),
+             |negr AS (SELECT query_id AS anchor, vec_id AS negative,
+             |   cos AS neg_cos, CAST(rk AS BIGINT) AS rk
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             |     ORDER BY cos DESC, vec_id) AS rk
+             |    FROM cos WHERE cos >= 0.1 AND cos < 0.4)
+             |  WHERE rk <= 2)
+             |SELECT p.anchor, p.positive, p.pos_cos, n.negative, n.neg_cos, n.rk
+             |FROM posr p JOIN negr n USING (anchor)""".stripMargin)),
+
+    Q("q220_dataset_card",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val pairs = graft.ops.Dedup.minhashLsh(docs, 8, 2, 0.8)
+          .select(col("a"), col("b"))
+        graft.ops.TrainingData.datasetCard(docs, pairs)
+      },
+      // q35's verified-pair chain + q218's reject flags + corpus scalars
+      Some("""WITH words AS (
+             |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+             |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> x <> '') AS tl FROM documents)),
+             |toks AS (
+             |  SELECT DISTINCT doc_id,
+             |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+             |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+             |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+             |sig AS (SELECT doc_id,
+             |  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
+             |  min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
+             |  min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
+             |  min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
+             |  FROM toks GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sig
+             |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+             |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+             |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
+             |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+             |   AND x.doc_id < y.doc_id),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+             |inter AS (SELECT c.a, c.b, count(*) AS i
+             |  FROM cand c JOIN toks ta ON ta.doc_id = c.a
+             |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+             |  GROUP BY 1, 2),
+             |nd AS (SELECT c.a, c.b FROM cand c
+             |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+             |  JOIN sizes sa ON sa.doc_id = c.a
+             |  JOIN sizes sb ON sb.doc_id = c.b
+             |  WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE)
+             |      / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= 0.8),
+             |m AS (SELECT doc_id,
+             |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tl,
+             |  round((
+             |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
+             |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio,
+             |  round(length(text)::DOUBLE
+             |    / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 4) AS mean_word_len
+             | FROM documents),
+             |rq AS (SELECT *,
+             |   CASE WHEN len(tl) = 0 THEN NULL
+             |    ELSE floor((1.0 - len(list_distinct(tl))::DOUBLE / len(tl)) * 1000000) / 1000000
+             |   END AS rep_ratio
+             |  FROM m),
+             |fl AS (SELECT doc_id,
+             |   (n_tokens < 20 OR stopword_ratio < 0.02
+             |    OR coalesce(rep_ratio > 0.65, FALSE) OR mean_word_len > 5.9) AS rejected
+             |  FROM rq),
+             |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens,
+             |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM documents),
+             |dupp AS (SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs FROM nd),
+             |dupd AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS n_dup_docs
+             |  FROM (SELECT a AS d FROM nd UNION ALL SELECT b FROM nd)),
+             |rej AS (SELECT CAST(sum(CASE WHEN rejected THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected FROM fl)
+             |SELECT base.*, dupp.n_dup_pairs, dupd.n_dup_docs, rej.n_rejected,
+             |  CAST(n_dup_docs * 1000000 // n_docs AS BIGINT) AS dup_u,
+             |  CAST(n_rejected * 1000000 // n_docs AS BIGINT) AS reject_u
+             |FROM base, dupp, dupd, rej""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs ++ ext25Qs
+      ext24Qs ++ ext25Qs ++ ext26Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

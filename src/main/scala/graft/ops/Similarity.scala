@@ -510,6 +510,39 @@ object Similarity {
         col("cos"), col("rk").cast("long").as("rk"))
   }
 
+  /** Contrastive training triplets — the packaged product [[hardNegatives]]
+    * mines for: per anchor, the top in-cell POSITIVE (cos ≥ `posCut`; the
+    * near-identical partner a contrastive loss pulls together) paired with
+    * the top-`k` band negatives (cos ∈ [`lo`, `hi`); pushed apart). Anchors
+    * lacking either side emit nothing — a triplet loss needs both. ONE
+    * cell-blocked scored relation feeds both filters (the cell equi-join
+    * runs once; positives and negatives are row filters + per-anchor
+    * ranks), so the triplet emit costs the same shuffle bill as a single
+    * [[cellKnn]] pass at any corpus size.
+    *
+    * @return (anchor, positive, pos_cos, negative, neg_cos, rk) — rk over
+    *         the anchor's negatives, 1..k
+    */
+  def contrastiveTriplets(embeddings: DataFrame, posCut: Double = 0.4,
+      lo: Double = 0.1, hi: Double = 0.4, k: Int = 2, cellK: Int = 0,
+      rounds: Int = 2): DataFrame = {
+    val scored = FreshCheckpoint(cellScored(embeddings, cellK, rounds)
+      .select(col("query_id"), col("vec_id"), col("cos")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val pos = scored.filter(col("cos") >= posCut)
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") === 1)
+      .select(col("query_id").as("anchor"), col("vec_id").as("positive"),
+        col("cos").as("pos_cos"))
+    val neg = scored.filter(col("cos") >= lo && col("cos") < hi)
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= k)
+      .select(col("query_id").as("anchor"), col("vec_id").as("negative"),
+        col("cos").as("neg_cos"), col("rk").cast("long").as("rk"))
+    pos.join(neg, Seq("anchor"))
+      .select(col("anchor"), col("positive"), col("pos_cos"),
+        col("negative"), col("neg_cos"), col("rk"))
+  }
+
   /** Per-semantic-cell diversity cap — the embedding-space twin of
     * [[graft.ops.TrainingData.sourceCap]]: rank every vector inside its
     * corpus-scaled hyperplane cell by content-hash order (md5 of the id —

@@ -145,6 +145,33 @@ object TrainingData {
         col("rank").cast("long").as("rank"))
   }
 
+  /** The dataset card — the one-row datasheet every corpus release ships
+    * (size, composition, dup mass, quality-reject mass), composed from the
+    * library's own measurement operators so the published numbers are the
+    * SAME numbers the pipeline acted on. Four global aggregations (each a
+    * partial-agg merging to one row) crossed together; the near-dup pair
+    * relation is the caller's (e.g. [[graft.ops.Dedup]].minhashLsh) so the
+    * card reflects the thresholds actually used. */
+  def datasetCard(docs: DataFrame, nearDupPairs: DataFrame): DataFrame = {
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
+      sum(length(col("text")).cast("long")).as("n_chars"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"))
+    val dup = nearDupPairs.agg(count(lit(1)).as("n_dup_pairs"))
+    val dupDocs = nearDupPairs
+      .select(explode(array(col("a"), col("b"))).as("d"))
+      .agg(countDistinct(col("d")).as("n_dup_docs"))
+    val rej = TextAnalysis.filterCascade(docs)
+      .agg(sum(when(!col("keep"), 1L).otherwise(0L)).as("n_rejected"))
+    base.crossJoin(broadcast(dup)).crossJoin(broadcast(dupDocs))
+      .crossJoin(broadcast(rej))
+      .select(col("*"),
+        expr("n_dup_docs * 1000000 div n_docs").as("dup_u"),
+        expr("n_rejected * 1000000 div n_docs").as("reject_u"))
+  }
+
   /** Quality-tiered epoch weighting — the "repeat good data" half of a
     * pretraining mix (the complement of [[mixtureSample]]'s down-sampling):
     * docs in the top stopword-ratio quality tier appear `maxEpochs` times,

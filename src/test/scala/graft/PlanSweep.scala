@@ -64,6 +64,8 @@ object PlanSweepSupport {
     "q185_density_clusters", "q186_embedding_outliers",
     "q207_semantic_cap", "q208_hard_negatives", // same mean-vector attach
     "q216_cell_drift", // same mean-vector attach + 1-row totals attach
+    "q219_contrastive_triplets", // same mean-vector attach
+    "q220_dataset_card", // four 1-row corpus-scalar attaches
     "q187_hits", // 1-row L2-norm scalar attach
     "q190_densest_subgraph", // 1-row (nv, ne) scalar attach per peel round
     "q175_bigram_logprob", // 1-row vocabulary-size scalar attach
@@ -113,6 +115,8 @@ object PlanSweepSupport {
     "q185_density_clusters", "q186_embedding_outliers",
     "q207_semantic_cap", "q208_hard_negatives", // same mean-centering scalar
     "q216_cell_drift", // cells-mean + 1-row (tr, tc) totals scalar
+    "q219_contrastive_triplets", // cells-mean scalar
+    "q220_dataset_card", // global corpus scalars merge to 1 row each
     "q187_hits", // 1-row norm scalar
     // q190: per-round 1-row (nv, ne) scalars; the final window runs on the
     // rounds+1-row stats artifact, not corpus data
