@@ -40,7 +40,8 @@ class PlanSweepSf1 extends SparkTestBase {
     "q206_repetition_profile", "q207_semantic_cap", "q208_hard_negatives",
     "q209_dup_cluster_profile", "q210_split_leakage_audit",
     "q211_bpe_merges", "q213_tokenizer_fertility", "q215_gram_novelty",
-    "q216_cell_drift")
+    "q216_cell_drift", "q217_novelty_decay", "q218_rule_matrix",
+    "q219_contrastive_triplets", "q220_dataset_card")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 
