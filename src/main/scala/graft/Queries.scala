@@ -5695,13 +5695,238 @@ object Queries {
              |  CAST(n_rejected * 1000000 // n_docs AS BIGINT) AS reject_u
              |FROM base, dupp, dupd, rej""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-8 batch 8
+  // Release-risk, index-health and cleaning-transform operators.
+  private val ext27Qs = Seq(
+    Q("q221_k_anonymity",
+      (s, d) => graft.ops.Privacy.kAnonymityAudit(T(s, d, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).as("bal_kb"))),
+      // quasi tuple = (nation, segment, acctbal kilobucket); the spine
+      // cross-joins a 4-row literal against the class relation
+      Some("""WITH cls AS (SELECT c_nationkey, c_mktsegment,
+             |   CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb,
+             |   count(*) AS sz
+             |  FROM customer GROUP BY 1, 2, 3),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_classes,
+             |   CAST(sum(sz) AS BIGINT) AS n_rows FROM cls),
+             |spine AS (SELECT unnest([2, 5, 10, 25]) AS k),
+             |per AS (SELECT s.k,
+             |   CAST(sum(CASE WHEN c.sz < s.k THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_below,
+             |   CAST(sum(CASE WHEN c.sz < s.k THEN c.sz ELSE 0 END) AS BIGINT) AS n_rows_below
+             |  FROM spine s, cls c GROUP BY 1)
+             |SELECT CAST(p.k AS BIGINT) AS k, t.n_classes, t.n_rows,
+             |  p.n_classes_below, p.n_rows_below,
+             |  CAST(p.n_rows_below * 1000000 // t.n_rows AS BIGINT) AS risk_u
+             |FROM per p, tot t""".stripMargin)),
+
+    Q("q222_index_balance",
+      (s, d) => graft.ops.Similarity.indexBalance(T(s, d, "embeddings")),
+      // q150's cell chain -> occupancy histogram by floor-log2 (bin-string
+      // length -- engine-exact at power-of-two boundaries)
+      Some(hplaneCellStages(recursive = false) + """,
+             |sizes AS (SELECT cell, count(*) AS sz FROM cells GROUP BY 1),
+             |tot AS (SELECT CAST(max(sz) AS BIGINT) AS max_sz,
+             |   CAST(count(*) AS BIGINT) AS tot_cells,
+             |   CAST(sum(sz) AS BIGINT) AS n FROM sizes)
+             |SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_cells,
+             |  CAST(sum(sz) AS BIGINT) AS n_vecs,
+             |  CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS pair_mass,
+             |  t.max_sz,
+             |  CAST(t.max_sz * t.tot_cells * 1000000 // t.n AS BIGINT) AS skew_u
+             |FROM sizes, tot t
+             |GROUP BY 1, t.max_sz, t.tot_cells, t.n""".stripMargin)),
+
+    Q("q223_char_classes",
+      (s, d) => graft.ops.TextAnalysis.charClassProfile(T(s, d, "documents")),
+      // regexp-strip length trick per class; 'g' flag = replace-all (Spark
+      // regexp_replace default)
+      Some("""WITH m AS (SELECT source, length(text) AS nc,
+             |   length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS let,
+             |   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS dig,
+             |   length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS spc
+             |  FROM documents)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(nc) AS BIGINT) AS n_chars,
+             |  CAST(sum(let) * 1000000 // greatest(sum(nc), 1) AS BIGINT) AS letter_u,
+             |  CAST(sum(dig) * 1000000 // greatest(sum(nc), 1) AS BIGINT) AS digit_u,
+             |  CAST(sum(spc) * 1000000 // greatest(sum(nc), 1) AS BIGINT) AS space_u,
+             |  CAST((sum(nc) - sum(let) - sum(dig) - sum(spc)) * 1000000
+             |    // greatest(sum(nc), 1) AS BIGINT) AS other_u
+             |FROM m GROUP BY 1""".stripMargin)),
+
+    Q("q224_line_scrub",
+      (s, d) => graft.ops.TextAnalysis.lineScrub(
+        T(s, d, "documents"), sep = " line "),
+      // q148's segment convention; first occurrence per (doc, seg) survives,
+      // string_agg skips the NULLed repeats and re-joins in document order
+      Some("""WITH segs AS (SELECT doc_id,
+             |   unnest(string_split(text, ' line ')) AS seg,
+             |   generate_subscripts(string_split(text, ' line '), 1) AS pos
+             |  FROM documents),
+             |occ AS (SELECT *,
+             |   row_number() OVER (PARTITION BY doc_id, seg ORDER BY pos) AS o
+             |  FROM segs)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+             |  CAST(sum(CASE WHEN o = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN o > 1 THEN length(seg) ELSE 0 END) AS BIGINT) AS removed_chars,
+             |  coalesce(string_agg(CASE WHEN o = 1 THEN seg END, ' line '
+             |    ORDER BY pos), '') AS text_scrubbed
+             |FROM occ GROUP BY doc_id""".stripMargin)))
+
+  // ---------------------------------------------------------------- round-8 batch 9
+  // Generalization-gap, dedup-explainability and packing/labeling choosers.
+  private val ext28Qs = Seq(
+    Q("q225_domain_shift",
+      (s, d) => graft.ops.TextAnalysis.domainShift(T(s, d, "documents")),
+      // q111's split replay + q166's LM with add-one smoothing over N+V+1
+      Some(s"""WITH sided AS (SELECT source, text,
+              |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' END AS split
+              | FROM (SELECT source, text,
+              |   ${duckH60("CAST(doc_id AS VARCHAR)")} % 100 AS h FROM documents)),
+              |toks AS (SELECT source, split,
+              |  unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+              | FROM sided WHERE split IS NOT NULL),
+              |lm AS (SELECT tok, count(*) AS cnt FROM toks WHERE split = 'train' GROUP BY 1),
+              |nv AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM lm),
+              |scored AS (SELECT t.source, t.split,
+              |  CAST(floor((ln((nv.n + nv.v + 1)::DOUBLE)
+              |    - ln((coalesce(lm.cnt, 0) + 1)::DOUBLE)) * 1000000) AS BIGINT) AS term_u
+              | FROM toks t LEFT JOIN lm ON lm.tok = t.tok, nv),
+              |agg AS (SELECT source, split, CAST(count(*) AS BIGINT) AS n_toks,
+              |  CAST(sum(term_u) AS BIGINT) AS sum_u FROM scored GROUP BY 1, 2),
+              |tr AS (SELECT source, n_toks AS n_train_tokens,
+              |  sum_u // n_toks AS train_nll_u FROM agg WHERE split = 'train'),
+              |va AS (SELECT source, n_toks AS n_val_tokens,
+              |  sum_u // n_toks AS val_nll_u FROM agg WHERE split = 'val')
+              |SELECT tr.source, tr.n_train_tokens, va.n_val_tokens,
+              |  tr.train_nll_u, va.val_nll_u,
+              |  va.val_nll_u - tr.train_nll_u AS shift_u
+              |FROM tr JOIN va USING (source)""".stripMargin)),
+
+    Q("q226_pair_evidence",
+      (s, d) => graft.ops.Dedup.pairEvidence(T(s, d, "documents")),
+      // q220's sig/band/verify chain + per-pair band counts and the
+      // 8-component signature-agreement estimator
+      Some("""WITH words AS (
+             |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+             |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> x <> '') AS tl FROM documents)),
+             |toks AS (
+             |  SELECT DISTINCT doc_id,
+             |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+             |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+             |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+             |sig AS (SELECT doc_id,
+             |  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
+             |  min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
+             |  min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
+             |  min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
+             |  FROM toks GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sig
+             |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+             |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+             |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
+             |cand AS (SELECT x.doc_id AS a, y.doc_id AS b,
+             |   CAST(count(*) AS BIGINT) AS n_bands
+             |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+             |   AND x.doc_id < y.doc_id GROUP BY 1, 2),
+             |est AS (SELECT c.a, c.b, c.n_bands,
+             |   CAST((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) AS BIGINT) AS n_sig
+             |  FROM cand c JOIN sig sa ON sa.doc_id = c.a
+             |  JOIN sig sb ON sb.doc_id = c.b),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+             |inter AS (SELECT c.a, c.b, count(*) AS i
+             |  FROM cand c JOIN toks ta ON ta.doc_id = c.a
+             |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+             |  GROUP BY 1, 2),
+             |ver AS (SELECT c.a, c.b,
+             |   CAST(floor(coalesce(i.i, 0)::DOUBLE
+             |     / (sa.sz + sb.sz - coalesce(i.i, 0))::DOUBLE * 1000000) AS BIGINT) AS jac_u
+             |  FROM cand c
+             |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+             |  JOIN sizes sa ON sa.doc_id = c.a
+             |  JOIN sizes sb ON sb.doc_id = c.b)
+             |SELECT e.a, e.b, e.n_bands, e.n_sig,
+             |  e.n_sig * 1000000 // 8 AS est_u, v.jac_u,
+             |  (e.n_sig * 1000000 // 8 >= 800000 AND v.jac_u < 800000) AS is_fp
+             |FROM est e JOIN ver v ON v.a = e.a AND v.b = e.b""".stripMargin)),
+
+    Q("q227_packing_efficiency",
+      // shardDocs=128 so the shard dimension is exercised at verify scale
+      // (the q114 convention)
+      (s, d) => graft.ops.TrainingData.packingEfficiency(
+        T(s, d, "documents"), partCol = "lang", shardDocs = 128),
+      Some("""WITH t AS (SELECT lang,
+             |  CAST(floor(doc_id / 128) AS BIGINT) AS shard, doc_id,
+             |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+             |    AS BIGINT) AS n_tokens
+             | FROM documents),
+             |c AS (SELECT lang, shard, doc_id, n_tokens,
+             |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre FROM t),
+             |x AS (SELECT c.*, CAST(b.budget AS BIGINT) AS budget
+             |  FROM c, (SELECT unnest([1024, 2048, 4096, 8192]) AS budget) b)
+             |SELECT budget,
+             |  CAST(count(DISTINCT (lang, shard, pre // budget)) AS BIGINT) AS n_bins,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             |  CAST(sum(n_tokens) * 1000000
+             |    // (count(DISTINCT (lang, shard, pre // budget)) * budget) AS BIGINT) AS util_u,
+             |  CAST(sum(CASE WHEN n_tokens > budget THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize
+             |FROM x GROUP BY 1""".stripMargin)),
+
+    Q("q228_weak_label_set",
+      (s, d) => graft.ops.TrainingData.weakLabelSet(T(s, d, "documents")),
+      // q218's cascade replay -> weak label; global (m, doc_id) rank per
+      // label == the two-phase shard rank (shard is a prefix of m)
+      Some("""WITH m AS (SELECT doc_id,
+             |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tl,
+             |  round((
+             |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
+             |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio,
+             |  round(length(text)::DOUBLE
+             |    / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 4) AS mean_word_len
+             | FROM documents),
+             |r AS (SELECT *,
+             |   CASE WHEN len(tl) = 0 THEN NULL
+             |    ELSE floor((1.0 - len(list_distinct(tl))::DOUBLE / len(tl)) * 1000000) / 1000000
+             |   END AS rep_ratio
+             |  FROM m),
+             |lab AS (SELECT doc_id,
+             |   CASE WHEN n_tokens < 20 OR stopword_ratio < 0.02
+             |     OR coalesce(rep_ratio > 0.65, FALSE) OR mean_word_len > 5.9
+             |    THEN 0 ELSE 1 END AS label
+             |  FROM r),
+             |ranked AS (SELECT doc_id, CAST(label AS BIGINT) AS label,
+             |   CAST(row_number() OVER (PARTITION BY label
+             |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+             |  FROM lab),
+             |mc AS (SELECT CAST(min(c) AS BIGINT) AS m_take
+             |  FROM (SELECT count(*) AS c FROM lab GROUP BY label))
+             |SELECT doc_id, label, rk FROM ranked, mc WHERE rk <= m_take""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs ++ ext25Qs ++ ext26Qs
+      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -134,6 +134,55 @@ object Dedup {
     verifyJaccard(docs, cand, threshold)
   }
 
+  /** Per-pair LSH evidence — the explainability relation for a MinHash
+    * dedup decision (when a dedup run is audited, "these two docs
+    * collided" needs to decompose into WHICH bands fired, what the
+    * signature estimated, and what verification measured): for every
+    * banded candidate pair, `n_bands` band-key matches, `n_sig` of
+    * `numHashes` agreeing signature components (the classic unbiased
+    * Jaccard estimator — `est_u` = n_sig·10⁶ div numHashes), the verified
+    * exact Jaccard (`jac_u`), and `is_fp` marking pairs the signature
+    * would pass at `threshold` but verification rejects — the measured
+    * LSH false-positive set that sizes how much the verify stage is
+    * actually buying.
+    *
+    * Scale shape: identical candidate generation to [[minhashLsh]] (band
+    * bucket join, never all-pairs) with the band count folded into the
+    * same aggregate that dedups candidates; signature attaches are two
+    * narrow equi-joins on the checkpointed signature table; verification
+    * is the shared candidate-bounded [[verifyJaccard]] pass at cut 0.
+    *
+    * @return (a, b, n_bands, n_sig, est_u, jac_u, is_fp), a < b
+    */
+  def pairEvidence(docs: DataFrame, numHashes: Int = 8,
+      rowsPerBand: Int = 2, threshold: Double = 0.8): DataFrame = {
+    graft.expr.VectorOps.register(docs.sparkSession)
+    val numBands = numHashes / rowsPerBand
+    val base = FreshCheckpoint(minhashSignatures(docs, numHashes))
+    val bandRows = bandedKeys(base, numBands, rowsPerBand)
+    val cand = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_bands"))
+    val sa = base.select(col("doc_id").as("a") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"xa$i")): _*)
+    val sb = base.select(col("doc_id").as("b") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"xb$i")): _*)
+    val nSig = (0 until numHashes)
+      .map(i => when(col(s"xa$i") === col(s"xb$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cand.join(sa, Seq("a")).join(sb, Seq("b"))
+      .select(col("a"), col("b"), col("n_bands"), nSig.as("n_sig"))
+    val thrU = math.round(threshold * 1000000d)
+    est.join(verifyJaccard(docs, est.select(col("a"), col("b")), 0.0)
+        .select(col("a"), col("b"), col("jaccard")), Seq("a", "b"))
+      .select(col("a"), col("b"), col("n_bands"), col("n_sig"),
+        expr(s"n_sig * 1000000 div $numHashes").as("est_u"),
+        expr("CAST(round(jaccard * 1000000) AS BIGINT)").as("jac_u"))
+      .withColumn("is_fp", col("est_u") >= thrU && col("jac_u") < thrU)
+  }
+
   /** Dedup threshold-sweep diagnostic: verified MinHash-LSH pairs bucketed
     * by jaccard decile, with pair counts and distinct-document coverage
     * per band — the calibration artifact for choosing a dedup threshold

@@ -366,6 +366,42 @@ object Similarity {
           .as("imbalance"))
   }
 
+  /** ANN-index balance audit — the serving-cost predictor for any
+    * bucket-blocked index (here the corpus-scaled hyperplane cells every
+    * cell-family consumer blocks on): per occupancy magnitude
+    * (⌊log₂ size⌋), how many cells live there, how many vectors they hold,
+    * and the candidate-pair mass Σ sz·(sz−1)/2 those cells contribute — the
+    * actual verify bill of a cell-blocked pass. A healthy index concentrates
+    * mass near the design occupancy (~256 here); a fat high-bucket tail
+    * means skewed cells that will dominate query latency and shuffle skew,
+    * and is the signal to re-center means or add planes BEFORE committing a
+    * 100 TB bucketed layout. `max_sz` and `skew_u` (max·n_cells·10⁶ div n —
+    * max over mean occupancy, 10⁶ = perfectly even) ride every row from a
+    * 1-row broadcast attach.
+    *
+    * Scale shape: per-row cell signatures → ONE cell-keyed count (map-side
+    * combine) → a log₂-bucket agg over the CELL relation (≤ 2ᵖ rows) — the
+    * corpus itself never moves. ⌊log₂⌋ via bin-string length: engine-exact,
+    * no floating log at power-of-two boundaries.
+    *
+    * @return (bucket = ⌊log₂ sz⌋, n_cells, n_vecs, pair_mass, max_sz,
+    *         skew_u), one row per occupied magnitude
+    */
+  def indexBalance(embeddings: DataFrame): DataFrame = {
+    val sizes = autoCells(embeddings)
+      .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+    val buckets = sizes
+      .groupBy((length(bin(col("sz"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("sz")).as("n_vecs"),
+        sum(expr("sz * (sz - 1) div 2")).as("pair_mass"))
+    val tot = sizes.agg(max(col("sz")).as("max_sz"),
+      count(lit(1)).as("tot_cells"), sum(col("sz")).as("n"))
+    buckets.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_cells"), col("n_vecs"), col("pair_mass"),
+        col("max_sz"),
+        expr("max_sz * tot_cells * 1000000 div n").as("skew_u"))
+  }
+
   /** SemDeDup-style semantic dedup (cluster-then-prune): k-means cells bound
     * the pair search — cosine is evaluated only within a cell, never
     * all-pairs — then near-dup pairs transitively close into clusters and

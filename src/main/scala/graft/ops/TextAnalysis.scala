@@ -320,6 +320,68 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_lines"), col("n_kept"), col("text_dedup"))
   }
 
+  /** Per-source character-class composition — the writing-system /
+    * encoding-health profile that complements [[langId]] (which scores
+    * against known-language stopword lists and is blind to, e.g., a feed
+    * that silently became 40% digits or control garbage). Per document the
+    * char mass splits into letters / digits / whitespace / other via the
+    * regexp-strip length trick; the per-source rollup reports each class's
+    * integer micro-unit share of the source's TOTAL char mass (mass-
+    * weighted, so one long corrupted doc shows up — a doc-mean would dilute
+    * it). Pure per-row projections → one (source)-keyed agg; text never
+    * moves, only four longs per doc do.
+    *
+    * @return (source, n_docs, n_chars, letter_u, digit_u, space_u, other_u)
+    */
+  def charClassProfile(docs: DataFrame): DataFrame = {
+    def mass(pat: String): Column =
+      length(col("text")) - length(regexp_replace(col("text"), pat, ""))
+    Dedup.fanOut(docs).select(col("source"),
+        length(col("text")).as("nc"), mass("[A-Za-z]").as("let"),
+        mass("[0-9]").as("dig"), mass("[ \\t\\n\\r]").as("spc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+        sum(col("let")).as("sl"), sum(col("dig")).as("sd"),
+        sum(col("spc")).as("ss"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        expr("sl * 1000000 div greatest(n_chars, 1)").as("letter_u"),
+        expr("sd * 1000000 div greatest(n_chars, 1)").as("digit_u"),
+        expr("ss * 1000000 div greatest(n_chars, 1)").as("space_u"),
+        expr("(n_chars - sl - sd - ss) * 1000000 div greatest(n_chars, 1)")
+          .as("other_u"))
+  }
+
+  /** In-document repeated-segment scrub — the PER-DOC de-repetition
+    * transform ([[lineDedup]] is the cross-doc twin: it drops segments
+    * over-represented in the CORPUS; this drops re-occurrences WITHIN one
+    * document — boilerplate that loops inside a page, scraped nav bars,
+    * stuttering generators). Keeps each distinct segment's FIRST occurrence
+    * in document order, re-joins with the same separator, and accounts for
+    * the removed char mass so the cleaning pass is auditable.
+    *
+    * Scale shape: segment explode → per-doc first-occurrence window (the
+    * window partition is ONE document's segments — bounded by doc size, no
+    * corpus-wide state) → per-doc re-aggregate. One (doc_id)-keyed shuffle
+    * total; nothing cross-doc exists in the plan.
+    *
+    * @return (doc_id, n_segs, n_kept, removed_chars, text_scrubbed)
+    */
+  def lineScrub(docs: DataFrame, sep: String): DataFrame = {
+    val segs = Dedup.fanOut(docs).select(col("doc_id"),
+      posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "seg")))
+    val w = Window.partitionBy(col("doc_id"), col("seg")).orderBy(col("pos"))
+    segs.withColumn("occ", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("occ") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("occ") > 1, length(col("seg"))).otherwise(0L))
+          .as("removed_chars"),
+        array_join(transform(array_sort(collect_list(
+            when(col("occ") === 1, struct(col("pos"), col("seg"))))),
+          x => x.getField("seg")), sep).as("text_scrubbed"))
+  }
+
   /** Quality-filter cascade with an audit trail (the Gopher/RefinedWeb rule
     * stack): every rule that fires lands in a sorted reject-reason list, so
     * downstream can both filter and account for WHY mass was dropped. Pure
@@ -581,6 +643,65 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), sum(col("term_u")).as("sum_u"))
       .select(col("doc_id"), col("n_tokens"),
         expr("sum_u div n_tokens").as("avg_nll_u"))
+  }
+
+  /** Per-source LM domain shift — the train/val generalization gap measured
+    * per corpus slice: a Laplace-smoothed unigram LM is fit on the TRAIN
+    * side of the deterministic hash split ([[graft.ops.TrainingData
+    * .hashSplit]]'s bucket rule), then each source's token-weighted mean
+    * NLL is scored on its train and val sides; `shift_u` = val − train in
+    * integer micro-nats. A source whose val side scores much worse than
+    * its train side is heterogeneous or drifting (the LM memorized its
+    * train half) — the slice to re-mix or re-crawl. Smoothing is add-one
+    * over N+V+1, so val-only (OOV) tokens score finitely and identically
+    * on any engine.
+    *
+    * Scale shape: one token explode → vocabulary-sized LM aggregate
+    * (map-side combine) → LM attach (broadcast below the dimension bound,
+    * else a shuffle hash join on tok — the [[unigramLogProb]] gate, sized
+    * via the memoized [[graft.ops.Similarity.corpusCount]], not an extra
+    * eager count) → (source, split) rollup. Token NLLs are floor'd
+    * micro-units BEFORE summation, so accumulation order can't drift.
+    *
+    * @return (source, n_train_tokens, n_val_tokens, train_nll_u,
+    *         val_nll_u, shift_u) for sources with mass on both sides
+    */
+  def domainShift(docs: DataFrame, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    val bucket = TrainingData.h60(col("doc_id").cast("string")) % 100
+    val sided = Dedup.fanOut(docs).select(col("doc_id"), col("source"),
+        col("text"),
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val").as("split"))
+      .filter(col("split").isNotNull)
+    val toks = sided.select(col("source"), col("split"),
+      explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+        .as("tok"))
+    val lm = toks.filter(col("split") === "train")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val nv = lm.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
+    val lmHint =
+      if (Similarity.corpusCount(docs) <= graft.Limits.dimensionRows)
+        broadcast(lm)
+      else lm
+    val scored = toks.join(lmHint, Seq("tok"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("source"), col("split"),
+        floor((log(col("n").cast("double") + col("v") + 1d)
+            - log(coalesce(col("cnt"), lit(0L)).cast("double") + 1d))
+          * 1000000).cast("long").as("term_u"))
+    val agg = scored.groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("term_u")).as("sum_u"))
+    val tr = agg.filter(col("split") === "train").select(col("source"),
+      col("n_toks").as("n_train_tokens"),
+      expr("sum_u div n_toks").as("train_nll_u"))
+    val va = agg.filter(col("split") === "val").select(col("source"),
+      col("n_toks").as("n_val_tokens"),
+      expr("sum_u div n_toks").as("val_nll_u"))
+    tr.join(va, Seq("source"))
+      .select(col("source"), col("n_train_tokens"), col("n_val_tokens"),
+        col("train_nll_u"), col("val_nll_u"),
+        (col("val_nll_u") - col("train_nll_u")).as("shift_u"))
   }
 
   /** Per-document top-`k` TF-IDF keywords — the tagging/faceting step of a

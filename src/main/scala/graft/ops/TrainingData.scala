@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 object TrainingData {
 
   /** Non-negative 60-bit integer from the first 15 hex digits of md5. */
-  private def h60(c: Column): Column =
+  private[ops] def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Deterministic train/val/test assignment by content hash: bucket =
@@ -457,6 +457,93 @@ object TrainingData {
       .filter(col("rk") <= col("take"))
       .select(col("doc_id"), col("source"), col("n_source"), col("w_source"),
         col("take"), col("rk"))
+  }
+
+  /** Packing-efficiency sweep — the sequence-length chooser for
+    * [[sequencePacking]]: for each candidate `budget`, how many bins the
+    * SAME deterministic doc-order packing produces, the padding bill
+    * (utilization = packed tokens over bin capacity, micro-units), and how
+    * many documents individually overflow the budget (they must be chunked
+    * or dropped before packing — the count a packing run must reconcile).
+    * Short budgets waste nothing but fragment long docs; long budgets pad.
+    * This measures the trade on the real corpus before a 100 TB packing
+    * run commits to a length.
+    *
+    * Scale shape: ONE prefix-sum window pass (the [[sequencePacking]]
+    * cumsum, per (part, shard) — bounded partitions), then a |budgets|-way
+    * per-row explode and one budget-keyed aggregate: bins are counted as
+    * distinct (part, shard, ⌊pre/budget⌋) triples without materializing
+    * any per-budget packing. Nothing corpus-proportional is re-windowed
+    * per budget.
+    *
+    * @return (budget, n_bins, n_docs, sum_tokens, util_u, n_oversize),
+    *         one row per budget
+    */
+  def packingEfficiency(docs: DataFrame,
+      budgets: Seq[Int] = Seq(1024, 2048, 4096, 8192),
+      partCol: String = "lang", shardDocs: Int = 65536): DataFrame = {
+    val toks = TextAnalysis.tokenCount(col("text"))
+    val w = Window.partitionBy(col(partCol), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = docs.select(col(partCol),
+        floor(col("doc_id") / shardDocs).cast("long").as("shard"),
+        col("doc_id"), toks.as("n_tokens"))
+      .withColumn("pre", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    cum.select(col(partCol), col("shard"), col("n_tokens"), col("pre"),
+        explode(array(budgets.sorted.map(b => lit(b.toLong)): _*)).as("budget"))
+      .groupBy(col("budget"))
+      .agg(countDistinct(col(partCol), col("shard"), expr("pre div budget"))
+          .as("n_bins"),
+        count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        sum(when(col("n_tokens") > col("budget"), 1L).otherwise(0L))
+          .as("n_oversize"))
+      .select(col("budget"), col("n_bins"), col("n_docs"), col("sum_tokens"),
+        expr("sum_tokens * 1000000 div (n_bins * budget)").as("util_u"),
+        col("n_oversize"))
+  }
+
+  /** Weak-supervision training-set assembly — the label-model step of a
+    * quality-classifier bootstrap (Snorkel-style: cheap rule votes become
+    * training labels): [[TextAnalysis.filterCascade]]'s verdict is the weak
+    * label (1 = kept/clean, 0 = rejected/junk), and the emitted set is
+    * EXACTLY class-balanced — both classes cut to the minority count in
+    * deterministic md5-content order, so the downstream classifier never
+    * inherits the cascade's class skew (a 95/5 corpus would otherwise
+    * train a majority-class predictor).
+    *
+    * Scale shape: the rank inside each label class is the [[sourceCap]]
+    * two-phase md5-shard scheme — per-(label, shard) windows (≤ 1/256 of a
+    * class per task) plus a ≤ 512-row offset window — NOT a per-label
+    * global window, which would funnel half the corpus through one task.
+    * The minority count is a 2-row aggregate broadcast.
+    *
+    * @return (doc_id, label, rk ≤ minority-class count)
+    */
+  def weakLabelSet(docs: DataFrame): DataFrame = {
+    val labeled = TextAnalysis.filterCascade(docs)
+      .select(col("doc_id"),
+        when(col("keep"), 1L).otherwise(0L).as("label"))
+    val keyed = labeled
+      .withColumn("m", md5(col("doc_id").cast("string")))
+      .withColumn("shard", substring(col("m"), 1, 2))
+    val wIn = Window.partitionBy(col("label"), col("shard"))
+      .orderBy(col("m"), col("doc_id"))
+    val ranked = keyed.withColumn("rin", row_number().over(wIn).cast("long"))
+    val wSh = Window.partitionBy(col("label")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ 2·256 rows: one per (label, md5-prefix shard)
+    val offsets = ranked.groupBy(col("label"), col("shard"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wSh), lit(0L)))
+      .select(col("label"), col("shard"), col("off"))
+    val minc = labeled.groupBy(col("label")).agg(count(lit(1)).as("c"))
+      .agg(min(col("c")).as("m_take"))
+    ranked.join(offsets, Seq("label", "shard"))
+      .select(col("doc_id"), col("label"), (col("off") + col("rin")).as("rk"))
+      .crossJoin(broadcast(minc))
+      .filter(col("rk") <= col("m_take"))
+      .select(col("doc_id"), col("label"), col("rk"))
   }
 
   /** Token-budget corpus selection: keep the highest-quality documents

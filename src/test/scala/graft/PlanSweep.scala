@@ -79,7 +79,10 @@ object PlanSweepSupport {
     // q211: per-round 1-row best-pair and corpus-symbol-count scalar
     // attaches onto the VOCABULARY relation (the corpus is touched once,
     // in the word-frequency pass)
-    "q211_bpe_merges")
+    "q211_bpe_merges",
+    "q222_index_balance", // cells-mean scalar + 1-row occupancy-totals attach
+    "q225_domain_shift", // 1-row (N, V) LM-mass scalar attach
+    "q228_weak_label_set") // 1-row minority-class-count scalar attach
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -132,7 +135,15 @@ object PlanSweepSupport {
     "q204_budget_select",
     // q211: max-weight / best-pair / symbol-count global scalars merge
     // vocabulary-sized partials to 1 row each
-    "q211_bpe_merges")
+    "q211_bpe_merges",
+    // q221: the 1-row (n_classes, n_rows, spine) aggregate merges
+    // class-relation partials — the corpus itself reduced in the first agg
+    "q221_k_anonymity",
+    "q222_index_balance", // cells-mean + 1-row occupancy-totals scalar
+    "q225_domain_shift", // 1-row (N, V) vocabulary-mass scalar
+    // q228: 1-row minority-count scalar + the ≤ 512-row (label, shard)
+    // offset window — both bounded artifacts, never corpus rows
+    "q228_weak_label_set")
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:
