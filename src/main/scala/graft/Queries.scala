@@ -5920,13 +5920,130 @@ object Queries {
              |  FROM (SELECT count(*) AS c FROM lab GROUP BY label))
              |SELECT doc_id, label, rk FROM ranked, mc WHERE rk <= m_take""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-8 batch 10
+  // Disclosure, pruning-plan, calibration and manifest operators.
+  private val ext29Qs = Seq(
+    Q("q229_l_diversity",
+      (s, d) => graft.ops.Privacy.lDiversityAudit(T(s, d, "customer"),
+        Seq(col("c_nationkey"), floor(col("c_acctbal") / 1000).as("bal_kb")),
+        col("c_mktsegment")),
+      // q221's class relation + a distinct-sensitive count per class
+      Some("""WITH cls AS (SELECT c_nationkey,
+             |   CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb,
+             |   count(*) AS sz, count(DISTINCT c_mktsegment) AS dv
+             |  FROM customer GROUP BY 1, 2),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_classes,
+             |   CAST(sum(sz) AS BIGINT) AS n_rows FROM cls),
+             |spine AS (SELECT unnest([2, 3, 5]) AS l),
+             |per AS (SELECT s.l,
+             |   CAST(sum(CASE WHEN c.dv < s.l THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_below,
+             |   CAST(sum(CASE WHEN c.dv < s.l THEN c.sz ELSE 0 END) AS BIGINT) AS n_rows_below
+             |  FROM spine s, cls c GROUP BY 1)
+             |SELECT CAST(p.l AS BIGINT) AS l, t.n_classes, t.n_rows,
+             |  p.n_classes_below, p.n_rows_below,
+             |  CAST(p.n_rows_below * 1000000 // t.n_rows AS BIGINT) AS risk_u
+             |FROM per p, tot t""".stripMargin)),
+
+    Q("q230_perplexity_prune",
+      (s, d) => graft.ops.TextAnalysis.perplexityPrune(T(s, d, "documents")),
+      // q166's per-doc NLL chain -> (source, 0.1-nat bin) masses -> the
+      // bin-granular head/middle/tail cut by cumulative start position
+      Some("""WITH tl AS (SELECT doc_id,
+             |   unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+             |  FROM documents),
+             |lm AS (SELECT tok, count(*) AS cnt FROM tl GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tl),
+             |terms AS (SELECT t.doc_id,
+             |   CAST(floor((ln(CAST(n.n AS DOUBLE)) - ln(CAST(lm.cnt AS DOUBLE)))
+             |     * 1000000) AS BIGINT) AS term_u
+             |  FROM tl t JOIN lm USING (tok), n),
+             |nll AS (SELECT doc_id, CAST(sum(term_u) // count(*) AS BIGINT) AS avg_nll_u
+             |  FROM terms GROUP BY 1),
+             |b AS (SELECT d.source, avg_nll_u // 100000 AS bin, count(*) AS n_docs
+             |  FROM nll JOIN documents d USING (doc_id) GROUP BY 1, 2),
+             |c AS (SELECT source, CAST(bin AS BIGINT) AS bin,
+             |   CAST(n_docs AS BIGINT) AS n_docs,
+             |   CAST(coalesce(sum(n_docs) OVER (PARTITION BY source ORDER BY bin
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+             |   CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS total
+             |  FROM b)
+             |SELECT source, bin, n_docs, cum_before, total,
+             |  CASE WHEN cum_before * 100 < total * 10 THEN 'head'
+             |   WHEN cum_before * 100 < total * 70 THEN 'middle'
+             |   ELSE 'tail' END AS bucket
+             |FROM c""".stripMargin)),
+
+    Q("q231_score_calibration",
+      (s, d) => graft.ops.TrainingData.scoreCalibration(T(s, d, "documents")),
+      // q228's cascade replay as the outcome, the stopword score as the
+      // confidence, decile bins, 1-row total for the ECE terms
+      Some("""WITH m AS (SELECT doc_id,
+             |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tl,
+             |  round((
+             |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
+             |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio,
+             |  round(length(text)::DOUBLE
+             |    / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 4) AS mean_word_len
+             | FROM documents),
+             |r AS (SELECT *,
+             |   CASE WHEN len(tl) = 0 THEN NULL
+             |    ELSE floor((1.0 - len(list_distinct(tl))::DOUBLE / len(tl)) * 1000000) / 1000000
+             |   END AS rep_ratio
+             |  FROM m),
+             |lab AS (SELECT doc_id,
+             |   least(CAST(round(stopword_ratio * 1000000) AS BIGINT), 1000000) AS score_u,
+             |   CASE WHEN n_tokens < 20 OR stopword_ratio < 0.02
+             |     OR coalesce(rep_ratio > 0.65, FALSE) OR mean_word_len > 5.9
+             |    THEN 0 ELSE 1 END AS label
+             |  FROM r),
+             |pb AS (SELECT score_u * 10 // 1000001 AS bin, count(*) AS n_docs,
+             |   sum(label) AS n_pos, sum(score_u) AS sum_score
+             |  FROM lab GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM pb)
+             |SELECT CAST(bin AS BIGINT) AS bin, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(n_pos AS BIGINT) AS n_pos,
+             |  CAST(n_pos * 1000000 // n_docs AS BIGINT) AS acc_u,
+             |  CAST(sum_score // n_docs AS BIGINT) AS conf_u,
+             |  CAST(abs(n_pos * 1000000 // n_docs - sum_score // n_docs) AS BIGINT) AS gap_u,
+             |  CAST(n_docs * abs(n_pos * 1000000 // n_docs - sum_score // n_docs) // t.n AS BIGINT) AS ece_term_u
+             |FROM pb, tot t""".stripMargin)),
+
+    Q("q232_shard_manifest",
+      // q114's packing convention at verify scale (shardDocs=128,
+      // budget=2048) so bins and shards are both exercised
+      (s, d) => graft.ops.TrainingData.shardManifest(
+        T(s, d, "documents"), budget = 2048, partCol = "lang",
+        shardDocs = 128),
+      Some(s"""WITH t AS (SELECT lang,
+              |   CAST(floor(doc_id / 128) AS BIGINT) AS shard, doc_id,
+              |   CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+              |     AS BIGINT) AS n_tokens
+              |  FROM documents),
+              |c AS (SELECT lang, shard, doc_id, n_tokens,
+              |   CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard
+              |     ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |     / 2048) AS BIGINT) AS bin
+              |  FROM t)
+              |SELECT lang, shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+              |  CAST(sum(n_tokens) * 1000000 // 2048 AS BIGINT) AS fill_u,
+              |  CAST(bit_xor(${duckH60("'m:' || CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS digest,
+              |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+              |  CAST(max(doc_id) AS BIGINT) AS last_doc
+              |FROM c GROUP BY 1, 2, 3""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs
+      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

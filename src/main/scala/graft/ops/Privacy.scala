@@ -54,4 +54,40 @@ object Privacy {
         col("s.n_rows_below").as("n_rows_below"),
         expr("s.n_rows_below * 1000000 div n_rows").as("risk_u"))
   }
+
+  /** l-diversity audit ([[kAnonymityAudit]]'s sibling for attribute
+    * disclosure): k-anonymity bounds re-IDENTIFICATION but a k-sized class
+    * whose members all share one sensitive value still discloses that value
+    * for everyone in it. Per spine l, report the class/row mass whose
+    * equivalence class carries FEWER than l distinct sensitive values —
+    * the mass a release would have to suppress for distinct l-diversity
+    * (Machanavajjhala 2007).
+    *
+    * Scale shape: identical to [[kAnonymityAudit]] with a two-phase
+    * distinct count riding the same class groupBy; everything after the
+    * first agg is class-relation sized.
+    *
+    * @return (l, n_classes, n_rows, n_classes_below, n_rows_below,
+    *         risk_u = n_rows_below·10⁶ div n_rows), one row per l
+    */
+  def lDiversityAudit(rows: DataFrame, quasi: Seq[Column], sensitive: Column,
+      ls: Seq[Int] = Seq(2, 3, 5)): DataFrame = {
+    val classes = rows.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("sz"), countDistinct(sensitive).as("dv"))
+    val perL = ls.sorted.map { l =>
+      struct(lit(l.toLong).as("l"),
+        sum(when(col("dv") < l, lit(1L)).otherwise(lit(0L)))
+          .as("n_classes_below"),
+        sum(when(col("dv") < l, col("sz")).otherwise(lit(0L)))
+          .as("n_rows_below"))
+    }
+    classes
+      .agg(count(lit(1)).as("n_classes"), sum(col("sz")).as("n_rows"),
+        array(perL: _*).as("spine"))
+      .select(col("n_classes"), col("n_rows"), explode(col("spine")).as("s"))
+      .select(col("s.l").as("l"), col("n_classes"), col("n_rows"),
+        col("s.n_classes_below").as("n_classes_below"),
+        col("s.n_rows_below").as("n_rows_below"),
+        expr("s.n_rows_below * 1000000 div n_rows").as("risk_u"))
+  }
 }

@@ -704,6 +704,50 @@ object TextAnalysis {
         (col("val_nll_u") - col("train_nll_u")).as("shift_u"))
   }
 
+  /** CCNet-style perplexity prune plan — the "keep the middle" chooser over
+    * a per-source LM-score distribution (CCNet buckets each language's docs
+    * into head/middle/tail by perplexity percentile; head can be
+    * over-clean boilerplate, tail is noise): per (source, nll bin of
+    * `binUnit` µ-nats), doc count, cumulative mass BEFORE the bin, source
+    * total, and the bucket the WHOLE bin falls in by its cumulative start
+    * position (head = first `headPct`%, tail = last `tailPct`%). Bucket
+    * assignment is deliberately bin-granular — a boundary bin lands
+    * entirely on one side, deterministically, with no per-doc percentile
+    * rank (which would need a per-source global sort); tighten `binUnit`
+    * to tighten the boundary, the audit columns expose exactly where the
+    * cut landed.
+    *
+    * Scale shape: [[unigramLogProb]]'s vocabulary-sized LM (one token
+    * explode) → per-doc NLL → (source, bin) agg; the cumulation windows
+    * run on per-source BIN rows (bounded by the NLL range over binUnit,
+    * ~200), never corpus rows. Zero-token docs produce no LM row and are
+    * absent from the plan (they are the cascade's casualty, not the
+    * pruner's).
+    *
+    * @return (source, bin, n_docs, cum_before, total, bucket)
+    */
+  def perplexityPrune(docs: DataFrame, headPct: Int = 10, tailPct: Int = 30,
+      binUnit: Long = 100000L): DataFrame = {
+    val nll = unigramLogProb(docs)
+      .select(col("doc_id"), col("avg_nll_u"))
+    val src = Dedup.fanOut(docs).select(col("doc_id"), col("source"))
+    val binned = nll.join(src, Seq("doc_id"))
+      .select(col("source"), expr(s"avg_nll_u div $binUnit").as("bin"))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("source")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = Window.partitionBy(col("source"))
+    binned
+      .withColumn("cum_before", coalesce(sum(col("n_docs")).over(w), lit(0L)))
+      .withColumn("total", sum(col("n_docs")).over(tot))
+      .select(col("source"), col("bin"), col("n_docs"), col("cum_before"),
+        col("total"),
+        when(col("cum_before") * 100 < col("total") * headPct, "head")
+          .when(col("cum_before") * 100 < col("total") * (100 - tailPct),
+            "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Per-document top-`k` TF-IDF keywords — the tagging/faceting step of a
     * corpus pipeline (and the cheap "what is this doc about" signal for
     * mixture routing). Same integerized weighting as [[tfidfPairs]]

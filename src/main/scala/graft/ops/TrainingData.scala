@@ -546,6 +546,83 @@ object TrainingData {
       .select(col("doc_id"), col("label"), col("rk"))
   }
 
+  /** Score-calibration audit (reliability diagram, Guo et al. 2017) for the
+    * quality-classifier bootstrap: [[TextAnalysis.qualityScore]]'s stopword
+    * ratio as the confidence score, [[TextAnalysis.filterCascade]]'s
+    * verdict as the outcome, bucketed into `bins` equal-width score bins.
+    * Per bin: mass, positive rate (`acc_u`), mean score (`conf_u`), the
+    * |acc − conf| calibration gap, and the bin's ECE contribution
+    * (mass-weighted gap — summing `ece_term_u` gives the expected
+    * calibration error in µ-units). A well-calibrated score tracks the
+    * diagonal; big-gap bins are where a score threshold would lie about
+    * the mass it keeps.
+    *
+    * Scale shape: two per-row scoring passes (cascade + score) joined on
+    * doc_id → ONE bin-keyed agg (≤ `bins` rows) → a 1-row total attach.
+    * All integer micro-unit arithmetic.
+    *
+    * @return (bin, n_docs, n_pos, acc_u, conf_u, gap_u, ece_term_u)
+    */
+  def scoreCalibration(docs: DataFrame, bins: Int = 10): DataFrame = {
+    val score = TextAnalysis.qualityScore(docs).select(col("doc_id"),
+      least(expr("CAST(round(stopword_ratio * 1000000) AS BIGINT)"),
+        lit(1000000L)).as("score_u"))
+    val lab = TextAnalysis.filterCascade(docs).select(col("doc_id"),
+      when(col("keep"), 1L).otherwise(0L).as("label"))
+    val perBin = score.join(lab, Seq("doc_id"))
+      .select(expr(s"score_u * $bins div 1000001").as("bin"),
+        col("score_u"), col("label"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("label")).as("n_pos"),
+        sum(col("score_u")).as("sum_score"))
+    val tot = perBin.agg(sum(col("n_docs")).as("n"))
+    perBin.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        expr("n_pos * 1000000 div n_docs").as("acc_u"),
+        expr("sum_score div n_docs").as("conf_u"),
+        expr("abs(n_pos * 1000000 div n_docs - sum_score div n_docs)")
+          .as("gap_u"),
+        expr("n_docs * abs(n_pos * 1000000 div n_docs - sum_score div n_docs) div n")
+          .as("ece_term_u"))
+  }
+
+  /** Shard manifest for a packed dataset — the reproducibility artifact a
+    * training run checks its shipped shards against: per
+    * [[sequencePacking]] bin, doc/token mass, fill fraction of the token
+    * budget, the doc-id range, and an ORDER-INDEPENDENT content digest
+    * (bit-XOR of each member's md5-derived 60-bit id hash — any dropped,
+    * duplicated, or swapped document flips the digest, and the XOR
+    * aggregate commutes so partition order can't perturb it).
+    *
+    * Scale shape: exactly [[sequencePacking]]'s one prefix-sum window pass
+    * (per (part, shard) — bounded partitions) plus one more map-side
+    * column for the hash; one bin-keyed agg.
+    *
+    * @return (partCol, shard, bin, n_docs, sum_tokens, fill_u, digest,
+    *         first_doc, last_doc)
+    */
+  def shardManifest(docs: DataFrame, budget: Int = 8192,
+      partCol: String = "lang", shardDocs: Int = 65536): DataFrame = {
+    val toks = TextAnalysis.tokenCount(col("text"))
+    val w = Window.partitionBy(col(partCol), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(partCol),
+        floor(col("doc_id") / shardDocs).cast("long").as("shard"),
+        col("doc_id"), toks.as("n_tokens"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
+      .withColumn("h", h60(concat(lit("m:"), col("doc_id").cast("string"))))
+      .groupBy(col(partCol), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        expr("bit_xor(h)").as("digest"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .select(col(partCol), col("shard"), col("bin"), col("n_docs"),
+        col("sum_tokens"),
+        expr(s"sum_tokens * 1000000 div $budget").as("fill_u"),
+        col("digest"), col("first_doc"), col("last_doc"))
+  }
+
   /** Token-budget corpus selection: keep the highest-quality documents
     * whose token counts fit a global `budgetTokens` budget — greedy by
     * quality BIN, never by a global quality sort (a global sort is the one

@@ -82,7 +82,9 @@ object PlanSweepSupport {
     "q211_bpe_merges",
     "q222_index_balance", // cells-mean scalar + 1-row occupancy-totals attach
     "q225_domain_shift", // 1-row (N, V) LM-mass scalar attach
-    "q228_weak_label_set") // 1-row minority-class-count scalar attach
+    "q228_weak_label_set", // 1-row minority-class-count scalar attach
+    "q230_perplexity_prune", // q166's 1-row corpus-token-total scalar attach
+    "q231_score_calibration") // 1-row doc-total scalar attach for ECE terms
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -143,7 +145,12 @@ object PlanSweepSupport {
     "q225_domain_shift", // 1-row (N, V) vocabulary-mass scalar
     // q228: 1-row minority-count scalar + the ≤ 512-row (label, shard)
     // offset window — both bounded artifacts, never corpus rows
-    "q228_weak_label_set")
+    "q228_weak_label_set",
+    // q229: q221's shape — the 1-row (n_classes, n_rows, spine) aggregate
+    // merges class-relation partials, the corpus reduced in the first agg
+    "q229_l_diversity",
+    "q230_perplexity_prune", // q166's 1-row corpus-token-total scalar
+    "q231_score_calibration") // 1-row doc-total scalar for the ECE terms
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:

@@ -41,7 +41,11 @@ class PlanSweepSf1 extends SparkTestBase {
     "q209_dup_cluster_profile", "q210_split_leakage_audit",
     "q211_bpe_merges", "q213_tokenizer_fertility", "q215_gram_novelty",
     "q216_cell_drift", "q217_novelty_decay", "q218_rule_matrix",
-    "q219_contrastive_triplets", "q220_dataset_card")
+    "q219_contrastive_triplets", "q220_dataset_card",
+    // round-8 batch 8/9 non-trivial additions (cell, LM-join, LSH-pair and
+    // window families; q221/q223/q224 are pure map+agg, structurally linear)
+    "q222_index_balance", "q225_domain_shift", "q226_pair_evidence",
+    "q227_packing_efficiency", "q228_weak_label_set")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 
