@@ -6037,13 +6037,203 @@ object Queries {
               |  CAST(max(doc_id) AS BIGINT) AS last_doc
               |FROM c GROUP BY 1, 2, 3""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-8 batch 11
+  // Data-selection, incremental-shipping and in-engine-classifier operators.
+  private val ext30Qs = Seq(
+    Q("q233_moore_lewis",
+      (s, d) => graft.ops.TextAnalysis.mooreLewisScore(
+        T(s, d, "documents"), targetSource = "src3"),
+      // one LM CTE carries both count columns; per-token integer CED terms
+      Some("""WITH tl AS (SELECT doc_id, source,
+             |   unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+             |  FROM documents),
+             |lm AS (SELECT tok, count(*) AS cnt_gen,
+             |   sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS cnt_in
+             |  FROM tl GROUP BY 1),
+             |nv AS (SELECT CAST(sum(cnt_gen) AS BIGINT) AS n_gen,
+             |   CAST(sum(cnt_in) AS BIGINT) AS n_in,
+             |   CAST(count(*) AS BIGINT) AS v FROM lm),
+             |terms AS (SELECT t.doc_id, t.source,
+             |   CAST(floor((ln((nv.n_in + nv.v + 1)::DOUBLE) - ln((lm.cnt_in + 1)::DOUBLE)) * 1000000)
+             |    - floor((ln((nv.n_gen + nv.v + 1)::DOUBLE) - ln((lm.cnt_gen + 1)::DOUBLE)) * 1000000) AS BIGINT) AS term_u
+             |  FROM tl t JOIN lm USING (tok), nv)
+             |SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(term_u) AS BIGINT) AS sum_ced_u,
+             |  (sum(term_u) < 0) AS in_domain
+             |FROM terms GROUP BY 1, 2""".stripMargin)),
+
+    Q("q234_manifest_diff",
+      // new snapshot = deterministic ~1% removal (doc_id % 97 = 0 dropped);
+      // q232's manifest geometry on both sides
+      (s, d) => graft.ops.TrainingData.manifestDiff(
+        T(s, d, "documents"),
+        T(s, d, "documents").filter(col("doc_id") % 97 =!= 0),
+        budget = 2048, partCol = "lang", shardDocs = 128),
+      Some(s"""WITH t1 AS (SELECT lang,
+              |   CAST(floor(doc_id / 128) AS BIGINT) AS shard, doc_id,
+              |   CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+              |     AS BIGINT) AS n_tokens
+              |  FROM documents),
+              |c1 AS (SELECT lang, shard, doc_id, n_tokens,
+              |   CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard
+              |     ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |     / 2048) AS BIGINT) AS bin
+              |  FROM t1),
+              |m1 AS (SELECT lang, shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+              |   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+              |   CAST(bit_xor(${duckH60("'m:' || CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS digest
+              |  FROM c1 GROUP BY 1, 2, 3),
+              |t2 AS (SELECT lang,
+              |   CAST(floor(doc_id / 128) AS BIGINT) AS shard, doc_id,
+              |   CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+              |     AS BIGINT) AS n_tokens
+              |  FROM documents WHERE doc_id % 97 <> 0),
+              |c2 AS (SELECT lang, shard, doc_id, n_tokens,
+              |   CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard
+              |     ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |     / 2048) AS BIGINT) AS bin
+              |  FROM t2),
+              |m2 AS (SELECT lang, shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+              |   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+              |   CAST(bit_xor(${duckH60("'m:' || CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS digest
+              |  FROM c2 GROUP BY 1, 2, 3)
+              |SELECT coalesce(m1.lang, m2.lang) AS lang,
+              |  coalesce(m1.shard, m2.shard) AS shard,
+              |  coalesce(m1.bin, m2.bin) AS bin,
+              |  coalesce(m1.n_docs, 0) AS n_docs_old,
+              |  coalesce(m2.n_docs, 0) AS n_docs_new,
+              |  coalesce(m1.sum_tokens, 0) AS sum_tokens_old,
+              |  coalesce(m2.sum_tokens, 0) AS sum_tokens_new,
+              |  CASE WHEN m1.digest IS NULL THEN 'added'
+              |   WHEN m2.digest IS NULL THEN 'removed'
+              |   WHEN m1.digest = m2.digest AND m1.n_docs = m2.n_docs THEN 'same'
+              |   ELSE 'changed' END AS status
+              |FROM m1 FULL OUTER JOIN m2
+              |  ON m1.lang = m2.lang AND m1.shard = m2.shard AND m1.bin = m2.bin""".stripMargin)),
+
+    Q("q235_naive_bayes_fit",
+      (s, d) => graft.ops.Classifier.naiveBayesFit(T(s, d, "documents")),
+      // q228's cascade replay as the label, q40's quality columns as the
+      // features, a 3-way UNION ALL unpivot, one (feature, label) agg
+      Some("""WITH m AS (SELECT doc_id,
+             |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tl,
+             |  round((
+             |    (length(text) - length(replace(text, '.', '')))
+             |    + (length(text) - length(replace(text, ',', '')))
+             |    + (length(text) - length(replace(text, '!', '')))
+             |    + (length(text) - length(replace(text, '?', '')))
+             |    + (length(text) - length(replace(text, ';', '')))
+             |    + (length(text) - length(replace(text, ':', '')))
+             |  )::DOUBLE / greatest(length(text)::DOUBLE, 1.0), 6) AS punct_ratio,
+             |  round((
+             |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
+             |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio,
+             |  round(length(text)::DOUBLE
+             |    / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 4) AS mean_word_len
+             | FROM documents),
+             |r AS (SELECT *,
+             |   CASE WHEN len(tl) = 0 THEN NULL
+             |    ELSE floor((1.0 - len(list_distinct(tl))::DOUBLE / len(tl)) * 1000000) / 1000000
+             |   END AS rep_ratio
+             |  FROM m),
+             |lab AS (SELECT doc_id, punct_ratio, n_tokens, mean_word_len,
+             |   CASE WHEN n_tokens < 20 OR stopword_ratio < 0.02
+             |     OR coalesce(rep_ratio > 0.65, FALSE) OR mean_word_len > 5.9
+             |    THEN 0 ELSE 1 END AS label
+             |  FROM r),
+             |f AS (
+             |  SELECT doc_id, label, 'punct_heavy' AS feature,
+             |    CASE WHEN punct_ratio > 0.03 THEN 1 ELSE 0 END AS fire FROM lab
+             |  UNION ALL SELECT doc_id, label, 'longish',
+             |    CASE WHEN n_tokens > 60 THEN 1 ELSE 0 END FROM lab
+             |  UNION ALL SELECT doc_id, label, 'long_words',
+             |    CASE WHEN mean_word_len > 4.5 THEN 1 ELSE 0 END FROM lab)
+             |SELECT feature, CAST(label AS BIGINT) AS label,
+             |  CAST(count(*) AS BIGINT) AS n_label,
+             |  CAST(sum(fire) AS BIGINT) AS n_fire,
+             |  CAST((sum(fire) + 1) * 1000000 // (count(*) + 2) AS BIGINT) AS p_fire_u
+             |FROM f GROUP BY 1, 2""".stripMargin)),
+
+    Q("q236_naive_bayes_score",
+      (s, d) => graft.ops.Classifier.naiveBayesScore(T(s, d, "documents")),
+      // q235's fit pivoted per feature, per-(doc, feature) integer LLR
+      // terms, (doc)-rollup + the 1-row prior attach
+      Some("""WITH m AS (SELECT doc_id,
+             |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tl,
+             |  round((
+             |    (length(text) - length(replace(text, '.', '')))
+             |    + (length(text) - length(replace(text, ',', '')))
+             |    + (length(text) - length(replace(text, '!', '')))
+             |    + (length(text) - length(replace(text, '?', '')))
+             |    + (length(text) - length(replace(text, ';', '')))
+             |    + (length(text) - length(replace(text, ':', '')))
+             |  )::DOUBLE / greatest(length(text)::DOUBLE, 1.0), 6) AS punct_ratio,
+             |  round((
+             |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
+             |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio,
+             |  round(length(text)::DOUBLE
+             |    / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 4) AS mean_word_len
+             | FROM documents),
+             |r AS (SELECT *,
+             |   CASE WHEN len(tl) = 0 THEN NULL
+             |    ELSE floor((1.0 - len(list_distinct(tl))::DOUBLE / len(tl)) * 1000000) / 1000000
+             |   END AS rep_ratio
+             |  FROM m),
+             |lab AS (SELECT doc_id, punct_ratio, n_tokens, mean_word_len,
+             |   CASE WHEN n_tokens < 20 OR stopword_ratio < 0.02
+             |     OR coalesce(rep_ratio > 0.65, FALSE) OR mean_word_len > 5.9
+             |    THEN 0 ELSE 1 END AS label
+             |  FROM r),
+             |f AS (
+             |  SELECT doc_id, label, 'punct_heavy' AS feature,
+             |    CASE WHEN punct_ratio > 0.03 THEN 1 ELSE 0 END AS fire FROM lab
+             |  UNION ALL SELECT doc_id, label, 'longish',
+             |    CASE WHEN n_tokens > 60 THEN 1 ELSE 0 END FROM lab
+             |  UNION ALL SELECT doc_id, label, 'long_words',
+             |    CASE WHEN mean_word_len > 4.5 THEN 1 ELSE 0 END FROM lab),
+             |fit AS (SELECT feature, label, count(*) AS n_label, sum(fire) AS n_fire
+             |  FROM f GROUP BY 1, 2),
+             |bf AS (SELECT feature,
+             |   coalesce(max(CASE WHEN label = 1 THEN n_label END), 0) AS n1,
+             |   coalesce(max(CASE WHEN label = 1 THEN n_fire END), 0) AS f1,
+             |   coalesce(max(CASE WHEN label = 0 THEN n_label END), 0) AS n0,
+             |   coalesce(max(CASE WHEN label = 0 THEN n_fire END), 0) AS f0
+             |  FROM fit GROUP BY 1),
+             |pri AS (SELECT CAST(
+             |   floor((ln((max(n1) + 1)::DOUBLE) - ln((max(n1) + max(n0) + 2)::DOUBLE)) * 1000000)
+             |   - floor((ln((max(n0) + 1)::DOUBLE) - ln((max(n1) + max(n0) + 2)::DOUBLE)) * 1000000)
+             |  AS BIGINT) AS prior_u FROM bf),
+             |terms AS (SELECT fx.doc_id, fx.label,
+             |   CAST(floor((ln((CASE WHEN fx.fire = 1 THEN b.f1 + 1 ELSE b.n1 - b.f1 + 1 END)::DOUBLE)
+             |      - ln((b.n1 + 2)::DOUBLE)) * 1000000)
+             |    - floor((ln((CASE WHEN fx.fire = 1 THEN b.f0 + 1 ELSE b.n0 - b.f0 + 1 END)::DOUBLE)
+             |      - ln((b.n0 + 2)::DOUBLE)) * 1000000) AS BIGINT) AS term_u
+             |  FROM f fx JOIN bf b USING (feature)),
+             |sc AS (SELECT doc_id, label, sum(term_u) AS sum_llr_u
+             |  FROM terms GROUP BY 1, 2)
+             |SELECT doc_id, CAST(label AS BIGINT) AS weak_label,
+             |  CAST(sum_llr_u + p.prior_u AS BIGINT) AS score_u,
+             |  CAST(CASE WHEN sum_llr_u + p.prior_u > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred_label,
+             |  (CASE WHEN sum_llr_u + p.prior_u > 0 THEN 1 ELSE 0 END) = label AS agree
+             |FROM sc, pri p""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs
+      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-engine weak-supervision quality classifier — the CCNet-style loop
+  * (fit a cheap classifier on weak labels, then score the corpus with it)
+  * expressed relationally: Bernoulli Naive Bayes over binarized
+  * [[TextAnalysis.qualityColumns]] features with add-one smoothing. The
+  * model artifact is a 2·|features|-row RELATION, so fit → broadcast →
+  * score round-trips without anything leaving the engine — the property
+  * that makes the loop viable at 100 TB (a driver-side model object would
+  * force a collect and a re-broadcast every refit).
+  */
+object Classifier {
+
+  /** Binarized quality features. Deliberately DISJOINT from
+    * [[TextAnalysis.filterCascade]]'s rule thresholds: the cascade is the
+    * weak labeler, so features replicating its rules would only learn the
+    * label back. */
+  private val features: Seq[(String, Column)] = Seq(
+    "punct_heavy" -> (col("punct_ratio") > 0.03),
+    "longish" -> (col("n_tokens") > 60),
+    "long_words" -> (col("mean_word_len") > 4.5))
+
+  /** (doc_id, label, feature, fire) — one row per (doc, feature); label is
+    * the cascade verdict, the feature unpivot is a per-row explode. */
+  private def docFeatures(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityScore(docs)
+    val lab = TextAnalysis.filterCascade(docs).select(col("doc_id"),
+      when(col("keep"), 1L).otherwise(0L).as("label"))
+    q.join(lab, Seq("doc_id"))
+      .select(col("doc_id"), col("label"),
+        explode(array(features.map { case (n, c) =>
+          struct(lit(n).as("feature"),
+            when(c, 1L).otherwise(0L).as("fire")) }: _*)).as("f"))
+      .select(col("doc_id"), col("label"),
+        col("f.feature").as("feature"), col("f.fire").as("fire"))
+  }
+
+  /** Bernoulli-NB fit: per (feature, label), class size, fire count and the
+    * add-one-smoothed fire probability in µ-units. Two per-row scoring
+    * passes joined on doc_id → one (feature, label)-keyed agg (map-side
+    * combine; ≤ 2·|features| output rows).
+    *
+    * @return (feature, label, n_label, n_fire, p_fire_u)
+    */
+  def naiveBayesFit(docs: DataFrame): DataFrame =
+    docFeatures(docs).groupBy(col("feature"), col("label"))
+      .agg(count(lit(1)).as("n_label"), sum(col("fire")).as("n_fire"))
+      .select(col("feature"), col("label"), col("n_label"), col("n_fire"),
+        expr("(n_fire + 1) * 1000000 div (n_label + 2)").as("p_fire_u"))
+
+  /** Bernoulli-NB scoring + agreement audit: every document scored by the
+    * model [[naiveBayesFit]] fits on the same corpus, the weak label kept
+    * for the `agree` column (the classifier generalizes the cascade
+    * through DIFFERENT features — agreement measures how much signal the
+    * features carry). Per feature f with class counts (n_l, fire_l):
+    * term_u = ⌊ln(a₁/(n₁+2))·10⁶⌋ − ⌊ln(a₀/(n₀+2))·10⁶⌋ where
+    * a_l = fire_l+1 when f fires on the doc, else n_l − fire_l + 1; the
+    * class-prior log-ratio lands as a 1-row attach. Terms are floor'd to
+    * integers BEFORE summation so accumulation order can't drift; positive
+    * score ⇒ predict keep. An absent class (cascade rejected nothing)
+    * degrades smoothly through the coalesce-to-0 counts — every a_l is
+    * then 1 and the score is pure prior.
+    *
+    * Scale shape: the pivoted model is a |features|-row broadcast; scoring
+    * is a per-row projection over the feature explode + a (doc)-keyed
+    * rollup; prior is a 1-row scalar attach.
+    *
+    * @return (doc_id, weak_label, score_u, pred_label, agree)
+    */
+  def naiveBayesScore(docs: DataFrame): DataFrame = {
+    val byFeature = naiveBayesFit(docs).groupBy(col("feature")).agg(
+      coalesce(max(when(col("label") === 1, col("n_label"))), lit(0L)).as("n1"),
+      coalesce(max(when(col("label") === 1, col("n_fire"))), lit(0L)).as("f1"),
+      coalesce(max(when(col("label") === 0, col("n_label"))), lit(0L)).as("n0"),
+      coalesce(max(when(col("label") === 0, col("n_fire"))), lit(0L)).as("f0"))
+    val a1 = when(col("fire") === 1, col("f1") + 1)
+      .otherwise(col("n1") - col("f1") + 1)
+    val a0 = when(col("fire") === 1, col("f0") + 1)
+      .otherwise(col("n0") - col("f0") + 1)
+    val term = (floor((log(a1.cast("double"))
+        - log((col("n1") + 2).cast("double"))) * 1000000)
+      - floor((log(a0.cast("double"))
+        - log((col("n0") + 2).cast("double"))) * 1000000)).cast("long")
+    val prior = byFeature
+      .agg(max(col("n1")).as("pn1"), max(col("n0")).as("pn0"))
+      .select((floor((log(col("pn1").cast("double") + 1d)
+          - log((col("pn1") + col("pn0") + 2).cast("double"))) * 1000000)
+        - floor((log(col("pn0").cast("double") + 1d)
+          - log((col("pn1") + col("pn0") + 2).cast("double"))) * 1000000))
+        .cast("long").as("prior_u"))
+    docFeatures(docs).join(broadcast(byFeature), Seq("feature"))
+      .select(col("doc_id"), col("label"), term.as("term_u"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("term_u")).as("sum_llr_u"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("label").as("weak_label"),
+        (col("sum_llr_u") + col("prior_u")).as("score_u"))
+      .withColumn("pred_label", when(col("score_u") > 0, 1L).otherwise(0L))
+      .withColumn("agree", col("pred_label") === col("weak_label"))
+  }
+}

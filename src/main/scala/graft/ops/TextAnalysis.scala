@@ -1039,4 +1039,57 @@ object TextAnalysis {
     }
     (out.result(), v)
   }
+
+  /** Moore–Lewis cross-entropy-difference data selection (Moore & Lewis
+    * 2010) — the classic "find more like my target domain" scorer: a
+    * Laplace-smoothed unigram LM on the `targetSource` slice and one on
+    * the whole corpus, every document scored by Σ_tok (nll_in − nll_gen).
+    * Negative sums read "closer to the target domain than to the corpus
+    * average" — the docs to pull into a target-heavy mix first
+    * (`in_domain`); magnitude ranks them. Both LMs smooth add-one over
+    * the SAME full-corpus vocabulary (N + V + 1), so an OOV-in-domain
+    * token scores finitely against both and the difference stays
+    * comparable across sources.
+    *
+    * The relation deliberately emits the integer SUM, not the mean: the
+    * engines' integer-division semantics differ on NEGATIVES (Spark `div`
+    * truncates toward zero, DuckDB `//` floors), so the portable per-doc
+    * statistics are the sum and the token count — a consumer picks its
+    * own normalization.
+    *
+    * Scale shape: ONE token explode feeds both LMs (the in-domain counts
+    * ride the general LM's aggregate as a conditional sum — no second
+    * corpus pass, no LM join); the LM relation is vocabulary-sized
+    * (broadcast below the dimension bound via the memoized corpus count,
+    * else a shuffle hash join on tok); per-token integer terms then one
+    * (doc)-keyed rollup.
+    *
+    * @return (doc_id, source, n_tokens, sum_ced_u, in_domain)
+    */
+  def mooreLewisScore(docs: DataFrame, targetSource: String): DataFrame = {
+    val toks = Dedup.fanOut(docs).select(col("doc_id"), col("source"),
+      explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+        .as("tok"))
+    val lm = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt_gen"),
+      sum(when(col("source") === targetSource, 1L).otherwise(0L))
+        .as("cnt_in"))
+    val nv = lm.agg(sum(col("cnt_gen")).as("n_gen"),
+      sum(col("cnt_in")).as("n_in"), count(lit(1)).as("v"))
+    val lmHint =
+      if (Similarity.corpusCount(docs) <= graft.Limits.dimensionRows)
+        broadcast(lm)
+      else lm
+    toks.join(lmHint, Seq("tok"))
+      .crossJoin(broadcast(nv))
+      .select(col("doc_id"), col("source"),
+        (floor((log(col("n_in").cast("double") + col("v") + 1d)
+            - log(col("cnt_in").cast("double") + 1d)) * 1000000)
+          - floor((log(col("n_gen").cast("double") + col("v") + 1d)
+            - log(col("cnt_gen").cast("double") + 1d)) * 1000000))
+          .cast("long").as("term_u"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("term_u")).as("sum_ced_u"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("sum_ced_u"), (col("sum_ced_u") < 0).as("in_domain"))
+  }
 }

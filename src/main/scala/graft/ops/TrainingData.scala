@@ -690,4 +690,45 @@ object TrainingData {
         lit(true).as("boundary"))
     kept.unionByName(boundary)
   }
+
+  /** Manifest diff between two corpus snapshots — the incremental-shipping
+    * audit: which packed bins a training run must re-fetch after the corpus
+    * changed. Both sides run [[shardManifest]] with the same geometry; bins
+    * join positionally on (part, shard, bin) and compare the
+    * order-independent digests. `status`: added / removed (bin on one side
+    * only), changed (digest or doc mass differs), same. NOTE the packing is
+    * positional: removing one doc shifts every later bin in its shard and
+    * the diff honestly reports that cascade — the re-shipping bill of
+    * positional packing, and the argument for small shards at 100 TB (a
+    * shard bounds the blast radius of an edit).
+    *
+    * Scale shape: two manifest passes (each one prefix-sum window + one
+    * agg) and a full-outer shuffle join on bin keys — manifest-relation
+    * sized, ~corpus/budget rows.
+    *
+    * @return (partCol, shard, bin, n_docs_old, n_docs_new, sum_tokens_old,
+    *         sum_tokens_new, status)
+    */
+  def manifestDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      budget: Int = 8192, partCol: String = "lang",
+      shardDocs: Int = 65536): DataFrame = {
+    def side(docs: DataFrame, tag: String) =
+      shardManifest(docs, budget, partCol, shardDocs)
+        .select(col(partCol), col("shard"), col("bin"),
+          col("n_docs").as(s"n_docs_$tag"),
+          col("sum_tokens").as(s"sum_tokens_$tag"),
+          col("digest").as(s"digest_$tag"))
+    side(oldDocs, "old")
+      .join(side(newDocs, "new"), Seq(partCol, "shard", "bin"), "full_outer")
+      .select(col(partCol), col("shard"), col("bin"),
+        coalesce(col("n_docs_old"), lit(0L)).as("n_docs_old"),
+        coalesce(col("n_docs_new"), lit(0L)).as("n_docs_new"),
+        coalesce(col("sum_tokens_old"), lit(0L)).as("sum_tokens_old"),
+        coalesce(col("sum_tokens_new"), lit(0L)).as("sum_tokens_new"),
+        when(col("digest_old").isNull, "added")
+          .when(col("digest_new").isNull, "removed")
+          .when(col("digest_old") === col("digest_new") &&
+            col("n_docs_old") === col("n_docs_new"), "same")
+          .otherwise("changed").as("status"))
+  }
 }

@@ -84,7 +84,9 @@ object PlanSweepSupport {
     "q225_domain_shift", // 1-row (N, V) LM-mass scalar attach
     "q228_weak_label_set", // 1-row minority-class-count scalar attach
     "q230_perplexity_prune", // q166's 1-row corpus-token-total scalar attach
-    "q231_score_calibration") // 1-row doc-total scalar attach for ECE terms
+    "q231_score_calibration", // 1-row doc-total scalar attach for ECE terms
+    "q233_moore_lewis", // 1-row (N_gen, N_in, V) LM-mass scalar attach
+    "q236_naive_bayes_score") // 1-row class-prior scalar attach
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -150,7 +152,11 @@ object PlanSweepSupport {
     // merges class-relation partials, the corpus reduced in the first agg
     "q229_l_diversity",
     "q230_perplexity_prune", // q166's 1-row corpus-token-total scalar
-    "q231_score_calibration") // 1-row doc-total scalar for the ECE terms
+    "q231_score_calibration", // 1-row doc-total scalar for the ECE terms
+    "q233_moore_lewis", // 1-row (N_gen, N_in, V) vocabulary-mass scalar
+    // q236: the prior scalar and the |features|-row pivoted model both
+    // merge ≤ 6-row partials — bounded model artifacts, never corpus rows
+    "q236_naive_bayes_score")
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:
