@@ -6227,13 +6227,172 @@ object Queries {
              |  (CASE WHEN sum_llr_u + p.prior_u > 0 THEN 1 ELSE 0 END) = label AS agree
              |FROM sc, pri p""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-8 batch 12
+  // Disclosure-distance, label-noise, source-divergence and purity audits.
+  private val ext31Qs = Seq(
+    Q("q237_t_closeness",
+      (s, d) => graft.ops.Privacy.tClosenessAudit(T(s, d, "customer"),
+        Seq(col("c_nationkey"), floor(col("c_acctbal") / 1000)),
+        col("c_mktsegment")),
+      // q229's class relation + per-class TV distance vs the global
+      // sensitive distribution; absent values fold in as 1e6 - sum(g_u)
+      Some("""WITH csv AS (SELECT c_nationkey AS qk0,
+             |   CAST(floor(c_acctbal / 1000) AS BIGINT) AS qk1,
+             |   c_mktsegment AS sv, CAST(count(*) AS BIGINT) AS c_cs
+             |  FROM customer GROUP BY 1, 2, 3),
+             |g AS (SELECT sv, CAST(sum(c_cs) AS BIGINT) AS c_gs FROM csv GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c_gs) AS BIGINT) AS n FROM g),
+             |gs AS (SELECT sv, CAST(c_gs * 1000000 // n AS BIGINT) AS g_u FROM g, tot),
+             |cl AS (SELECT csv.qk0, csv.qk1, csv.c_cs, gs.g_u,
+             |   CAST(sum(c_cs) OVER (PARTITION BY qk0, qk1) AS BIGINT) AS sz
+             |  FROM csv JOIN gs USING (sv)),
+             |pc AS (SELECT qk0, qk1, max(sz) AS sz,
+             |   CAST((sum(abs(c_cs * 1000000 // sz - g_u)) + 1000000 - sum(g_u)) // 2
+             |     AS BIGINT) AS dist_u
+             |  FROM cl GROUP BY 1, 2),
+             |spine AS (SELECT unnest([100000, 300000, 600000]) AS t_u),
+             |t2 AS (SELECT CAST(count(*) AS BIGINT) AS n_classes,
+             |   CAST(sum(sz) AS BIGINT) AS n_rows FROM pc),
+             |per AS (SELECT s.t_u,
+             |   CAST(sum(CASE WHEN p.dist_u > s.t_u THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_above,
+             |   CAST(sum(CASE WHEN p.dist_u > s.t_u THEN p.sz ELSE 0 END) AS BIGINT) AS n_rows_above
+             |  FROM spine s, pc p GROUP BY 1)
+             |SELECT CAST(p.t_u AS BIGINT) AS t_u, t.n_classes, t.n_rows,
+             |  p.n_classes_above, p.n_rows_above,
+             |  CAST(p.n_rows_above * 1000000 // t.n_rows AS BIGINT) AS risk_u
+             |FROM per p, t2 t""".stripMargin)),
+
+    Q("q238_label_noise",
+      (s, d) => graft.ops.Classifier.labelNoiseAudit(T(s, d, "documents")),
+      // q236's scoring chain rolled to the (weak, pred) confusion cells
+      Some("""WITH m AS (SELECT doc_id,
+             |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tl,
+             |  round((
+             |    (length(text) - length(replace(text, '.', '')))
+             |    + (length(text) - length(replace(text, ',', '')))
+             |    + (length(text) - length(replace(text, '!', '')))
+             |    + (length(text) - length(replace(text, '?', '')))
+             |    + (length(text) - length(replace(text, ';', '')))
+             |    + (length(text) - length(replace(text, ':', '')))
+             |  )::DOUBLE / greatest(length(text)::DOUBLE, 1.0), 6) AS punct_ratio,
+             |  round((
+             |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
+             |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio,
+             |  round(length(text)::DOUBLE
+             |    / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 4) AS mean_word_len
+             | FROM documents),
+             |r AS (SELECT *,
+             |   CASE WHEN len(tl) = 0 THEN NULL
+             |    ELSE floor((1.0 - len(list_distinct(tl))::DOUBLE / len(tl)) * 1000000) / 1000000
+             |   END AS rep_ratio
+             |  FROM m),
+             |lab AS (SELECT doc_id, punct_ratio, n_tokens, mean_word_len,
+             |   CASE WHEN n_tokens < 20 OR stopword_ratio < 0.02
+             |     OR coalesce(rep_ratio > 0.65, FALSE) OR mean_word_len > 5.9
+             |    THEN 0 ELSE 1 END AS label
+             |  FROM r),
+             |f AS (
+             |  SELECT doc_id, label, 'punct_heavy' AS feature,
+             |    CASE WHEN punct_ratio > 0.03 THEN 1 ELSE 0 END AS fire FROM lab
+             |  UNION ALL SELECT doc_id, label, 'longish',
+             |    CASE WHEN n_tokens > 60 THEN 1 ELSE 0 END FROM lab
+             |  UNION ALL SELECT doc_id, label, 'long_words',
+             |    CASE WHEN mean_word_len > 4.5 THEN 1 ELSE 0 END FROM lab),
+             |fit AS (SELECT feature, label, count(*) AS n_label, sum(fire) AS n_fire
+             |  FROM f GROUP BY 1, 2),
+             |bf AS (SELECT feature,
+             |   coalesce(max(CASE WHEN label = 1 THEN n_label END), 0) AS n1,
+             |   coalesce(max(CASE WHEN label = 1 THEN n_fire END), 0) AS f1,
+             |   coalesce(max(CASE WHEN label = 0 THEN n_label END), 0) AS n0,
+             |   coalesce(max(CASE WHEN label = 0 THEN n_fire END), 0) AS f0
+             |  FROM fit GROUP BY 1),
+             |pri AS (SELECT CAST(
+             |   floor((ln((max(n1) + 1)::DOUBLE) - ln((max(n1) + max(n0) + 2)::DOUBLE)) * 1000000)
+             |   - floor((ln((max(n0) + 1)::DOUBLE) - ln((max(n1) + max(n0) + 2)::DOUBLE)) * 1000000)
+             |  AS BIGINT) AS prior_u FROM bf),
+             |terms AS (SELECT fx.doc_id, fx.label,
+             |   CAST(floor((ln((CASE WHEN fx.fire = 1 THEN b.f1 + 1 ELSE b.n1 - b.f1 + 1 END)::DOUBLE)
+             |      - ln((b.n1 + 2)::DOUBLE)) * 1000000)
+             |    - floor((ln((CASE WHEN fx.fire = 1 THEN b.f0 + 1 ELSE b.n0 - b.f0 + 1 END)::DOUBLE)
+             |      - ln((b.n0 + 2)::DOUBLE)) * 1000000) AS BIGINT) AS term_u
+             |  FROM f fx JOIN bf b USING (feature)),
+             |sc AS (SELECT doc_id, label, sum(term_u) AS sum_llr_u
+             |  FROM terms GROUP BY 1, 2),
+             |cells AS (SELECT CAST(label AS BIGINT) AS weak_label,
+             |   CAST(CASE WHEN sum_llr_u + p.prior_u > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred_label,
+             |   CAST(count(*) AS BIGINT) AS n_docs,
+             |   CAST(sum(abs(sum_llr_u + p.prior_u)) AS BIGINT) AS sum_abs
+             |  FROM sc, pri p GROUP BY 1, 2),
+             |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM cells)
+             |SELECT weak_label, pred_label, n_docs,
+             |  CAST(n_docs * 1000000 // t.n AS BIGINT) AS share_u,
+             |  CAST(sum_abs // n_docs AS BIGINT) AS mean_abs_score_u,
+             |  (weak_label <> pred_label) AS noise_suspect
+             |FROM cells, tt t""".stripMargin)),
+
+    Q("q239_source_divergence",
+      (s, d) => graft.ops.TextAnalysis.sourceDivergence(T(s, d, "documents")),
+      // (source, tok) masses -> per-token floor'd JSD terms on shared
+      // tokens + two residual-mass ln2 terms per pair
+      Some("""WITH tl AS (SELECT source,
+             |   unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+             |  FROM documents),
+             |st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt FROM tl GROUP BY 1, 2),
+             |tt AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM st GROUP BY 1),
+             |a AS (SELECT st.source AS source_x, st.tok, st.cnt AS cx, tt.n AS nx
+             |  FROM st JOIN tt USING (source)),
+             |b AS (SELECT st.source AS source_y, st.tok, st.cnt AS cy, tt.n AS ny
+             |  FROM st JOIN tt USING (source)),
+             |mt AS (SELECT a.source_x, b.source_y, a.cx, b.cy, a.nx, b.ny,
+             |   CAST(floor((a.cx::DOUBLE / a.nx * ln(2 * (a.cx::DOUBLE / a.nx) / (a.cx::DOUBLE / a.nx + b.cy::DOUBLE / b.ny))
+             |     + b.cy::DOUBLE / b.ny * ln(2 * (b.cy::DOUBLE / b.ny) / (a.cx::DOUBLE / a.nx + b.cy::DOUBLE / b.ny)))
+             |     * 1000000) AS BIGINT) AS term_u
+             |  FROM a JOIN b ON a.tok = b.tok AND a.source_x < b.source_y),
+             |g AS (SELECT source_x, source_y, CAST(count(*) AS BIGINT) AS shared_toks,
+             |   CAST(sum(cx) AS BIGINT) AS mx, CAST(sum(cy) AS BIGINT) AS my,
+             |   max(nx) AS nx, max(ny) AS ny, CAST(sum(term_u) AS BIGINT) AS m_u
+             |  FROM mt GROUP BY 1, 2)
+             |SELECT source_x, source_y, shared_toks,
+             |  CAST(mx * 1000000 // nx AS BIGINT) AS overlap_x_u,
+             |  CAST(my * 1000000 // ny AS BIGINT) AS overlap_y_u,
+             |  CAST((m_u
+             |    + CAST(floor((nx - mx)::DOUBLE / nx * ln(2) * 1000000) AS BIGINT)
+             |    + CAST(floor((ny - my)::DOUBLE / ny * ln(2) * 1000000) AS BIGINT)) // 2
+             |   AS BIGINT) AS jsd_u
+             |FROM g""".stripMargin)),
+
+    Q("q240_label_purity",
+      (s, d) => graft.ops.Similarity.labelPurity(T(s, d, "embeddings")),
+      // the shared hyperplane-cell chain + per-cell label concentration;
+      // majority via arg_max on the (cnt, -label) composite
+      Some(hplaneCellStages(recursive = false) +
+        """,
+          |lr AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+          |cl AS (SELECT c.cell, l.label, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM cells c JOIN lr l USING (vec_id) GROUP BY 1, 2),
+          |ws AS (SELECT cell, label, cnt,
+          |   CAST(sum(cnt) OVER (PARTITION BY cell) AS BIGINT) AS sz FROM cl),
+          |t2 AS (SELECT cell, label, cnt, sz,
+          |   CAST(floor(cnt::DOUBLE / sz * ln(sz::DOUBLE / cnt) * 1000000) AS BIGINT) AS term_u
+          |  FROM ws)
+          |SELECT cell, max(sz) AS n_vecs, CAST(count(*) AS BIGINT) AS n_labels,
+          |  CAST(arg_max(label, cnt * 1000000 - label) AS BIGINT) AS majority_label,
+          |  CAST(arg_max(cnt, cnt * 1000000 - label) * 1000000 // max(sz) AS BIGINT) AS majority_u,
+          |  CAST(sum(term_u) AS BIGINT) AS entropy_u
+          |FROM t2 GROUP BY 1""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs
+      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -101,4 +101,31 @@ object Classifier {
       .withColumn("pred_label", when(col("score_u") > 0, 1L).otherwise(0L))
       .withColumn("agree", col("pred_label") === col("weak_label"))
   }
+
+  /** Label-noise audit (the confident-learning reading of
+    * [[naiveBayesScore]]'s confusion relation, Northcutt et al. 2021
+    * simplified): per (weak_label, pred_label) cell — mass, share of the
+    * corpus, mean |score| margin, and the noise flag (off-diagonal cells
+    * are the docs the weak labeler and the feature model disagree on; the
+    * high-margin slice of those is where label errors concentrate, the
+    * first place a relabeling pass should spend budget).
+    *
+    * Scale shape: [[naiveBayesScore]]'s per-row scoring → ONE 4-row-bounded
+    * (weak, pred) agg → a 1-row total attach. All integer micro-units.
+    *
+    * @return (weak_label, pred_label, n_docs, share_u, mean_abs_score_u,
+    *         noise_suspect)
+    */
+  def labelNoiseAudit(docs: DataFrame): DataFrame = {
+    val cells = naiveBayesScore(docs)
+      .groupBy(col("weak_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(abs(col("score_u"))).as("sum_abs"))
+    val tot = cells.agg(sum(col("n_docs")).as("n"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("weak_label"), col("pred_label"), col("n_docs"),
+        expr("n_docs * 1000000 div n").as("share_u"),
+        expr("sum_abs div n_docs").as("mean_abs_score_u"),
+        (col("weak_label") =!= col("pred_label")).as("noise_suspect"))
+  }
 }

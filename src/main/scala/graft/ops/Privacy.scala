@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Privacy-risk measurement over structured (quasi-identifier) columns —
@@ -89,5 +90,69 @@ object Privacy {
         col("s.n_classes_below").as("n_classes_below"),
         col("s.n_rows_below").as("n_rows_below"),
         expr("s.n_rows_below * 1000000 div n_rows").as("risk_u"))
+  }
+
+  /** t-closeness audit (Li et al. 2007 — the disclosure trilogy's third
+    * gauge): [[lDiversityAudit]] counts distinct sensitive values but a
+    * class can be "diverse" while still skewed (99% one value); t-closeness
+    * bounds the DISTANCE between each class's sensitive distribution and
+    * the table-wide one. For categorical sensitives with uniform ground
+    * distance the earth-mover distance reduces to total variation,
+    * ½·Σ|p_class − p_global|; per spine t (µ-units), report the class/row
+    * mass whose distance EXCEEDS t — the mass a t-close release must
+    * suppress or generalize.
+    *
+    * Determinism: both distributions are integer µ-shares (count·10⁶ div
+    * total); absent-value terms fold in exactly as 10⁶ − Σ_present g_u
+    * (|0 − p_global| summed over the values the class never takes), so the
+    * whole distance is integer arithmetic with no per-(class, value) fan
+    * out to absent combinations.
+    *
+    * Scale shape: ONE groupBy over (quasi, sensitive) → a window + rollup
+    * on the same class key (no second shuffle — the window's partitioning
+    * is reused by the groupBy), a |values|-row broadcast for the global
+    * shares, then the [[kAnonymityAudit]] spine pattern on the 1-row
+    * rollup. Nothing row-proportional survives the first agg.
+    *
+    * @return (t_u, n_classes, n_rows, n_classes_above, n_rows_above,
+    *         risk_u = n_rows_above·10⁶ div n_rows), one row per t
+    */
+  def tClosenessAudit(rows: DataFrame, quasi: Seq[Column], sensitive: Column,
+      ts: Seq[Int] = Seq(100000, 300000, 600000)): DataFrame = {
+    val keys = quasi.indices.map(i => s"qk$i")
+    val keyed = rows.select(
+      quasi.zipWithIndex.map { case (c, i) => c.as(s"qk$i") } :+
+        sensitive.as("sv"): _*)
+    val classSv = keyed.groupBy(keys.map(col) :+ col("sv"): _*)
+      .agg(count(lit(1)).as("c_cs"))
+    val global = classSv.groupBy(col("sv")).agg(sum(col("c_cs")).as("c_gs"))
+    val tot = global.agg(sum(col("c_gs")).as("n"))
+    val gShares = global.crossJoin(broadcast(tot))
+      .select(col("sv"), expr("c_gs * 1000000 div n").as("g_u"))
+    val w = Window.partitionBy(keys.map(col): _*)
+    val perClass = classSv.join(broadcast(gShares), Seq("sv"))
+      .withColumn("sz", sum(col("c_cs")).over(w))
+      .withColumn("term_u",
+        abs(expr("c_cs * 1000000 div sz") - col("g_u")))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("sz")).as("sz"), sum(col("term_u")).as("m_term"),
+        sum(col("g_u")).as("m_g"))
+      .select(col("sz"),
+        expr("(m_term + 1000000 - m_g) div 2").as("dist_u"))
+    val perT = ts.sorted.map { t =>
+      struct(lit(t.toLong).as("t_u"),
+        sum(when(col("dist_u") > t, lit(1L)).otherwise(lit(0L)))
+          .as("n_classes_above"),
+        sum(when(col("dist_u") > t, col("sz")).otherwise(lit(0L)))
+          .as("n_rows_above"))
+    }
+    perClass
+      .agg(count(lit(1)).as("n_classes"), sum(col("sz")).as("n_rows"),
+        array(perT: _*).as("spine"))
+      .select(col("n_classes"), col("n_rows"), explode(col("spine")).as("s"))
+      .select(col("s.t_u").as("t_u"), col("n_classes"), col("n_rows"),
+        col("s.n_classes_above").as("n_classes_above"),
+        col("s.n_rows_above").as("n_rows_above"),
+        expr("s.n_rows_above * 1000000 div n_rows").as("risk_u"))
   }
 }

@@ -707,4 +707,47 @@ object Similarity {
         floor(col("dist").cast("double") / col("med") * 1000000d)
           .cast("long").as("ratio_u"))
   }
+
+  /** Embedding-space label purity — per hyperplane cell, how concentrated
+    * the `label` column is: majority label and its share, label count and
+    * the label-distribution entropy. The separability gauge for an
+    * embedding (a linear-probe proxy a pipeline can afford at corpus
+    * scale): high-purity cells mean the geometry already encodes the
+    * label; uniformly impure cells mean the embedding (or the labels) are
+    * noise. Also the audit for [[knnClassify]]'s viability — cell-blocked
+    * kNN inherits exactly this purity.
+    *
+    * Determinism: majority = lexicographic max of (count, −label), i.e.
+    * highest count with the SMALLEST label on ties; entropy terms
+    * ⌊(cnt/sz)·ln(sz/cnt)·10⁶⌋ floor'd per (cell, label) before summation.
+    *
+    * Scale shape: the [[hyperplaneCells]] per-row signature → ONE
+    * (cell, label) agg → a window + rollup on the same cell key (the
+    * window's partitioning is reused; partitions are ≤ |labels| rows).
+    * Nothing beyond the first agg is corpus-sized.
+    *
+    * @return (cell, n_vecs, n_labels, majority_label, majority_u,
+    *         entropy_u)
+    */
+  def labelPurity(embeddings: DataFrame): DataFrame = {
+    val cells = autoCells(embeddings)
+    val lab = Dedup.fanOut(embeddings)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val w = Window.partitionBy(col("cell"))
+    cells.join(lab, Seq("vec_id"))
+      .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("cnt"))
+      .withColumn("sz", sum(col("cnt")).over(w))
+      .withColumn("term_u",
+        floor(col("cnt").cast("double") / col("sz")
+          * log(col("sz").cast("double") / col("cnt")) * 1000000d)
+          .cast("long"))
+      .groupBy(col("cell"))
+      .agg(max(col("sz")).as("n_vecs"), count(lit(1)).as("n_labels"),
+        max(struct(col("cnt"), (-col("label")).as("nl"))).as("mj"),
+        sum(col("term_u")).as("entropy_u"))
+      .select(col("cell"), col("n_vecs"), col("n_labels"),
+        (-col("mj.nl")).as("majority_label"),
+        expr("mj.cnt * 1000000 div n_vecs").as("majority_u"),
+        col("entropy_u"))
+  }
 }

@@ -1092,4 +1092,61 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("sum_ced_u"), (col("sum_ced_u") < 0).as("in_domain"))
   }
+
+  /** Pairwise source divergence — Jensen–Shannon divergence between every
+    * two sources' unigram distributions, the LEXICAL mixture-design
+    * complement to [[Dedup.crossSourceMatrix]] (that one finds literal
+    * duplication; this finds stylistic/topical overlap even with zero
+    * shared documents — two news feeds read "close" here long before LSH
+    * fires). Low JSD pairs are redundant weight in a pretraining mixture;
+    * high JSD pairs are the diversity the mixture is buying.
+    *
+    * Per shared token, T = p_x·ln(2p_x/(p_x+p_y)) + p_y·ln(2p_y/(p_x+p_y))
+    * (≥ 0 by the log-sum inequality), floor'd to µ-nats BEFORE summation;
+    * tokens present in only one source contribute exactly p·ln 2, folded
+    * in as two residual-mass terms; jsd_u = (Σ + r_x + r_y) div 2 ∈
+    * [0, ln 2·10⁶]. Accumulation order can't drift any term.
+    *
+    * Scale shape: ONE token explode → a (source, tok) agg (vocabulary ×
+    * |sources| rows) → a |sources|-row broadcast of totals → the tok-keyed
+    * pair join (≤ |sources|²/2 rows per vocabulary entry — vocabulary
+    * scaled, never corpus scaled) → one pair-keyed rollup (≤ |sources|²/2
+    * output rows).
+    *
+    * @return (source_x, source_y, shared_toks, overlap_x_u, overlap_y_u,
+    *         jsd_u)
+    */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val toks = Dedup.fanOut(docs).select(col("source"),
+      explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+        .as("tok"))
+    val st = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = st.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+    def side(t: String) = st.join(broadcast(totals), Seq("source"))
+      .select(col("source").as(s"source_$t"), col("tok"),
+        col("cnt").as(s"c$t"), col("n").as(s"n$t"))
+    val px = col("cx").cast("double") / col("nx")
+    val py = col("cy").cast("double") / col("ny")
+    val termU = floor((px * log(lit(2d) * px / (px + py))
+      + py * log(lit(2d) * py / (px + py))) * 1000000d).cast("long")
+    side("x").join(side("y"), Seq("tok"))
+      .filter(col("source_x") < col("source_y"))
+      .select(col("source_x"), col("source_y"), col("cx"), col("cy"),
+        col("nx"), col("ny"), termU.as("term_u"))
+      .groupBy(col("source_x"), col("source_y"))
+      .agg(count(lit(1)).as("shared_toks"), sum(col("cx")).as("mx"),
+        sum(col("cy")).as("my"), max(col("nx")).as("nx"),
+        max(col("ny")).as("ny"), sum(col("term_u")).as("m_u"))
+      .withColumn("rx_u",
+        floor((col("nx") - col("mx")).cast("double") / col("nx")
+          * log(lit(2d)) * 1000000d).cast("long"))
+      .withColumn("ry_u",
+        floor((col("ny") - col("my")).cast("double") / col("ny")
+          * log(lit(2d)) * 1000000d).cast("long"))
+      .select(col("source_x"), col("source_y"), col("shared_toks"),
+        expr("mx * 1000000 div nx").as("overlap_x_u"),
+        expr("my * 1000000 div ny").as("overlap_y_u"),
+        expr("(m_u + rx_u + ry_u) div 2").as("jsd_u"))
+  }
 }

@@ -86,7 +86,10 @@ object PlanSweepSupport {
     "q230_perplexity_prune", // q166's 1-row corpus-token-total scalar attach
     "q231_score_calibration", // 1-row doc-total scalar attach for ECE terms
     "q233_moore_lewis", // 1-row (N_gen, N_in, V) LM-mass scalar attach
-    "q236_naive_bayes_score") // 1-row class-prior scalar attach
+    "q236_naive_bayes_score", // 1-row class-prior scalar attach
+    "q237_t_closeness", // 1-row sensitive-total scalar attach
+    "q238_label_noise", // q236's prior attach + a 1-row confusion-total
+    "q240_label_purity") // hyperplaneCells' 1-row mean-vector attach
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -156,7 +159,12 @@ object PlanSweepSupport {
     "q233_moore_lewis", // 1-row (N_gen, N_in, V) vocabulary-mass scalar
     // q236: the prior scalar and the |features|-row pivoted model both
     // merge ≤ 6-row partials — bounded model artifacts, never corpus rows
-    "q236_naive_bayes_score")
+    "q236_naive_bayes_score",
+    // q237: the |values|-row global-share relation and the 1-row spine
+    // rollup both merge class-relation partials, never corpus rows
+    "q237_t_closeness",
+    "q238_label_noise", // ≤ 4-row confusion cells + 1-row total scalar
+    "q240_label_purity") // the cells-mean scalar, as the other consumers
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:
