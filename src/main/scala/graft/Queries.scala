@@ -6386,13 +6386,101 @@ object Queries {
           |  CAST(sum(term_u) AS BIGINT) AS entropy_u
           |FROM t2 GROUP BY 1""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-8 batch 13
+  // Language-confusion, epoch-plan, streaming-digest and dedup-preview ops.
+  private val ext32Qs = Seq(
+    Q("q241_lang_confusion",
+      (s, d) => graft.ops.TextAnalysis.langConfusion(T(s, d, "documents")),
+      // q41's generated scoring chain + the (lang, lang_pred) rollup
+      Some {
+        def occ(pat: String): String = {
+          val esc = pat.replace("'", "''")
+          s"((length(' '||text||' ') - length(replace(' '||text||' ', '$esc', ''))) / ${pat.length})"
+        }
+        val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
+          lang -> words.map(occ).mkString(" + ")
+        }
+        val keys = scores.map { case (lang, e) =>
+          s"lpad(CAST(CAST($e AS BIGINT) AS VARCHAR), 10, '0') || '$lang'"
+        }.mkString(", ")
+        s"""WITH pred AS (SELECT doc_id, lang,
+           |   substr(best, 11, 2) AS lang_pred,
+           |   CAST(substr(best, 1, 10) AS BIGINT) AS lang_score
+           |  FROM (SELECT doc_id, lang, greatest($keys) AS best FROM documents)),
+           |cells AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+           |   CAST(sum(lang_score) AS BIGINT) AS sum_score
+           |  FROM pred GROUP BY 1, 2),
+           |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM cells)
+           |SELECT lang, lang_pred, n_docs,
+           |  CAST(n_docs * 1000000 // t.n AS BIGINT) AS share_u,
+           |  CAST(sum_score // n_docs AS BIGINT) AS mean_score,
+           |  (lang <> lang_pred) AS mismatch
+           |FROM cells, tot t""".stripMargin
+      }),
+
+    Q("q242_epoch_plan",
+      (s, d) => graft.ops.TrainingData.epochPlan(T(s, d, "documents"),
+        budgetTokens = 100000000L),
+      Some("""WITH ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |   CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS avail_tokens
+             |  FROM documents GROUP BY 1),
+             |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM ps)
+             |SELECT source, n_docs, avail_tokens,
+             |  CAST(100000000 // n_sources AS BIGINT) AS target_tokens,
+             |  CAST((100000000 // n_sources + greatest(avail_tokens, 1) - 1)
+             |    // greatest(avail_tokens, 1) AS BIGINT) AS epochs,
+             |  CAST(least(avail_tokens * 1000000 // greatest(100000000 // n_sources, 1),
+             |    1000000) AS BIGINT) AS unique_u
+             |FROM ps, ns""".stripMargin)),
+
+    Q("q243_shard_digest",
+      // the batch twin of the streaming digest layer (stream≡batch proven
+      // in Round8Batch13Spec); geometry matches q232
+      (s, d) => graft.streaming.ManifestStream.shardDigestBatch(
+        T(s, d, "documents"), shardDocs = 128),
+      Some(s"""WITH t AS (SELECT lang,
+              |   CAST(floor(doc_id / 128) AS BIGINT) AS shard, doc_id,
+              |   CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+              |     AS BIGINT) AS n_tokens
+              |  FROM documents)
+              |SELECT lang, shard, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+              |  CAST(bit_xor(${duckH60("'m:' || CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS digest,
+              |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+              |  CAST(max(doc_id) AS BIGINT) AS last_doc
+              |FROM t GROUP BY 1, 2""".stripMargin)),
+
+    Q("q244_dup_rate_estimate",
+      (s, d) => graft.ops.Dedup.dupRateEstimate(T(s, d, "documents")),
+      // q35's signature CTEs, band 0 only, bucket-size rollup
+      Some("""WITH words AS (
+             |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+             |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> x <> '') AS tl FROM documents)),
+             |toks AS (
+             |  SELECT DISTINCT doc_id,
+             |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+             |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+             |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+             |sig AS (SELECT doc_id,
+             |  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1
+             |  FROM toks GROUP BY doc_id),
+             |bu AS (SELECT md5(h0 || '|' || h1) AS key, CAST(count(*) AS BIGINT) AS sz
+             |  FROM sig GROUP BY 1)
+             |SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS n_buckets,
+             |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_buckets,
+             |  CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS est_pairs,
+             |  CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) * 1000000 // sum(sz) AS BIGINT) AS multi_mass_u
+             |FROM bu""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs
+      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -871,4 +871,37 @@ object Dedup {
           .cast("long").as("containment_u"))
       .filter(col("containment_u") >= (threshold * 1000000).toLong)
   }
+
+  /** One-band duplicate-rate preview — the "should this corpus pay for a
+    * full dedup run" probe a 100 TB pipeline runs FIRST: bucket sizes from
+    * a single LSH band (1/numBands of [[minhashLsh]]'s banding cost, no
+    * candidate join, no verify) give an upper-band estimate of collision
+    * mass: candidate pairs Σ sz·(sz−1)/2 and the share of docs sharing
+    * their band key with at least one other. A near-zero multi-bucket mass
+    * says skip the run; a heavy one sizes the verify bill before it is
+    * paid. Keys come from [[bandedKeys]] itself, so the preview prices
+    * exactly the banding the real run would use.
+    *
+    * Scale shape: per-row signatures → ONE bucket groupBy on the chosen
+    * band's key → a 1-row rollup. Nothing joins.
+    *
+    * @return 1 row: (n_docs, n_buckets, n_multi_buckets, est_pairs,
+    *         multi_mass_u)
+    */
+  def dupRateEstimate(docs: DataFrame, numHashes: Int = 8,
+      rowsPerBand: Int = 2, band: Int = 0): DataFrame = {
+    val sigs = minhashSignatures(docs, numHashes)
+    val buckets = bandedKeys(sigs, numHashes / rowsPerBand, rowsPerBand)
+      .filter(col("band") === band)
+      .groupBy(col("key")).agg(count(lit(1)).as("sz"))
+    buckets.agg(
+      sum(col("sz")).as("n_docs"),
+      count(lit(1)).as("n_buckets"),
+      sum(when(col("sz") > 1, lit(1L)).otherwise(lit(0L)))
+        .as("n_multi_buckets"),
+      sum(expr("sz * (sz - 1) div 2")).as("est_pairs"),
+      sum(when(col("sz") > 1, col("sz")).otherwise(lit(0L))).as("mm"))
+      .select(col("n_docs"), col("n_buckets"), col("n_multi_buckets"),
+        col("est_pairs"), expr("mm * 1000000 div n_docs").as("multi_mass_u"))
+  }
 }

@@ -1149,4 +1149,31 @@ object TextAnalysis {
         expr("my * 1000000 div ny").as("overlap_y_u"),
         expr("(m_u + rx_u + ry_u) div 2").as("jsd_u"))
   }
+
+  /** Language-label confusion audit — declared `lang` metadata vs
+    * [[langId]]'s heuristic prediction, rolled to confusion cells: mass,
+    * corpus share, mean winning score and the mismatch flag. Mislabeled
+    * language is a classic silent pretraining defect (a "de" slice that is
+    * actually English dilutes both languages); the off-diagonal cells are
+    * the re-labeling / re-crawl worklist and the diagonal's mean score is
+    * the confidence floor the heuristic clears on agreeing mass.
+    *
+    * Scale shape: [[langId]]'s per-row scoring → ONE (lang, lang_pred) agg
+    * (≤ |langs|² cells) → a 1-row total attach.
+    *
+    * @return (lang, lang_pred, n_docs, share_u, mean_score, mismatch)
+    */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val pred = langId(docs)
+    val cells = Dedup.fanOut(docs).select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("lang_score")).as("sum_score"))
+    val tot = cells.agg(sum(col("n_docs")).as("n"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("lang"), col("lang_pred"), col("n_docs"),
+        expr("n_docs * 1000000 div n").as("share_u"),
+        expr("sum_score div n_docs").as("mean_score"),
+        (col("lang") =!= col("lang_pred")).as("mismatch"))
+  }
 }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 object TrainingData {
 
   /** Non-negative 60-bit integer from the first 15 hex digits of md5. */
-  private[ops] def h60(c: Column): Column =
+  private[graft] def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Deterministic train/val/test assignment by content hash: bucket =
@@ -730,5 +730,36 @@ object TrainingData {
           .when(col("digest_old") === col("digest_new") &&
             col("n_docs_old") === col("n_docs_new"), "same")
           .otherwise("changed").as("status"))
+  }
+
+  /** Epoch/repetition plan (the data-constrained-scaling ledger,
+    * Muennighoff et al. 2023): a token `budgetTokens` split uniformly
+    * across sources, each source reporting its available unique mass, how
+    * many epochs it must repeat to serve its share
+    * (⌈target/available⌉), and the unique fraction of the served mass —
+    * the column that prices repetition (past ~4 epochs repeated tokens
+    * stop buying loss, so low `unique_u` sources are where the mixture
+    * should shed weight or the crawl should grow).
+    *
+    * Scale shape: ONE per-source token aggregate (|sources| rows) + a
+    * 1-row source-count attach; pure integer arithmetic
+    * (⌈a/b⌉ = (a + b − 1) div b on positives).
+    *
+    * @return (source, n_docs, avail_tokens, target_tokens, epochs,
+    *         unique_u)
+    */
+  def epochPlan(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val perSource = docs
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("avail_tokens"))
+    val nSrc = perSource.agg(count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(nSrc))
+      .select(col("source"), col("n_docs"), col("avail_tokens"),
+        expr(s"$budgetTokens div n_sources").as("target_tokens"),
+        expr(s"($budgetTokens div n_sources + greatest(avail_tokens, 1) - 1)" +
+          " div greatest(avail_tokens, 1)").as("epochs"),
+        least(expr(s"avail_tokens * 1000000 div greatest($budgetTokens" +
+          " div n_sources, 1)"), lit(1000000L)).as("unique_u"))
   }
 }

@@ -89,7 +89,9 @@ object PlanSweepSupport {
     "q236_naive_bayes_score", // 1-row class-prior scalar attach
     "q237_t_closeness", // 1-row sensitive-total scalar attach
     "q238_label_noise", // q236's prior attach + a 1-row confusion-total
-    "q240_label_purity") // hyperplaneCells' 1-row mean-vector attach
+    "q240_label_purity", // hyperplaneCells' 1-row mean-vector attach
+    "q241_lang_confusion", // 1-row confusion-total scalar attach
+    "q242_epoch_plan") // 1-row source-count scalar attach
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -164,7 +166,12 @@ object PlanSweepSupport {
     // rollup both merge class-relation partials, never corpus rows
     "q237_t_closeness",
     "q238_label_noise", // ≤ 4-row confusion cells + 1-row total scalar
-    "q240_label_purity") // the cells-mean scalar, as the other consumers
+    "q240_label_purity", // the cells-mean scalar, as the other consumers
+    "q241_lang_confusion", // ≤ |langs|² cells + 1-row total scalar
+    "q242_epoch_plan", // |sources|-row relation + 1-row count scalar
+    // q244: the 1-row preview rollup merges bucket-relation partials —
+    // the corpus reduced in the band-key groupBy
+    "q244_dup_rate_estimate")
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:

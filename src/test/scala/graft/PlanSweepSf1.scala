@@ -45,7 +45,14 @@ class PlanSweepSf1 extends SparkTestBase {
     // round-8 batch 8/9 non-trivial additions (cell, LM-join, LSH-pair and
     // window families; q221/q223/q224 are pure map+agg, structurally linear)
     "q222_index_balance", "q225_domain_shift", "q226_pair_evidence",
-    "q227_packing_efficiency", "q228_weak_label_set")
+    "q227_packing_efficiency", "q228_weak_label_set",
+    // round-8 batch 10-13 non-trivial additions (LM joins, manifest
+    // windows, vocabulary pair join, cell family, signature pass;
+    // q229/q235/q237/q238/q241-q243 are map+agg or bounded rollups)
+    "q230_perplexity_prune", "q231_score_calibration",
+    "q232_shard_manifest", "q233_moore_lewis", "q234_manifest_diff",
+    "q236_naive_bayes_score", "q239_source_divergence",
+    "q240_label_purity", "q244_dup_rate_estimate")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 
