@@ -6474,13 +6474,186 @@ object Queries {
              |  CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) * 1000000 // sum(sz) AS BIGINT) AS multi_mass_u
              |FROM bu""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-8 batch 14
+  // Mixture-advisor and classifier-curated pipeline compositions.
+  private val ext33Qs = Seq(
+    Q("q245_mixture_advisor",
+      (s, d) => graft.ops.TrainingData.mixtureAdvisor(T(s, d, "documents")),
+      // three component chains replayed (cascade keep rate, one-band dup
+      // share per source, q239's pairwise JSD averaged per source) and the
+      // chained micro-unit product normalized over sources
+      Some("""WITH m AS (SELECT doc_id,
+             |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tl,
+             |  round((
+             |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
+             |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio,
+             |  round(length(text)::DOUBLE
+             |    / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 4) AS mean_word_len
+             | FROM documents),
+             |r AS (SELECT *,
+             |   CASE WHEN len(tl) = 0 THEN NULL
+             |    ELSE floor((1.0 - len(list_distinct(tl))::DOUBLE / len(tl)) * 1000000) / 1000000
+             |   END AS rep_ratio
+             |  FROM m),
+             |lab AS (SELECT doc_id,
+             |   CASE WHEN n_tokens < 20 OR stopword_ratio < 0.02
+             |     OR coalesce(rep_ratio > 0.65, FALSE) OR mean_word_len > 5.9
+             |    THEN 0 ELSE 1 END AS label
+             |  FROM r),
+             |src AS (SELECT doc_id, source FROM documents),
+             |q AS (SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs,
+             |   CAST(sum(l.label) AS BIGINT) AS n_keep
+             |  FROM lab l JOIN src s USING (doc_id) GROUP BY 1),
+             |words AS (
+             |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+             |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> x <> '') AS tl FROM documents)),
+             |toks AS (
+             |  SELECT DISTINCT doc_id,
+             |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+             |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+             |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+             |sig AS (SELECT doc_id,
+             |  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1
+             |  FROM toks GROUP BY doc_id),
+             |bu AS (SELECT s.source, md5(h0 || '|' || h1) AS key,
+             |   CAST(count(*) AS BIGINT) AS sz
+             |  FROM sig JOIN src s USING (doc_id) GROUP BY 1, 2),
+             |du AS (SELECT source,
+             |   CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) * 1000000 // sum(sz) AS BIGINT) AS dup_u
+             |  FROM bu GROUP BY 1),
+             |tl2 AS (SELECT source,
+             |   unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+             |  FROM documents),
+             |st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt FROM tl2 GROUP BY 1, 2),
+             |tt AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM st GROUP BY 1),
+             |a AS (SELECT st.source AS source_x, st.tok, st.cnt AS cx, tt.n AS nx
+             |  FROM st JOIN tt USING (source)),
+             |b AS (SELECT st.source AS source_y, st.tok, st.cnt AS cy, tt.n AS ny
+             |  FROM st JOIN tt USING (source)),
+             |mt AS (SELECT a.source_x, b.source_y, a.cx, b.cy, a.nx, b.ny,
+             |   CAST(floor((a.cx::DOUBLE / a.nx * ln(2 * (a.cx::DOUBLE / a.nx) / (a.cx::DOUBLE / a.nx + b.cy::DOUBLE / b.ny))
+             |     + b.cy::DOUBLE / b.ny * ln(2 * (b.cy::DOUBLE / b.ny) / (a.cx::DOUBLE / a.nx + b.cy::DOUBLE / b.ny)))
+             |     * 1000000) AS BIGINT) AS term_u
+             |  FROM a JOIN b ON a.tok = b.tok AND a.source_x < b.source_y),
+             |g AS (SELECT source_x, source_y,
+             |   CAST(sum(cx) AS BIGINT) AS mx, CAST(sum(cy) AS BIGINT) AS my,
+             |   max(nx) AS nx, max(ny) AS ny, CAST(sum(term_u) AS BIGINT) AS m_u
+             |  FROM mt GROUP BY 1, 2),
+             |jsd AS (SELECT source_x, source_y,
+             |   CAST((m_u
+             |     + CAST(floor((nx - mx)::DOUBLE / nx * ln(2) * 1000000) AS BIGINT)
+             |     + CAST(floor((ny - my)::DOUBLE / ny * ln(2) * 1000000) AS BIGINT)) // 2
+             |    AS BIGINT) AS jsd_u
+             |  FROM g),
+             |jp AS (SELECT source_x AS source, jsd_u FROM jsd
+             |  UNION ALL SELECT source_y, jsd_u FROM jsd),
+             |jl AS (SELECT source, CAST(sum(jsd_u) // count(*) AS BIGINT) AS mean_jsd_u
+             |  FROM jp GROUP BY 1),
+             |c AS (SELECT q.source, q.n_docs,
+             |   CAST(q.n_keep * 1000000 // q.n_docs AS BIGINT) AS keep_u,
+             |   CAST(coalesce(du.dup_u, 0) AS BIGINT) AS dup_u,
+             |   CAST(coalesce(jl.mean_jsd_u * 1000000 // 693147, 0) AS BIGINT) AS jsd_norm_u
+             |  FROM q LEFT JOIN du USING (source) LEFT JOIN jl USING (source)),
+             |cc AS (SELECT *,
+             |   CAST(keep_u * (1000000 - dup_u) // 1000000 * jsd_norm_u // 1000000 AS BIGINT) AS raw_u
+             |  FROM c),
+             |w AS (SELECT CAST(sum(raw_u) AS BIGINT) AS w FROM cc)
+             |SELECT cc.source, cc.n_docs, cc.keep_u, cc.dup_u, cc.jsd_norm_u,
+             |  CAST(cc.raw_u * 1000000 // greatest(w.w, 1) AS BIGINT) AS weight_u
+             |FROM cc, w""".stripMargin)),
+
+    Q("q246_classifier_pipeline",
+      (s, d) => graft.ops.Pipeline.classifierCurated(T(s, d, "documents")),
+      // q236's scoring chain gates the corpus, exact-hash keepers, q111's
+      // split rule, three funnel counts riding every row
+      Some(s"""WITH m AS (SELECT doc_id,
+              |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+              |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tl,
+              |  round((
+              |    (length(text) - length(replace(text, '.', '')))
+              |    + (length(text) - length(replace(text, ',', '')))
+              |    + (length(text) - length(replace(text, '!', '')))
+              |    + (length(text) - length(replace(text, '?', '')))
+              |    + (length(text) - length(replace(text, ';', '')))
+              |    + (length(text) - length(replace(text, ':', '')))
+              |  )::DOUBLE / greatest(length(text)::DOUBLE, 1.0), 6) AS punct_ratio,
+              |  round((
+              |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+              |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+              |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
+              |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
+              |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
+              |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio,
+              |  round(length(text)::DOUBLE
+              |    / greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE, 1.0), 4) AS mean_word_len
+              | FROM documents),
+              |r AS (SELECT *,
+              |   CASE WHEN len(tl) = 0 THEN NULL
+              |    ELSE floor((1.0 - len(list_distinct(tl))::DOUBLE / len(tl)) * 1000000) / 1000000
+              |   END AS rep_ratio
+              |  FROM m),
+              |lab AS (SELECT doc_id, punct_ratio, n_tokens, mean_word_len,
+              |   CASE WHEN n_tokens < 20 OR stopword_ratio < 0.02
+              |     OR coalesce(rep_ratio > 0.65, FALSE) OR mean_word_len > 5.9
+              |    THEN 0 ELSE 1 END AS label
+              |  FROM r),
+              |f AS (
+              |  SELECT doc_id, label, 'punct_heavy' AS feature,
+              |    CASE WHEN punct_ratio > 0.03 THEN 1 ELSE 0 END AS fire FROM lab
+              |  UNION ALL SELECT doc_id, label, 'longish',
+              |    CASE WHEN n_tokens > 60 THEN 1 ELSE 0 END FROM lab
+              |  UNION ALL SELECT doc_id, label, 'long_words',
+              |    CASE WHEN mean_word_len > 4.5 THEN 1 ELSE 0 END FROM lab),
+              |fit AS (SELECT feature, label, count(*) AS n_label, sum(fire) AS n_fire
+              |  FROM f GROUP BY 1, 2),
+              |bf AS (SELECT feature,
+              |   coalesce(max(CASE WHEN label = 1 THEN n_label END), 0) AS n1,
+              |   coalesce(max(CASE WHEN label = 1 THEN n_fire END), 0) AS f1,
+              |   coalesce(max(CASE WHEN label = 0 THEN n_label END), 0) AS n0,
+              |   coalesce(max(CASE WHEN label = 0 THEN n_fire END), 0) AS f0
+              |  FROM fit GROUP BY 1),
+              |pri AS (SELECT CAST(
+              |   floor((ln((max(n1) + 1)::DOUBLE) - ln((max(n1) + max(n0) + 2)::DOUBLE)) * 1000000)
+              |   - floor((ln((max(n0) + 1)::DOUBLE) - ln((max(n1) + max(n0) + 2)::DOUBLE)) * 1000000)
+              |  AS BIGINT) AS prior_u FROM bf),
+              |terms AS (SELECT fx.doc_id, fx.label,
+              |   CAST(floor((ln((CASE WHEN fx.fire = 1 THEN b.f1 + 1 ELSE b.n1 - b.f1 + 1 END)::DOUBLE)
+              |      - ln((b.n1 + 2)::DOUBLE)) * 1000000)
+              |    - floor((ln((CASE WHEN fx.fire = 1 THEN b.f0 + 1 ELSE b.n0 - b.f0 + 1 END)::DOUBLE)
+              |      - ln((b.n0 + 2)::DOUBLE)) * 1000000) AS BIGINT) AS term_u
+              |  FROM f fx JOIN bf b USING (feature)),
+              |sc AS (SELECT doc_id, sum(term_u) AS sum_llr_u
+              |  FROM terms GROUP BY 1),
+              |kept AS (SELECT d.doc_id, d.lang, d.text
+              |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id, pri p
+              |  WHERE sc.sum_llr_u + p.prior_u > 0),
+              |ex AS (SELECT min(doc_id) AS keep_id FROM kept GROUP BY md5(text)),
+              |uniq AS (SELECT k.doc_id, k.lang FROM kept k
+              |  JOIN ex ON ex.keep_id = k.doc_id),
+              |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_raw FROM documents),
+              |nk AS (SELECT CAST(count(*) AS BIGINT) AS n_kept FROM kept),
+              |nu AS (SELECT CAST(count(*) AS BIGINT) AS n_unique FROM uniq)
+              |SELECT u.doc_id, u.lang,
+              |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+              |   ELSE 'test' END AS split,
+              |  nr.n_raw, nk.n_kept, nu.n_unique
+              |FROM (SELECT doc_id, lang,
+              |   ${duckH60("CAST(doc_id AS VARCHAR)")} % 100 AS h FROM uniq) u,
+              | nr, nk, nu""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs
+      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

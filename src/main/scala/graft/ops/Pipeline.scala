@@ -93,4 +93,33 @@ object Pipeline {
       .crossJoin(cnt(docs4, "n_clean"))
       .crossJoin(cnt(train, "n_train"))
   }
+
+  /** Classifier-in-the-loop curation — the learned twin of
+    * [[pretrainCorpus]]'s rule cascade (the CCNet shape: a cheap model
+    * fit on weak labels does the keeping, so the decision boundary
+    * generalizes past the rules that bootstrapped it):
+    * [[Classifier.naiveBayesScore]] keep → exact-hash dedup keepers →
+    * [[TrainingData.hashSplit]], with the funnel counts riding every row
+    * as 1-row scalar attaches (same accounting contract as q197).
+    *
+    * Scale shape: two per-row scoring passes + one md5 groupBy + a pure
+    * projection split; three 1-row count attaches.
+    *
+    * @return (doc_id, lang, split, n_raw, n_kept, n_unique)
+    */
+  def classifierCurated(docs: DataFrame): DataFrame = {
+    val raw = docs.select(col("doc_id"), col("lang"), col("text"))
+    val kept = FreshCheckpoint(raw.join(
+      Classifier.naiveBayesScore(docs).filter(col("pred_label") === 1)
+        .select(col("doc_id")), Seq("doc_id"), "leftsemi"))
+    val uniq = FreshCheckpoint(kept.join(
+      Dedup.exact(kept).select(col("keep_id").as("doc_id")),
+      Seq("doc_id"), "leftsemi"))
+    def cnt(df: DataFrame, name: String) =
+      broadcast(df.agg(count(lit(1)).as(name)))
+    TrainingData.hashSplit(uniq)
+      .crossJoin(cnt(raw, "n_raw"))
+      .crossJoin(cnt(kept, "n_kept"))
+      .crossJoin(cnt(uniq, "n_unique"))
+  }
 }

@@ -762,4 +762,63 @@ object TrainingData {
         least(expr(s"avail_tokens * 1000000 div greatest($budgetTokens" +
           " div n_sources, 1)"), lit(1000000L)).as("unique_u"))
   }
+
+  /** Mixture advisor — the capstone of the mixture-design family: one
+    * relation per source combining the three signals the other operators
+    * measure separately, folded into a recommended weight.
+    *
+    *  - `keep_u`: [[TextAnalysis.filterCascade]] keep rate (quality),
+    *  - `dup_u`: one-band multi-bucket doc share within the source
+    *    ([[Dedup.dupRateEstimate]]'s preview machinery keyed per source —
+    *    self-duplication discounts effective mass),
+    *  - `jsd_norm_u`: mean [[TextAnalysis.sourceDivergence]] JSD to the
+    *    other sources, normalized by ln 2 (lexical distinctiveness — a
+    *    source that reads like everyone else adds little),
+    *
+    * and `weight_u` = the product of the three factors (chained
+    * `a·b div 10⁶` micro-unit multiplies), normalized to sum ≈ 10⁶.
+    * The formula is a transparent rule, not a fit: every factor rides
+    * along in the output so the weight can be audited and re-derived.
+    *
+    * Scale shape: the three component passes are each bounded the way
+    * their parent operators are (corpus-linear map work; vocabulary- or
+    * bucket-sized aggs); the combine is three |sources|-row joins + a
+    * 1-row normalizer attach.
+    *
+    * @return (source, n_docs, keep_u, dup_u, jsd_norm_u, weight_u)
+    */
+  def mixtureAdvisor(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val q = TextAnalysis.filterCascade(docs).select(col("doc_id"), col("keep"))
+      .join(src, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_keep"))
+    val b0 = Dedup.bandedKeys(Dedup.minhashSignatures(docs, 8), 4, 2)
+      .filter(col("band") === 0)
+      .join(src, Seq("doc_id"))
+      .groupBy(col("source"), col("key")).agg(count(lit(1)).as("sz"))
+    val dup = b0.groupBy(col("source"))
+      .agg(sum(col("sz")).as("n_sig"),
+        sum(when(col("sz") > 1, col("sz")).otherwise(lit(0L))).as("n_multi"))
+      .select(col("source"), expr("n_multi * 1000000 div n_sig").as("dup_u"))
+    val j = TextAnalysis.sourceDivergence(docs)
+    val jl = j.select(col("source_x").as("source"), col("jsd_u"))
+      .unionByName(j.select(col("source_y").as("source"), col("jsd_u")))
+      .groupBy(col("source"))
+      .agg(expr("sum(jsd_u) div count(1)").as("mean_jsd_u"))
+    val c = q.join(dup, Seq("source"), "left").join(jl, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        expr("n_keep * 1000000 div n_docs").as("keep_u"),
+        coalesce(col("dup_u"), lit(0L)).as("dup_u"),
+        coalesce(expr("mean_jsd_u * 1000000 div 693147"), lit(0L))
+          .as("jsd_norm_u"))
+      .withColumn("raw_u",
+        expr("keep_u * (1000000 - dup_u) div 1000000 * jsd_norm_u div 1000000"))
+    val w = c.agg(sum(col("raw_u")).as("w"))
+    c.crossJoin(broadcast(w))
+      .select(col("source"), col("n_docs"), col("keep_u"), col("dup_u"),
+        col("jsd_norm_u"),
+        expr("raw_u * 1000000 div greatest(w, 1)").as("weight_u"))
+  }
 }

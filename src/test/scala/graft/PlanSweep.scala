@@ -91,7 +91,9 @@ object PlanSweepSupport {
     "q238_label_noise", // q236's prior attach + a 1-row confusion-total
     "q240_label_purity", // hyperplaneCells' 1-row mean-vector attach
     "q241_lang_confusion", // 1-row confusion-total scalar attach
-    "q242_epoch_plan") // 1-row source-count scalar attach
+    "q242_epoch_plan", // 1-row source-count scalar attach
+    "q245_mixture_advisor", // 1-row weight-normalizer scalar attach
+    "q246_classifier_pipeline") // q236's prior + three 1-row funnel counts
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -171,7 +173,10 @@ object PlanSweepSupport {
     "q242_epoch_plan", // |sources|-row relation + 1-row count scalar
     // q244: the 1-row preview rollup merges bucket-relation partials —
     // the corpus reduced in the band-key groupBy
-    "q244_dup_rate_estimate")
+    "q244_dup_rate_estimate",
+    // q245: |sources|-row component relations + the 1-row normalizer
+    "q245_mixture_advisor",
+    "q246_classifier_pipeline") // 1-row funnel-count scalar aggregations
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:

@@ -52,7 +52,9 @@ class PlanSweepSf1 extends SparkTestBase {
     "q230_perplexity_prune", "q231_score_calibration",
     "q232_shard_manifest", "q233_moore_lewis", "q234_manifest_diff",
     "q236_naive_bayes_score", "q239_source_divergence",
-    "q240_label_purity", "q244_dup_rate_estimate")
+    "q240_label_purity", "q244_dup_rate_estimate",
+    // batch-14 compositions (cascade + banded sig + JSD; NB chain + dedup)
+    "q245_mixture_advisor", "q246_classifier_pipeline")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 
