@@ -6647,13 +6647,62 @@ object Queries {
               |   ${duckH60("CAST(doc_id AS VARCHAR)")} % 100 AS h FROM uniq) u,
               | nr, nk, nu""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-8 batch 15
+  // Water-filling allocation and the vocabulary-spectrum audit.
+  private val ext34Qs = Seq(
+    Q("q247_water_fill",
+      (s, d) => graft.ops.TrainingData.waterFill(T(s, d, "documents"),
+        budgetTokens = 20000L),
+      Some("""WITH ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |   CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS avail_tokens
+             |  FROM documents GROUP BY 1),
+             |pos AS (SELECT *,
+             |   CAST(row_number() OVER (ORDER BY avail_tokens, source) AS BIGINT) AS pos,
+             |   CAST(coalesce(sum(avail_tokens) OVER (ORDER BY avail_tokens, source
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix_before
+             |  FROM ps),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS k FROM pos),
+             |fl AS (SELECT p.*, t.k,
+             |   (p.avail_tokens * (t.k - p.pos + 1) <= 20000 - p.prefix_before) AS funded
+             |  FROM pos p, tot t),
+             |fs AS (SELECT
+             |   CAST(sum(CASE WHEN funded THEN avail_tokens ELSE 0 END) AS BIGINT) AS f_mass,
+             |   CAST(sum(CASE WHEN funded THEN 1 ELSE 0 END) AS BIGINT) AS n_funded,
+             |   CAST(count(*) AS BIGINT) AS k2 FROM fl)
+             |SELECT source, n_docs, avail_tokens, funded, alloc_tokens,
+             |  CAST(alloc_tokens * 1000000 // greatest(avail_tokens, 1) AS BIGINT) AS fill_u
+             |FROM (SELECT fl.source, fl.n_docs, fl.avail_tokens, fl.funded,
+             |   CAST(CASE WHEN fl.funded THEN fl.avail_tokens
+             |    ELSE (20000 - fs.f_mass) // greatest(fs.k2 - fs.n_funded, 1) END
+             |     AS BIGINT) AS alloc_tokens
+             |  FROM fl, fs)""".stripMargin)),
+
+    Q("q248_vocab_spectrum",
+      (s, d) => graft.ops.TextAnalysis.vocabSpectrum(T(s, d, "documents")),
+      // count-of-counts over the vocabulary; floor-log2 via bin-string
+      // length (the q222 trick)
+      Some("""WITH vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> x <> '')) AS tok FROM documents) GROUP BY 1),
+             |bins AS (SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS bin,
+             |   CAST(count(*) AS BIGINT) AS n_types,
+             |   CAST(sum(cnt) AS BIGINT) AS token_mass
+             |  FROM vocab GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_types) AS BIGINT) AS n_types_total,
+             |   CAST(sum(token_mass) AS BIGINT) AS n_tokens_total,
+             |   CAST(sum(CASE WHEN bin = 0 THEN n_types ELSE 0 END) AS BIGINT) AS n_hapax_bin
+             |  FROM bins)
+             |SELECT bin, n_types, token_mass, t.n_types_total, t.n_tokens_total,
+             |  CAST(t.n_hapax_bin * 1000000 // t.n_types_total AS BIGINT) AS hapax_share_u
+             |FROM bins, tot t""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs
+      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

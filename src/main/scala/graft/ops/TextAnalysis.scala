@@ -1176,4 +1176,43 @@ object TextAnalysis {
         expr("sum_score div n_docs").as("mean_score"),
         (col("lang") =!= col("lang_pred")).as("mismatch"))
   }
+
+  /** Vocabulary frequency spectrum — the count-of-counts corpus-health
+    * audit (Zipf's-law shape check without a global rank sort): per
+    * ⌊log₂ count⌋ bin over the vocabulary, type count and token mass,
+    * with the corpus totals and the hapax-type share riding every row. A
+    * hapax share far above the Zipfian ~50% is the OCR-noise / tokenizer-
+    * mismatch / encoding-corruption signature (each corruption mints a
+    * new type); a collapsed spectrum (few bins) is the synthetic-text
+    * signature. The log₂ bins replace the per-type rank a Zipf plot wants
+    * — a rank is a global sort over the vocabulary, and the spectrum
+    * carries the same shape information binned.
+    *
+    * Scale shape: ONE token explode → vocabulary agg → a ≤64-row bin agg
+    * + a 1-row totals attach. Nothing past the vocab agg is corpus-sized.
+    *
+    * @return (bin, n_types, token_mass, n_types_total, n_tokens_total,
+    *         hapax_share_u)
+    */
+  def vocabSpectrum(docs: DataFrame): DataFrame = {
+    val vocab = Dedup.fanOut(docs)
+      .select(explode(filter(split(lower(col("text")), "\\s+"),
+        x => x =!= "")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // floor-log2 via bin-string length (the q222 trick) — engine-exact at
+    // power-of-two boundaries where a double log2 can land on either side
+    val bins = vocab
+      .select((length(bin(col("cnt"))) - 1).cast("long").as("bin"),
+        col("cnt"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("token_mass"))
+    val tot = bins.agg(sum(col("n_types")).as("n_types_total"),
+      sum(col("token_mass")).as("n_tokens_total"),
+      sum(when(col("bin") === 0, col("n_types")).otherwise(lit(0L)))
+        .as("n_hapax_bin"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_types"), col("token_mass"),
+        col("n_types_total"), col("n_tokens_total"),
+        expr("n_hapax_bin * 1000000 div n_types_total").as("hapax_share_u"))
+  }
 }

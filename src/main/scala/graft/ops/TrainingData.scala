@@ -821,4 +821,56 @@ object TrainingData {
         col("jsd_norm_u"),
         expr("raw_u * 1000000 div greatest(w, 1)").as("weight_u"))
   }
+
+  /** Water-filling token-budget allocation — the fair-share answer to
+    * "how do I split a budget across sources when some are tiny": every
+    * source gets min(avail, T) where the water level T exhausts the
+    * budget. Small sources are fully funded; the rest share what remains
+    * equally ((B − funded mass) div unfunded count, integer remainder
+    * deliberately dropped). The uniform split ([[epochPlan]]) overfunds
+    * tiny sources with repetition; water-filling is the allocation that
+    * never asks a source to repeat while any budget is unspent.
+    *
+    * The funded set is computed without iteration: sources ascend by
+    * (avail, source); source at position i is funded iff
+    * avail_i·(k − i + 1) ≤ B − Σ_{j<i} avail_j — the classic prefix
+    * characterization (funded rows form an ascending prefix because the
+    * per-head remainder only shrinks).
+    *
+    * Scale shape: ONE per-source token agg (|sources| rows), a global
+    * window + two 1-row attaches over that bounded relation — never
+    * corpus rows.
+    *
+    * @return (source, n_docs, avail_tokens, funded, alloc_tokens,
+    *         fill_u = alloc·10⁶ div avail)
+    */
+  def waterFill(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val ps = docs
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("avail_tokens"))
+    val w = Window.orderBy(col("avail_tokens"), col("source"))
+    // |sources|-row relation: the global window is over a bounded agg
+    val pos = ps
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("prefix_before", coalesce(sum(col("avail_tokens"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = pos.agg(count(lit(1)).as("k"))
+    val flagged = pos.crossJoin(broadcast(tot))
+      .withColumn("funded", col("avail_tokens") * (col("k") - col("pos") + 1)
+        <= lit(budgetTokens) - col("prefix_before"))
+    val fstats = flagged.agg(
+      sum(when(col("funded"), col("avail_tokens")).otherwise(lit(0L)))
+        .as("f_mass"),
+      sum(when(col("funded"), lit(1L)).otherwise(lit(0L))).as("n_funded"),
+      count(lit(1)).as("k2"))
+    flagged.crossJoin(broadcast(fstats))
+      .select(col("source"), col("n_docs"), col("avail_tokens"),
+        col("funded"),
+        when(col("funded"), col("avail_tokens"))
+          .otherwise(expr(s"($budgetTokens - f_mass)" +
+            " div greatest(k2 - n_funded, 1)")).as("alloc_tokens"))
+      .withColumn("fill_u",
+        expr("alloc_tokens * 1000000 div greatest(avail_tokens, 1)"))
+  }
 }

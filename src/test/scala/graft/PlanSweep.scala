@@ -93,7 +93,9 @@ object PlanSweepSupport {
     "q241_lang_confusion", // 1-row confusion-total scalar attach
     "q242_epoch_plan", // 1-row source-count scalar attach
     "q245_mixture_advisor", // 1-row weight-normalizer scalar attach
-    "q246_classifier_pipeline") // q236's prior + three 1-row funnel counts
+    "q246_classifier_pipeline", // q236's prior + three 1-row funnel counts
+    "q247_water_fill", // 1-row source-count + funded-mass scalar attaches
+    "q248_vocab_spectrum") // 1-row vocabulary-totals scalar attach
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -176,7 +178,11 @@ object PlanSweepSupport {
     "q244_dup_rate_estimate",
     // q245: |sources|-row component relations + the 1-row normalizer
     "q245_mixture_advisor",
-    "q246_classifier_pipeline") // 1-row funnel-count scalar aggregations
+    "q246_classifier_pipeline", // 1-row funnel-count scalar aggregations
+    // q247: the ascending window + both scalar rollups run on the
+    // |sources|-row aggregate, never corpus rows
+    "q247_water_fill",
+    "q248_vocab_spectrum") // ≤64-bin relation + 1-row vocabulary totals
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:
