@@ -6162,70 +6162,14 @@ object Queries {
     Q("q236_naive_bayes_score",
       (s, d) => graft.ops.Classifier.naiveBayesScore(T(s, d, "documents")),
       // q235's fit pivoted per feature, per-(doc, feature) integer LLR
-      // terms, (doc)-rollup + the 1-row prior attach
-      Some("""WITH m AS (SELECT doc_id,
-             |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-             |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tl,
-             |  round((
-             |    (length(text) - length(replace(text, '.', '')))
-             |    + (length(text) - length(replace(text, ',', '')))
-             |    + (length(text) - length(replace(text, '!', '')))
-             |    + (length(text) - length(replace(text, '?', '')))
-             |    + (length(text) - length(replace(text, ';', '')))
-             |    + (length(text) - length(replace(text, ':', '')))
-             |  )::DOUBLE / greatest(length(text)::DOUBLE, 1.0), 6) AS punct_ratio,
-             |  round((
-             |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
-             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
-             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
-             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
-             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
-             |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio,
-             |  round(length(text)::DOUBLE
-             |    / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 4) AS mean_word_len
-             | FROM documents),
-             |r AS (SELECT *,
-             |   CASE WHEN len(tl) = 0 THEN NULL
-             |    ELSE floor((1.0 - len(list_distinct(tl))::DOUBLE / len(tl)) * 1000000) / 1000000
-             |   END AS rep_ratio
-             |  FROM m),
-             |lab AS (SELECT doc_id, punct_ratio, n_tokens, mean_word_len,
-             |   CASE WHEN n_tokens < 20 OR stopword_ratio < 0.02
-             |     OR coalesce(rep_ratio > 0.65, FALSE) OR mean_word_len > 5.9
-             |    THEN 0 ELSE 1 END AS label
-             |  FROM r),
-             |f AS (
-             |  SELECT doc_id, label, 'punct_heavy' AS feature,
-             |    CASE WHEN punct_ratio > 0.03 THEN 1 ELSE 0 END AS fire FROM lab
-             |  UNION ALL SELECT doc_id, label, 'longish',
-             |    CASE WHEN n_tokens > 60 THEN 1 ELSE 0 END FROM lab
-             |  UNION ALL SELECT doc_id, label, 'long_words',
-             |    CASE WHEN mean_word_len > 4.5 THEN 1 ELSE 0 END FROM lab),
-             |fit AS (SELECT feature, label, count(*) AS n_label, sum(fire) AS n_fire
-             |  FROM f GROUP BY 1, 2),
-             |bf AS (SELECT feature,
-             |   coalesce(max(CASE WHEN label = 1 THEN n_label END), 0) AS n1,
-             |   coalesce(max(CASE WHEN label = 1 THEN n_fire END), 0) AS f1,
-             |   coalesce(max(CASE WHEN label = 0 THEN n_label END), 0) AS n0,
-             |   coalesce(max(CASE WHEN label = 0 THEN n_fire END), 0) AS f0
-             |  FROM fit GROUP BY 1),
-             |pri AS (SELECT CAST(
-             |   floor((ln((max(n1) + 1)::DOUBLE) - ln((max(n1) + max(n0) + 2)::DOUBLE)) * 1000000)
-             |   - floor((ln((max(n0) + 1)::DOUBLE) - ln((max(n1) + max(n0) + 2)::DOUBLE)) * 1000000)
-             |  AS BIGINT) AS prior_u FROM bf),
-             |terms AS (SELECT fx.doc_id, fx.label,
-             |   CAST(floor((ln((CASE WHEN fx.fire = 1 THEN b.f1 + 1 ELSE b.n1 - b.f1 + 1 END)::DOUBLE)
-             |      - ln((b.n1 + 2)::DOUBLE)) * 1000000)
-             |    - floor((ln((CASE WHEN fx.fire = 1 THEN b.f0 + 1 ELSE b.n0 - b.f0 + 1 END)::DOUBLE)
-             |      - ln((b.n0 + 2)::DOUBLE)) * 1000000) AS BIGINT) AS term_u
-             |  FROM f fx JOIN bf b USING (feature)),
-             |sc AS (SELECT doc_id, label, sum(term_u) AS sum_llr_u
-             |  FROM terms GROUP BY 1, 2)
+      // terms, (doc)-rollup + the 1-row prior attach (shared WITH-chain:
+      // nbScoreOracleWith, also the base of the q238/q250 oracles)
+      Some(nbScoreOracleWith + """
              |SELECT doc_id, CAST(label AS BIGINT) AS weak_label,
              |  CAST(sum_llr_u + p.prior_u AS BIGINT) AS score_u,
              |  CAST(CASE WHEN sum_llr_u + p.prior_u > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred_label,
              |  (CASE WHEN sum_llr_u + p.prior_u > 0 THEN 1 ELSE 0 END) = label AS agree
-             |FROM sc, pri p""".stripMargin)))
+             |FROM scw, pri p""".stripMargin)))
 
   // ---------------------------------------------------------------- round-8 batch 12
   // Disclosure-distance, label-noise, source-divergence and purity audits.
@@ -6264,70 +6208,14 @@ object Queries {
 
     Q("q238_label_noise",
       (s, d) => graft.ops.Classifier.labelNoiseAudit(T(s, d, "documents")),
-      // q236's scoring chain rolled to the (weak, pred) confusion cells
-      Some("""WITH m AS (SELECT doc_id,
-             |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-             |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tl,
-             |  round((
-             |    (length(text) - length(replace(text, '.', '')))
-             |    + (length(text) - length(replace(text, ',', '')))
-             |    + (length(text) - length(replace(text, '!', '')))
-             |    + (length(text) - length(replace(text, '?', '')))
-             |    + (length(text) - length(replace(text, ';', '')))
-             |    + (length(text) - length(replace(text, ':', '')))
-             |  )::DOUBLE / greatest(length(text)::DOUBLE, 1.0), 6) AS punct_ratio,
-             |  round((
-             |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
-             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
-             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
-             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
-             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
-             |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio,
-             |  round(length(text)::DOUBLE
-             |    / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 4) AS mean_word_len
-             | FROM documents),
-             |r AS (SELECT *,
-             |   CASE WHEN len(tl) = 0 THEN NULL
-             |    ELSE floor((1.0 - len(list_distinct(tl))::DOUBLE / len(tl)) * 1000000) / 1000000
-             |   END AS rep_ratio
-             |  FROM m),
-             |lab AS (SELECT doc_id, punct_ratio, n_tokens, mean_word_len,
-             |   CASE WHEN n_tokens < 20 OR stopword_ratio < 0.02
-             |     OR coalesce(rep_ratio > 0.65, FALSE) OR mean_word_len > 5.9
-             |    THEN 0 ELSE 1 END AS label
-             |  FROM r),
-             |f AS (
-             |  SELECT doc_id, label, 'punct_heavy' AS feature,
-             |    CASE WHEN punct_ratio > 0.03 THEN 1 ELSE 0 END AS fire FROM lab
-             |  UNION ALL SELECT doc_id, label, 'longish',
-             |    CASE WHEN n_tokens > 60 THEN 1 ELSE 0 END FROM lab
-             |  UNION ALL SELECT doc_id, label, 'long_words',
-             |    CASE WHEN mean_word_len > 4.5 THEN 1 ELSE 0 END FROM lab),
-             |fit AS (SELECT feature, label, count(*) AS n_label, sum(fire) AS n_fire
-             |  FROM f GROUP BY 1, 2),
-             |bf AS (SELECT feature,
-             |   coalesce(max(CASE WHEN label = 1 THEN n_label END), 0) AS n1,
-             |   coalesce(max(CASE WHEN label = 1 THEN n_fire END), 0) AS f1,
-             |   coalesce(max(CASE WHEN label = 0 THEN n_label END), 0) AS n0,
-             |   coalesce(max(CASE WHEN label = 0 THEN n_fire END), 0) AS f0
-             |  FROM fit GROUP BY 1),
-             |pri AS (SELECT CAST(
-             |   floor((ln((max(n1) + 1)::DOUBLE) - ln((max(n1) + max(n0) + 2)::DOUBLE)) * 1000000)
-             |   - floor((ln((max(n0) + 1)::DOUBLE) - ln((max(n1) + max(n0) + 2)::DOUBLE)) * 1000000)
-             |  AS BIGINT) AS prior_u FROM bf),
-             |terms AS (SELECT fx.doc_id, fx.label,
-             |   CAST(floor((ln((CASE WHEN fx.fire = 1 THEN b.f1 + 1 ELSE b.n1 - b.f1 + 1 END)::DOUBLE)
-             |      - ln((b.n1 + 2)::DOUBLE)) * 1000000)
-             |    - floor((ln((CASE WHEN fx.fire = 1 THEN b.f0 + 1 ELSE b.n0 - b.f0 + 1 END)::DOUBLE)
-             |      - ln((b.n0 + 2)::DOUBLE)) * 1000000) AS BIGINT) AS term_u
-             |  FROM f fx JOIN bf b USING (feature)),
-             |sc AS (SELECT doc_id, label, sum(term_u) AS sum_llr_u
-             |  FROM terms GROUP BY 1, 2),
+      // q236's scoring chain (nbScoreOracleWith) rolled to the
+      // (weak, pred) confusion cells
+      Some(nbScoreOracleWith + """,
              |cells AS (SELECT CAST(label AS BIGINT) AS weak_label,
              |   CAST(CASE WHEN sum_llr_u + p.prior_u > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred_label,
              |   CAST(count(*) AS BIGINT) AS n_docs,
              |   CAST(sum(abs(sum_llr_u + p.prior_u)) AS BIGINT) AS sum_abs
-             |  FROM sc, pri p GROUP BY 1, 2),
+             |  FROM scw, pri p GROUP BY 1, 2),
              |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM cells)
              |SELECT weak_label, pred_label, n_docs,
              |  CAST(n_docs * 1000000 // t.n AS BIGINT) AS share_u,
@@ -6696,13 +6584,288 @@ object Queries {
              |  CAST(t.n_hapax_bin * 1000000 // t.n_types_total AS BIGINT) AS hapax_share_u
              |FROM bins, tot t""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-9 batch 1
+  // Fuzzy eval-set decontamination, chance-corrected labeler agreement,
+  // robust (median/MAD) outlier + Benford + KS-drift audits, the HLL
+  // set-intersection estimate, and the embedding isotropy gauge.
+
+  /** The Bernoulli-NB scoring replay up through the per-doc summed-LLR
+    * relation `scw` and the 1-row prior `pri` — the WITH-chain shared
+    * verbatim by the q236 scoring, q238 label-noise and q250 κ oracles
+    * (each appends its own rollup tail). */
+  private lazy val nbScoreOracleWith: String =
+    """WITH m AS (SELECT doc_id,
+      |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tl,
+      |  round((
+      |    (length(text) - length(replace(text, '.', '')))
+      |    + (length(text) - length(replace(text, ',', '')))
+      |    + (length(text) - length(replace(text, '!', '')))
+      |    + (length(text) - length(replace(text, '?', '')))
+      |    + (length(text) - length(replace(text, ';', '')))
+      |    + (length(text) - length(replace(text, ':', '')))
+      |  )::DOUBLE / greatest(length(text)::DOUBLE, 1.0), 6) AS punct_ratio,
+      |  round((
+      |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+      |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+      |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
+      |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
+      |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
+      |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio,
+      |  round(length(text)::DOUBLE
+      |    / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 4) AS mean_word_len
+      | FROM documents),
+      |r AS (SELECT *,
+      |   CASE WHEN len(tl) = 0 THEN NULL
+      |    ELSE floor((1.0 - len(list_distinct(tl))::DOUBLE / len(tl)) * 1000000) / 1000000
+      |   END AS rep_ratio
+      |  FROM m),
+      |lab AS (SELECT doc_id, punct_ratio, n_tokens, mean_word_len,
+      |   CASE WHEN n_tokens < 20 OR stopword_ratio < 0.02
+      |     OR coalesce(rep_ratio > 0.65, FALSE) OR mean_word_len > 5.9
+      |    THEN 0 ELSE 1 END AS label
+      |  FROM r),
+      |f AS (
+      |  SELECT doc_id, label, 'punct_heavy' AS feature,
+      |    CASE WHEN punct_ratio > 0.03 THEN 1 ELSE 0 END AS fire FROM lab
+      |  UNION ALL SELECT doc_id, label, 'longish',
+      |    CASE WHEN n_tokens > 60 THEN 1 ELSE 0 END FROM lab
+      |  UNION ALL SELECT doc_id, label, 'long_words',
+      |    CASE WHEN mean_word_len > 4.5 THEN 1 ELSE 0 END FROM lab),
+      |fit AS (SELECT feature, label, count(*) AS n_label, sum(fire) AS n_fire
+      |  FROM f GROUP BY 1, 2),
+      |bf AS (SELECT feature,
+      |   coalesce(max(CASE WHEN label = 1 THEN n_label END), 0) AS n1,
+      |   coalesce(max(CASE WHEN label = 1 THEN n_fire END), 0) AS f1,
+      |   coalesce(max(CASE WHEN label = 0 THEN n_label END), 0) AS n0,
+      |   coalesce(max(CASE WHEN label = 0 THEN n_fire END), 0) AS f0
+      |  FROM fit GROUP BY 1),
+      |pri AS (SELECT CAST(
+      |   floor((ln((max(n1) + 1)::DOUBLE) - ln((max(n1) + max(n0) + 2)::DOUBLE)) * 1000000)
+      |   - floor((ln((max(n0) + 1)::DOUBLE) - ln((max(n1) + max(n0) + 2)::DOUBLE)) * 1000000)
+      |  AS BIGINT) AS prior_u FROM bf),
+      |terms AS (SELECT fx.doc_id, fx.label,
+      |   CAST(floor((ln((CASE WHEN fx.fire = 1 THEN b.f1 + 1 ELSE b.n1 - b.f1 + 1 END)::DOUBLE)
+      |      - ln((b.n1 + 2)::DOUBLE)) * 1000000)
+      |    - floor((ln((CASE WHEN fx.fire = 1 THEN b.f0 + 1 ELSE b.n0 - b.f0 + 1 END)::DOUBLE)
+      |      - ln((b.n0 + 2)::DOUBLE)) * 1000000) AS BIGINT) AS term_u
+      |  FROM f fx JOIN bf b USING (feature)),
+      |scw AS (SELECT doc_id, label, sum(term_u) AS sum_llr_u
+      |  FROM terms GROUP BY 1, 2)""".stripMargin
+
+  /** α·m²·2⁵² for the m=512 HLL estimator (α = 0.7213/(1 + 1.079/512)),
+    * computed ONCE driver-side and interpolated into both engines' plans as
+    * the same decimal literal (Double.toString round-trips, so DuckDB
+    * parses back the identical IEEE value). Declared BEFORE ext35Qs — the
+    * oracle string interpolates it at object init, in declaration order. */
+  private val hllAlphaNum512: Double =
+    0.7213 / (1.0 + 1.079 / 512.0) * 262144.0 * 4503599627370496.0
+
+  private val ext35Qs = Seq(
+    Q("q249_fuzzy_decontaminate",
+      (s, d) => graft.ops.Dedup.fuzzyDecontaminate(T(s, d, "documents"),
+        col("doc_id") % 10 === 0),
+      // q35's banded-pair replay + the bench/train boundary filter and the
+      // per-dropped-doc rollup (every 10th doc plays the benchmark side)
+      Some(minhashPairCtes() + """,
+             |fl AS (SELECT doc_id, (doc_id % 10 = 0) AS is_bench FROM documents),
+             |cp AS (SELECT
+             |   CASE WHEN fa.is_bench THEN m.b ELSE m.a END AS drop_id,
+             |   CASE WHEN fa.is_bench THEN m.a ELSE m.b END AS bench_id,
+             |   CAST(round(m.jaccard * 1000000) AS BIGINT) AS j_u
+             |  FROM mh m
+             |  JOIN fl fa ON fa.doc_id = m.a
+             |  JOIN fl fb ON fb.doc_id = m.b
+             |  WHERE fa.is_bench <> fb.is_bench)
+             |SELECT drop_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+             |  max(j_u) AS max_j_u, min(bench_id) AS bench_id_min
+             |FROM cp GROUP BY 1""".stripMargin)),
+
+    Q("q250_cohens_kappa",
+      (s, d) => graft.ops.Classifier.cohensKappa(T(s, d, "documents")),
+      // q236's scoring replay rolled to confusion marginals; µ-share
+      // products so nothing forms n² (the op's scale contract)
+      Some(nbScoreOracleWith + """,
+             |scp AS (SELECT doc_id, CAST(label AS BIGINT) AS w,
+             |   CAST(CASE WHEN sum_llr_u + p.prior_u > 0 THEN 1 ELSE 0 END AS BIGINT) AS p
+             |  FROM scw, pri p),
+             |cells AS (SELECT w, p, CAST(count(*) AS BIGINT) AS n FROM scp GROUP BY 1, 2),
+             |rmm AS (SELECT w AS cls, CAST(sum(n) AS BIGINT) AS rm FROM cells GROUP BY 1),
+             |cmm AS (SELECT p AS cls, CAST(sum(n) AS BIGINT) AS cm FROM cells GROUP BY 1),
+             |tt AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+             |   CAST(sum(CASE WHEN w = p THEN n ELSE 0 END) AS BIGINT) AS n_agree
+             |  FROM cells),
+             |pe AS (SELECT CAST(sum(
+             |    (coalesce(rm, 0) * 1000000 // n_docs)
+             |    * (coalesce(cm, 0) * 1000000 // n_docs) // 1000000) AS BIGINT) AS pe_u
+             |  FROM rmm FULL OUTER JOIN cmm USING (cls), tt)
+             |SELECT t.n_docs, t.n_agree,
+             |  CAST(t.n_agree * 1000000 // t.n_docs AS BIGINT) AS po_u, pe.pe_u,
+             |  CAST((t.n_agree * 1000000 // t.n_docs - pe.pe_u + 1000000 - pe.pe_u)
+             |    * 1000000 // greatest(1000000 - pe.pe_u, 1) AS BIGINT) AS kappa_p1_u
+             |FROM tt t, pe""".stripMargin)),
+
+    Q("q251_robust_outliers",
+      (s, d) => graft.ops.QualityAudit.robustOutliers(T(s, d, "documents"),
+        col("n_chars"), col("source")),
+      Some("""WITH v AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v FROM documents),
+             |tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+             |h AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2),
+             |c AS (SELECT grp, v, sum(cnt) OVER (PARTITION BY grp ORDER BY v) AS cum FROM h),
+             |med AS (SELECT c.grp, min(c.v) AS med FROM c JOIN tot USING (grp)
+             |  WHERE c.cum >= (tot.n + 1) // 2 GROUP BY 1),
+             |dev AS (SELECT v.grp, v.v, abs(v.v - med.med) AS d FROM v JOIN med USING (grp)),
+             |dh AS (SELECT grp, d, CAST(count(*) AS BIGINT) AS cnt FROM dev GROUP BY 1, 2),
+             |dc AS (SELECT grp, d, sum(cnt) OVER (PARTITION BY grp ORDER BY d) AS cum FROM dh),
+             |mad AS (SELECT dc.grp, min(dc.d) AS mad FROM dc JOIN tot USING (grp)
+             |  WHERE dc.cum >= (tot.n + 1) // 2 GROUP BY 1)
+             |SELECT dev.grp, CAST(count(*) AS BIGINT) AS n,
+             |  min(med.med) AS med, min(mad.mad) AS mad,
+             |  CAST(sum(CASE WHEN dev.d > 4 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             |  CAST(sum(CASE WHEN dev.d > 4 * mad.mad THEN 1 ELSE 0 END) * 1000000
+             |    // count(*) AS BIGINT) AS outlier_share_u
+             |FROM dev JOIN med USING (grp) JOIN mad USING (grp)
+             |GROUP BY 1""".stripMargin)),
+
+    Q("q252_hll_intersect",
+      (s, d) => {
+        // HLL set-INTERSECTION estimate by inclusion–exclusion over q123's
+        // register construction — the cross-corpus overlap gauge that needs
+        // no join of the two corpora (at 100 TB the two register sets are
+        // KB-sized artifacts; the exact-join column here is the audit).
+        // Unlike q123's floating harmonic sum, Z is accumulated as EXACT
+        // integers (Σ 2^(52-ρ) ≤ 512·2⁵² < 2⁶³), so the only double math is
+        // one final division — engine-identical by IEEE.
+        val li = T(s, d, "lineitem").filter(col("l_returnflag").isin("A", "R"))
+        val th = conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+          .cast("long")
+        val reg = li.select(col("l_returnflag"), th.as("th"))
+          .select(col("l_returnflag"), col("th").bitwiseAND(lit(511L)).as("bucket"),
+            shiftright(col("th"), 9).as("rem"))
+          .withColumn("rho",
+            when(col("rem") === 0, lit(52L)).otherwise(lit(52L) - length(bin(col("rem")))))
+          .groupBy(col("l_returnflag"), col("bucket")).agg(max(col("rho")).as("m"))
+        val estCol: Column =
+          lit(hllAlphaNum512) /
+            (col("z") + (lit(512L) - col("np")) * lit(1L << 52)).cast("double")
+        val perSide = reg.groupBy(col("l_returnflag"))
+          .agg(sum(expr("shiftleft(1L, cast(52 - m AS int))")).as("z"),
+            count(lit(1)).as("np"))
+        val ea = perSide.filter(col("l_returnflag") === "A")
+          .select(estCol.as("ea"))
+        val er = perSide.filter(col("l_returnflag") === "R")
+          .select(estCol.as("er"))
+        val eu = reg.groupBy(col("bucket")).agg(max(col("m")).as("m"))
+          .agg(sum(expr("shiftleft(1L, cast(52 - m AS int))")).as("z"),
+            count(lit(1)).as("np"))
+          .select(estCol.as("eu"))
+        val ex = li.filter(col("l_returnflag") === "A")
+          .select(col("l_orderkey")).distinct()
+          .join(li.filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey")).distinct(), Seq("l_orderkey"))
+          .agg(count(lit(1)).as("n_exact_inter"))
+        ex.crossJoin(broadcast(ea)).crossJoin(broadcast(er)).crossJoin(broadcast(eu))
+          .select(col("n_exact_inter"),
+            round(col("ea"), 4).as("est_a"), round(col("er"), 4).as("est_r"),
+            round(col("eu"), 4).as("est_union"),
+            round(col("ea") + col("er") - col("eu"), 4).as("est_inter"))
+      },
+      Some(s"""WITH li AS (SELECT * FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+              |th AS (SELECT l_returnflag,
+              |  ${duckH60("CAST(l_orderkey AS VARCHAR)")} AS th
+              |  FROM li),
+              |reg AS (SELECT l_returnflag, th & 511 AS bucket,
+              |  CASE WHEN (th >> 9) = 0 THEN 52 ELSE 52 - length(bin(th >> 9)) END AS rho
+              | FROM th),
+              |mx AS (SELECT l_returnflag, bucket, max(rho) AS m FROM reg GROUP BY 1, 2),
+              |ps AS (SELECT l_returnflag,
+              |   CAST(sum(1::BIGINT << CAST(52 - m AS INT)) AS BIGINT) AS z,
+              |   CAST(count(*) AS BIGINT) AS np
+              |  FROM mx GROUP BY 1),
+              |mg AS (SELECT bucket, max(m) AS m FROM mx GROUP BY 1),
+              |pu AS (SELECT CAST(sum(1::BIGINT << CAST(52 - m AS INT)) AS BIGINT) AS z,
+              |   CAST(count(*) AS BIGINT) AS np FROM mg),
+              |ea AS (SELECT $hllAlphaNum512 / CAST(z + (512 - np) * (1::BIGINT << 52) AS DOUBLE) AS e
+              |  FROM ps WHERE l_returnflag = 'A'),
+              |er AS (SELECT $hllAlphaNum512 / CAST(z + (512 - np) * (1::BIGINT << 52) AS DOUBLE) AS e
+              |  FROM ps WHERE l_returnflag = 'R'),
+              |eu AS (SELECT $hllAlphaNum512 / CAST(z + (512 - np) * (1::BIGINT << 52) AS DOUBLE) AS e
+              |  FROM pu),
+              |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_inter FROM
+              |  (SELECT DISTINCT l_orderkey FROM li WHERE l_returnflag = 'A') a
+              |  JOIN (SELECT DISTINCT l_orderkey FROM li WHERE l_returnflag = 'R') b
+              |   USING (l_orderkey))
+              |SELECT ex.n_exact_inter, round(ea.e, 4) AS est_a, round(er.e, 4) AS est_r,
+              |  round(eu.e, 4) AS est_union, round(ea.e + er.e - eu.e, 4) AS est_inter
+              |FROM ex, ea, er, eu""".stripMargin)),
+
+    Q("q253_benford_audit",
+      (s, d) => graft.ops.QualityAudit.benford(T(s, d, "lineitem"),
+        col("l_extendedprice")),
+      Some("""WITH dg AS (SELECT substring(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+             |  FROM lineitem WHERE CAST(l_extendedprice AS DOUBLE) >= 1.0),
+             |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY 1),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM dg),
+             |e AS (SELECT * FROM (VALUES ('1', 301029), ('2', 176091), ('3', 124938),
+             |  ('4', 96910), ('5', 79181), ('6', 66946), ('7', 57991),
+             |  ('8', 51152), ('9', 45757)) v(digit, benford_u))
+             |SELECT c.digit, c.n, CAST(c.n * 1000000 // t.tot AS BIGINT) AS share_u,
+             |  CAST(e.benford_u AS BIGINT) AS benford_u,
+             |  CAST(abs(c.n * 1000000 // t.tot - e.benford_u) AS BIGINT) AS dev_u
+             |FROM c JOIN e USING (digit), t""".stripMargin)),
+
+    Q("q254_isotropy_audit",
+      (s, d) => graft.ops.Decomposition.isotropyAudit(T(s, d, "embeddings")),
+      Some("""WITH iv AS (SELECT label,
+             |   list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iemb
+             |  FROM embeddings),
+             |mu AS (SELECT label, d, CAST(floor(sum(x)::DOUBLE / count(*)) AS BIGINT) AS mu
+             |  FROM (SELECT label, unnest(iemb) AS x, generate_subscripts(iemb, 1) AS d FROM iv)
+             |  GROUP BY 1, 2),
+             |m2 AS (SELECT label, CAST(sum(mu * mu) AS BIGINT) AS m2_u2 FROM mu GROUP BY 1),
+             |nr AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+             |   CAST(sum(rn_m) AS BIGINT) AS srn
+             |  FROM (SELECT label,
+             |     list_sum(list_transform(iemb, x -> x * x)) // 1000000 AS rn_m FROM iv)
+             |  GROUP BY 1)
+             |SELECT nr.label, nr.n_vectors, m2.m2_u2,
+             |  CAST(nr.srn // nr.n_vectors AS BIGINT) AS mean_norm2_m,
+             |  CAST(m2.m2_u2 // greatest(nr.srn // nr.n_vectors, 1) AS BIGINT) AS iso_u
+             |FROM nr JOIN m2 USING (label)""".stripMargin)),
+
+    Q("q255_ks_drift",
+      (s, d) => graft.ops.QualityAudit.ksDrift(T(s, d, "documents"),
+        col("n_chars"), col("source")),
+      Some("""WITH v AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v FROM documents),
+             |gh AS (SELECT v, CAST(count(*) AS BIGINT) AS gcnt FROM v GROUP BY 1),
+             |grps AS (SELECT DISTINCT grp FROM v),
+             |sh AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS scnt FROM v GROUP BY 1, 2),
+             |grid AS (SELECT g.grp, h.v, h.gcnt, coalesce(s.scnt, 0) AS scnt
+             |  FROM gh h CROSS JOIN grps g
+             |  LEFT JOIN sh s ON s.grp = g.grp AND s.v = h.v),
+             |cums AS (SELECT grp, v,
+             |   CAST(sum(scnt) OVER w AS BIGINT) AS scum,
+             |   CAST(sum(gcnt) OVER w AS BIGINT) AS gcum
+             |  FROM grid WINDOW w AS (PARTITION BY grp ORDER BY v)),
+             |tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_grp FROM v GROUP BY 1),
+             |gt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM v),
+             |keys AS (SELECT c.grp, t.n_grp, gt.n_tot - t.n_grp AS n_rest,
+             |   abs(c.scum * 1000000 // t.n_grp
+             |     - (c.gcum - c.scum) * 1000000 // greatest(gt.n_tot - t.n_grp, 1))
+             |     * 100000000 + c.v AS key
+             |  FROM cums c JOIN tot t USING (grp), gt)
+             |SELECT grp, n_grp, CAST(n_rest AS BIGINT) AS n_rest,
+             |  CAST(max(key) // 100000000 AS BIGINT) AS ks_u,
+             |  CAST(max(key) % 100000000 AS BIGINT) AS ks_at_v
+             |FROM keys GROUP BY 1, 2, 3""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs
+      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -128,4 +128,51 @@ object Classifier {
         expr("sum_abs div n_docs").as("mean_abs_score_u"),
         (col("weak_label") =!= col("pred_label")).as("noise_suspect"))
   }
+
+  /** Cohen's kappa between the weak labeler and the feature model — the
+    * chance-corrected agreement scalar the raw `agree` rate of
+    * [[naiveBayesScore]] overstates (a labeler that says "keep" 95% of the
+    * time agrees 90%+ with ANY keep-heavy model by chance alone). Computed
+    * from the confusion cells: p_o = diagonal mass, p_e = Σ_c (row
+    * marginal · column marginal) / n², κ = (p_o − p_e)/(1 − p_e).
+    *
+    * Integer contract (engine-exact, scale-safe): marginals convert to
+    * µ-shares BEFORE multiplying — p_e_u = Σ_c ⌊⌊rm·10⁶/n⌋·⌊cm·10⁶/n⌋/10⁶⌋
+    * — so nothing ever forms n² (which overflows BIGINT near 3·10⁹ rows);
+    * products stay ≤ 10¹² · |classes|. κ is emitted shifted as
+    * `kappa_p1_u` = ⌊(κ+1)·10⁶⌋ because κ ∈ [−1, 1] and the two engines
+    * disagree on negative integer division (Spark `div` truncates toward
+    * zero, DuckDB `//` floors) — the +1 shift keeps every quotient
+    * non-negative where they agree.
+    *
+    * Scale shape: [[naiveBayesScore]]'s per-row scoring → a ≤ 4-row
+    * confusion agg → class-marginal full-join (≤ 2 rows) → 1-row rollup.
+    *
+    * @return 1 row: (n_docs, n_agree, po_u, pe_u, kappa_p1_u)
+    */
+  def cohensKappa(docs: DataFrame): DataFrame = {
+    val cells = naiveBayesScore(docs)
+      .groupBy(col("weak_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+    val rm = cells.groupBy(col("weak_label").as("cls"))
+      .agg(sum(col("n")).as("rm"))
+    val cm = cells.groupBy(col("pred_label").as("cls"))
+      .agg(sum(col("n")).as("cm"))
+    val tot = cells.agg(sum(col("n")).as("n_docs"),
+      sum(when(col("weak_label") === col("pred_label"), col("n"))
+        .otherwise(lit(0L))).as("n_agree"))
+    val pe = rm.join(cm, Seq("cls"), "full_outer")
+      .crossJoin(broadcast(tot))
+      .select(expr("coalesce(rm, 0) * 1000000 div n_docs").as("rm_u"),
+        expr("coalesce(cm, 0) * 1000000 div n_docs").as("cm_u"))
+      .agg(sum(expr("rm_u * cm_u div 1000000")).as("pe_u"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("n_docs"), col("n_agree"),
+        expr("n_agree * 1000000 div n_docs").as("po_u"), col("pe_u"),
+        // greatest(…, 1) guards the degenerate single-class corpus
+        // (p_e = 1 ⇒ κ is 0/0; Spark's div-by-zero NULLs while DuckDB
+        // errors — the guard keeps both engines on the same finite value)
+        expr("""(n_agree * 1000000 div n_docs - pe_u + 1000000 - pe_u)
+                * 1000000 div greatest(1000000 - pe_u, 1)""").as("kappa_p1_u"))
+  }
 }

@@ -174,4 +174,46 @@ object Decomposition {
       .agg(count(lit(1)).as("n_pairs"), min(col("ratio_u")).as("min_ratio_u"),
         max(col("ratio_u")).as("max_ratio_u"))
   }
+
+  /** Embedding-space isotropy audit per label — the "is this space usable
+    * for cosine retrieval" gauge (Ethayarajh 2019's finding, reduced to its
+    * first moment): isotropy ≈ ‖μ‖²/E‖x‖². Near 0 the cloud is centered
+    * (directions carry signal); near 10⁶ µ every vector points the same way
+    * and cosine similarity saturates — the symptom the mean-centering in
+    * [[Similarity.hyperplaneCells]] exists to fix. Also reports the mean
+    * norm in milli-µ² so collapsing or exploding norms (a training bug
+    * upstream of the index) surface in the same relation.
+    *
+    * Integer contract: µ-unit coordinates; per-dim mean floor'd (exact:
+    * |Σx| ≤ n·2²¹ ≪ 2⁵³, the pcaTopComponent note); per-ROW squared norms
+    * pre-scaled to µ²/10⁶ units BEFORE the corpus sum so the running total
+    * stays exact to ~10¹¹ rows (a raw µ² sum would leave the exact-BIGINT
+    * envelope at ~10⁵ rows).
+    *
+    * Scale shape: one explode pass → (label, d) means (dim·|labels| rows)
+    * → one dim-bounded rollup per label; one per-row norm projection →
+    * (label) rollup. Nothing joins corpus-sized relations.
+    *
+    * @return one row per label: (label, n_vectors, m2_u2, mean_norm2_m,
+    *         iso_u)
+    */
+  def isotropyAudit(embeddings: DataFrame): DataFrame = {
+    val iv = Dedup.fanOut(embeddings).select(col("label"),
+      transform(col("embedding"),
+        v => floor(v.cast("double") * 1000000d).cast("long")).as("iemb"))
+    val mu = iv.select(col("label"), posexplode(col("iemb")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long")
+        .as("mu"))
+    val m2 = mu.groupBy(col("label")).agg(sum(col("mu") * col("mu")).as("m2_u2"))
+    val norms = iv.select(col("label"),
+        expr("aggregate(iemb, 0L, (acc, x) -> acc + x * x) div 1000000")
+          .as("rn_m"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("rn_m")).as("srn"))
+    norms.join(m2, Seq("label"))
+      .select(col("label"), col("n_vectors"), col("m2_u2"),
+        expr("srn div n_vectors").as("mean_norm2_m"),
+        expr("m2_u2 div greatest(srn div n_vectors, 1)").as("iso_u"))
+  }
 }

@@ -904,4 +904,43 @@ object Dedup {
       .select(col("n_docs"), col("n_buckets"), col("n_multi_buckets"),
         col("est_pairs"), expr("mm * 1000000 div n_docs").as("multi_mass_u"))
   }
+
+  /** Fuzzy train-set decontamination — the near-duplicate reading of
+    * [[TextAnalysis.decontaminate]] (which drops only EXACT n-gram
+    * overlaps): any training document that MinHash-verifies as a near-dup
+    * of a benchmark document is surfaced for removal, because paraphrased
+    * or lightly-edited eval leakage survives exact-overlap screens but not
+    * a Jaccard one (the standard "fuzzy decontamination" pass of LLM
+    * training-data hygiene). `isBench` marks the held-out/benchmark side;
+    * pairs entirely inside one side are discarded (bench↔bench dups are a
+    * bench-curation problem, train↔train dups are [[minhashLsh]] dedup's
+    * job — this op is ONLY the cross-boundary screen).
+    *
+    * Scale shape: all corpus-sized work is [[minhashLsh]]'s banded bucket
+    * machinery (never all-pairs); the boundary check is two narrow
+    * (doc_id, bool) equi-joins onto the candidate-bounded pair relation,
+    * and the keep/drop rollup is keyed by the dropped doc. At 100 TB the
+    * bench side is naturally tiny but nothing here assumes it: both
+    * membership joins shuffle only pair-relation rows.
+    *
+    * @param isBench boolean column over `docs` marking benchmark members
+    * @return one row per contaminated TRAIN doc:
+    *         (drop_id, n_bench_hits, max_j_u, bench_id_min)
+    */
+  def fuzzyDecontaminate(docs: DataFrame, isBench: Column,
+      numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    val flags = docs.select(col("doc_id"), isBench.as("is_bench"))
+    minhashLsh(docs, numHashes, rowsPerBand, threshold)
+      .withColumn("j_u", round(col("jaccard") * 1000000d).cast("long"))
+      .join(flags.select(col("doc_id").as("a"), col("is_bench").as("ba")), Seq("a"))
+      .join(flags.select(col("doc_id").as("b"), col("is_bench").as("bb")), Seq("b"))
+      .filter(col("ba") =!= col("bb"))
+      .select(when(col("ba"), col("b")).otherwise(col("a")).as("drop_id"),
+        when(col("ba"), col("a")).otherwise(col("b")).as("bench_id"),
+        col("j_u"))
+      .groupBy(col("drop_id"))
+      .agg(count(lit(1)).as("n_bench_hits"), max(col("j_u")).as("max_j_u"),
+        min(col("bench_id")).as("bench_id_min"))
+  }
 }

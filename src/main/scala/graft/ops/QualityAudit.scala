@@ -77,4 +77,121 @@ object QualityAudit {
       .select(col("rule"), col("violations"), col("total"),
         (col("violations") === 0).as("pass"))
   }
+
+  /** Robust (median/MAD) outlier audit per group — the length-filter quality
+    * pass that mean/stddev rules get wrong on heavy-tailed corpora (one
+    * 10 MB document drags a mean-based cut far enough to pass every other
+    * anomaly; the median and the median-absolute-deviation don't move).
+    * Flags values with |v − median| > `k`·MAD (k=4 ≈ a 2.7σ cut under
+    * normality via the 1.4826 consistency factor, kept INTEGER so both
+    * engines agree bit-for-bit).
+    *
+    * Exact medians, relationally: per-group value HISTOGRAM (the value
+    * domain — document lengths — is orders of magnitude smaller than the
+    * corpus) → running count over the domain ordered by value, partitioned
+    * by group (never a global sort) → low median = min v with
+    * cum ≥ ⌈n/2⌉. The MAD repeats the same trick on |v − med|. Group
+    * medians/MADs broadcast (|groups| rows) for the flag pass.
+    *
+    * @return one row per group: (grp, n, med, mad, n_outliers, outlier_share_u)
+    */
+  def robustOutliers(df: DataFrame, valueCol: Column, groupCol: Column,
+      k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(groupCol.as("grp"), valueCol.cast("long").as("v"))
+    val tot = v.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    def lowMedian(vals: DataFrame, c: String): DataFrame = {
+      val hist = vals.groupBy(col("grp"), col(c)).agg(count(lit(1)).as("cnt"))
+      val cum = hist.withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("grp")).orderBy(col(c))))
+      cum.join(broadcast(tot), Seq("grp"))
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy(col("grp")).agg(min(col(c)).as(s"${c}_med"))
+    }
+    val med = lowMedian(v, "v")
+    val dev = v.join(broadcast(med), Seq("grp"))
+      .select(col("grp"), col("v"), abs(col("v") - col("v_med")).as("d"))
+    val mad = lowMedian(dev, "d")
+    dev.join(broadcast(mad), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d") > lit(k.toLong) * col("d_med"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .join(broadcast(med), Seq("grp")).join(broadcast(mad), Seq("grp"))
+      .select(col("grp"), col("n"), col("v_med").as("med"),
+        col("d_med").as("mad"), col("n_outliers"),
+        expr("n_outliers * 1000000 div n").as("outlier_share_u"))
+  }
+
+  /** Benford first-digit audit — the synthetic/fabricated-data forensic:
+    * naturally occurring multiplicative quantities follow
+    * P(d) = log₁₀(1 + 1/d), while generated or templated numerics cluster
+    * uniformly. Per first significant digit of ⌊value⌋ (values < 1
+    * excluded — they have no leading integer digit): observed count,
+    * µ-share, the Benford expectation (log₁₀ constants pre-floored to µ so
+    * no engine evaluates a logarithm), and the absolute deviation. One
+    * fused scan → a ≤ 9-row aggregate; the total attaches as a 1-row
+    * broadcast scalar.
+    *
+    * @return (digit, n, share_u, benford_u, dev_u), one row per observed digit
+    */
+  def benford(df: DataFrame, valueCol: Column): DataFrame = {
+    val benfordU = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    val expect = element_at(
+      map(benfordU.zipWithIndex.flatMap { case (u, i) =>
+        Seq(lit((i + 1).toString), lit(u))
+      }: _*), col("digit"))
+    val digits = df.select(valueCol.cast("double").as("x"))
+      .filter(col("x") >= 1.0)
+      .select(substring(floor(col("x")).cast("long").cast("string"), 1, 1)
+        .as("digit"))
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(count(lit(1)).as("tot"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div tot").as("share_u"), expect.as("benford_u"))
+      .withColumn("dev_u", abs(col("share_u") - col("benford_u")))
+  }
+
+  /** Kolmogorov–Smirnov drift per group — max CDF gap between each group's
+    * value distribution and the REST of the corpus (leave-one-out, so a
+    * big group can't hide its own drift by dominating the reference), the
+    * exact-statistic sibling of the binned PSI (q184) and token-level JSD
+    * (q239) monitors. The KS sup runs over the union breakpoint grid =
+    * the global distinct-value domain, built once and fanned to groups by
+    * a |groups|-row broadcast; CDFs are running counts over the domain
+    * partitioned by group (never a global sort); the sup and its argmax
+    * pack into ONE integer key (gap_u·10⁸ + v, valid while values < 10⁸)
+    * so one agg returns both deterministically (ties break to the largest
+    * breakpoint).
+    *
+    * @return one row per group: (grp, n_grp, n_rest, ks_u, ks_at_v)
+    */
+  def ksDrift(df: DataFrame, valueCol: Column, groupCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(groupCol.as("grp"), valueCol.cast("long").as("v"))
+    val gh = v.groupBy(col("v")).agg(count(lit(1)).as("gcnt"))
+    val grps = v.select(col("grp")).distinct()
+    val sh = v.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("scnt"))
+    val grid = gh.crossJoin(broadcast(grps))
+      .join(sh, Seq("grp", "v"), "left")
+      .withColumn("scnt", coalesce(col("scnt"), lit(0L)))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+    val cums = grid
+      .withColumn("scum", sum(col("scnt")).over(w))
+      .withColumn("gcum", sum(col("gcnt")).over(w))
+    val tot = v.groupBy(col("grp")).agg(count(lit(1)).as("n_grp"))
+    val gtot = v.agg(count(lit(1)).as("n_tot"))
+    cums.join(broadcast(tot), Seq("grp")).crossJoin(broadcast(gtot))
+      .select(col("grp"), col("n_grp"),
+        (col("n_tot") - col("n_grp")).as("n_rest"),
+        (abs(expr("scum * 1000000 div n_grp")
+          - expr("(gcum - scum) * 1000000 div greatest(n_tot - n_grp, 1)"))
+          * 100000000L + col("v")).as("key"))
+      .groupBy(col("grp"), col("n_grp"), col("n_rest"))
+      .agg(max(col("key")).as("k"))
+      .select(col("grp"), col("n_grp"), col("n_rest"),
+        expr("k div 100000000").as("ks_u"), expr("k % 100000000").as("ks_at_v"))
+  }
 }

@@ -95,7 +95,13 @@ object PlanSweepSupport {
     "q245_mixture_advisor", // 1-row weight-normalizer scalar attach
     "q246_classifier_pipeline", // q236's prior + three 1-row funnel counts
     "q247_water_fill", // 1-row source-count + funded-mass scalar attaches
-    "q248_vocab_spectrum") // 1-row vocabulary-totals scalar attach
+    "q248_vocab_spectrum", // 1-row vocabulary-totals scalar attach
+    "q250_cohens_kappa", // ≤4-row confusion-total + 1-row p_e scalar attaches
+    "q252_hll_intersect", // three 1-row HLL-estimate scalar attaches
+    "q253_benford_audit", // 1-row digit-total scalar attach
+    // q255: |sources|-row group fan-out onto the breakpoint grid + the
+    // 1-row corpus-total scalar attach
+    "q255_ks_drift")
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -182,7 +188,11 @@ object PlanSweepSupport {
     // q247: the ascending window + both scalar rollups run on the
     // |sources|-row aggregate, never corpus rows
     "q247_water_fill",
-    "q248_vocab_spectrum") // ≤64-bin relation + 1-row vocabulary totals
+    "q248_vocab_spectrum", // ≤64-bin relation + 1-row vocabulary totals
+    "q250_cohens_kappa", // ≤4-row confusion cells + 1-row totals scalars
+    "q252_hll_intersect", // 512-register rollups merge to 1-row Z scalars
+    "q253_benford_audit", // 1-row digit-total scalar
+    "q255_ks_drift") // 1-row corpus-total scalar
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:

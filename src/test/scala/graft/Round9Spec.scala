@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Classifier, Decomposition, Dedup, QualityAudit}
+
+/** Planted-case specs for the round-9 batch: fuzzy eval-set
+  * decontamination, Cohen's κ, robust median/MAD outliers, the Benford
+  * first-digit audit, embedding isotropy, KS drift, and the HLL
+  * intersection estimate (q252, audited on real sf0.001 data).
+  */
+class Round9Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("fuzzyDecontaminate drops only train docs near-dup to bench docs") {
+    // doc 10 (bench: %10==0) ≡ doc 11 (train) → 11 must be dropped;
+    // 1≡2 are train↔train dups and 20≡30 bench↔bench — both out of scope
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten eleven"
+    val t3 = "red orange yellow green blue indigo violet umber ochre teal"
+    val docs = Seq(
+      (10L, t1), (11L, t1), (1L, t2), (2L, t2), (20L, t3), (30L, t3))
+      .toDF("doc_id", "text")
+    val out = Dedup.fuzzyDecontaminate(docs, col("doc_id") % 10 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((11L, 1L, 1000000L, 10L)))
+  }
+
+  test("cohensKappa is consistent with the naiveBayesScore confusion") {
+    val docs = spark.read.parquet(s"$testData/sf0.001/documents.parquet")
+    val row = Classifier.cohensKappa(docs).collect().head
+    val (n, agree, po, pe, kp1) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4))
+    val score = Classifier.naiveBayesScore(docs)
+    assert(n == score.count())
+    assert(agree == score.filter(col("agree")).count())
+    assert(po == agree * 1000000L / n)
+    assert(pe >= 0 && pe <= 1000000L)
+    // κ ∈ [−1, 1] ⇒ shifted µ value in [0, 2·10⁶]; κ ≤ 1 means
+    // kappa_p1_u ≤ 2e6, and chance-corrected ≤ raw agreement
+    assert(kp1 >= 0 && kp1 <= 2000000L)
+    // κ ≤ p_o whenever p_o ≤ 1 (chance correction only subtracts);
+    // ±5 µ slack for the three floor truncations in the integer pipeline
+    assert(kp1 - 1000000L <= po + 5)
+  }
+
+  test("robustOutliers: exact low medians, MAD, and the 4·MAD cut") {
+    val df = Seq(
+      ("a", 10L), ("a", 10L), ("a", 10L), ("a", 10L), ("a", 100L),
+      ("b", 1L), ("b", 2L), ("b", 3L), ("b", 4L), ("b", 5L))
+      .toDF("grp", "v")
+    val out = QualityAudit.robustOutliers(df, col("v"), col("grp"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      // a: med 10, deviations (0,0,0,0,90) → MAD 0; 90 > 4·0 → 1 outlier
+      ("a", 5L, 10L, 0L, 1L, 200000L),
+      // b: med 3, deviations (2,1,0,1,2) → MAD 1; none exceed 4
+      ("b", 5L, 3L, 1L, 0L, 0L)))
+  }
+
+  test("benford counts first significant digits and excludes values < 1") {
+    val df = Seq(1.5, 10.0, 199.0, 2.0, 25.0, 33.0, 0.5).toDF("x")
+    val out = QualityAudit.benford(df, col("x")).orderBy("digit").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("1", 3L, 500000L, 301029L, 198971L),
+      ("2", 2L, 333333L, 176091L, 157242L),
+      ("3", 1L, 166666L, 124938L, 41728L)))
+  }
+
+  test("isotropyAudit: aligned cloud scores 10⁶ µ, centered cloud 0") {
+    val emb = Seq(
+      (0, Array(1f, 0f)), (0, Array(1f, 0f)),
+      (1, Array(1f, 0f)), (1, Array(-1f, 0f)))
+      .toDF("label", "embedding")
+    val out = Decomposition.isotropyAudit(emb).orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0, 2L, 1000000000000L, 1000000L, 1000000L),
+      (1, 2L, 0L, 1000000L, 0L)))
+  }
+
+  test("ksDrift finds the exact sup-gap and its breakpoint") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
+      .toDF("grp", "v")
+    val out = QualityAudit.ksDrift(df, col("v"), col("grp"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // both groups fully separate at v=2: |CDF_grp − CDF_rest| = 1
+    assert(out.toSeq == Seq(
+      ("a", 2L, 2L, 1000000L, 2L),
+      ("b", 2L, 2L, 1000000L, 2L)))
+  }
+
+  test("q252 HLL intersection estimate tracks the exact overlap (sf0.001)") {
+    val row = Queries.queries("q252_hll_intersect")(spark, s"$testData/sf0.001")
+      .collect().head
+    val exact = row.getLong(0)
+    val (ea, er, eu, ei) = (row.getDouble(1), row.getDouble(2),
+      row.getDouble(3), row.getDouble(4))
+    assert(ea > 0 && er > 0 && eu > 0)
+    // per-estimate HLL σ at m=512 is ~4.6%; union must be ≤ sides' sum and
+    // the inclusion–exclusion estimate within a generous envelope of exact
+    assert(eu <= ea + er)
+    assert(math.abs(ei - exact) <= 0.3 * exact + 50.0)
+  }
+}
