@@ -151,9 +151,13 @@ object Classifier {
     * @return 1 row: (n_docs, n_agree, po_u, pe_u, kappa_p1_u)
     */
   def cohensKappa(docs: DataFrame): DataFrame = {
-    val cells = naiveBayesScore(docs)
-      .groupBy(col("weak_label"), col("pred_label"))
-      .agg(count(lit(1)).as("n"))
+    // materialize the ≤4-row confusion ONCE: rm/cm/tot each re-embed the
+    // full corpus-scoring subtree otherwise (measured 7.5 s → the chain
+    // runs once like q236's ~2 s)
+    val cells = org.apache.spark.sql.graft.FreshCheckpoint(
+      naiveBayesScore(docs)
+        .groupBy(col("weak_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n")))
     val rm = cells.groupBy(col("weak_label").as("cls"))
       .agg(sum(col("n")).as("rm"))
     val cm = cells.groupBy(col("pred_label").as("cls"))

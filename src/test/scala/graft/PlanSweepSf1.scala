@@ -54,7 +54,12 @@ class PlanSweepSf1 extends SparkTestBase {
     "q236_naive_bayes_score", "q239_source_divergence",
     "q240_label_purity", "q244_dup_rate_estimate",
     // batch-14 compositions (cascade + banded sig + JSD; NB chain + dedup)
-    "q245_mixture_advisor", "q246_classifier_pipeline")
+    "q245_mixture_advisor", "q246_classifier_pipeline",
+    // round-9 non-trivial additions: LSH-pair boundary screen, NB-chain
+    // rollup, and the two value-domain window audits (q252/q253/q254 are
+    // map+agg or bounded-register rollups, structurally linear)
+    "q249_fuzzy_decontaminate", "q250_cohens_kappa",
+    "q251_robust_outliers", "q255_ks_drift")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 
