@@ -6861,7 +6861,61 @@ object Queries {
              |SELECT grp, n_grp, CAST(n_rest AS BIGINT) AS n_rest,
              |  CAST(max(key) // 100000000 AS BIGINT) AS ks_u,
              |  CAST(max(key) % 100000000 AS BIGINT) AS ks_at_v
-             |FROM keys GROUP BY 1, 2, 3""".stripMargin)))
+             |FROM keys GROUP BY 1, 2, 3""".stripMargin)),
+
+    Q("q256_rfm_segments",
+      (s, d) => graft.ops.TimeSeries.rfmSegments(T(s, d, "events")),
+      // per-user RFM stats → per-dimension quintile cuts off value-domain
+      // running counts → scored cells with behavioral labels
+      Some("""WITH anchor AS (SELECT max(epoch_us(ts)) AS anchor_us FROM events),
+             |per AS (SELECT user_id,
+             |   CAST((a.anchor_us - max(epoch_us(ts))) // 86400000000 AS BIGINT) AS r,
+             |   CAST(count(*) AS BIGINT) AS f,
+             |   CAST(round(sum(value) * 100, 0) AS BIGINT) AS m_cents,
+             |   CAST(round(sum(value) * 100, 0) AS BIGINT) // 1000 AS m_bin
+             |  FROM events, anchor a GROUP BY user_id, a.anchor_us),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+             |rcum AS (SELECT r AS v, sum(count(*)) OVER (ORDER BY r) AS cum
+             |  FROM per GROUP BY r),
+             |rcut AS (SELECT
+             |   min(CASE WHEN cum >= (20 * n + 99) // 100 THEN v END) AS c20,
+             |   min(CASE WHEN cum >= (40 * n + 99) // 100 THEN v END) AS c40,
+             |   min(CASE WHEN cum >= (60 * n + 99) // 100 THEN v END) AS c60,
+             |   min(CASE WHEN cum >= (80 * n + 99) // 100 THEN v END) AS c80
+             |  FROM rcum, tot),
+             |fcum AS (SELECT f AS v, sum(count(*)) OVER (ORDER BY f) AS cum
+             |  FROM per GROUP BY f),
+             |fcut AS (SELECT
+             |   min(CASE WHEN cum >= (20 * n + 99) // 100 THEN v END) AS c20,
+             |   min(CASE WHEN cum >= (40 * n + 99) // 100 THEN v END) AS c40,
+             |   min(CASE WHEN cum >= (60 * n + 99) // 100 THEN v END) AS c60,
+             |   min(CASE WHEN cum >= (80 * n + 99) // 100 THEN v END) AS c80
+             |  FROM fcum, tot),
+             |mcum AS (SELECT m_bin AS v, sum(count(*)) OVER (ORDER BY m_bin) AS cum
+             |  FROM per GROUP BY m_bin),
+             |mcut AS (SELECT
+             |   min(CASE WHEN cum >= (20 * n + 99) // 100 THEN v END) AS c20,
+             |   min(CASE WHEN cum >= (40 * n + 99) // 100 THEN v END) AS c40,
+             |   min(CASE WHEN cum >= (60 * n + 99) // 100 THEN v END) AS c60,
+             |   min(CASE WHEN cum >= (80 * n + 99) // 100 THEN v END) AS c80
+             |  FROM mcum, tot),
+             |scored AS (SELECT user_id, m_cents,
+             |   CAST(5 - ((r > rc.c20)::INT + (r > rc.c40)::INT
+             |     + (r > rc.c60)::INT + (r > rc.c80)::INT) AS BIGINT) AS r_score,
+             |   CAST(1 + ((f > fc.c20)::INT + (f > fc.c40)::INT
+             |     + (f > fc.c60)::INT + (f > fc.c80)::INT) AS BIGINT) AS f_score,
+             |   CAST(1 + ((m_bin > mc.c20)::INT + (m_bin > mc.c40)::INT
+             |     + (m_bin > mc.c60)::INT + (m_bin > mc.c80)::INT) AS BIGINT) AS m_score
+             |  FROM per, rcut rc, fcut fc, mcut mc)
+             |SELECT r_score, f_score, m_score,
+             |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+             |       WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+             |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+             |       WHEN r_score <= 2 AND f_score <= 2 THEN 'dormant'
+             |       ELSE 'core' END AS segment,
+             |  CAST(count(*) AS BIGINT) AS n_users,
+             |  CAST(sum(m_cents) // count(*) AS BIGINT) AS mean_m_cents
+             |FROM scored GROUP BY 1, 2, 3, 4""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

@@ -100,4 +100,77 @@ object TimeSeries {
         floor(abs(col("value") - col("med")) / col("mad") * 1000000)
           .cast("long").as("dev_u"))
   }
+
+  /** RFM (recency / frequency / monetary) segmentation — the classic
+    * customer-value partition, emitted as the ≤ 125-row (r, f, m) cell
+    * rollup with behavioral segment labels rather than a per-user table
+    * (the per-user scores are an intermediate; the cell relation is what a
+    * campaign targets and what fits in a report).
+    *
+    * Quintile scores WITHOUT a global sort: each dimension's cuts come from
+    * a value-domain histogram + running count (the robustOutliers/q139
+    * discipline). Recency days and per-user event counts have naturally
+    * bounded domains; monetary is coarse-binned to `mBinCents` before the
+    * histogram so its domain is (range/bin)-bounded too — the score is
+    * exact at bin granularity, the documented trade for never sorting a
+    * per-user relation. Cut rows are three 1-row broadcast attaches.
+    *
+    * Integer contract: recency = µs-epoch day diff (integer div);
+    * monetary = round(sum·100) cents (the q117 double-sum convention —
+    * rounding absorbs FP association drift); scores 1–5 by boundary
+    * comparisons; cut k = ⌈q·n/100⌉ via (q·n + 99) div 100. Monetary
+    * totals are assumed non-negative (a charge stream) — a refund-heavy
+    * stream with negative user totals would need floor-div binning (Spark
+    * `div` truncates toward zero, DuckDB `//` floors).
+    *
+    * @return (r_score, f_score, m_score, segment, n_users, mean_m_cents)
+    */
+  def rfmSegments(events: DataFrame, mBinCents: Long = 1000): DataFrame = {
+    val anchor = events.agg(max(unix_micros(col("ts"))).as("anchor_us"))
+    val per = org.apache.spark.sql.graft.FreshCheckpoint(
+      events.groupBy(col("user_id"))
+        .agg(max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("f"),
+          expr("CAST(round(sum(value) * 100, 0) AS BIGINT)").as("m_cents"))
+        .crossJoin(broadcast(anchor))
+        .select(col("user_id"),
+          expr("(anchor_us - last_us) div 86400000000").as("r"),
+          col("f"), col("m_cents"),
+          expr(s"m_cents div $mBinCents").as("m_bin")))
+    val tot = per.agg(count(lit(1)).as("n"))
+    /** 1-row (p*_20..p*_80) quintile-cut relation for dimension `c`. */
+    def cutRow(c: String, p: String): DataFrame = {
+      val cum = per.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col(c))))
+        .crossJoin(broadcast(tot))
+      cum.agg(
+        min(when(col("cum") >= expr("(20 * n + 99) div 100"), col(c))).as(s"${p}20"),
+        min(when(col("cum") >= expr("(40 * n + 99) div 100"), col(c))).as(s"${p}40"),
+        min(when(col("cum") >= expr("(60 * n + 99) div 100"), col(c))).as(s"${p}60"),
+        min(when(col("cum") >= expr("(80 * n + 99) div 100"), col(c))).as(s"${p}80"))
+    }
+    def above(v: String, p: String): Column =
+      Seq("20", "40", "60", "80")
+        .map(q => when(col(v) > col(s"$p$q"), 1L).otherwise(0L))
+        .reduce(_ + _)
+    val scored = per
+      .crossJoin(broadcast(cutRow("r", "rc")))
+      .crossJoin(broadcast(cutRow("f", "fc")))
+      .crossJoin(broadcast(cutRow("m_bin", "mc")))
+      .select(col("user_id"), col("m_cents"),
+        (lit(5L) - above("r", "rc")).as("r_score"),
+        (lit(1L) + above("f", "fc")).as("f_score"),
+        (lit(1L) + above("m_bin", "mc")).as("m_score"))
+    scored
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+          "champion")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "new")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "dormant")
+          .otherwise("core"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"), col("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        expr("sum(m_cents) div count(1)").as("mean_m_cents"))
+  }
 }

@@ -101,7 +101,9 @@ object PlanSweepSupport {
     "q253_benford_audit", // 1-row digit-total scalar attach
     // q255: |sources|-row group fan-out onto the breakpoint grid + the
     // 1-row corpus-total scalar attach
-    "q255_ks_drift")
+    "q255_ks_drift",
+    // q256: 1-row anchor/total/quintile-cut scalar attaches
+    "q256_rfm_segments")
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -192,7 +194,11 @@ object PlanSweepSupport {
     "q250_cohens_kappa", // ≤4-row confusion cells + 1-row totals scalars
     "q252_hll_intersect", // 512-register rollups merge to 1-row Z scalars
     "q253_benford_audit", // 1-row digit-total scalar
-    "q255_ks_drift") // 1-row corpus-total scalar
+    "q255_ks_drift", // 1-row corpus-total scalar
+    // q256: quintile-cut windows run on bounded value-domain histograms
+    // (recency days / per-user counts / coarse monetary bins), never
+    // per-user rows; plus 1-row anchor/total scalars
+    "q256_rfm_segments")
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:

@@ -97,6 +97,27 @@ class Round9Spec extends SparkTestBase {
       ("b", 2L, 2L, 1000000L, 2L)))
   }
 
+  test("rfmSegments: rank-exact quintile scores and segment labels") {
+    def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2026-01-$day%02d $h%02d:00:00")
+    // five users with strictly ranked R (last-event day), F (events) and M
+    // (10.00 per event) → distinct quintiles per dimension
+    val rows = Seq(
+      (1L, 10, 5), (5L, 9, 4), (4L, 8, 3), (3L, 7, 2), (2L, 6, 1))
+      .flatMap { case (u, lastDay, f) =>
+        (1 to f).map(i => (u, ts(lastDay - f + i, 12), 10.0)) }
+    val events = rows.toDF("user_id", "ts", "value")
+    val out = graft.ops.TimeSeries.rfmSegments(events)
+      .orderBy("r_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, "dormant", 1L, 1000L),
+      (2L, 2L, 2L, "dormant", 1L, 2000L),
+      (3L, 3L, 3L, "core", 1L, 3000L),
+      (4L, 4L, 4L, "champion", 1L, 4000L),
+      (5L, 5L, 5L, "champion", 1L, 5000L)))
+  }
+
   test("q252 HLL intersection estimate tracks the exact overlap (sf0.001)") {
     val row = Queries.queries("q252_hll_intersect")(spark, s"$testData/sf0.001")
       .collect().head
