@@ -128,6 +128,7 @@ object Bench {
     // descending expected cost: the priciest queries meet the freshest JVM
     val heavySet = Seq(
       "q200_canonical_parts", "q191_record_linkage", "q197_pretrain_pipeline",
+      "q257_fuzzy_pretrain_pipeline",
       "q36_ngram_jaccard", "q174_containment", "q102_levenshtein_pairs",
       "q152_pq_ann", "q153_incremental_minhash", "q150_semantic_dedup",
       "q91_sssp_weighted", "q151_substring_spans")

@@ -4879,139 +4879,7 @@ object Queries {
       // at 0.8 for keeper election (q157) → 8-gram decontamination (q127)
       // → cluster-unit split over surviving pairs (q155) → train-split
       // packing (q114) with the five funnel counts attached
-      Some(s"""WITH RECURSIVE
-             |ctoks AS (SELECT doc_id,
-             |   unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
-             |  FROM documents),
-             |crep AS (SELECT doc_id,
-             |   floor((1.0 - count(DISTINCT tok) / count(*)) * 1000000) / 1000000 AS rep_ratio
-             |  FROM ctoks GROUP BY 1),
-             |cm AS (SELECT doc_id,
-             |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-             |  round((
-             |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
-             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
-             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
-             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
-             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
-             |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio,
-             |  round(length(text)::DOUBLE
-             |    / greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE, 1.0), 4) AS mean_word_len
-             | FROM documents),
-             |kept1 AS MATERIALIZED (SELECT d.doc_id, d.lang, d.text
-             |  FROM documents d JOIN cm ON cm.doc_id = d.doc_id
-             |  LEFT JOIN crep ON crep.doc_id = d.doc_id
-             |  WHERE NOT (cm.n_tokens < 20) AND NOT (cm.stopword_ratio < 0.02)
-             |   AND NOT coalesce(crep.rep_ratio > 0.65, FALSE)
-             |   AND NOT (cm.mean_word_len > 5.9)),
-             |lines AS (SELECT doc_id, generate_subscripts(parts, 1) - 1 AS pos,
-             |   unnest(parts) AS line
-             |  FROM (SELECT doc_id, string_split(text, ' line ') AS parts FROM kept1) s),
-             |ldups AS (SELECT line FROM lines GROUP BY line HAVING count(*) > 2),
-             |d2 AS MATERIALIZED (SELECT k.doc_id, k.lang, coalesce(ka.text_dedup, '') AS text
-             |  FROM kept1 k LEFT JOIN (
-             |    SELECT doc_id, string_agg(line, ' line ' ORDER BY pos) AS text_dedup
-             |    FROM lines WHERE line NOT IN (SELECT line FROM ldups)
-             |    GROUP BY 1) ka ON ka.doc_id = k.doc_id),
-             |words AS (SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
-             |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-             |    x -> x <> '') AS tl FROM d2)),
-             |mtoks AS MATERIALIZED (
-             |  SELECT DISTINCT doc_id,
-             |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
-             |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
-             |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
-             |sig AS (SELECT doc_id,
-             |  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
-             |  min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
-             |  min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
-             |  min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
-             |  FROM mtoks GROUP BY doc_id),
-             |bands AS (
-             |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sig
-             |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
-             |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
-             |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
-             |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-             |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
-             |   AND x.doc_id < y.doc_id),
-             |sizes AS (SELECT doc_id, count(*) AS sz FROM mtoks GROUP BY 1),
-             |inter AS (SELECT c.a, c.b, count(*) AS i
-             |  FROM cand c JOIN mtoks ta ON ta.doc_id = c.a
-             |  JOIN mtoks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
-             |  GROUP BY 1, 2),
-             |mh AS MATERIALIZED (SELECT c.a, c.b,
-             |  floor(CAST(coalesce(i.i, 0) AS DOUBLE)
-             |    / (sa.sz + sb.sz - coalesce(i.i, 0)) * 1000000) / 1000000 AS jaccard
-             |FROM cand c
-             |LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
-             |JOIN sizes sa ON sa.doc_id = c.a
-             |JOIN sizes sb ON sb.doc_id = c.b
-             |WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE)
-             |    / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= 0.5),
-             |nd08 AS (SELECT a, b FROM mh WHERE jaccard >= 0.8),
-             |und(a, b) AS MATERIALIZED (SELECT a, b FROM nd08 UNION SELECT b, a FROM nd08),
-             |r(s, id) AS (
-             |  SELECT doc_id, doc_id FROM d2
-             |  UNION SELECT r.s, u.b FROM r JOIN und u ON u.a = r.id),
-             |cl AS (SELECT s AS doc_id, min(id) AS cluster FROM r GROUP BY s),
-             |nt AS (SELECT doc_id,
-             |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
-             |    AS BIGINT) AS n_tokens FROM d2),
-             |kp AS (SELECT cl.doc_id FROM cl JOIN nt ON nt.doc_id = cl.doc_id
-             |  QUALIFY row_number() OVER (PARTITION BY cl.cluster
-             |    ORDER BY nt.n_tokens DESC, cl.doc_id) = 1),
-             |d3 AS MATERIALIZED (SELECT d2.* FROM d2 JOIN kp USING (doc_id)),
-             |dwords AS (SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
-             |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-             |    x -> x <> '') AS tl FROM d3)),
-             |dg AS MATERIALIZED (SELECT DISTINCT doc_id,
-             |   w || ' ' || lead(w, 1) OVER dwin || ' ' || lead(w, 2) OVER dwin
-             |    || ' ' || lead(w, 3) OVER dwin || ' ' || lead(w, 4) OVER dwin
-             |    || ' ' || lead(w, 5) OVER dwin || ' ' || lead(w, 6) OVER dwin
-             |    || ' ' || lead(w, 7) OVER dwin AS gram
-             |  FROM dwords WINDOW dwin AS (PARTITION BY doc_id ORDER BY pos)
-             |  QUALIFY lead(w, 7) OVER dwin IS NOT NULL),
-             |contam AS (SELECT DISTINCT t.doc_id
-             |  FROM dg t JOIN dg b ON b.gram = t.gram
-             |   AND b.doc_id % 7 = 0 AND t.doc_id % 7 <> 0),
-             |d4 AS MATERIALIZED (SELECT * FROM d3 WHERE doc_id % 7 <> 0
-             |  AND doc_id NOT IN (SELECT doc_id FROM contam)),
-             |und2(a, b) AS MATERIALIZED (
-             |  SELECT a, b FROM mh
-             |   WHERE a IN (SELECT doc_id FROM d4) AND b IN (SELECT doc_id FROM d4)
-             |  UNION SELECT b, a FROM mh
-             |   WHERE a IN (SELECT doc_id FROM d4) AND b IN (SELECT doc_id FROM d4)),
-             |r2(s, id) AS (
-             |  SELECT doc_id, doc_id FROM d4
-             |  UNION SELECT r2.s, u.b FROM r2 JOIN und2 u ON u.a = r2.id),
-             |cl2 AS (SELECT s AS doc_id, min(id) AS cluster FROM r2 GROUP BY s),
-             |sp AS (SELECT doc_id,
-             |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
-             |       ELSE 'test' END AS split
-             |  FROM (SELECT doc_id,
-             |    ${duckH60("CAST(cluster AS VARCHAR)")} % 100 AS h FROM cl2)),
-             |tr AS (SELECT d4.doc_id, d4.lang, d4.text
-             |  FROM d4 JOIN sp ON sp.doc_id = d4.doc_id AND sp.split = 'train'),
-             |pt AS (SELECT lang, CAST(floor(doc_id / 128) AS BIGINT) AS shard, doc_id,
-             |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
-             |    AS BIGINT) AS n_tokens FROM tr),
-             |pcc AS (SELECT lang, shard, doc_id, n_tokens,
-             |  coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre FROM pt),
-             |packed AS (SELECT lang, shard, CAST(floor(pre / 2048) AS BIGINT) AS bin,
-             |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-             | FROM pcc GROUP BY 1, 2, 3),
-             |c0 AS (SELECT count(*) AS n_raw FROM documents),
-             |c1 AS (SELECT count(*) AS n_cascade FROM kept1),
-             |c2 AS (SELECT count(*) AS n_dedup FROM d3),
-             |c3 AS (SELECT count(*) AS n_clean FROM d4),
-             |c4 AS (SELECT count(*) AS n_train FROM tr)
-             |SELECT p.lang, p.shard, p.bin, p.n_docs, p.sum_tokens,
-             |  p.first_doc, p.last_doc, c0.n_raw, c1.n_cascade, c2.n_dedup,
-             |  c3.n_clean, c4.n_train
-             |FROM packed p, c0, c1, c2, c3, c4""".stripMargin)))
+      Some(pretrainOracle(fuzzy = false))))
 
   // ---------------------------------------------------------------- round-8 batch 3
   // Corpus-mixture assembly: temperature resampling, token-budget selection,
@@ -6661,6 +6529,156 @@ object Queries {
   private val hllAlphaNum512: Double =
     0.7213 / (1.0 + 1.079 / 512.0) * 262144.0 * 4503599627370496.0
 
+  /** The q197 funnel replay, parametrized for the q257 fuzzy variant:
+    * `fuzzy` inserts the near-dup bench screen (off the SAME materialized
+    * `mh` pair relation, mirroring the Scala reuse of pairsAll) between
+    * stages 4 and 5 and threads its funnel count through. */
+  private def pretrainOracle(fuzzy: Boolean): String = {
+    val d4v = if (fuzzy) "d4f" else "d4"
+    val fuzzyCtes = if (!fuzzy) "" else """
+             |fcontam AS (SELECT DISTINCT CASE WHEN a % 7 = 0 THEN b ELSE a END AS doc_id
+             |  FROM mh WHERE jaccard >= 0.8 AND ((a % 7 = 0) <> (b % 7 = 0))),
+             |d4f AS MATERIALIZED (SELECT * FROM d4
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM fcontam)),""".stripMargin
+    val fuzzyCount = if (!fuzzy) "" else """
+             |c3f AS (SELECT count(*) AS n_fuzzy_clean FROM d4f),""".stripMargin
+    val fuzzySel = if (!fuzzy) "" else " c3f.n_fuzzy_clean,"
+    val fuzzyFrom = if (!fuzzy) "" else " c3f,"
+    s"""WITH RECURSIVE
+             |ctoks AS (SELECT doc_id,
+             |   unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+             |  FROM documents),
+             |crep AS (SELECT doc_id,
+             |   floor((1.0 - count(DISTINCT tok) / count(*)) * 1000000) / 1000000 AS rep_ratio
+             |  FROM ctoks GROUP BY 1),
+             |cm AS (SELECT doc_id,
+             |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             |  round((
+             |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
+             |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio,
+             |  round(length(text)::DOUBLE
+             |    / greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE, 1.0), 4) AS mean_word_len
+             | FROM documents),
+             |kept1 AS MATERIALIZED (SELECT d.doc_id, d.lang, d.text
+             |  FROM documents d JOIN cm ON cm.doc_id = d.doc_id
+             |  LEFT JOIN crep ON crep.doc_id = d.doc_id
+             |  WHERE NOT (cm.n_tokens < 20) AND NOT (cm.stopword_ratio < 0.02)
+             |   AND NOT coalesce(crep.rep_ratio > 0.65, FALSE)
+             |   AND NOT (cm.mean_word_len > 5.9)),
+             |lines AS (SELECT doc_id, generate_subscripts(parts, 1) - 1 AS pos,
+             |   unnest(parts) AS line
+             |  FROM (SELECT doc_id, string_split(text, ' line ') AS parts FROM kept1) s),
+             |ldups AS (SELECT line FROM lines GROUP BY line HAVING count(*) > 2),
+             |d2 AS MATERIALIZED (SELECT k.doc_id, k.lang, coalesce(ka.text_dedup, '') AS text
+             |  FROM kept1 k LEFT JOIN (
+             |    SELECT doc_id, string_agg(line, ' line ' ORDER BY pos) AS text_dedup
+             |    FROM lines WHERE line NOT IN (SELECT line FROM ldups)
+             |    GROUP BY 1) ka ON ka.doc_id = k.doc_id),
+             |words AS (SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+             |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+             |    x -> x <> '') AS tl FROM d2)),
+             |mtoks AS MATERIALIZED (
+             |  SELECT DISTINCT doc_id,
+             |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+             |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+             |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+             |sig AS (SELECT doc_id,
+             |  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
+             |  min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
+             |  min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
+             |  min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
+             |  FROM mtoks GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sig
+             |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+             |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+             |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
+             |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+             |   AND x.doc_id < y.doc_id),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM mtoks GROUP BY 1),
+             |inter AS (SELECT c.a, c.b, count(*) AS i
+             |  FROM cand c JOIN mtoks ta ON ta.doc_id = c.a
+             |  JOIN mtoks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+             |  GROUP BY 1, 2),
+             |mh AS MATERIALIZED (SELECT c.a, c.b,
+             |  floor(CAST(coalesce(i.i, 0) AS DOUBLE)
+             |    / (sa.sz + sb.sz - coalesce(i.i, 0)) * 1000000) / 1000000 AS jaccard
+             |FROM cand c
+             |LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+             |JOIN sizes sa ON sa.doc_id = c.a
+             |JOIN sizes sb ON sb.doc_id = c.b
+             |WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE)
+             |    / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= 0.5),
+             |nd08 AS (SELECT a, b FROM mh WHERE jaccard >= 0.8),
+             |und(a, b) AS MATERIALIZED (SELECT a, b FROM nd08 UNION SELECT b, a FROM nd08),
+             |r(s, id) AS (
+             |  SELECT doc_id, doc_id FROM d2
+             |  UNION SELECT r.s, u.b FROM r JOIN und u ON u.a = r.id),
+             |cl AS (SELECT s AS doc_id, min(id) AS cluster FROM r GROUP BY s),
+             |nt AS (SELECT doc_id,
+             |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+             |    AS BIGINT) AS n_tokens FROM d2),
+             |kp AS (SELECT cl.doc_id FROM cl JOIN nt ON nt.doc_id = cl.doc_id
+             |  QUALIFY row_number() OVER (PARTITION BY cl.cluster
+             |    ORDER BY nt.n_tokens DESC, cl.doc_id) = 1),
+             |d3 AS MATERIALIZED (SELECT d2.* FROM d2 JOIN kp USING (doc_id)),
+             |dwords AS (SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+             |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+             |    x -> x <> '') AS tl FROM d3)),
+             |dg AS MATERIALIZED (SELECT DISTINCT doc_id,
+             |   w || ' ' || lead(w, 1) OVER dwin || ' ' || lead(w, 2) OVER dwin
+             |    || ' ' || lead(w, 3) OVER dwin || ' ' || lead(w, 4) OVER dwin
+             |    || ' ' || lead(w, 5) OVER dwin || ' ' || lead(w, 6) OVER dwin
+             |    || ' ' || lead(w, 7) OVER dwin AS gram
+             |  FROM dwords WINDOW dwin AS (PARTITION BY doc_id ORDER BY pos)
+             |  QUALIFY lead(w, 7) OVER dwin IS NOT NULL),
+             |contam AS (SELECT DISTINCT t.doc_id
+             |  FROM dg t JOIN dg b ON b.gram = t.gram
+             |   AND b.doc_id % 7 = 0 AND t.doc_id % 7 <> 0),
+             |d4 AS MATERIALIZED (SELECT * FROM d3 WHERE doc_id % 7 <> 0
+             |  AND doc_id NOT IN (SELECT doc_id FROM contam)),$fuzzyCtes
+             |und2(a, b) AS MATERIALIZED (
+             |  SELECT a, b FROM mh
+             |   WHERE a IN (SELECT doc_id FROM $d4v) AND b IN (SELECT doc_id FROM $d4v)
+             |  UNION SELECT b, a FROM mh
+             |   WHERE a IN (SELECT doc_id FROM $d4v) AND b IN (SELECT doc_id FROM $d4v)),
+             |r2(s, id) AS (
+             |  SELECT doc_id, doc_id FROM $d4v
+             |  UNION SELECT r2.s, u.b FROM r2 JOIN und2 u ON u.a = r2.id),
+             |cl2 AS (SELECT s AS doc_id, min(id) AS cluster FROM r2 GROUP BY s),
+             |sp AS (SELECT doc_id,
+             |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+             |       ELSE 'test' END AS split
+             |  FROM (SELECT doc_id,
+             |    ${duckH60("CAST(cluster AS VARCHAR)")} % 100 AS h FROM cl2)),
+             |tr AS (SELECT t4.doc_id, t4.lang, t4.text
+             |  FROM $d4v t4 JOIN sp ON sp.doc_id = t4.doc_id AND sp.split = 'train'),
+             |pt AS (SELECT lang, CAST(floor(doc_id / 128) AS BIGINT) AS shard, doc_id,
+             |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+             |    AS BIGINT) AS n_tokens FROM tr),
+             |pcc AS (SELECT lang, shard, doc_id, n_tokens,
+             |  coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre FROM pt),
+             |packed AS (SELECT lang, shard, CAST(floor(pre / 2048) AS BIGINT) AS bin,
+             |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             | FROM pcc GROUP BY 1, 2, 3),
+             |c0 AS (SELECT count(*) AS n_raw FROM documents),
+             |c1 AS (SELECT count(*) AS n_cascade FROM kept1),
+             |c2 AS (SELECT count(*) AS n_dedup FROM d3),
+             |c3 AS (SELECT count(*) AS n_clean FROM d4),$fuzzyCount
+             |c4 AS (SELECT count(*) AS n_train FROM tr)
+             |SELECT p.lang, p.shard, p.bin, p.n_docs, p.sum_tokens,
+             |  p.first_doc, p.last_doc, c0.n_raw, c1.n_cascade, c2.n_dedup,
+             |  c3.n_clean,$fuzzySel c4.n_train
+             |FROM packed p, c0, c1, c2, c3,$fuzzyFrom c4""".stripMargin
+  }
+
   private val ext35Qs = Seq(
     Q("q249_fuzzy_decontaminate",
       (s, d) => graft.ops.Dedup.fuzzyDecontaminate(T(s, d, "documents"),
@@ -6915,7 +6933,14 @@ object Queries {
              |       ELSE 'core' END AS segment,
              |  CAST(count(*) AS BIGINT) AS n_users,
              |  CAST(sum(m_cents) // count(*) AS BIGINT) AS mean_m_cents
-             |FROM scored GROUP BY 1, 2, 3, 4""".stripMargin)))
+             |FROM scored GROUP BY 1, 2, 3, 4""".stripMargin)),
+
+    Q("q257_fuzzy_pretrain_pipeline",
+      (s, d) => graft.ops.Pipeline.pretrainCorpus(T(s, d, "documents"),
+        fuzzyCut = Some(0.8)),
+      // q197's funnel + the near-dup bench screen between stages 4 and 5,
+      // re-deriving NOTHING: the screen filters the stage-3 pair relation
+      Some(pretrainOracle(fuzzy = true))))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

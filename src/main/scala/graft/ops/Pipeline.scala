@@ -40,12 +40,20 @@ object Pipeline {
 
   /** @param benchMod docs with doc_id % benchMod == 0 play the held-out
     *        benchmark slice for decontamination
+    * @param fuzzyCut when set, stage 4 additionally drops train docs whose
+    *        verified MinHash Jaccard against ANY bench doc reaches the cut
+    *        (the near-dup reading of decontamination — paraphrased eval
+    *        leakage survives the exact 8-gram screen but not a Jaccard
+    *        one). REUSES the stage-3 banded pair relation: the screen is a
+    *        filter + anti-join on already-materialized pairs, zero extra
+    *        corpus passes; the funnel gains an n_fuzzy_clean column
     * @return one row per (lang, shard, bin) of the packed TRAIN split:
     *         (lang, shard, bin, n_docs, sum_tokens, first_doc, last_doc,
-    *         n_raw, n_cascade, n_dedup, n_clean, n_train)
+    *         n_raw, n_cascade, n_dedup, n_clean[, n_fuzzy_clean], n_train)
     */
   def pretrainCorpus(docs: DataFrame, budget: Int = 2048,
-      shardDocs: Int = 128, benchMod: Int = 7): DataFrame = {
+      shardDocs: Int = 128, benchMod: Int = 7,
+      fuzzyCut: Option[Double] = None): DataFrame = {
     val raw = docs.select(col("doc_id"), col("lang"), col("text"))
     // 1. quality cascade
     val kept1 = FreshCheckpoint(raw.join(
@@ -71,8 +79,20 @@ object Pipeline {
     val isBench = col("doc_id") % benchMod === 0
     val contaminated = TextAnalysis.decontaminate(docs3, isBench, n = 8)
       .select(col("train_doc").as("doc_id")).distinct()
-    val docs4 = FreshCheckpoint(docs3.filter(!isBench)
+    val docs4x = FreshCheckpoint(docs3.filter(!isBench)
       .join(contaminated, Seq("doc_id"), "left_anti"))
+    // 4b. optional fuzzy screen — near-dup partners of bench docs, off the
+    // ALREADY-materialized stage-3 pair relation (no new corpus pass)
+    val docs4 = fuzzyCut match {
+      case Some(cut) =>
+        val fc = pairsAll.filter(col("jaccard") >= cut)
+          .filter((col("a") % benchMod === 0) =!= (col("b") % benchMod === 0))
+          .select(when(col("a") % benchMod === 0, col("b")).otherwise(col("a"))
+            .as("doc_id"))
+          .distinct()
+        FreshCheckpoint(docs4x.join(fc, Seq("doc_id"), "left_anti"))
+      case None => docs4x
+    }
     // 5. leakage-safe split over the near-dup pairs that survived dedup
     val ids4 = docs4.select(col("doc_id"))
     val pairs4 = pairsAll.select(col("a"), col("b"))
@@ -86,11 +106,13 @@ object Pipeline {
     // funnel accounting — five 1-row scalar attaches
     def cnt(df: DataFrame, name: String) =
       broadcast(df.agg(count(lit(1)).as(name)))
-    packed
+    val base = packed
       .crossJoin(cnt(raw, "n_raw"))
       .crossJoin(cnt(kept1, "n_cascade"))
       .crossJoin(cnt(docs3, "n_dedup"))
-      .crossJoin(cnt(docs4, "n_clean"))
+      .crossJoin(cnt(docs4x, "n_clean"))
+    (if (fuzzyCut.isDefined) base.crossJoin(cnt(docs4, "n_fuzzy_clean"))
+     else base)
       .crossJoin(cnt(train, "n_train"))
   }
 

@@ -103,7 +103,8 @@ object PlanSweepSupport {
     // 1-row corpus-total scalar attach
     "q255_ks_drift",
     // q256: 1-row anchor/total/quintile-cut scalar attaches
-    "q256_rfm_segments")
+    "q256_rfm_segments",
+    "q257_fuzzy_pretrain_pipeline") // q197's funnel attaches + one more
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -198,7 +199,8 @@ object PlanSweepSupport {
     // q256: quintile-cut windows run on bounded value-domain histograms
     // (recency days / per-user counts / coarse monetary bins), never
     // per-user rows; plus 1-row anchor/total scalars
-    "q256_rfm_segments")
+    "q256_rfm_segments",
+    "q257_fuzzy_pretrain_pipeline") // q197's 1-row funnel scalars + one more
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:

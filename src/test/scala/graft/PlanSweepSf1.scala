@@ -59,7 +59,8 @@ class PlanSweepSf1 extends SparkTestBase {
     // rollup, and the two value-domain window audits (q252/q253/q254 are
     // map+agg or bounded-register rollups, structurally linear)
     "q249_fuzzy_decontaminate", "q250_cohens_kappa",
-    "q251_robust_outliers", "q255_ks_drift", "q256_rfm_segments")
+    "q251_robust_outliers", "q255_ks_drift", "q256_rfm_segments",
+    "q257_fuzzy_pretrain_pipeline")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 

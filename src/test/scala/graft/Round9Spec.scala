@@ -118,6 +118,31 @@ class Round9Spec extends SparkTestBase {
       (5L, 5L, 5L, "champion", 1L, 5000L)))
   }
 
+  test("fuzzy pipeline catches the deduped-bench-doc leak the exact screen misses") {
+    // X is shared by bench doc 7 and train doc 1; keeper election removes 7
+    // BEFORE the exact 8-gram screen runs, so doc 1 (an exact copy of a
+    // benchmark doc!) survives q197's decontamination — the fuzzy screen
+    // works off the stage-3 pair relation, which still holds (1, 7)
+    val x = "the quick brown fox jumps over a lazy dog and then runs to " +
+      "the old mill near a river bank at dawn"
+    val y = "a small green bird sings in the tall tree and a cat waits " +
+      "under the low branch for an easy meal today"
+    val docs = Seq((1L, "en", x), (7L, "en", x), (2L, "en", y))
+      .toDF("doc_id", "lang", "text")
+    val fuzzy = graft.ops.Pipeline.pretrainCorpus(docs, fuzzyCut = Some(0.8))
+      .collect()
+    assert(fuzzy.length == 1)
+    val r = fuzzy.head
+    assert((r.getAs[Long]("n_raw"), r.getAs[Long]("n_cascade"),
+      r.getAs[Long]("n_dedup"), r.getAs[Long]("n_clean"),
+      r.getAs[Long]("n_fuzzy_clean"), r.getAs[Long]("n_train"))
+      == ((3L, 3L, 2L, 2L, 1L, 1L)))
+    assert(r.getAs[Long]("first_doc") == 2L && r.getAs[Long]("last_doc") == 2L)
+    // without the fuzzy screen the leaked copy trains (n_train = 2)
+    val exact = graft.ops.Pipeline.pretrainCorpus(docs).collect()
+    assert(exact.map(_.getAs[Long]("n_train")).head == 2L)
+  }
+
   test("q252 HLL intersection estimate tracks the exact overlap (sf0.001)") {
     val row = Queries.queries("q252_hll_intersect")(spark, s"$testData/sf0.001")
       .collect().head
