@@ -6679,6 +6679,52 @@ object Queries {
              |FROM packed p, c0, c1, c2, c3,$fuzzyFrom c4""".stripMargin
   }
 
+
+  /** DuckDB replay of [[graft.ops.TimeSeries.rfmScores]] over `src`, CTE
+    * names prefixed with `p` so the q258 transition oracle can run the
+    * chain twice (once per time half) in one WITH block. Ends with the
+    * `${p}seg` per-user (user_id, m_cents, scores, segment) relation. */
+  private def rfmScoreSql(p: String, src: String): String = {
+    def cut(dim: String): String =
+      s"""${p}${dim}cut AS (SELECT
+         |   min(CASE WHEN cum >= (20 * n + 99) // 100 THEN v END) AS c20,
+         |   min(CASE WHEN cum >= (40 * n + 99) // 100 THEN v END) AS c40,
+         |   min(CASE WHEN cum >= (60 * n + 99) // 100 THEN v END) AS c60,
+         |   min(CASE WHEN cum >= (80 * n + 99) // 100 THEN v END) AS c80
+         |  FROM ${p}${dim}cum, ${p}tot)""".stripMargin
+    s"""${p}anchor AS (SELECT max(epoch_us(ts)) AS anchor_us FROM $src),
+       |${p}per AS (SELECT user_id,
+       |   CAST((a.anchor_us - max(epoch_us(ts))) // 86400000000 AS BIGINT) AS r,
+       |   CAST(count(*) AS BIGINT) AS f,
+       |   CAST(round(sum(value) * 100, 0) AS BIGINT) AS m_cents,
+       |   CAST(round(sum(value) * 100, 0) AS BIGINT) // 1000 AS m_bin
+       |  FROM $src, ${p}anchor a GROUP BY user_id, a.anchor_us),
+       |${p}tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ${p}per),
+       |${p}rcum AS (SELECT r AS v, sum(count(*)) OVER (ORDER BY r) AS cum
+       |  FROM ${p}per GROUP BY r),
+       |${cut("r")},
+       |${p}fcum AS (SELECT f AS v, sum(count(*)) OVER (ORDER BY f) AS cum
+       |  FROM ${p}per GROUP BY f),
+       |${cut("f")},
+       |${p}mcum AS (SELECT m_bin AS v, sum(count(*)) OVER (ORDER BY m_bin) AS cum
+       |  FROM ${p}per GROUP BY m_bin),
+       |${cut("m")},
+       |${p}seg AS (SELECT user_id, m_cents, r_score, f_score, m_score,
+       |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+       |       WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+       |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+       |       WHEN r_score <= 2 AND f_score <= 2 THEN 'dormant'
+       |       ELSE 'core' END AS segment
+       | FROM (SELECT user_id, m_cents,
+       |    CAST(5 - ((r > rc.c20)::INT + (r > rc.c40)::INT
+       |      + (r > rc.c60)::INT + (r > rc.c80)::INT) AS BIGINT) AS r_score,
+       |    CAST(1 + ((f > fc.c20)::INT + (f > fc.c40)::INT
+       |      + (f > fc.c60)::INT + (f > fc.c80)::INT) AS BIGINT) AS f_score,
+       |    CAST(1 + ((m_bin > mc.c20)::INT + (m_bin > mc.c40)::INT
+       |      + (m_bin > mc.c60)::INT + (m_bin > mc.c80)::INT) AS BIGINT) AS m_score
+       |   FROM ${p}per, ${p}rcut rc, ${p}fcut fc, ${p}mcut mc))""".stripMargin
+  }
+
   private val ext35Qs = Seq(
     Q("q249_fuzzy_decontaminate",
       (s, d) => graft.ops.Dedup.fuzzyDecontaminate(T(s, d, "documents"),
@@ -6884,56 +6930,27 @@ object Queries {
     Q("q256_rfm_segments",
       (s, d) => graft.ops.TimeSeries.rfmSegments(T(s, d, "events")),
       // per-user RFM stats → per-dimension quintile cuts off value-domain
-      // running counts → scored cells with behavioral labels
-      Some("""WITH anchor AS (SELECT max(epoch_us(ts)) AS anchor_us FROM events),
-             |per AS (SELECT user_id,
-             |   CAST((a.anchor_us - max(epoch_us(ts))) // 86400000000 AS BIGINT) AS r,
-             |   CAST(count(*) AS BIGINT) AS f,
-             |   CAST(round(sum(value) * 100, 0) AS BIGINT) AS m_cents,
-             |   CAST(round(sum(value) * 100, 0) AS BIGINT) // 1000 AS m_bin
-             |  FROM events, anchor a GROUP BY user_id, a.anchor_us),
-             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
-             |rcum AS (SELECT r AS v, sum(count(*)) OVER (ORDER BY r) AS cum
-             |  FROM per GROUP BY r),
-             |rcut AS (SELECT
-             |   min(CASE WHEN cum >= (20 * n + 99) // 100 THEN v END) AS c20,
-             |   min(CASE WHEN cum >= (40 * n + 99) // 100 THEN v END) AS c40,
-             |   min(CASE WHEN cum >= (60 * n + 99) // 100 THEN v END) AS c60,
-             |   min(CASE WHEN cum >= (80 * n + 99) // 100 THEN v END) AS c80
-             |  FROM rcum, tot),
-             |fcum AS (SELECT f AS v, sum(count(*)) OVER (ORDER BY f) AS cum
-             |  FROM per GROUP BY f),
-             |fcut AS (SELECT
-             |   min(CASE WHEN cum >= (20 * n + 99) // 100 THEN v END) AS c20,
-             |   min(CASE WHEN cum >= (40 * n + 99) // 100 THEN v END) AS c40,
-             |   min(CASE WHEN cum >= (60 * n + 99) // 100 THEN v END) AS c60,
-             |   min(CASE WHEN cum >= (80 * n + 99) // 100 THEN v END) AS c80
-             |  FROM fcum, tot),
-             |mcum AS (SELECT m_bin AS v, sum(count(*)) OVER (ORDER BY m_bin) AS cum
-             |  FROM per GROUP BY m_bin),
-             |mcut AS (SELECT
-             |   min(CASE WHEN cum >= (20 * n + 99) // 100 THEN v END) AS c20,
-             |   min(CASE WHEN cum >= (40 * n + 99) // 100 THEN v END) AS c40,
-             |   min(CASE WHEN cum >= (60 * n + 99) // 100 THEN v END) AS c60,
-             |   min(CASE WHEN cum >= (80 * n + 99) // 100 THEN v END) AS c80
-             |  FROM mcum, tot),
-             |scored AS (SELECT user_id, m_cents,
-             |   CAST(5 - ((r > rc.c20)::INT + (r > rc.c40)::INT
-             |     + (r > rc.c60)::INT + (r > rc.c80)::INT) AS BIGINT) AS r_score,
-             |   CAST(1 + ((f > fc.c20)::INT + (f > fc.c40)::INT
-             |     + (f > fc.c60)::INT + (f > fc.c80)::INT) AS BIGINT) AS f_score,
-             |   CAST(1 + ((m_bin > mc.c20)::INT + (m_bin > mc.c40)::INT
-             |     + (m_bin > mc.c60)::INT + (m_bin > mc.c80)::INT) AS BIGINT) AS m_score
-             |  FROM per, rcut rc, fcut fc, mcut mc)
-             |SELECT r_score, f_score, m_score,
-             |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
-             |       WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
-             |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
-             |       WHEN r_score <= 2 AND f_score <= 2 THEN 'dormant'
-             |       ELSE 'core' END AS segment,
+      // running counts → scored cells with behavioral labels (shared
+      // per-user chain: rfmScoreSql, also the base of the q258 oracle)
+      Some("WITH " + rfmScoreSql("", "events") + """
+             |SELECT r_score, f_score, m_score, segment,
              |  CAST(count(*) AS BIGINT) AS n_users,
              |  CAST(sum(m_cents) // count(*) AS BIGINT) AS mean_m_cents
-             |FROM scored GROUP BY 1, 2, 3, 4""".stripMargin)),
+             |FROM seg GROUP BY 1, 2, 3, 4""".stripMargin)),
+
+    Q("q258_rfm_transitions",
+      (s, d) => graft.ops.TimeSeries.rfmTransitions(T(s, d, "events")),
+      // time-range midpoint split → the q256 per-user chain per half →
+      // user-keyed transition join, monetary movement as a signed SUM
+      Some("WITH mid AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m_us FROM events),\n"
+        + "ha AS (SELECT e.* FROM events e, mid WHERE epoch_us(ts) < m_us),\n"
+        + "hb AS (SELECT e.* FROM events e, mid WHERE epoch_us(ts) >= m_us),\n"
+        + rfmScoreSql("a", "ha") + ",\n" + rfmScoreSql("b", "hb") + """
+             |SELECT a.segment AS segment_from, b.segment AS segment_to,
+             |  CAST(count(*) AS BIGINT) AS n_users,
+             |  CAST(sum(b.m_cents - a.m_cents) AS BIGINT) AS sum_m_delta_cents
+             |FROM aseg a JOIN bseg b USING (user_id)
+             |GROUP BY 1, 2""".stripMargin)),
 
     Q("q257_fuzzy_pretrain_pipeline",
       (s, d) => graft.ops.Pipeline.pretrainCorpus(T(s, d, "documents"),

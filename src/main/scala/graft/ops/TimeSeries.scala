@@ -125,7 +125,16 @@ object TimeSeries {
     *
     * @return (r_score, f_score, m_score, segment, n_users, mean_m_cents)
     */
-  def rfmSegments(events: DataFrame, mBinCents: Long = 1000): DataFrame = {
+  def rfmSegments(events: DataFrame, mBinCents: Long = 1000): DataFrame =
+    rfmScores(events, mBinCents)
+      .groupBy(col("r_score"), col("f_score"), col("m_score"), col("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        expr("sum(m_cents) div count(1)").as("mean_m_cents"))
+
+  /** Per-user scored relation behind [[rfmSegments]] — also the input of
+    * [[rfmTransitions]]' two-window migration join.
+    * @return (user_id, m_cents, r_score, f_score, m_score, segment) */
+  def rfmScores(events: DataFrame, mBinCents: Long = 1000): DataFrame = {
     val anchor = events.agg(max(unix_micros(col("ts"))).as("anchor_us"))
     val per = org.apache.spark.sql.graft.FreshCheckpoint(
       events.groupBy(col("user_id"))
@@ -169,8 +178,42 @@ object TimeSeries {
           .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
           .when(col("r_score") <= 2 && col("f_score") <= 2, "dormant")
           .otherwise("core"))
-      .groupBy(col("r_score"), col("f_score"), col("m_score"), col("segment"))
+  }
+
+  /** RFM segment-TRANSITION (migration) matrix — the change report behind
+    * the snapshot [[rfmSegments]] gives: split the stream at its time-range
+    * midpoint, score each half independently ([[rfmScores]], each half's
+    * recency anchored to its OWN end so the two windows are comparable),
+    * and count users per (segment_from, segment_to) cell. The monetary
+    * movement rides as a SUM (not a mean — deltas are signed and the
+    * engines disagree on negative integer division).
+    *
+    * Scale shape: one 1-row midpoint attach, two half-scoring passes (each
+    * the q256 shape: one user-keyed agg + bounded-domain cut windows), one
+    * user-keyed inner join of the two |users|-row score relations, a ≤ 25-row
+    * rollup. Users active in only one half drop out (they have no
+    * transition; churn/arrival counts are rfmSegments diffs).
+    *
+    * @return (segment_from, segment_to, n_users, sum_m_delta_cents)
+    */
+  def rfmTransitions(events: DataFrame, mBinCents: Long = 1000): DataFrame = {
+    val mid = events.agg(
+      expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("m_us"))
+    val tagged = events.crossJoin(broadcast(mid))
+    def half(early: Boolean): DataFrame = rfmScores(
+      tagged.filter(
+        if (early) unix_micros(col("ts")) < col("m_us")
+        else unix_micros(col("ts")) >= col("m_us"))
+        .drop("m_us"),
+      mBinCents)
+    half(early = true)
+      .select(col("user_id"), col("segment").as("segment_from"),
+        col("m_cents").as("m_from"))
+      .join(half(early = false)
+        .select(col("user_id"), col("segment").as("segment_to"),
+          col("m_cents").as("m_to")), Seq("user_id"))
+      .groupBy(col("segment_from"), col("segment_to"))
       .agg(count(lit(1)).as("n_users"),
-        expr("sum(m_cents) div count(1)").as("mean_m_cents"))
+        sum(col("m_to") - col("m_from")).as("sum_m_delta_cents"))
   }
 }

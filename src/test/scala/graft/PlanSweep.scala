@@ -104,7 +104,8 @@ object PlanSweepSupport {
     "q255_ks_drift",
     // q256: 1-row anchor/total/quintile-cut scalar attaches
     "q256_rfm_segments",
-    "q257_fuzzy_pretrain_pipeline") // q197's funnel attaches + one more
+    "q257_fuzzy_pretrain_pipeline", // q197's funnel attaches + one more
+    "q258_rfm_transitions") // q256's scalar attaches, once per half
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -200,7 +201,8 @@ object PlanSweepSupport {
     // (recency days / per-user counts / coarse monetary bins), never
     // per-user rows; plus 1-row anchor/total scalars
     "q256_rfm_segments",
-    "q257_fuzzy_pretrain_pipeline") // q197's 1-row funnel scalars + one more
+    "q257_fuzzy_pretrain_pipeline", // q197's 1-row funnel scalars + one more
+    "q258_rfm_transitions") // q256's bounded-domain windows, once per half
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:

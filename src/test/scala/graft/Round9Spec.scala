@@ -118,6 +118,30 @@ class Round9Spec extends SparkTestBase {
       (5L, 5L, 5L, "champion", 1L, 5000L)))
   }
 
+  test("rfmTransitions: per-half scoring and the signed migration matrix") {
+    def ts(mon: Int, day: Int) =
+      java.sql.Timestamp.valueOf(f"2026-$mon%02d-$day%02d 12:00:00")
+    // half A (January): users ranked 1<2<3<4<5... u1 top; half B
+    // (February): u1 and u2 swap rhythms, everyone else repeats theirs —
+    // the midpoint split (~Feb 1) separates the halves exactly
+    def burst(u: Long, mon: Int, lastDay: Int, f: Int) =
+      (1 to f).map(i => (u, ts(mon, lastDay - f + i), 10.0))
+    val a = burst(1, 1, 10, 5) ++ burst(5, 1, 9, 4) ++ burst(4, 1, 8, 3) ++
+      burst(3, 1, 7, 2) ++ burst(2, 1, 6, 1)
+    val b = burst(2, 2, 28, 5) ++ burst(5, 2, 27, 4) ++ burst(4, 2, 26, 3) ++
+      burst(3, 2, 25, 2) ++ burst(1, 2, 24, 1)
+    val events = (a ++ b).toDF("user_id", "ts", "value")
+    val out = graft.ops.TimeSeries.rfmTransitions(events)
+      .orderBy("segment_from", "segment_to").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("champion", "champion", 1L, 0L), // u5 repeats
+      ("champion", "dormant", 1L, -4000L), // u1 collapses (5,5,5)→(1,1,1)
+      ("core", "core", 1L, 0L), // u4
+      ("dormant", "champion", 1L, 4000L), // u2 surges
+      ("dormant", "dormant", 1L, 0L))) // u3
+  }
+
   test("fuzzy pipeline catches the deduped-bench-doc leak the exact screen misses") {
     // X is shared by bench doc 7 and train doc 1; keeper election removes 7
     // BEFORE the exact 8-gram screen runs, so doc 1 (an exact copy of a
