@@ -6952,6 +6952,22 @@ object Queries {
              |FROM aseg a JOIN bseg b USING (user_id)
              |GROUP BY 1, 2""".stripMargin)),
 
+    Q("q259_basket_lift",
+      (s, d) => graft.ops.Association.basketLift(T(s, d, "lineitem"),
+        col("l_orderkey"), col("l_partkey")),
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+             |sup AS (SELECT p, CAST(count(*) AS BIGINT) AS s FROM li GROUP BY 1),
+             |nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM li),
+             |pr AS (SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS n_both
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p
+             |  GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT pr.a, pr.b, pr.n_both, sa.s AS s_a, sb.s AS s_b,
+             |  CAST(pr.n_both * 1000000 // sa.s AS BIGINT) AS conf_ab_u,
+             |  CAST(pr.n_both * 1000000 // sb.s AS BIGINT) AS conf_ba_u,
+             |  CAST((pr.n_both * 1000000 // sa.s) * nb.n // sb.s AS BIGINT) AS lift_u
+             |FROM pr JOIN sup sa ON sa.p = pr.a
+             |JOIN sup sb ON sb.p = pr.b, nb""".stripMargin)),
+
     Q("q257_fuzzy_pretrain_pipeline",
       (s, d) => graft.ops.Pipeline.pretrainCorpus(T(s, d, "documents"),
         fuzzyCut = Some(0.8)),

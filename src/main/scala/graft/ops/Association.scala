@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Association-rule mining over a (container, item) relation — the
+  * support/confidence/lift completion of the co-purchase pair count the
+  * graph family traverses (q105): the pair COUNT says two items co-occur,
+  * lift says whether that co-occurrence beats what their individual
+  * popularity already predicts (lift ≈ 1 ⇒ the pair is noise however
+  * large its count).
+  *
+  * Scale shape: the q105 discipline — the pair self-join shuffles on the
+  * container key with per-container fan-out bounded by basket size, so
+  * pairs grow linearly in containers; item supports are one distinct-agg
+  * over the same projection; the basket total is a 1-row broadcast attach;
+  * metric attachment is two narrow item-keyed hash joins onto the
+  * (already minSupport-bounded) pair relation.
+  *
+  * Integer contract: conf_u = cnt·10⁶ div s_a; lift_u composes the already-
+  * truncated confidence, (cnt·10⁶ div s_a)·N div s_b, so no term ever
+  * forms N² (BIGINT-safe to ~10¹² baskets); both truncations replay
+  * exactly in the oracle.
+  */
+object Association {
+
+  /** @param items (container, item) relation — duplicates tolerated
+    *        (internally distinct'd)
+    * @param minSupport minimum co-occurrence count for a pair to surface
+    * @return (a, b, n_both, s_a, s_b, conf_ab_u, conf_ba_u, lift_u), a < b
+    */
+  def basketLift(items: DataFrame, container: Column, item: Column,
+      minSupport: Long = 3): DataFrame = {
+    val li = items.select(container.as("ok"), item.as("p")).distinct()
+    val sup = li.groupBy(col("p")).agg(count(lit(1)).as("s"))
+    val nb = li.agg(countDistinct(col("ok")).as("n"))
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+    pairs
+      .join(sup.select(col("p").as("a"), col("s").as("s_a")), Seq("a"))
+      .join(sup.select(col("p").as("b"), col("s").as("s_b")), Seq("b"))
+      .crossJoin(broadcast(nb))
+      .select(col("a"), col("b"), col("n_both"), col("s_a"), col("s_b"),
+        expr("n_both * 1000000 div s_a").as("conf_ab_u"),
+        expr("n_both * 1000000 div s_b").as("conf_ba_u"),
+        expr("(n_both * 1000000 div s_a) * n div s_b").as("lift_u"))
+  }
+}

@@ -105,7 +105,8 @@ object PlanSweepSupport {
     // q256: 1-row anchor/total/quintile-cut scalar attaches
     "q256_rfm_segments",
     "q257_fuzzy_pretrain_pipeline", // q197's funnel attaches + one more
-    "q258_rfm_transitions") // q256's scalar attaches, once per half
+    "q258_rfm_transitions", // q256's scalar attaches, once per half
+    "q259_basket_lift") // 1-row basket-total scalar attach
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -202,7 +203,8 @@ object PlanSweepSupport {
     // per-user rows; plus 1-row anchor/total scalars
     "q256_rfm_segments",
     "q257_fuzzy_pretrain_pipeline", // q197's 1-row funnel scalars + one more
-    "q258_rfm_transitions") // q256's bounded-domain windows, once per half
+    "q258_rfm_transitions", // q256's bounded-domain windows, once per half
+    "q259_basket_lift") // 1-row basket-total scalar
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:

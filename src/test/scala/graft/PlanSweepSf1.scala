@@ -60,7 +60,8 @@ class PlanSweepSf1 extends SparkTestBase {
     // map+agg or bounded-register rollups, structurally linear)
     "q249_fuzzy_decontaminate", "q250_cohens_kappa",
     "q251_robust_outliers", "q255_ks_drift", "q256_rfm_segments",
-    "q257_fuzzy_pretrain_pipeline", "q258_rfm_transitions")
+    "q257_fuzzy_pretrain_pipeline", "q258_rfm_transitions",
+    "q259_basket_lift")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 

@@ -167,6 +167,18 @@ class Round9Spec extends SparkTestBase {
     assert(exact.map(_.getAs[Long]("n_train")).head == 2L)
   }
 
+  test("basketLift: exact support, confidence, and truncated-lift metrics") {
+    val items = Seq(
+      (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "A"), (3L, "B"),
+      (4L, "A"), (4L, "C"), (5L, "B"))
+      .toDF("ok", "p")
+    val out = graft.ops.Association.basketLift(items, col("ok"), col("p"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // (A,B): both 3, s_A 4, s_B 4, N 5 → conf 750000, lift 750000·5÷4
+    assert(out.toSeq == Seq(("A", "B", 3L, 4L, 4L, 750000L, 750000L, 937500L)))
+  }
+
   test("q252 HLL intersection estimate tracks the exact overlap (sf0.001)") {
     val row = Queries.queries("q252_hll_intersect")(spark, s"$testData/sf0.001")
       .collect().head
