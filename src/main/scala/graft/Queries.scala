@@ -6968,6 +6968,38 @@ object Queries {
              |FROM pr JOIN sup sa ON sa.p = pr.a
              |JOIN sup sb ON sb.p = pr.b, nb""".stripMargin)),
 
+    Q("q260_cusum_rate_shift",
+      (s, d) => graft.ops.TimeSeries.cusum(T(s, d, "events")),
+      // dense 5-min grid per type → prefix-sum + running-min windows
+      // (the closed form of the max(0,·) CUSUM reset) → per-type rollup
+      Some("""WITH obs AS (SELECT event_type,
+             |   CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS bucket,
+             |   CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2),
+             |g AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+             |  FROM obs GROUP BY 1),
+             |grid AS (SELECT event_type,
+             |   CAST(unnest(generate_series(lo, hi, 300)) AS BIGINT) AS bucket FROM g),
+             |dense AS (SELECT gr.event_type, gr.bucket, coalesce(o.x, 0) AS x
+             |  FROM grid gr LEFT JOIN obs o
+             |   ON o.event_type = gr.event_type AND o.bucket = gr.bucket),
+             |mu AS (SELECT event_type,
+             |   CAST(sum(x) * 1000000 // count(*) AS BIGINT) AS mu_u
+             |  FROM dense GROUP BY 1),
+             |ps AS (SELECT d.event_type, d.bucket, m.mu_u,
+             |   CAST(sum(d.x * 1000000 - m.mu_u - m.mu_u // 4)
+             |     OVER (PARTITION BY d.event_type ORDER BY d.bucket) AS BIGINT) AS p
+             |  FROM dense d JOIN mu m USING (event_type)),
+             |sc AS (SELECT event_type, bucket, mu_u,
+             |   p - least(min(p) OVER (PARTITION BY event_type ORDER BY bucket), 0) AS s_u
+             |  FROM ps)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+             |  CAST(max(mu_u) AS BIGINT) AS mu_u,
+             |  CAST(max(s_u) AS BIGINT) AS max_s_u,
+             |  CAST(sum(CASE WHEN s_u > 4 * mu_u THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+             |  min(CASE WHEN s_u > 4 * mu_u THEN bucket END) AS first_alarm_bucket
+             |FROM sc GROUP BY 1""".stripMargin)),
+
     Q("q257_fuzzy_pretrain_pipeline",
       (s, d) => graft.ops.Pipeline.pretrainCorpus(T(s, d, "documents"),
         fuzzyCut = Some(0.8)),

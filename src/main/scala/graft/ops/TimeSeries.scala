@@ -180,6 +180,56 @@ object TimeSeries {
           .otherwise("core"))
   }
 
+  /** CUSUM rate-shift monitor per event type (Page 1954) — the
+    * change-point detector that catches a sustained small drift EWMA's
+    * single-pole smoothing and the z-score's pointwise test both miss
+    * (each bucket adds its excess over slack; only a RUN of high buckets
+    * accumulates past h).
+    *
+    * The max(0, ·) reset recursion is NOT expressible as a window sum —
+    * but its closed form is: sᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ) where P is
+    * the plain prefix sum of dᵢ = xᵢ·10⁶ − μ_u − k_u. Two stacked windows
+    * per type (prefix sum, running min) over the DENSE bucket grid — the
+    * [[interpolate]] grid discipline: cardinality is wall-clock/bucket ×
+    * |types|, not corpus size, and empty buckets count as zero rate (a
+    * traffic STOP is also a shift).
+    *
+    * Integer contract: x counts; μ_u = total·10⁶ div buckets; slack
+    * k_u = μ_u div kDen; threshold h_u = hMul·μ_u. Sums are signed but
+    * never divided.
+    *
+    * @return one row per event_type: (event_type, n_buckets, mu_u,
+    *         max_s_u, n_alarms, first_alarm_bucket — null when clean)
+    */
+  def cusum(events: DataFrame, bucketSec: Int = 300, kDen: Long = 4,
+      hMul: Long = 4): DataFrame = {
+    val obs = events.groupBy(col("event_type"),
+        (floor(col("ts").cast("double") / bucketSec).cast("long") * bucketSec)
+          .as("bucket"))
+      .agg(count(lit(1)).as("x"))
+    val grid = obs.groupBy(col("event_type"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("event_type"),
+        explode(expr(s"sequence(lo, hi, $bucketSec)")).as("bucket"))
+    val dense = grid.join(obs, Seq("event_type", "bucket"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val mu = dense.groupBy(col("event_type"))
+      .agg(expr("sum(x) * 1000000 div count(1)").as("mu_u"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val s = dense.join(broadcast(mu), Seq("event_type"))
+      .withColumn("d_u",
+        col("x") * 1000000L - col("mu_u") - expr(s"mu_u div $kDen"))
+      .withColumn("p", sum(col("d_u")).over(w))
+      .withColumn("s_u", col("p") - least(min(col("p")).over(w), lit(0L)))
+    s.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("mu_u")).as("mu_u"),
+        max(col("s_u")).as("max_s_u"),
+        sum(when(col("s_u") > lit(hMul) * col("mu_u"), 1L).otherwise(0L))
+          .as("n_alarms"),
+        min(when(col("s_u") > lit(hMul) * col("mu_u"), col("bucket")))
+          .as("first_alarm_bucket"))
+  }
+
   /** RFM segment-TRANSITION (migration) matrix — the change report behind
     * the snapshot [[rfmSegments]] gives: split the stream at its time-range
     * midpoint, score each half independently ([[rfmScores]], each half's

@@ -179,6 +179,26 @@ class Round9Spec extends SparkTestBase {
     assert(out.toSeq == Seq(("A", "B", 3L, 4L, 4L, 750000L, 750000L, 937500L)))
   }
 
+  test("cusum: prefix-min closed form alarms on a planted rate spike") {
+    // minute counts 1,1,1,1,16 → μ_u 4·10⁶, slack 10⁶, d = [−4,−4,−4,−4,+11]·10⁶,
+    // P = [−4,−8,−12,−16,−5]·10⁶ → s = P − min(0, runmin P) = [0,0,0,0,11·10⁶];
+    // h = 2μ_u = 8·10⁶ → exactly the spike bucket alarms
+    val base = java.sql.Timestamp.valueOf("2026-03-01 10:00:30")
+    def at(minute: Int, i: Int) =
+      new java.sql.Timestamp(base.getTime + minute * 60000L + i * 100L)
+    val rows = (0 to 3).map(m => ("click", at(m, 0))) ++
+      (1 to 16).map(i => ("click", at(4, i)))
+    val events = rows.toDF("event_type", "ts")
+    val out = graft.ops.TimeSeries.cusum(events, bucketSec = 60, kDen = 4,
+      hMul = 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val b4 = (base.getTime / 1000 + 240) / 60 * 60
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))
+      == (("click", 5L, 4000000L, 11000000L, 1L, b4)))
+  }
+
   test("q252 HLL intersection estimate tracks the exact overlap (sf0.001)") {
     val row = Queries.queries("q252_hll_intersect")(spark, s"$testData/sf0.001")
       .collect().head
