@@ -7000,6 +7000,22 @@ object Queries {
              |  min(CASE WHEN s_u > 4 * mu_u THEN bucket END) AS first_alarm_bucket
              |FROM sc GROUP BY 1""".stripMargin)),
 
+    Q("q261_source_vocab_overlap",
+      (s, d) => graft.ops.TextAnalysis.sourceVocabOverlap(T(s, d, "documents")),
+      Some("""WITH st AS (SELECT DISTINCT source, tok FROM
+             |  (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |     x -> x <> '')) AS tok FROM documents)),
+             |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS s FROM st GROUP BY 1),
+             |iv AS (SELECT x.source AS source_x, y.source AS source_y,
+             |   CAST(count(*) AS BIGINT) AS n_shared
+             |  FROM st x JOIN st y ON x.tok = y.tok AND x.source < y.source
+             |  GROUP BY 1, 2)
+             |SELECT i.source_x, i.source_y, i.n_shared, a.s AS sz_x, b.s AS sz_y,
+             |  CAST(i.n_shared * 1000000 // (a.s + b.s - i.n_shared) AS BIGINT) AS jaccard_u,
+             |  CAST(i.n_shared * 1000000 // least(a.s, b.s) AS BIGINT) AS containment_u
+             |FROM iv i JOIN sz a ON a.source = i.source_x
+             |JOIN sz b ON b.source = i.source_y""".stripMargin)),
+
     Q("q257_fuzzy_pretrain_pipeline",
       (s, d) => graft.ops.Pipeline.pretrainCorpus(T(s, d, "documents"),
         fuzzyCut = Some(0.8)),

@@ -1215,4 +1215,41 @@ object TextAnalysis {
         col("n_types_total"), col("n_tokens_total"),
         expr("n_hapax_bin * 1000000 div n_types_total").as("hapax_share_u"))
   }
+
+  /** Pairwise source VOCABULARY overlap — the set-based complement of
+    * [[sourceDivergence]]'s mass-based JSD (two sources can share most of
+    * their vocabulary yet weight it very differently, and vice versa; a
+    * mixture design wants both numbers). Per unordered source pair with at
+    * least one shared type: shared-type count, both vocabulary sizes,
+    * Jaccard and small-side containment in µ (containment near 10⁶ with a
+    * low Jaccard = one source's vocabulary nests inside the other's — a
+    * subset corpus).
+    *
+    * Scale shape: distinct (source, tok) is one shuffle; the pair join is
+    * tok-keyed with per-token fan-out bounded by |sources|²; sizes attach
+    * as two |sources|-row joins. Everything after tokenization is
+    * vocabulary-sized, never corpus-sized.
+    *
+    * @return (source_x, source_y, n_shared, sz_x, sz_y, jaccard_u,
+    *         containment_u), source_x < source_y
+    */
+  def sourceVocabOverlap(docs: DataFrame): DataFrame = {
+    val st = Dedup.fanOut(docs).select(col("source"),
+        explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+          .as("tok"))
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    st.as("x").join(st.as("y"),
+        col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_x"), col("y.source").as("source_y"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("source_x"),
+        col("sz").as("sz_x"))), Seq("source_x"))
+      .join(broadcast(sizes.select(col("source").as("source_y"),
+        col("sz").as("sz_y"))), Seq("source_y"))
+      .select(col("source_x"), col("source_y"), col("n_shared"),
+        col("sz_x"), col("sz_y"),
+        expr("n_shared * 1000000 div (sz_x + sz_y - n_shared)").as("jaccard_u"),
+        expr("n_shared * 1000000 div least(sz_x, sz_y)").as("containment_u"))
+  }
 }

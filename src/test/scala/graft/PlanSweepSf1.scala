@@ -61,7 +61,7 @@ class PlanSweepSf1 extends SparkTestBase {
     "q249_fuzzy_decontaminate", "q250_cohens_kappa",
     "q251_robust_outliers", "q255_ks_drift", "q256_rfm_segments",
     "q257_fuzzy_pretrain_pipeline", "q258_rfm_transitions",
-    "q259_basket_lift")
+    "q259_basket_lift", "q261_source_vocab_overlap")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 

@@ -199,6 +199,16 @@ class Round9Spec extends SparkTestBase {
       == (("click", 5L, 4000000L, 11000000L, 1L, b4)))
   }
 
+  test("sourceVocabOverlap: set Jaccard + containment; disjoint pairs absent") {
+    val docs = Seq((1L, "x y z", "a"), (2L, "y z w", "b"), (3L, "q r", "c"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ops.TextAnalysis.sourceVocabOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // (a,b): shared {y,z}, union 4 → jac 500000; containment 2/3; c disjoint
+    assert(out.toSeq == Seq(("a", "b", 2L, 3L, 3L, 500000L, 666666L)))
+  }
+
   test("q252 HLL intersection estimate tracks the exact overlap (sf0.001)") {
     val row = Queries.queries("q252_hll_intersect")(spark, s"$testData/sf0.001")
       .collect().head
