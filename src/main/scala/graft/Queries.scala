@@ -6765,7 +6765,7 @@ object Queries {
              |  FROM rmm FULL OUTER JOIN cmm USING (cls), tt)
              |SELECT t.n_docs, t.n_agree,
              |  CAST(t.n_agree * 1000000 // t.n_docs AS BIGINT) AS po_u, pe.pe_u,
-             |  CAST((t.n_agree * 1000000 // t.n_docs - pe.pe_u + 1000000 - pe.pe_u)
+             |  CAST(greatest(t.n_agree * 1000000 // t.n_docs - pe.pe_u + 1000000 - pe.pe_u, 0)
              |    * 1000000 // greatest(1000000 - pe.pe_u, 1) AS BIGINT) AS kappa_p1_u
              |FROM tt t, pe""".stripMargin)),
 
@@ -6871,7 +6871,8 @@ object Queries {
       (s, d) => graft.ops.QualityAudit.benford(T(s, d, "lineitem"),
         col("l_extendedprice")),
       Some("""WITH dg AS (SELECT substring(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit
-             |  FROM lineitem WHERE CAST(l_extendedprice AS DOUBLE) >= 1.0),
+             |  FROM lineitem WHERE CAST(l_extendedprice AS DOUBLE) >= 1.0
+             |    AND CAST(l_extendedprice AS DOUBLE) < 9.2e18),
              |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY 1),
              |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM dg),
              |e AS (SELECT * FROM (VALUES ('1', 301029), ('2', 176091), ('3', 124938),
@@ -6916,16 +6917,18 @@ object Queries {
              |   CAST(sum(gcnt) OVER w AS BIGINT) AS gcum
              |  FROM grid WINDOW w AS (PARTITION BY grp ORDER BY v)),
              |tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_grp FROM v GROUP BY 1),
-             |gt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM v),
+             |gt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot,
+             |   CAST(min(v) AS BIGINT) AS v_min FROM v),
              |keys AS (SELECT c.grp, t.n_grp, gt.n_tot - t.n_grp AS n_rest,
+             |   gt.v_min,
              |   abs(c.scum * 1000000 // t.n_grp
              |     - (c.gcum - c.scum) * 1000000 // greatest(gt.n_tot - t.n_grp, 1))
-             |     * 100000000 + c.v AS key
+             |     * 100000000 + (c.v - gt.v_min) AS key
              |  FROM cums c JOIN tot t USING (grp), gt)
              |SELECT grp, n_grp, CAST(n_rest AS BIGINT) AS n_rest,
              |  CAST(max(key) // 100000000 AS BIGINT) AS ks_u,
-             |  CAST(max(key) % 100000000 AS BIGINT) AS ks_at_v
-             |FROM keys GROUP BY 1, 2, 3""".stripMargin)),
+             |  CAST(max(key) % 100000000 + v_min AS BIGINT) AS ks_at_v
+             |FROM keys GROUP BY 1, 2, 3, v_min""".stripMargin)),
 
     Q("q256_rfm_segments",
       (s, d) => graft.ops.TimeSeries.rfmSegments(T(s, d, "events")),

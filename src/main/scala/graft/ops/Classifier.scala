@@ -176,7 +176,12 @@ object Classifier {
         // greatest(…, 1) guards the degenerate single-class corpus
         // (p_e = 1 ⇒ κ is 0/0; Spark's div-by-zero NULLs while DuckDB
         // errors — the guard keeps both engines on the same finite value)
-        expr("""(n_agree * 1000000 div n_docs - pe_u + 1000000 - pe_u)
+        // greatest(…, 0) on the numerator: κ ≥ −1 guarantees the TRUE
+        // shifted numerator is non-negative, so the clamp only removes a
+        // truncation artifact — in the exact κ = −1 corner the shifted
+        // numerator can floor-truncate to −1 µ, where Spark `div`
+        // (truncate toward zero) and DuckDB `//` (floor) diverge by 1
+        expr("""greatest(n_agree * 1000000 div n_docs - pe_u + 1000000 - pe_u, 0)
                 * 1000000 div greatest(1000000 - pe_u, 1)""").as("kappa_p1_u"))
   }
 }

@@ -46,7 +46,11 @@ object Pipeline {
     *        leakage survives the exact 8-gram screen but not a Jaccard
     *        one). REUSES the stage-3 banded pair relation: the screen is a
     *        filter + anti-join on already-materialized pairs, zero extra
-    *        corpus passes; the funnel gains an n_fuzzy_clean column
+    *        corpus passes; the funnel gains an n_fuzzy_clean column.
+    *        MUST be ≥ 0.5 (the stage-3 LSH threshold) — a lower cut could
+    *        not be honored off the stage-3 relation, which only holds
+    *        pairs with estimated Jaccard ≥ 0.5, so the screen would
+    *        silently under-drop; enforced with a `require`
     * @return one row per (lang, shard, bin) of the packed TRAIN split:
     *         (lang, shard, bin, n_docs, sum_tokens, first_doc, last_doc,
     *         n_raw, n_cascade, n_dedup, n_clean[, n_fuzzy_clean], n_train)
@@ -54,6 +58,10 @@ object Pipeline {
   def pretrainCorpus(docs: DataFrame, budget: Int = 2048,
       shardDocs: Int = 128, benchMod: Int = 7,
       fuzzyCut: Option[Double] = None): DataFrame = {
+    require(fuzzyCut.forall(_ >= 0.5),
+      s"fuzzyCut=$fuzzyCut is below the stage-3 LSH threshold (0.5): the " +
+        "pair relation only holds pairs with jaccard >= 0.5, so a lower " +
+        "cut would silently under-drop")
     val raw = docs.select(col("doc_id"), col("lang"), col("text"))
     // 1. quality cascade
     val kept1 = FreshCheckpoint(raw.join(

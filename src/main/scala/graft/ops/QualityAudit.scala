@@ -133,6 +133,12 @@ object QualityAudit {
     * fused scan → a ≤ 9-row aggregate; the total attaches as a 1-row
     * broadcast scalar.
     *
+    * Supported range: 1 ≤ value < 2⁶³ (~9.2·10¹⁸). Values ≥ 2⁶³ are
+    * EXCLUDED before the long cast — Spark (non-ANSI) would saturate the
+    * double→long cast at Long.MaxValue while an ANSI engine raises a cast
+    * error, so the filter is what keeps the op engine-portable on
+    * extreme-magnitude inputs.
+    *
     * @return (digit, n, share_u, benford_u, dev_u), one row per observed digit
     */
   def benford(df: DataFrame, valueCol: Column): DataFrame = {
@@ -143,7 +149,7 @@ object QualityAudit {
         Seq(lit((i + 1).toString), lit(u))
       }: _*), col("digit"))
     val digits = df.select(valueCol.cast("double").as("x"))
-      .filter(col("x") >= 1.0)
+      .filter(col("x") >= 1.0 && col("x") < 9.2e18)
       .select(substring(floor(col("x")).cast("long").cast("string"), 1, 1)
         .as("digit"))
     val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
@@ -162,9 +168,13 @@ object QualityAudit {
     * the global distinct-value domain, built once and fanned to groups by
     * a |groups|-row broadcast; CDFs are running counts over the domain
     * partitioned by group (never a global sort); the sup and its argmax
-    * pack into ONE integer key (gap_u·10⁸ + v, valid while values < 10⁸)
+    * pack into ONE integer key — gap_u·10⁸ + (v − v_min), where v_min is
+    * the global minimum (a field of the same 1-row broadcast as n_tot) —
     * so one agg returns both deterministically (ties break to the largest
-    * breakpoint).
+    * breakpoint). Biasing by v_min keeps the packed low word non-negative
+    * for ANY value sign (a raw negative v would both corrupt the max-key
+    * ordering and break the `% 10⁸` decode); the remaining requirement is
+    * only on the SPAN: max(v) − min(v) < 10⁸.
     *
     * @return one row per group: (grp, n_grp, n_rest, ks_u, ks_at_v)
     */
@@ -182,16 +192,17 @@ object QualityAudit {
       .withColumn("scum", sum(col("scnt")).over(w))
       .withColumn("gcum", sum(col("gcnt")).over(w))
     val tot = v.groupBy(col("grp")).agg(count(lit(1)).as("n_grp"))
-    val gtot = v.agg(count(lit(1)).as("n_tot"))
+    val gtot = v.agg(count(lit(1)).as("n_tot"), min(col("v")).as("v_min"))
     cums.join(broadcast(tot), Seq("grp")).crossJoin(broadcast(gtot))
       .select(col("grp"), col("n_grp"),
-        (col("n_tot") - col("n_grp")).as("n_rest"),
+        (col("n_tot") - col("n_grp")).as("n_rest"), col("v_min"),
         (abs(expr("scum * 1000000 div n_grp")
           - expr("(gcum - scum) * 1000000 div greatest(n_tot - n_grp, 1)"))
-          * 100000000L + col("v")).as("key"))
-      .groupBy(col("grp"), col("n_grp"), col("n_rest"))
+          * 100000000L + (col("v") - col("v_min"))).as("key"))
+      .groupBy(col("grp"), col("n_grp"), col("n_rest"), col("v_min"))
       .agg(max(col("key")).as("k"))
       .select(col("grp"), col("n_grp"), col("n_rest"),
-        expr("k div 100000000").as("ks_u"), expr("k % 100000000").as("ks_at_v"))
+        expr("k div 100000000").as("ks_u"),
+        (expr("k % 100000000") + col("v_min")).as("ks_at_v"))
   }
 }
