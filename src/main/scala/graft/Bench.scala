@@ -105,6 +105,41 @@ object Bench {
       resetSessionState(0.0)
     }
 
+    // Fixed-work calibration probe (round-10, judge-prescribed). Three
+    // rounds (r6, r9) hand-adjudicated "is this 1.1x real?" box drift; this
+    // makes it machine-checkable. A deterministic, ZERO-I/O workload —
+    // generated rows through a broadcast join, a hash-agg shuffle, and a
+    // small window — measures the BOX+JVM's speed for exactly the
+    // shuffle/agg machinery the inventory uses, independent of any code in
+    // this repo or any parquet file. Every bench line records the best of 3
+    // as "calib_s"; tools/bench_trend.py divides the raw round-over-round
+    // ratio by the calibration ratio to report a drift-normalized trend.
+    // Runs after warm-up, outside any query's timed region; ~3 s total.
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val fact = spark.range(0L, 16000000L, 1L, 32)
+          .select(col("id"),
+            pmod(col("id") * 2654435761L, lit(1048576)).as("h"),
+            pmod(col("id"), lit(4096)).as("k"))
+        val dim = spark.range(0L, 4096L)
+          .select(col("id").as("k"), pmod(col("id") * 31, lit(97)).as("w"))
+        fact.join(broadcast(dim), "k")
+          .groupBy("k")
+          .agg(sum("h").as("sh"), count(lit(1)).as("n"), sum("w").as("sw"))
+          .select(col("k"), col("sh"), col("n"), col("sw"),
+            sum(col("sh")).over(Window.orderBy("k")
+              .rowsBetween(Window.unboundedPreceding, 0)).as("run"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      resetSessionState(times.sum)
+      times.min
+    }
+    val calibSec = calibrate()
+
     // Optional subset for local iteration: comma-separated name prefixes.
     // A subset runs in the ONLY-list's order (debris accumulates forward, so
     // the heavy-isolation child lists its most allocation-heavy queries
@@ -182,7 +217,7 @@ object Bench {
     val gcs = results.filter(_._2._2 >= 0.1)
       .map { case (k, (_, g)) => "\"" + k + f"\":$g%.1f" }.mkString("{", ",", "}")
     System.err.println(f"""BENCHGC {"gc_total_sec":$gcTotal%.1f,"gc_by_query":$gcs}""")
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_s":$calibSec%.3f,"queries":$qs,"sf":"$sfDir"}"""
     // The driver stores only a truncated log tail (rounds 1-2 both ended with
     // "parsed": null and invisible timings for most queries), so persist the
     // full JSON to a file as the durable record and print it to stdout too.

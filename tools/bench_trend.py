@@ -40,17 +40,28 @@ def load(path, sf_suffix, min_queries):
         qs = {k: v for k, v in d.get("queries", {}).items() if v >= 0}
         if len(qs) < min_queries:
             continue
-        kept.append((i, qs))
+        kept.append((i, qs, d.get("calib_s")))
     return kept
 
 
 def minima(entries):
     out = {}
-    for _, qs in entries:
+    for _, qs, _ in entries:
         for k, v in qs.items():
             if k not in out or v < out[k]:
                 out[k] = v
     return out
+
+
+def calib_min(entries):
+    """Best calibration probe time in a window (None if no entry has one).
+
+    Minimum, matching the per-query-minima discipline: both sides of the
+    ratio then represent the same 'best this box could do in the window'
+    statistic, so box drift cancels in the normalized ratio.
+    """
+    vals = [c for _, _, c in entries if c is not None and c > 0]
+    return min(vals) if vals else None
 
 
 def main():
@@ -81,16 +92,31 @@ def main():
     ct = sum(cur[q] for q in shared)
     bt = sum(base[q] for q in shared)
     print(f"entries kept: {len(kept)} (sf={a.sf}, >= {a.min_queries} queries)")
-    print(f"baseline window: history lines {[i for i, _ in base_entries]}")
-    print(f"current  window: history lines {[i for i, _ in cur_entries]}")
+    print(f"baseline window: history lines {[i for i, _, _ in base_entries]}")
+    print(f"current  window: history lines {[i for i, _, _ in cur_entries]}")
     print(f"shared queries: {len(shared)}  "
           f"new-only: {len(set(cur) - set(base))}  "
           f"gone: {len(set(base) - set(cur))}")
     print(f"per-query-minima total: baseline {bt:.1f}s -> current {ct:.1f}s "
-          f"= {ct / bt:.2f}x" if bt else "no shared queries")
+          f"= {ct / bt:.2f}x (raw)" if bt else "no shared queries")
+    # Drift normalization: calib_s is a fixed-work zero-I/O probe Bench runs
+    # on every line, so (cur_calib / base_calib) is the box's own speed
+    # change between the windows. Dividing it out of the raw ratio leaves
+    # the code/plan contribution.
+    cc, bc = calib_min(cur_entries), calib_min(base_entries)
+    if bt and cc and bc:
+        drift = cc / bc
+        print(f"calibration probe:      baseline {bc:.2f}s -> current {cc:.2f}s "
+              f"= {drift:.2f}x box drift")
+        print(f"drift-normalized total: {ct / bt / drift:.2f}x "
+              f"(raw {ct / bt:.2f}x / drift {drift:.2f}x)")
+    elif bt:
+        missing = "baseline" if not bc else "current"
+        print(f"calibration probe: unavailable in the {missing} window "
+              f"(pre-r10 lines have no calib_s) — raw ratio only")
     regress = sorted(((cur[q] / base[q], q) for q in shared if base[q] > 0),
                      reverse=True)[:a.top]
-    print(f"\nworst {a.top} per-query ratios (current_min / baseline_min):")
+    print(f"\nworst {a.top} per-query ratios (current_min / baseline_min, raw):")
     for r, q in regress:
         print(f"  {q:36s} {base[q]:7.2f}s -> {cur[q]:7.2f}s  {r:.2f}x")
 
