@@ -27,11 +27,31 @@ object Association {
   /** @param items (container, item) relation — duplicates tolerated
     *        (internally distinct'd)
     * @param minSupport minimum co-occurrence count for a pair to surface
-    * @return (a, b, n_both, s_a, s_b, conf_ab_u, conf_ba_u, lift_u), a < b
+    * @param maxBasket when set, containers holding MORE than this many
+    *        distinct items are excluded BEFORE the pair self-join — the
+    *        hub cap of `LinkPrediction.adamicAdar`, applied to baskets.
+    *        Pair fan-out is quadratic in basket size, so one pathological
+    *        container (a crawl session or user history with 10⁶ "items")
+    *        turns the self-join into 10¹² rows; order-shaped baskets
+    *        (lineitem ≤ 7) never hit a sane cap. When set, the output
+    *        additionally carries `n_dropped_containers` (a 1-row broadcast
+    *        attach) so the exclusion is audited, not silent; item supports
+    *        and the basket total N are computed over the KEPT containers,
+    *        keeping every metric internally consistent
+    * @return (a, b, n_both, s_a, s_b, conf_ab_u, conf_ba_u, lift_u)
+    *         [, n_dropped_containers], a < b
     */
   def basketLift(items: DataFrame, container: Column, item: Column,
-      minSupport: Long = 3): DataFrame = {
-    val li = items.select(container.as("ok"), item.as("p")).distinct()
+      minSupport: Long = 3, maxBasket: Option[Long] = None): DataFrame = {
+    val li0 = items.select(container.as("ok"), item.as("p")).distinct()
+    // container-cardinality-bounded size relation, shared by the keep
+    // filter and the dropped-count audit
+    lazy val sizes = li0.groupBy(col("ok")).agg(count(lit(1)).as("bsz"))
+    val li = maxBasket match {
+      case Some(cap) => li0.join(
+        sizes.filter(col("bsz") <= cap).select(col("ok")), Seq("ok"), "leftsemi")
+      case None => li0
+    }
     val sup = li.groupBy(col("p")).agg(count(lit(1)).as("s"))
     val nb = li.agg(countDistinct(col("ok")).as("n"))
     val pairs = li.as("x").join(li.as("y"),
@@ -39,7 +59,7 @@ object Association {
       .groupBy(col("x.p").as("a"), col("y.p").as("b"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= minSupport)
-    pairs
+    val out = pairs
       .join(sup.select(col("p").as("a"), col("s").as("s_a")), Seq("a"))
       .join(sup.select(col("p").as("b"), col("s").as("s_b")), Seq("b"))
       .crossJoin(broadcast(nb))
@@ -47,5 +67,11 @@ object Association {
         expr("n_both * 1000000 div s_a").as("conf_ab_u"),
         expr("n_both * 1000000 div s_b").as("conf_ba_u"),
         expr("(n_both * 1000000 div s_a) * n div s_b").as("lift_u"))
+    maxBasket match {
+      case Some(cap) => out.crossJoin(broadcast(
+        sizes.filter(col("bsz") > cap)
+          .agg(count(lit(1)).as("n_dropped_containers"))))
+      case None => out
+    }
   }
 }

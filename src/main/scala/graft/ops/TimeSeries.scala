@@ -134,13 +134,25 @@ object TimeSeries {
   /** Per-user scored relation behind [[rfmSegments]] — also the input of
     * [[rfmTransitions]]' two-window migration join.
     * @return (user_id, m_cents, r_score, f_score, m_score, segment) */
-  def rfmScores(events: DataFrame, mBinCents: Long = 1000): DataFrame = {
-    val anchor = events.agg(max(unix_micros(col("ts"))).as("anchor_us"))
-    val per = org.apache.spark.sql.graft.FreshCheckpoint(
+  def rfmScores(events: DataFrame, mBinCents: Long = 1000): DataFrame =
+    scoreFromPerUser(
       events.groupBy(col("user_id"))
         .agg(max(unix_micros(col("ts"))).as("last_us"),
           count(lit(1)).as("f"),
-          expr("CAST(round(sum(value) * 100, 0) AS BIGINT)").as("m_cents"))
+          expr("CAST(round(sum(value) * 100, 0) AS BIGINT)").as("m_cents")),
+      mBinCents)
+
+  /** Scoring stage shared by [[rfmScores]] and [[rfmTransitions]]: takes
+    * the PER-USER aggregate relation (user_id, last_us, f, m_cents) and
+    * attaches quintile scores + segment labels. The recency anchor is
+    * max(last_us) over the input — identical to the population's max event
+    * timestamp, so callers can hand in any pre-aggregated population
+    * (e.g. one half of a split stream) without touching raw events. */
+  private[ops] def scoreFromPerUser(per0: DataFrame,
+      mBinCents: Long): DataFrame = {
+    val anchor = per0.agg(max(col("last_us")).as("anchor_us"))
+    val per = org.apache.spark.sql.graft.FreshCheckpoint(
+      per0
         .crossJoin(broadcast(anchor))
         .select(col("user_id"),
           expr("(anchor_us - last_us) div 86400000000").as("r"),
@@ -238,9 +250,12 @@ object TimeSeries {
     * movement rides as a SUM (not a mean — deltas are signed and the
     * engines disagree on negative integer division).
     *
-    * Scale shape: one 1-row midpoint attach, two half-scoring passes (each
-    * the q256 shape: one user-keyed agg + bounded-domain cut windows), one
-    * user-keyed inner join of the two |users|-row score relations, a ≤ 25-row
+    * Scale shape: one 1-row midpoint attach, then ONE events scan computing
+    * BOTH halves' per-user aggregates (grouped by (user, half) — the r10
+    * single-pass fix; the r9 version ran a half-filtered scan per side),
+    * checkpointed once and cut by the shared [[scoreFromPerUser]] stage
+    * (bounded-domain cut windows, no raw-event re-read), one user-keyed
+    * inner join of the two |users|-row score relations, a ≤ 25-row
     * rollup. Users active in only one half drop out (they have no
     * transition; churn/arrival counts are rfmSegments diffs).
     *
@@ -249,13 +264,15 @@ object TimeSeries {
   def rfmTransitions(events: DataFrame, mBinCents: Long = 1000): DataFrame = {
     val mid = events.agg(
       expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("m_us"))
-    val tagged = events.crossJoin(broadcast(mid))
-    def half(early: Boolean): DataFrame = rfmScores(
-      tagged.filter(
-        if (early) unix_micros(col("ts")) < col("m_us")
-        else unix_micros(col("ts")) >= col("m_us"))
-        .drop("m_us"),
-      mBinCents)
+    val perBoth = org.apache.spark.sql.graft.FreshCheckpoint(
+      events.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"),
+          (unix_micros(col("ts")) >= col("m_us")).as("late"))
+        .agg(max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("f"),
+          expr("CAST(round(sum(value) * 100, 0) AS BIGINT)").as("m_cents")))
+    def half(early: Boolean): DataFrame = scoreFromPerUser(
+      perBoth.filter(col("late") === !early).drop("late"), mBinCents)
     half(early = true)
       .select(col("user_id"), col("segment").as("segment_from"),
         col("m_cents").as("m_from"))

@@ -51,6 +51,59 @@ class Round10Spec extends SparkTestBase {
     assert(out.toSeq == Seq(("1", 2L, 1000000L)))
   }
 
+  test("basketLift maxBasket drops pathological containers and audits them") {
+    // basket 9 is a 12-item "crawl session": quadratic fan-out territory.
+    // With cap 8 it must vanish from pair counts, supports, AND the basket
+    // total N — and be counted in the audit column.
+    val big = (1 to 12).map(i => (9L, s"hub$i"))
+    val items = (Seq(
+      (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "A"), (3L, "B"),
+      (4L, "A"), (4L, "C"), (5L, "B")) ++ big ++ Seq((9L, "A"), (9L, "B")))
+      .toDF("ok", "p")
+    val out = graft.ops.Association.basketLift(items, col("ok"), col("p"),
+        maxBasket = Some(8L))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))
+    // identical to the uncapped q259-planted expectation (basket 9 gone),
+    // plus the audit scalar = 1 dropped container
+    assert(out.toSeq == Seq(
+      ("A", "B", 3L, 4L, 4L, 750000L, 750000L, 937500L, 1L)))
+    // uncapped: basket 9 participates (A,B co-occur 4×, supports 5/5, N 5)
+    val un = graft.ops.Association.basketLift(items, col("ok"), col("p"))
+      .filter(col("a") === "A" && col("b") === "B")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(un.toSeq == Seq((4L, 5L, 5L)))
+  }
+
+  test("rfmTransitions runs ONE events scan for both halves (r10 fix)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val events = Queries.normalizeEventsTs(
+      spark.read.parquet(s"$testData/sf0.001/events.parquet"))
+    @volatile var scanStages = 0
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        if (sc.stageInfo.rddInfos.exists(_.name.contains("FileScanRDD")))
+          scanStages += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // construction materializes the mid broadcast + the single
+      // (user, half) aggregate checkpoint; collect touches no file after
+      val out = graft.ops.TimeSeries.rfmTransitions(events).collect()
+      assert(out.nonEmpty)
+      // drain the listener bus: poll until the count is stable
+      var last = -1
+      var spins = 0
+      while (scanStages != last && spins < 50) {
+        last = scanStages; Thread.sleep(100); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // midpoint agg (1 file-scan stage) + per-(user,half) agg (1) — the r9
+    // two-pass version ran 5 (mid + 2×(anchor + per-user agg))
+    assert(scanStages <= 2, s"events scanned $scanStages times, expected <= 2")
+  }
+
   test("pretrainCorpus rejects a fuzzyCut below the stage-3 LSH threshold") {
     val docs = Seq((1L, "en", "a b c")).toDF("doc_id", "lang", "text")
     val e = intercept[IllegalArgumentException] {
