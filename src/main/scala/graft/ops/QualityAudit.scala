@@ -97,17 +97,13 @@ object QualityAudit {
     */
   def robustOutliers(df: DataFrame, valueCol: Column, groupCol: Column,
       k: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // low medians via the shared value-domain-histogram quantile engine
+    // ((n+1) div 2 ≡ Quantiles' ceil-rank (50n+99) div 100 for all n)
+    def lowMedian(vals: DataFrame, c: String): DataFrame =
+      Quantiles.lowQuantiles(vals.select(col("grp"), col(c).as("v")),
+          Seq(50 -> s"${c}_med"))
+        .select(col("grp"), col(s"${c}_med"))
     val v = df.select(groupCol.as("grp"), valueCol.cast("long").as("v"))
-    val tot = v.groupBy(col("grp")).agg(count(lit(1)).as("n"))
-    def lowMedian(vals: DataFrame, c: String): DataFrame = {
-      val hist = vals.groupBy(col("grp"), col(c)).agg(count(lit(1)).as("cnt"))
-      val cum = hist.withColumn("cum",
-        sum(col("cnt")).over(Window.partitionBy(col("grp")).orderBy(col(c))))
-      cum.join(broadcast(tot), Seq("grp"))
-        .filter(col("cum") >= expr("(n + 1) div 2"))
-        .groupBy(col("grp")).agg(min(col(c)).as(s"${c}_med"))
-    }
     val med = lowMedian(v, "v")
     val dev = v.join(broadcast(med), Seq("grp"))
       .select(col("grp"), col("v"), abs(col("v") - col("v_med")).as("d"))

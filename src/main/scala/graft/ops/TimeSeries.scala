@@ -158,18 +158,14 @@ object TimeSeries {
           expr("(anchor_us - last_us) div 86400000000").as("r"),
           col("f"), col("m_cents"),
           expr(s"m_cents div $mBinCents").as("m_bin")))
-    val tot = per.agg(count(lit(1)).as("n"))
-    /** 1-row (p*_20..p*_80) quintile-cut relation for dimension `c`. */
-    def cutRow(c: String, p: String): DataFrame = {
-      val cum = per.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col(c))))
-        .crossJoin(broadcast(tot))
-      cum.agg(
-        min(when(col("cum") >= expr("(20 * n + 99) div 100"), col(c))).as(s"${p}20"),
-        min(when(col("cum") >= expr("(40 * n + 99) div 100"), col(c))).as(s"${p}40"),
-        min(when(col("cum") >= expr("(60 * n + 99) div 100"), col(c))).as(s"${p}60"),
-        min(when(col("cum") >= expr("(80 * n + 99) div 100"), col(c))).as(s"${p}80"))
-    }
+    /** 1-row (p*_20..p*_80) quintile-cut relation for dimension `c` —
+      * the shared value-domain-histogram quantile engine, grouped on a
+      * constant key (the cuts are population-global). */
+    def cutRow(c: String, p: String): DataFrame =
+      Quantiles.lowQuantiles(
+          per.select(lit(0).as("grp"), col(c).as("v")),
+          Seq(20, 40, 60, 80).map(q => q -> s"$p$q"))
+        .drop("grp", "n")
     def above(v: String, p: String): Column =
       Seq("20", "40", "60", "80")
         .map(q => when(col(v) > col(s"$p$q"), 1L).otherwise(0L))

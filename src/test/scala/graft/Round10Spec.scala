@@ -104,6 +104,22 @@ class Round10Spec extends SparkTestBase {
     assert(scanStages <= 2, s"events scanned $scanStages times, expected <= 2")
   }
 
+  test("Quantiles.lowQuantiles: ceil-rank, low-value ties, per-group") {
+    // grp a: {1,2,3,4} → p50 ceil-rank ⌈2⌉ = 2nd value = 2 (LOW median,
+    // not interpolated 2.5); p25 = 1, p75 = 3, p100 = 4.
+    // grp b: {10,10,30} → p50 = 10 (tie resolves to actual value).
+    val vals = (Seq(1L, 2L, 3L, 4L).map(("a", _)) ++
+      Seq(10L, 10L, 30L).map(("b", _))).toDF("grp", "v")
+    val out = graft.ops.Quantiles.lowQuantiles(vals,
+        Seq(25 -> "p25", 50 -> "p50", 75 -> "p75", 100 -> "p100"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("a", 4L, 1L, 2L, 3L, 4L),
+      ("b", 3L, 10L, 10L, 30L, 30L)))
+  }
+
   test("pretrainCorpus rejects a fuzzyCut below the stage-3 LSH threshold") {
     val docs = Seq((1L, "en", "a b c")).toDF("doc_id", "lang", "text")
     val e = intercept[IllegalArgumentException] {
