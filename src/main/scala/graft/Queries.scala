@@ -7026,13 +7026,66 @@ object Queries {
       // re-deriving NOTHING: the screen filters the stage-3 pair relation
       Some(pretrainOracle(fuzzy = true))))
 
+  // ---------------------------------------------------------------- round-10 batch 1
+  // BPE corpus ENCODING (apply the q211-trained merges) + sequence packing
+  // on real tokenizer lengths — the train → encode → pack completion.
+  private val ext36Qs = Seq(
+    Q("q262_bpe_encode",
+      (s, d) => graft.ops.TextAnalysis.bpeEncode(T(s, d, "documents")),
+      // q211's unrolled 3-round merge replay, applied on the ENCODE side:
+      // corpus (doc, word) counts join the trained v3 vocabulary
+      Some(bpeVocabSql + """,
+             |dw AS (SELECT doc_id, w, count(*) AS occ FROM (
+             |   SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |     x -> x <> '')) AS w FROM documents) GROUP BY 1, 2),
+             |je AS (SELECT dw.doc_id, dw.occ, len(v3.syms) AS ns, length(dw.w) AS lw
+             |  FROM dw JOIN v3 ON v3.w = dw.w),
+             |enc AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_words,
+             |   CAST(sum(occ * ns) AS BIGINT) AS n_bpe_tokens,
+             |   CAST(sum(occ * lw) AS BIGINT) AS n_chars FROM je GROUP BY 1)
+             |SELECT doc_id, n_words, n_bpe_tokens, n_chars,
+             |  CAST(n_bpe_tokens * 1000000 // n_words AS BIGINT) AS fertility_u
+             |FROM enc""".stripMargin)),
+
+    Q("q263_bpe_packing",
+      (s, d) => {
+        // pack on ENCODED lengths: the q114 layout where the budget means
+        // model-context tokens (bpeEncode's n_bpe_tokens), not words
+        val docs = T(s, d, "documents")
+        val enc = graft.ops.TextAnalysis.bpeEncode(docs)
+        graft.ops.TrainingData.sequencePackingBy(
+          docs.select(col("doc_id"), col("lang"))
+            .join(enc.select(col("doc_id"), col("n_bpe_tokens")), Seq("doc_id")),
+          col("n_bpe_tokens"), budget = 8192, partCol = "lang",
+          shardDocs = 128)
+      },
+      // the q262 encode chain feeding q114's offset-window packing replay
+      Some(bpeVocabSql + """,
+             |dw AS (SELECT doc_id, w, count(*) AS occ FROM (
+             |   SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |     x -> x <> '')) AS w FROM documents) GROUP BY 1, 2),
+             |je AS (SELECT dw.doc_id, dw.occ, len(v3.syms) AS ns
+             |  FROM dw JOIN v3 ON v3.w = dw.w),
+             |enc AS (SELECT doc_id, CAST(sum(occ * ns) AS BIGINT) AS n_bpe_tokens
+             |  FROM je GROUP BY 1),
+             |t AS (SELECT d.lang, CAST(floor(d.doc_id / 128) AS BIGINT) AS shard,
+             |   d.doc_id, e.n_bpe_tokens AS n_tokens
+             |  FROM documents d JOIN enc e ON e.doc_id = d.doc_id),
+             |c AS (SELECT lang, shard, doc_id, n_tokens,
+             |  coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre FROM t)
+             |SELECT lang, shard, CAST(floor(pre / 8192) AS BIGINT) AS bin,
+             | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM c GROUP BY 1, 2, 3""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs
+      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -983,6 +983,43 @@ object TextAnalysis {
         expr("n_chars * 1000000 div n_symbols").as("compression_u"))
   }
 
+  /** Apply the trained BPE merges to the corpus — the ENCODE step that
+    * completes the train (q211) → encode → pack tokenizer story: after
+    * `rounds` merges, every document's token stream is segmented by the
+    * trained vocabulary and rolled up to its encoded statistics. What
+    * [[TrainingData.sequencePackingBy]] packs when sequence budgets are
+    * measured in REAL tokenizer tokens instead of whitespace words.
+    *
+    * Scale shape — encoding never re-touches characters corpus-side: the
+    * trained vocabulary (w → syms) is Heaps-law-sized, so the corpus cost
+    * is one (doc, word)-keyed count aggregate plus a word-keyed join
+    * against the vocabulary; each doc's encoded length is Σ occ·|syms(w)|.
+    * Per-character merge work happened once, on vocabulary rows, inside
+    * the training loop.
+    *
+    * Documents with no tokens (empty/whitespace text) have no encoding and
+    * drop out — same population rule as [[tokenizerFertility]].
+    *
+    * @return (doc_id, n_words, n_bpe_tokens, n_chars, fertility_u) —
+    *         fertility_u = ⌊n_bpe_tokens·10⁶ / n_words⌋
+    */
+  def bpeEncode(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val (_, vocab) = bpeRounds(docs, rounds)
+    val dw = Dedup.fanOut(docs).select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+          .as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("occ"))
+    dw.join(vocab.select(col("w"), size(col("syms")).cast("long").as("ns")),
+        Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_words"),
+        sum(col("occ") * col("ns")).as("n_bpe_tokens"),
+        sum(col("occ") * length(col("w")).cast("long")).as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        col("n_chars"),
+        expr("n_bpe_tokens * 1000000 div n_words").as("fertility_u"))
+  }
+
   /** Shared merge-loop driver: (per-round 1-row merge relations, final
     * vocabulary (w, freq, syms)). */
   private def bpeRounds(docs: DataFrame,

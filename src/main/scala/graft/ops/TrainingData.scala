@@ -283,14 +283,24 @@ object TrainingData {
     * regardless of language skew. Returns one row per (partition, shard,
     * bin) with its doc span and token load. */
   def sequencePacking(docs: DataFrame, budget: Int = 8192,
+      partCol: String = "lang", shardDocs: Int = 65536): DataFrame =
+    sequencePackingBy(docs, TextAnalysis.tokenCount(col("text")),
+      budget, partCol, shardDocs)
+
+  /** [[sequencePacking]] generalized over the LENGTH measure: `lenCol` is
+    * any per-row token-count expression — whitespace words (the default
+    * above), or REAL tokenizer lengths from [[TextAnalysis.bpeEncode]]
+    * (join its n_bpe_tokens onto the docs first), so sequence budgets mean
+    * model-context tokens, not word counts. Same pinned layout, same
+    * skew-bounded (partCol, shard) windows. */
+  def sequencePackingBy(docs: DataFrame, lenCol: Column, budget: Int = 8192,
       partCol: String = "lang", shardDocs: Int = 65536): DataFrame = {
-    val toks = TextAnalysis.tokenCount(col("text"))
     val w = Window.partitionBy(col(partCol), col("shard"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs.select(col(partCol),
         floor(col("doc_id") / shardDocs).cast("long").as("shard"),
-        col("doc_id"), toks.as("n_tokens"))
+        col("doc_id"), lenCol.as("n_tokens"))
       .withColumn("bin",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
       .groupBy(col(partCol), col("shard"), col("bin"))

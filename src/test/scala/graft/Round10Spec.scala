@@ -120,6 +120,36 @@ class Round10Spec extends SparkTestBase {
       ("b", 3L, 10L, 10L, 30L, 30L)))
   }
 
+  test("bpeEncode: overlapping-run merges encode left-to-right (⌈k/2⌉)") {
+    // round 1 elects "a a" (weight 4+3 = 7). "aaaaa" = [a,a,a,a,a] is a run
+    // of 4 overlapping matches — exactly the odd ordinals merge, like a
+    // sequential scan: aa|aa|a → 3 symbols (not 2 with greedy-all, not 4
+    // with leftmost-only). "aa" → [aa] = 1 symbol.
+    val docs = Seq((1L, "aaaaa aa b"), (2L, "aa aa"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.bpeEncode(docs, rounds = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 5L, 8L, 1666666L), // aaaaa→3 + aa→1 + b→1 = 5 BPE tokens
+      (2L, 2L, 2L, 4L, 1000000L)))
+  }
+
+  test("sequencePackingBy packs on the provided length column") {
+    val docs = Seq((0L, "en", 3L), (1L, "en", 3L), (2L, "en", 3L))
+      .toDF("doc_id", "lang", "n_enc")
+    val out = graft.ops.TrainingData.sequencePackingBy(docs, col("n_enc"),
+        budget = 5, partCol = "lang", shardDocs = 100)
+      .orderBy("bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // offsets 0,3,6 → doc0/doc1 start in bin 0, doc2 in bin 1
+    assert(out.toSeq == Seq(
+      ("en", 0L, 0L, 2L, 6L, 0L, 1L),
+      ("en", 0L, 1L, 1L, 3L, 2L, 2L)))
+  }
+
   test("pretrainCorpus rejects a fuzzyCut below the stage-3 LSH threshold") {
     val docs = Seq((1L, "en", "a b c")).toDF("doc_id", "lang", "text")
     val e = intercept[IllegalArgumentException] {
