@@ -6725,13 +6725,11 @@ object Queries {
        |   FROM ${p}per, ${p}rcut rc, ${p}fcut fc, ${p}mcut mc))""".stripMargin
   }
 
-  private val ext35Qs = Seq(
-    Q("q249_fuzzy_decontaminate",
-      (s, d) => graft.ops.Dedup.fuzzyDecontaminate(T(s, d, "documents"),
-        col("doc_id") % 10 === 0),
-      // q35's banded-pair replay + the bench/train boundary filter and the
-      // per-dropped-doc rollup (every 10th doc plays the benchmark side)
-      Some(minhashPairCtes() + """,
+  /** q35's banded-pair replay + the bench/train boundary filter and the
+    * per-dropped-doc rollup (every 10th doc plays the benchmark side) —
+    * shared verbatim by q249 (batch) and q264 (the streaming plan's batch
+    * twin): the two engines must agree on the SAME relation. */
+  private val fuzzyDecontOracleSql: String = minhashPairCtes() + """,
              |fl AS (SELECT doc_id, (doc_id % 10 = 0) AS is_bench FROM documents),
              |cp AS (SELECT
              |   CASE WHEN fa.is_bench THEN m.b ELSE m.a END AS drop_id,
@@ -6743,7 +6741,13 @@ object Queries {
              |  WHERE fa.is_bench <> fb.is_bench)
              |SELECT drop_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
              |  max(j_u) AS max_j_u, min(bench_id) AS bench_id_min
-             |FROM cp GROUP BY 1""".stripMargin)),
+             |FROM cp GROUP BY 1""".stripMargin
+
+  private val ext35Qs = Seq(
+    Q("q249_fuzzy_decontaminate",
+      (s, d) => graft.ops.Dedup.fuzzyDecontaminate(T(s, d, "documents"),
+        col("doc_id") % 10 === 0),
+      Some(fuzzyDecontOracleSql)),
 
     Q("q250_cohens_kappa",
       (s, d) => graft.ops.Classifier.cohensKappa(T(s, d, "documents")),
@@ -7077,7 +7081,24 @@ object Queries {
              |SELECT lang, shard, CAST(floor(pre / 8192) AS BIGINT) AS bin,
              | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
              | min(doc_id) AS first_doc, max(doc_id) AS last_doc
-             |FROM c GROUP BY 1, 2, 3""".stripMargin)))
+             |FROM c GROUP BY 1, 2, 3""".stripMargin)),
+
+    Q("q264_stream_decontaminate_twin",
+      (s, d) => {
+        // the STREAMING ingest-decontamination plan evaluated in batch mode
+        // (stream-static broadcast band join + row-local exactly-once +
+        // native verify), rolled up to q249's per-dropped-doc relation —
+        // proving the stream and batch paths compute the SAME relation
+        // against the SAME oracle SQL
+        val docs = T(s, d, "documents")
+        val isBench = col("doc_id") % 10 === 0
+        graft.streaming.DecontaminateStream.fuzzyDecontaminateStream(
+            s, docs.filter(!isBench), docs.filter(isBench))
+          .groupBy(col("drop_id"))
+          .agg(count(lit(1)).as("n_bench_hits"), max(col("j_u")).as("max_j_u"),
+            min(col("bench_id")).as("bench_id_min"))
+      },
+      Some(fuzzyDecontOracleSql)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

@@ -155,6 +155,53 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming fuzzy decontamination equals q249's batch relation over multi-batch arrival") {
+    import graft.streaming.DecontaminateStream
+    val docs = spark.read.parquet(s"$eventsDir/documents.parquet")
+    val isBench = col("doc_id") % 10 === 0
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("drop_id"), r.getAs[Long]("n_bench_hits"),
+        r.getAs[Long]("max_j_u"), r.getAs[Long]("bench_id_min"))
+    // batch oracle: the q249 operator itself (threshold 0.5 for coverage)
+    val batch = graft.ops.Dedup.fuzzyDecontaminate(docs, isBench,
+        threshold = 0.5).collect().map(key).toSet
+    assert(batch.nonEmpty, "no contaminated docs at 0.5 — test vacuous")
+    def rollup(pairs: org.apache.spark.sql.DataFrame) = pairs
+      .groupBy(col("drop_id"))
+      .agg(count(lit(1)).as("n_bench_hits"), max(col("j_u")).as("max_j_u"),
+        min(col("bench_id")).as("bench_id_min"))
+    // the SAME stream-static plan evaluated in batch mode must already agree
+    val asBatch = rollup(DecontaminateStream.fuzzyDecontaminateStream(
+        spark, docs.filter(!isBench), docs.filter(isBench), threshold = 0.5))
+      .collect().map(key).toSet
+    assert(asBatch === batch)
+    // stream the train side in two id-parity micro-batches against the
+    // static bench index; the plan is stateless, so batch boundaries must
+    // not change the emitted pair set
+    val stage = java.nio.file.Files.createTempDirectory("docs_decont")
+    Seq(0, 1).foreach { p =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"dc_half$p")
+      docs.filter(!isBench).filter(col("doc_id") % 2 === p).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        stage.resolve(s"half$p.parquet"))
+    }
+    val raw = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+    val q = DecontaminateStream.fuzzyDecontaminateStream(
+        spark, raw, docs.filter(isBench), threshold = 0.5)
+      .writeStream.format("memory").queryName("decont_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val streamed = rollup(spark.sql("SELECT * FROM decont_stream"))
+      .collect().map(key).toSet
+    assert(streamed === batch)
+  }
+
   test("streaming near-dup (LSH bucket state) equals batch minhashLsh over multi-batch arrival") {
     import graft.streaming.NearDupStream
     val docs = spark.read.parquet(s"$eventsDir/documents.parquet")
