@@ -6534,6 +6534,19 @@ object Queries {
     * `mh` pair relation, mirroring the Scala reuse of pairsAll) between
     * stages 4 and 5 and threads its funnel count through. */
   private def pretrainOracle(fuzzy: Boolean): String = {
+    val fuzzySel = if (!fuzzy) "" else " c3f.n_fuzzy_clean,"
+    val fuzzyFrom = if (!fuzzy) "" else " c3f,"
+    pretrainCtes(fuzzy) + s"""
+             |SELECT p.lang, p.shard, p.bin, p.n_docs, p.sum_tokens,
+             |  p.first_doc, p.last_doc, c0.n_raw, c1.n_cascade, c2.n_dedup,
+             |  c3.n_clean,$fuzzySel c4.n_train
+             |FROM packed p, c0, c1, c2, c3,$fuzzyFrom c4""".stripMargin
+  }
+
+  /** The q197 stage-chain CTEs (through the funnel count CTEs c0..c4),
+    * WITHOUT a final SELECT — shared by [[pretrainOracle]] and the q265
+    * release-composition oracle. */
+  private def pretrainCtes(fuzzy: Boolean): String = {
     val d4v = if (fuzzy) "d4f" else "d4"
     val fuzzyCtes = if (!fuzzy) "" else """
              |fcontam AS (SELECT DISTINCT CASE WHEN a % 7 = 0 THEN b ELSE a END AS doc_id
@@ -6542,8 +6555,6 @@ object Queries {
              |  WHERE doc_id NOT IN (SELECT doc_id FROM fcontam)),""".stripMargin
     val fuzzyCount = if (!fuzzy) "" else """
              |c3f AS (SELECT count(*) AS n_fuzzy_clean FROM d4f),""".stripMargin
-    val fuzzySel = if (!fuzzy) "" else " c3f.n_fuzzy_clean,"
-    val fuzzyFrom = if (!fuzzy) "" else " c3f,"
     s"""WITH RECURSIVE
              |ctoks AS (SELECT doc_id,
              |   unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
@@ -6672,11 +6683,7 @@ object Queries {
              |c1 AS (SELECT count(*) AS n_cascade FROM kept1),
              |c2 AS (SELECT count(*) AS n_dedup FROM d3),
              |c3 AS (SELECT count(*) AS n_clean FROM d4),$fuzzyCount
-             |c4 AS (SELECT count(*) AS n_train FROM tr)
-             |SELECT p.lang, p.shard, p.bin, p.n_docs, p.sum_tokens,
-             |  p.first_doc, p.last_doc, c0.n_raw, c1.n_cascade, c2.n_dedup,
-             |  c3.n_clean,$fuzzySel c4.n_train
-             |FROM packed p, c0, c1, c2, c3,$fuzzyFrom c4""".stripMargin
+             |c4 AS (SELECT count(*) AS n_train FROM tr)""".stripMargin
   }
 
 
@@ -7098,7 +7105,87 @@ object Queries {
           .agg(count(lit(1)).as("n_bench_hits"), max(col("j_u")).as("max_j_u"),
             min(col("bench_id")).as("bench_id_min"))
       },
-      Some(fuzzyDecontOracleSql)))
+      Some(fuzzyDecontOracleSql)),
+
+    Q("q265_dataset_release",
+      (s, d) => graft.ops.Pipeline.datasetRelease(T(s, d, "documents")),
+      // the q197 stage-chain CTEs + the release composition: card over the
+      // released train slice (incl. a cascade RE-audit of the deduped
+      // text), manifest totals with the global XOR digest, and the q210
+      // audit totals against the run's OWN split
+      Some(pretrainCtes(fuzzy = false) + s""",
+             |trs AS (SELECT t.doc_id, t.lang, t.text, d.source
+             |  FROM tr t JOIN documents d ON d.doc_id = t.doc_id),
+             |cb AS (SELECT CAST(count(*) AS BIGINT) AS card_docs,
+             |   CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS card_tokens,
+             |   CAST(sum(length(text)) AS BIGINT) AS card_chars,
+             |   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM trs),
+             |ptr AS (SELECT m.a, m.b FROM mh m
+             |  JOIN tr x ON x.doc_id = m.a JOIN tr y ON y.doc_id = m.b),
+             |cdp AS (SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs FROM ptr),
+             |cdd AS (SELECT CAST(count(DISTINCT dd) AS BIGINT) AS n_dup_docs
+             |  FROM (SELECT a AS dd FROM ptr UNION ALL SELECT b AS dd FROM ptr)),
+             |rtoks AS (SELECT doc_id,
+             |   unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+             |  FROM tr),
+             |rrep AS (SELECT doc_id,
+             |   floor((1.0 - count(DISTINCT tok) / count(*)) * 1000000) / 1000000 AS rep_ratio
+             |  FROM rtoks GROUP BY 1),
+             |rm AS (SELECT doc_id,
+             |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             |  round((
+             |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
+             |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio,
+             |  round(length(text)::DOUBLE
+             |    / greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE, 1.0), 4) AS mean_word_len
+             | FROM tr),
+             |rrej AS (SELECT CAST(count(*) AS BIGINT) AS card_rejected
+             |  FROM tr t JOIN rm ON rm.doc_id = t.doc_id
+             |  LEFT JOIN rrep ON rrep.doc_id = t.doc_id
+             |  WHERE (rm.n_tokens < 20) OR (rm.stopword_ratio < 0.02)
+             |   OR coalesce(rrep.rep_ratio > 0.65, FALSE)
+             |   OR (rm.mean_word_len > 5.9)),
+             |mfb AS (SELECT lang, shard, CAST(floor(pre / 2048) AS BIGINT) AS bin,
+             |   count(*) AS nd, sum(n_tokens) AS st,
+             |   bit_xor(${duckH60("'m:' || CAST(doc_id AS VARCHAR)")}) AS dgx
+             |  FROM pcc GROUP BY 1, 2, 3),
+             |mft AS (SELECT CAST(count(*) AS BIGINT) AS n_manifest_bins,
+             |   CAST(coalesce(sum(nd), 0) AS BIGINT) AS manifest_docs,
+             |   CAST(coalesce(sum(st), 0) AS BIGINT) AS manifest_tokens,
+             |   CAST(coalesce(bit_xor(dgx), 0) AS BIGINT) AS manifest_digest
+             |  FROM mfb),
+             |ag AS (SELECT g.doc_id, g.gram FROM dg g
+             |  JOIN d4 d ON d.doc_id = g.doc_id),
+             |ar AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM ag GROUP BY 1)
+             |  WHERE df <= 25),
+             |agx AS (SELECT a.doc_id, a.gram, sp.split FROM ag a
+             |  JOIN ar USING (gram) JOIN sp ON sp.doc_id = a.doc_id),
+             |ax AS (SELECT x.split AS sa, y.split AS sb,
+             |   x.doc_id AS da, y.doc_id AS db, x.gram AS gram
+             |  FROM agx x JOIN agx y ON x.gram = y.gram AND x.split < y.split),
+             |adp AS (SELECT CAST(count(*) AS BIGINT) AS leak_doc_pairs
+             |  FROM (SELECT DISTINCT sa, sb, da, db FROM ax)),
+             |asg AS (SELECT CAST(count(*) AS BIGINT) AS leak_shared_grams
+             |  FROM (SELECT DISTINCT sa, sb, gram FROM ax)),
+             |ast AS (SELECT CAST(count(*) AS BIGINT) AS leak_straddle
+             |  FROM mh m JOIN sp x ON x.doc_id = m.a
+             |  JOIN sp y ON y.doc_id = m.b WHERE x.split <> y.split)
+             |SELECT CAST(c0.n_raw AS BIGINT) AS n_raw,
+             |  CAST(c1.n_cascade AS BIGINT) AS n_cascade,
+             |  CAST(c2.n_dedup AS BIGINT) AS n_dedup,
+             |  CAST(c3.n_clean AS BIGINT) AS n_clean,
+             |  CAST(c4.n_train AS BIGINT) AS n_train,
+             |  cb.card_docs, cb.card_tokens, cb.card_chars, cb.n_sources,
+             |  cb.n_langs, cdp.n_dup_pairs, cdd.n_dup_docs,
+             |  rrej.card_rejected, mft.n_manifest_bins, mft.manifest_docs,
+             |  mft.manifest_tokens, mft.manifest_digest, adp.leak_doc_pairs,
+             |  asg.leak_shared_grams, ast.leak_straddle
+             |FROM c0, c1, c2, c3, c4, cb, cdp, cdd, rrej, mft, adp, asg, ast""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

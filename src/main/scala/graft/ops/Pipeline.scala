@@ -58,6 +58,33 @@ object Pipeline {
   def pretrainCorpus(docs: DataFrame, budget: Int = 2048,
       shardDocs: Int = 128, benchMod: Int = 7,
       fuzzyCut: Option[Double] = None): DataFrame = {
+    val st = runStages(docs, benchMod, fuzzyCut)
+    val packed = TrainingData.sequencePacking(st.train, budget, "lang",
+      shardDocs)
+    // funnel accounting — five 1-row scalar attaches
+    def cnt(df: DataFrame, name: String) =
+      broadcast(df.agg(count(lit(1)).as(name)))
+    val base = packed
+      .crossJoin(cnt(st.raw, "n_raw"))
+      .crossJoin(cnt(st.kept1, "n_cascade"))
+      .crossJoin(cnt(st.docs3, "n_dedup"))
+      .crossJoin(cnt(st.docs4x, "n_clean"))
+    (if (fuzzyCut.isDefined) base.crossJoin(cnt(st.docs4, "n_fuzzy_clean"))
+     else base)
+      .crossJoin(cnt(st.train, "n_train"))
+  }
+
+  /** The checkpointed stage relations of ONE pipeline run, shared by
+    * [[pretrainCorpus]] (which packs + attaches the funnel) and
+    * [[datasetRelease]] (which composes the release record) so neither
+    * re-derives a stage the other proved. */
+  private case class Stages(raw: DataFrame, kept1: DataFrame,
+      docs3: DataFrame, docs4x: DataFrame, docs4: DataFrame,
+      pairsAll: DataFrame, pairs4: DataFrame, split: DataFrame,
+      train: DataFrame)
+
+  private def runStages(docs: DataFrame, benchMod: Int,
+      fuzzyCut: Option[Double]): Stages = {
     require(fuzzyCut.forall(_ >= 0.5),
       s"fuzzyCut=$fuzzyCut is below the stage-3 LSH threshold (0.5): the " +
         "pair relation only holds pairs with jaccard >= 0.5, so a lower " +
@@ -107,21 +134,73 @@ object Pipeline {
       .join(ids4.select(col("doc_id").as("a")), Seq("a"), "leftsemi")
       .join(ids4.select(col("doc_id").as("b")), Seq("b"), "leftsemi")
     val split = FreshCheckpoint(TrainingData.leakageSafeSplit(docs4, pairs4))
-    // 6. pack the train split
+    // 6. the train slice (what stage 7 packs / the release card describes)
     val train = docs4.join(split.filter(col("split") === "train")
       .select(col("doc_id")), Seq("doc_id"), "leftsemi")
-    val packed = TrainingData.sequencePacking(train, budget, "lang", shardDocs)
-    // funnel accounting — five 1-row scalar attaches
+    Stages(raw, kept1, docs3, docs4x, docs4, pairsAll, pairs4, split, train)
+  }
+
+  /** The shippable dataset-release record — ONE row composing what every
+    * stage of [[pretrainCorpus]] proves separately: the funnel scalars,
+    * the [[TrainingData.datasetCard]] datasheet over the RELEASED train
+    * docs, the [[TrainingData.shardManifest]] totals (incl. the global
+    * order-independent content digest), and the
+    * [[TrainingData.splitLeakageAudit]] totals — all over the SAME run,
+    * so the published numbers are the numbers the pipeline acted on, and
+    * their internal consistency (card docs ≡ funnel n_train ≡ manifest
+    * doc sum; card tokens ≡ manifest token sum; zero cascade-rejected
+    * released docs; zero split-straddling near-dup pairs) is checkable in
+    * the one relation.
+    *
+    * Scale shape: every component is a global aggregate of a checkpointed
+    * stage relation (1-row or 3-row), crossed together as broadcast
+    * attaches; the split is reused from the run (the audit does NOT
+    * re-derive connected components).
+    *
+    * @return 1 row: (n_raw, n_cascade, n_dedup, n_clean, n_train,
+    *         card_docs, card_tokens, card_chars, n_sources, n_langs,
+    *         n_dup_pairs, n_dup_docs, card_rejected, n_manifest_bins,
+    *         manifest_docs, manifest_tokens, manifest_digest,
+    *         leak_doc_pairs, leak_shared_grams, leak_straddle)
+    */
+  def datasetRelease(docs: DataFrame, budget: Int = 2048,
+      shardDocs: Int = 128, benchMod: Int = 7): DataFrame = {
+    val st = runStages(docs, benchMod, None)
+    // card over the RELEASED train docs, source re-attached from the input;
+    // dup mass = surviving near-dup pairs INSIDE the release
+    val trs = st.train.join(docs.select(col("doc_id"), col("source")),
+      Seq("doc_id"))
+    val trainIds = st.train.select(col("doc_id"))
+    val pairsTrain = st.pairs4
+      .join(trainIds.select(col("doc_id").as("a")), Seq("a"), "leftsemi")
+      .join(trainIds.select(col("doc_id").as("b")), Seq("b"), "leftsemi")
+    val card = TrainingData.datasetCard(trs, pairsTrain)
+      .select(col("n_docs").as("card_docs"),
+        col("n_tokens").as("card_tokens"), col("n_chars").as("card_chars"),
+        col("n_sources"), col("n_langs"), col("n_dup_pairs"),
+        col("n_dup_docs"), col("n_rejected").as("card_rejected"))
+    val manifest = TrainingData.shardManifest(st.train, budget, "lang",
+        shardDocs)
+      .agg(count(lit(1)).as("n_manifest_bins"),
+        coalesce(sum(col("n_docs")), lit(0L)).as("manifest_docs"),
+        coalesce(sum(col("sum_tokens")), lit(0L)).as("manifest_tokens"),
+        coalesce(expr("bit_xor(digest)"), lit(0L)).as("manifest_digest"))
+    val audit = TrainingData
+      .splitLeakageAuditWith(st.docs4, st.pairs4,
+        st.split.select(col("doc_id"), col("split")))
+      .agg(sum(col("n_doc_pairs")).as("leak_doc_pairs"),
+        sum(col("n_shared_grams")).as("leak_shared_grams"),
+        sum(col("n_straddle")).as("leak_straddle"))
     def cnt(df: DataFrame, name: String) =
       broadcast(df.agg(count(lit(1)).as(name)))
-    val base = packed
-      .crossJoin(cnt(raw, "n_raw"))
-      .crossJoin(cnt(kept1, "n_cascade"))
-      .crossJoin(cnt(docs3, "n_dedup"))
-      .crossJoin(cnt(docs4x, "n_clean"))
-    (if (fuzzyCut.isDefined) base.crossJoin(cnt(docs4, "n_fuzzy_clean"))
-     else base)
-      .crossJoin(cnt(train, "n_train"))
+    cnt(st.raw, "n_raw")
+      .crossJoin(cnt(st.kept1, "n_cascade"))
+      .crossJoin(cnt(st.docs3, "n_dedup"))
+      .crossJoin(cnt(st.docs4x, "n_clean"))
+      .crossJoin(cnt(st.train, "n_train"))
+      .crossJoin(broadcast(card))
+      .crossJoin(broadcast(manifest))
+      .crossJoin(broadcast(audit))
   }
 
   /** Classifier-in-the-loop curation — the learned twin of

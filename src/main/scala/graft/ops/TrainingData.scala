@@ -69,9 +69,17 @@ object TrainingData {
     * product exists anywhere in the plan. */
   def splitLeakageAudit(docs: DataFrame, nearDupPairs: DataFrame,
       n: Int = 8, dfCap: Long = 25, trainPct: Int = 80,
-      valPct: Int = 10): DataFrame = {
-    val split = leakageSafeSplit(docs, nearDupPairs, trainPct, valPct)
-      .select(col("doc_id"), col("split"))
+      valPct: Int = 10): DataFrame =
+    splitLeakageAuditWith(docs, nearDupPairs,
+      leakageSafeSplit(docs, nearDupPairs, trainPct, valPct)
+        .select(col("doc_id"), col("split")), n, dfCap)
+
+  /** [[splitLeakageAudit]] against a CALLER-SUPPLIED (doc_id, split)
+    * assignment — the form [[graft.ops.Pipeline.datasetRelease]] uses so
+    * the audit runs on the run's own checkpointed split instead of
+    * re-deriving connected components. */
+  def splitLeakageAuditWith(docs: DataFrame, nearDupPairs: DataFrame,
+      split: DataFrame, n: Int = 8, dfCap: Long = 25): DataFrame = {
     val grams = TextAnalysis.tokenGrams(docs, n)
       .select(col("doc_id"), col("gram")).distinct()
     val rare = grams.groupBy(col("gram"))

@@ -150,6 +150,30 @@ class Round10Spec extends SparkTestBase {
       ("en", 0L, 1L, 1L, 3L, 2L, 2L)))
   }
 
+  test("datasetRelease: card ≡ funnel ≡ manifest consistency on one run") {
+    val docs = spark.read.parquet(s"$testData/sf0.001/documents.parquet")
+    val r = graft.ops.Pipeline.datasetRelease(docs).collect().head
+    def L(n: String) = r.getAs[Long](n)
+    // the one-relation consistency the separate stages only prove pairwise:
+    // the card describes EXACTLY the released docs, the manifest ships
+    // EXACTLY them, and both agree with the funnel's n_train scalar
+    assert(L("card_docs") == L("n_train"))
+    assert(L("manifest_docs") == L("n_train"))
+    assert(L("card_tokens") == L("manifest_tokens"))
+    // the funnel only narrows
+    assert(L("n_raw") >= L("n_cascade") && L("n_cascade") >= L("n_dedup")
+      && L("n_dedup") >= L("n_clean") && L("n_clean") >= L("n_train"))
+    // leakage-safe split ⇒ zero straddling near-dup pairs BY CONSTRUCTION
+    assert(L("leak_straddle") == 0L)
+    // released docs passed dedup at 0.8, so any surviving pair is sub-cut
+    assert(L("n_dup_docs") <= 2 * L("n_dup_pairs"))
+    // and the funnel scalars equal pretrainCorpus's own on the same config
+    val f = graft.ops.Pipeline.pretrainCorpus(docs).collect().head
+    Seq("n_raw", "n_cascade", "n_dedup", "n_clean", "n_train").foreach { c =>
+      assert(f.getAs[Long](c) == L(c), c)
+    }
+  }
+
   test("pretrainCorpus rejects a fuzzyCut below the stage-3 LSH threshold") {
     val docs = Seq((1L, "en", "a b c")).toDF("doc_id", "lang", "text")
     val e = intercept[IllegalArgumentException] {
