@@ -7185,7 +7185,68 @@ object Queries {
              |  rrej.card_rejected, mft.n_manifest_bins, mft.manifest_docs,
              |  mft.manifest_tokens, mft.manifest_digest, adp.leak_doc_pairs,
              |  asg.leak_shared_grams, ast.leak_straddle
-             |FROM c0, c1, c2, c3, c4, cb, cdp, cdd, rrej, mft, adp, asg, ast""".stripMargin)))
+             |FROM c0, c1, c2, c3, c4, cb, cdp, cdd, rrej, mft, adp, asg, ast""".stripMargin)),
+
+    Q("q266_vocab_growth",
+      (s, d) => graft.ops.TextAnalysis.vocabGrowth(T(s, d, "documents")),
+      // first-occurrence buckets off a (tok → min doc) vocab agg; dense
+      // bucket grid; cumulative windows over the report-sized grid only
+      Some("""WITH tl AS (SELECT doc_id,
+             |   unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+             |  FROM documents),
+             |fb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new_types
+             |  FROM (SELECT tok, CAST(min(doc_id) // 100 AS BIGINT) AS bucket
+             |        FROM tl GROUP BY tok) GROUP BY 1),
+             |ms AS (SELECT CAST(doc_id // 100 AS BIGINT) AS bucket,
+             |   CAST(count(*) AS BIGINT) AS n_tokens FROM tl GROUP BY 1),
+             |nd AS (SELECT CAST(doc_id // 100 AS BIGINT) AS bucket,
+             |   CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+             |grid AS (SELECT CAST(unnest(range((SELECT min(bucket) FROM nd),
+             |   (SELECT max(bucket) FROM nd) + 1)) AS BIGINT) AS bucket),
+             |j AS (SELECT g.bucket, coalesce(nd.n_docs, 0) AS n_docs,
+             |   coalesce(ms.n_tokens, 0) AS n_tokens,
+             |   coalesce(fb.n_new_types, 0) AS n_new_types
+             |  FROM grid g LEFT JOIN nd USING (bucket)
+             |  LEFT JOIN ms USING (bucket) LEFT JOIN fb USING (bucket)),
+             |c AS (SELECT *, sum(n_tokens) OVER w AS cum_tokens,
+             |   sum(n_new_types) OVER w AS cum_types
+             |  FROM j WINDOW w AS (ORDER BY bucket))
+             |SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(n_new_types AS BIGINT) AS n_new_types,
+             |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+             |  CAST(cum_types AS BIGINT) AS cum_types,
+             |  CAST(cum_types * 1000000 // greatest(cum_tokens, 1) AS BIGINT) AS ttr_u
+             |FROM c""".stripMargin)),
+
+    Q("q267_zipf_classes",
+      (s, d) => graft.ops.TextAnalysis.zipfClasses(T(s, d, "documents")),
+      // frequency-of-frequencies + running type count over the bounded
+      // count domain — rank intervals without ranking any type
+      Some("""WITH tl AS (SELECT
+             |   unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+             |  FROM documents),
+             |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tl GROUP BY 1),
+             |fof AS (SELECT cnt, CAST(count(*) AS BIGINT) AS n_types FROM tc GROUP BY 1),
+             |c AS (SELECT cnt, n_types,
+             |   sum(n_types) OVER (ORDER BY cnt DESC) AS cum_ge FROM fof)
+             |SELECT cnt, n_types, CAST(cum_ge - n_types + 1 AS BIGINT) AS rank_lo,
+             |  CAST(cum_ge AS BIGINT) AS rank_hi
+             |FROM c""".stripMargin)),
+
+    Q("q268_bursty_tokens",
+      (s, d) => graft.ops.TextAnalysis.burstyTokens(T(s, d, "documents")),
+      Some("""WITH tl AS (SELECT source,
+             |   unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+             |  FROM documents),
+             |ts AS (SELECT tok, source, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM tl GROUP BY 1, 2),
+             |r AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS total,
+             |   CAST(count(*) AS BIGINT) AS n_sources,
+             |   CAST(max(cnt) AS BIGINT) AS top_source_cnt FROM ts GROUP BY 1)
+             |SELECT tok, total, n_sources, top_source_cnt,
+             |  CAST(top_source_cnt * 1000000 // total AS BIGINT) AS top_share_u
+             |FROM r ORDER BY total DESC, tok LIMIT 100""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

@@ -1270,6 +1270,115 @@ object TextAnalysis {
     * @return (source_x, source_y, n_shared, sz_x, sz_y, jaccard_u,
     *         containment_u), source_x < source_y
     */
+  /** Vocabulary growth curve (Heaps' law audit) — distinct-type
+    * accumulation over the corpus in doc_id order, bucketed: is the corpus
+    * still contributing new vocabulary, or has ingestion gone stale /
+    * duplicative? A flattening type–token ratio is the earliest
+    * macro-signal of a crawl re-collecting itself (before any pair-level
+    * dedup fires).
+    *
+    * Scale shape: a type is "new" in the bucket of its FIRST occurrence —
+    * one (tok → min doc_id) vocabulary-sized aggregate, never a scan
+    * ordered by doc; occurrence mass is a per-bucket count off the same
+    * token explode. Both roll to the DENSE bucket grid (the
+    * [[TimeSeries.cusum]] grid discipline: cardinality is id-range /
+    * `bucketDocs` — a REPORT, sized by the caller, not the corpus), and
+    * the cumulative windows run over that bounded grid only.
+    *
+    * @return one row per bucket: (bucket, n_docs, n_tokens, n_new_types,
+    *         cum_tokens, cum_types, ttr_u) — ttr_u = ⌊cum_types·10⁶ /
+    *         cum_tokens⌋, the cumulative type–token ratio
+    */
+  def vocabGrowth(docs: DataFrame, bucketDocs: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Dedup.fanOut(docs).select(col("doc_id"),
+      explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+        .as("tok"))
+    val firstB = toks.groupBy(col("tok"))
+      .agg((min(col("doc_id")) / bucketDocs).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new_types"))
+    val mass = toks.select((col("doc_id") / bucketDocs).cast("long")
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    val ndocs = docs.select((col("doc_id") / bucketDocs).cast("long")
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    val grid = ndocs.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("bucket"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(ndocs, Seq("bucket"), "left")
+      .join(mass, Seq("bucket"), "left")
+      .join(firstB, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("n_new_types")).over(w))
+      .withColumn("ttr_u",
+        expr("cum_types * 1000000 div greatest(cum_tokens, 1)"))
+  }
+
+  /** Zipf rank–frequency CLASS relation — the rank-vs-count law expressed
+    * without ever ranking individual types: all types sharing a count form
+    * one class, and the class's rank interval follows from the running
+    * type count over the FREQUENCY domain (bounded at O(√corpus-tokens)
+    * distinct counts — the same value-domain-histogram discipline as
+    * [[Quantiles]], never a vocabulary-sized sort). Under Zipf,
+    * cnt · midrank is ~constant down the table; deviations flag templated
+    * or synthetic text. Emitted exactly (counts and rank bounds only — no
+    * products, so nothing overflows at any corpus size).
+    *
+    * @return one row per distinct count: (cnt, n_types, rank_lo, rank_hi),
+    *         rank_lo = 1 + #types with a larger count
+    */
+  def zipfClasses(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fof = Dedup.fanOut(docs).select(
+        explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+          .as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cnt")).agg(count(lit(1)).as("n_types"))
+    fof
+      .withColumn("cum_ge",
+        sum(col("n_types")).over(Window.orderBy(col("cnt").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("cnt"), col("n_types"),
+        (col("cum_ge") - col("n_types") + 1L).as("rank_lo"),
+        col("cum_ge").as("rank_hi"))
+  }
+
+  /** Token burstiness / source concentration — for the corpus's top-k
+    * types, how concentrated is each type's mass in a single source? A
+    * high-frequency token living ≥90 % in one source is boilerplate or a
+    * template artifact of THAT source (navigation chrome, license
+    * headers), not language — the cross-source complement of
+    * [[gramNovelty]]'s df=1 signal.
+    *
+    * Scale shape: one (tok, source) count aggregate (vocabulary × sources
+    * sized, tok-keyed shuffle), one tok-keyed rollup, and a
+    * TakeOrderedAndProject top-k (per-partition heads, no global sort).
+    *
+    * @return top `k` by (total desc, tok): (tok, total, n_sources,
+    *         top_source_cnt, top_share_u)
+    */
+  def burstyTokens(docs: DataFrame, k: Int = 100): DataFrame = {
+    val ts = Dedup.fanOut(docs).select(col("source"),
+        explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+          .as("tok"))
+      .groupBy(col("tok"), col("source")).agg(count(lit(1)).as("cnt"))
+    ts.groupBy(col("tok"))
+      .agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("n_sources"),
+        max(col("cnt")).as("top_source_cnt"))
+      .select(col("tok"), col("total"), col("n_sources"),
+        col("top_source_cnt"),
+        expr("top_source_cnt * 1000000 div total").as("top_share_u"))
+      .orderBy(col("total").desc, col("tok"))
+      .limit(k)
+  }
+
   def sourceVocabOverlap(docs: DataFrame): DataFrame = {
     val st = Dedup.fanOut(docs).select(col("source"),
         explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))

@@ -106,7 +106,10 @@ object PlanSweepSupport {
     "q256_rfm_segments",
     "q257_fuzzy_pretrain_pipeline", // q197's funnel attaches + one more
     "q258_rfm_transitions", // q256's scalar attaches, once per half
-    "q259_basket_lift") // 1-row basket-total scalar attach
+    "q259_basket_lift", // 1-row basket-total scalar attach
+    // q265: the release record IS crossed 1-row attaches — five funnel
+    // scalars, the 1-row card, 1-row manifest totals, 1-row audit totals
+    "q265_dataset_release")
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -204,7 +207,16 @@ object PlanSweepSupport {
     "q256_rfm_segments",
     "q257_fuzzy_pretrain_pipeline", // q197's 1-row funnel scalars + one more
     "q258_rfm_transitions", // q256's bounded-domain windows, once per half
-    "q259_basket_lift") // 1-row basket-total scalar
+    "q259_basket_lift", // 1-row basket-total scalar
+    // q265: 1-row component aggregates (funnel/card/manifest/audit totals)
+    "q265_dataset_release",
+    // q266: cumulative windows run on the DENSE BUCKET GRID (id-range /
+    // bucketDocs — a caller-sized report, the cusum grid discipline),
+    // never corpus rows; plus the 1-row grid min/max scalar
+    "q266_vocab_growth",
+    // q267: the running type count runs on the frequency-of-frequencies
+    // relation — bounded at O(√corpus-tokens) distinct counts
+    "q267_zipf_classes")
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:

@@ -174,6 +174,42 @@ class Round10Spec extends SparkTestBase {
     }
   }
 
+  test("vocabGrowth: first-occurrence buckets, dense grid, cumulative TTR") {
+    val docs = Seq((0L, "a b a"), (150L, "b c"), (250L, "c d"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.vocabGrowth(docs).orderBy("bucket")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 3L, 2L, 3L, 2L, 666666L), // a,b new; 3 occurrences
+      (1L, 1L, 2L, 1L, 5L, 3L, 600000L), // only c is new (b re-occurs)
+      (2L, 1L, 2L, 1L, 7L, 4L, 571428L)))
+  }
+
+  test("zipfClasses: rank intervals from the count-domain running sum") {
+    val docs = Seq((1L, "a a a b b c d")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.zipfClasses(docs)
+      .orderBy(col("cnt").desc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (3L, 1L, 1L, 1L), // a: rank 1
+      (2L, 1L, 2L, 2L), // b: rank 2
+      (1L, 2L, 3L, 4L))) // c,d share class ranks 3..4
+  }
+
+  test("burstyTokens: per-type source concentration, top-k by mass") {
+    val docs = Seq((1L, "x x y", "sa"), (2L, "x z", "sb"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ops.TextAnalysis.burstyTokens(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("x", 3L, 2L, 2L, 666666L), // 2-of-3 in sa
+      ("y", 1L, 1L, 1L, 1000000L),
+      ("z", 1L, 1L, 1L, 1000000L)))
+  }
+
   test("pretrainCorpus rejects a fuzzyCut below the stage-3 LSH threshold") {
     val docs = Seq((1L, "en", "a b c")).toDF("doc_id", "lang", "text")
     val e = intercept[IllegalArgumentException] {
