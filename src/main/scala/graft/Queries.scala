@@ -7246,7 +7246,26 @@ object Queries {
              |   CAST(max(cnt) AS BIGINT) AS top_source_cnt FROM ts GROUP BY 1)
              |SELECT tok, total, n_sources, top_source_cnt,
              |  CAST(top_source_cnt * 1000000 // total AS BIGINT) AS top_share_u
-             |FROM r ORDER BY total DESC, tok LIMIT 100""".stripMargin)))
+             |FROM r ORDER BY total DESC, tok LIMIT 100""".stripMargin)),
+
+    Q("q269_length_quantiles",
+      (s, d) => graft.ops.QualityAudit.lengthQuantiles(T(s, d, "documents"),
+        col("n_chars"), col("source")),
+      // the Quantiles ceil-rank replay: per-group value histogram, running
+      // count, least v reaching ⌈p·n/100⌉ — plus plain min/max extremes
+      Some("""WITH v AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v FROM documents),
+             |tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+             |h AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2),
+             |c AS (SELECT grp, v, sum(cnt) OVER (PARTITION BY grp ORDER BY v) AS cum FROM h),
+             |q AS (SELECT c.grp,
+             |   min(CASE WHEN cum >= (25 * n + 99) // 100 THEN v END) AS p25,
+             |   min(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END) AS p50,
+             |   min(CASE WHEN cum >= (75 * n + 99) // 100 THEN v END) AS p75,
+             |   min(CASE WHEN cum >= (95 * n + 99) // 100 THEN v END) AS p95
+             |  FROM c JOIN tot USING (grp) GROUP BY 1),
+             |ext AS (SELECT grp, min(v) AS v_min, max(v) AS v_max FROM v GROUP BY 1)
+             |SELECT q.grp, tot.n, ext.v_min, ext.v_max, q.p25, q.p50, q.p75, q.p95
+             |FROM q JOIN tot USING (grp) JOIN ext USING (grp)""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

@@ -119,6 +119,26 @@ object QualityAudit {
         expr("n_outliers * 1000000 div n").as("outlier_share_u"))
   }
 
+  /** Per-group exact length-quantile report — the distribution datasheet a
+    * corpus release publishes per source (p25/p50/p75/p95 + min/max of a
+    * long-valued measure), built on [[Quantiles.lowQuantiles]]' shared
+    * value-domain-histogram engine: exact ceil-rank LOW quantiles, never a
+    * global sort, shuffles carry the per-group value histogram only.
+    *
+    * @return one row per group: (grp, n, v_min, v_max, p25, p50, p75, p95)
+    */
+  def lengthQuantiles(df: DataFrame, valueCol: Column,
+      groupCol: Column): DataFrame = {
+    val v = df.select(groupCol.as("grp"), valueCol.cast("long").as("v"))
+    val ext = v.groupBy(col("grp"))
+      .agg(min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+    Quantiles.lowQuantiles(v,
+        Seq(25 -> "p25", 50 -> "p50", 75 -> "p75", 95 -> "p95"))
+      .join(broadcast(ext), Seq("grp"))
+      .select(col("grp"), col("n"), col("v_min"), col("v_max"),
+        col("p25"), col("p50"), col("p75"), col("p95"))
+  }
+
   /** Benford first-digit audit — the synthetic/fabricated-data forensic:
     * naturally occurring multiplicative quantities follow
     * P(d) = log₁₀(1 + 1/d), while generated or templated numerics cluster

@@ -61,7 +61,13 @@ class PlanSweepSf1 extends SparkTestBase {
     "q249_fuzzy_decontaminate", "q250_cohens_kappa",
     "q251_robust_outliers", "q255_ks_drift", "q256_rfm_segments",
     "q257_fuzzy_pretrain_pipeline", "q258_rfm_transitions",
-    "q259_basket_lift", "q261_source_vocab_overlap")
+    "q259_basket_lift", "q261_source_vocab_overlap",
+    // round-10 non-trivial additions: the BPE vocabulary chain + encode
+    // join, packing on encoded lengths, the stream-twin band join, the
+    // release composition, and the vocabulary/count-domain audits
+    "q262_bpe_encode", "q263_bpe_packing",
+    "q264_stream_decontaminate_twin", "q265_dataset_release",
+    "q266_vocab_growth", "q267_zipf_classes", "q268_bursty_tokens")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 

@@ -210,6 +210,18 @@ class Round10Spec extends SparkTestBase {
       ("z", 1L, 1L, 1L, 1000000L)))
   }
 
+  test("lengthQuantiles: exact ceil-rank report per group with extremes") {
+    val df = (Seq(1L, 2L, 3L, 4L).map(("a", _)) ++ Seq(7L, 7L, 9L).map(("b", _)))
+      .toDF("grp", "v")
+    val out = QualityAudit.lengthQuantiles(df, col("v"), col("grp"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.toSeq == Seq(
+      ("a", 4L, 1L, 4L, 1L, 2L, 3L, 4L), // ⌈.25·4⌉=1st,⌈.5⌉=2nd,⌈.75⌉=3rd,⌈.95·4⌉=4th
+      ("b", 3L, 7L, 9L, 7L, 7L, 9L, 9L)))
+  }
+
   test("pretrainCorpus rejects a fuzzyCut below the stage-3 LSH threshold") {
     val docs = Seq((1L, "en", "a b c")).toDF("doc_id", "lang", "text")
     val e = intercept[IllegalArgumentException] {
