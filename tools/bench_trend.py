@@ -114,11 +114,15 @@ def main():
         missing = "baseline" if not bc else "current"
         print(f"calibration probe: unavailable in the {missing} window "
               f"(pre-r10 lines have no calib_s) — raw ratio only")
+    drift = (cc / bc) if (cc and bc) else None
     regress = sorted(((cur[q] / base[q], q) for q in shared if base[q] > 0),
                      reverse=True)[:a.top]
-    print(f"\nworst {a.top} per-query ratios (current_min / baseline_min, raw):")
+    norm_note = " | norm = raw / box drift" if drift else ""
+    print(f"\nworst {a.top} per-query ratios (current_min / baseline_min, "
+          f"raw{norm_note}):")
     for r, q in regress:
-        print(f"  {q:36s} {base[q]:7.2f}s -> {cur[q]:7.2f}s  {r:.2f}x")
+        norm = f"  ({r / drift:.2f}x norm)" if drift else ""
+        print(f"  {q:36s} {base[q]:7.2f}s -> {cur[q]:7.2f}s  {r:.2f}x{norm}")
 
 
 if __name__ == "__main__":
