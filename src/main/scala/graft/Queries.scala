@@ -7265,7 +7265,55 @@ object Queries {
              |  FROM c JOIN tot USING (grp) GROUP BY 1),
              |ext AS (SELECT grp, min(v) AS v_min, max(v) AS v_max FROM v GROUP BY 1)
              |SELECT q.grp, tot.n, ext.v_min, ext.v_max, q.p25, q.p50, q.p75, q.p95
-             |FROM q JOIN tot USING (grp) JOIN ext USING (grp)""".stripMargin)))
+             |FROM q JOIN tot USING (grp) JOIN ext USING (grp)""".stripMargin)),
+
+    Q("q270_dup_by_quality",
+      (s, d) => graft.ops.Dedup.dupByQuality(T(s, d, "documents")),
+      // q35's banded-pair replay + q214's stopword-ratio bin + endpoint
+      // flag rollup
+      Some(minhashPairCtes() + """,
+             |qm AS (SELECT doc_id,
+             |  round((
+             |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
+             |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
+             |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio
+             | FROM documents),
+             |bb AS (SELECT doc_id,
+             |   CAST(least(9, CAST(floor(stopword_ratio * 10) AS BIGINT)) AS BIGINT) AS bin
+             |  FROM qm),
+             |dd AS (SELECT DISTINCT d AS doc_id
+             |  FROM (SELECT a AS d FROM mh UNION ALL SELECT b AS d FROM mh))
+             |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+             |  CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+             |    // count(*) AS BIGINT) AS dup_share_u
+             |FROM bb LEFT JOIN dd USING (doc_id) GROUP BY 1""".stripMargin)),
+
+    Q("q271_vocab_delta",
+      (s, d) => {
+        // snapshot convention: the base crawl is the first 80% id-hash
+        // slice; the current snapshot is the full corpus
+        val docs = T(s, d, "documents")
+        graft.ops.TextAnalysis.vocabDelta(
+          docs.filter(col("doc_id") % 10 < 8), docs)
+      },
+      Some("""WITH bv AS (SELECT DISTINCT tok FROM (
+             |   SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |     x -> x <> '')) AS tok FROM documents WHERE doc_id % 10 < 8)),
+             |cv AS (SELECT DISTINCT source, tok FROM (
+             |   SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |     x -> x <> '')) AS tok FROM documents)),
+             |nn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_new_types
+             |  FROM cv WHERE tok NOT IN (SELECT tok FROM bv) GROUP BY 1),
+             |ct AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types
+             |  FROM cv GROUP BY 1)
+             |SELECT ct.source, ct.n_types,
+             |  CAST(coalesce(nn.n_new_types, 0) AS BIGINT) AS n_new_types,
+             |  CAST(coalesce(nn.n_new_types, 0) * 1000000 // ct.n_types AS BIGINT) AS new_share_u
+             |FROM ct LEFT JOIN nn USING (source)""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

@@ -905,6 +905,41 @@ object Dedup {
         col("est_pairs"), expr("mm * 1000000 div n_docs").as("multi_mass_u"))
   }
 
+  /** Duplication × quality interaction audit — is dedup mostly deleting
+    * junk? Per stopword-ratio quality bin ([[TrainingData.budgetSelect]]'s
+    * binning convention): document count, documents that are an endpoint
+    * of a VERIFIED near-dup pair, and the µ-share. A dup mass concentrated
+    * in the low-quality bins says the cascade and the dedup pass overlap
+    * (cheap filtering first shrinks the LSH bill); dup mass in the HIGH
+    * bins says duplication is eating good data and dedup thresholds
+    * deserve the q196 sweep.
+    *
+    * Scale shape: the corpus-sized work is [[minhashLsh]]'s banded pass
+    * (never all-pairs); endpoints distinct to a doc-keyed relation; the
+    * bin map is one scan column; one ≤ `bins`-row rollup.
+    *
+    * @return one row per occupied bin: (bin, n_docs, n_dup_docs,
+    *         dup_share_u)
+    */
+  def dupByQuality(docs: DataFrame, bins: Int = 10, numHashes: Int = 8,
+      rowsPerBand: Int = 2, threshold: Double = 0.8): DataFrame = {
+    val dup = minhashLsh(docs, numHashes, rowsPerBand, threshold)
+      .select(explode(array(col("a"), col("b"))).as("doc_id"))
+      .distinct()
+      .withColumn("is_dup", lit(1L))
+    val sr = TextAnalysis.qualityColumns(col("text"))
+      .toMap.apply("stopword_ratio")
+    docs.select(col("doc_id"),
+        least(lit((bins - 1).toLong), floor(sr * bins).cast("long"))
+          .as("bin"))
+      .join(dup, Seq("doc_id"), "left")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+      .select(col("bin"), col("n_docs"), col("n_dup_docs"),
+        expr("n_dup_docs * 1000000 div n_docs").as("dup_share_u"))
+  }
+
   /** Fuzzy train-set decontamination — the near-duplicate reading of
     * [[TextAnalysis.decontaminate]] (which drops only EXACT n-gram
     * overlaps): any training document that MinHash-verifies as a near-dup

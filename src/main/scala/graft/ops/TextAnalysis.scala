@@ -1379,6 +1379,38 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Vocabulary delta between two corpus snapshots — the cross-snapshot
+    * sibling of [[vocabGrowth]] (which watches types accrue WITHIN one
+    * corpus): per source of the CURRENT snapshot, how many of its distinct
+    * types did the BASE snapshot not know? A near-zero new-type share
+    * across a crawl refresh means the refresh re-collected old content
+    * (the snapshot-level staleness gauge); a spike in one source flags a
+    * domain shift there.
+    *
+    * Scale shape: two vocabulary aggregates (Heaps-sized) + one tok-keyed
+    * LEFT ANTI join + a |sources|-row rollup — the corpus text is scanned
+    * once per snapshot, everything downstream is vocabulary-sized.
+    *
+    * @return one row per current source: (source, n_types, n_new_types,
+    *         new_share_u)
+    */
+  def vocabDelta(base: DataFrame, current: DataFrame): DataFrame = {
+    def vocab(df: DataFrame, cols: Column*): DataFrame =
+      Dedup.fanOut(df).select(cols :+
+        explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+          .as("tok"): _*).distinct()
+    val cur = vocab(current, col("source"))
+    val known = vocab(base).select(col("tok")).distinct()
+    val newToks = cur.join(known, Seq("tok"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_new_types"))
+    cur.groupBy(col("source")).agg(count(lit(1)).as("n_types"))
+      .join(newToks, Seq("source"), "left")
+      .select(col("source"), col("n_types"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("new_share_u",
+        expr("n_new_types * 1000000 div n_types"))
+  }
+
   def sourceVocabOverlap(docs: DataFrame): DataFrame = {
     val st = Dedup.fanOut(docs).select(col("source"),
         explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))

@@ -222,6 +222,39 @@ class Round10Spec extends SparkTestBase {
       ("b", 3L, 7L, 9L, 7L, 7L, 9L, 9L)))
   }
 
+  test("dupByQuality: near-dup endpoints land in their quality bins") {
+    // docs 1≡2 are near-dups (bin of their stopword ratio); 3 is unique.
+    // "the ... of ... to" pushes 1/2 into a nonzero stopword bin; 3's text
+    // has no stopwords → bin 0
+    val t = "the quick fox of the glen runs to the old mill near the river " +
+      "bank at dawn with a friend and a dog"
+    val docs = Seq((1L, t), (2L, t), (3L, "qq ww ee rr tt yy uu ii oo pp " +
+      "aa ss dd ff gg hh jj kk ll zz xx cc vv bb nn mm q1 w2 e3 r4"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.dupByQuality(docs).orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._2).sum == 3L) // every doc binned exactly once
+    assert(out.map(_._3).sum == 2L) // exactly the near-dup pair's endpoints
+    // the dup endpoints share one bin (identical text ⇒ identical ratio)
+    assert(out.count(_._3 == 2L) == 1)
+    val dupBin = out.find(_._3 == 2L).get
+    assert(dupBin._4 == 2L * 1000000L / dupBin._2)
+    // doc 3 is alone in bin 0 with zero dups
+    assert(out.head == ((0L, 1L, 0L, 0L)))
+  }
+
+  test("vocabDelta: current-only types counted per source") {
+    val base = Seq((1L, "x y z", "sa")).toDF("doc_id", "text", "source")
+    val cur = Seq((1L, "x y z", "sa"), (2L, "x NEW", "sa"),
+      (3L, "q r", "sb")).toDF("doc_id", "text", "source")
+    val out = graft.ops.TextAnalysis.vocabDelta(base, cur)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("sa", 4L, 1L, 250000L), // {x,y,z,new}: only "new" is new
+      ("sb", 2L, 2L, 1000000L))) // q,r both unseen
+  }
+
   test("pretrainCorpus rejects a fuzzyCut below the stage-3 LSH threshold") {
     val docs = Seq((1L, "en", "a b c")).toDF("doc_id", "lang", "text")
     val e = intercept[IllegalArgumentException] {
