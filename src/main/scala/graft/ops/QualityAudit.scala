@@ -98,12 +98,16 @@ object QualityAudit {
   def robustOutliers(df: DataFrame, valueCol: Column, groupCol: Column,
       k: Int = 4): DataFrame = {
     // low medians via the shared value-domain-histogram quantile engine
-    // ((n+1) div 2 ≡ Quantiles' ceil-rank (50n+99) div 100 for all n)
+    // ((n+1) div 2 ≡ Quantiles' ceil-rank (50n+99) div 100 for all n).
+    // ONE per-group total serves both passes: the deviation relation has
+    // exactly one row per input row, so its counts equal v's — recomputing
+    // them there would re-derive the dev join (measured ~1.25× at sf0.1)
+    val v = df.select(groupCol.as("grp"), valueCol.cast("long").as("v"))
+    val tot = v.groupBy(col("grp")).agg(count(lit(1)).as("n"))
     def lowMedian(vals: DataFrame, c: String): DataFrame =
       Quantiles.lowQuantiles(vals.select(col("grp"), col(c).as("v")),
-          Seq(50 -> s"${c}_med"))
+          Seq(50 -> s"${c}_med"), totals = Some(tot))
         .select(col("grp"), col(s"${c}_med"))
-    val v = df.select(groupCol.as("grp"), valueCol.cast("long").as("v"))
     val med = lowMedian(v, "v")
     val dev = v.join(broadcast(med), Seq("grp"))
       .select(col("grp"), col("v"), abs(col("v") - col("v_med")).as("d"))

@@ -30,13 +30,21 @@ object Quantiles {
 
   /** @param vals exactly (grp, v): group key + long-valued measure
     * @param cuts (percent, outputName) pairs, percents in 1..100
+    * @param totals optional precomputed per-group row counts (grp, n) of
+    *        `vals` — pass when the caller already owns them (or when
+    *        `vals` is a derived relation whose row counts equal a CHEAPER
+    *        relation's, e.g. robustOutliers' deviation pass, which has
+    *        exactly one row per input row): skips re-deriving `vals` for
+    *        the count. The caller guarantees the counts are exact.
     * @return one row per grp: (grp, n, <outputName>...) where each cut
     *         column holds the group's low p%-quantile of v
     */
-  def lowQuantiles(vals: DataFrame, cuts: Seq[(Int, String)]): DataFrame = {
+  def lowQuantiles(vals: DataFrame, cuts: Seq[(Int, String)],
+      totals: Option[DataFrame] = None): DataFrame = {
     require(cuts.nonEmpty && cuts.forall { case (p, _) => p >= 1 && p <= 100 },
       s"cut percents must be in 1..100: $cuts")
-    val tot = vals.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val tot = totals.getOrElse(
+      vals.groupBy(col("grp")).agg(count(lit(1)).as("n")))
     val cum = vals.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt"))
       .withColumn("cum",
         sum(col("cnt")).over(Window.partitionBy(col("grp")).orderBy(col("v"))))
