@@ -7313,7 +7313,75 @@ object Queries {
              |SELECT ct.source, ct.n_types,
              |  CAST(coalesce(nn.n_new_types, 0) AS BIGINT) AS n_new_types,
              |  CAST(coalesce(nn.n_new_types, 0) * 1000000 // ct.n_types AS BIGINT) AS new_share_u
-             |FROM ct LEFT JOIN nn USING (source)""".stripMargin)))
+             |FROM ct LEFT JOIN nn USING (source)""".stripMargin)),
+
+    Q("q272_mmr_retrieval",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        graft.ops.Similarity.mmrTopK(emb, queries)
+      },
+      // q38's cosine pool replay + pool-pairwise sims + k−1 unrolled MMR
+      // selection rounds (argmax of the undivided λ·rel − (1−λ)·maxsim
+      // numerator, ties to the smallest vec_id)
+      Some(mmrOracle(k = 5, poolSize = 16, lambdaU = 700000L))))
+
+  /** The q272 unrolled MMR replay. */
+  private def mmrOracle(k: Int, poolSize: Int, lambdaU: Long): String = {
+    val il = 1000000L - lambdaU
+    val rounds = (2 to k).map { r =>
+      s"""m$r AS (SELECT p.query_id, p.vec_id, p.rel_u, max(ps.sim_u) AS maxsim_u
+         |  FROM pool p
+         |  JOIN s${r - 1} s ON s.query_id = p.query_id
+         |  JOIN psim ps ON ps.query_id = p.query_id AND ps.a = p.vec_id
+         |   AND ps.b = s.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM s${r - 1} x
+         |    WHERE x.query_id = p.query_id AND x.vec_id = p.vec_id)
+         |  GROUP BY 1, 2, 3),
+         |p$r AS (SELECT query_id, vec_id, rel_u,
+         |   CAST($lambdaU * rel_u - $il * maxsim_u AS BIGINT) AS mmr_num_u,
+         |   row_number() OVER (PARTITION BY query_id
+         |     ORDER BY ($lambdaU * rel_u - $il * maxsim_u) DESC, vec_id) AS rk
+         |  FROM m$r),
+         |s$r AS (SELECT * FROM s${r - 1} UNION ALL
+         |  SELECT query_id, CAST($r AS BIGINT) AS pick, vec_id, rel_u, mmr_num_u
+         |  FROM p$r WHERE rk = 1)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""WITH f AS (SELECT vec_id, unnest(embedding) AS v,
+       |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv, i FROM f WHERE vec_id < 3),
+       |dots AS (SELECT q.query_id, f.vec_id, sum(CAST(q.qv AS DOUBLE) * f.v) AS dp
+       |  FROM q JOIN f ON q.i = f.i WHERE f.vec_id <> q.query_id GROUP BY 1, 2),
+       |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
+       |cos AS (SELECT d.query_id, d.vec_id,
+       |   round(d.dp / (nq.nrm * nc.nrm), 6) AS cos
+       |  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+       |  JOIN norms nc ON nc.vec_id = d.vec_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |   ORDER BY cos DESC, vec_id) AS rank FROM cos),
+       |pool AS MATERIALIZED (SELECT query_id, vec_id,
+       |   CAST(round(cos * 1000000) AS BIGINT) AS rel_u
+       |  FROM ranked WHERE rank <= $poolSize),
+       |pp AS (SELECT pa.query_id, pa.vec_id AS a, pb.vec_id AS b
+       |  FROM pool pa JOIN pool pb ON pb.query_id = pa.query_id
+       |   AND pb.vec_id <> pa.vec_id),
+       |pd AS (SELECT pp.query_id, pp.a, pp.b,
+       |   sum(CAST(fa.v AS DOUBLE) * fb.v) AS dp
+       |  FROM pp JOIN f fa ON fa.vec_id = pp.a
+       |  JOIN f fb ON fb.vec_id = pp.b AND fb.i = fa.i
+       |  GROUP BY 1, 2, 3),
+       |psim AS MATERIALIZED (SELECT pd.query_id, pd.a, pd.b,
+       |   CAST(round(round(pd.dp / (na.nrm * nb.nrm), 6) * 1000000) AS BIGINT) AS sim_u
+       |  FROM pd JOIN norms na ON na.vec_id = pd.a
+       |  JOIN norms nb ON nb.vec_id = pd.b),
+       |s1 AS (SELECT query_id, CAST(1 AS BIGINT) AS pick, vec_id, rel_u,
+       |   CAST($lambdaU * rel_u AS BIGINT) AS mmr_num_u
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY rel_u DESC, vec_id) AS rk FROM pool)
+       |  WHERE rk = 1)$rounds
+       |SELECT query_id, pick, vec_id, rel_u, mmr_num_u FROM s$k""".stripMargin
+  }
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

@@ -57,6 +57,78 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** Maximal-Marginal-Relevance diversified retrieval (Carbonell &
+    * Goldstein 1998) — the RAG re-ranker the plain [[cosineTopK]] lacks:
+    * the top-k by similarity alone is often k paraphrases of one passage;
+    * MMR iteratively picks argmax λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s),
+    * trading relevance against redundancy with the already-selected set.
+    *
+    * Scale shape: the only corpus-sized work is ONE [[cosineTopK]] pool
+    * pass per query (`poolSize` candidates); pairwise candidate sims and
+    * the k−1 unrolled selection rounds all run on the
+    * (|queries| · poolSize)-bounded pool, each round one bounded join +
+    * one per-query window pick, selected checkpointed per round.
+    *
+    * Integer contract (engine-exact): rel_u/sim_u = round(cos·10⁶) off the
+    * 6-dp-rounded cosine; the MMR score is kept as the UNDIVIDED numerator
+    * mmr_num_u = λ_u·rel_u − (10⁶−λ_u)·maxsim_u (≤ 10¹², BIGINT-safe) —
+    * ordering by the numerator equals ordering by the score, and skipping
+    * the division avoids the engines' negative-division disagreement.
+    * Round 1 has no selected set: mmr_num_u = λ_u·rel_u. Ties break to the
+    * smallest vec_id.
+    *
+    * @return one row per (query, pick): (query_id, pick ∈ 1..k, vec_id,
+    *         rel_u, mmr_num_u)
+    */
+  def mmrTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
+      poolSize: Int = 16, lambdaU: Long = 700000L): DataFrame = {
+    graft.expr.VectorOps.register(embeddings.sparkSession)
+    val il = 1000000L - lambdaU
+    val pool = FreshCheckpoint(cosineTopK(embeddings, queries, poolSize)
+      .select(col("query_id"), col("vec_id"),
+        round(col("cos") * 1000000d).cast("long").as("rel_u")))
+    val embD = embeddings.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val pairSims = FreshCheckpoint(
+      pool.select(col("query_id"), col("vec_id").as("a"))
+        .join(pool.select(col("query_id"), col("vec_id").as("b")),
+          Seq("query_id"))
+        .filter(col("a") =!= col("b"))
+        .join(embD.select(col("vec_id").as("a"), col("emb").as("ea"),
+          col("nrm").as("na")), Seq("a"))
+        .join(embD.select(col("vec_id").as("b"), col("emb").as("eb"),
+          col("nrm").as("nb")), Seq("b"))
+        .select(col("query_id"), col("a"), col("b"),
+          round(round(dot(col("ea"), col("eb"))
+            / (col("na") * col("nb")), 6) * 1000000d).cast("long")
+            .as("sim_u")))
+    def pickTop(cand: DataFrame, pick: Int): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("mmr_num_u").desc, col("vec_id"))
+      cand.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("query_id"), lit(pick.toLong).as("pick"), col("vec_id"),
+          col("rel_u"), col("mmr_num_u"))
+    }
+    var selected = FreshCheckpoint(pickTop(
+      pool.withColumn("mmr_num_u", lit(lambdaU) * col("rel_u")), 1))
+    for (r <- 2 to k) {
+      val ms = pairSims
+        .join(selected.select(col("query_id"), col("vec_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("vec_id"))
+        .agg(max(col("sim_u")).as("maxsim_u"))
+      val cand = pool
+        .join(selected.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+        .join(ms, Seq("query_id", "vec_id"))
+        .withColumn("mmr_num_u",
+          lit(lambdaU) * col("rel_u") - lit(il) * col("maxsim_u"))
+      selected = FreshCheckpoint(selected.unionByName(pickTop(cand, r)))
+    }
+    selected
+  }
+
   /** IVF (inverted-file) approximate nearest neighbor — the partition-pruned
     * scale path next to [[cosineTopK]]'s exact baseline.
     *

@@ -255,6 +255,28 @@ class Round10Spec extends SparkTestBase {
       ("sb", 2L, 2L, 1000000L))) // q,r both unseen
   }
 
+  test("mmrTopK diversifies: an exact duplicate is deferred behind a diverse pick") {
+    // query [1,0]; 10 and 11 are EXACT duplicates (both most relevant);
+    // 12 is less relevant but diverse. Pure cosine ranks 10,11,12; at
+    // λ=0.5 MMR must pick 10, then 12 (11's redundancy penalty = its
+    // relevance), then 11. Round-1 ties break to the smallest vec_id.
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (10L, Array(0.99f, 0.1f)),
+      (11L, Array(0.99f, 0.1f)), (12L, Array(0.8f, -0.6f)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val out = graft.ops.Similarity.mmrTopK(emb, queries, k = 3,
+        lambdaU = 500000L)
+      .orderBy("pick").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 10L), (2L, 12L), (3L, 11L)))
+    // the plain cosine ranking would have been 10, 11, 12
+    val cos = graft.ops.Similarity.cosineTopK(emb, queries, 3)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(cos.toSeq == Seq(10L, 11L, 12L))
+  }
+
   test("pretrainCorpus rejects a fuzzyCut below the stage-3 LSH threshold") {
     val docs = Seq((1L, "en", "a b c")).toDF("doc_id", "lang", "text")
     val e = intercept[IllegalArgumentException] {
