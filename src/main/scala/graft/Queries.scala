@@ -7325,7 +7325,45 @@ object Queries {
       // q38's cosine pool replay + pool-pairwise sims + k−1 unrolled MMR
       // selection rounds (argmax of the undivided λ·rel − (1−λ)·maxsim
       // numerator, ties to the smallest vec_id)
-      Some(mmrOracle(k = 5, poolSize = 16, lambdaU = 700000L))))
+      Some(mmrOracle(k = 5, poolSize = 16, lambdaU = 700000L))),
+
+    Q("q273_normalized_dedup",
+      (s, d) => {
+        // the group relation rolled to an always-populated 1-row summary
+        // (this corpus is dup-free at this normalization — the zero IS the
+        // finding, reported as explicit zeros, the q210 spine discipline)
+        val docs = T(s, d, "documents")
+        val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " "))
+        val base = docs.agg(count(lit(1)).as("n_docs"),
+          sum(when(norm =!= col("text"), 1L).otherwise(0L)).as("n_changed"))
+        val g = graft.ops.Dedup.normalizedDedup(docs)
+          .agg(count(lit(1)).as("n_dup_groups"),
+            coalesce(sum(col("n_docs")), lit(0L)).as("n_dup_docs"),
+            coalesce(sum(when(col("n_exact_distinct") > 1, 1L)
+              .otherwise(0L)), lit(0L)).as("n_norm_only_groups"))
+        base.crossJoin(broadcast(g))
+      },
+      Some("""WITH n AS (SELECT doc_id, text,
+             |   md5(trim(regexp_replace(regexp_replace(lower(text),
+             |     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+             |   trim(regexp_replace(regexp_replace(lower(text),
+             |     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+             |   md5(text) AS raw_hash
+             |  FROM documents),
+             |b AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |   CAST(sum(CASE WHEN norm_text <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+             |  FROM n),
+             |grp AS (SELECT norm_hash, count(*) AS gn,
+             |   count(DISTINCT raw_hash) AS gd
+             |  FROM n GROUP BY 1 HAVING count(*) >= 2),
+             |g AS (SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+             |   CAST(coalesce(sum(gn), 0) AS BIGINT) AS n_dup_docs,
+             |   CAST(coalesce(sum(CASE WHEN gd > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_norm_only_groups
+             |  FROM grp)
+             |SELECT b.n_docs, b.n_changed, g.n_dup_groups, g.n_dup_docs,
+             |  g.n_norm_only_groups
+             |FROM b, g""".stripMargin)))
 
   /** The q272 unrolled MMR replay. */
   private def mmrOracle(k: Int, poolSize: Int, lambdaU: Long): String = {

@@ -905,6 +905,35 @@ object Dedup {
         col("est_pairs"), expr("mm * 1000000 div n_docs").as("multi_mass_u"))
   }
 
+  /** Normalized exact dedup — exact-duplicate detection AFTER text
+    * normalization (lowercase, strip everything but [a-z0-9 ], collapse
+    * whitespace runs, trim): the C4-style canonicalization that catches
+    * the case/punctuation/spacing variants plain exact dedup (q34) misses
+    * while being far cheaper than MinHash for the exact-after-normalize
+    * class. Groups are keyed by md5 of the normalized text — one map pass
+    * + one hash-keyed aggregate, the cheapest dedup plan that exists.
+    *
+    * The normalization is deliberately ASCII-conservative (a documented
+    * regex, identical in Java and RE2 semantics) so the group key is
+    * engine-exact and replayable.
+    *
+    * @return one row per normalized-duplicate group (≥ 2 members):
+    *         (norm_hash, n_docs, keep_id = min doc_id, n_exact_distinct =
+    *         distinct RAW texts in the group — > 1 exactly when
+    *         normalization did work plain exact dedup could not)
+    */
+  def normalizedDedup(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+      " +", " "))
+    docs.select(col("doc_id"), md5(norm).as("norm_hash"),
+        md5(col("text")).as("raw_hash"))
+      .groupBy(col("norm_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"),
+        countDistinct(col("raw_hash")).as("n_exact_distinct"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Duplication × quality interaction audit — is dedup mostly deleting
     * junk? Per stopword-ratio quality bin ([[TrainingData.budgetSelect]]'s
     * binning convention): document count, documents that are an endpoint

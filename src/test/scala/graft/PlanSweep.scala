@@ -109,7 +109,8 @@ object PlanSweepSupport {
     "q259_basket_lift", // 1-row basket-total scalar attach
     // q265: the release record IS crossed 1-row attaches — five funnel
     // scalars, the 1-row card, 1-row manifest totals, 1-row audit totals
-    "q265_dataset_release")
+    "q265_dataset_release",
+    "q273_normalized_dedup") // 1-row dup-group-totals scalar attach
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -216,7 +217,10 @@ object PlanSweepSupport {
     "q266_vocab_growth",
     // q267: the running type count runs on the frequency-of-frequencies
     // relation — bounded at O(√corpus-tokens) distinct counts
-    "q267_zipf_classes")
+    "q267_zipf_classes",
+    // q273: both component aggregates merge to 1 row (corpus scalars and
+    // dup-group totals)
+    "q273_normalized_dedup")
 
   /** Compile every inventory query against `sfDir` and collect plans that
     * contain a scale-killing physical pattern. Run at more than one scale:

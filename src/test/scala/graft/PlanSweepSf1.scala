@@ -68,7 +68,7 @@ class PlanSweepSf1 extends SparkTestBase {
     "q262_bpe_encode", "q263_bpe_packing",
     "q264_stream_decontaminate_twin", "q265_dataset_release",
     "q266_vocab_growth", "q267_zipf_classes", "q268_bursty_tokens",
-    "q270_dup_by_quality", "q271_vocab_delta", "q272_mmr_retrieval")
+    "q270_dup_by_quality", "q271_vocab_delta", "q272_mmr_retrieval", "q273_normalized_dedup")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 

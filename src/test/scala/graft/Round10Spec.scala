@@ -277,6 +277,20 @@ class Round10Spec extends SparkTestBase {
     assert(cos.toSeq == Seq(10L, 11L, 12L))
   }
 
+  test("normalizedDedup groups case/punct/space variants; exact dedup can't") {
+    val docs = Seq(
+      (1L, "Hello,  World!"), (2L, "hello world"), (3L, "HELLO WORLD."),
+      (4L, "goodbye world"), (5L, "goodbye world"), (6L, "unrelated text"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.normalizedDedup(docs)
+      .orderBy("keep_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (3L, 1L, 3L), // hello group: 3 docs, 3 DISTINCT raw texts — pure
+                    // normalization wins, invisible to exact dedup
+      (2L, 4L, 1L))) // goodbye group: byte-identical pair (raw dups too)
+  }
+
   test("pretrainCorpus rejects a fuzzyCut below the stage-3 LSH threshold") {
     val docs = Seq((1L, "en", "a b c")).toDF("doc_id", "lang", "text")
     val e = intercept[IllegalArgumentException] {
