@@ -138,7 +138,7 @@ object Bench {
       resetSessionState(times.sum)
       times.min
     }
-    val calibSec = calibrate()
+    val calibStartSec = calibrate()
 
     // Optional subset for local iteration: comma-separated name prefixes.
     // A subset runs in the ONLY-list's order (debris accumulates forward, so
@@ -210,6 +210,15 @@ object Bench {
         case _ => name -> runOne(fn)
       }
     }
+    // Round-11 (advisor): probe again AFTER the queries. A single
+    // start-of-run probe stamps one instant on a ~7-minute window while the
+    // box has documented 1.5-3x same-session drift phases — bounding the
+    // window with probes at BOTH ends makes `calib_s` (the min, what
+    // bench_trend.py normalizes by) an honest lower bound on the box's
+    // speed during the run, and the start/end pair documents the drift
+    // that actually happened inside it.
+    val calibEndSec = calibrate()
+    val calibSec = math.min(calibStartSec, calibEndSec)
     val qs = results.map { case (k, (v, _)) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
@@ -218,7 +227,7 @@ object Bench {
     val gcs = results.filter(_._2._2 >= 0.1)
       .map { case (k, (_, g)) => "\"" + k + f"\":$g%.1f" }.mkString("{", ",", "}")
     System.err.println(f"""BENCHGC {"gc_total_sec":$gcTotal%.1f,"gc_by_query":$gcs}""")
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_s":$calibSec%.3f,"queries":$qs,"sf":"$sfDir"}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_s":$calibSec%.3f,"calib_start_s":$calibStartSec%.3f,"calib_end_s":$calibEndSec%.3f,"queries":$qs,"sf":"$sfDir"}"""
     // The driver stores only a truncated log tail (rounds 1-2 both ended with
     // "parsed": null and invisible timings for most queries), so persist the
     // full JSON to a file as the durable record and print it to stdout too.

@@ -35,7 +35,10 @@ object Association {
     *        turns the self-join into 10¹² rows; order-shaped baskets
     *        (lineitem ≤ 7) never hit a sane cap. When set, the output
     *        additionally carries `n_dropped_containers` (a 1-row broadcast
-    *        attach) so the exclusion is audited, not silent; item supports
+    *        attach) so the exclusion is audited, not silent — INCLUDING
+    *        the degenerate case where no pair reaches minSupport (the
+    *        audit then surfaces as one row with null pair columns rather
+    *        than vanishing with the empty pair relation); item supports
     *        and the basket total N are computed over the KEPT containers,
     *        keeping every metric internally consistent
     * @return (a, b, n_both, s_a, s_b, conf_ab_u, conf_ba_u, lift_u)
@@ -68,9 +71,22 @@ object Association {
         expr("n_both * 1000000 div s_b").as("conf_ba_u"),
         expr("(n_both * 1000000 div s_a) * n div s_b").as("lift_u"))
     maxBasket match {
-      case Some(cap) => out.crossJoin(broadcast(
-        sizes.filter(col("bsz") > cap)
-          .agg(count(lit(1)).as("n_dropped_containers"))))
+      case Some(cap) =>
+        val audit = sizes.filter(col("bsz") > cap)
+          .agg(count(lit(1)).as("n_dropped_containers"))
+        val rows = out.crossJoin(broadcast(audit))
+        // Degenerate-case guarantee ("audited, not silent" even when the
+        // cap did ALL the work): if every pair fell below minSupport — or
+        // every basket was dropped — the pair relation is empty, and a
+        // bare crossJoin would make the dropped-container count vanish
+        // exactly when it matters most. So the audit scalar additionally
+        // rides out as ONE null-pair row whenever the pair relation is
+        // empty: an anti-join of the 1-row audit against a first-row probe
+        // of the pairs (limit(1) short-circuits, no second derivation),
+        // union'd by name with null-filled pair columns.
+        val lone = audit.join(
+          out.select(lit(1).as("g")).limit(1), lit(true), "left_anti")
+        rows.unionByName(lone, allowMissingColumns = true)
       case None => out
     }
   }

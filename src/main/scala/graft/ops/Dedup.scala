@@ -746,7 +746,7 @@ object Dedup {
     val grams = base.select(col("pk"),
         posexplode(when(length(col("s")) < lit(q * (maxDist + 1)),
             concat(expr(s"transform(sequence(1, greatest(length(s)-${q - 1}, 0)), i -> substring(s, i, $q))"),
-              array(lit(" "))))
+              array(lit("\u0000"))))
           .otherwise(expr(s"transform(sequence(1, length(s)-${q - 1}), i -> substring(s, i, $q))"))))
       .select(col("pk"), col("pos"), col("col").as("g"))
       .withColumn("gk", concat(col("g"), lit("#"),

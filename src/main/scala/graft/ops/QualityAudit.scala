@@ -153,11 +153,14 @@ object QualityAudit {
     * fused scan → a ≤ 9-row aggregate; the total attaches as a 1-row
     * broadcast scalar.
     *
-    * Supported range: 1 ≤ value < 2⁶³ (~9.2·10¹⁸). Values ≥ 2⁶³ are
-    * EXCLUDED before the long cast — Spark (non-ANSI) would saturate the
-    * double→long cast at Long.MaxValue while an ANSI engine raises a cast
-    * error, so the filter is what keeps the op engine-portable on
-    * extreme-magnitude inputs.
+    * Supported range: 1 ≤ value < 9.2·10¹⁸ — deliberately a hair BELOW
+    * 2⁶³ ≈ 9.223·10¹⁸. The cutoff guards the double→long cast, and a
+    * double comparison against exactly 2⁶³ would admit values whose
+    * double representation rounds up to 2⁶³ itself (doubles near 2⁶³ are
+    * 2048 apart), where Spark (non-ANSI) saturates the cast at
+    * Long.MaxValue while an ANSI engine raises a cast error. The conservative
+    * constant keeps the op engine-portable; the sliver [9.2e18, 2⁶³) it
+    * excludes is out of contract (the oracle applies the same constant).
     *
     * @return (digit, n, share_u, benford_u, dev_u), one row per observed digit
     */

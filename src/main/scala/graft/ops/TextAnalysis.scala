@@ -1291,16 +1291,26 @@ object TextAnalysis {
     */
   def vocabGrowth(docs: DataFrame, bucketDocs: Long = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Bucketing is exact int64 FLOOR division (the oracle's `//`
+    // semantics): subtracting pmod makes the numerator exactly divisible,
+    // so `div` (truncating integral division) lands on the floor for
+    // negative ids too, and the arithmetic never leaves 64-bit integers —
+    // the previous double `/` then cast truncated toward zero AND lost
+    // exactness past 2^53.
     val toks = Dedup.fanOut(docs).select(col("doc_id"),
       explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
         .as("tok"))
     val firstB = toks.groupBy(col("tok"))
-      .agg((min(col("doc_id")) / bucketDocs).cast("long").as("bucket"))
+      .agg(min(col("doc_id")).as("mn"))
+      .select(expr(s"(mn - pmod(mn, ${bucketDocs}L)) div ${bucketDocs}L")
+        .as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_new_types"))
-    val mass = toks.select((col("doc_id") / bucketDocs).cast("long")
+    val mass = toks
+      .select(expr(s"(doc_id - pmod(doc_id, ${bucketDocs}L)) div ${bucketDocs}L")
         .as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
-    val ndocs = docs.select((col("doc_id") / bucketDocs).cast("long")
+    val ndocs = docs
+      .select(expr(s"(doc_id - pmod(doc_id, ${bucketDocs}L)) div ${bucketDocs}L")
         .as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
     val grid = ndocs.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
