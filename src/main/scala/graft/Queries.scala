@@ -7365,6 +7365,99 @@ object Queries {
              |  g.n_norm_only_groups
              |FROM b, g""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-11 batch 1
+  // Incremental dataset release: the Spark side runs the INCREMENTAL path
+  // (persisted state from the old snapshot + delta-only processing); the
+  // oracle computes the FULL recompute on the new snapshot — hash equality
+  // IS the increment-equals-full theorem checked on real data.
+  private val ext37Qs = Seq(
+    Q("q274_incremental_release",
+      (s, d) => {
+        // deterministic snapshots of the corpus: the old snapshot misses
+        // doc_id % 11 == 0 (added later) and carries draft texts for
+        // % 13 == 0 (changed later); the new snapshot dropped % 17 == 0
+        val docs = T(s, d, "documents")
+        val oldSnap = docs.filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v1")))
+              .otherwise(col("text")).as("text"))
+        val newSnap = docs.filter(col("doc_id") % 17 =!= 0)
+          .select(col("doc_id"), col("text"))
+        val st = graft.ops.Pipeline.releaseState(oldSnap)
+        graft.ops.Pipeline.incrementalRelease(st, newSnap)
+      },
+      // full recompute: q35-style banded MinHash replay over the NEW
+      // snapshot + first-occurrence-wins release + diff counts
+      Some(s"""WITH o AS (SELECT doc_id,
+              |   CASE WHEN doc_id % 13 = 0 THEN text || ' v1' ELSE text END AS text
+              |  FROM documents WHERE doc_id % 11 <> 0),
+              |n AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+              |d AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+              |   CASE WHEN o.doc_id IS NULL THEN 'added'
+              |        WHEN n.doc_id IS NULL THEN 'removed'
+              |        WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
+              |        ELSE 'changed' END AS status
+              |  FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id),
+              |words AS (SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+              |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+              |    x -> x <> '') AS tl FROM n)),
+              |toks AS (
+              |  SELECT DISTINCT doc_id,
+              |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+              |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+              |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+              |sig AS (SELECT doc_id,
+              |  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
+              |  min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
+              |  min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
+              |  min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
+              |  FROM toks GROUP BY doc_id),
+              |bands AS (
+              |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sig
+              |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+              |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+              |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
+              |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+              |   AND x.doc_id < y.doc_id),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+              |inter AS (SELECT c.a, c.b, count(*) AS i
+              |  FROM cand c JOIN toks ta ON ta.doc_id = c.a
+              |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+              |  GROUP BY 1, 2),
+              |pairs AS (SELECT c.a, c.b FROM cand c
+              |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+              |  JOIN sizes sa ON sa.doc_id = c.a
+              |  JOIN sizes sb ON sb.doc_id = c.b
+              |  WHERE floor(CAST(coalesce(i.i, 0) AS DOUBLE)
+              |      / (sa.sz + sb.sz - coalesce(i.i, 0)) * 1000000) / 1000000 >= 0.8),
+              |dropped AS (SELECT DISTINCT b AS doc_id FROM pairs),
+              |rel AS (SELECT n.doc_id, n.text FROM n
+              |  LEFT JOIN dropped dr ON dr.doc_id = n.doc_id
+              |  WHERE dr.doc_id IS NULL),
+              |agg AS (SELECT
+              |   CAST(coalesce(sum(len(list_filter(string_split_regex(text, '\\s+'),
+              |     x -> x <> ''))), 0) AS BIGINT) AS released_tokens,
+              |   CAST(coalesce(bit_xor(${duckH60(
+                     "'r:' || CAST(doc_id AS VARCHAR) || ':' || md5(text)")}), 0)
+              |     AS BIGINT) AS released_digest
+              |  FROM rel),
+              |dc AS (SELECT
+              |   CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+              |   CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+              |   CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+              |   CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+              |  FROM d),
+              |cnts AS (SELECT
+              |   (SELECT CAST(count(*) AS BIGINT) FROM n) AS n_docs,
+              |   (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs,
+              |   (SELECT CAST(count(*) AS BIGINT) FROM dropped) AS n_dropped)
+              |SELECT cnts.n_docs, dc.n_added, dc.n_changed, dc.n_removed,
+              |  dc.n_unchanged, cnts.n_pairs, cnts.n_dropped,
+              |  cnts.n_docs - cnts.n_dropped AS n_released,
+              |  agg.released_tokens, agg.released_digest
+              |FROM cnts, dc, agg""".stripMargin)))
+
   /** The q272 unrolled MMR replay. */
   private def mmrOracle(k: Int, poolSize: Int, lambdaU: Long): String = {
     val il = 1000000L - lambdaU
@@ -7427,7 +7520,7 @@ object Queries {
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs
+      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
