@@ -7456,7 +7456,79 @@ object Queries {
               |  dc.n_unchanged, cnts.n_pairs, cnts.n_dropped,
               |  cnts.n_docs - cnts.n_dropped AS n_released,
               |  agg.released_tokens, agg.released_digest
-              |FROM cnts, dc, agg""".stripMargin)))
+              |FROM cnts, dc, agg""".stripMargin)),
+
+    Q("q275_ivfpq_ann",
+      (s, d) => graft.ops.Quantize.ivfPqTopK(T(s, d, "embeddings"),
+        nCells = 8, nprobe = 2, m = 16, k = 32, rounds = 2, nQueries = 5,
+        topK = 10),
+      // the full IVFADC replay: coarse assignment → residuals → 2 Lloyd
+      // rounds per subspace over RESIDUALS (init = vec_id ranks 9..40;
+      // ranks 1..8 are the coarse centroids, whose residuals are zero) →
+      // codes → nprobe=2 probes → per-(query, cell) residual ADC tables →
+      // probed-cell scan; integer micro-unit distances throughout
+      Some("""WITH f AS (SELECT vec_id, unnest(embedding) AS v,
+             |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+             |ivd AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
+             |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS x FROM f),
+             |cc AS MATERIALIZED (SELECT vec_id AS cell, d, x AS cx FROM ivd
+             |  WHERE vec_id IN (SELECT DISTINCT vec_id FROM ivd ORDER BY vec_id LIMIT 8)),
+             |vc AS MATERIALIZED (SELECT vec_id, cell FROM (
+             |  SELECT vec_id, cell,
+             |   row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM (
+             |   SELECT i.vec_id, c.cell, sum((i.x - c.cx) * (i.x - c.cx)) AS cdist
+             |   FROM ivd i JOIN cc c ON c.d = i.d GROUP BY 1, 2)) WHERE rn = 1),
+             |riv AS MATERIALIZED (SELECT i.vec_id,
+             |   CAST(i.d // 4 AS BIGINT) AS sub, CAST(i.d % 4 AS BIGINT) AS dl,
+             |   i.x - c.cx AS x
+             |  FROM ivd i JOIN vc ON vc.vec_id = i.vec_id
+             |  JOIN cc c ON c.cell = vc.cell AND c.d = i.d),
+             |c0 AS (SELECT vec_id AS cid, sub, dl, x AS cx FROM riv WHERE vec_id IN (
+             |   SELECT vec_id FROM (SELECT DISTINCT vec_id FROM riv ORDER BY vec_id LIMIT 40)
+             |   ORDER BY vec_id DESC LIMIT 32)),
+             |a0 AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
+             |  SELECT vec_id, sub, cid,
+             |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM (
+             |   SELECT riv.vec_id, riv.sub, c.cid, sum((riv.x - c.cx) * (riv.x - c.cx)) AS dist
+             |   FROM riv JOIN c0 c ON c.sub = riv.sub AND c.dl = riv.dl GROUP BY 1, 2, 3)) WHERE rn = 1),
+             |c1 AS MATERIALIZED (SELECT a.cid, a.sub, riv.dl,
+             |  CAST(floor(sum(riv.x)::DOUBLE / count(*)) AS BIGINT) AS cx
+             | FROM a0 a JOIN riv ON riv.vec_id = a.vec_id AND riv.sub = a.sub GROUP BY 1, 2, 3),
+             |a1 AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
+             |  SELECT vec_id, sub, cid,
+             |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM (
+             |   SELECT riv.vec_id, riv.sub, c.cid, sum((riv.x - c.cx) * (riv.x - c.cx)) AS dist
+             |   FROM riv JOIN c1 c ON c.sub = riv.sub AND c.dl = riv.dl GROUP BY 1, 2, 3)) WHERE rn = 1),
+             |c2 AS MATERIALIZED (SELECT a.cid, a.sub, riv.dl,
+             |  CAST(floor(sum(riv.x)::DOUBLE / count(*)) AS BIGINT) AS cx
+             | FROM a1 a JOIN riv ON riv.vec_id = a.vec_id AND riv.sub = a.sub GROUP BY 1, 2, 3),
+             |codes AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
+             |  SELECT vec_id, sub, cid,
+             |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM (
+             |   SELECT riv.vec_id, riv.sub, c.cid, sum((riv.x - c.cx) * (riv.x - c.cx)) AS dist
+             |   FROM riv JOIN c2 c ON c.sub = riv.sub AND c.dl = riv.dl GROUP BY 1, 2, 3)) WHERE rn = 1),
+             |probes AS (SELECT vec_id AS query_id, cell FROM (
+             |  SELECT vec_id, cell,
+             |   row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM (
+             |   SELECT i.vec_id, c.cell, sum((i.x - c.cx) * (i.x - c.cx)) AS cdist
+             |   FROM ivd i JOIN cc c ON c.d = i.d WHERE i.vec_id < 5 GROUP BY 1, 2)) WHERE rn <= 2),
+             |qres AS (SELECT p.query_id, p.cell,
+             |   CAST(i.d // 4 AS BIGINT) AS sub, CAST(i.d % 4 AS BIGINT) AS dl,
+             |   i.x - c.cx AS qx
+             |  FROM probes p JOIN ivd i ON i.vec_id = p.query_id
+             |  JOIN cc c ON c.cell = p.cell AND c.d = i.d),
+             |qd AS MATERIALIZED (SELECT q.query_id, q.cell, q.sub, c.cid,
+             |   sum((q.qx - c.cx) * (q.qx - c.cx)) AS qdist
+             |  FROM qres q JOIN c2 c ON c.sub = q.sub AND c.dl = q.dl
+             |  GROUP BY 1, 2, 3, 4),
+             |ad AS (SELECT qd.query_id, codes.vec_id, sum(qd.qdist) AS adist
+             |  FROM codes JOIN vc ON vc.vec_id = codes.vec_id
+             |  JOIN qd ON qd.cell = vc.cell AND qd.sub = codes.sub AND qd.cid = codes.cid
+             |  WHERE codes.vec_id <> qd.query_id GROUP BY 1, 2),
+             |ranked AS (SELECT query_id, vec_id, CAST(adist AS BIGINT) AS adist,
+             |   CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS INT) AS rank
+             |  FROM ad)
+             |SELECT query_id, vec_id, adist, rank FROM ranked WHERE rank <= 10""".stripMargin)))
 
   /** The q272 unrolled MMR replay. */
   private def mmrOracle(k: Int, poolSize: Int, lambdaU: Long): String = {

@@ -299,4 +299,108 @@ object Quantize {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("vec_id"), col("adist"), col("rank"))
   }
+
+  /** IVF-PQ composed ANN — the production FAISS index layout (Jégou et al.
+    * §V: IVFADC): a coarse quantizer partitions the corpus into `nCells`
+    * inverted lists, each vector stores only the PQ CODES OF ITS RESIDUAL
+    * (vector − cell centroid), and a query scans the `nprobe` nearest
+    * cells with a per-(query, cell) ADC lookup table over the residual
+    * codebooks. The two compression ratios MULTIPLY: the fact side holds
+    * m small codes + a cell id per vector (m bytes, not 4·dim), and each
+    * query touches ~nprobe/nCells of the corpus instead of all of it —
+    * which is why this is the layout a 100 TB embedding store ships
+    * (corpus bucketed by `cell`: the probe join is then partition-pruned
+    * file access; the ADC tables are nprobe·m·k rows per query —
+    * broadcast by construction).
+    *
+    * Deterministic by the [[kmeansCodebook]] construction (micro-unit
+    * integer coords, first-k inits, ties to the lowest id, fixed rounds):
+    * coarse centroids are the `nCells` smallest vec_ids; the residual PQ
+    * codebook initializes from the NEXT `k` vec_ids (ranks nCells+1 ..
+    * nCells+k — the coarse centroids' own residuals are all-zero and
+    * would collapse Lloyd's to a degenerate single code). Every round,
+    * code, probe, and ADC sum replays exactly in the SQL oracle.
+    *
+    * @return (query_id, vec_id, adist, rank) — top `topK` per query by
+    *         (adist, vec_id) over the probed cells only; adist in
+    *         micro-units²; self-matches excluded.
+    */
+  def ivfPqTopK(embeddings: DataFrame, nCells: Int = 8, nprobe: Int = 2,
+      m: Int = 16, k: Int = 32, rounds: Int = 2, nQueries: Int = 5,
+      topK: Int = 10): DataFrame = {
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val iv = FreshCheckpoint(coords(embeddings)) // (vec_id, d, x)
+    // coarse codebook: the nCells smallest vec_ids, cell id = vec_id
+    val firstC = iv.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(nCells)
+    val coarse = FreshCheckpoint(iv.join(broadcast(firstC), Seq("vec_id"))
+      .select(col("vec_id").as("cell"), col("d"), col("x").as("cx")))
+    // nearest `probes` coarse centroids by squared L2, ties to lowest cell
+    def assignCell(df: DataFrame, probes: Int): DataFrame = {
+      val dists = df.join(broadcast(coarse), Seq("d"))
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("cdist"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdist"), col("cell"))
+      dists.withColumn("rn", row_number().over(w)).filter(col("rn") <= probes)
+        .select(col("vec_id"), col("cell"))
+    }
+    val vcell = FreshCheckpoint(assignCell(iv, 1))
+    // residual coordinates in PQ (sub, dl) layout
+    val riv = FreshCheckpoint(iv.join(vcell, Seq("vec_id"))
+      .join(broadcast(coarse), Seq("cell", "d"))
+      .select(col("vec_id"), (col("d") / subDim).cast("long").as("sub"),
+        (col("d") % subDim).as("dl"), (col("x") - col("cx")).as("x")))
+    // residual PQ training — the pqTopK pipeline over riv
+    def assign(cents: DataFrame): DataFrame = {
+      val dists = riv.join(broadcast(cents), Seq("sub", "dl"))
+        .groupBy(col("vec_id"), col("sub"), col("cid"))
+        .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dist"))
+      val w = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("dist"), col("cid"))
+      dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("cid"))
+    }
+    def update(assigned: DataFrame): DataFrame =
+      assigned.join(riv, Seq("vec_id", "sub"))
+        .groupBy(col("cid"), col("sub"), col("dl"))
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long")
+          .as("cx"))
+    val initK = riv.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(nCells + k)
+      .orderBy(col("vec_id").desc).limit(k)
+    var cents = riv.join(broadcast(initK), Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("sub"), col("dl"), col("x").as("cx"))
+    for (_ <- 1 to rounds)
+      cents = FreshCheckpoint(update(assign(cents)))
+    val centsF = FreshCheckpoint(cents)
+    val codes = assign(centsF) // (vec_id, sub, cid) — m bytes per vector
+    // query side: probe nprobe cells, per-(query, cell) residual ADC table
+    val qiv = iv.filter(col("vec_id") < nQueries)
+    val probes = assignCell(qiv, nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val qres = probes
+      .join(qiv.select(col("vec_id").as("query_id"), col("d"), col("x")),
+        Seq("query_id"))
+      .join(broadcast(coarse), Seq("cell", "d"))
+      .select(col("query_id"), col("cell"),
+        (col("d") / subDim).cast("long").as("sub"),
+        (col("d") % subDim).as("dl"), (col("x") - col("cx")).as("qx"))
+    val qd = qres.join(broadcast(centsF), Seq("sub", "dl"))
+      .groupBy(col("query_id"), col("cell"), col("sub"), col("cid"))
+      .agg(sum((col("qx") - col("cx")) * (col("qx") - col("cx"))).as("qdist"))
+    // probed-cell scan: codes equi-join the broadcast ADC tables — at
+    // cluster scale only the probed cells' buckets are read at all
+    val ad = codes.join(vcell, Seq("vec_id"))
+      .join(broadcast(qd), Seq("cell", "sub", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qdist")).as("adist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    ad.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id"), col("adist"), col("rank"))
+  }
 }
