@@ -7528,10 +7528,59 @@ object Queries {
              |ranked AS (SELECT query_id, vec_id, CAST(adist AS BIGINT) AS adist,
              |   CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS INT) AS rank
              |  FROM ad)
-             |SELECT query_id, vec_id, adist, rank FROM ranked WHERE rank <= 10""".stripMargin)))
+             |SELECT query_id, vec_id, adist, rank FROM ranked WHERE rank <= 10""".stripMargin)),
 
-  /** The q272 unrolled MMR replay. */
-  private def mmrOracle(k: Int, poolSize: Int, lambdaU: Long): String = {
+    Q("q276_mmr_cell_pool",
+      (s, d) => graft.ops.Similarity.mmrTopKCells(T(s, d, "embeddings")),
+      // the q272 MMR tail on a CELL-BLOCKED pool: q176's hyperplane-cell
+      // in-cell cosine chain feeds the pool, selection rounds unchanged
+      Some(mmrCellOracle(k = 5, poolSize = 16, lambdaU = 700000L))))
+
+  /** The q272 unrolled MMR replay: exact brute-force pool + shared tail. */
+  private def mmrOracle(k: Int, poolSize: Int, lambdaU: Long): String =
+    s"""WITH f AS (SELECT vec_id, unnest(embedding) AS v,
+       |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv, i FROM f WHERE vec_id < 3),
+       |dots AS (SELECT q.query_id, f.vec_id, sum(CAST(q.qv AS DOUBLE) * f.v) AS dp
+       |  FROM q JOIN f ON q.i = f.i WHERE f.vec_id <> q.query_id GROUP BY 1, 2),
+       |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
+       |cos AS (SELECT d.query_id, d.vec_id,
+       |   round(d.dp / (nq.nrm * nc.nrm), 6) AS cos
+       |  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+       |  JOIN norms nc ON nc.vec_id = d.vec_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |   ORDER BY cos DESC, vec_id) AS rank FROM cos),
+       |pool AS MATERIALIZED (SELECT query_id, vec_id,
+       |   CAST(round(cos * 1000000) AS BIGINT) AS rel_u
+       |  FROM ranked WHERE rank <= $poolSize)""".stripMargin +
+      mmrTail(k, lambdaU)
+
+  /** The q276 cell-blocked MMR replay: hyperplane-cell pool (the q176
+    * in-cell cosine chain, queries vec_id < 3) + the same tail. */
+  private def mmrCellOracle(k: Int, poolSize: Int, lambdaU: Long): String =
+    hplaneCellStages(recursive = false) +
+      s""",
+       |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
+       |pr AS (SELECT x.vec_id AS query_id, y.vec_id AS vec_id
+       |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+       |  WHERE x.vec_id < 3),
+       |dots AS (SELECT pr.query_id, pr.vec_id, sum(CAST(q.v AS DOUBLE) * c.v) AS dp
+       |  FROM pr JOIN f q ON q.vec_id = pr.query_id
+       |  JOIN f c ON c.vec_id = pr.vec_id AND c.i = q.i GROUP BY 1, 2),
+       |cos AS (SELECT d.query_id, d.vec_id,
+       |   round(d.dp / (nq.nrm * nc.nrm), 6) AS cos
+       |  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+       |  JOIN norms nc ON nc.vec_id = d.vec_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |   ORDER BY cos DESC, vec_id) AS rank FROM cos),
+       |pool AS MATERIALIZED (SELECT query_id, vec_id,
+       |   CAST(round(cos * 1000000) AS BIGINT) AS rel_u
+       |  FROM ranked WHERE rank <= $poolSize)""".stripMargin +
+      mmrTail(k, lambdaU)
+
+  /** Pool-independent MMR tail (pairwise pool sims + unrolled selection
+    * rounds) — expects CTEs `f`, `norms`, `pool` upstream. */
+  private def mmrTail(k: Int, lambdaU: Long): String = {
     val il = 1000000L - lambdaU
     val rounds = (2 to k).map { r =>
       s"""m$r AS (SELECT p.query_id, p.vec_id, p.rel_u, max(ps.sim_u) AS maxsim_u
@@ -7551,21 +7600,7 @@ object Queries {
          |  SELECT query_id, CAST($r AS BIGINT) AS pick, vec_id, rel_u, mmr_num_u
          |  FROM p$r WHERE rk = 1)""".stripMargin
     }.mkString(",\n", ",\n", "")
-    s"""WITH f AS (SELECT vec_id, unnest(embedding) AS v,
-       |   generate_subscripts(embedding, 1) AS i FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, v AS qv, i FROM f WHERE vec_id < 3),
-       |dots AS (SELECT q.query_id, f.vec_id, sum(CAST(q.qv AS DOUBLE) * f.v) AS dp
-       |  FROM q JOIN f ON q.i = f.i WHERE f.vec_id <> q.query_id GROUP BY 1, 2),
-       |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
-       |cos AS (SELECT d.query_id, d.vec_id,
-       |   round(d.dp / (nq.nrm * nc.nrm), 6) AS cos
-       |  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
-       |  JOIN norms nc ON nc.vec_id = d.vec_id),
-       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-       |   ORDER BY cos DESC, vec_id) AS rank FROM cos),
-       |pool AS MATERIALIZED (SELECT query_id, vec_id,
-       |   CAST(round(cos * 1000000) AS BIGINT) AS rel_u
-       |  FROM ranked WHERE rank <= $poolSize),
+    s""",
        |pp AS (SELECT pa.query_id, pa.vec_id AS a, pb.vec_id AS b
        |  FROM pool pa JOIN pool pb ON pb.query_id = pa.query_id
        |   AND pb.vec_id <> pa.vec_id),

@@ -83,10 +83,52 @@ object Similarity {
   def mmrTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
       poolSize: Int = 16, lambdaU: Long = 700000L): DataFrame = {
     graft.expr.VectorOps.register(embeddings.sparkSession)
-    val il = 1000000L - lambdaU
     val pool = FreshCheckpoint(cosineTopK(embeddings, queries, poolSize)
       .select(col("query_id"), col("vec_id"),
         round(col("cos") * 1000000d).cast("long").as("rel_u")))
+    mmrFromPool(embeddings, pool, k, lambdaU)
+  }
+
+  /** [[mmrTopK]] with the POOL stage cell-blocked (round-11 #3): the only
+    * corpus-sized work becomes the shared [[cellScored]] relation — a
+    * per-row cell signature plus one cell-keyed equi-join with ~256-vector
+    * candidate lists — instead of [[cosineTopK]]'s corpus × queries
+    * broadcast scoring, which is exactly the stage that cannot ship at
+    * serving scale. Everything after the pool (pairwise candidate sims,
+    * k−1 unrolled integer-exact selection rounds) is identical to the
+    * exact path, and when the query's cell contains the true top set the
+    * two are EQUAL (planted spec: a pinned single-cell codebook makes the
+    * cell pool coincide with the exact pool).
+    *
+    * Queries are corpus members (`vec_id < nQueries`) — the cell of an
+    * external query would simply be its signature; corpus-member queries
+    * keep the relation joint with [[cellKnn]]'s.
+    *
+    * @return same shape as [[mmrTopK]]: (query_id, pick ∈ 1..k, vec_id,
+    *         rel_u, mmr_num_u)
+    */
+  def mmrTopKCells(embeddings: DataFrame, nQueries: Int = 3, k: Int = 5,
+      poolSize: Int = 16, lambdaU: Long = 700000L, cellK: Int = 0,
+      rounds: Int = 2): DataFrame = {
+    val scored = cellScored(embeddings, cellK, rounds)
+      .filter(col("query_id") < nQueries)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val pool = FreshCheckpoint(scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= poolSize)
+      .select(col("query_id"), col("vec_id"),
+        round(col("cos") * 1000000d).cast("long").as("rel_u")))
+    mmrFromPool(embeddings, pool, k, lambdaU)
+  }
+
+  /** The pool-independent MMR machinery shared by [[mmrTopK]] (exact
+    * brute-force pool) and [[mmrTopKCells]] (cell-blocked pool): pairwise
+    * EXACT cosines among pool members and the k−1 unrolled selection
+    * rounds, all bounded by |queries| · poolSize. */
+  private def mmrFromPool(embeddings: DataFrame, pool: DataFrame, k: Int,
+      lambdaU: Long): DataFrame = {
+    graft.expr.VectorOps.register(embeddings.sparkSession)
+    val il = 1000000L - lambdaU
     val embD = embeddings.select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", norm(col("emb")))

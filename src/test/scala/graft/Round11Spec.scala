@@ -135,6 +135,25 @@ class Round11Spec extends SparkTestBase {
     assert(r8 >= r2, s"nprobe must not cost recall: $r8 < $r2")
   }
 
+  test("cell-pool MMR == exact MMR when the pool recalls the true top set") {
+    // a pinned single-cell codebook (cellK = 1) makes the cell pool the
+    // global top-poolSize — identical to the exact brute-force pool — so
+    // the two MMR paths must agree row-for-row. 18 vectors: deterministic
+    // distinct directions in 8 dims.
+    val emb = (0L until 18L).map { i =>
+      i -> (0 until 8).map(d =>
+        (((i * 31 + d * 17 + 7) % 19).toFloat - 9f) / 10f)
+    }.toDF("vec_id", "embedding")
+    val exact = graft.ops.Similarity.mmrTopK(emb,
+      emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding")))
+      .orderBy("query_id", "pick").collect().map(_.toSeq)
+    val cells = graft.ops.Similarity.mmrTopKCells(emb, cellK = 1)
+      .orderBy("query_id", "pick").collect().map(_.toSeq)
+    assert(exact.nonEmpty && exact.length == 15)
+    assert(cells.toSeq == exact.toSeq)
+  }
+
   test("incrementalRelease with an empty delta replays the old record") {
     val oldDf = oldDocs.toDF("doc_id", "text")
     val st = Pipeline.releaseState(oldDf)
