@@ -7534,7 +7534,35 @@ object Queries {
       (s, d) => graft.ops.Similarity.mmrTopKCells(T(s, d, "embeddings")),
       // the q272 MMR tail on a CELL-BLOCKED pool: q176's hyperplane-cell
       // in-cell cosine chain feeds the pool, selection rounds unchanged
-      Some(mmrCellOracle(k = 5, poolSize = 16, lambdaU = 700000L))))
+      Some(mmrCellOracle(k = 5, poolSize = 16, lambdaU = 700000L))),
+
+    Q("q277_cusum_pinned",
+      // the per-bucket batch twin of streaming/CusumStream (stream≡batch
+      // in StreamingSpec): q260's closed form with the baseline rate
+      // PINNED (µ = 0.01 events/bucket — a low-baseline alert channel on
+      // this sparse grid), which is the only form a stream can maintain
+      (s, d) => graft.ops.TimeSeries.cusumPinned(T(s, d, "events")),
+      Some("""WITH obs AS (SELECT event_type,
+             |   CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS bucket,
+             |   CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2),
+             |g AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+             |  FROM obs GROUP BY 1),
+             |grid AS (SELECT event_type,
+             |   CAST(unnest(generate_series(lo, hi, 300)) AS BIGINT) AS bucket FROM g),
+             |dense AS (SELECT gr.event_type, gr.bucket, coalesce(o.x, 0) AS x
+             |  FROM grid gr LEFT JOIN obs o
+             |   ON o.event_type = gr.event_type AND o.bucket = gr.bucket),
+             |ps AS (SELECT event_type, bucket, x,
+             |   CAST(sum(x * 1000000 - 12500)
+             |     OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS p
+             |  FROM dense)
+             |SELECT event_type, bucket, CAST(x AS BIGINT) AS x,
+             |  CAST(p - least(min(p) OVER (PARTITION BY event_type ORDER BY bucket), 0)
+             |    AS BIGINT) AS s_u,
+             |  (p - least(min(p) OVER (PARTITION BY event_type ORDER BY bucket), 0)) > 40000
+             |    AS alarm
+             |FROM ps""".stripMargin)))
 
   /** The q272 unrolled MMR replay: exact brute-force pool + shared tail. */
   private def mmrOracle(k: Int, poolSize: Int, lambdaU: Long): String =

@@ -238,6 +238,38 @@ object TimeSeries {
           .as("first_alarm_bucket"))
   }
 
+  /** Pinned-target CUSUM — the per-bucket relation of [[cusum]] with the
+    * baseline rate `muU` supplied instead of estimated from the window.
+    * This is the form a STREAMING monitor can maintain (a stream cannot
+    * know its window mean), and the batch twin / oracle surface of
+    * [[graft.streaming.CusumStream.rateMonitorStream]]: identical dense
+    * grid, identical integer prefix-sum + running-min closed form, so the
+    * stream's per-bucket state replays row-for-row.
+    *
+    * @param muU baseline rate in events·10⁻⁶ per bucket
+    * @return one row per dense-grid bucket: (event_type, bucket, x, s_u,
+    *         alarm) — alarm ⇔ s_u > hMul·muU
+    */
+  def cusumPinned(events: DataFrame, muU: Long = 10000L,
+      bucketSec: Int = 300, kDen: Long = 4, hMul: Long = 4): DataFrame = {
+    val obs = events.groupBy(col("event_type"),
+        (floor(col("ts").cast("double") / bucketSec).cast("long") * bucketSec)
+          .as("bucket"))
+      .agg(count(lit(1)).as("x"))
+    val grid = obs.groupBy(col("event_type"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("event_type"),
+        explode(expr(s"sequence(lo, hi, $bucketSec)")).as("bucket"))
+    val dense = grid.join(obs, Seq("event_type", "bucket"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    dense
+      .withColumn("p", sum(col("x") * 1000000L - lit(muU + muU / kDen)).over(w))
+      .withColumn("s_u", col("p") - least(min(col("p")).over(w), lit(0L)))
+      .select(col("event_type"), col("bucket"), col("x"), col("s_u"),
+        (col("s_u") > lit(hMul * muU)).as("alarm"))
+  }
+
   /** RFM segment-TRANSITION (migration) matrix — the change report behind
     * the snapshot [[rfmSegments]] gives: split the stream at its time-range
     * midpoint, score each half independently ([[rfmScores]], each half's

@@ -240,4 +240,63 @@ class StreamingSpec extends SparkTestBase {
     val streamed = spark.sql("SELECT * FROM neardup_stream").collect().map(key).toSet
     assert(streamed === batch)
   }
+
+  test("streaming CUSUM rate monitor equals q277's pinned-mu batch transitions") {
+    import graft.streaming.CusumStream
+    val ev = graft.Queries.events(spark, eventsDir)
+    // batch twin: per-bucket relation → alarm TRANSITIONS per type (a
+    // transition is a bucket whose alarm differs from the previous
+    // bucket's, the first bucket transitioning only if it alarms).
+    // The trailing OPEN bucket per type can never close in the stream, so
+    // transitions at the type's last bucket are excluded from the compare.
+    val rel = graft.ops.TimeSeries.cusumPinned(ev)
+      .orderBy("event_type", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    val lastBucket = rel.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val batchTransitions = rel.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(_._2).foldLeft((List.empty[(String, Long, Long, Boolean)], false)) {
+        case ((acc, prev), (t, b, s, a)) =>
+          (if (a != prev) (t, b, s, a) :: acc else acc, a)
+      }._1
+    }.filter { case (t, b, _, _) => b < lastBucket(t) }.toSet
+    assert(batchTransitions.nonEmpty, "no alarm transitions — test vacuous")
+
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getBoolean(3))
+    // the SAME stateful plan evaluated in batch mode must already agree
+    val asBatch = CusumStream.rateMonitorStream(spark, ev).toDF()
+      .collect().map(key).toSet
+    assert(asBatch === batchTransitions)
+
+    // stream in three TIME-ORDERED micro-batches (the monitor's ordering
+    // contract): bucket state, the running prefix, and the alarm level
+    // must carry across batch boundaries
+    val cuts = ev.selectExpr(
+      "percentile_approx(unix_micros(ts), 0.33) AS c1",
+      "percentile_approx(unix_micros(ts), 0.66) AS c2").first()
+    val (c1, c2) = (cuts.getLong(0), cuts.getLong(1))
+    val stage = java.nio.file.Files.createTempDirectory("ev_cusum")
+    Seq(("a", col("ts").isNotNull && unix_micros(col("ts")) < c1),
+      ("b", unix_micros(col("ts")) >= c1 && unix_micros(col("ts")) < c2),
+      ("c", unix_micros(col("ts")) >= c2)).foreach { case (n, pred) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"cusum_$n")
+      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        stage.resolve(s"$n.parquet"))
+    }
+    val raw = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+    val q = CusumStream.rateMonitorStream(spark, raw).toDF()
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val streamed = spark.sql("SELECT * FROM cusum_stream")
+      .collect().map(key).toSet
+    assert(streamed === batchTransitions)
+  }
 }
