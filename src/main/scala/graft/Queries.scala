@@ -7562,7 +7562,39 @@ object Queries {
              |    AS BIGINT) AS s_u,
              |  (p - least(min(p) OVER (PARTITION BY event_type ORDER BY bucket), 0)) > 40000
              |    AS alarm
-             |FROM ps""".stripMargin)))
+             |FROM ps""".stripMargin)),
+
+    Q("q278_dp_histogram",
+      // the audited-then-EMIT step of the privacy family: the q221 class
+      // histogram released under the two-sided-geometric mechanism at
+      // eps = ln 2, noise md5-derived per class key (deterministic for
+      // testability — the oracle replays it; production flips to real
+      // entropy, README), with the epsilon ledger riding every row
+      (s, d) => graft.ops.Privacy.dpHistogram(T(s, d, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).as("bal_kb"))),
+      Some(s"""WITH cls AS (SELECT c_nationkey, c_mktsegment,
+              |   CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb,
+              |   CAST(count(*) AS BIGINT) AS n
+              |  FROM customer GROUP BY 1, 2, 3),
+              |ky AS (SELECT *, 'dp:' || coalesce(CAST(c_nationkey AS VARCHAR), 'null')
+              |   || ':' || coalesce(c_mktsegment, 'null')
+              |   || ':' || coalesce(CAST(bal_kb AS VARCHAR), 'null') AS key FROM cls),
+              |uu AS (SELECT *, ${duckH60("key")} % 1000000 AS u FROM ky)
+              |SELECT c_nationkey, c_mktsegment, bal_kb,
+              |  CAST(greatest(0, n + ${dpNoiseSql("u", 8)}) AS BIGINT) AS n_noisy,
+              |  CAST(693147 AS BIGINT) AS epsilon_u,
+              |  CAST(1 AS BIGINT) AS sensitivity,
+              |  CAST(8 AS BIGINT) AS noise_bound
+              |FROM uu""".stripMargin)))
+
+  /** The q278 noise CASE chain — generated from the SAME Scala threshold
+    * constants the engine embeds, so neither engine evaluates exp/log. */
+  private def dpNoiseSql(u: String, maxNoise: Int): String = {
+    val cases = graft.ops.Privacy.geometricThresholds(maxNoise).init
+      .map { case (t, z) => s"WHEN $u < $t THEN ($z)" }.mkString(" ")
+    s"CASE $cases ELSE $maxNoise END"
+  }
 
   /** The q272 unrolled MMR replay: exact brute-force pool + shared tail. */
   private def mmrOracle(k: Int, poolSize: Int, lambdaU: Long): String =

@@ -155,4 +155,63 @@ object Privacy {
         col("s.n_rows_above").as("n_rows_above"),
         expr("s.n_rows_above * 1000000 div n_rows").as("risk_u"))
   }
+
+  /** Truncated two-sided-geometric inverse-CDF thresholds at α = ½:
+    * pmf P(0) = ⅓, P(±z) = ⅓·2⁻|z|, the ±`maxNoise` tails folded into the
+    * extreme values (standard truncated-geometric mechanism). Returned as
+    * (µ-threshold, noise) pairs — a uniform u ∈ [0, 10⁶) maps to the first
+    * noise whose threshold exceeds it. All-rational at α = ½, so the
+    * µ-floored thresholds are exact; the SAME Scala values are embedded in
+    * the SQL oracle, so no engine ever evaluates exp or log. */
+  private[graft] def geometricThresholds(maxNoise: Int): Seq[(Long, Int)] = {
+    val p0 = 1.0 / 3.0
+    def pmf(z: Int): Double =
+      if (math.abs(z) == maxNoise) p0 * math.pow(0.5, maxNoise - 1)
+      else p0 * math.pow(0.5, math.abs(z))
+    val zs = (-maxNoise to maxNoise).toSeq
+    val cum = zs.scanLeft(0.0)((acc, z) => acc + pmf(z)).tail
+    zs.zip(cum).map { case (z, c) => (math.floor(c * 1e6).toLong, z) }
+  }
+
+  /** Differentially-private histogram release — the EMIT step the audit
+    * trilogy ([[kAnonymityAudit]] → [[lDiversityAudit]] →
+    * [[tClosenessAudit]]) gates: per quasi-identifier class, the count
+    * plus two-sided-geometric noise (the discrete Laplace mechanism,
+    * Ghosh–Roughgarden–Sundararajan 2012) at ε = ln 2 (α = e^(−ε) = ½,
+    * sensitivity 1 for disjoint-class counts), clamped at 0, with the
+    * privacy LEDGER riding every row (epsilon_u, sensitivity, noise
+    * bound) so downstream composition can sum what was spent.
+    *
+    * Determinism (testability): the uniform driving each class's noise is
+    * md5-derived from the class key — the engine's randomness discipline,
+    * replayed exactly by the oracle. A PRODUCTION release must flip this
+    * to real entropy (one `rand()` column swap — the mechanism, table,
+    * and ledger are unchanged); with hash-derived noise the "noise" is a
+    * deterministic function of the class key, which is testable but NOT
+    * private. Documented in README.
+    *
+    * Scale shape: q221's one map-side-combined groupBy, then pure per-row
+    * projections (hash, threshold CASE, clamp) — nothing corpus-sized
+    * after the first agg.
+    *
+    * @param quasi ALIASED quasi columns (names become output columns)
+    * @return (quasi..., n_noisy, epsilon_u, sensitivity, noise_bound)
+    */
+  def dpHistogram(rows: DataFrame, quasi: Seq[Column],
+      maxNoise: Int = 8): DataFrame = {
+    val classes = rows.groupBy(quasi: _*).agg(count(lit(1)).as("n"))
+    val names = classes.columns.dropRight(1)
+    val key = concat_ws(":", lit("dp") +:
+      names.map(n => coalesce(col(n).cast("string"), lit("null"))): _*)
+    val u = pmod(TrainingData.h60(key), lit(1000000L))
+    val noise = geometricThresholds(maxNoise).init
+      .foldRight(lit(maxNoise.toLong): Column) { case ((t, z), acc) =>
+        when(u < t, z.toLong).otherwise(acc)
+      }
+    classes
+      .withColumn("n_noisy", greatest(lit(0L), col("n") + noise))
+      .select(names.map(col) :+ col("n_noisy") :+
+        lit(693147L).as("epsilon_u") :+ lit(1L).as("sensitivity") :+
+        lit(maxNoise.toLong).as("noise_bound"): _*)
+  }
 }

@@ -154,6 +154,46 @@ class Round11Spec extends SparkTestBase {
     assert(cells.toSeq == exact.toSeq)
   }
 
+  test("dpHistogram sensitivity: one added row moves ONE class by at most 1") {
+    // disjoint-class counts have sensitivity 1: a neighboring dataset
+    // (one row added) changes exactly one class count by 1, and since
+    // each class's noise is a function of its KEY alone, every other
+    // released value is bit-identical while the touched class moves by
+    // exactly the true delta
+    val base = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 1L), ("c", 3L))
+      .toDF("seg", "grp")
+    val neighbor = base.unionByName(Seq(("b", 1L)).toDF("seg", "grp"))
+    def rel(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Privacy.dpHistogram(df, Seq(col("seg"), col("grp")))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val r0 = rel(base)
+    val r1 = rel(neighbor)
+    assert(r0.keySet == r1.keySet)
+    r0.keys.foreach { k =>
+      if (k == ("b", 1L)) assert(r1(k) - r0(k) == 1L)
+      else assert(r1(k) == r0(k), s"untouched class $k moved")
+    }
+  }
+
+  test("dpHistogram noise table: symmetric, eps = ln 2, full mass") {
+    val t = graft.ops.Privacy.geometricThresholds(8)
+    assert(t.map(_._2) == (-8 to 8).toSeq)
+    // full probability mass lands in the table (floor can shave < 1 µ)
+    assert(t.last._1 >= 999999L)
+    // pmf from threshold deltas: symmetric, and each step halves (alpha =
+    // e^{-eps} = 1/2 means eps = ln 2 — the ledger's 693147 µ)
+    val pmf = t.map(_._1).zip(0L +: t.map(_._1)).map { case (c, p) => c - p }
+    assert(pmf == pmf.reverse)
+    // the ±8 extremes carry the folded tail, so P(±8) == P(±7); inside
+    // the fold every step toward 0 doubles (α = ½ ⇒ ε = ln 2)
+    assert(math.abs(pmf(0) - pmf(1)) <= 2)
+    (1 until 8).foreach { i =>
+      val (outer, inner) = (pmf(i), pmf(i + 1))
+      assert(math.abs(inner - 2 * outer) <= 4,
+        s"pmf not halving at offset $i: $outer -> $inner")
+    }
+  }
+
   test("incrementalRelease with an empty delta replays the old record") {
     val oldDf = oldDocs.toDF("doc_id", "text")
     val st = Pipeline.releaseState(oldDf)
