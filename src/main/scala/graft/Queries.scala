@@ -7586,7 +7586,91 @@ object Queries {
               |  CAST(693147 AS BIGINT) AS epsilon_u,
               |  CAST(1 AS BIGINT) AS sensitivity,
               |  CAST(8 AS BIGINT) AS noise_bound
-              |FROM uu""".stripMargin)))
+              |FROM uu""".stripMargin)),
+
+    Q("q279_pair_integrity",
+      // caption<->image contamination: q199's banded perceptual pairs ×
+      // q35's verified MinHash caption pairs over the SAME paired rows;
+      // the disagreement sets are the integrity flags
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        graft.ops.Multimodal.pairIntegrityAudit(
+          graft.ops.Multimodal.ingest(docs),
+          docs.select(col("doc_id").as("media_id"),
+            col("text").as("caption")))
+      },
+      Some("""WITH pos AS (SELECT doc_id, text,
+             |   unnest(range(1, strlen(text) + 1)) AS i FROM documents),
+             |feat AS (SELECT doc_id AS media_id, CAST((i - 1) % 60 AS BIGINT) AS k,
+             |   CAST(sum(ord(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS f
+             |  FROM pos GROUP BY 1, 2),
+             |spine AS (SELECT d.doc_id AS media_id, r.range AS k
+             |  FROM documents d, range(0, 60) r),
+             |ff AS (SELECT s.media_id, s.k, coalesce(f.f, 0) AS f
+             |  FROM spine s LEFT JOIN feat f
+             |   ON f.media_id = s.media_id AND f.k = s.k),
+             |bits AS (SELECT a.media_id,
+             |   CASE WHEN a.f > b.f THEN 1::BIGINT << CAST(a.k AS INT) ELSE 0::BIGINT END AS bit
+             |  FROM ff a JOIN ff b ON b.media_id = a.media_id
+             |   AND b.k = (a.k + 1) % 60),
+             |psig AS (SELECT media_id, CAST(sum(bit) AS BIGINT) AS phash
+             |  FROM bits GROUP BY 1),
+             |pchunks AS (SELECT media_id, c.range AS chunk,
+             |   (phash >> CAST(c.range * 15 AS INT)) & 32767 AS key, phash
+             |  FROM psig, range(0, 4) c),
+             |ipairs AS (SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+             |   CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+             |  FROM pchunks x JOIN pchunks y ON y.chunk = x.chunk
+             |   AND y.key = x.key AND x.media_id < y.media_id
+             |  WHERE bit_count(xor(x.phash, y.phash)) <= 3),
+             |words AS (SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+             |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> x <> '') AS tl FROM documents)),
+             |toks AS (
+             |  SELECT DISTINCT doc_id,
+             |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+             |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+             |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+             |msig AS (SELECT doc_id,
+             |  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
+             |  min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
+             |  min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
+             |  min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
+             |  FROM toks GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM msig
+             |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM msig
+             |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM msig
+             |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM msig),
+             |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+             |   AND x.doc_id < y.doc_id),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+             |inter AS (SELECT c.a, c.b, count(*) AS i
+             |  FROM cand c JOIN toks ta ON ta.doc_id = c.a
+             |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+             |  GROUP BY 1, 2),
+             |cpairs AS (SELECT a, b, jac_u FROM (
+             |  SELECT c.a, c.b,
+             |   CAST(floor(CAST(coalesce(i.i, 0) AS DOUBLE)
+             |     / (sa.sz + sb.sz - coalesce(i.i, 0)) * 1000000) AS BIGINT) AS jac_u
+             |  FROM cand c
+             |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+             |  JOIN sizes sa ON sa.doc_id = c.a
+             |  JOIN sizes sb ON sb.doc_id = c.b)
+             |  WHERE jac_u >= 800000)
+             |SELECT i.a, i.b, 'both' AS kind, i.hamming, c.jac_u
+             |FROM ipairs i JOIN cpairs c ON c.a = i.a AND c.b = i.b
+             |UNION ALL
+             |SELECT i.a, i.b, 'img_only' AS kind, i.hamming,
+             |  CAST(NULL AS BIGINT) AS jac_u
+             |FROM ipairs i LEFT JOIN cpairs c ON c.a = i.a AND c.b = i.b
+             |WHERE c.a IS NULL
+             |UNION ALL
+             |SELECT c.a, c.b, 'cap_only' AS kind,
+             |  CAST(NULL AS BIGINT) AS hamming, c.jac_u
+             |FROM cpairs c LEFT JOIN ipairs i ON i.a = c.a AND i.b = c.b
+             |WHERE i.a IS NULL""".stripMargin)))
 
   /** The q278 noise CASE chain — generated from the SAME Scala threshold
     * constants the engine embeds, so neither engine evaluates exp/log. */

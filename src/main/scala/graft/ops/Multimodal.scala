@@ -186,6 +186,55 @@ object Multimodal {
       .distinct()
   }
 
+  /** Caption↔image pair-integrity audit (round-11 #6) — the contamination
+    * check a paired multimodal dataset needs before training: rows whose
+    * IMAGES are perceptual near-dups but whose CAPTIONS are not
+    * (`img_only` — re-used/near-identical images carrying divergent text:
+    * mislabeling or caption injection), rows whose captions near-dup while
+    * the images differ (`cap_only` — boilerplate/copied captions on
+    * different images: alt-text spam, template leakage), and `both`
+    * (true near-duplicate pairs — dedup candidates, not integrity flags).
+    *
+    * Composes the two banded operators as-is: [[perceptualNearDups]]
+    * (4×15-bit banded hamming join over the 60-bit dHash) ×
+    * [[Dedup.minhashLsh]] (banded MinHash with exact-Jaccard verify) on
+    * the caption text — both candidate-bounded, never all-pairs; the
+    * disagreement sets are two narrow anti-joins on the (a, b) pair key.
+    *
+    * "Near-dup" on each side is that operator's standard sensitivity
+    * (hamming ≤ `maxHamming`; verified Jaccard ≥ `threshold` over banded
+    * candidates) — the audit flags disagreements BETWEEN the two
+    * detectors, which is exactly the integrity signal: similarity in one
+    * modality unmatched in the other.
+    *
+    * @param media    (media_id, payload) — the image side
+    * @param captions (media_id, caption) — the paired text side
+    * @return (a, b, kind ∈ img_only|cap_only|both, hamming, jac_u) with
+    *         a < b; hamming null for cap_only, jac_u null for img_only
+    */
+  def pairIntegrityAudit(media: DataFrame, captions: DataFrame,
+      maxHamming: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val img = org.apache.spark.sql.graft.FreshCheckpoint(
+      perceptualNearDups(media, maxHamming))
+    val cap = org.apache.spark.sql.graft.FreshCheckpoint(
+      Dedup.minhashLsh(captions.select(col("media_id").as("doc_id"),
+          col("caption").as("text")), 8, 2, threshold)
+        .select(col("a"), col("b"),
+          round(col("jaccard") * 1000000d).cast("long").as("jac_u")))
+    val both = img.join(cap, Seq("a", "b"))
+      .select(col("a"), col("b"), lit("both").as("kind"), col("hamming"),
+        col("jac_u"))
+    val imgOnly = img
+      .join(cap.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), lit("img_only").as("kind"), col("hamming"),
+        lit(null).cast("long").as("jac_u"))
+    val capOnly = cap
+      .join(img.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), lit("cap_only").as("kind"),
+        lit(null).cast("long").as("hamming"), col("jac_u"))
+    both.unionByName(imgOnly).unionByName(capOnly)
+  }
+
   /** Feature extraction via partition-local decode (mapPartitions batch
     * contract — the decoder is instantiated once per partition, not per row).
     */

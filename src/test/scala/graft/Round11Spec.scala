@@ -194,6 +194,36 @@ class Round11Spec extends SparkTestBase {
     }
   }
 
+  test("pairIntegrityAudit plants all three disagreement kinds") {
+    // payloads 1≡2 (identical bytes → hamming 0) with DIVERGENT captions
+    // → img_only; payloads 3,4 unrelated with IDENTICAL captions →
+    // cap_only; 5≡6 identical on both sides → both; 7 pairs with nothing.
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today",
+        "a red bicycle leans against the old stone wall quietly"),
+      (2L, "the quick brown fox jumps over the lazy dog again today",
+        "children play football in the park before the heavy summer rain"),
+      (3L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo",
+        "identical caption text shared by both of these media rows"),
+      (4L, "z1!Qm x9?Kp w4#Jn v2$Hr u7%Gs t5&Ft e8*Dq c3(Bw a6)Ax yy zz",
+        "identical caption text shared by both of these media rows"),
+      (5L, "same payload and same caption on this pair of rows here",
+        "matching caption for the genuinely duplicated media pair rows"),
+      (6L, "same payload and same caption on this pair of rows here",
+        "matching caption for the genuinely duplicated media pair rows"),
+      (7L, "a completely unrelated payload with its own distinct words",
+        "a completely unrelated caption with its own distinct words"))
+    val media = rows.map(r => (r._1, r._2)).toDF("media_id", "text")
+    val audit = graft.ops.Multimodal.pairIntegrityAudit(
+      graft.ops.Multimodal.ingest(media.withColumnRenamed("media_id", "doc_id")),
+      rows.map(r => (r._1, r._3)).toDF("media_id", "caption"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(audit.get((1L, 2L)).contains("img_only"))
+    assert(audit.get((3L, 4L)).contains("cap_only"))
+    assert(audit.get((5L, 6L)).contains("both"))
+    assert(!audit.keySet.exists(k => k._1 == 7L || k._2 == 7L))
+  }
+
   test("incrementalRelease with an empty delta replays the old record") {
     val oldDf = oldDocs.toDF("doc_id", "text")
     val st = Pipeline.releaseState(oldDf)
