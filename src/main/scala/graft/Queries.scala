@@ -7670,7 +7670,29 @@ object Queries {
              |SELECT c.a, c.b, 'cap_only' AS kind,
              |  CAST(NULL AS BIGINT) AS hamming, c.jac_u
              |FROM cpairs c LEFT JOIN ipairs i ON i.a = c.a AND i.b = c.b
-             |WHERE i.a IS NULL""".stripMargin)))
+             |WHERE i.a IS NULL""".stripMargin)),
+
+    Q("q280_duplicated_extents",
+      // q151's span relation merged into maximal extents: gaps-and-islands
+      // (island key = pos − stride·row_number) over the strided duplicate
+      // positions — the exact char ranges an exact-substring dedup would cut
+      (s, d) => graft.ops.Dedup.duplicatedExtents(T(s, d, "documents"),
+        64, 16),
+      Some("""WITH sp AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |    CAST(CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 64)), 1, 15) AS UBIGINT) AS BIGINT) AS h
+             |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 63, 16)) AS i
+             |        FROM documents WHERE length(text) >= 64)),
+             |duph AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+             |d AS (SELECT sp.doc_id, sp.pos FROM sp JOIN duph USING (h)),
+             |g AS (SELECT doc_id, pos,
+             |   pos - 16 * row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             |  FROM d)
+             |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+             |  CAST(max(pos) + 63 AS BIGINT) AS end_pos,
+             |  CAST(count(*) AS BIGINT) AS n_spans,
+             |  CAST(max(pos) + 64 - min(pos) AS BIGINT) AS extent_chars
+             |FROM g GROUP BY doc_id, grp""".stripMargin)))
 
   /** The q278 noise CASE chain — generated from the SAME Scala threshold
     * constants the engine embeds, so neither engine evaluates exp/log. */

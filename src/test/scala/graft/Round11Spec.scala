@@ -224,6 +224,35 @@ class Round11Spec extends SparkTestBase {
     assert(!audit.keySet.exists(k => k._1 == 7L || k._2 == 7L))
   }
 
+  test("duplicatedExtents merges a long shared block into ONE extent") {
+    // a 160-char block shared as the PREFIX of two docs, distinct tails:
+    // strided windows at 1,17,…,97 (7 spans) all duplicate and must merge
+    // into one island per doc that recovers the block exactly — start 1,
+    // end 160, extent 160 — while q151's span view reports 7 rows
+    val block = ("x" * 39 + " ") * 4 // 160 chars
+    val docs = Seq(
+      (1L, block + "tail one with its own distinct continuation text here ok"),
+      (2L, block + "a different ending entirely for the second document body"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.duplicatedExtents(docs, 64, 16)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 160L, 7L, 160L),
+      (2L, 1L, 160L, 7L, 160L)))
+    // two separated shared blocks stay two islands (the merge is maximal,
+    // not greedy-global)
+    val mid = "y8?Qw m3!Kp z5#Jn v9$Hr u2%Gs t7&Ft e4*Dq c6(Bw a1)Ax zzz " // 58
+    val docs2 = Seq(
+      (1L, block + mid + block),
+      (2L, block + "completely different middle padding of the same size here " + block))
+      .toDF("doc_id", "text")
+    val islands = graft.ops.Dedup.duplicatedExtents(docs2, 64, 16)
+      .filter(col("doc_id") === 1L).collect()
+    assert(islands.length == 2)
+  }
+
   test("incrementalRelease with an empty delta replays the old record") {
     val oldDf = oldDocs.toDF("doc_id", "text")
     val st = Pipeline.releaseState(oldDf)
