@@ -45,10 +45,14 @@ object Quantiles {
       s"cut percents must be in 1..100: $cuts")
     val tot = totals.getOrElse(
       vals.groupBy(col("grp")).agg(count(lit(1)).as("n")))
+    // no broadcast hint on `tot` (round-11 advisory): it is per-GROUP
+    // counts — histogram-bounded for today's callers, but a future
+    // high-cardinality group key would broadcast something large; AQE
+    // picks the broadcast itself whenever the relation is actually small
     val cum = vals.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt"))
       .withColumn("cum",
         sum(col("cnt")).over(Window.partitionBy(col("grp")).orderBy(col("v"))))
-      .join(broadcast(tot), Seq("grp"))
+      .join(tot, Seq("grp"))
     val aggs = cuts.map { case (p, name) =>
       min(when(col("cum") >= expr(s"($p * n + 99) div 100"), col("v"))).as(name)
     }

@@ -110,6 +110,10 @@ object PlanSweepSupport {
     // q265: the release record IS crossed 1-row attaches — five funnel
     // scalars, the 1-row card, 1-row manifest totals, 1-row audit totals
     "q265_dataset_release",
+    // q274: the incremental release record is the same shape — 1-row
+    // pair/dropped/old-record/enter/leave-mass attaches crossed together
+    // (the corpus-sized stages all reduced upstream of checkpoints)
+    "q274_incremental_release",
     "q273_normalized_dedup") // 1-row dup-group-totals scalar attach
 
   /** Queries whose single-partition exchange carries only a BOUNDED
@@ -211,6 +215,9 @@ object PlanSweepSupport {
     "q259_basket_lift", // 1-row basket-total scalar
     // q265: 1-row component aggregates (funnel/card/manifest/audit totals)
     "q265_dataset_release",
+    // q274: 1-row component aggregates (pair/dropped counts, enter/leave
+    // token-and-digest masses) merge delta-bounded partials to 1 row each
+    "q274_incremental_release",
     // q266: cumulative windows run on the DENSE BUCKET GRID (id-range /
     // bucketDocs — a caller-sized report, the cusum grid discipline),
     // never corpus rows; plus the 1-row grid min/max scalar
