@@ -7787,13 +7787,165 @@ object Queries {
        |SELECT query_id, pick, vec_id, rel_u, mmr_num_u FROM s$k""".stripMargin
   }
 
+  // ---------------------------------------------------------------- round-11 batch 2
+  // Hybrid retrieval (RRF fusion of the BM25 and dense-cosine rankers) and
+  // position-sensitive index evaluation (nDCG vs the exact ground truth).
+
+  /** The q282 discount/ideal CASE chains — generated from the SAME
+    * [[graft.ops.Retrieval.ndcgWeights]] constants the engine embeds, so
+    * neither engine evaluates log₂ at query time (the q278 pattern). */
+  private def ndcgWeightSql(rank: String, k: Int): String = {
+    val cases = graft.ops.Retrieval.ndcgWeights(k).zipWithIndex
+      .map { case (u, i) => s"WHEN ${i + 1} THEN $u" }.mkString(" ")
+    s"CASE $rank $cases END"
+  }
+
+  private def ndcgIdcgSql(n: String, k: Int): String = {
+    val cases = graft.ops.Retrieval.ndcgWeights(k).scanLeft(0L)(_ + _).tail
+      .zipWithIndex.map { case (s, i) => s"WHEN ${i + 1} THEN $s" }.mkString(" ")
+    s"CASE $n $cases END"
+  }
+
+  private val ext38Qs = Seq(
+    Q("q281_rrf_fusion",
+      // sparse+dense hybrid retrieval: q154's BM25 lexical list and q38's
+      // dense cosine list over the shared id space, fused by integer
+      // reciprocal-rank scores (q135 fuses two DENSE rankings of one
+      // modality; this is the cross-modality lexical×embedding hybrid a
+      // RAG stack serves) — each list keeps its RAW ranks; the lexical
+      // self-hit is filtered from the fused output only
+      (s, d) => graft.ops.Retrieval.rrfFusion(
+        T(s, d, "documents"), T(s, d, "embeddings")),
+      Some("""WITH words AS (
+             |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+             |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> x <> '') AS tl FROM documents)),
+             |toks AS (
+             |  SELECT doc_id,
+             |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+             |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+             |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |len AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |sl AS (SELECT CAST(sum(tf) AS BIGINT) AS sl FROM tf),
+             |idf AS (SELECT tok,
+             |    CAST(floor(ln(CAST(1.0 AS DOUBLE) + (n.n - df + CAST(0.5 AS DOUBLE))
+             |      / (df + CAST(0.5 AS DOUBLE))) * 1000000) AS BIGINT) AS idf_u
+             |  FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1) d, n
+             |  WHERE df >= 2 AND df * 2 <= n.n),
+             |qy AS (SELECT t.doc_id AS query_id, t.tok, i.idf_u
+             |  FROM tf t JOIN idf i USING (tok) WHERE t.doc_id % 251 = 0),
+             |scored AS (SELECT qy.query_id, t.doc_id,
+             |    CAST(sum(qy.idf_u * CAST(floor((t.tf * CAST(2.2 AS DOUBLE)
+             |      / (t.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+             |        + CAST(0.75 AS DOUBLE) * ((l.len * n.n) / sl.sl)))) * 1000000) AS BIGINT))
+             |      AS BIGINT) AS score_u
+             |  FROM qy JOIN tf t ON t.tok = qy.tok
+             |  JOIN len l ON l.doc_id = t.doc_id, n, sl
+             |  GROUP BY 1, 2),
+             |lex AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS lex_rank FROM (
+             |  SELECT query_id, doc_id,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, doc_id) AS rank
+             |  FROM scored) WHERE rank <= 5),
+             |f AS (SELECT vec_id, unnest(embedding) AS v,
+             |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+             |eq AS (SELECT vec_id AS query_id, v AS qv, i FROM f WHERE vec_id % 251 = 0),
+             |dots AS (SELECT eq.query_id, f.vec_id, sum(CAST(eq.qv AS DOUBLE) * f.v) AS dp
+             |  FROM eq JOIN f ON eq.i = f.i WHERE f.vec_id <> eq.query_id GROUP BY 1, 2),
+             |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
+             |dcos AS (SELECT d.query_id, d.vec_id,
+             |   round(d.dp / (nq.nrm * nc.nrm), 6) AS cos
+             |  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+             |  JOIN norms nc ON nc.vec_id = d.vec_id),
+             |dense AS (SELECT query_id, vec_id AS doc_id,
+             |   CAST(rank AS BIGINT) AS dense_rank FROM (
+             |  SELECT query_id, vec_id,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+             |  FROM dcos) WHERE rank <= 5),
+             |fused AS (SELECT coalesce(l.query_id, de.query_id) AS query_id,
+             |   coalesce(l.doc_id, de.doc_id) AS doc_id, l.lex_rank, de.dense_rank
+             |  FROM lex l FULL OUTER JOIN dense de
+             |   ON de.query_id = l.query_id AND de.doc_id = l.doc_id),
+             |rr AS (SELECT *,
+             |   CAST(coalesce(1000000 // (60 + lex_rank), 0)
+             |     + coalesce(1000000 // (60 + dense_rank), 0) AS BIGINT) AS rrf_u
+             |  FROM fused WHERE doc_id <> query_id)
+             |SELECT query_id, doc_id, lex_rank, dense_rank, rrf_u,
+             |  CAST(fused_rank AS BIGINT) AS fused_rank FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY rrf_u DESC, doc_id) AS fused_rank FROM rr)
+             |WHERE fused_rank <= 5""".stripMargin)),
+
+    Q("q282_ndcg_audit",
+      // position-sensitive ANN quality: q195's exact/LSH chains, scored by
+      // nDCG with Scala-precomputed ⌊10⁶/log₂(r+1)⌋ discount literals on
+      // both engines — binary relevance (in exact top-k or not)
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        graft.ops.Retrieval.ndcgAudit(emb, queries, k = 10)
+      },
+      Some(s"""WITH f AS (SELECT vec_id, unnest(embedding) AS v,
+              |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+              |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
+              |q AS (SELECT vec_id AS query_id, v AS qv, i FROM f WHERE vec_id < 5),
+              |edots AS (SELECT q.query_id, f.vec_id, sum(CAST(q.qv AS DOUBLE) * f.v) AS dp
+              |  FROM q JOIN f ON q.i = f.i WHERE f.vec_id <> q.query_id GROUP BY 1, 2),
+              |ecos AS (SELECT d.query_id, d.vec_id,
+              |   round(d.dp / (nq.nrm * nc.nrm), 6) AS cos
+              |  FROM edots d JOIN norms nq ON nq.vec_id = d.query_id
+              |  JOIN norms nc ON nc.vec_id = d.vec_id),
+              |exact AS (SELECT query_id, vec_id,
+              |   CAST(row_number() OVER (PARTITION BY query_id
+              |     ORDER BY cos DESC, vec_id) AS BIGINT) AS exact_rank
+              |  FROM ecos QUALIFY exact_rank <= 10),
+              |fi AS (SELECT vec_id, i,
+              |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS iv FROM f),
+              |planes AS (SELECT p, d,
+              |   (list_sum(list_transform(range(15), j ->
+              |      CAST(strpos('0123456789abcdef', substr(md5(p || ':' || d), CAST(j + 1 AS INT), 1)) - 1
+              |        AS BIGINT) * (1::BIGINT << CAST(4 * (14 - j) AS INT)))) % 2001) - 1000 AS h
+              |  FROM range(6) t(p), range(64) s(d)),
+              |proj AS (SELECT fi.vec_id, pl.p, sum(fi.iv * pl.h) AS pr
+              |  FROM fi JOIN planes pl ON pl.d = fi.i - 1 GROUP BY 1, 2),
+              |sig AS (SELECT vec_id,
+              |   CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS sig
+              |  FROM proj GROUP BY 1),
+              |acand AS (SELECT qs.vec_id AS query_id, cs.vec_id
+              |  FROM (SELECT * FROM sig WHERE vec_id < 5) qs
+              |  JOIN sig cs ON cs.sig = qs.sig AND cs.vec_id <> qs.vec_id),
+              |adots AS (SELECT c.query_id, c.vec_id, sum(CAST(fq.v AS DOUBLE) * fc.v) AS dp
+              |  FROM acand c JOIN f fq ON fq.vec_id = c.query_id
+              |  JOIN f fc ON fc.vec_id = c.vec_id AND fc.i = fq.i GROUP BY 1, 2),
+              |acos AS (SELECT d.query_id, d.vec_id, round(d.dp / (nq.nrm * nc.nrm), 6) AS cos
+              |  FROM adots d JOIN norms nq ON nq.vec_id = d.query_id
+              |  JOIN norms nc ON nc.vec_id = d.vec_id),
+              |approx AS (SELECT query_id, vec_id,
+              |   CAST(row_number() OVER (PARTITION BY query_id
+              |     ORDER BY cos DESC, vec_id) AS BIGINT) AS approx_rank
+              |  FROM acos QUALIFY approx_rank <= 10),
+              |hits AS (SELECT e.query_id, count(*) AS n_hit,
+              |   CAST(sum(${ndcgWeightSql("a.approx_rank", 10)}) AS BIGINT) AS dcg_u
+              |  FROM exact e JOIN approx a ON a.query_id = e.query_id
+              |   AND a.vec_id = e.vec_id GROUP BY 1),
+              |perq AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
+              |SELECT p.query_id, CAST(p.n_exact AS BIGINT) AS n_exact,
+              |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+              |  CAST(coalesce(h.dcg_u, 0) AS BIGINT) AS dcg_u,
+              |  CAST(${ndcgIdcgSql("p.n_exact", 10)} AS BIGINT) AS idcg_u,
+              |  CAST(coalesce(h.dcg_u, 0) * 1000000
+              |    // ${ndcgIdcgSql("p.n_exact", 10)} AS BIGINT) AS ndcg_u
+              |FROM perq p LEFT JOIN hits h ON h.query_id = p.query_id""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs
+      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs ++ ext38Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -59,6 +59,8 @@ object PlanSweepSupport {
     "q120_kmeans_codebook",
     "q194_cluster_silhouette", // same pinned-k codebook broadcast as q120
     "q195_ann_recall", // composes q38's broadcast query-set scoring pass
+    "q281_rrf_fusion", // composes q38's broadcast query-set scoring pass
+    "q282_ndcg_audit", // composes q38's + q98's broadcast query-set passes
     // hyperplaneCells: 1-row dim-length mean-vector scalar attach
     "q150_semantic_dedup", "q176_knn_classify", "q181_mutual_knn",
     "q185_density_clusters", "q186_embedding_outliers",

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Retrieval
+
+/** Planted-case specs for the round-11 second batch: hybrid sparse+dense
+  * RRF fusion and the nDCG ranking audit.
+  */
+class Round11Batch2Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("rrfFusion: a doc on BOTH lists outranks single-list docs; " +
+      "the lexical self-hit never reaches the fused output") {
+    // lexical side: n=4 docs; trigram "beta gamma delta" has df=2 (docs 0
+    // and 1) and survives the df*2<=n band; "alpha beta gamma" has df=3 and
+    // is banded out. Query = doc 0 (0 % 251 == 0). Lexical list: doc 0
+    // (self, rank 1), doc 1 (rank 2) — docs 2 and 3 score on no term.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma zeta"),
+      (3L, "unrelated words entirely here")).toDF("doc_id", "text")
+    // dense side: query [1,0]; cos(3)≈1 > cos(2)≈0.994 > cos(1)=0
+    val emb = Seq(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0f, 1f), 0),
+      (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(1f, 0.01f), 0)).toDF("vec_id", "embedding", "label")
+    val out = Retrieval.rrfFusion(docs, emb).orderBy(col("fused_rank"))
+      .collect()
+    assert(out.forall(_.getLong(0) == 0L)) // single query 0
+    assert(!out.exists(_.getLong(1) == 0L)) // self-hit filtered
+    // doc 1: lex rank 2 + dense rank 3 → 1e6/62 + 1e6/63 = 16129 + 15873
+    // doc 3: dense rank 1 only → 1e6/61 = 16393
+    // doc 2: dense rank 2 only → 1e6/62 = 16129
+    val byDoc = out.map(r => r.getLong(1) ->
+      (r.get(2), r.get(3), r.getLong(4), r.getLong(5))).toMap
+    assert(byDoc(1L) == ((2L, 3L, 32002L, 1L)))
+    assert(byDoc(3L) == ((null, 1L, 16393L, 2L)))
+    assert(byDoc(2L) == ((null, 2L, 16129L, 3L)))
+  }
+
+  test("ndcgWeights: exact ⌊10⁶/log₂(r+1)⌋ table") {
+    assert(Retrieval.ndcgWeights(3) == Seq(1000000L, 630929L, 500000L))
+  }
+
+  test("ndcgAudit: a perfect index scores ndcg_u = 10⁶ on every query") {
+    // all vectors share one direction (positive scales), so every LSH
+    // plane projects them to the same sign → one bucket → the approximate
+    // list EQUALS the exact list (all cosines are 1.0, ties to vec_id)
+    val emb = (0L to 7L).map(i =>
+      (i, Seq(1f + i, 2f * (1 + i), 0.5f * (1 + i)), 0))
+      .toDF("vec_id", "embedding", "label")
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val out = Retrieval.ndcgAudit(emb, queries, k = 4, dim = 3).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 4L)
+      assert(r.getAs[Long]("n_hit") == 4L)
+      assert(r.getAs[Long]("ndcg_u") == 1000000L)
+      // dcg over ranks 1..4 = idcg by construction
+      assert(r.getAs[Long]("dcg_u") == r.getAs[Long]("idcg_u"))
+    }
+  }
+
+  test("ndcgAudit: a miss at the TOP costs more than the same miss lower " +
+      "down (position sensitivity recall@k cannot see)") {
+    // hand-computed from the shared weight table, k=3, n_exact=3:
+    // idcg = 1000000+630929+500000 = 2130929
+    // approx hits exact ranks but MISSES one: missing the rank-1 doc while
+    // returning the others at approx ranks 1,2 → dcg = 1000000+630929;
+    // missing the rank-3 doc with others at approx ranks 1,2 → same dcg —
+    // but if the two hits land at approx ranks 2,3 (a junk doc took rank
+    // 1), dcg = 630929+500000 = 1130929 < 1630929: position matters.
+    val ws = Retrieval.ndcgWeights(3)
+    val idcg = ws.sum
+    assert(idcg == 2130929L)
+    val topHits = ws(0) + ws(1)
+    val shifted = ws(1) + ws(2)
+    assert(topHits * 1000000L / idcg == 765360L)
+    assert(shifted * 1000000L / idcg == 530721L)
+    assert(shifted < topHits)
+  }
+}
