@@ -7937,7 +7937,47 @@ object Queries {
               |  CAST(${ndcgIdcgSql("p.n_exact", 10)} AS BIGINT) AS idcg_u,
               |  CAST(coalesce(h.dcg_u, 0) * 1000000
               |    // ${ndcgIdcgSql("p.n_exact", 10)} AS BIGINT) AS ndcg_u
-              |FROM perq p LEFT JOIN hits h ON h.query_id = p.query_id""".stripMargin)))
+              |FROM perq p LEFT JOIN hits h ON h.query_id = p.query_id""".stripMargin)),
+
+    Q("q283_conformal_interval",
+      // split-conformal coverage audit for the chars→tokens predictor:
+      // calibration = even doc_ids; q̂ = the ⌈(n+1)(1−α)⌉-th smallest
+      // whole-token residual off a value-domain histogram; coverage
+      // audited on the odd-id test split (q231's reliability audit
+      // DESCRIBES bins; this produces a GUARANTEED interval)
+      (s, d) => graft.ops.Classifier.conformalInterval(
+        T(s, d, "documents"), col("doc_id") % 2 === 0),
+      Some("""WITH base AS (SELECT doc_id,
+             |   CAST(len(list_filter(string_split_regex(text, '\s+'),
+             |     x -> x <> '')) AS BIGINT) AS tok,
+             |   n_chars, doc_id % 2 = 0 AS is_cal FROM documents),
+             |fit AS (SELECT CAST(count(*) AS BIGINT) AS n_calib,
+             |   CAST(sum(tok) * 1000000 // sum(n_chars) AS BIGINT) AS ratio_u
+             |  FROM base WHERE is_cal),
+             |resid AS (SELECT b.doc_id, b.is_cal,
+             |   abs(b.tok - b.n_chars * f.ratio_u // 1000000) AS err
+             |  FROM base b, fit f),
+             |hist AS (SELECT err, count(*) AS cnt FROM resid WHERE is_cal
+             |  GROUP BY 1),
+             |cum AS (SELECT err, sum(cnt) OVER (ORDER BY err) AS cum FROM hist),
+             |qh AS (SELECT
+             |   min(CASE WHEN cum >= (90 * (f.n_calib + 1) + 99) // 100
+             |     THEN err END) AS qhat,
+             |   max((90 * (f.n_calib + 1) + 99) // 100) AS rank_needed
+             |  FROM cum, fit f),
+             |tst AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+             |   CAST(sum(CASE WHEN q.qhat IS NULL OR err <= q.qhat
+             |     THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+             |   max(q.qhat) AS qhat, max(q.rank_needed) AS rank_needed
+             |  FROM resid, qh q WHERE NOT is_cal)
+             |SELECT f.n_calib, t.n_test, f.ratio_u,
+             |  CAST(t.qhat AS BIGINT) AS qhat,
+             |  CAST(t.rank_needed AS BIGINT) AS rank_needed,
+             |  CAST(900000 AS BIGINT) AS target_u, t.n_covered,
+             |  CAST(t.n_covered * 1000000 // t.n_test AS BIGINT) AS coverage_u,
+             |  CAST(CASE WHEN t.n_covered * 1000000 // t.n_test >= 900000
+             |    THEN 1 ELSE 0 END AS BIGINT) AS met_target
+             |FROM fit f, tst t""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

@@ -184,4 +184,75 @@ object Classifier {
         expr("""greatest(n_agree * 1000000 div n_docs - pe_u + 1000000 - pe_u, 0)
                 * 1000000 div greatest(1000000 - pe_u, 1)""").as("kappa_p1_u"))
   }
+
+  /** Split-conformal calibration (Vovk et al.; Angelopoulos & Bates 2021
+    * tutorial form) for the engine's cheap token-count predictor: fit the
+    * global chars→tokens ratio on the calibration split, take the
+    * conformal quantile q̂ of the absolute residuals there, and audit the
+    * guaranteed-coverage claim |y − ŷ| ≤ q̂ on the disjoint test split.
+    * This is the distribution-free companion to
+    * [[TrainingData.scoreCalibration]]'s binned reliability audit: that
+    * one DESCRIBES miscalibration per bin, this one produces an interval
+    * with a finite-sample coverage GUARANTEE (≥ 1−α in expectation over
+    * calibration draws).
+    *
+    * Integer contract: ratio_u = Σtok·10⁶ div Σchars on calibration;
+    * predictions and residuals stay in whole TOKENS
+    * (ŷ = chars·ratio_u div 10⁶), so the residual value domain is
+    * token-count-bounded — the conformal quantile runs on a value-domain
+    * histogram exactly like [[Quantiles.lowQuantiles]] (the shuffle
+    * carries the histogram, never the corpus; the single cum-window
+    * partition holds ≤ max-token-count rows). The conformal rank is
+    * ⌈(n+1)(1−α)⌉ = ((100−α)·(n+1) + 99) div 100 — the (n+1) form, NOT a
+    * plain percentile: the +1 is what buys the finite-sample guarantee.
+    *
+    * @param isCalib calibration-split membership (its complement is the
+    *        test split); keep it independent of the residuals — a
+    *        hash-split or parity on a stable id
+    * @param alphaPct miscoverage budget α in percent (1..99)
+    * @return 1 row: (n_calib, n_test, ratio_u, qhat, rank_needed,
+    *         target_u, n_covered, coverage_u, met_target)
+    */
+  def conformalInterval(docs: DataFrame, isCalib: Column,
+      alphaPct: Int = 10): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 99, s"alphaPct in 1..99: $alphaPct")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("tok"),
+      col("n_chars"), isCalib.as("is_cal"))
+    val fit = base.filter(col("is_cal"))
+      .agg(count(lit(1)).as("n_calib"),
+        expr("sum(tok) * 1000000 div sum(n_chars)").as("ratio_u"))
+    // residuals in whole tokens — value-domain-bounded for the histogram
+    val resid = base.crossJoin(broadcast(fit))
+      .withColumn("err",
+        abs(col("tok") - expr("n_chars * ratio_u div 1000000")))
+    val calErr = resid.filter(col("is_cal"))
+    val keep = (100 - alphaPct).toLong
+    val hist = calErr.groupBy(col("err")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(lit(1)).orderBy(col("err"))))
+    val qhat = hist.crossJoin(broadcast(fit))
+      .withColumn("rank_needed",
+        expr(s"($keep * (n_calib + 1) + 99) div 100"))
+      .agg(min(when(col("cum") >= col("rank_needed"), col("err")))
+          .as("qhat"),
+        max(col("rank_needed")).as("rank_needed"))
+    val test = resid.filter(!col("is_cal"))
+      .crossJoin(broadcast(qhat))
+      .agg(count(lit(1)).as("n_test"),
+        // a NULL q̂ (rank_needed > n_calib, the tiny-calibration corner)
+        // is the conventional infinite interval: everything is covered
+        sum(when(col("qhat").isNull || col("err") <= col("qhat"), 1L)
+          .otherwise(0L)).as("n_covered"),
+        max(col("qhat")).as("qhat"),
+        max(col("rank_needed")).as("rank_needed"))
+    fit.crossJoin(broadcast(test))
+      .select(col("n_calib"), col("n_test"), col("ratio_u"), col("qhat"),
+        col("rank_needed"), lit(keep * 10000L).as("target_u"),
+        col("n_covered"),
+        expr("n_covered * 1000000 div n_test").as("coverage_u"),
+        (expr("n_covered * 1000000 div n_test") >= lit(keep * 10000L))
+          .cast("long").as("met_target"))
+  }
 }

@@ -61,6 +61,8 @@ object PlanSweepSupport {
     "q195_ann_recall", // composes q38's broadcast query-set scoring pass
     "q281_rrf_fusion", // composes q38's broadcast query-set scoring pass
     "q282_ndcg_audit", // composes q38's + q98's broadcast query-set passes
+    // 1-row fit/q̂ scalar attaches (residual + coverage passes)
+    "q283_conformal_interval",
     // hyperplaneCells: 1-row dim-length mean-vector scalar attach
     "q150_semantic_dedup", "q176_knn_classify", "q181_mutual_knn",
     "q185_density_clusters", "q186_embedding_outliers",
@@ -145,6 +147,10 @@ object PlanSweepSupport {
     // global aggregates there are norm scalars, not corpus reductions
     "q183_pca_component",
     "q184_psi_drift", // bins-sized totals
+    // q283: 1-row fit/q̂ scalars; the cum window runs on the token-count-
+    // bounded residual HISTOGRAM (the Quantiles.lowQuantiles contract),
+    // never the corpus
+    "q283_conformal_interval",
     // hyperplaneCells consumers: the dim-row per-dimension mean relation
     // collapses to ONE dim-length array row (the centering scalar) — a
     // bounded global aggregate, not a corpus reduction

@@ -83,4 +83,47 @@ class Round11Batch2Spec extends SparkTestBase {
     assert(shifted * 1000000L / idcg == 530721L)
     assert(shifted < topHits)
   }
+
+  test("conformalInterval planted: q̂ is the ⌈(n+1)(1−α)⌉-th residual and " +
+      "coverage counts |err| ≤ q̂ on the test split only") {
+    // calibration (even ids): n_chars=10, tokens 10..19 →
+    // ratio_u = 145·10⁶/100 = 1450000, pred = 14, residuals
+    // {4,3,2,1,0,1,2,3,4,5}; rank = ⌈0.9·11⌉ = 10 → q̂ = 5 (the max).
+    // test (odd ids): residuals {0,5,6} → covered {0,5} → 2/3.
+    val cal = (0 until 10).map(k =>
+      (2L * k, Seq.fill(10 + k)("w").mkString(" "), 10L))
+    val tst = Seq(
+      (1L, Seq.fill(14)("w").mkString(" "), 10L), // err 0
+      (3L, Seq.fill(19)("w").mkString(" "), 10L), // err 5
+      (5L, Seq.fill(20)("w").mkString(" "), 10L)) // err 6
+    val docs = (cal ++ tst).toDF("doc_id", "text", "n_chars")
+    val out = graft.ops.Classifier
+      .conformalInterval(docs, col("doc_id") % 2 === 0).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_calib") == 10L)
+    assert(r.getAs[Long]("n_test") == 3L)
+    assert(r.getAs[Long]("ratio_u") == 1450000L)
+    assert(r.getAs[Long]("rank_needed") == 10L)
+    assert(r.getAs[Long]("qhat") == 5L)
+    assert(r.getAs[Long]("n_covered") == 2L)
+    assert(r.getAs[Long]("coverage_u") == 666666L)
+    assert(r.getAs[Long]("met_target") == 0L)
+  }
+
+  test("conformalInterval tiny-calibration corner: rank > n_calib means an " +
+      "infinite interval — everything covered, q̂ NULL") {
+    // n_calib = 5 → rank = ⌈0.9·6⌉ = 6 > 5 → q̂ = ∞ (NULL)
+    val cal = (0 until 5).map(k =>
+      (2L * k, Seq.fill(10 + k)("w").mkString(" "), 10L))
+    val tst = Seq((1L, Seq.fill(99)("w").mkString(" "), 10L))
+    val docs = (cal ++ tst).toDF("doc_id", "text", "n_chars")
+    val r = graft.ops.Classifier
+      .conformalInterval(docs, col("doc_id") % 2 === 0).collect().head
+    assert(r.isNullAt(r.fieldIndex("qhat")))
+    assert(r.getAs[Long]("rank_needed") == 6L)
+    assert(r.getAs[Long]("n_covered") == 1L)
+    assert(r.getAs[Long]("coverage_u") == 1000000L)
+    assert(r.getAs[Long]("met_target") == 1L)
+  }
 }
