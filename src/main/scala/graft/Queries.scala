@@ -7977,7 +7977,50 @@ object Queries {
              |  CAST(t.n_covered * 1000000 // t.n_test AS BIGINT) AS coverage_u,
              |  CAST(CASE WHEN t.n_covered * 1000000 // t.n_test >= 900000
              |    THEN 1 ELSE 0 END AS BIGINT) AS met_target
-             |FROM fit f, tst t""".stripMargin)))
+             |FROM fit f, tst t""".stripMargin)),
+
+    Q("q284_forget_docs",
+      // right-to-be-forgotten propagation: deletion list → what leaves the
+      // corpus + what happens to DERIVED release artifacts (exact-class
+      // keeper re-elections, XOR manifest digest patch) in one row; the
+      // digest delta is the incremental manifest fix (cost ∝ |deletions|)
+      (s, d) => graft.ops.Pipeline.forgetDocs(
+        T(s, d, "documents"), col("doc_id") % 97 === 0),
+      Some(s"""WITH base AS (SELECT doc_id, md5(text) AS gkey,
+              |   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+              |     x -> x <> '')) AS BIGINT) AS tok,
+              |   doc_id % 97 = 0 AS gone FROM documents),
+              |g AS (SELECT gkey, min(doc_id) AS kb,
+              |   min(CASE WHEN NOT gone THEN doc_id END) AS ka,
+              |   max(CASE WHEN gone THEN 1 ELSE 0 END) AS anyg,
+              |   min(CASE WHEN gone THEN 1 ELSE 0 END) AS allg
+              |  FROM base GROUP BY 1),
+              |gg AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+              |   CAST(sum(anyg) AS BIGINT) AS n_groups_touched,
+              |   CAST(sum(allg) AS BIGINT) AS n_groups_emptied,
+              |   CAST(sum(CASE WHEN ka IS NOT NULL AND ka <> kb
+              |     THEN 1 ELSE 0 END) AS BIGINT) AS n_keeper_reelected,
+              |   CAST(coalesce(bit_xor(
+              |     ${duckH60("'m:' || CAST(kb AS VARCHAR)")}), 0) AS BIGINT)
+              |     AS digest_before,
+              |   CAST(coalesce(bit_xor(CASE WHEN ka IS NOT NULL THEN
+              |     ${duckH60("'m:' || CAST(ka AS VARCHAR)")} END), 0) AS BIGINT)
+              |     AS digest_after
+              |  FROM g),
+              |dd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |   CAST(sum(CASE WHEN gone THEN 1 ELSE 0 END) AS BIGINT)
+              |     AS n_forgotten,
+              |   CAST(coalesce(sum(CASE WHEN gone THEN tok END), 0) AS BIGINT)
+              |     AS tokens_forgotten,
+              |   CAST(sum(CASE WHEN NOT gone THEN 1 ELSE 0 END) AS BIGINT)
+              |     AS n_surviving
+              |  FROM base)
+              |SELECT dd.n_docs, dd.n_forgotten, dd.tokens_forgotten,
+              |  dd.n_surviving, gg.n_groups, gg.n_groups_touched,
+              |  gg.n_groups_emptied, gg.n_keeper_reelected,
+              |  gg.digest_before, gg.digest_after,
+              |  xor(gg.digest_before, gg.digest_after) AS digest_delta
+              |FROM dd, gg""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.FreshCheckpoint
 
@@ -520,5 +520,69 @@ object Pipeline {
       .crossJoin(cnt(raw, "n_raw"))
       .crossJoin(cnt(kept, "n_kept"))
       .crossJoin(cnt(uniq, "n_unique"))
+  }
+
+  /** Right-to-be-forgotten propagation audit — the GDPR/CCPA operational
+    * step every released corpus eventually faces: given a deletion
+    * predicate, report what leaves the corpus AND what the deletion does
+    * to the DERIVED release artifacts (exact-dup keeper elections and the
+    * XOR manifest digest) in one row.
+    *
+    * Groups are exact-duplicate classes (md5 of text — [[Dedup.exact]]'s
+    * unit); within an exact class every member has identical text, so
+    * [[Dedup.clusterKeepers]]' (most tokens, then smallest id) election
+    * reduces to min(doc_id) — the convention used here. A class whose
+    * keeper is forgotten but which retains survivors RE-ELECTS
+    * (keeper_after ≠ keeper_before ⟺ the old keeper was deleted), and the
+    * released-set digest moves by exactly xor(h(old keeper), h(new
+    * keeper)) per touched class: digest_delta = digest_before XOR
+    * digest_after is the incremental patch a 100 TB manifest applies
+    * WITHOUT rebuilding — only touched classes contribute terms, so the
+    * deletion cost scales with |deletions|, not |corpus| (the q274
+    * incremental-release argument, applied to deletions).
+    *
+    * Scale shape: one text-keyed exact-group aggregation (the q34 shuffle)
+    * plus two 1-row scalar attaches; digests are bit_xor aggregates
+    * (order-independent, partial-aggregable).
+    *
+    * @param isForgotten deletion-list membership predicate
+    * @return 1 row: (n_docs, n_forgotten, tokens_forgotten, n_surviving,
+    *         n_groups, n_groups_touched, n_groups_emptied,
+    *         n_keeper_reelected, digest_before, digest_after, digest_delta)
+    */
+  def forgetDocs(docs: DataFrame, isForgotten: Column): DataFrame = {
+    val base = docs.select(col("doc_id"), md5(col("text")).as("gkey"),
+      TextAnalysis.tokenCount(col("text")).as("tok"),
+      isForgotten.as("gone"))
+    val g = base.groupBy(col("gkey")).agg(
+      min(col("doc_id")).as("kb"),
+      min(when(!col("gone"), col("doc_id"))).as("ka"),
+      max(col("gone").cast("int")).as("anyg"),
+      min(col("gone").cast("int")).as("allg"))
+    val grp = g.agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("anyg")).cast("long").as("n_groups_touched"),
+      sum(col("allg")).cast("long").as("n_groups_emptied"),
+      sum(when(col("ka").isNotNull && col("ka") =!= col("kb"), 1L)
+        .otherwise(0L)).as("n_keeper_reelected"),
+      // h over 'm:'||keeper — q232's manifest digest term
+      coalesce(expr("bit_xor(CAST(conv(substring(md5(concat('m:', " +
+        "CAST(kb AS STRING))), 1, 15), 16, 10) AS BIGINT))"), lit(0L))
+        .as("digest_before"),
+      coalesce(expr("bit_xor(CASE WHEN ka IS NOT NULL THEN " +
+        "CAST(conv(substring(md5(concat('m:', CAST(ka AS STRING))), 1, 15), " +
+        "16, 10) AS BIGINT) END)"), lit(0L)).as("digest_after"))
+    val dd = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("gone"), 1L).otherwise(0L)).as("n_forgotten"),
+      coalesce(sum(when(col("gone"), col("tok"))), lit(0L))
+        .as("tokens_forgotten"),
+      sum(when(!col("gone"), 1L).otherwise(0L)).as("n_surviving"))
+    dd.crossJoin(broadcast(grp))
+      .select(col("n_docs"), col("n_forgotten"), col("tokens_forgotten"),
+        col("n_surviving"), col("n_groups"), col("n_groups_touched"),
+        col("n_groups_emptied"), col("n_keeper_reelected"),
+        col("digest_before"), col("digest_after"),
+        expr("digest_before ^ digest_after").as("digest_delta"))
   }
 }

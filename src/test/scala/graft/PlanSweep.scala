@@ -63,6 +63,7 @@ object PlanSweepSupport {
     "q282_ndcg_audit", // composes q38's + q98's broadcast query-set passes
     // 1-row fit/q̂ scalar attaches (residual + coverage passes)
     "q283_conformal_interval",
+    "q284_forget_docs", // 1-row group-rollup scalar attach
     // hyperplaneCells: 1-row dim-length mean-vector scalar attach
     "q150_semantic_dedup", "q176_knn_classify", "q181_mutual_knn",
     "q185_density_clusters", "q186_embedding_outliers",
@@ -151,6 +152,7 @@ object PlanSweepSupport {
     // bounded residual HISTOGRAM (the Quantiles.lowQuantiles contract),
     // never the corpus
     "q283_conformal_interval",
+    "q284_forget_docs", // two 1-row global rollups (doc + group scalars)
     // hyperplaneCells consumers: the dim-row per-dimension mean relation
     // collapses to ONE dim-length array row (the centering scalar) — a
     // bounded global aggregate, not a corpus reduction

@@ -126,4 +126,41 @@ class Round11Batch2Spec extends SparkTestBase {
     assert(r.getAs[Long]("coverage_u") == 1000000L)
     assert(r.getAs[Long]("met_target") == 1L)
   }
+
+  private def h60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("forgetDocs planted: keeper re-election, emptied classes, and the " +
+      "digest delta is exactly the XOR of the CHANGED keeper terms") {
+    // class A (1,2,3): keeper 1 forgotten → re-elects 2
+    // class B (4,5): untouched
+    // class C (6): solo, forgotten → emptied
+    // class D (7,8): non-keeper 8 forgotten → touched, NO re-election
+    val docs = Seq(
+      (1L, "dup class a text here"), (2L, "dup class a text here"),
+      (3L, "dup class a text here"),
+      (4L, "class b body"), (5L, "class b body"),
+      (6L, "solo forgotten document"),
+      (7L, "class d shared words"), (8L, "class d shared words"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.Pipeline
+      .forgetDocs(docs, col("doc_id").isin(1L, 6L, 8L)).collect().head
+    assert(r.getAs[Long]("n_docs") == 8L)
+    assert(r.getAs[Long]("n_forgotten") == 3L)
+    assert(r.getAs[Long]("n_surviving") == 5L)
+    assert(r.getAs[Long]("tokens_forgotten") == 5L + 3L + 4L)
+    assert(r.getAs[Long]("n_groups") == 4L)
+    assert(r.getAs[Long]("n_groups_touched") == 3L)
+    assert(r.getAs[Long]("n_groups_emptied") == 1L)
+    assert(r.getAs[Long]("n_keeper_reelected") == 1L)
+    // unchanged classes cancel in the XOR: only A's old/new keepers and
+    // C's vanished keeper contribute — the incremental manifest patch
+    val expectedDelta = h60("m:1") ^ h60("m:2") ^ h60("m:6")
+    assert(r.getAs[Long]("digest_delta") == expectedDelta)
+    assert((r.getAs[Long]("digest_before") ^ r.getAs[Long]("digest_after"))
+      == expectedDelta)
+  }
 }
