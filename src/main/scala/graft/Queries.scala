@@ -8020,7 +8020,32 @@ object Queries {
               |  gg.n_groups_emptied, gg.n_keeper_reelected,
               |  gg.digest_before, gg.digest_after,
               |  xor(gg.digest_before, gg.digest_after) AS digest_delta
-              |FROM dd, gg""".stripMargin)))
+              |FROM dd, gg""".stripMargin)),
+
+    Q("q285_canary_audit",
+      // Secret-Sharer canary placement × exact dedup: inject a unique
+      // canary token into every 101st doc, report the dedup-split corpus
+      // inflation and the canaries riding duplicated content (whose
+      // exposure measurement dedup biases)
+      (s, d) => graft.ops.TrainingData.canaryAudit(T(s, d, "documents")),
+      Some("""WITH inj AS (SELECT doc_id, text, doc_id % 101 = 0 AS is_c,
+             |   CASE WHEN doc_id % 101 = 0 THEN text || ' CANARY'
+             |     || md5('c:' || CAST(doc_id AS VARCHAR)) ELSE text END AS itext
+             |  FROM documents),
+             |go AS (SELECT md5(text) AS k, count(*) AS m FROM inj GROUP BY 1),
+             |gb AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             |   CAST(sum(m) AS BIGINT) AS n_docs FROM go),
+             |ga AS (SELECT CAST(count(*) AS BIGINT) AS n_keepers_after
+             |  FROM (SELECT md5(itext) AS ka FROM inj GROUP BY 1)),
+             |esc AS (SELECT CAST(count(*) AS BIGINT) AS n_canaries,
+             |   CAST(sum(CASE WHEN go.m >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |     AS n_dup_escapes
+             |  FROM inj i JOIN go ON go.k = md5(i.text) WHERE i.is_c)
+             |SELECT gb.n_docs, esc.n_canaries, gb.n_groups,
+             |  ga.n_keepers_after,
+             |  ga.n_keepers_after - gb.n_groups AS corpus_inflation,
+             |  esc.n_dup_escapes
+             |FROM gb, ga, esc""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

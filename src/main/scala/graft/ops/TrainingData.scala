@@ -891,4 +891,60 @@ object TrainingData {
       .withColumn("fill_u",
         expr("alloc_tokens * 1000000 div greatest(avail_tokens, 1)"))
   }
+
+  /** Memorization-canary placement audit (Carlini et al.'s Secret Sharer
+    * canaries, crossed with Lee et al.'s observation that deduplication
+    * silently REMOVES or PRESERVES planted sequences depending on where
+    * they land): inject one unique canary token into every `everyN`-th
+    * document, then measure what exact dedup does to the released set.
+    *
+    * Two effects matter before a training run:
+    *  - **corpus inflation**: a canary appended to a member of an exact
+    *    duplicate class makes that member unique, SPLITTING the class —
+    *    the deduped corpus grows by (canaries in the class) + (1 if
+    *    non-canary members remain) − 1 keepers per touched class. The
+    *    audit reports the total so the token-budget owner sees the cost.
+    *  - **dup escapes**: a canary riding duplicated content is released
+    *    even though its content also ships via the class keeper — the
+    *    canary will be OVER-represented in training relative to the
+    *    single-copy placement the memorization test assumes. These are
+    *    the canaries whose exposure measurement is biased; the audit
+    *    counts them.
+    *
+    * Canary uniqueness: the injected token embeds md5 of the doc id, so
+    * injected texts never collide with each other; collision with an
+    * existing document would require its text to literally end in the
+    * 39-char canary suffix.
+    *
+    * Scale shape: two content-hash aggregations over one projection (the
+    * [[Dedup.exact]] shuffle, twice) plus a broadcast-scalar rollup — no
+    * joins carry text, only 16-byte hashes and counts.
+    *
+    * @return 1 row: (n_docs, n_canaries, n_groups, n_keepers_after,
+    *         corpus_inflation, n_dup_escapes)
+    */
+  def canaryAudit(docs: DataFrame, everyN: Long = 101): DataFrame = {
+    val inj = docs.select(col("doc_id"), col("text"),
+        (col("doc_id") % everyN === 0).as("is_c"))
+      .withColumn("itext", when(col("is_c"),
+        concat(col("text"), lit(" CANARY"),
+          md5(concat(lit("c:"), col("doc_id").cast("string")))))
+        .otherwise(col("text")))
+    val gOrig = inj.groupBy(md5(col("text")).as("k"))
+      .agg(count(lit(1)).as("m"))
+    val before = gOrig.agg(count(lit(1)).as("n_groups"),
+      sum(col("m")).as("n_docs"))
+    val after = inj.groupBy(md5(col("itext")).as("k"))
+      .agg(count(lit(1)).as("ma"))
+      .agg(count(lit(1)).as("n_keepers_after"))
+    val esc = inj.filter(col("is_c"))
+      .join(gOrig, md5(col("text")) === col("k"))
+      .agg(count(lit(1)).as("n_canaries"),
+        sum(when(col("m") >= 2, 1L).otherwise(0L)).as("n_dup_escapes"))
+    before.crossJoin(broadcast(after)).crossJoin(broadcast(esc))
+      .select(col("n_docs"), col("n_canaries"), col("n_groups"),
+        col("n_keepers_after"),
+        (col("n_keepers_after") - col("n_groups")).as("corpus_inflation"),
+        col("n_dup_escapes"))
+  }
 }

@@ -64,6 +64,7 @@ object PlanSweepSupport {
     // 1-row fit/q̂ scalar attaches (residual + coverage passes)
     "q283_conformal_interval",
     "q284_forget_docs", // 1-row group-rollup scalar attach
+    "q285_canary_audit", // 1-row before/after/escape scalar attaches
     // hyperplaneCells: 1-row dim-length mean-vector scalar attach
     "q150_semantic_dedup", "q176_knn_classify", "q181_mutual_knn",
     "q185_density_clusters", "q186_embedding_outliers",
@@ -153,6 +154,7 @@ object PlanSweepSupport {
     // never the corpus
     "q283_conformal_interval",
     "q284_forget_docs", // two 1-row global rollups (doc + group scalars)
+    "q285_canary_audit", // three 1-row global rollups
     // hyperplaneCells consumers: the dim-row per-dimension mean relation
     // collapses to ONE dim-length array row (the centering scalar) — a
     // bounded global aggregate, not a corpus reduction

@@ -163,4 +163,27 @@ class Round11Batch2Spec extends SparkTestBase {
     assert((r.getAs[Long]("digest_before") ^ r.getAs[Long]("digest_after"))
       == expectedDelta)
   }
+
+  test("canaryAudit planted: class splits inflate the deduped corpus and " +
+      "canaries on duplicated content count as escapes") {
+    // canary ids (everyN=101): 0, 101, 202
+    // class A {0,1,2}: canary on keeper → splits to 2 keepers, 1 escape
+    // class B {101,3}: canary on non-keeper → splits to 2, 1 escape
+    // class C {202}: solo canary → unique either way, no inflation
+    // classes D {4,5}, E {6}: untouched
+    val docs = Seq(
+      (0L, "class a shared text"), (1L, "class a shared text"),
+      (2L, "class a shared text"),
+      (101L, "class b text"), (3L, "class b text"),
+      (202L, "solo canary doc"),
+      (4L, "class d text"), (5L, "class d text"),
+      (6L, "solo plain doc")).toDF("doc_id", "text")
+    val r = graft.ops.TrainingData.canaryAudit(docs).collect().head
+    assert(r.getAs[Long]("n_docs") == 9L)
+    assert(r.getAs[Long]("n_canaries") == 3L)
+    assert(r.getAs[Long]("n_groups") == 5L)
+    assert(r.getAs[Long]("n_keepers_after") == 7L)
+    assert(r.getAs[Long]("corpus_inflation") == 2L)
+    assert(r.getAs[Long]("n_dup_escapes") == 2L)
+  }
 }
