@@ -8045,7 +8045,54 @@ object Queries {
              |  ga.n_keepers_after,
              |  ga.n_keepers_after - gb.n_groups AS corpus_inflation,
              |  esc.n_dup_escapes
-             |FROM gb, ga, esc""".stripMargin)))
+             |FROM gb, ga, esc""".stripMargin)),
+
+    Q("q286_source_contribution",
+      // leave-one-source-out data valuation: exact-class composition rolled
+      // up to per-source exclusive vs shared content (q192's cross-source
+      // matrix counts near-dup PAIRS between sources; this prices the
+      // keep/prune decision — exclusive tokens count ONE keeper copy)
+      (s, d) => graft.ops.TrainingData.sourceContribution(
+        T(s, d, "documents")),
+      Some("""WITH base AS (SELECT source, md5(text) AS gkey,
+             |   CAST(len(list_filter(string_split_regex(text, '\s+'),
+             |     x -> x <> '')) AS BIGINT) AS tok FROM documents),
+             |gs AS (SELECT gkey, source, count(*) AS sg_docs,
+             |   CAST(sum(tok) AS BIGINT) AS sg_tokens,
+             |   min(tok) AS gtok
+             |  FROM base GROUP BY 1, 2),
+             |g AS (SELECT gkey, count(*) AS n_sources FROM gs GROUP BY 1)
+             |SELECT gs.source,
+             |  CAST(sum(gs.sg_docs) AS BIGINT) AS n_docs,
+             |  CAST(sum(gs.sg_tokens) AS BIGINT) AS n_tokens,
+             |  CAST(count(*) AS BIGINT) AS n_groups_touching,
+             |  CAST(sum(CASE WHEN g.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_exclusive_groups,
+             |  CAST(sum(CASE WHEN g.n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_shared_groups,
+             |  CAST(coalesce(sum(CASE WHEN g.n_sources = 1 THEN gs.gtok END), 0)
+             |    AS BIGINT) AS exclusive_tokens,
+             |  CAST(sum(CASE WHEN g.n_sources > 1 THEN 1 ELSE 0 END) * 1000000
+             |    // count(*) AS BIGINT) AS redundancy_u
+             |FROM gs JOIN g USING (gkey)
+             |GROUP BY 1""".stripMargin)),
+
+    Q("q287_forget_transitions",
+      // per-class keeper transitions for the q284 deletion set — the
+      // relation a manifest patch job consumes, and the batch twin of
+      // ForgetStream's incremental emissions (XOR-telescoping equality is
+      // the StreamingSpec planted proof)
+      (s, d) => graft.ops.Pipeline.forgetTransitions(
+        T(s, d, "documents"), col("doc_id") % 97 === 0),
+      Some("""WITH g AS (SELECT md5(text) AS class_key,
+             |   min(doc_id) AS keeper_before,
+             |   coalesce(min(CASE WHEN NOT (doc_id % 97 = 0)
+             |     THEN doc_id END), -1) AS keeper_after,
+             |   CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END)
+             |     AS BIGINT) AS n_deleted
+             |  FROM documents GROUP BY 1)
+             |SELECT class_key, keeper_before, keeper_after, n_deleted
+             |FROM g WHERE keeper_after <> keeper_before""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

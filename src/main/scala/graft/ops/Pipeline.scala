@@ -550,6 +550,24 @@ object Pipeline {
     *         n_groups, n_groups_touched, n_groups_emptied,
     *         n_keeper_reelected, digest_before, digest_after, digest_delta)
     */
+  /** Per-class keeper-transition relation for a deletion set — the batch
+    * twin of [[graft.streaming.ForgetStream.keeperMonitorStream]]'s
+    * emissions (the stream emits these incrementally; XOR-telescoping
+    * makes the accumulated stream patch equal this relation's):
+    * one row per exact-dup class whose KEEPER the deletions changed,
+    * keeper_after = −1 when the class lost its last member.
+    * [[forgetDocs]] is the 1-row rollup; this is the artifact a manifest
+    * patch job actually consumes. */
+  def forgetTransitions(docs: DataFrame, isForgotten: Column): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("class_key"),
+        isForgotten.as("gone"))
+      .groupBy(col("class_key"))
+      .agg(min(col("doc_id")).as("keeper_before"),
+        coalesce(min(when(!col("gone"), col("doc_id"))), lit(-1L))
+          .as("keeper_after"),
+        sum(when(col("gone"), 1L).otherwise(0L)).as("n_deleted"))
+      .filter(col("keeper_after") =!= col("keeper_before"))
+
   def forgetDocs(docs: DataFrame, isForgotten: Column): DataFrame = {
     val base = docs.select(col("doc_id"), md5(col("text")).as("gkey"),
       TextAnalysis.tokenCount(col("text")).as("tok"),

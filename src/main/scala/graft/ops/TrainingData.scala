@@ -923,6 +923,52 @@ object TrainingData {
     * @return 1 row: (n_docs, n_canaries, n_groups, n_keepers_after,
     *         corpus_inflation, n_dup_escapes)
     */
+  /** Per-source data-valuation audit — the leave-one-source-out question a
+    * mixture owner asks before pruning or re-licensing a source: how much
+    * of the source's content is EXCLUSIVE (its exact-duplicate classes
+    * contain no other source — removing the source removes that content
+    * from the release entirely) versus SHARED (the class survives via
+    * another source's copy, so dropping this source costs nothing there).
+    * [[graft.ops.Dedup.crossSourceMatrix]] counts near-dup pairs BETWEEN
+    * sources; this rolls exact-class composition up to the per-source
+    * keep/prune decision numbers.
+    *
+    * Exclusive tokens count ONE copy per class (the keeper's — members of
+    * an exact class have identical text, so min(tok) is exact), matching
+    * what the deduped release would actually lose.
+    *
+    * Scale shape: one (content-hash, source) aggregation, a hash-join of
+    * that relation against its own gkey rollup (both dedup-class-sized,
+    * never corpus-row-sized), and a per-source rollup. No windows, no
+    * broadcast of anything unbounded.
+    *
+    * @return one row per source: (source, n_docs, n_tokens,
+    *         n_groups_touching, n_exclusive_groups, n_shared_groups,
+    *         exclusive_tokens, redundancy_u)
+    */
+  def sourceContribution(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("source"), md5(col("text")).as("gkey"),
+      TextAnalysis.tokenCount(col("text")).as("tok"))
+    val perGS = base.groupBy(col("gkey"), col("source"))
+      .agg(count(lit(1)).as("sg_docs"), sum(col("tok")).as("sg_tokens"),
+        min(col("tok")).as("gtok"))
+    val perG = perGS.groupBy(col("gkey"))
+      .agg(count(lit(1)).as("n_sources"))
+    perGS.join(perG, Seq("gkey"))
+      .groupBy(col("source"))
+      .agg(sum(col("sg_docs")).as("n_docs"),
+        sum(col("sg_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_groups_touching"),
+        sum(when(col("n_sources") === 1, 1L).otherwise(0L))
+          .as("n_exclusive_groups"),
+        sum(when(col("n_sources") > 1, 1L).otherwise(0L))
+          .as("n_shared_groups"),
+        coalesce(sum(when(col("n_sources") === 1, col("gtok"))), lit(0L))
+          .as("exclusive_tokens"))
+      .withColumn("redundancy_u",
+        expr("n_shared_groups * 1000000 div n_groups_touching"))
+  }
+
   def canaryAudit(docs: DataFrame, everyN: Long = 101): DataFrame = {
     val inj = docs.select(col("doc_id"), col("text"),
         (col("doc_id") % everyN === 0).as("is_c"))

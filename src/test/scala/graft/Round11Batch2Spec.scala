@@ -186,4 +186,30 @@ class Round11Batch2Spec extends SparkTestBase {
     assert(r.getAs[Long]("corpus_inflation") == 2L)
     assert(r.getAs[Long]("n_dup_escapes") == 2L)
   }
+
+  test("sourceContribution planted: exclusive classes count one keeper " +
+      "copy, shared classes mark redundancy on BOTH sources") {
+    val docs = Seq(
+      (1L, "exclusive alpha content", "A"),
+      (2L, "exclusive alpha content", "A"),
+      (3L, "shared beta content here", "A"),
+      (4L, "shared beta content here", "B"),
+      (5L, "only b text", "B")).toDF("doc_id", "text", "source")
+    val out = graft.ops.TrainingData.sourceContribution(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("n_docs") == 3L)
+    assert(a.getAs[Long]("n_tokens") == 10L)
+    assert(a.getAs[Long]("n_groups_touching") == 2L)
+    assert(a.getAs[Long]("n_exclusive_groups") == 1L)
+    assert(a.getAs[Long]("n_shared_groups") == 1L)
+    assert(a.getAs[Long]("exclusive_tokens") == 3L) // one keeper copy
+    assert(a.getAs[Long]("redundancy_u") == 500000L)
+    val b = out("B")
+    assert(b.getAs[Long]("n_docs") == 2L)
+    assert(b.getAs[Long]("n_tokens") == 7L)
+    assert(b.getAs[Long]("n_exclusive_groups") == 1L)
+    assert(b.getAs[Long]("exclusive_tokens") == 3L)
+    assert(b.getAs[Long]("redundancy_u") == 500000L)
+  }
 }

@@ -299,4 +299,74 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(key).toSet
     assert(streamed === batchTransitions)
   }
+
+  test("forget stream: keeper transitions across micro-batches XOR-telescope " +
+      "to the batch digest delta; batch evaluation emits the net relation") {
+    import spark.implicits._
+    import graft.streaming.ForgetStream
+    // class A {1,2,3}: batch1 deletes 1 (keeper 1→2), batch2 deletes 2
+    // (keeper 2→3); class B {4}: batch2 deletes 4 (4→−1, emptied);
+    // class C {5,6}: batch1 deletes 6 (non-keeper, NO transition)
+    val corpus = Seq(
+      (1L, "class a text"), (2L, "class a text"), (3L, "class a text"),
+      (4L, "solo class b"),
+      (5L, "class c text"), (6L, "class c text")).toDF("doc_id", "text")
+    val batch1 = Seq(1L, 6L)
+    val batch2 = Seq(2L, 4L)
+
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+
+    // batch evaluation of the SAME stateful plan → net transitions only
+    val allDel = (batch1 ++ batch2).toDF("doc_id")
+    val asBatch = ForgetStream.keeperMonitorStream(spark, corpus, allDel)
+      .collect().map(t => (t.old_keeper, t.new_keeper)).toSet
+    assert(asBatch == Set((1L, 3L), (4L, -1L)))
+    // ... and it equals the forgetTransitions batch-twin relation
+    val twin = graft.ops.Pipeline.forgetTransitions(corpus,
+        col("doc_id").isin((batch1 ++ batch2): _*))
+      .collect().map(r => (r.getAs[Long]("keeper_before"),
+        r.getAs[Long]("keeper_after"))).toSet
+    assert(twin == asBatch)
+
+    // stream in two micro-batches: intermediate keepers must surface
+    val stage = java.nio.file.Files.createTempDirectory("forget_stream")
+    Seq(("a", batch1), ("b", batch2)).foreach { case (n, ids) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"forget_$n")
+      ids.toDF("doc_id").coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        stage.resolve(s"$n.parquet"))
+    }
+    val raw = spark.readStream
+      .schema(allDel.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+    val q = ForgetStream.keeperMonitorStream(spark, corpus, raw).toDF()
+      .writeStream.format("memory").queryName("forget_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val streamed = spark.sql("SELECT * FROM forget_stream").collect()
+      .map(r => (r.getAs[String]("class_key"), r.getAs[Long]("old_keeper"),
+        r.getAs[Long]("new_keeper"))).toSet
+    // A transitions TWICE (1→2 then 2→3); B empties; C never transitions
+    assert(streamed.map(t => (t._2, t._3)) ==
+      Set((1L, 2L), (2L, 3L), (4L, -1L)))
+
+    // XOR-telescoping: the accumulated stream patch equals the single
+    // batch forgetDocs digest_delta for the same total deletion set
+    val patch = streamed.toSeq.map { case (_, o, n) =>
+      h60(s"m:$o") ^ (if (n >= 0) h60(s"m:$n") else 0L)
+    }.reduce(_ ^ _)
+    val delta = graft.ops.Pipeline.forgetDocs(corpus,
+        col("doc_id").isin((batch1 ++ batch2): _*))
+      .collect().head.getAs[Long]("digest_delta")
+    assert(patch == delta)
+  }
 }
