@@ -8092,7 +8092,44 @@ object Queries {
              |     AS BIGINT) AS n_deleted
              |  FROM documents GROUP BY 1)
              |SELECT class_key, keeper_before, keeper_after, n_deleted
-             |FROM g WHERE keeper_after <> keeper_before""".stripMargin)))
+             |FROM g WHERE keeper_after <> keeper_before""".stripMargin)),
+
+    Q("q288_curriculum_order",
+      // competence-based curriculum: q166's LM cross-entropy difficulty →
+      // equal-mass stages off a quarter-nat histogram → TOTAL
+      // deterministic training order via the two-phase prefix-sum scheme
+      // (the oracle's global-sort row_number proves the engine's
+      // sort-free position arithmetic equals a real global sort)
+      (s, d) => graft.ops.TrainingData.curriculumOrder(
+        T(s, d, "documents")),
+      Some("""WITH tl AS (SELECT doc_id,
+             |   unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+             |  FROM documents),
+             |lm AS (SELECT tok, count(*) AS cnt FROM tl GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tl),
+             |terms AS (SELECT t.doc_id,
+             |   CAST(floor((ln(CAST(n.n AS DOUBLE)) - ln(CAST(lm.cnt AS DOUBLE)))
+             |     * 1000000) AS BIGINT) AS term_u
+             |  FROM tl t JOIN lm USING (tok), n),
+             |nll AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |   CAST(sum(term_u) // count(*) AS BIGINT) AS avg_nll_u
+             |  FROM terms GROUP BY 1),
+             |b AS (SELECT *, avg_nll_u // 250000 AS bucket FROM nll),
+             |bh AS (SELECT bucket, count(*) AS m FROM b GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM b),
+             |st AS (SELECT bucket, least(3,
+             |   coalesce(sum(m) OVER (ORDER BY bucket
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |   * 4 // tot.nd) AS stage
+             |  FROM bh, tot),
+             |bs AS (SELECT b.doc_id, b.n_tokens, b.avg_nll_u, b.bucket,
+             |   st.stage, md5(CAST(b.doc_id AS VARCHAR)) AS mm
+             |  FROM b JOIN st USING (bucket))
+             |SELECT doc_id, n_tokens, avg_nll_u,
+             |  CAST(bucket AS BIGINT) AS bucket, CAST(stage AS BIGINT) AS stage,
+             |  CAST(row_number() OVER (ORDER BY stage, mm, doc_id) AS BIGINT)
+             |    AS pos
+             |FROM bs""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

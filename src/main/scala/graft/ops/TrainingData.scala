@@ -892,6 +892,64 @@ object TrainingData {
         expr("alloc_tokens * 1000000 div greatest(avail_tokens, 1)"))
   }
 
+  /** Competence-based curriculum ordering (Bengio et al. 2009; Platanios
+    * et al. 2019): assign every document a difficulty (the corpus-LM
+    * cross-entropy of [[TextAnalysis.unigramLogProb]] — common-word prose
+    * scores low/easy, rare-token soup high/hard), group difficulties into
+    * `stages` equal-mass competence stages, and emit a TOTAL deterministic
+    * training order — easy stages first — as an explicit `pos` column.
+    *
+    * The 100 TB point is the ORDER WITHOUT A GLOBAL SORT: a curriculum is
+    * by definition a global ordering, and a range-exchange sort on
+    * difficulty is the one plan shape that cannot survive corpus scale.
+    * Instead: (1) difficulty buckets are fixed-width quarter-nat slices of
+    * avg_nll_u (domain-bounded: ≲ 4·ln N buckets), so the stage boundary
+    * computation is a window over a ≤100-row histogram; (2) within a
+    * stage, order is (md5(doc_id), doc_id) and the global position comes
+    * from the [[budgetSelect]] two-phase prefix-sum scheme — per-(stage,
+    * md5-prefix-shard) row_numbers plus a (stages·256)-row offset window.
+    * The result equals row_number() OVER (ORDER BY stage, md5, doc_id)
+    * exactly (the planted spec asserts it), with no corpus-sized exchange
+    * ordered by anything.
+    *
+    * @return (doc_id, n_tokens, avg_nll_u, bucket, stage, pos), pos a
+    *         permutation of 1..n
+    */
+  def curriculumOrder(docs: DataFrame, stages: Int = 4): DataFrame = {
+    require(stages >= 2 && stages <= 64, s"stages in 2..64: $stages")
+    val nll = org.apache.spark.sql.graft.FreshCheckpoint(
+      TextAnalysis.unigramLogProb(docs)
+        .withColumn("bucket", expr("avg_nll_u div 250000")))
+    val bh = nll.groupBy(col("bucket")).agg(count(lit(1)).as("m"))
+    val tot = bh.agg(sum(col("m")).as("n"))
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ ~100 rows (quarter-nat difficulty histogram)
+    val st = bh
+      .withColumn("cum_before", coalesce(sum(col("m")).over(wB), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        least(lit(stages - 1L), expr(s"cum_before * $stages div n"))
+          .as("stage"))
+    val bs = nll.join(broadcast(st), Seq("bucket"))
+      .withColumn("mm", md5(col("doc_id").cast("string")))
+      .withColumn("shard", substring(col("mm"), 1, 2))
+    val wIn = Window.partitionBy(col("stage"), col("shard"))
+      .orderBy(col("mm"), col("doc_id"))
+    val withRn = bs.withColumn("rn", row_number().over(wIn).cast("long"))
+    // (stage, shard) counts — ≤ stages·256 rows; the offset window runs
+    // on that aggregate, in (stage, shard)-major order
+    val wOff = Window.orderBy(col("stage"), col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withRn.groupBy(col("stage"), col("shard"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("stage"), col("shard"), col("off"))
+    withRn.join(broadcast(offs), Seq("stage", "shard"))
+      .select(col("doc_id"), col("n_tokens"), col("avg_nll_u"),
+        col("bucket"), col("stage"), (col("off") + col("rn")).as("pos"))
+  }
+
   /** Memorization-canary placement audit (Carlini et al.'s Secret Sharer
     * canaries, crossed with Lee et al.'s observation that deduplication
     * silently REMOVES or PRESERVES planted sequences depending on where

@@ -212,4 +212,35 @@ class Round11Batch2Spec extends SparkTestBase {
     assert(b.getAs[Long]("exclusive_tokens") == 3L)
     assert(b.getAs[Long]("redundancy_u") == 500000L)
   }
+
+  test("curriculumOrder: easy-first staging, and the sort-free position " +
+      "arithmetic equals a literal global sort") {
+    // 8 easy docs (all common tokens: nll = ln(72/48) ≈ 0.4 nats) and 8
+    // hard docs (3 unique tokens each: nll = ln 72 ≈ 4.3 nats); stages=2
+    // splits exactly at the halfway mass
+    val easy = (0 until 8).map(i => (i.toLong, "a a a a a a"))
+    val hard = (0 until 8).map(i =>
+      (100L + i, s"uniq${i}x uniq${i}y uniq${i}z"))
+    val docs = (easy ++ hard).toDF("doc_id", "text")
+    val out = graft.ops.TrainingData.curriculumOrder(docs, stages = 2)
+      .collect()
+    assert(out.length == 16)
+    // pos is a permutation of 1..16
+    assert(out.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to 16L))
+    // easy docs land in stage 0, hard in stage 1
+    out.foreach { r =>
+      val expected = if (r.getAs[Long]("doc_id") < 100L) 0L else 1L
+      assert(r.getAs[Long]("stage") == expected, r.toString)
+    }
+    // the two-phase prefix-sum position == row_number over a REAL global
+    // sort by (stage, md5(doc_id), doc_id)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val sorted = out.sortBy(r => (r.getAs[Long]("stage"),
+      md5hex(r.getAs[Long]("doc_id").toString), r.getAs[Long]("doc_id")))
+    sorted.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("pos") == i + 1L, s"pos mismatch at $i: $r")
+    }
+  }
 }
