@@ -7806,17 +7806,10 @@ object Queries {
     s"CASE $n $cases END"
   }
 
-  private val ext38Qs = Seq(
-    Q("q281_rrf_fusion",
-      // sparse+dense hybrid retrieval: q154's BM25 lexical list and q38's
-      // dense cosine list over the shared id space, fused by integer
-      // reciprocal-rank scores (q135 fuses two DENSE rankings of one
-      // modality; this is the cross-modality lexical×embedding hybrid a
-      // RAG stack serves) — each list keeps its RAW ranks; the lexical
-      // self-hit is filtered from the fused output only
-      (s, d) => graft.ops.Retrieval.rrfFusion(
-        T(s, d, "documents"), T(s, d, "embeddings")),
-      Some("""WITH words AS (
+  /** Shared q281/q289 hybrid-fusion CTE chain (q154's BM25 lexical list +
+    * q38's dense cosine list + integer RRF), ending at the `rr` scored
+    * relation; consumers append their final select. */
+  private val rrfCtes: String = """WITH words AS (
              |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
              |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
              |    x -> x <> '') AS tl FROM documents)),
@@ -7870,12 +7863,27 @@ object Queries {
              |rr AS (SELECT *,
              |   CAST(coalesce(1000000 // (60 + lex_rank), 0)
              |     + coalesce(1000000 // (60 + dense_rank), 0) AS BIGINT) AS rrf_u
-             |  FROM fused WHERE doc_id <> query_id)
-             |SELECT query_id, doc_id, lex_rank, dense_rank, rrf_u,
-             |  CAST(fused_rank AS BIGINT) AS fused_rank FROM (
-             |  SELECT *, row_number() OVER (PARTITION BY query_id
-             |    ORDER BY rrf_u DESC, doc_id) AS fused_rank FROM rr)
-             |WHERE fused_rank <= 5""".stripMargin)),
+             |  FROM fused WHERE doc_id <> query_id)""".stripMargin
+
+  /** The q281 final select over [[rrfCtes]]' `rr` relation. */
+  private val rrfSelect: String =
+    """SELECT query_id, doc_id, lex_rank, dense_rank, rrf_u,
+      |  CAST(fused_rank AS BIGINT) AS fused_rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY rrf_u DESC, doc_id) AS fused_rank FROM rr)
+      |WHERE fused_rank <= 5""".stripMargin
+
+  private val ext38Qs = Seq(
+    Q("q281_rrf_fusion",
+      // sparse+dense hybrid retrieval: q154's BM25 lexical list and q38's
+      // dense cosine list over the shared id space, fused by integer
+      // reciprocal-rank scores (q135 fuses two DENSE rankings of one
+      // modality; this is the cross-modality lexical×embedding hybrid a
+      // RAG stack serves) — each list keeps its RAW ranks; the lexical
+      // self-hit is filtered from the fused output only
+      (s, d) => graft.ops.Retrieval.rrfFusion(
+        T(s, d, "documents"), T(s, d, "embeddings")),
+      Some(rrfCtes + "\n" + rrfSelect)),
 
     Q("q282_ndcg_audit",
       // position-sensitive ANN quality: q195's exact/LSH chains, scored by
@@ -8129,7 +8137,26 @@ object Queries {
              |  CAST(bucket AS BIGINT) AS bucket, CAST(stage AS BIGINT) AS stage,
              |  CAST(row_number() OVER (ORDER BY stage, mm, doc_id) AS BIGINT)
              |    AS pos
-             |FROM bs""".stripMargin)))
+             |FROM bs""".stripMargin)),
+
+    Q("q289_rag_context",
+      // the serving step after q281: fill a 150-token context window in
+      // fused-rank order, strict-prefix semantics (first overflow closes
+      // the context — no back-fill), the deterministic cut a RAG stack
+      // actually ships
+      (s, d) => graft.ops.Retrieval.ragContext(
+        T(s, d, "documents"), T(s, d, "embeddings")),
+      Some(rrfCtes + ",\n" +
+        s"""fsel AS ($rrfSelect),
+           |tk AS (SELECT doc_id,
+           |   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+           |     x -> x <> '')) AS BIGINT) AS n_tokens FROM documents)
+           |SELECT query_id, doc_id, fused_rank, n_tokens, cum_tokens,
+           |  cum_tokens <= 150 AS in_context FROM (
+           |  SELECT f.query_id, f.doc_id, f.fused_rank, tk.n_tokens,
+           |    CAST(sum(tk.n_tokens) OVER (PARTITION BY f.query_id
+           |      ORDER BY f.fused_rank) AS BIGINT) AS cum_tokens
+           |  FROM fsel f JOIN tk USING (doc_id))""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

@@ -69,6 +69,36 @@ object Retrieval {
         col("dense_rank"), col("rrf_u"), col("fused_rank"))
   }
 
+  /** RAG context assembly — the serving step after [[rrfFusion]]: fill a
+    * fixed token budget with fused-rank-ordered documents, strict-prefix
+    * semantics (documents enter in fused order; the first overflow closes
+    * the context — later smaller documents do NOT back-fill, matching how
+    * a context window is actually assembled and keeping the cut
+    * deterministic and engine-replayable).
+    *
+    * Scale shape: the fused relation is (|queries|·fuseK)-bounded, so the
+    * running-sum window and the budget cut run on that; the only
+    * corpus-sized touch is the token-count attach, an equi-join where the
+    * bounded fused side broadcasts onto the corpus scan.
+    *
+    * @return (query_id, doc_id, fused_rank, n_tokens, cum_tokens,
+    *         in_context)
+    */
+  def ragContext(docs: DataFrame, embeddings: DataFrame,
+      queryStride: Long = 251, topK: Int = 5, k0: Int = 60,
+      fuseK: Int = 5, budgetTokens: Long = 150): DataFrame = {
+    val fused = rrfFusion(docs, embeddings, queryStride, topK, k0, fuseK)
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("fused_rank"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    fused.join(toks, Seq("doc_id"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("in_context", col("cum_tokens") <= budgetTokens)
+      .select(col("query_id"), col("doc_id"), col("fused_rank"),
+        col("n_tokens"), col("cum_tokens"), col("in_context"))
+  }
+
   /** Discount weights w(r) = ⌊10⁶ / log₂(r+1)⌋ for ranks 1..k — computed
     * ONCE here in Scala and embedded as literals in BOTH the engine plan
     * and the oracle SQL (the q278 noise-chain pattern), so neither engine

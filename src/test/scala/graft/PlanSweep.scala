@@ -61,6 +61,7 @@ object PlanSweepSupport {
     "q195_ann_recall", // composes q38's broadcast query-set scoring pass
     "q281_rrf_fusion", // composes q38's broadcast query-set scoring pass
     "q282_ndcg_audit", // composes q38's + q98's broadcast query-set passes
+    "q289_rag_context", // q281's composition + bounded-fused token attach
     // 1-row fit/q̂ scalar attaches (residual + coverage passes)
     "q283_conformal_interval",
     "q284_forget_docs", // 1-row group-rollup scalar attach

@@ -41,6 +41,28 @@ class Round11Batch2Spec extends SparkTestBase {
     assert(byDoc(2L) == ((null, 2L, 16129L, 3L)))
   }
 
+  test("ragContext: strict-prefix budget fill — the first overflow closes " +
+      "the context, later documents never back-fill") {
+    // same planted corpus as the fusion test: fused order for query 0 is
+    // doc 1 (4 tokens), doc 3 (4 tokens), doc 2 (4 tokens); budget 8 keeps
+    // exactly the first two
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma zeta"),
+      (3L, "unrelated words entirely here")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0f, 1f), 0),
+      (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(1f, 0.01f), 0)).toDF("vec_id", "embedding", "label")
+    val out = graft.ops.Retrieval.ragContext(docs, emb, budgetTokens = 8L)
+      .orderBy(col("fused_rank")).collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tokens"),
+      r.getAs[Boolean]("in_context"))).toSeq ==
+      Seq((1L, 4L, true), (3L, 8L, true), (2L, 12L, false)))
+  }
+
   test("ndcgWeights: exact ⌊10⁶/log₂(r+1)⌋ table") {
     assert(Retrieval.ndcgWeights(3) == Seq(1000000L, 630929L, 500000L))
   }
