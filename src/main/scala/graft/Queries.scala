@@ -7873,6 +7873,25 @@ object Queries {
       |    ORDER BY rrf_u DESC, doc_id) AS fused_rank FROM rr)
       |WHERE fused_rank <= 5""".stripMargin
 
+  /** q290's per-snapshot MinHash signature chain (the q155/q279 msig
+    * replay) over a named base CTE; emits `<p>sig(doc_id, h0..h7)`. */
+  private def msigSql(p: String, baseCte: String): String =
+    s"""${p}w AS (SELECT doc_id, unnest(tl) AS w,
+       |   generate_subscripts(tl, 1) AS pos
+       |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    x -> x <> '') AS tl FROM $baseCte)),
+       |${p}t AS (
+       |  SELECT DISTINCT doc_id,
+       |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+       |  FROM ${p}w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+       |${p}sig AS (SELECT doc_id,
+       |  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
+       |  min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
+       |  min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
+       |  min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
+       |  FROM ${p}t GROUP BY doc_id)""".stripMargin
+
   private val ext38Qs = Seq(
     Q("q281_rrf_fusion",
       // sparse+dense hybrid retrieval: q154's BM25 lexical list and q38's
@@ -8156,7 +8175,57 @@ object Queries {
            |  SELECT f.query_id, f.doc_id, f.fused_rank, tk.n_tokens,
            |    CAST(sum(tk.n_tokens) OVER (PARTITION BY f.query_id
            |      ORDER BY f.fused_rank) AS BIGINT) AS cum_tokens
-           |  FROM fsel f JOIN tk USING (doc_id))""".stripMargin)))
+           |  FROM fsel f JOIN tk USING (doc_id))""".stripMargin)),
+
+    Q("q290_index_staleness",
+      // persisted-signature-index freshness audit: previous snapshot =
+      // docs % 7 != 0 (with % 13 == 0 texts drifted), current corpus =
+      // docs % 11 != 0 — exercising unindexed arrivals, orphaned
+      // departures, and changed-content entries in one release-cadence
+      // ground-truthing pass (the hot path stays q153's index reuse)
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val prev = docs.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text", when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" snapshot drifted")))
+            .otherwise(col("text")))
+        graft.ops.Dedup.indexStaleness(
+          docs.filter(col("doc_id") % 11 =!= 0),
+          graft.ops.Dedup.minhashSignatures(prev, 8))
+      },
+      Some(s"""WITH curdocs AS (SELECT doc_id, text FROM documents
+              |  WHERE doc_id % 11 <> 0),
+              |prevdocs AS (SELECT doc_id,
+              |   CASE WHEN doc_id % 13 = 0 THEN text || ' snapshot drifted'
+              |     ELSE text END AS text
+              |  FROM documents WHERE doc_id % 7 <> 0),
+              |${msigSql("c", "curdocs")},
+              |${msigSql("p", "prevdocs")},
+              |j AS (SELECT
+              |   CASE WHEN p.doc_id IS NULL THEN 'unindexed'
+              |        WHEN c.doc_id IS NULL THEN 'orphaned'
+              |        WHEN c.h0 <> p.h0 OR c.h1 <> p.h1 OR c.h2 <> p.h2
+              |          OR c.h3 <> p.h3 OR c.h4 <> p.h4 OR c.h5 <> p.h5
+              |          OR c.h6 <> p.h6 OR c.h7 <> p.h7 THEN 'changed'
+              |        ELSE 'fresh' END AS status
+              |  FROM csig c FULL OUTER JOIN psig p ON p.doc_id = c.doc_id)
+              |SELECT
+              |  CAST(sum(CASE WHEN status <> 'orphaned' THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_corpus,
+              |  CAST(sum(CASE WHEN status <> 'unindexed' THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_index,
+              |  CAST(sum(CASE WHEN status = 'fresh' THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_fresh,
+              |  CAST(sum(CASE WHEN status = 'unindexed' THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_unindexed,
+              |  CAST(sum(CASE WHEN status = 'orphaned' THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_orphaned,
+              |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_changed,
+              |  CAST(sum(CASE WHEN status = 'fresh' THEN 1 ELSE 0 END) * 1000000
+              |    // sum(CASE WHEN status <> 'orphaned' THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS coverage_u
+              |FROM j""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

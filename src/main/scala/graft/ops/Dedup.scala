@@ -426,6 +426,60 @@ object Dedup {
         col("dup_of").isNull.as("is_novel"))
   }
 
+  /** Persisted-signature-index staleness audit — the freshness check a
+    * production near-dup index ([[incrementalMinhash]]'s reuse contract)
+    * needs at release cadence: a stale index silently degrades dedup in
+    * three distinct ways, and this audit prices each.
+    *
+    *  - **unindexed**: corpus docs with no index entry (arrived after the
+    *    last index build) — they can only dedup against each other, not
+    *    the corpus, until re-indexed.
+    *  - **orphaned**: index entries whose doc left the corpus — they
+    *    manufacture candidate pairs against deleted content (wasted
+    *    verify work, and a leak if deletion was a forget request).
+    *  - **changed**: doc present in both but its CURRENT signature differs
+    *    from the indexed one (content edited since indexing) — the index
+    *    answers for text that no longer exists.
+    *
+    * Cost note: the audit RECOMPUTES current signatures — that is the
+    * point (it is the release-cadence ground-truthing pass, not the hot
+    * path); the hot path stays [[incrementalMinhash]], which never
+    * re-shingles. coverage_u counts only `fresh` entries against the
+    * corpus.
+    *
+    * @param sigIndex persisted [[minhashSignatures]] output (doc_id,
+    *        h0..h{n−1})
+    * @return 1 row: (n_corpus, n_index, n_fresh, n_unindexed, n_orphaned,
+    *         n_changed, coverage_u)
+    */
+  def indexStaleness(corpus: DataFrame, sigIndex: DataFrame,
+      numHashes: Int = 8): DataFrame = {
+    val cur = FreshCheckpoint(minhashSignatures(corpus, numHashes))
+    val sigCols = (0 until numHashes).map(i => s"h$i")
+    val changedCond = sigCols.map(h => col(s"c.$h") =!= col(s"i.$h"))
+      .reduce(_ || _)
+    cur.as("c")
+      .join(sigIndex.as("i"), col("c.doc_id") === col("i.doc_id"),
+        "full_outer")
+      .select(when(col("i.doc_id").isNull, "unindexed")
+        .when(col("c.doc_id").isNull, "orphaned")
+        .when(changedCond, "changed")
+        .otherwise("fresh").as("status"))
+      .agg(
+        sum(when(col("status") =!= "orphaned", 1L).otherwise(0L))
+          .as("n_corpus"),
+        sum(when(col("status") =!= "unindexed", 1L).otherwise(0L))
+          .as("n_index"),
+        sum(when(col("status") === "fresh", 1L).otherwise(0L)).as("n_fresh"),
+        sum(when(col("status") === "unindexed", 1L).otherwise(0L))
+          .as("n_unindexed"),
+        sum(when(col("status") === "orphaned", 1L).otherwise(0L))
+          .as("n_orphaned"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L))
+          .as("n_changed"))
+      .withColumn("coverage_u", expr("n_fresh * 1000000 div n_corpus"))
+  }
+
   /** Near-dup cluster resolution with a best-copy keeper policy: production
     * dedup does not keep an arbitrary cluster member — it keeps the BEST one
     * (here: most tokens, the "longest copy" heuristic; ties break to the

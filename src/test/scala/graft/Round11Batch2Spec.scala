@@ -265,4 +265,30 @@ class Round11Batch2Spec extends SparkTestBase {
       assert(r.getAs[Long]("pos") == i + 1L, s"pos mismatch at $i: $r")
     }
   }
+
+  test("indexStaleness planted: unindexed arrivals, orphaned departures, " +
+      "and changed-content entries classify independently") {
+    // previous snapshot indexed docs {1, 2(old text), 3, 99}; current
+    // corpus is {1, 2(new text), 3, 5}: 5 unindexed, 99 orphaned,
+    // 2 changed, 1 and 3 fresh
+    val prev = Seq(
+      (1L, "stable first document text here"),
+      (2L, "original second document body words"),
+      (3L, "third document also quite stable"),
+      (99L, "departed document no longer present")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "stable first document text here"),
+      (2L, "rewritten second document body words"),
+      (3L, "third document also quite stable"),
+      (5L, "newly arrived unindexed document text")).toDF("doc_id", "text")
+    val r = graft.ops.Dedup.indexStaleness(corpus,
+      graft.ops.Dedup.minhashSignatures(prev, 8)).collect().head
+    assert(r.getAs[Long]("n_corpus") == 4L)
+    assert(r.getAs[Long]("n_index") == 4L)
+    assert(r.getAs[Long]("n_fresh") == 2L)
+    assert(r.getAs[Long]("n_unindexed") == 1L)
+    assert(r.getAs[Long]("n_orphaned") == 1L)
+    assert(r.getAs[Long]("n_changed") == 1L)
+    assert(r.getAs[Long]("coverage_u") == 500000L)
+  }
 }
