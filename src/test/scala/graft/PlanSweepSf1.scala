@@ -68,7 +68,18 @@ class PlanSweepSf1 extends SparkTestBase {
     "q262_bpe_encode", "q263_bpe_packing",
     "q264_stream_decontaminate_twin", "q265_dataset_release",
     "q266_vocab_growth", "q267_zipf_classes", "q268_bursty_tokens",
-    "q270_dup_by_quality", "q271_vocab_delta", "q272_mmr_retrieval", "q273_normalized_dedup")
+    "q270_dup_by_quality", "q271_vocab_delta", "q272_mmr_retrieval", "q273_normalized_dedup",
+    // round-11 non-trivial additions: the incremental-release sig/band
+    // chain, the composed IVF-PQ / cell-pool ANN layouts, the banded
+    // perceptual×MinHash pair audit, the strided span islands, the
+    // BM25+cosine fusion pair (q281/q289), the double-ANN nDCG chain, the
+    // LM-difficulty order, and the dual-signature staleness join
+    // (q277/q278/q283–q287 are map+agg or bounded rollups — structurally
+    // linear, covered by the sf0.1 sweep)
+    "q274_incremental_release", "q275_ivfpq_ann", "q276_mmr_cell_pool",
+    "q279_pair_integrity", "q280_duplicated_extents",
+    "q281_rrf_fusion", "q282_ndcg_audit", "q288_curriculum_order",
+    "q289_rag_context", "q290_index_staleness")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 
