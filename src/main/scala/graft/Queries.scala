@@ -7892,6 +7892,34 @@ object Queries {
        |  min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
        |  FROM ${p}t GROUP BY doc_id)""".stripMargin
 
+  /** Shared q288/q291 oracle CTE chain: q166's LM cross-entropy → quarter-
+    * nat buckets → equal-mass stages → the `bs` staged relation with the
+    * md5 order key; consumers append their final select. */
+  private val curriculumCtes: String =
+    """WITH tl AS (SELECT doc_id,
+      |   unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+      |  FROM documents),
+      |lm AS (SELECT tok, count(*) AS cnt FROM tl GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tl),
+      |terms AS (SELECT t.doc_id,
+      |   CAST(floor((ln(CAST(n.n AS DOUBLE)) - ln(CAST(lm.cnt AS DOUBLE)))
+      |     * 1000000) AS BIGINT) AS term_u
+      |  FROM tl t JOIN lm USING (tok), n),
+      |nll AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |   CAST(sum(term_u) // count(*) AS BIGINT) AS avg_nll_u
+      |  FROM terms GROUP BY 1),
+      |b AS (SELECT *, avg_nll_u // 250000 AS bucket FROM nll),
+      |bh AS (SELECT bucket, count(*) AS m FROM b GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM b),
+      |st AS (SELECT bucket, least(3,
+      |   coalesce(sum(m) OVER (ORDER BY bucket
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |   * 4 // tot.nd) AS stage
+      |  FROM bh, tot),
+      |bs AS (SELECT b.doc_id, b.n_tokens, b.avg_nll_u, b.bucket,
+      |   st.stage, md5(CAST(b.doc_id AS VARCHAR)) AS mm
+      |  FROM b JOIN st USING (bucket))""".stripMargin
+
   private val ext38Qs = Seq(
     Q("q281_rrf_fusion",
       // sparse+dense hybrid retrieval: q154's BM25 lexical list and q38's
@@ -8129,34 +8157,29 @@ object Queries {
       // sort-free position arithmetic equals a real global sort)
       (s, d) => graft.ops.TrainingData.curriculumOrder(
         T(s, d, "documents")),
-      Some("""WITH tl AS (SELECT doc_id,
-             |   unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
-             |  FROM documents),
-             |lm AS (SELECT tok, count(*) AS cnt FROM tl GROUP BY 1),
-             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tl),
-             |terms AS (SELECT t.doc_id,
-             |   CAST(floor((ln(CAST(n.n AS DOUBLE)) - ln(CAST(lm.cnt AS DOUBLE)))
-             |     * 1000000) AS BIGINT) AS term_u
-             |  FROM tl t JOIN lm USING (tok), n),
-             |nll AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-             |   CAST(sum(term_u) // count(*) AS BIGINT) AS avg_nll_u
-             |  FROM terms GROUP BY 1),
-             |b AS (SELECT *, avg_nll_u // 250000 AS bucket FROM nll),
-             |bh AS (SELECT bucket, count(*) AS m FROM b GROUP BY 1),
-             |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM b),
-             |st AS (SELECT bucket, least(3,
-             |   coalesce(sum(m) OVER (ORDER BY bucket
-             |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             |   * 4 // tot.nd) AS stage
-             |  FROM bh, tot),
-             |bs AS (SELECT b.doc_id, b.n_tokens, b.avg_nll_u, b.bucket,
-             |   st.stage, md5(CAST(b.doc_id AS VARCHAR)) AS mm
-             |  FROM b JOIN st USING (bucket))
+      Some(curriculumCtes + """
              |SELECT doc_id, n_tokens, avg_nll_u,
              |  CAST(bucket AS BIGINT) AS bucket, CAST(stage AS BIGINT) AS stage,
              |  CAST(row_number() OVER (ORDER BY stage, mm, doc_id) AS BIGINT)
              |    AS pos
              |FROM bs""".stripMargin)),
+
+    Q("q291_curriculum_packing",
+      // concat-and-chunk epoch manifest over the q288 order: documents
+      // concatenate easy-first, the token stream chunks into 2048-token
+      // bins, each doc assigned the bin where it STARTS — same sort-free
+      // offset arithmetic, proven against the oracle's global-sort window
+      (s, d) => graft.ops.TrainingData.curriculumPacking(
+        T(s, d, "documents")),
+      Some(curriculumCtes + """
+             |SELECT doc_id, n_tokens, stage, pos, start_offset,
+             |  CAST(start_offset // 2048 AS BIGINT) AS bin FROM (
+             |  SELECT doc_id, n_tokens, CAST(stage AS BIGINT) AS stage,
+             |    CAST(row_number() OVER w AS BIGINT) AS pos,
+             |    CAST(coalesce(sum(n_tokens) OVER (w ROWS BETWEEN
+             |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      AS start_offset
+             |  FROM bs WINDOW w AS (ORDER BY stage, mm, doc_id))""".stripMargin)),
 
     Q("q289_rag_context",
       // the serving step after q281: fill a 150-token context window in

@@ -915,7 +915,17 @@ object TrainingData {
     * @return (doc_id, n_tokens, avg_nll_u, bucket, stage, pos), pos a
     *         permutation of 1..n
     */
-  def curriculumOrder(docs: DataFrame, stages: Int = 4): DataFrame = {
+  def curriculumOrder(docs: DataFrame, stages: Int = 4): DataFrame =
+    curriculumRanked(docs, stages)
+      .select(col("doc_id"), col("n_tokens"), col("avg_nll_u"),
+        col("bucket"), col("stage"), (col("off") + col("rn")).as("pos"))
+
+  /** Shared [[curriculumOrder]]/[[curriculumPacking]] chain: difficulty →
+    * stage → per-(stage, md5-prefix-shard) row_number AND inclusive token
+    * running sum, plus the (stages·256)-row combined offset relation (row
+    * offsets `off`, token offsets `tok_off`) — everything both the order
+    * and the packed manifest need, one corpus pass. */
+  private def curriculumRanked(docs: DataFrame, stages: Int): DataFrame = {
     require(stages >= 2 && stages <= 64, s"stages in 2..64: $stages")
     val nll = org.apache.spark.sql.graft.FreshCheckpoint(
       TextAnalysis.unigramLogProb(docs)
@@ -936,19 +946,43 @@ object TrainingData {
       .withColumn("shard", substring(col("mm"), 1, 2))
     val wIn = Window.partitionBy(col("stage"), col("shard"))
       .orderBy(col("mm"), col("doc_id"))
-    val withRn = bs.withColumn("rn", row_number().over(wIn).cast("long"))
+    val withRn = bs
+      .withColumn("rn", row_number().over(wIn).cast("long"))
+      .withColumn("cum_in",
+        sum(col("n_tokens")).over(wIn.rowsBetween(
+          Window.unboundedPreceding, 0)))
     // (stage, shard) counts — ≤ stages·256 rows; the offset window runs
     // on that aggregate, in (stage, shard)-major order
     val wOff = Window.orderBy(col("stage"), col("shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = withRn.groupBy(col("stage"), col("shard"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_tokens")).as("toks"))
       .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
-      .select(col("stage"), col("shard"), col("off"))
+      .withColumn("tok_off", coalesce(sum(col("toks")).over(wOff), lit(0L)))
+      .select(col("stage"), col("shard"), col("off"), col("tok_off"))
     withRn.join(broadcast(offs), Seq("stage", "shard"))
-      .select(col("doc_id"), col("n_tokens"), col("avg_nll_u"),
-        col("bucket"), col("stage"), (col("off") + col("rn")).as("pos"))
   }
+
+  /** Concat-and-chunk packing of the [[curriculumOrder]] token stream —
+    * the epoch manifest a pretraining dataloader actually consumes:
+    * documents concatenate in curriculum order (easy stages first), the
+    * stream chunks into `budget`-token bins, and each document is
+    * assigned the bin where it STARTS (`start_offset div budget`). Same
+    * sort-free machinery as the order itself: the token running sum rides
+    * the SAME per-(stage, shard) window, and the (stages·256)-row offset
+    * relation gains a token-offset column — the spec asserts the offsets
+    * equal prefix sums under a literal global sort.
+    *
+    * @return (doc_id, n_tokens, stage, pos, start_offset, bin)
+    */
+  def curriculumPacking(docs: DataFrame, stages: Int = 4,
+      budget: Long = 2048): DataFrame =
+    curriculumRanked(docs, stages)
+      .select(col("doc_id"), col("n_tokens"), col("stage"),
+        (col("off") + col("rn")).as("pos"),
+        (col("tok_off") + col("cum_in") - col("n_tokens"))
+          .as("start_offset"))
+      .withColumn("bin", expr(s"start_offset div $budget"))
 
   /** Memorization-canary placement audit (Carlini et al.'s Secret Sharer
     * canaries, crossed with Lee et al.'s observation that deduplication

@@ -67,6 +67,7 @@ object PlanSweepSupport {
     "q284_forget_docs", // 1-row group-rollup scalar attach
     "q285_canary_audit", // 1-row before/after/escape scalar attaches
     "q288_curriculum_order", // q166's 1-row corpus-token-total scalar
+    "q291_curriculum_packing", // same chain, token-offset column added
     "q290_index_staleness", // 1-row audit rollup
     // hyperplaneCells: 1-row dim-length mean-vector scalar attach
     "q150_semantic_dedup", "q176_knn_classify", "q181_mutual_knn",
@@ -158,9 +159,10 @@ object PlanSweepSupport {
     "q283_conformal_interval",
     "q284_forget_docs", // two 1-row global rollups (doc + group scalars)
     "q285_canary_audit", // three 1-row global rollups
-    // q288: stage-boundary window on the ≤~100-row quarter-nat difficulty
-    // histogram + the (stages·256)-row offset window — never the corpus
-    "q288_curriculum_order",
+    // q288/q291: stage-boundary window on the ≤~100-row quarter-nat
+    // difficulty histogram + the (stages·256)-row offset window — never
+    // the corpus
+    "q288_curriculum_order", "q291_curriculum_packing",
     "q290_index_staleness", // 1-row global audit rollup
     // hyperplaneCells consumers: the dim-row per-dimension mean relation
     // collapses to ONE dim-length array row (the centering scalar) — a

@@ -266,6 +266,33 @@ class Round11Batch2Spec extends SparkTestBase {
     }
   }
 
+  test("curriculumPacking: concat-and-chunk bins follow the curriculum " +
+      "order, offsets equal literal global-sort prefix sums") {
+    val easy = (0 until 8).map(i => (i.toLong, "a a a a a a"))
+    val hard = (0 until 8).map(i =>
+      (100L + i, s"uniq${i}x uniq${i}y uniq${i}z"))
+    val docs = (easy ++ hard).toDF("doc_id", "text")
+    // 6-token easy docs then 3-token hard docs; budget 10 → bins advance
+    // every ~2 docs in the easy stage
+    val out = graft.ops.TrainingData
+      .curriculumPacking(docs, stages = 2, budget = 10L).collect()
+    assert(out.length == 16)
+    val byPos = out.sortBy(_.getAs[Long]("pos"))
+    // offsets are exact prefix sums in pos order; bins are start div 10
+    var cum = 0L
+    byPos.foreach { r =>
+      assert(r.getAs[Long]("start_offset") == cum, r.toString)
+      assert(r.getAs[Long]("bin") == cum / 10L, r.toString)
+      cum += r.getAs[Long]("n_tokens")
+    }
+    // pos agrees with curriculumOrder's
+    val ord = graft.ops.TrainingData.curriculumOrder(docs, stages = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos"))
+      .toMap
+    out.foreach(r =>
+      assert(r.getAs[Long]("pos") == ord(r.getAs[Long]("doc_id"))))
+  }
+
   test("indexStaleness planted: unindexed arrivals, orphaned departures, " +
       "and changed-content entries classify independently") {
     // previous snapshot indexed docs {1, 2(old text), 3, 99}; current
