@@ -3419,7 +3419,7 @@ object Queries {
 
     Q("q152_pq_ann",
       (s, d) => graft.ops.Quantize.pqTopK(T(s, d, "embeddings"),
-        m = 4, k = 8, rounds = 2, nQueries = 5, topK = 10),
+        m = 4, k = 8, rounds = 2, nQueries = 5, topK = 10, dim = 64),
       // full PQ replay: 2 Lloyd rounds per subspace (c0..c2), final codes,
       // per-query ADC table against c2, integer micro-unit distances — every
       // stage exact, same unrolled-CTE discipline as q120's codebook oracle
@@ -7461,7 +7461,7 @@ object Queries {
     Q("q275_ivfpq_ann",
       (s, d) => graft.ops.Quantize.ivfPqTopK(T(s, d, "embeddings"),
         nCells = 8, nprobe = 2, m = 16, k = 32, rounds = 2, nQueries = 5,
-        topK = 10),
+        topK = 10, dim = 64),
       // the full IVFADC replay: coarse assignment → residuals → 2 Lloyd
       // rounds per subspace over RESIDUALS (init = vec_id ranks 9..40;
       // ranks 1..8 are the coarse centroids, whose residuals are zero) →
@@ -7985,14 +7985,20 @@ object Queries {
               |   CAST(sum(${ndcgWeightSql("a.approx_rank", 10)}) AS BIGINT) AS dcg_u
               |  FROM exact e JOIN approx a ON a.query_id = e.query_id
               |   AND a.vec_id = e.vec_id GROUP BY 1),
-              |perq AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
-              |SELECT p.query_id, CAST(p.n_exact AS BIGINT) AS n_exact,
+              |perq AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1),
+              |qids AS (SELECT DISTINCT vec_id AS query_id FROM embeddings
+              |  WHERE vec_id < 5)
+              |SELECT b.query_id,
+              |  CAST(coalesce(p.n_exact, 0) AS BIGINT) AS n_exact,
               |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
               |  CAST(coalesce(h.dcg_u, 0) AS BIGINT) AS dcg_u,
-              |  CAST(${ndcgIdcgSql("p.n_exact", 10)} AS BIGINT) AS idcg_u,
-              |  CAST(coalesce(h.dcg_u, 0) * 1000000
-              |    // ${ndcgIdcgSql("p.n_exact", 10)} AS BIGINT) AS ndcg_u
-              |FROM perq p LEFT JOIN hits h ON h.query_id = p.query_id""".stripMargin)),
+              |  CAST(coalesce(${ndcgIdcgSql("p.n_exact", 10)}, 0) AS BIGINT)
+              |    AS idcg_u,
+              |  CAST(CASE WHEN coalesce(p.n_exact, 0) > 0
+              |    THEN coalesce(h.dcg_u, 0) * 1000000
+              |      // ${ndcgIdcgSql("p.n_exact", 10)} END AS BIGINT) AS ndcg_u
+              |FROM qids b LEFT JOIN perq p ON p.query_id = b.query_id
+              |  LEFT JOIN hits h ON h.query_id = b.query_id""".stripMargin)),
 
     Q("q283_conformal_interval",
       // split-conformal coverage audit for the chars→tokens predictor:
@@ -8205,7 +8211,8 @@ object Queries {
       // docs % 7 != 0 (with % 13 == 0 texts drifted), current corpus =
       // docs % 11 != 0 — exercising unindexed arrivals, orphaned
       // departures, and changed-content entries in one release-cadence
-      // ground-truthing pass (the hot path stays q153's index reuse)
+      // ground-truthing pass (the hot path stays q153's index reuse);
+      // n_corpus anchors on RAW doc_ids so sub-3-token docs count too
       (s, d) => {
         val docs = T(s, d, "documents")
         val prev = docs.filter(col("doc_id") % 7 =!= 0)
@@ -8224,14 +8231,18 @@ object Queries {
               |  FROM documents WHERE doc_id % 7 <> 0),
               |${msigSql("c", "curdocs")},
               |${msigSql("p", "prevdocs")},
+              |cids AS (SELECT cd.doc_id, s.h0, s.h1, s.h2, s.h3, s.h4,
+              |   s.h5, s.h6, s.h7
+              |  FROM curdocs cd LEFT JOIN csig s USING (doc_id)),
               |j AS (SELECT
               |   CASE WHEN p.doc_id IS NULL THEN 'unindexed'
               |        WHEN c.doc_id IS NULL THEN 'orphaned'
-              |        WHEN c.h0 <> p.h0 OR c.h1 <> p.h1 OR c.h2 <> p.h2
+              |        WHEN c.h0 IS NULL
+              |          OR c.h0 <> p.h0 OR c.h1 <> p.h1 OR c.h2 <> p.h2
               |          OR c.h3 <> p.h3 OR c.h4 <> p.h4 OR c.h5 <> p.h5
               |          OR c.h6 <> p.h6 OR c.h7 <> p.h7 THEN 'changed'
               |        ELSE 'fresh' END AS status
-              |  FROM csig c FULL OUTER JOIN psig p ON p.doc_id = c.doc_id)
+              |  FROM cids c FULL OUTER JOIN psig p ON p.doc_id = c.doc_id)
               |SELECT
               |  CAST(sum(CASE WHEN status <> 'orphaned' THEN 1 ELSE 0 END)
               |    AS BIGINT) AS n_corpus,

@@ -196,7 +196,11 @@ object Classifier {
     * with a finite-sample coverage GUARANTEE (≥ 1−α in expectation over
     * calibration draws).
     *
-    * Integer contract: ratio_u = Σtok·10⁶ div Σchars on calibration;
+    * Integer contract: ratio_u = Σtok·10⁶ div Σchars on calibration,
+    * with the Σtok·10⁶ pre-multiply done in DECIMAL(38,0) — a BIGINT
+    * pre-multiply wraps silently past ~9.2e12 calibration tokens, below
+    * advertised corpus scale, while DuckDB's HUGEINT sums never wrap
+    * (r11 advisory: the engines diverged exactly at scale);
     * predictions and residuals stay in whole TOKENS
     * (ŷ = chars·ratio_u div 10⁶), so the residual value domain is
     * token-count-bounded — the conformal quantile runs on a value-domain
@@ -222,7 +226,8 @@ object Classifier {
       col("n_chars"), isCalib.as("is_cal"))
     val fit = base.filter(col("is_cal"))
       .agg(count(lit(1)).as("n_calib"),
-        expr("sum(tok) * 1000000 div sum(n_chars)").as("ratio_u"))
+        expr("cast(sum(tok) as decimal(38,0)) * 1000000 div sum(n_chars)")
+          .as("ratio_u"))
     // residuals in whole tokens — value-domain-bounded for the histogram
     val resid = base.crossJoin(broadcast(fit))
       .withColumn("err",

@@ -447,6 +447,14 @@ object Dedup {
     * re-shingles. coverage_u counts only `fresh` entries against the
     * corpus.
     *
+    * The corpus side is anchored on RAW doc_ids, not on the signature
+    * relation: [[minhashSignatures]] drops docs too short to form a
+    * 3-shingle, so a short doc must still surface here — as `unindexed`
+    * when it has no index entry, and as `changed` when the index still
+    * carries a signature its current text can no longer produce (r11
+    * advisory: signature-anchored corpus counts silently excluded short
+    * docs from n_corpus and overstated coverage_u).
+    *
     * @param sigIndex persisted [[minhashSignatures]] output (doc_id,
     *        h0..h{n−1})
     * @return 1 row: (n_corpus, n_index, n_fresh, n_unindexed, n_orphaned,
@@ -454,10 +462,14 @@ object Dedup {
     */
   def indexStaleness(corpus: DataFrame, sigIndex: DataFrame,
       numHashes: Int = 8): DataFrame = {
-    val cur = FreshCheckpoint(minhashSignatures(corpus, numHashes))
+    val cur = corpus.select(col("doc_id")).join(
+      FreshCheckpoint(minhashSignatures(corpus, numHashes)),
+      Seq("doc_id"), "left")
     val sigCols = (0 until numHashes).map(i => s"h$i")
-    val changedCond = sigCols.map(h => col(s"c.$h") =!= col(s"i.$h"))
-      .reduce(_ || _)
+    // an unsignable current doc (h0 NULL) with an index entry is `changed`:
+    // the index answers for text the doc no longer has
+    val changedCond = col("c.h0").isNull ||
+      sigCols.map(h => col(s"c.$h") =!= col(s"i.$h")).reduce(_ || _)
     cur.as("c")
       .join(sigIndex.as("i"), col("c.doc_id") === col("i.doc_id"),
         "full_outer")

@@ -123,7 +123,15 @@ object Retrieval {
     * on (query_id, vec_id) and query-sized aggregates over the
     * rank-bounded lists.
     *
-    * @return (query_id, n_exact, n_hit, dcg_u, idcg_u, ndcg_u)
+    * The output is anchored on the QUERY relation, not the exact list: a
+    * degenerate query with zero exact candidates (e.g. a corpus of only
+    * the query itself) still gets an audit row with n_exact = 0 and a
+    * NULL ndcg_u (undefined — no ideal ranking to normalize by), instead
+    * of silently vanishing (r11 advisory: the same
+    * audit-disappears-in-the-degenerate-case class as basketLift).
+    *
+    * @return one row PER QUERY: (query_id, n_exact, n_hit, dcg_u, idcg_u,
+    *         ndcg_u); ndcg_u NULL iff n_exact = 0
     */
   def ndcgAudit(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       nPlanes: Int = 6, dim: Int = 64): DataFrame = {
@@ -147,12 +155,16 @@ object Retrieval {
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_hit"),
         sum(wOf(col("approx_rank"))).as("dcg_u"))
-    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+    queries.select(col("query_id"))
+      .join(exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact")),
+        Seq("query_id"), "left")
+      .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
       .join(hits, Seq("query_id"), "left")
       .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
       .withColumn("dcg_u", coalesce(col("dcg_u"), lit(0L)))
-      .withColumn("idcg_u", idcgOf(col("n_exact")))
-      .withColumn("ndcg_u", expr("dcg_u * 1000000 div idcg_u"))
+      .withColumn("idcg_u", coalesce(idcgOf(col("n_exact")), lit(0L)))
+      .withColumn("ndcg_u",
+        when(col("idcg_u") > 0, expr("dcg_u * 1000000 div idcg_u")))
       .select(col("query_id"), col("n_exact"), col("n_hit"),
         col("dcg_u"), col("idcg_u"), col("ndcg_u"))
   }

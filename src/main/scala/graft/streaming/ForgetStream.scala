@@ -9,7 +9,8 @@ case class ForgetEvent(gkey: String, doc_id: Long, members: Seq[Long])
 
 /** Per-class monitor state: the class roster, deletions seen so far, and
   * the current keeper (−1 = class emptied). Bounded by the class size —
-  * only TOUCHED classes ever hold state. */
+  * only TOUCHED classes ever hold state, and an emptied class collapses
+  * to a 3-field tombstone (empty roster/deletions, keeper −1). */
 case class ForgetClassState(members: Seq[Long], deleted: Seq[Long],
     keeper: Long)
 
@@ -74,7 +75,18 @@ object ForgetStream {
           val deleted = (st0.deleted ++ evs.map(_.doc_id)).distinct.sorted
           val surv = st0.members.filterNot(deleted.contains)
           val nk = if (surv.isEmpty) -1L else surv.min
-          state.update(ForgetClassState(st0.members, deleted, nk))
+          if (surv.isEmpty)
+            // Emptied class: shrink to an O(1) tombstone instead of keeping
+            // the roster + deletion list forever under NoTimeout (r11
+            // advisory). state.remove() would be WRONG, not just untidy: a
+            // later duplicate deletion would re-seed st0 from the event's
+            // roster (keeper = members.min, a doc already deleted) and emit
+            // a spurious transition, breaking stream≡batch. The tombstone's
+            // keeper == −1 / empty members make every later event a no-op
+            // while state stays constant-size per ever-emptied class.
+            state.update(ForgetClassState(Nil, Nil, -1L))
+          else
+            state.update(ForgetClassState(st0.members, deleted, nk))
           if (nk != st0.keeper)
             Iterator.single(
               KeeperTransition(gkey, st0.keeper, nk, deleted.size.toLong))
