@@ -169,7 +169,7 @@ object Bench {
       "q36_ngram_jaccard", "q174_containment", "q102_levenshtein_pairs",
       "q152_pq_ann", "q153_incremental_minhash", "q150_semantic_dedup",
       "q91_sssp_weighted", "q151_substring_spans")
-    def runHeavyIsolated(): Option[Map[String, Double]] =
+    def runHeavyIsolated(): Option[(Map[String, Double], Double)] =
       try {
         val childOut = java.nio.file.Files.createTempFile("bench_heavy", ".json")
         val jvmBin = java.nio.file.Paths.get(
@@ -193,19 +193,36 @@ object Bench {
         val parsed = "\"(q\\d[a-z0-9_]*)\":(-?[0-9.]+)".r
           .findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        if (parsed.isEmpty) None else Some(parsed)
+        // the child's own bracketing probes measure the box DURING the
+        // heavy family — surfaced as calib_heavy_s so a contention phase
+        // landing inside the priciest queries is machine-attributable
+        // (r11: q265 13->59 s at flat parent calib; the parent's
+        // start/end brackets cannot see a phase inside the child window)
+        val childCalib = "\"calib_s\":(-?[0-9.]+)".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble).getOrElse(-1.0)
+        if (parsed.isEmpty) None else Some((parsed, childCalib))
       } catch { case e: Throwable =>
         System.err.println(s"BENCH heavy-isolation spawn failed: $e"); None
       }
 
     val isFullRun = only.isEmpty
-    val heavyIsolated: Map[String, Double] =
-      if (isFullRun) runHeavyIsolated().getOrElse(Map.empty) else Map.empty
+    val (heavyIsolated: Map[String, Double], calibHeavySec: Double) =
+      if (isFullRun) runHeavyIsolated().getOrElse((Map.empty[String, Double], -1.0))
+      else (Map.empty[String, Double], -1.0)
     if (isFullRun && heavyIsolated.isEmpty)
       System.err.println(
         "BENCH WARNING: heavy-family isolation unavailable; falling back to in-session timings")
 
-    val results = selected.map { case (name, fn) =>
+    // Mid-run probe (r11 judge item 1): the start/end brackets stamp the
+    // box at the run's edges, but documented contention phases land INSIDE
+    // the ~7-minute window (r11 run 6: q265 13->59 s at flat edge calib).
+    // One extra probe at the halfway point, outside any timed region,
+    // bounds where such a phase occurred; bench_trend.py warns when a
+    // query blows past its window minimum while every probe stayed flat.
+    val half = selected.size / 2
+    var calibMidSec = -1.0
+    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == half && selected.size >= 8) calibMidSec = calibrate()
       heavyIsolated.get(name) match {
         case Some(iso) if iso >= 0 => name -> (iso, 0.0) // fresh-JVM timing
         case _ => name -> runOne(fn)
@@ -219,7 +236,8 @@ object Bench {
     // speed during the run, and the start/end pair documents the drift
     // that actually happened inside it.
     val calibEndSec = calibrate()
-    val calibSec = math.min(calibStartSec, calibEndSec)
+    val calibSec = (Seq(calibStartSec, calibEndSec) ++
+      Seq(calibMidSec, calibHeavySec).filter(_ > 0)).min
     val qs = results.map { case (k, (v, _)) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
@@ -228,7 +246,10 @@ object Bench {
     val gcs = results.filter(_._2._2 >= 0.1)
       .map { case (k, (_, g)) => "\"" + k + f"\":$g%.1f" }.mkString("{", ",", "}")
     System.err.println(f"""BENCHGC {"gc_total_sec":$gcTotal%.1f,"gc_by_query":$gcs}""")
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_s":$calibSec%.3f,"calib_start_s":$calibStartSec%.3f,"calib_end_s":$calibEndSec%.3f,"queries":$qs,"sf":"$sfDir"}"""
+    val calibExtra =
+      (if (calibMidSec > 0) f""","calib_mid_s":$calibMidSec%.3f""" else "") +
+      (if (calibHeavySec > 0) f""","calib_heavy_s":$calibHeavySec%.3f""" else "")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_s":$calibSec%.3f,"calib_start_s":$calibStartSec%.3f,"calib_end_s":$calibEndSec%.3f$calibExtra,"queries":$qs,"sf":"$sfDir"}"""
     // The driver stores only a truncated log tail (rounds 1-2 both ended with
     // "parsed": null and invisible timings for most queries), so persist the
     // full JSON to a file as the durable record and print it to stdout too.

