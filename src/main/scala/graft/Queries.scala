@@ -7388,75 +7388,11 @@ object Queries {
       },
       // full recompute: q35-style banded MinHash replay over the NEW
       // snapshot + first-occurrence-wins release + diff counts
-      Some(s"""WITH o AS (SELECT doc_id,
-              |   CASE WHEN doc_id % 13 = 0 THEN text || ' v1' ELSE text END AS text
-              |  FROM documents WHERE doc_id % 11 <> 0),
-              |n AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
-              |d AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-              |   CASE WHEN o.doc_id IS NULL THEN 'added'
-              |        WHEN n.doc_id IS NULL THEN 'removed'
-              |        WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
-              |        ELSE 'changed' END AS status
-              |  FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id),
-              |words AS (SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
-              |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-              |    x -> x <> '') AS tl FROM n)),
-              |toks AS (
-              |  SELECT DISTINCT doc_id,
-              |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
-              |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
-              |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
-              |sig AS (SELECT doc_id,
-              |  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
-              |  min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
-              |  min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
-              |  min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
-              |  FROM toks GROUP BY doc_id),
-              |bands AS (
-              |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sig
-              |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
-              |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
-              |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
-              |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-              |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
-              |   AND x.doc_id < y.doc_id),
-              |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
-              |inter AS (SELECT c.a, c.b, count(*) AS i
-              |  FROM cand c JOIN toks ta ON ta.doc_id = c.a
-              |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
-              |  GROUP BY 1, 2),
-              |pairs AS (SELECT c.a, c.b FROM cand c
-              |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
-              |  JOIN sizes sa ON sa.doc_id = c.a
-              |  JOIN sizes sb ON sb.doc_id = c.b
-              |  WHERE floor(CAST(coalesce(i.i, 0) AS DOUBLE)
-              |      / (sa.sz + sb.sz - coalesce(i.i, 0)) * 1000000) / 1000000 >= 0.8),
-              |dropped AS (SELECT DISTINCT b AS doc_id FROM pairs),
-              |rel AS (SELECT n.doc_id, n.text FROM n
-              |  LEFT JOIN dropped dr ON dr.doc_id = n.doc_id
-              |  WHERE dr.doc_id IS NULL),
-              |agg AS (SELECT
-              |   CAST(coalesce(sum(len(list_filter(string_split_regex(text, '\\s+'),
-              |     x -> x <> ''))), 0) AS BIGINT) AS released_tokens,
-              |   CAST(coalesce(bit_xor(${duckH60(
-                     "'r:' || CAST(doc_id AS VARCHAR) || ':' || md5(text)")}), 0)
-              |     AS BIGINT) AS released_digest
-              |  FROM rel),
-              |dc AS (SELECT
-              |   CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
-              |   CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
-              |   CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-              |   CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
-              |  FROM d),
-              |cnts AS (SELECT
-              |   (SELECT CAST(count(*) AS BIGINT) FROM n) AS n_docs,
-              |   (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs,
-              |   (SELECT CAST(count(*) AS BIGINT) FROM dropped) AS n_dropped)
-              |SELECT cnts.n_docs, dc.n_added, dc.n_changed, dc.n_removed,
-              |  dc.n_unchanged, cnts.n_pairs, cnts.n_dropped,
-              |  cnts.n_docs - cnts.n_dropped AS n_released,
-              |  agg.released_tokens, agg.released_digest
-              |FROM cnts, dc, agg""".stripMargin)),
+      Some(releaseRecomputeSql(
+        """SELECT doc_id,
+          |   CASE WHEN doc_id % 13 = 0 THEN text || ' v1' ELSE text END AS text
+          |  FROM documents WHERE doc_id % 11 <> 0""".stripMargin,
+        "SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0"))),
 
     Q("q275_ivfpq_ann",
       (s, d) => graft.ops.Quantize.ivfPqTopK(T(s, d, "embeddings"),
@@ -7467,68 +7403,8 @@ object Queries {
       // ranks 1..8 are the coarse centroids, whose residuals are zero) →
       // codes → nprobe=2 probes → per-(query, cell) residual ADC tables →
       // probed-cell scan; integer micro-unit distances throughout
-      Some("""WITH f AS (SELECT vec_id, unnest(embedding) AS v,
-             |   generate_subscripts(embedding, 1) AS i FROM embeddings),
-             |ivd AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
-             |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS x FROM f),
-             |cc AS MATERIALIZED (SELECT vec_id AS cell, d, x AS cx FROM ivd
-             |  WHERE vec_id IN (SELECT DISTINCT vec_id FROM ivd ORDER BY vec_id LIMIT 8)),
-             |vc AS MATERIALIZED (SELECT vec_id, cell FROM (
-             |  SELECT vec_id, cell,
-             |   row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM (
-             |   SELECT i.vec_id, c.cell, sum((i.x - c.cx) * (i.x - c.cx)) AS cdist
-             |   FROM ivd i JOIN cc c ON c.d = i.d GROUP BY 1, 2)) WHERE rn = 1),
-             |riv AS MATERIALIZED (SELECT i.vec_id,
-             |   CAST(i.d // 4 AS BIGINT) AS sub, CAST(i.d % 4 AS BIGINT) AS dl,
-             |   i.x - c.cx AS x
-             |  FROM ivd i JOIN vc ON vc.vec_id = i.vec_id
-             |  JOIN cc c ON c.cell = vc.cell AND c.d = i.d),
-             |c0 AS (SELECT vec_id AS cid, sub, dl, x AS cx FROM riv WHERE vec_id IN (
-             |   SELECT vec_id FROM (SELECT DISTINCT vec_id FROM riv ORDER BY vec_id LIMIT 40)
-             |   ORDER BY vec_id DESC LIMIT 32)),
-             |a0 AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
-             |  SELECT vec_id, sub, cid,
-             |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM (
-             |   SELECT riv.vec_id, riv.sub, c.cid, sum((riv.x - c.cx) * (riv.x - c.cx)) AS dist
-             |   FROM riv JOIN c0 c ON c.sub = riv.sub AND c.dl = riv.dl GROUP BY 1, 2, 3)) WHERE rn = 1),
-             |c1 AS MATERIALIZED (SELECT a.cid, a.sub, riv.dl,
-             |  CAST(floor(sum(riv.x)::DOUBLE / count(*)) AS BIGINT) AS cx
-             | FROM a0 a JOIN riv ON riv.vec_id = a.vec_id AND riv.sub = a.sub GROUP BY 1, 2, 3),
-             |a1 AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
-             |  SELECT vec_id, sub, cid,
-             |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM (
-             |   SELECT riv.vec_id, riv.sub, c.cid, sum((riv.x - c.cx) * (riv.x - c.cx)) AS dist
-             |   FROM riv JOIN c1 c ON c.sub = riv.sub AND c.dl = riv.dl GROUP BY 1, 2, 3)) WHERE rn = 1),
-             |c2 AS MATERIALIZED (SELECT a.cid, a.sub, riv.dl,
-             |  CAST(floor(sum(riv.x)::DOUBLE / count(*)) AS BIGINT) AS cx
-             | FROM a1 a JOIN riv ON riv.vec_id = a.vec_id AND riv.sub = a.sub GROUP BY 1, 2, 3),
-             |codes AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
-             |  SELECT vec_id, sub, cid,
-             |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM (
-             |   SELECT riv.vec_id, riv.sub, c.cid, sum((riv.x - c.cx) * (riv.x - c.cx)) AS dist
-             |   FROM riv JOIN c2 c ON c.sub = riv.sub AND c.dl = riv.dl GROUP BY 1, 2, 3)) WHERE rn = 1),
-             |probes AS (SELECT vec_id AS query_id, cell FROM (
-             |  SELECT vec_id, cell,
-             |   row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM (
-             |   SELECT i.vec_id, c.cell, sum((i.x - c.cx) * (i.x - c.cx)) AS cdist
-             |   FROM ivd i JOIN cc c ON c.d = i.d WHERE i.vec_id < 5 GROUP BY 1, 2)) WHERE rn <= 2),
-             |qres AS (SELECT p.query_id, p.cell,
-             |   CAST(i.d // 4 AS BIGINT) AS sub, CAST(i.d % 4 AS BIGINT) AS dl,
-             |   i.x - c.cx AS qx
-             |  FROM probes p JOIN ivd i ON i.vec_id = p.query_id
-             |  JOIN cc c ON c.cell = p.cell AND c.d = i.d),
-             |qd AS MATERIALIZED (SELECT q.query_id, q.cell, q.sub, c.cid,
-             |   sum((q.qx - c.cx) * (q.qx - c.cx)) AS qdist
-             |  FROM qres q JOIN c2 c ON c.sub = q.sub AND c.dl = q.dl
-             |  GROUP BY 1, 2, 3, 4),
-             |ad AS (SELECT qd.query_id, codes.vec_id, sum(qd.qdist) AS adist
-             |  FROM codes JOIN vc ON vc.vec_id = codes.vec_id
-             |  JOIN qd ON qd.cell = vc.cell AND qd.sub = codes.sub AND qd.cid = codes.cid
-             |  WHERE codes.vec_id <> qd.query_id GROUP BY 1, 2),
-             |ranked AS (SELECT query_id, vec_id, CAST(adist AS BIGINT) AS adist,
-             |   CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS INT) AS rank
-             |  FROM ad)
-             |SELECT query_id, vec_id, adist, rank FROM ranked WHERE rank <= 10""".stripMargin)),
+      Some(ivfPqIndexCtes + ",\n" + ivfPqProbeCtes("", 2) + "\n" +
+        "SELECT query_id, vec_id, adist, rank FROM ranked WHERE rank <= 10")),
 
     Q("q276_mmr_cell_pool",
       (s, d) => graft.ops.Similarity.mmrTopKCells(T(s, d, "embeddings")),
@@ -7790,6 +7666,155 @@ object Queries {
   // ---------------------------------------------------------------- round-11 batch 2
   // Hybrid retrieval (RRF fusion of the BM25 and dense-cosine rankers) and
   // position-sensitive index evaluation (nDCG vs the exact ground truth).
+
+  /** Full-recompute release-record oracle (diff counts + q35-style banded
+    * MinHash replay + first-occurrence-wins release) over caller-supplied
+    * old/new snapshot CTE bodies — shared by q274 (snapshot diff) and
+    * q293 (changelog-applied snapshot): the oracle for BOTH increments IS
+    * the full recompute, so each hash check re-proves increment ≡ full on
+    * real data every round. */
+  private def releaseRecomputeSql(oSql: String, nSql: String): String =
+    s"""WITH o AS ($oSql),
+       |n AS ($nSql),
+              |d AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       |   CASE WHEN o.doc_id IS NULL THEN 'added'
+       |        WHEN n.doc_id IS NULL THEN 'removed'
+       |        WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
+       |        ELSE 'changed' END AS status
+       |  FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id),
+       |words AS (SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+       |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    x -> x <> '') AS tl FROM n)),
+       |toks AS (
+       |  SELECT DISTINCT doc_id,
+       |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+       |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+       |sig AS (SELECT doc_id,
+       |  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
+       |  min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
+       |  min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
+       |  min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
+       |  FROM toks GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sig
+       |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+       |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+       |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+       |   AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+       |inter AS (SELECT c.a, c.b, count(*) AS i
+       |  FROM cand c JOIN toks ta ON ta.doc_id = c.a
+       |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT c.a, c.b FROM cand c
+       |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+       |  JOIN sizes sa ON sa.doc_id = c.a
+       |  JOIN sizes sb ON sb.doc_id = c.b
+       |  WHERE floor(CAST(coalesce(i.i, 0) AS DOUBLE)
+       |      / (sa.sz + sb.sz - coalesce(i.i, 0)) * 1000000) / 1000000 >= 0.8),
+       |dropped AS (SELECT DISTINCT b AS doc_id FROM pairs),
+       |rel AS (SELECT n.doc_id, n.text FROM n
+       |  LEFT JOIN dropped dr ON dr.doc_id = n.doc_id
+       |  WHERE dr.doc_id IS NULL),
+       |agg AS (SELECT
+       |   CAST(coalesce(sum(len(list_filter(string_split_regex(text, '\\s+'),
+       |     x -> x <> ''))), 0) AS BIGINT) AS released_tokens,
+       |   CAST(coalesce(bit_xor(${duckH60(
+                     "'r:' || CAST(doc_id AS VARCHAR) || ':' || md5(text)")}), 0)
+       |     AS BIGINT) AS released_digest
+       |  FROM rel),
+       |dc AS (SELECT
+       |   CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       |   CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       |   CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |   CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+       |  FROM d),
+       |cnts AS (SELECT
+       |   (SELECT CAST(count(*) AS BIGINT) FROM n) AS n_docs,
+       |   (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs,
+       |   (SELECT CAST(count(*) AS BIGINT) FROM dropped) AS n_dropped)
+       |SELECT cnts.n_docs, dc.n_added, dc.n_changed, dc.n_removed,
+       |  dc.n_unchanged, cnts.n_pairs, cnts.n_dropped,
+       |  cnts.n_docs - cnts.n_dropped AS n_released,
+       |  agg.released_tokens, agg.released_digest
+       |FROM cnts, dc, agg""".stripMargin
+
+  /** Shared q275/q292 IVFADC index-replay CTE chain (coarse assignment →
+    * residuals → 2 Lloyd rounds per subspace → final codes), ending at the
+    * `codes` relation; probe blocks are generated per nprobe by
+    * [[ivfPqProbeCtes]] so the q292 recall sweep replays ONE training and
+    * four probes — exactly what the engine does. */
+  // lazy: referenced by q275's registration, which initializes BEFORE
+  // this val in declaration order (a plain val would still be null there)
+  private lazy val ivfPqIndexCtes: String = """WITH f AS (SELECT vec_id, unnest(embedding) AS v,
+    |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+    |ivd AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
+    |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS x FROM f),
+    |cc AS MATERIALIZED (SELECT vec_id AS cell, d, x AS cx FROM ivd
+    |  WHERE vec_id IN (SELECT DISTINCT vec_id FROM ivd ORDER BY vec_id LIMIT 8)),
+    |vc AS MATERIALIZED (SELECT vec_id, cell FROM (
+    |  SELECT vec_id, cell,
+    |   row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM (
+    |   SELECT i.vec_id, c.cell, sum((i.x - c.cx) * (i.x - c.cx)) AS cdist
+    |   FROM ivd i JOIN cc c ON c.d = i.d GROUP BY 1, 2)) WHERE rn = 1),
+    |riv AS MATERIALIZED (SELECT i.vec_id,
+    |   CAST(i.d // 4 AS BIGINT) AS sub, CAST(i.d % 4 AS BIGINT) AS dl,
+    |   i.x - c.cx AS x
+    |  FROM ivd i JOIN vc ON vc.vec_id = i.vec_id
+    |  JOIN cc c ON c.cell = vc.cell AND c.d = i.d),
+    |c0 AS (SELECT vec_id AS cid, sub, dl, x AS cx FROM riv WHERE vec_id IN (
+    |   SELECT vec_id FROM (SELECT DISTINCT vec_id FROM riv ORDER BY vec_id LIMIT 40)
+    |   ORDER BY vec_id DESC LIMIT 32)),
+    |a0 AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
+    |  SELECT vec_id, sub, cid,
+    |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM (
+    |   SELECT riv.vec_id, riv.sub, c.cid, sum((riv.x - c.cx) * (riv.x - c.cx)) AS dist
+    |   FROM riv JOIN c0 c ON c.sub = riv.sub AND c.dl = riv.dl GROUP BY 1, 2, 3)) WHERE rn = 1),
+    |c1 AS MATERIALIZED (SELECT a.cid, a.sub, riv.dl,
+    |  CAST(floor(sum(riv.x)::DOUBLE / count(*)) AS BIGINT) AS cx
+    | FROM a0 a JOIN riv ON riv.vec_id = a.vec_id AND riv.sub = a.sub GROUP BY 1, 2, 3),
+    |a1 AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
+    |  SELECT vec_id, sub, cid,
+    |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM (
+    |   SELECT riv.vec_id, riv.sub, c.cid, sum((riv.x - c.cx) * (riv.x - c.cx)) AS dist
+    |   FROM riv JOIN c1 c ON c.sub = riv.sub AND c.dl = riv.dl GROUP BY 1, 2, 3)) WHERE rn = 1),
+    |c2 AS MATERIALIZED (SELECT a.cid, a.sub, riv.dl,
+    |  CAST(floor(sum(riv.x)::DOUBLE / count(*)) AS BIGINT) AS cx
+    | FROM a1 a JOIN riv ON riv.vec_id = a.vec_id AND riv.sub = a.sub GROUP BY 1, 2, 3),
+    |codes AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
+    |  SELECT vec_id, sub, cid,
+    |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM (
+    |   SELECT riv.vec_id, riv.sub, c.cid, sum((riv.x - c.cx) * (riv.x - c.cx)) AS dist
+    |   FROM riv JOIN c2 c ON c.sub = riv.sub AND c.dl = riv.dl GROUP BY 1, 2, 3)) WHERE rn = 1)""".stripMargin
+
+  /** One IVFADC probe block at `nprobe` with CTE names prefixed by `p`
+    * (empty prefix reproduces the q275 chain verbatim); ends at
+    * `<p>ranked(query_id, vec_id, adist, rank)`. */
+  private def ivfPqProbeCtes(p: String, nprobe: Int): String =
+    s"""${p}probes AS (SELECT vec_id AS query_id, cell FROM (
+       |  SELECT vec_id, cell,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM (
+       |   SELECT i.vec_id, c.cell, sum((i.x - c.cx) * (i.x - c.cx)) AS cdist
+       |   FROM ivd i JOIN cc c ON c.d = i.d WHERE i.vec_id < 5 GROUP BY 1, 2)) WHERE rn <= $nprobe),
+       |${p}qres AS (SELECT p.query_id, p.cell,
+       |   CAST(i.d // 4 AS BIGINT) AS sub, CAST(i.d % 4 AS BIGINT) AS dl,
+       |   i.x - c.cx AS qx
+       |  FROM ${p}probes p JOIN ivd i ON i.vec_id = p.query_id
+       |  JOIN cc c ON c.cell = p.cell AND c.d = i.d),
+       |${p}qd AS MATERIALIZED (SELECT q.query_id, q.cell, q.sub, c.cid,
+       |   sum((q.qx - c.cx) * (q.qx - c.cx)) AS qdist
+       |  FROM ${p}qres q JOIN c2 c ON c.sub = q.sub AND c.dl = q.dl
+       |  GROUP BY 1, 2, 3, 4),
+       |${p}ad AS (SELECT qd.query_id, codes.vec_id, sum(qd.qdist) AS adist
+       |  FROM codes JOIN vc ON vc.vec_id = codes.vec_id
+       |  JOIN ${p}qd qd ON qd.cell = vc.cell AND qd.sub = codes.sub AND qd.cid = codes.cid
+       |  WHERE codes.vec_id <> qd.query_id GROUP BY 1, 2),
+       |${p}ranked AS (SELECT query_id, vec_id, CAST(adist AS BIGINT) AS adist,
+       |   CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS INT) AS rank
+       |  FROM ${p}ad)""".stripMargin
 
   /** The q282 discount/ideal CASE chains — generated from the SAME
     * [[graft.ops.Retrieval.ndcgWeights]] constants the engine embeds, so
@@ -8261,13 +8286,112 @@ object Queries {
               |    AS BIGINT) AS coverage_u
               |FROM j""".stripMargin)))
 
+  // ---------------------------------------------------------------- round-12
+  // IVF-PQ quality measurement: the index is only servable if its
+  // recall-vs-nprobe curve is known; q292 sweeps it against exact
+  // integer-L2 ground truth, sharing ONE training with four probes.
+
+  /** Per-nprobe q292 eval block over the shared `ex`/`perq`/`qx` ground-
+    * truth CTEs and the `n<np>ranked` probe chain. */
+  private def ivfPqEvalCte(np: Int): String =
+    s"""n${np}h AS (SELECT e.query_id, count(*) AS n_hit,
+       |   CAST(sum(${ndcgWeightSql("r.rank", 10)}) AS BIGINT) AS dcg_u
+       |  FROM ex e JOIN n${np}ranked r ON r.query_id = e.query_id
+       |   AND r.vec_id = e.vec_id AND r.rank <= 10 GROUP BY 1),
+       |n${np}e AS (SELECT CAST($np AS BIGINT) AS nprobe, b.query_id,
+       |   CAST(coalesce(p.n_exact, 0) AS BIGINT) AS n_exact,
+       |   CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |   CAST(CASE WHEN coalesce(p.n_exact, 0) > 0
+       |     THEN coalesce(h.n_hit, 0) * 1000000 // p.n_exact END AS BIGINT)
+       |     AS recall_u,
+       |   CAST(coalesce(h.dcg_u, 0) AS BIGINT) AS dcg_u,
+       |   CAST(coalesce(${ndcgIdcgSql("p.n_exact", 10)}, 0) AS BIGINT) AS idcg_u,
+       |   CAST(CASE WHEN coalesce(p.n_exact, 0) > 0
+       |     THEN coalesce(h.dcg_u, 0) * 1000000
+       |       // ${ndcgIdcgSql("p.n_exact", 10)} END AS BIGINT) AS ndcg_u
+       |  FROM qx b LEFT JOIN perq p ON p.query_id = b.query_id
+       |  LEFT JOIN n${np}h h ON h.query_id = b.query_id)""".stripMargin
+
+  private val ext39Qs = Seq(
+    Q("q293_changelog_release",
+      // the q274 increment with its last corpus-sized stage removed: the
+      // delta arrives as (op, doc_id, text) CHANGE ROWS — deletes for
+      // % 97, changed texts for % 13, brand-new near-dup arrivals cloned
+      // from % 17, and a same-text NOOP upsert for % 41 (whose state must
+      // survive untouched). The oracle is the FULL recompute over the
+      // applied snapshot, so the hash check proves changelog ≡ full
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val st = graft.ops.Pipeline.releaseState(docs)
+        val adds = docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            concat(col("text"), lit(" arrival")).as("text"))
+        val changelog = docs.filter(col("doc_id") % 97 === 0)
+          .select(lit("delete").as("op"), col("doc_id"),
+            lit(null).cast("string").as("text"))
+          .unionByName(docs
+            .filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 13 === 0)
+            .select(lit("upsert").as("op"), col("doc_id"),
+              concat(col("text"), lit(" changelog v2")).as("text")))
+          .unionByName(adds.select(lit("upsert").as("op"), col("doc_id"),
+            col("text")))
+          .unionByName(docs
+            .filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 13 =!= 0 &&
+              col("doc_id") % 41 === 0)
+            .select(lit("upsert").as("op"), col("doc_id"), col("text")))
+        val corpusNew = docs.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 13 === 0,
+              concat(col("text"), lit(" changelog v2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(adds)
+        graft.ops.Pipeline.incrementalReleaseChangelog(st, corpusNew,
+          changelog)
+      },
+      Some(releaseRecomputeSql(
+        "SELECT doc_id, text FROM documents",
+        """SELECT doc_id,
+          |   CASE WHEN doc_id % 13 = 0 THEN text || ' changelog v2'
+          |     ELSE text END AS text
+          |  FROM documents WHERE doc_id % 97 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 5000000 AS doc_id, text || ' arrival' AS text
+          |  FROM documents WHERE doc_id % 17 = 0""".stripMargin))),
+
+    Q("q292_ivfpq_recall",
+      // THE serve/no-serve curve for the q275 index: recall@10 and nDCG@10
+      // of IVF-PQ vs exact integer-L2 ground truth at nprobe 1/2/4/8 —
+      // one training (the q275 IVFADC replay), four probe blocks, the
+      // shared Scala-precomputed nDCG discount literals on both engines
+      (s, d) => graft.ops.Quantize.ivfPqRecall(T(s, d, "embeddings"),
+        nprobes = Seq(1, 2, 4, 8), nCells = 8, m = 16, k = 32, rounds = 2,
+        nQueries = 5, topK = 10, dim = 64),
+      Some(ivfPqIndexCtes + ",\n" +
+        Seq(1, 2, 4, 8).map(np => ivfPqProbeCtes(s"n$np", np))
+          .mkString(",\n") + ",\n" +
+        s"""exd AS (SELECT qi.vec_id AS query_id, i.vec_id,
+           |   sum((i.x - qi.x) * (i.x - qi.x)) AS edist
+           |  FROM ivd i JOIN ivd qi ON qi.d = i.d AND qi.vec_id < 5
+           |   AND i.vec_id <> qi.vec_id
+           |  GROUP BY 1, 2),
+           |ex AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY edist, vec_id) AS rk
+           |  FROM exd) WHERE rk <= 10),
+           |perq AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
+           |qx AS (SELECT DISTINCT vec_id AS query_id FROM embeddings
+           |  WHERE vec_id < 5),
+           |${Seq(1, 2, 4, 8).map(ivfPqEvalCte).mkString(",\n")}
+           |SELECT * FROM n1e UNION ALL SELECT * FROM n2e
+           |UNION ALL SELECT * FROM n4e UNION ALL SELECT * FROM n8e""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs ++ ext38Qs
+      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs ++ ext38Qs ++ ext39Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

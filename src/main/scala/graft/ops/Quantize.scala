@@ -336,7 +336,41 @@ object Quantize {
     */
   def ivfPqTopK(embeddings: DataFrame, nCells: Int = 8, nprobe: Int = 2,
       m: Int = 16, k: Int = 32, rounds: Int = 2, nQueries: Int = 5,
-      topK: Int = 10, dim: Int = 0): DataFrame = {
+      topK: Int = 10, dim: Int = 0): DataFrame =
+    ivfPqProbe(ivfPqIndex(embeddings, nCells, m, k, rounds, dim),
+      nprobe, nQueries, topK)
+
+  /** Trained IVF-PQ index pieces, each checkpointed narrow:
+    *  - `iv`: integerized corpus coordinates (vec_id, d, x);
+    *  - `coarse`: nCells coarse centroids (cell, d, cx);
+    *  - `vcell`: vector→cell assignment (vec_id, cell);
+    *  - `cents`: residual PQ codebook (cid, sub, dl, cx);
+    *  - `codes`: PQ codes of residuals, (vec_id, sub, cid) — joined with
+    *    `vcell` this is THE servable relation (cell, vec_id, sub, cid):
+    *    m bytes/vector, written cell-partitioned via [[writeIvfPqIndex]]
+    *    so a probe touches only its cells' files. */
+  case class IvfPqIndex(iv: DataFrame, coarse: DataFrame, vcell: DataFrame,
+      cents: DataFrame, codes: DataFrame, subDim: Int)
+
+  /** Nearest `probes` coarse centroids by squared L2, ties to the lowest
+    * cell id — shared by corpus assignment (probes=1) and query probing. */
+  private def assignCell(df: DataFrame, coarse: DataFrame,
+      probes: Int): DataFrame = {
+    val dists = df.join(broadcast(coarse), Seq("d"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("cdist"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdist"), col("cell"))
+    dists.withColumn("rn", row_number().over(w)).filter(col("rn") <= probes)
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** Train the IVF-PQ index ONCE (the expensive half: coarse assignment +
+    * `rounds` residual Lloyd's rounds + final encoding); probing is then
+    * per-call cheap, which is what makes [[ivfPqRecall]]'s recall-vs-nprobe
+    * sweep affordable — one training bill, four probe bills. */
+  def ivfPqIndex(embeddings: DataFrame, nCells: Int = 8, m: Int = 16,
+      k: Int = 32, rounds: Int = 2, dim: Int = 0): IvfPqIndex = {
     val dimR = resolveDim(embeddings, dim)
     require(dimR % m == 0, s"dim $dimR not divisible by m=$m")
     val subDim = dimR / m
@@ -346,17 +380,7 @@ object Quantize {
       .orderBy(col("vec_id")).limit(nCells)
     val coarse = FreshCheckpoint(iv.join(broadcast(firstC), Seq("vec_id"))
       .select(col("vec_id").as("cell"), col("d"), col("x").as("cx")))
-    // nearest `probes` coarse centroids by squared L2, ties to lowest cell
-    def assignCell(df: DataFrame, probes: Int): DataFrame = {
-      val dists = df.join(broadcast(coarse), Seq("d"))
-        .groupBy(col("vec_id"), col("cell"))
-        .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("cdist"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cdist"), col("cell"))
-      dists.withColumn("rn", row_number().over(w)).filter(col("rn") <= probes)
-        .select(col("vec_id"), col("cell"))
-    }
-    val vcell = FreshCheckpoint(assignCell(iv, 1))
+    val vcell = FreshCheckpoint(assignCell(iv, coarse, 1))
     // residual coordinates in PQ (sub, dl) layout
     val riv = FreshCheckpoint(iv.join(vcell, Seq("vec_id"))
       .join(broadcast(coarse), Seq("cell", "d"))
@@ -385,10 +409,32 @@ object Quantize {
     for (_ <- 1 to rounds)
       cents = FreshCheckpoint(update(assign(cents)))
     val centsF = FreshCheckpoint(cents)
-    val codes = assign(centsF) // (vec_id, sub, cid) — m bytes per vector
-    // query side: probe nprobe cells, per-(query, cell) residual ADC table
+    // (vec_id, sub, cid) — m bytes per vector; checkpointed because every
+    // probe call re-reads it (the recall sweep reads it nprobes times)
+    val codes = FreshCheckpoint(assign(centsF))
+    IvfPqIndex(iv, coarse, vcell, centsF, codes, subDim)
+  }
+
+  /** Probe a trained index: nprobe nearest cells per query, per-(query,
+    * cell) residual ADC table, probed-cell scan. Same output contract as
+    * [[ivfPqTopK]]. */
+  def ivfPqProbe(idx: IvfPqIndex, nprobe: Int, nQueries: Int = 5,
+      topK: Int = 10): DataFrame =
+    ivfPqProbeFact(idx.codes.join(idx.vcell, Seq("vec_id"))
+        .select(col("cell"), col("vec_id"), col("sub"), col("cid")),
+      idx.iv, idx.coarse, idx.cents, idx.subDim, nprobe, nQueries, topK)
+
+  /** Probe against the SERVABLE fact relation (cell, vec_id, sub, cid) —
+    * either the in-memory codes⋈vcell or the cell-partitioned table
+    * [[writeIvfPqIndex]] persisted. The fact side is touched by exactly
+    * one equi-join against the broadcast ADC tables, so over the
+    * persisted layout a cell filter prunes directories and NOTHING
+    * corpus-sized shuffles (Round12Spec locks both). */
+  def ivfPqProbeFact(fact: DataFrame, iv: DataFrame, coarse: DataFrame,
+      cents: DataFrame, subDim: Int, nprobe: Int, nQueries: Int = 5,
+      topK: Int = 10): DataFrame = {
     val qiv = iv.filter(col("vec_id") < nQueries)
-    val probes = assignCell(qiv, nprobe)
+    val probes = assignCell(qiv, coarse, nprobe)
       .select(col("vec_id").as("query_id"), col("cell"))
     val qres = probes
       .join(qiv.select(col("vec_id").as("query_id"), col("d"), col("x")),
@@ -397,12 +443,12 @@ object Quantize {
       .select(col("query_id"), col("cell"),
         (col("d") / subDim).cast("long").as("sub"),
         (col("d") % subDim).as("dl"), (col("x") - col("cx")).as("qx"))
-    val qd = qres.join(broadcast(centsF), Seq("sub", "dl"))
+    val qd = qres.join(broadcast(cents), Seq("sub", "dl"))
       .groupBy(col("query_id"), col("cell"), col("sub"), col("cid"))
       .agg(sum((col("qx") - col("cx")) * (col("qx") - col("cx"))).as("qdist"))
-    // probed-cell scan: codes equi-join the broadcast ADC tables — at
-    // cluster scale only the probed cells' buckets are read at all
-    val ad = codes.join(vcell, Seq("vec_id"))
+    // probed-cell scan: the fact relation equi-joins the broadcast ADC
+    // tables — at cluster scale only the probed cells' files are read
+    val ad = fact
       .join(broadcast(qd), Seq("cell", "sub", "cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
@@ -411,5 +457,91 @@ object Quantize {
     ad.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("vec_id"), col("adist"), col("rank"))
+  }
+
+  /** Persist the servable IVF-PQ fact relation (cell, vec_id, sub, cid)
+    * hive-partitioned BY CELL — the layout that makes a probe
+    * partition-pruned file access at 100 TB: a query reading nprobe of
+    * nCells cells opens only those directories (PartitionFilters in the
+    * scan), and the ADC tables broadcast, so NOTHING corpus-sized
+    * shuffles or is even read outside the probed cells. Codebooks
+    * (coarse centroids + residual PQ centroids) are dimension-sized and
+    * ride plain parquet next to it. */
+  def writeIvfPqIndex(idx: IvfPqIndex, table: String, path: String): Unit = {
+    graft.sources.Store.writePartitioned(
+      idx.codes.join(idx.vcell, Seq("vec_id"))
+        .select(col("cell"), col("vec_id"), col("sub"), col("cid")),
+      table, path, "cell")
+    idx.coarse.write.mode("overwrite").parquet(s"$path-coarse")
+    idx.cents.write.mode("overwrite").parquet(s"$path-cents")
+  }
+
+  /** Recall@k and nDCG@k of IVF-PQ against EXACT integer-L2 ground truth,
+    * swept over `nprobes` — THE serve/no-serve curve for this index
+    * (recall rises with nprobe, cost rises with the fraction of the
+    * corpus scanned; the knee picks the operating point). The index
+    * trains ONCE; each nprobe adds only a probe pass whose ADC scan is
+    * bounded by the probed cells.
+    *
+    * Ground truth is exact SQUARED L2 over the same micro-unit integer
+    * coordinates the index quantizes (per-dim diff ≤ 2·10⁶, squared
+    * 4·10¹², ×64 dims ≈ 2.6·10¹⁴ — BIGINT-safe), so both engines replay
+    * it exactly; nDCG uses binary relevance against the exact top-k with
+    * the shared [[graft.ops.Retrieval.ndcgWeights]] literals. Output is
+    * query-anchored (the q282 discipline): a degenerate query emits
+    * n_exact = 0 with NULL recall/ndcg rather than vanishing.
+    *
+    * @return one row per (nprobe, query): (nprobe, query_id, n_exact,
+    *         n_hit, recall_u, dcg_u, idcg_u, ndcg_u)
+    */
+  def ivfPqRecall(embeddings: DataFrame, nprobes: Seq[Int] = Seq(1, 2, 4, 8),
+      nCells: Int = 8, m: Int = 16, k: Int = 32, rounds: Int = 2,
+      nQueries: Int = 5, topK: Int = 10, dim: Int = 0): DataFrame = {
+    val idx = ivfPqIndex(embeddings, nCells, m, k, rounds, dim)
+    val qiv = idx.iv.filter(col("vec_id") < nQueries)
+    val qids = qiv.select(col("vec_id").as("query_id")).distinct()
+    // exact integer-L2 top-k: per-dim equi-join (d is the join key; the
+    // query side is nQueries·dim rows — broadcast), partial-agg sum
+    val ed = idx.iv.join(
+        broadcast(qiv.select(col("vec_id").as("query_id"), col("d"),
+          col("x").as("qx"))), Seq("d"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum((col("x") - col("qx")) * (col("x") - col("qx"))).as("edist"))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("edist"), col("vec_id"))
+    val exact = FreshCheckpoint(ed
+      .withColumn("exact_rank", row_number().over(we))
+      .filter(col("exact_rank") <= topK)
+      .select(col("query_id"), col("vec_id")))
+    val ws = graft.ops.Retrieval.ndcgWeights(topK)
+    val wOf: Column => Column = r => element_at(
+      map(ws.zipWithIndex.flatMap { case (u, i) =>
+        Seq(lit((i + 1).toLong), lit(u)) }: _*), r)
+    val idcgOf: Column => Column = n => element_at(
+      map(ws.scanLeft(0L)(_ + _).tail.zipWithIndex.flatMap { case (u, i) =>
+        Seq(lit((i + 1).toLong), lit(u)) }: _*), n)
+    val perQ = exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+    nprobes.map { np =>
+      val approx = ivfPqProbe(idx, np, nQueries, topK)
+        .select(col("query_id"), col("vec_id"),
+          col("rank").cast("long").as("approx_rank"))
+      val hits = exact.join(approx, Seq("query_id", "vec_id"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hit"), sum(wOf(col("approx_rank"))).as("dcg_u"))
+      qids.join(perQ, Seq("query_id"), "left")
+        .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("nprobe", lit(np.toLong))
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("dcg_u", coalesce(col("dcg_u"), lit(0L)))
+        .withColumn("idcg_u", coalesce(idcgOf(col("n_exact")), lit(0L)))
+        .withColumn("recall_u",
+          when(col("n_exact") > 0, expr("n_hit * 1000000 div n_exact")))
+        .withColumn("ndcg_u",
+          when(col("idcg_u") > 0, expr("dcg_u * 1000000 div idcg_u")))
+        .select(col("nprobe"), col("query_id"), col("n_exact"), col("n_hit"),
+          col("recall_u"), col("dcg_u"), col("idcg_u"), col("ndcg_u"))
+    }.reduce(_ unionByName _)
   }
 }

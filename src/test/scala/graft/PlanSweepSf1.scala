@@ -79,7 +79,11 @@ class PlanSweepSf1 extends SparkTestBase {
     "q274_incremental_release", "q275_ivfpq_ann", "q276_mmr_cell_pool",
     "q279_pair_integrity", "q280_duplicated_extents",
     "q281_rrf_fusion", "q282_ndcg_audit", "q288_curriculum_order",
-    "q289_rag_context", "q290_index_staleness", "q291_curriculum_packing")
+    "q289_rag_context", "q290_index_staleness", "q291_curriculum_packing",
+    // round-12: the recall sweep trains the q275 index once and adds four
+    // probe blocks — same IVFADC shapes, plus the exact-L2 ground truth;
+    // the changelog release composes q274's increment core
+    "q292_ivfpq_recall", "q293_changelog_release")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 

@@ -127,4 +127,97 @@ class Round12Spec extends SparkTestBase {
     assert(r.getAs[Long]("idcg_u") == 0L)
     assert(r.isNullAt(r.fieldIndex("ndcg_u")))
   }
+
+  test("incrementalReleaseChangelog == ledger-diff increment == full " +
+      "recompute, with noop upserts and unknown-id deletes ignored") {
+    import graft.ops.Pipeline
+    val oldDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "solo unique text about nothing in particular here now"),
+      (4L, "match target text that doc three will copy exactly soon"),
+      (5L, "source for the added duplicate doc twenty to copy"),
+      (6L, "common boiler plate text shared by six and seven"),
+      (7L, "common boiler plate text shared by six and seven"),
+      (9L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (12L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    // changelog: delete 2 (resurrects 12); change 1 (resurrects 9) and 3
+    // (onto 4's text — newly drops 4); add 20 (dup of 5) and 21 (novel);
+    // NOOP upsert of 6 (same text — its sigs/pairs must survive so 7
+    // stays dropped); delete of unknown id 999 (must be ignored)
+    val changelog = Seq(
+      ("delete", 2L, null.asInstanceOf[String]),
+      ("upsert", 1L, "completely different replacement text with no overlap whatsoever anymore"),
+      ("upsert", 3L, "match target text that doc three will copy exactly soon"),
+      ("upsert", 20L, "source for the added duplicate doc twenty to copy"),
+      ("upsert", 21L, "brand new novel document with fresh words only here"),
+      ("upsert", 6L, "common boiler plate text shared by six and seven"),
+      ("delete", 999L, null.asInstanceOf[String])
+    ).toDF("op", "doc_id", "text")
+    val newDocs = Seq(
+      (1L, "completely different replacement text with no overlap whatsoever anymore"),
+      (3L, "match target text that doc three will copy exactly soon"),
+      (4L, "match target text that doc three will copy exactly soon"),
+      (5L, "source for the added duplicate doc twenty to copy"),
+      (6L, "common boiler plate text shared by six and seven"),
+      (7L, "common boiler plate text shared by six and seven"),
+      (9L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (12L, "one two three four five six seven eight"),
+      (20L, "source for the added duplicate doc twenty to copy"),
+      (21L, "brand new novel document with fresh words only here"))
+      .toDF("doc_id", "text")
+    val viaChangelog = Pipeline.incrementalReleaseChangelog(
+      Pipeline.releaseState(oldDocs), newDocs, changelog)
+    val viaDiff = Pipeline.incrementalRelease(
+      Pipeline.releaseState(oldDocs), newDocs)
+    val viaFull = Pipeline.fullRelease(oldDocs, newDocs)
+    assert(viaChangelog.columns.toSeq == viaFull.columns.toSeq)
+    val rows = Seq(viaChangelog, viaDiff, viaFull).map(_.collect().map(_.toSeq))
+    assert(rows(0).length == 1)
+    assert(rows(0).head == rows(2).head)
+    assert(rows(1).head == rows(2).head)
+    // planted expectation: the noop upsert of 6 left (6,7) intact
+    val m = viaChangelog.first().getValuesMap[Long](viaChangelog.columns)
+    assert(m("n_pairs") == 3L)   // (3,4), (5,20), (6,7)
+    assert(m("n_dropped") == 3L) // 4, 20, 7
+    assert(m("n_added") == 2L && m("n_changed") == 2L && m("n_removed") == 1L)
+  }
+
+  test("persisted IVF-PQ index: cell filter prunes partitions, probe join " +
+      "has no fact-side Exchange, and results equal the in-memory path") {
+    import graft.ops.Quantize
+    val emb = spark.read.parquet(s"$testData/sf0.001/embeddings.parquet")
+    val idx = Quantize.ivfPqIndex(emb, nCells = 4, m = 4, k = 8,
+      rounds = 1, dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Quantize.writeIvfPqIndex(idx, "ivfpq_codes_t", s"$dir/codes")
+    try {
+      val fact = graft.sources.Store.table(spark, "ivfpq_codes_t")
+      // (1) the layout prunes: a probed-cell filter becomes a
+      // PartitionFilter (directory pruning — unprobed cells never open)
+      val cells = fact.select(col("cell")).distinct()
+        .orderBy(col("cell")).limit(1)
+        .collect().map(_.getLong(0)) // 1-row driver artifact, spec-only
+      val pruned = fact.filter(col("cell") === cells.head)
+      val scan = pruned.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+        scan.take(2000))
+      // (2) the probe over the PERSISTED fact equals the in-memory probe
+      val mem = Quantize.ivfPqProbe(idx, nprobe = 2, nQueries = 3, topK = 5)
+        .select("query_id", "vec_id", "adist", "rank")
+        .collect().map(_.toSeq).toSet
+      val srv = Quantize.ivfPqProbeFact(fact, idx.iv, idx.coarse, idx.cents,
+          idx.subDim, nprobe = 2, nQueries = 3, topK = 5)
+        .select("query_id", "vec_id", "adist", "rank")
+      assert(srv.collect().map(_.toSeq).toSet === mem)
+      // (3) no Exchange on the fact side under the probe join: the ADC
+      // tables broadcast, so the corpus-sized relation is read once and
+      // never reshuffled (the aggregate after it keys on (query, vec))
+      val plan = srv.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+      assert(!plan.contains("Exchange hashpartitioning(cell"),
+        "fact side reshuffled on cell despite broadcast ADC join:\n" +
+          plan.take(2000))
+    } finally spark.sql("DROP TABLE IF EXISTS ivfpq_codes_t")
+  }
 }
