@@ -7475,67 +7475,8 @@ object Queries {
           docs.select(col("doc_id").as("media_id"),
             col("text").as("caption")))
       },
-      Some("""WITH pos AS (SELECT doc_id, text,
-             |   unnest(range(1, strlen(text) + 1)) AS i FROM documents),
-             |feat AS (SELECT doc_id AS media_id, CAST((i - 1) % 60 AS BIGINT) AS k,
-             |   CAST(sum(ord(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS f
-             |  FROM pos GROUP BY 1, 2),
-             |spine AS (SELECT d.doc_id AS media_id, r.range AS k
-             |  FROM documents d, range(0, 60) r),
-             |ff AS (SELECT s.media_id, s.k, coalesce(f.f, 0) AS f
-             |  FROM spine s LEFT JOIN feat f
-             |   ON f.media_id = s.media_id AND f.k = s.k),
-             |bits AS (SELECT a.media_id,
-             |   CASE WHEN a.f > b.f THEN 1::BIGINT << CAST(a.k AS INT) ELSE 0::BIGINT END AS bit
-             |  FROM ff a JOIN ff b ON b.media_id = a.media_id
-             |   AND b.k = (a.k + 1) % 60),
-             |psig AS (SELECT media_id, CAST(sum(bit) AS BIGINT) AS phash
-             |  FROM bits GROUP BY 1),
-             |pchunks AS (SELECT media_id, c.range AS chunk,
-             |   (phash >> CAST(c.range * 15 AS INT)) & 32767 AS key, phash
-             |  FROM psig, range(0, 4) c),
-             |ipairs AS (SELECT DISTINCT x.media_id AS a, y.media_id AS b,
-             |   CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
-             |  FROM pchunks x JOIN pchunks y ON y.chunk = x.chunk
-             |   AND y.key = x.key AND x.media_id < y.media_id
-             |  WHERE bit_count(xor(x.phash, y.phash)) <= 3),
-             |words AS (SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
-             |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
-             |    x -> x <> '') AS tl FROM documents)),
-             |toks AS (
-             |  SELECT DISTINCT doc_id,
-             |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
-             |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
-             |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
-             |msig AS (SELECT doc_id,
-             |  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
-             |  min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
-             |  min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
-             |  min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
-             |  FROM toks GROUP BY doc_id),
-             |bands AS (
-             |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM msig
-             |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM msig
-             |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM msig
-             |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM msig),
-             |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-             |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
-             |   AND x.doc_id < y.doc_id),
-             |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
-             |inter AS (SELECT c.a, c.b, count(*) AS i
-             |  FROM cand c JOIN toks ta ON ta.doc_id = c.a
-             |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
-             |  GROUP BY 1, 2),
-             |cpairs AS (SELECT a, b, jac_u FROM (
-             |  SELECT c.a, c.b,
-             |   CAST(floor(CAST(coalesce(i.i, 0) AS DOUBLE)
-             |     / (sa.sz + sb.sz - coalesce(i.i, 0)) * 1000000) AS BIGINT) AS jac_u
-             |  FROM cand c
-             |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
-             |  JOIN sizes sa ON sa.doc_id = c.a
-             |  JOIN sizes sb ON sb.doc_id = c.b)
-             |  WHERE jac_u >= 800000)
-             |SELECT i.a, i.b, 'both' AS kind, i.hamming, c.jac_u
+      Some("WITH " + pairModalityCtes + "\n" +
+        """             |SELECT i.a, i.b, 'both' AS kind, i.hamming, c.jac_u
              |FROM ipairs i JOIN cpairs c ON c.a = i.a AND c.b = i.b
              |UNION ALL
              |SELECT i.a, i.b, 'img_only' AS kind, i.hamming,
@@ -7666,6 +7607,72 @@ object Queries {
   // ---------------------------------------------------------------- round-11 batch 2
   // Hybrid retrieval (RRF fusion of the BM25 and dense-cosine rankers) and
   // position-sensitive index evaluation (nDCG vs the exact ground truth).
+
+  /** Shared q279/q294 two-modality pair chain over the paired corpus:
+    * q199's banded perceptual-hash pairs (`ipairs`) and q35's verified
+    * caption-MinHash pairs (`cpairs`). No WITH keyword — q279 prefixes
+    * plain WITH, q294 WITH RECURSIVE (its union-closure CC needs it). */
+  private lazy val pairModalityCtes: String =
+    """pos AS (SELECT doc_id, text,
+       |   unnest(range(1, strlen(text) + 1)) AS i FROM documents),
+       |feat AS (SELECT doc_id AS media_id, CAST((i - 1) % 60 AS BIGINT) AS k,
+       |   CAST(sum(ord(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS f
+       |  FROM pos GROUP BY 1, 2),
+       |spine AS (SELECT d.doc_id AS media_id, r.range AS k
+       |  FROM documents d, range(0, 60) r),
+       |ff AS (SELECT s.media_id, s.k, coalesce(f.f, 0) AS f
+       |  FROM spine s LEFT JOIN feat f
+       |   ON f.media_id = s.media_id AND f.k = s.k),
+       |bits AS (SELECT a.media_id,
+       |   CASE WHEN a.f > b.f THEN 1::BIGINT << CAST(a.k AS INT) ELSE 0::BIGINT END AS bit
+       |  FROM ff a JOIN ff b ON b.media_id = a.media_id
+       |   AND b.k = (a.k + 1) % 60),
+       |psig AS (SELECT media_id, CAST(sum(bit) AS BIGINT) AS phash
+       |  FROM bits GROUP BY 1),
+       |pchunks AS (SELECT media_id, c.range AS chunk,
+       |   (phash >> CAST(c.range * 15 AS INT)) & 32767 AS key, phash
+       |  FROM psig, range(0, 4) c),
+       |ipairs AS (SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+       |   CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+       |  FROM pchunks x JOIN pchunks y ON y.chunk = x.chunk
+       |   AND y.key = x.key AND x.media_id < y.media_id
+       |  WHERE bit_count(xor(x.phash, y.phash)) <= 3),
+       |words AS (SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+       |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+       |    x -> x <> '') AS tl FROM documents)),
+       |toks AS (
+       |  SELECT DISTINCT doc_id,
+       |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+       |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+       |msig AS (SELECT doc_id,
+       |  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
+       |  min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
+       |  min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
+       |  min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
+       |  FROM toks GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM msig
+       |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM msig
+       |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM msig
+       |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM msig),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+       |   AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+       |inter AS (SELECT c.a, c.b, count(*) AS i
+       |  FROM cand c JOIN toks ta ON ta.doc_id = c.a
+       |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+       |  GROUP BY 1, 2),
+       |cpairs AS (SELECT a, b, jac_u FROM (
+       |  SELECT c.a, c.b,
+       |   CAST(floor(CAST(coalesce(i.i, 0) AS DOUBLE)
+       |     / (sa.sz + sb.sz - coalesce(i.i, 0)) * 1000000) AS BIGINT) AS jac_u
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+       |  JOIN sizes sa ON sa.doc_id = c.a
+       |  JOIN sizes sb ON sb.doc_id = c.b)
+       |  WHERE jac_u >= 800000)""".stripMargin
 
   /** Full-recompute release-record oracle (diff counts + q35-style banded
     * MinHash replay + first-occurrence-wins release) over caller-supplied
@@ -8357,6 +8364,129 @@ object Queries {
           |  UNION ALL
           |  SELECT doc_id + 5000000 AS doc_id, text || ' arrival' AS text
           |  FROM documents WHERE doc_id % 17 = 0""".stripMargin))),
+
+    Q("q294_multimodal_keepers",
+      // multimodal dedup RESOLUTION: clusters close over the UNION of
+      // q199's perceptual-hash pairs and q35's caption-MinHash pairs
+      // (either modality can vouch for a duplicate); q157's keeper policy
+      // (most caption tokens, ties to smallest id) elects the released
+      // pair per cluster, and docs riding a disagreeing (img_only /
+      // cap_only) pair are flagged as cross-modal conflict casualties
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        graft.ops.Multimodal.multimodalKeepers(
+          graft.ops.Multimodal.ingest(docs),
+          docs.select(col("doc_id").as("media_id"),
+            col("text").as("caption")))
+      },
+      Some("WITH RECURSIVE " + pairModalityCtes + ",\n" +
+        """up AS (SELECT a, b FROM ipairs UNION SELECT a, b FROM cpairs),
+          |und(a, b) AS (SELECT a, b FROM up UNION SELECT b, a FROM up),
+          |nodes AS (SELECT doc_id AS id FROM documents),
+          |r(s, id) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION SELECT r.s, u.b FROM r JOIN und u ON u.a = r.id),
+          |comp AS (SELECT s AS media_id, min(id) AS cluster FROM r GROUP BY s),
+          |tok AS (SELECT doc_id AS media_id,
+          |   CAST(len(list_filter(string_split_regex(text, '\s+'),
+          |     x -> x <> '')) AS BIGINT) AS n_tokens FROM documents),
+          |el AS (SELECT cluster, media_id AS keeper FROM (
+          |  SELECT c.cluster, c.media_id,
+          |   row_number() OVER (PARTITION BY c.cluster
+          |     ORDER BY t.n_tokens DESC, c.media_id) AS rk
+          |  FROM comp c JOIN tok t USING (media_id)) WHERE rk = 1),
+          |dis AS (SELECT i.a, i.b FROM ipairs i
+          |   LEFT JOIN cpairs c ON c.a = i.a AND c.b = i.b WHERE c.a IS NULL
+          |  UNION SELECT c.a, c.b FROM cpairs c
+          |   LEFT JOIN ipairs i ON i.a = c.a AND i.b = c.b WHERE i.a IS NULL),
+          |confl AS (SELECT DISTINCT m AS media_id FROM (
+          |  SELECT a AS m FROM dis UNION ALL SELECT b FROM dis))
+          |SELECT c.media_id, c.cluster, t.n_tokens,
+          |  c.media_id = e.keeper AS keep,
+          |  cf.media_id IS NOT NULL AS conflict
+          |FROM comp c JOIN tok t USING (media_id)
+          |JOIN el e ON e.cluster = c.cluster
+          |LEFT JOIN confl cf ON cf.media_id = c.media_id""".stripMargin)),
+
+    Q("q295_epoch_curriculum",
+      // epoch-aware curriculum manifest: q214's quality-tier replication
+      // (top stopword-ratio tier x3, mid x2) joined onto q288's doc-level
+      // competence stages; every COPY gets its own position via the
+      // md5(doc:copy) interleave key and the shared sort-free offset
+      // arithmetic — the oracle's global-sort window proves it
+      (s, d) => graft.ops.TrainingData.epochCurriculumPacking(
+        T(s, d, "documents")),
+      Some(curriculumCtes + ",\n" +
+        """qm AS (SELECT doc_id,
+          |  round((
+          |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+          |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+          |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
+          |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
+          |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
+          |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio
+          | FROM documents),
+          |qe AS (SELECT doc_id,
+          |   CAST(CASE WHEN least(9, CAST(floor(stopword_ratio * 10) AS BIGINT)) >= 2 THEN 3
+          |     WHEN least(9, CAST(floor(stopword_ratio * 10) AS BIGINT)) >= 1 THEN 2
+          |     ELSE 1 END AS BIGINT) AS epochs
+          |  FROM qm),
+          |copies AS (SELECT doc_id, epochs, CAST(copy AS BIGINT) AS copy,
+          |   md5(CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)) AS order_key
+          |  FROM (SELECT doc_id, epochs, unnest(range(1, epochs + 1)) AS copy FROM qe)),
+          |cb AS (SELECT c.doc_id, c.copy, c.epochs, bs.stage, bs.n_tokens,
+          |   c.order_key
+          |  FROM copies c JOIN bs USING (doc_id))
+          |SELECT doc_id, copy, epochs, CAST(stage AS BIGINT) AS stage,
+          |  n_tokens,
+          |  CAST(row_number() OVER w AS BIGINT) AS pos,
+          |  CAST(coalesce(sum(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED
+          |    PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+          |  CAST(coalesce(sum(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED
+          |    PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin
+          |FROM cb WINDOW w AS (ORDER BY stage, order_key, doc_id, copy)""".stripMargin)),
+
+    Q("q296_epsilon_ledger",
+      // DP composition accounting over a four-emit release series: two
+      // q278 histogram releases on the `lang` domain (sequential
+      // composition — their epsilons SUM), one on (lang, source), one on
+      // `source`; the ledger rolls spend/remaining/exhausted per domain
+      // against a 4·ln2 budget
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        def emit(domain: String, quasi: Seq[Column]) =
+          graft.ops.Privacy.dpHistogram(docs, quasi)
+            .agg(count(lit(1)).as("n_classes"),
+              max(col("epsilon_u")).as("epsilon_u"),
+              max(col("sensitivity")).as("sensitivity"))
+            .select(lit(domain).as("domain"), col("n_classes"),
+              col("epsilon_u"), col("sensitivity"))
+        val series = emit("lang", Seq(col("lang").as("lang")))
+          .unionByName(emit("lang", Seq(col("lang").as("lang"))))
+          .unionByName(emit("lang:source",
+            Seq(col("lang").as("lang"), col("source").as("source"))))
+          .unionByName(emit("source", Seq(col("source").as("source"))))
+        graft.ops.Privacy.epsilonLedger(series)
+      },
+      Some("""WITH r AS (
+             |  SELECT 'lang' AS domain,
+             |    (SELECT count(DISTINCT lang) FROM documents) AS n_classes
+             |  UNION ALL SELECT 'lang',
+             |    (SELECT count(DISTINCT lang) FROM documents)
+             |  UNION ALL SELECT 'lang:source',
+             |    (SELECT count(*) FROM (SELECT DISTINCT lang, source
+             |      FROM documents))
+             |  UNION ALL SELECT 'source',
+             |    (SELECT count(DISTINCT source) FROM documents))
+             |SELECT domain, CAST(count(*) AS BIGINT) AS n_releases,
+             |  CAST(sum(n_classes) AS BIGINT) AS n_classes,
+             |  CAST(count(*) * 693147 AS BIGINT) AS spent_u,
+             |  CAST(1 AS BIGINT) AS max_sensitivity,
+             |  CAST(2772588 AS BIGINT) AS budget_u,
+             |  CAST(greatest(2772588 - count(*) * 693147, 0) AS BIGINT)
+             |    AS remaining_u,
+             |  count(*) * 693147 >= 2772588 AS exhausted
+             |FROM r GROUP BY domain""".stripMargin)),
 
     Q("q292_ivfpq_recall",
       // THE serve/no-serve curve for the q275 index: recall@10 and nDCG@10

@@ -235,6 +235,51 @@ object Multimodal {
     both.unionByName(imgOnly).unionByName(capOnly)
   }
 
+  /** Multimodal dedup RESOLUTION — the release step after
+    * [[pairIntegrityAudit]]'s flags: a paired (media, caption) corpus is
+    * near-duplicated when EITHER modality says so (a re-encoded image
+    * with a paraphrased caption must still collapse), so clusters close
+    * transitively over the UNION of the perceptual-hash pair relation and
+    * the caption-MinHash pair relation, and each cluster elects ONE
+    * canonical pair with the [[Dedup.clusterKeepers]] policy (most
+    * caption tokens, ties to the smallest id — the best-documented copy
+    * survives). Docs riding at least one DISAGREEING pair (one modality
+    * matched, the other did not — q279's img_only/cap_only kinds) are
+    * flagged `conflict`: they are the casualties a release reviewer
+    * audits, because for them the two modalities vouch for different
+    * cluster structures.
+    *
+    * Scale shape: both pair generators are bucketed (banded phash chunks;
+    * banded MinHash), the union/anti-joins run on the pair-bounded
+    * relations, components close via the O(log n) large/small-star
+    * operator, and the keeper election is a combiner-backed struct-max —
+    * nothing all-pairs, nothing corpus-sized in a single partition.
+    *
+    * @return one row per paired doc: (media_id, cluster, n_tokens, keep,
+    *         conflict)
+    */
+  def multimodalKeepers(media: DataFrame, captions: DataFrame,
+      maxHamming: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val img = org.apache.spark.sql.graft.FreshCheckpoint(
+      perceptualNearDups(media, maxHamming).select(col("a"), col("b")))
+    val cap = org.apache.spark.sql.graft.FreshCheckpoint(
+      Dedup.minhashLsh(captions.select(col("media_id").as("doc_id"),
+        col("caption").as("text")), 8, 2, threshold)
+        .select(col("a"), col("b")))
+    val unioned = img.unionByName(cap).distinct()
+    val docs = captions.select(col("media_id").as("doc_id"),
+      col("caption").as("text"))
+    val keepers = Dedup.clusterKeepers(docs, unioned)
+    val disagree = img.join(cap, Seq("a", "b"), "left_anti")
+      .unionByName(cap.join(img, Seq("a", "b"), "left_anti"))
+    val conflictIds = disagree.select(col("a").as("doc_id"))
+      .unionByName(disagree.select(col("b").as("doc_id")))
+      .distinct().withColumn("conflict", lit(true))
+    keepers.join(conflictIds, Seq("doc_id"), "left")
+      .select(col("doc_id").as("media_id"), col("cluster"), col("n_tokens"),
+        col("keep"), coalesce(col("conflict"), lit(false)).as("conflict"))
+  }
+
   /** Feature extraction via partition-local decode (mapPartitions batch
     * contract — the decoder is instantiated once per partition, not per row).
     */

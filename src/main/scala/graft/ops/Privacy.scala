@@ -214,4 +214,37 @@ object Privacy {
         lit(693147L).as("epsilon_u") :+ lit(1L).as("sensitivity") :+
         lit(maxNoise.toLong).as("noise_bound"): _*)
   }
+
+  /** DP composition ledger over a release SERIES — the accounting step
+    * the epsilon_u column [[dpHistogram]] emits exists for: repeated
+    * releases over the SAME quasi-identifier domain compose
+    * SEQUENTIALLY (basic composition, Dwork–Roth Thm 3.14: total spend =
+    * Σ ε over emits — each release answers a new query about the same
+    * individuals), while different domains hold independent ledgers (the
+    * budget is per-domain policy; cross-domain spend is not additive
+    * under parallel composition when the class partitions are disjoint).
+    * The operator rolls a relation of release records up to the
+    * per-domain spend / remaining-budget / exhausted decision row.
+    *
+    * Scale shape: the input is release-series-sized (one row per emit),
+    * orders of magnitude below corpus scale — one groupBy, no joins.
+    *
+    * @param releases one row per emit: (domain, n_classes, epsilon_u,
+    *        sensitivity)
+    * @param budgetEpsilonU per-domain budget in µ-nats (default 4·ln 2 —
+    *        four ε = ln 2 releases)
+    * @return one row per domain: (domain, n_releases, n_classes,
+    *         spent_u, max_sensitivity, budget_u, remaining_u, exhausted)
+    */
+  def epsilonLedger(releases: DataFrame,
+      budgetEpsilonU: Long = 2772588L): DataFrame =
+    releases.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_releases"),
+        sum(col("n_classes")).as("n_classes"),
+        sum(col("epsilon_u")).as("spent_u"),
+        max(col("sensitivity")).as("max_sensitivity"))
+      .withColumn("budget_u", lit(budgetEpsilonU))
+      .withColumn("remaining_u",
+        greatest(lit(0L), col("budget_u") - col("spent_u")))
+      .withColumn("exhausted", col("spent_u") >= col("budget_u"))
 }

@@ -926,23 +926,7 @@ object TrainingData {
     * offsets `off`, token offsets `tok_off`) — everything both the order
     * and the packed manifest need, one corpus pass. */
   private def curriculumRanked(docs: DataFrame, stages: Int): DataFrame = {
-    require(stages >= 2 && stages <= 64, s"stages in 2..64: $stages")
-    val nll = org.apache.spark.sql.graft.FreshCheckpoint(
-      TextAnalysis.unigramLogProb(docs)
-        .withColumn("bucket", expr("avg_nll_u div 250000")))
-    val bh = nll.groupBy(col("bucket")).agg(count(lit(1)).as("m"))
-    val tot = bh.agg(sum(col("m")).as("n"))
-    val wB = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // ≤ ~100 rows (quarter-nat difficulty histogram)
-    val st = bh
-      .withColumn("cum_before", coalesce(sum(col("m")).over(wB), lit(0L)))
-      .crossJoin(broadcast(tot))
-      .select(col("bucket"),
-        least(lit(stages - 1L), expr(s"cum_before * $stages div n"))
-          .as("stage"))
-    val bs = nll.join(broadcast(st), Seq("bucket"))
-      .withColumn("mm", md5(col("doc_id").cast("string")))
+    val bs = curriculumStaged(docs, stages)
       .withColumn("shard", substring(col("mm"), 1, 2))
     val wIn = Window.partitionBy(col("stage"), col("shard"))
       .orderBy(col("mm"), col("doc_id"))
@@ -961,6 +945,81 @@ object TrainingData {
       .withColumn("tok_off", coalesce(sum(col("toks")).over(wOff), lit(0L)))
       .select(col("stage"), col("shard"), col("off"), col("tok_off"))
     withRn.join(broadcast(offs), Seq("stage", "shard"))
+  }
+
+  /** Difficulty → equal-mass competence stage per DOC: the first half of
+    * [[curriculumRanked]], shared with [[epochCurriculumPacking]] (stage
+    * boundaries are a property of the CORPUS — quality-tier replication
+    * must not shift them, so the epoch manifest stages each copy by its
+    * doc's corpus-equal-mass stage).
+    * @return (doc_id, n_tokens, avg_nll_u, bucket, stage, mm) */
+  private def curriculumStaged(docs: DataFrame, stages: Int): DataFrame = {
+    require(stages >= 2 && stages <= 64, s"stages in 2..64: $stages")
+    val nll = org.apache.spark.sql.graft.FreshCheckpoint(
+      TextAnalysis.unigramLogProb(docs)
+        .withColumn("bucket", expr("avg_nll_u div 250000")))
+    val bh = nll.groupBy(col("bucket")).agg(count(lit(1)).as("m"))
+    val tot = bh.agg(sum(col("m")).as("n"))
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ ~100 rows (quarter-nat difficulty histogram)
+    val st = bh
+      .withColumn("cum_before", coalesce(sum(col("m")).over(wB), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        least(lit(stages - 1L), expr(s"cum_before * $stages div n"))
+          .as("stage"))
+    nll.join(broadcast(st), Seq("bucket"))
+      .withColumn("mm", md5(col("doc_id").cast("string")))
+  }
+
+  /** Epoch-aware curriculum packing — [[epochMix]] × [[curriculumPacking]]
+    * composed: real pretraining repeats quality tiers (top tier rides
+    * `maxEpochs` times), and each COPY needs its own position in the
+    * staged token stream. Stages stay doc-level corpus-equal-mass (the
+    * q288 boundaries — replication must not shift the competence
+    * schedule); within a stage, copies interleave by the deterministic
+    * md5(doc:copy) `order_key` [[epochMix]] already carries, so a doc's
+    * epochs scatter through its stage instead of running back-to-back
+    * (back-to-back repeats are the known memorization worst case). The
+    * total order and the start offsets use the SAME two-phase sort-free
+    * prefix-sum scheme as q288/q291 — per-(stage, key-prefix-shard)
+    * windows plus a (stages·256)-row offset relation — spec-asserted
+    * equal to the literal global sort ORDER BY (stage, order_key,
+    * doc_id, copy).
+    *
+    * @return one row per (doc, copy): (doc_id, copy, epochs, stage,
+    *         n_tokens, pos, start_offset, bin)
+    */
+  def epochCurriculumPacking(docs: DataFrame, stages: Int = 4,
+      budget: Long = 2048, maxEpochs: Int = 3, bins: Int = 10,
+      hiBin: Int = 2, midBin: Int = 1): DataFrame = {
+    val staged = curriculumStaged(docs, stages)
+      .select(col("doc_id"), col("n_tokens"), col("stage"))
+    val copies = epochMix(docs, maxEpochs, bins, hiBin, midBin)
+      .select(col("doc_id"), col("epochs"), col("copy"), col("order_key"))
+    val cb = copies.join(staged, Seq("doc_id"))
+      .withColumn("shard", substring(col("order_key"), 1, 2))
+    val wIn = Window.partitionBy(col("stage"), col("shard"))
+      .orderBy(col("order_key"), col("doc_id"), col("copy"))
+    val withRn = cb
+      .withColumn("rn", row_number().over(wIn).cast("long"))
+      .withColumn("cum_in",
+        sum(col("n_tokens")).over(wIn.rowsBetween(
+          Window.unboundedPreceding, 0)))
+    val wOff = Window.orderBy(col("stage"), col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withRn.groupBy(col("stage"), col("shard"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_tokens")).as("toks"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .withColumn("tok_off", coalesce(sum(col("toks")).over(wOff), lit(0L)))
+      .select(col("stage"), col("shard"), col("off"), col("tok_off"))
+    withRn.join(broadcast(offs), Seq("stage", "shard"))
+      .select(col("doc_id"), col("copy"), col("epochs"), col("stage"),
+        col("n_tokens"), (col("off") + col("rn")).as("pos"),
+        (col("tok_off") + col("cum_in") - col("n_tokens"))
+          .as("start_offset"))
+      .withColumn("bin", expr(s"start_offset div $budget"))
   }
 
   /** Concat-and-chunk packing of the [[curriculumOrder]] token stream —

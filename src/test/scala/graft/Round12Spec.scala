@@ -183,6 +183,119 @@ class Round12Spec extends SparkTestBase {
     assert(m("n_added") == 2L && m("n_changed") == 2L && m("n_removed") == 1L)
   }
 
+  test("multimodalKeepers: either modality vouches for a cluster; " +
+      "disagreeing pairs flag conflict; most-caption-tokens keeper wins") {
+    import graft.ops.Multimodal
+    def pay(s: String) = s.getBytes("UTF-8")
+    val media = Seq(
+      (1L, pay("identical image payload bytes one and the same")),
+      (2L, pay("identical image payload bytes one and the same")),
+      (3L, pay("another shared image payload for the img-only pair")),
+      (4L, pay("another shared image payload for the img-only pair")),
+      (5L, pay("zebra unrelated pixels aaaaaaaaaaaaaaaaaaaaaaa")),
+      (6L, pay("qqqq totally different bytes zzzzzzz 0123456789")),
+      (7L, pay("loner media payload unlike anything else here"))
+    ).toDF("media_id", "payload")
+    val captions = Seq(
+      (1L, "a tabby cat sitting on a red couch in the sun"),
+      (2L, "a tabby cat sitting on a red couch in the sun"), // both-match
+      (3L, "short caption few words"),
+      (4L, "an entirely different much longer caption with many many more words here"),
+      (5L, "the same caption describes two different images exactly"),
+      (6L, "the same caption describes two different images exactly"),
+      (7L, "a unique caption for the singleton")
+    ).toDF("media_id", "caption")
+    val out = Multimodal.multimodalKeepers(media, captions)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Boolean]("keep"),
+          r.getAs[Boolean]("conflict"))).toMap
+    assert(out.size == 7)
+    // (1,2) agree in both modalities: one cluster, no conflict
+    assert(out(1L)._1 == out(2L)._1 && !out(1L)._3 && !out(2L)._3)
+    // (3,4) image-only: clustered AND conflict-flagged; keeper = 4
+    // (more caption tokens beats the smaller id)
+    assert(out(3L)._1 == out(4L)._1 && out(3L)._3 && out(4L)._3)
+    assert(!out(3L)._2 && out(4L)._2)
+    // (5,6) caption-only: clustered AND conflict-flagged
+    assert(out(5L)._1 == out(6L)._1 && out(5L)._3 && out(6L)._3)
+    // singleton keeps itself, unflagged
+    assert(out(7L)._2 && !out(7L)._3)
+    // keeper per cluster: exactly one keep = true
+    assert(out.values.groupBy(_._1).forall(_._2.count(_._2) == 1))
+  }
+
+  test("epochCurriculumPacking: tier replication x stage order — every " +
+      "copy positioned, offsets = global-sort prefix sums") {
+    val docs = spark.read.parquet(s"$testData/sf0.001/documents.parquet")
+    val out = graft.ops.TrainingData.epochCurriculumPacking(docs)
+      .select("doc_id", "copy", "epochs", "stage", "n_tokens", "pos",
+        "start_offset", "bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // tier replication: each doc appears exactly `epochs` times,
+    // copies numbered 1..epochs
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.forall { case (_, rs) =>
+      rs.length == rs.head._3 && rs.map(_._2).sorted.toSeq == (1L to rs.head._3)
+    })
+    // all copies of a doc share its corpus-level stage
+    assert(byDoc.forall { case (_, rs) => rs.map(_._4).distinct.length == 1 })
+    // pos is a permutation of 1..N over ALL copies
+    val n = out.length
+    assert(out.map(_._6).sorted.toSeq == (1L to n))
+    // the sort-free arithmetic equals the literal global sort:
+    // stage non-decreasing along pos, start_offset = running token sum
+    val inOrder = out.sortBy(_._6)
+    assert(inOrder.sliding(2).forall {
+      case Array(a, b) => a._4 <= b._4; case _ => true })
+    var cum = 0L
+    inOrder.foreach { r =>
+      assert(r._7 == cum, s"offset mismatch at pos ${r._6}")
+      assert(r._8 == cum / 2048L)
+      cum += r._5
+    }
+    // and pos order within a (stage, shard-key) respects the interleave
+    // key: recompute md5(doc:copy) and assert global (stage, key) sort
+    val keyed = inOrder.map(r => (r._4, {
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${r._1}:${r._2}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      m
+    }, r._1, r._2))
+    assert(keyed.sameElements(keyed.sortBy(k => (k._1, k._2, k._3, k._4))))
+  }
+
+  test("epsilonLedger: two same-domain releases compose sequentially; " +
+      "budget exhaustion is per-domain") {
+    import graft.ops.Privacy
+    // planted two-release composition: 'age' emitted twice, 'zip' once
+    val series = Seq(
+      ("age", 5L, 693147L, 1L), ("age", 5L, 693147L, 1L),
+      ("zip", 3L, 693147L, 1L))
+      .toDF("domain", "n_classes", "epsilon_u", "sensitivity")
+    val led = Privacy.epsilonLedger(series).collect()
+      .map(r => r.getAs[String]("domain") ->
+        (r.getAs[Long]("n_releases"), r.getAs[Long]("spent_u"),
+          r.getAs[Long]("remaining_u"), r.getAs[Boolean]("exhausted"))).toMap
+    assert(led("age") == ((2L, 1386294L, 1386294L, false)))
+    assert(led("zip") == ((1L, 693147L, 2079441L, false)))
+    // a tighter budget exhausts the double-spent domain ONLY
+    val tight = Privacy.epsilonLedger(series, budgetEpsilonU = 1386294L)
+      .collect().map(r => r.getAs[String]("domain") ->
+        (r.getAs[Long]("remaining_u"), r.getAs[Boolean]("exhausted"))).toMap
+    assert(tight("age") == ((0L, true)) && tight("zip") == ((693147L, false)))
+    // wiring: two real dpHistogram emits roll up to exactly 2x epsilon
+    val docs = Seq((1L, "en"), (2L, "en"), (3L, "fr")).toDF("doc_id", "lang")
+    def emit() = Privacy.dpHistogram(docs, Seq(col("lang").as("lang")))
+      .agg(count(lit(1)).as("n_classes"), max(col("epsilon_u")).as("epsilon_u"),
+        max(col("sensitivity")).as("sensitivity"))
+      .select(lit("lang").as("domain"), col("n_classes"), col("epsilon_u"),
+        col("sensitivity"))
+    val two = Privacy.epsilonLedger(emit().unionByName(emit())).first()
+    assert(two.getAs[Long]("spent_u") == 2L * 693147L)
+    assert(two.getAs[Long]("n_classes") == 4L) // 2 classes x 2 emits
+  }
+
   test("persisted IVF-PQ index: cell filter prunes partitions, probe join " +
       "has no fact-side Exchange, and results equal the in-memory path") {
     import graft.ops.Quantize
