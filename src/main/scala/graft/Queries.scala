@@ -7608,6 +7608,21 @@ object Queries {
   // Hybrid retrieval (RRF fusion of the BM25 and dense-cosine rankers) and
   // position-sensitive index evaluation (nDCG vs the exact ground truth).
 
+  /** Shared q289/q297 oracle: the fused-ranking context fill (q297's
+    * stream-shaped serve plan must hash-match q289's batch relation —
+    * that IS the twin claim, so they share one oracle). */
+  private lazy val ragContextOracle: String = rrfCtes + ",\n" +
+    s"""fsel AS ($rrfSelect),
+       |tk AS (SELECT doc_id,
+       |   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+       |     x -> x <> '')) AS BIGINT) AS n_tokens FROM documents)
+       |SELECT query_id, doc_id, fused_rank, n_tokens, cum_tokens,
+       |  cum_tokens <= 150 AS in_context FROM (
+       |  SELECT f.query_id, f.doc_id, f.fused_rank, tk.n_tokens,
+       |    CAST(sum(tk.n_tokens) OVER (PARTITION BY f.query_id
+       |      ORDER BY f.fused_rank) AS BIGINT) AS cum_tokens
+       |  FROM fsel f JOIN tk USING (doc_id))""".stripMargin
+
   /** Shared q279/q294 two-modality pair chain over the paired corpus:
     * q199's banded perceptual-hash pairs (`ipairs`) and q35's verified
     * caption-MinHash pairs (`cpairs`). No WITH keyword — q279 prefixes
@@ -8226,17 +8241,7 @@ object Queries {
       // actually ships
       (s, d) => graft.ops.Retrieval.ragContext(
         T(s, d, "documents"), T(s, d, "embeddings")),
-      Some(rrfCtes + ",\n" +
-        s"""fsel AS ($rrfSelect),
-           |tk AS (SELECT doc_id,
-           |   CAST(len(list_filter(string_split_regex(text, '\\s+'),
-           |     x -> x <> '')) AS BIGINT) AS n_tokens FROM documents)
-           |SELECT query_id, doc_id, fused_rank, n_tokens, cum_tokens,
-           |  cum_tokens <= 150 AS in_context FROM (
-           |  SELECT f.query_id, f.doc_id, f.fused_rank, tk.n_tokens,
-           |    CAST(sum(tk.n_tokens) OVER (PARTITION BY f.query_id
-           |      ORDER BY f.fused_rank) AS BIGINT) AS cum_tokens
-           |  FROM fsel f JOIN tk USING (doc_id))""".stripMargin)),
+      Some(ragContextOracle)),
 
     Q("q290_index_staleness",
       // persisted-signature-index freshness audit: previous snapshot =
@@ -8487,6 +8492,23 @@ object Queries {
              |    AS remaining_u,
              |  count(*) * 693147 >= 2772588 AS exhausted
              |FROM r GROUP BY domain""".stripMargin)),
+
+    Q("q297_rag_serve_twin",
+      // the q289 fill evaluated through the SERVE-shaped plan: a query
+      // relation stream-static-joins the broadcast fused index (one row
+      // per query, entries rank-sorted) and the strict-prefix fill runs
+      // ROW-LOCALLY via array HOFs — stateless, so the identical plan
+      // runs streaming (StreamingSpec drives it micro-batched); evaluated
+      // over the batch query set it must hash-match q289's oracle
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val emb = T(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") % 251 === 0)
+          .select(col("vec_id").as("query_id"))
+        graft.streaming.RagStream.ragContextStream(queries,
+          graft.streaming.RagStream.fusedIndex(docs, emb))
+      },
+      Some(ragContextOracle)),
 
     Q("q292_ivfpq_recall",
       // THE serve/no-serve curve for the q275 index: recall@10 and nDCG@10

@@ -82,8 +82,13 @@ class PlanSweepSf1 extends SparkTestBase {
     "q289_rag_context", "q290_index_staleness", "q291_curriculum_packing",
     // round-12: the recall sweep trains the q275 index once and adds four
     // probe blocks — same IVFADC shapes, plus the exact-L2 ground truth;
-    // the changelog release composes q274's increment core
-    "q292_ivfpq_recall", "q293_changelog_release")
+    // the changelog release composes q274's increment core; the
+    // multimodal keeper closes CC over the q279 union pair relation; the
+    // epoch manifest rides the q288 curriculum chain; the serve twin is
+    // q289's fill through the broadcast-index plan (q296 is a
+    // release-series rollup — structurally linear, sf0.1 sweep covers it)
+    "q292_ivfpq_recall", "q293_changelog_release", "q294_multimodal_keepers",
+    "q295_epoch_curriculum", "q297_rag_serve_twin")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 

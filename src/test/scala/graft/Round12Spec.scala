@@ -296,6 +296,54 @@ class Round12Spec extends SparkTestBase {
     assert(two.getAs[Long]("n_classes") == 4L) // 2 classes x 2 emits
   }
 
+  test("RAG serve stream == batch: micro-batched query arrivals assemble " +
+      "the same contexts as q289's batch fill") {
+    import graft.streaming.RagStream
+    val docs = spark.read.parquet(s"$testData/sf0.001/documents.parquet")
+    val emb = spark.read.parquet(s"$testData/sf0.001/embeddings.parquet")
+    val index = RagStream.fusedIndex(docs, emb)
+      .localCheckpoint(true) // static serve index, computed once
+    val qids = emb.filter(col("vec_id") % 251 === 0)
+      .select(col("vec_id").as("query_id"))
+      .collect().map(_.getLong(0)).sorted
+    assert(qids.length >= 2, "need >= 2 queries for two micro-batches")
+    // batch evaluation of the SAME plan == the q289 operator
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("fused_rank"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Boolean]("in_context"))
+    val batchTwin = RagStream.ragContextStream(
+      qids.toSeq.toDF("query_id"), index).collect().map(key).toSet
+    val q289 = graft.ops.Retrieval.ragContext(docs, emb)
+      .collect().map(key).toSet
+    assert(batchTwin === q289)
+    // stream the queries in two micro-batches through the memory sink
+    val stage = java.nio.file.Files.createTempDirectory("rag_stream")
+    qids.zipWithIndex.foreach { case (q, n) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"rag_q$n")
+      Seq(q).toDF("query_id").coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        stage.resolve(s"q$n.parquet"))
+    }
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+    val q = RagStream.ragContextStream(raw, index)
+      .writeStream.format("memory").queryName("rag_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val streamed = spark.sql("SELECT * FROM rag_stream")
+      .collect().map(key).toSet
+    assert(streamed === q289)
+  }
+
   test("persisted IVF-PQ index: cell filter prunes partitions, probe join " +
       "has no fact-side Exchange, and results equal the in-memory path") {
     import graft.ops.Quantize
