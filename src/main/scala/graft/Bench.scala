@@ -162,8 +162,9 @@ object Bench {
     // including the child itself) never recurse.
     // descending expected cost: the priciest queries meet the freshest JVM
     val heavySet = Seq(
-      "q265_dataset_release", "q292_ivfpq_recall",
+      "q265_dataset_release", "q292_ivfpq_recall", "q298_ivfpq_staleness",
       "q275_ivfpq_ann", "q274_incremental_release", "q293_changelog_release",
+      "q299_ivfpq_append",
       "q200_canonical_parts", "q191_record_linkage", "q197_pretrain_pipeline",
       "q257_fuzzy_pretrain_pipeline",
       "q36_ngram_jaccard", "q174_containment", "q102_levenshtein_pairs",

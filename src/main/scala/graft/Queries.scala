@@ -7771,8 +7771,12 @@ object Queries {
     * four probes — exactly what the engine does. */
   // lazy: referenced by q275's registration, which initializes BEFORE
   // this val in declaration order (a plain val would still be null there)
-  private lazy val ivfPqIndexCtes: String = """WITH f AS (SELECT vec_id, unnest(embedding) AS v,
-    |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+  private lazy val ivfPqIndexCtes: String = ivfPqIndexCtesFrom("embeddings")
+
+  /** The same index-replay chain with the source relation parameterized —
+    * q298/q299 build the index from an OLD snapshot CTE. */
+  private def ivfPqIndexCtesFrom(src: String): String = s"""WITH f AS (SELECT vec_id, unnest(embedding) AS v,
+    |   generate_subscripts(embedding, 1) AS i FROM $src),
     |ivd AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
     |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS x FROM f),
     |cc AS MATERIALIZED (SELECT vec_id AS cell, d, x AS cx FROM ivd
@@ -7811,6 +7815,33 @@ object Queries {
     |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM (
     |   SELECT riv.vec_id, riv.sub, c.cid, sum((riv.x - c.cx) * (riv.x - c.cx)) AS dist
     |   FROM riv JOIN c2 c ON c.sub = riv.sub AND c.dl = riv.dl GROUP BY 1, 2, 3)) WHERE rn = 1)""".stripMargin
+
+  /** Re-encode a corpus under the PERSISTED codebooks (`cc` coarse /
+    * `c2` residual CTEs from [[ivfPqIndexCtesFrom]]) — the q298/q299
+    * current-side chain; emits `<p>iv`, `<p>vc`, `<p>codes(vec_id, cell,
+    * sub, cid)`. */
+  private def ivfPqAssignCtes(p: String, src: String): String =
+    s"""${p}iv AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
+       |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS x
+       |  FROM (SELECT vec_id, unnest(embedding) AS v,
+       |   generate_subscripts(embedding, 1) AS i FROM $src)),
+       |${p}vc AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM (
+       |   SELECT i.vec_id, c.cell, sum((i.x - c.cx) * (i.x - c.cx)) AS cdist
+       |   FROM ${p}iv i JOIN cc c ON c.d = i.d GROUP BY 1, 2)) WHERE rn = 1),
+       |${p}riv AS (SELECT i.vec_id, v.cell,
+       |   CAST(i.d // 4 AS BIGINT) AS sub, CAST(i.d % 4 AS BIGINT) AS dl,
+       |   i.x - c.cx AS x
+       |  FROM ${p}iv i JOIN ${p}vc v ON v.vec_id = i.vec_id
+       |  JOIN cc c ON c.cell = v.cell AND c.d = i.d),
+       |${p}codes AS (SELECT vec_id, cell, sub, cid FROM (
+       |  SELECT vec_id, cell, sub, cid,
+       |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM (
+       |   SELECT riv.vec_id, riv.cell, riv.sub, c.cid,
+       |    sum((riv.x - c.cx) * (riv.x - c.cx)) AS dist
+       |   FROM ${p}riv riv JOIN c2 c ON c.sub = riv.sub AND c.dl = riv.dl
+       |   GROUP BY 1, 2, 3, 4)) WHERE rn = 1)""".stripMargin
 
   /** One IVFADC probe block at `nprobe` with CTE names prefixed by `p`
     * (empty prefix reproduces the q275 chain verbatim); ends at
@@ -8492,6 +8523,101 @@ object Queries {
              |    AS remaining_u,
              |  count(*) * 693147 >= 2772588 AS exhausted
              |FROM r GROUP BY domain""".stripMargin)),
+
+    Q("q298_ivfpq_staleness",
+      // q290's staleness shape over the VECTOR index + the codebook-drift
+      // gauge: index built on an old snapshot (% 11 absent; % 13 vectors
+      // sign-flipped since indexing), current corpus = % 7 <> 0 — counts
+      // unindexed arrivals / orphaned departures / recoded vectors under
+      // the persisted codebooks, and per-cell ||current-members mean −
+      // persisted coarse centroid||² as total/max drift
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val old = emb.filter(col("vec_id") % 11 =!= 0)
+          .withColumn("embedding", when(col("vec_id") % 13 === 0,
+            transform(col("embedding"), x => -x))
+            .otherwise(col("embedding")))
+        val idx = graft.ops.Quantize.ivfPqIndex(old, nCells = 8, m = 16,
+          k = 32, rounds = 2, dim = 64)
+        graft.ops.Quantize.ivfPqStaleness(idx,
+          emb.filter(col("vec_id") % 7 =!= 0))
+      },
+      Some("""WITH oldemb AS (SELECT vec_id,
+             |   CASE WHEN vec_id % 13 = 0
+             |     THEN list_transform(embedding, x -> -x)
+             |     ELSE embedding END AS embedding
+             |  FROM embeddings WHERE vec_id % 11 <> 0),
+             |""".stripMargin +
+        ivfPqIndexCtesFrom("oldemb").stripPrefix("WITH ") + ",\n" +
+        ivfPqAssignCtes("u", "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 0)") + ",\n" +
+        """op AS (SELECT vec_id, cell AS old_cell FROM vc),
+          |cp AS (SELECT vec_id, max(cell) AS cur_cell FROM ucodes GROUP BY 1),
+          |cd AS (SELECT o.vec_id,
+          |   sum(CASE WHEN o.cid <> u.cid THEN 1 ELSE 0 END) AS n_code_diff
+          |  FROM codes o JOIN ucodes u ON u.vec_id = o.vec_id
+          |   AND u.sub = o.sub GROUP BY 1),
+          |st AS (SELECT CASE WHEN op.old_cell IS NULL THEN 'unindexed'
+          |    WHEN cp.cur_cell IS NULL THEN 'orphaned'
+          |    WHEN cp.cur_cell <> op.old_cell
+          |      OR coalesce(cd.n_code_diff, 0) > 0 THEN 'recoded'
+          |    ELSE 'fresh' END AS status
+          |  FROM cp FULL OUTER JOIN op ON op.vec_id = cp.vec_id
+          |  LEFT JOIN cd ON cd.vec_id = coalesce(cp.vec_id, op.vec_id)),
+          |cm AS (SELECT v.cell, i.d,
+          |   CAST(floor(sum(i.x)::DOUBLE / count(*)) AS BIGINT) AS mx
+          |  FROM uiv i JOIN uvc v ON v.vec_id = i.vec_id GROUP BY 1, 2),
+          |dr AS (SELECT cm.cell,
+          |   sum((cm.mx - c.cx) * (cm.mx - c.cx)) AS cdrift
+          |  FROM cm JOIN cc c ON c.cell = cm.cell AND c.d = cm.d
+          |  GROUP BY 1),
+          |drt AS (SELECT CAST(coalesce(sum(cdrift), 0) AS BIGINT)
+          |   AS total_drift,
+          |  CAST(coalesce(max(cdrift), 0) AS BIGINT) AS max_cell_drift
+          |  FROM dr)
+          |SELECT
+          |  CAST(sum(CASE WHEN status <> 'orphaned' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_corpus,
+          |  CAST(sum(CASE WHEN status <> 'unindexed' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_index,
+          |  CAST(sum(CASE WHEN status = 'fresh' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_fresh,
+          |  CAST(sum(CASE WHEN status = 'unindexed' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_unindexed,
+          |  CAST(sum(CASE WHEN status = 'orphaned' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_orphaned,
+          |  CAST(sum(CASE WHEN status = 'recoded' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_recoded,
+          |  CAST(sum(CASE WHEN status = 'fresh' THEN 1 ELSE 0 END) * 1000000
+          |    // sum(CASE WHEN status <> 'orphaned' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS coverage_u,
+          |  drt.total_drift, drt.max_cell_drift
+          |FROM st, drt
+          |GROUP BY drt.total_drift, drt.max_cell_drift""".stripMargin)),
+
+    Q("q299_ivfpq_append",
+      // append-only index maintenance under FROZEN codebooks: the % 11
+      // arrivals encode against the persisted coarse/residual codebooks
+      // and union with the kept codes; the oracle re-encodes the WHOLE
+      // current corpus under the same codebooks — codes are a pure
+      // function of (vector, codebooks), so increment ≡ full re-encode
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val old = emb.filter(col("vec_id") % 11 =!= 0)
+        val idx = graft.ops.Quantize.ivfPqIndex(old, nCells = 8, m = 16,
+          k = 32, rounds = 2, dim = 64)
+        val kept = idx.codes.join(idx.vcell, Seq("vec_id"))
+          .select(col("cell"), col("vec_id"), col("sub"), col("cid"))
+        val delta = graft.ops.Quantize.ivfPqEncode(
+          emb.filter(col("vec_id") % 11 === 0), idx.coarse, idx.cents,
+          idx.subDim)
+        kept.unionByName(delta)
+      },
+      Some("""WITH oldemb AS (SELECT vec_id, embedding FROM embeddings
+             |  WHERE vec_id % 11 <> 0),
+             |""".stripMargin +
+        ivfPqIndexCtesFrom("oldemb").stripPrefix("WITH ") + ",\n" +
+        ivfPqAssignCtes("u", "embeddings") + "\n" +
+        "SELECT cell, vec_id, sub, cid FROM ucodes")),
 
     Q("q297_rag_serve_twin",
       // the q289 fill evaluated through the SERVE-shaped plan: a query

@@ -476,6 +476,127 @@ object Quantize {
     idx.cents.write.mode("overwrite").parquet(s"$path-cents")
   }
 
+  /** Encode a corpus under PERSISTED (frozen) codebooks — the append
+    * path of IVF-PQ index maintenance: new vectors assign to their
+    * nearest persisted coarse cell and take the PQ codes of their
+    * residuals against the persisted residual codebook. Codes are a PURE
+    * FUNCTION of (vector, codebooks), so encoding only the delta and
+    * unioning with the kept codes is IDENTICAL to re-encoding the whole
+    * corpus (the q299 oracle proves it) — no retrain, no touch of the
+    * existing cells' files in the cell-partitioned layout (append-only
+    * per partition). When to retrain instead is [[ivfPqStaleness]]'s
+    * drift gauge.
+    *
+    * @return the servable fact rows (cell, vec_id, sub, cid)
+    */
+  def ivfPqEncode(corpus: DataFrame, coarse: DataFrame, cents: DataFrame,
+      subDim: Int): DataFrame = {
+    val iv = FreshCheckpoint(coords(corpus))
+    val vcell = assignCell(iv, coarse, 1)
+    val riv = iv.join(vcell, Seq("vec_id"))
+      .join(broadcast(coarse), Seq("cell", "d"))
+      .select(col("vec_id"), col("cell"),
+        (col("d") / subDim).cast("long").as("sub"),
+        (col("d") % subDim).as("dl"), (col("x") - col("cx")).as("x"))
+    val dists = riv.join(broadcast(cents), Seq("sub", "dl"))
+      .groupBy(col("vec_id"), col("cell"), col("sub"), col("cid"))
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dist"))
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dist"), col("cid"))
+    dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("cell"), col("vec_id"), col("sub"), col("cid"))
+  }
+
+  /** Persisted-IVF-PQ-index staleness audit — [[graft.ops.Dedup]]'s
+    * indexStaleness shape over the vector index, plus the CODEBOOK-DRIFT
+    * gauge that tells the owner when append-only maintenance
+    * ([[ivfPqEncode]]) stops being enough and a retrain is due:
+    *
+    *  - **unindexed / orphaned**: corpus↔index membership diff (arrivals
+    *    since the last build; departures still serving);
+    *  - **recoded**: vector present in both, but its CURRENT encoding
+    *    under the persisted codebooks (cell or any sub-code) differs from
+    *    the indexed one — the index answers with codes of content that
+    *    changed;
+    *  - **drift**: per persisted cell, squared L2 between the persisted
+    *    coarse centroid and the CURRENT members' mean (members = current
+    *    corpus assigned under the persisted coarse codebook) — the
+    *    within-cell data movement ADC error grows with; total and max
+    *    reported in micro-units².
+    *
+    * Cost note: like the MinHash audit, this RECOMPUTES current
+    * encodings — it is the release-cadence ground-truthing pass, not the
+    * serve path.
+    *
+    * @return 1 row: (n_corpus, n_index, n_fresh, n_unindexed,
+    *         n_orphaned, n_recoded, coverage_u, total_drift,
+    *         max_cell_drift)
+    */
+  def ivfPqStaleness(idx: IvfPqIndex, corpus: DataFrame): DataFrame = {
+    val iv = FreshCheckpoint(coords(corpus))
+    val vc = FreshCheckpoint(assignCell(iv, idx.coarse, 1))
+    // current encoding under the persisted codebooks
+    val riv = iv.join(vc, Seq("vec_id"))
+      .join(broadcast(idx.coarse), Seq("cell", "d"))
+      .select(col("vec_id"), col("cell"),
+        (col("d") / idx.subDim).cast("long").as("sub"),
+        (col("d") % idx.subDim).as("dl"), (col("x") - col("cx")).as("x"))
+    val dists = riv.join(broadcast(idx.cents), Seq("sub", "dl"))
+      .groupBy(col("vec_id"), col("cell"), col("sub"), col("cid"))
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dist"))
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dist"), col("cid"))
+    val curCodes = FreshCheckpoint(dists.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("sub"), col("cid")))
+    val curPer = curCodes.groupBy(col("vec_id"))
+      .agg(max(col("cell")).as("cur_cell"))
+    val oldPer = idx.vcell.select(col("vec_id"), col("cell").as("old_cell"))
+    val codeDiff = idx.codes
+      .select(col("vec_id"), col("sub"), col("cid").as("old_cid"))
+      .join(curCodes.select(col("vec_id"), col("sub"),
+        col("cid").as("cur_cid")), Seq("vec_id", "sub"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("old_cid") =!= col("cur_cid"), 1L).otherwise(0L))
+        .as("n_code_diff"))
+    val statuses = curPer.join(oldPer, Seq("vec_id"), "full_outer")
+      .join(codeDiff, Seq("vec_id"), "left")
+      .select(when(col("old_cell").isNull, "unindexed")
+        .when(col("cur_cell").isNull, "orphaned")
+        .when(col("cur_cell") =!= col("old_cell") ||
+          coalesce(col("n_code_diff"), lit(0L)) > 0, "recoded")
+        .otherwise("fresh").as("status"))
+    val counts = statuses.agg(
+      sum(when(col("status") =!= "orphaned", 1L).otherwise(0L))
+        .as("n_corpus"),
+      sum(when(col("status") =!= "unindexed", 1L).otherwise(0L))
+        .as("n_index"),
+      sum(when(col("status") === "fresh", 1L).otherwise(0L)).as("n_fresh"),
+      sum(when(col("status") === "unindexed", 1L).otherwise(0L))
+        .as("n_unindexed"),
+      sum(when(col("status") === "orphaned", 1L).otherwise(0L))
+        .as("n_orphaned"),
+      sum(when(col("status") === "recoded", 1L).otherwise(0L))
+        .as("n_recoded"))
+    // coarse-centroid drift: per persisted cell, ‖current-members' mean −
+    // persisted centroid‖² (cells with no current members contribute 0)
+    val cellMean = iv.join(vc, Seq("vec_id"))
+      .groupBy(col("cell"), col("d"))
+      .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long")
+        .as("mx"))
+    val drift = cellMean.join(broadcast(idx.coarse), Seq("cell", "d"))
+      .groupBy(col("cell"))
+      .agg(sum((col("mx") - col("cx")) * (col("mx") - col("cx")))
+        .as("cdrift"))
+      .agg(coalesce(sum(col("cdrift")), lit(0L)).as("total_drift"),
+        coalesce(max(col("cdrift")), lit(0L)).as("max_cell_drift"))
+    counts.crossJoin(broadcast(drift))
+      .withColumn("coverage_u", expr("n_fresh * 1000000 div n_corpus"))
+      .select(col("n_corpus"), col("n_index"), col("n_fresh"),
+        col("n_unindexed"), col("n_orphaned"), col("n_recoded"),
+        col("coverage_u"), col("total_drift"), col("max_cell_drift"))
+  }
+
   /** Recall@k and nDCG@k of IVF-PQ against EXACT integer-L2 ground truth,
     * swept over `nprobes` — THE serve/no-serve curve for this index
     * (recall rises with nprobe, cost rises with the fraction of the

@@ -88,7 +88,10 @@ class PlanSweepSf1 extends SparkTestBase {
     // q289's fill through the broadcast-index plan (q296 is a
     // release-series rollup — structurally linear, sf0.1 sweep covers it)
     "q292_ivfpq_recall", "q293_changelog_release", "q294_multimodal_keepers",
-    "q295_epoch_curriculum", "q297_rag_serve_twin")
+    "q295_epoch_curriculum", "q297_rag_serve_twin",
+    // batch 2: the vector-index staleness audit re-encodes the current
+    // corpus under persisted codebooks; the append path encodes the delta
+    "q298_ivfpq_staleness", "q299_ivfpq_append")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 

@@ -344,6 +344,50 @@ class Round12Spec extends SparkTestBase {
     assert(streamed === q289)
   }
 
+  test("ivfPqStaleness plants all four states: fresh, recoded (sign-" +
+      "flipped vector), orphaned, unindexed") {
+    import graft.ops.Quantize
+    def v(a: Float, b: Float, c: Float, dd: Float) = Array(a, b, c, dd)
+    val old = Seq(
+      (1L, v(1f, 0f, 0f, 0f)), (2L, v(0f, 1f, 0f, 0f)),
+      (3L, v(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val cur = Seq(
+      (1L, v(1f, 0f, 0f, 0f)),      // untouched → fresh
+      (2L, v(0f, -1f, 0f, 0f)),     // sign-flipped → recoded
+      (4L, v(0.9f, 0.1f, 0f, 0f))   // new arrival → unindexed; 3 leaves
+    ).toDF("vec_id", "embedding")
+    val idx = Quantize.ivfPqIndex(old, nCells = 2, m = 2, k = 2,
+      rounds = 1, dim = 4)
+    val m = Quantize.ivfPqStaleness(idx, cur).first()
+    assert(m.getAs[Long]("n_corpus") == 3L)
+    assert(m.getAs[Long]("n_index") == 3L)
+    assert(m.getAs[Long]("n_fresh") == 1L)
+    assert(m.getAs[Long]("n_recoded") == 1L)
+    assert(m.getAs[Long]("n_orphaned") == 1L)
+    assert(m.getAs[Long]("n_unindexed") == 1L)
+    assert(m.getAs[Long]("coverage_u") == 333333L)
+    assert(m.getAs[Long]("total_drift") >= m.getAs[Long]("max_cell_drift"))
+  }
+
+  test("ivfPqEncode: appending the delta under frozen codebooks equals " +
+      "re-encoding the whole corpus (sf0.001)") {
+    import graft.ops.Quantize
+    val emb = spark.read.parquet(s"$testData/sf0.001/embeddings.parquet")
+    val idx = Quantize.ivfPqIndex(emb.filter(col("vec_id") % 3 =!= 0),
+      nCells = 4, m = 4, k = 8, rounds = 1, dim = 64)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("cell", "vec_id", "sub", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val incremental = key(idx.codes.join(idx.vcell, Seq("vec_id"))
+        .select(col("cell"), col("vec_id"), col("sub"), col("cid")))
+      .union(key(Quantize.ivfPqEncode(emb.filter(col("vec_id") % 3 === 0),
+        idx.coarse, idx.cents, idx.subDim)))
+    val full = key(Quantize.ivfPqEncode(emb, idx.coarse, idx.cents,
+      idx.subDim))
+    assert(incremental === full)
+  }
+
   test("persisted IVF-PQ index: cell filter prunes partitions, probe join " +
       "has no fact-side Exchange, and results equal the in-memory path") {
     import graft.ops.Quantize
