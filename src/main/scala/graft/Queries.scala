@@ -7495,21 +7495,8 @@ object Queries {
       // positions — the exact char ranges an exact-substring dedup would cut
       (s, d) => graft.ops.Dedup.duplicatedExtents(T(s, d, "documents"),
         64, 16),
-      Some("""WITH sp AS (
-             |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-             |    CAST(CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 64)), 1, 15) AS UBIGINT) AS BIGINT) AS h
-             |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 63, 16)) AS i
-             |        FROM documents WHERE length(text) >= 64)),
-             |duph AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-             |d AS (SELECT sp.doc_id, sp.pos FROM sp JOIN duph USING (h)),
-             |g AS (SELECT doc_id, pos,
-             |   pos - 16 * row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-             |  FROM d)
-             |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
-             |  CAST(max(pos) + 63 AS BIGINT) AS end_pos,
-             |  CAST(count(*) AS BIGINT) AS n_spans,
-             |  CAST(max(pos) + 64 - min(pos) AS BIGINT) AS extent_chars
-             |FROM g GROUP BY doc_id, grp""".stripMargin)))
+      Some("WITH " + extentCtes + "\n" +
+        "SELECT * FROM ext")))
 
   /** The q278 noise CASE chain — generated from the SAME Scala threshold
     * constants the engine embeds, so neither engine evaluates exp/log. */
@@ -7622,6 +7609,27 @@ object Queries {
        |    CAST(sum(tk.n_tokens) OVER (PARTITION BY f.query_id
        |      ORDER BY f.fused_rank) AS BIGINT) AS cum_tokens
        |  FROM fsel f JOIN tk USING (doc_id))""".stripMargin
+
+  /** Shared q280/q301 strided-span extent chain: ends at `ext(doc_id,
+    * start_pos, end_pos, n_spans, extent_chars)` — q280 selects it
+    * verbatim, q301 unions the per-doc intervals on top. */
+  private lazy val extentCtes: String =
+    """sp AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    CAST(CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 64)), 1, 15) AS UBIGINT) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 63, 16)) AS i
+       |        FROM documents WHERE length(text) >= 64)),
+       |duph AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |d AS (SELECT sp.doc_id, sp.pos FROM sp JOIN duph USING (h)),
+       |g AS (SELECT doc_id, pos,
+       |   pos - 16 * row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM d),
+       |ext AS (
+             |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+       |  CAST(max(pos) + 63 AS BIGINT) AS end_pos,
+       |  CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(max(pos) + 64 - min(pos) AS BIGINT) AS extent_chars
+       |FROM g GROUP BY doc_id, grp)""".stripMargin
 
   /** Shared q279/q294 two-modality pair chain over the paired corpus:
     * q199's banded perceptual-hash pairs (`ipairs`) and q35's verified
@@ -8618,6 +8626,67 @@ object Queries {
         ivfPqIndexCtesFrom("oldemb").stripPrefix("WITH ") + ",\n" +
         ivfPqAssignCtes("u", "embeddings") + "\n" +
         "SELECT cell, vec_id, sub, cid FROM ucodes")),
+
+    Q("q300_attention_spans",
+      // the per-BIN view of q291's packed manifest — the relation a
+      // dataloader masks cross-document attention with: per bin, the doc
+      // segments occupying it with in-bin [seg_start, seg_end) offsets
+      // and starts/ends flags; straddling docs emit one row per crossed
+      // bin (a bounded sequence explode over the packed relation)
+      (s, d) => graft.ops.TrainingData.packedAttentionSpans(
+        T(s, d, "documents")),
+      Some(curriculumCtes + ",\n" +
+        """pk AS (SELECT doc_id, n_tokens,
+          |   CAST(coalesce(sum(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED
+          |     PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+          |  FROM bs WINDOW w AS (ORDER BY stage, mm, doc_id)),
+          |sp AS (SELECT doc_id, start_offset,
+          |   start_offset + n_tokens AS end_offset,
+          |   unnest(generate_series(start_offset // 2048,
+          |     (start_offset + n_tokens - 1) // 2048)) AS bin
+          |  FROM pk)
+          |SELECT CAST(bin AS BIGINT) AS bin, doc_id,
+          |  CAST(greatest(start_offset, bin * 2048) - bin * 2048 AS BIGINT)
+          |    AS seg_start,
+          |  CAST(least(end_offset, (bin + 1) * 2048) - bin * 2048 AS BIGINT)
+          |    AS seg_end,
+          |  start_offset >= bin * 2048 AS starts_here,
+          |  end_offset <= (bin + 1) * 2048 AS ends_here
+          |FROM sp""".stripMargin)),
+
+    Q("q301_repetition_mask",
+      // dedup at the LOSS level: q280's maximal duplicated extents rolled
+      // to a per-doc masking plan — extent count, interval-UNION masked
+      // char mass (window-wide extents from distinct islands can
+      // overlap), masked fraction; query-anchored (clean docs get zeros)
+      (s, d) => graft.ops.Dedup.repetitionMask(T(s, d, "documents"),
+        64, 16),
+      Some("WITH " + extentCtes + ",\n" +
+        """isl AS (SELECT doc_id, start_pos, end_pos,
+          |   CASE WHEN max(end_pos) OVER (PARTITION BY doc_id
+          |     ORDER BY start_pos ROWS BETWEEN UNBOUNDED PRECEDING
+          |     AND 1 PRECEDING) IS NULL
+          |    OR start_pos > max(end_pos) OVER (PARTITION BY doc_id
+          |     ORDER BY start_pos ROWS BETWEEN UNBOUNDED PRECEDING
+          |     AND 1 PRECEDING) + 1 THEN 1 ELSE 0 END AS new_island
+          |  FROM ext),
+          |isl2 AS (SELECT doc_id, start_pos, end_pos,
+          |   sum(new_island) OVER (PARTITION BY doc_id ORDER BY start_pos
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          |  FROM isl),
+          |per AS (SELECT doc_id, sum(n_ext) AS n_extents,
+          |   sum(island_chars) AS masked_chars FROM (
+          |  SELECT doc_id, island,
+          |   max(end_pos) - min(start_pos) + 1 AS island_chars,
+          |   count(*) AS n_ext
+          |  FROM isl2 GROUP BY doc_id, island) GROUP BY doc_id)
+          |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+          |  CAST(coalesce(p.n_extents, 0) AS BIGINT) AS n_extents,
+          |  CAST(coalesce(p.masked_chars, 0) AS BIGINT) AS masked_chars,
+          |  CAST(CASE WHEN length(d.text) > 0
+          |    THEN coalesce(p.masked_chars, 0) * 1000000 // length(d.text)
+          |    ELSE 0 END AS BIGINT) AS mask_u
+          |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin)),
 
     Q("q297_rag_serve_twin",
       // the q289 fill evaluated through the SERVE-shaped plan: a query

@@ -764,6 +764,56 @@ object Dedup {
         (col("mx") + spanLen - col("start_pos")).as("extent_chars"))
   }
 
+  /** Repetition loss-mask rollup — dedup at the LOSS level: instead of
+    * dropping a document whose middle carries a boilerplate block, mask
+    * the duplicated extents out of the training loss (the
+    * repeated-substring masking several pretraining pipelines apply
+    * after [[duplicatedExtents]]-style detection). Per document: extent
+    * count, the UNION char mass of its extents (extents from distinct
+    * islands can overlap once spans are window-wide, so the mass is an
+    * interval-union length, not Σ extent_chars), and the masked
+    * fraction. Query-anchored (the q282 discipline): every doc gets a
+    * row, zeros when clean.
+    *
+    * Scale shape: [[duplicatedExtents]]'s narrow (doc, pos) machinery,
+    * then per-doc windows over EXTENT rows (a doc's extents, not its
+    * chars) for the interval union, and one left join back to the
+    * doc-length projection.
+    *
+    * @return (doc_id, n_chars, n_extents, masked_chars, mask_u)
+    */
+  def repetitionMask(docs: DataFrame, window: Int = 64,
+      stride: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ext = duplicatedExtents(docs, window, stride)
+    // interval union per doc: island increments when this extent starts
+    // past every previous extent's end (running max over preceding rows)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start_pos"))
+    val prevMax = max(col("end_pos"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = ext
+      .withColumn("new_island",
+        when(prevMax.isNull || col("start_pos") > prevMax + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(w.rowsBetween(
+          Window.unboundedPreceding, 0)))
+    val perDoc = islands.groupBy(col("doc_id"), col("island"))
+      .agg((max(col("end_pos")) - min(col("start_pos")) + 1)
+        .as("island_chars"), count(lit(1)).as("n_ext"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_ext")).as("n_extents"),
+        sum(col("island_chars")).as("masked_chars"))
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_extents"), lit(0L)).as("n_extents"),
+        coalesce(col("masked_chars"), lit(0L)).as("masked_chars"),
+        when(col("n_chars") > 0,
+          expr("coalesce(masked_chars, 0) * 1000000 div n_chars"))
+          .otherwise(lit(0L)).as("mask_u"))
+  }
+
   /** SimHash (64-bit) from md5 of tokens: per-bit majority vote over token
     * hashes. Near-dups = pairs within `maxHamming` bits, bucketed by 16-bit
     * chunks for candidate generation (a pair within distance d ≤ 3 shares at

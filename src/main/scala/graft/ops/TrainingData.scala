@@ -1043,6 +1043,36 @@ object TrainingData {
           .as("start_offset"))
       .withColumn("bin", expr(s"start_offset div $budget"))
 
+  /** Packed attention-span manifest — the per-BIN view of
+    * [[curriculumPacking]]'s manifest, which is what a dataloader
+    * actually needs to mask cross-document attention inside a
+    * concat-and-chunk batch: for every bin, the document SEGMENTS that
+    * occupy it, with in-bin [seg_start, seg_end) token offsets and flags
+    * for whether the document starts/ends inside this bin (a straddling
+    * document contributes one segment per bin it crosses). Pure per-row
+    * arithmetic + a bounded `sequence` explode over the packed relation —
+    * a document spanning k bins emits k rows, and k ≤
+    * ⌈n_tokens/budget⌉ + 1.
+    *
+    * @return (bin, doc_id, seg_start, seg_end, starts_here, ends_here),
+    *         seg_end exclusive, one row per (bin, document segment)
+    */
+  def packedAttentionSpans(docs: DataFrame, stages: Int = 4,
+      budget: Long = 2048): DataFrame =
+    curriculumPacking(docs, stages, budget)
+      .withColumn("end_offset", col("start_offset") + col("n_tokens"))
+      .withColumn("last_bin",
+        expr(s"(start_offset + n_tokens - 1) div $budget"))
+      .select(col("doc_id"), col("start_offset"), col("end_offset"),
+        explode(expr(s"sequence(bin, last_bin)")).as("b"))
+      .select(col("b").as("bin"), col("doc_id"),
+        (greatest(col("start_offset"), col("b") * budget)
+          - col("b") * budget).as("seg_start"),
+        (least(col("end_offset"), (col("b") + 1) * budget)
+          - col("b") * budget).as("seg_end"),
+        (col("start_offset") >= col("b") * budget).as("starts_here"),
+        (col("end_offset") <= (col("b") + 1) * budget).as("ends_here"))
+
   /** Memorization-canary placement audit (Carlini et al.'s Secret Sharer
     * canaries, crossed with Lee et al.'s observation that deduplication
     * silently REMOVES or PRESERVES planted sequences depending on where

@@ -68,6 +68,8 @@ object PlanSweepSupport {
     "q285_canary_audit", // 1-row before/after/escape scalar attaches
     "q288_curriculum_order", // q166's 1-row corpus-token-total scalar
     "q291_curriculum_packing", // same chain, token-offset column added
+    "q295_epoch_curriculum", // same chain + the q214 tier explode
+    "q300_attention_spans", // same chain, per-bin segment explode added
     "q290_index_staleness", // 1-row audit rollup
     // hyperplaneCells: 1-row dim-length mean-vector scalar attach
     "q150_semantic_dedup", "q176_knn_classify", "q181_mutual_knn",
@@ -124,6 +126,13 @@ object PlanSweepSupport {
     // pair/dropped/old-record/enter/leave-mass attaches crossed together
     // (the corpus-sized stages all reduced upstream of checkpoints)
     "q274_incremental_release",
+    // q293: the changelog variant of the same record — identical 1-row
+    // attach chain (old record, removed/added pair counts, drop deltas,
+    // enter/leave mass), everything delta-bounded upstream
+    "q293_changelog_release",
+    "q297_rag_serve_twin", // composes q281's broadcast query-set passes
+    // q298: 1-row status-count rollup × 1-row drift rollup cross-attach
+    "q298_ivfpq_staleness",
     "q273_normalized_dedup") // 1-row dup-group-totals scalar attach
 
   /** Queries whose single-partition exchange carries only a BOUNDED
@@ -159,11 +168,19 @@ object PlanSweepSupport {
     "q283_conformal_interval",
     "q284_forget_docs", // two 1-row global rollups (doc + group scalars)
     "q285_canary_audit", // three 1-row global rollups
-    // q288/q291: stage-boundary window on the ≤~100-row quarter-nat
+    // q288/q291 (+ the q295 epoch and q300 span manifests on the same
+    // chain): stage-boundary window on the ≤~100-row quarter-nat
     // difficulty histogram + the (stages·256)-row offset window — never
     // the corpus
     "q288_curriculum_order", "q291_curriculum_packing",
+    "q295_epoch_curriculum", "q300_attention_spans",
     "q290_index_staleness", // 1-row global audit rollup
+    "q293_changelog_release", // q274's 1-row record-assembly rollups
+    // q296: per-emit 1-row class-count/epsilon rollups over the release
+    // series (the series is emits-sized; each emit's classes reduce to
+    // one scalar row before the union)
+    "q296_epsilon_ledger",
+    "q298_ivfpq_staleness", // 1-row audit + drift rollups
     // hyperplaneCells consumers: the dim-row per-dimension mean relation
     // collapses to ONE dim-length array row (the centering scalar) — a
     // bounded global aggregate, not a corpus reduction

@@ -90,8 +90,10 @@ class PlanSweepSf1 extends SparkTestBase {
     "q292_ivfpq_recall", "q293_changelog_release", "q294_multimodal_keepers",
     "q295_epoch_curriculum", "q297_rag_serve_twin",
     // batch 2: the vector-index staleness audit re-encodes the current
-    // corpus under persisted codebooks; the append path encodes the delta
-    "q298_ivfpq_staleness", "q299_ivfpq_append")
+    // corpus under persisted codebooks; the append path encodes the delta;
+    // the span manifest rides q291's chain, the loss mask q280's
+    "q298_ivfpq_staleness", "q299_ivfpq_append",
+    "q300_attention_spans", "q301_repetition_mask")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 

@@ -388,6 +388,63 @@ class Round12Spec extends SparkTestBase {
     assert(incremental === full)
   }
 
+  test("packedAttentionSpans: segments tile every bin and reassemble " +
+      "every document exactly once") {
+    val docs = spark.read.parquet(s"$testData/sf0.001/documents.parquet")
+    val spans = graft.ops.TrainingData.packedAttentionSpans(docs)
+      .collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("seg_start"), r.getAs[Long]("seg_end"),
+        r.getAs[Boolean]("starts_here"), r.getAs[Boolean]("ends_here")))
+    val packed = graft.ops.TrainingData.curriculumPacking(docs)
+      .select("doc_id", "n_tokens", "bin").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // per doc: segments sum to n_tokens, exactly one start and one end,
+    // and the starting segment sits in the packing's start bin
+    spans.groupBy(_._2).foreach { case (doc, segs) =>
+      val (nTok, startBin) = packed(doc)
+      assert(segs.map(x => x._4 - x._3).sum == nTok, s"doc $doc mass")
+      assert(segs.count(_._5) == 1 && segs.count(_._6) == 1, s"doc $doc flags")
+      assert(segs.filter(_._5).head._1 == startBin, s"doc $doc start bin")
+    }
+    // per bin: segments tile [0, fill) with no gaps or overlaps
+    val total = packed.values.map(_._1).sum
+    spans.groupBy(_._1).foreach { case (bin, segs) =>
+      val sorted = segs.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"bin $bin start")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3, s"bin $bin gap")
+        case _ =>
+      }
+      val fill = math.min(2048L, total - bin * 2048L)
+      assert(sorted.last._4 == fill, s"bin $bin fill")
+    }
+  }
+
+  test("repetitionMask: overlapping extents union (not sum); clean and " +
+      "sub-window docs report zeros") {
+    val t1 = "a1b2c3d4" * 6   // 48 chars
+    val t2 = "SHAREDMIDDLE16ch" // 16 chars
+    val t3 = "z9y8x7w6" * 6   // 48 chars
+    val docs = Seq(
+      (1L, t1 + t2 + t3),                 // 112 chars; [1,64] dups with 2,
+                                          // [49,112] dups with 3 — OVERLAP
+      (2L, t1 + t2 + "BBBBbbbbBBBBbbbbBBBBbbbbBBBBbbbb"),
+      (3L, t2 + t3 + "CCCCccccCCCCccccCCCCccccCCCCcccc"),
+      (4L, "totally clean unique text with no duplicated blocks")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.repetitionMask(docs, 64, 16)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chars"), r.getAs[Long]("n_extents"),
+          r.getAs[Long]("masked_chars"), r.getAs[Long]("mask_u"))).toMap
+    assert(out.size == 4)
+    // doc 1: two 64-char extents [1,64] and [49,112] union to 112, NOT 128
+    assert(out(1L) == ((112L, 2L, 112L, 1000000L)))
+    assert(out(2L)._2 == 1L && out(2L)._3 == 64L)
+    assert(out(3L)._2 == 1L && out(3L)._3 == 64L)
+    // doc 4 is shorter than the window: zero extents, zero mask
+    assert(out(4L) == ((51L, 0L, 0L, 0L)))
+  }
+
   test("persisted IVF-PQ index: cell filter prunes partitions, probe join " +
       "has no fact-side Exchange, and results equal the in-memory path") {
     import graft.ops.Quantize
