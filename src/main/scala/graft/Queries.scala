@@ -8732,13 +8732,347 @@ object Queries {
            |SELECT * FROM n1e UNION ALL SELECT * FROM n2e
            |UNION ALL SELECT * FROM n4e UNION ALL SELECT * FROM n8e""".stripMargin)))
 
+  // ------------------------------------------------------- round-12 extensions (batch 3)
+  // Hashed-feature importance resampling (DSIR), multi-rater agreement
+  // (Krippendorff's alpha), data-constrained scaling (effective epochs),
+  // multi-probe LSH recall, BM25 static index pruning, T5 span-corruption
+  // manifests, and the DP budget-transition monitor (batch twin of
+  // streaming.LedgerStream).
+
+  /** The q40/q41 stopword-ratio SQL fragment (shared by several oracles). */
+  private val srSql: String =
+    """round((
+      |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+      |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+      |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
+      |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
+      |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
+      |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 6)""".stripMargin
+
+  /** q41's lang-id argmax replayed as a CTE body (doc_id, lang_pred,
+    * lang_score) — reused by the Krippendorff rater derivation. */
+  private lazy val langIdSql: String = {
+    def occ(pat: String): String = {
+      val esc = pat.replace("'", "''")
+      s"((length(' '||text||' ') - length(replace(' '||text||' ', '$esc', ''))) / ${pat.length})"
+    }
+    val keys = graft.ops.TextAnalysis.langProfiles.map { case (lang, words) =>
+      s"lpad(CAST(CAST(${words.map(occ).mkString(" + ")} AS BIGINT) AS VARCHAR), 10, '0') || '$lang'"
+    }.mkString(", ")
+    s"""SELECT doc_id,
+       | substr(best, 11, 2) AS lang_pred,
+       | CAST(substr(best, 1, 10) AS BIGINT) AS lang_score
+       |FROM (SELECT doc_id, greatest($keys) AS best FROM documents)""".stripMargin
+  }
+
+  private val ext40Qs = Seq(
+    Q("q302_dsir_select",
+      // DSIR importance resampling: hashed-bigram unigram models (target =
+      // src7 slice vs the whole pool), µ-nat log-ratio weights, Gumbel
+      // top-k draw — the fixed-size-model data selection next to q233's
+      // vocabulary-sized Moore–Lewis
+      (s, d) => graft.ops.TrainingData.dsirSelect(T(s, d, "documents"),
+        targetSource = "src7", buckets = 4096, k = 500),
+      Some(s"""WITH base AS (SELECT doc_id, source,
+              |   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+              |  FROM documents),
+              |bg AS (SELECT doc_id, source,
+              |   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+              |  FROM base),
+              |fb AS (SELECT doc_id, source, ${duckH60("bg")} % 4096 AS b FROM bg),
+              |df AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS c
+              |  FROM fb GROUP BY 1, 2, 3),
+              |model AS (SELECT b, CAST(sum(c) AS BIGINT) AS cnt_raw,
+              |   CAST(sum(CASE WHEN source = 'src7' THEN c ELSE 0 END) AS BIGINT) AS cnt_tgt
+              |  FROM df GROUP BY 1),
+              |tot AS (SELECT CAST(sum(cnt_raw) AS BIGINT) AS n_raw,
+              |   CAST(sum(cnt_tgt) AS BIGINT) AS n_tgt FROM model),
+              |lam AS (SELECT b,
+              |   CAST(floor(ln(CAST(cnt_tgt AS DOUBLE) + CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT)
+              |   - CAST(floor(ln(CAST(t.n_tgt AS DOUBLE) + 4096) * 1000000) AS BIGINT)
+              |   - CAST(floor(ln(CAST(cnt_raw AS DOUBLE) + CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT)
+              |   + CAST(floor(ln(CAST(t.n_raw AS DOUBLE) + 4096) * 1000000) AS BIGINT) AS lam_u
+              |  FROM model, tot t),
+              |pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+              |   CAST(sum(c * lam_u) AS BIGINT) AS w_u
+              |  FROM df JOIN lam USING (b) GROUP BY 1),
+              |anc AS (SELECT d.doc_id, d.source,
+              |   CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats,
+              |   CAST(coalesce(p.w_u, 0) AS BIGINT) AS w_u
+              |  FROM documents d LEFT JOIN pd p USING (doc_id))
+              |SELECT doc_id, source, n_feats, w_u, key_u FROM (
+              |  SELECT doc_id, source, n_feats, w_u,
+              |   w_u + CAST(floor(-ln(-ln((${duckH60("'dsir:' || doc_id")} % 1000000
+              |     + CAST(0.5 AS DOUBLE)) / 1000000)) * 1000000) AS BIGINT) AS key_u
+              |  FROM anc)
+              |ORDER BY key_u DESC, doc_id LIMIT 500""".stripMargin)),
+
+    Q("q303_krippendorff_alpha",
+      // nominal-scale Krippendorff's alpha across three labelers (lang
+      // metadata / q41 content heuristic, abstaining on zero evidence /
+      // source-majority prior) — exact integer coincidence arithmetic
+      (s, d) => graft.ops.Classifier.krippendorffAlpha(T(s, d, "documents")),
+      Some(s"""WITH lid AS ($langIdSql),
+              |r AS (SELECT doc_id, lang AS cat FROM documents
+              |  UNION ALL SELECT doc_id, lang_pred AS cat FROM lid WHERE lang_score > 0
+              |  UNION ALL SELECT d.doc_id, sm.cat FROM documents d JOIN (
+              |    SELECT source, lang AS cat FROM (
+              |      SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2)
+              |    QUALIFY row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) = 1) sm
+              |    USING (source)),
+              |uc AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS nuc FROM r GROUP BY 1, 2),
+              |un AS (SELECT doc_id, CAST(sum(nuc) AS BIGINT) AS mu,
+              |   CAST(sum(nuc * nuc) AS BIGINT) AS ssq
+              |  FROM uc GROUP BY 1 HAVING sum(nuc) >= 2),
+              |da AS (SELECT CAST(count(*) AS BIGINT) AS n_pairable,
+              |   CAST(sum(2 * (mu * mu - ssq) // (mu - 1)) AS BIGINT) AS o_off_2x FROM un),
+              |nc AS (SELECT cat, CAST(sum(nuc) AS BIGINT) AS nc
+              |  FROM uc JOIN un USING (doc_id) GROUP BY 1),
+              |tot AS (SELECT CAST(sum(nc) AS BIGINT) AS n_ratings,
+              |   CAST(count(*) AS BIGINT) AS n_categories,
+              |   CAST(sum(nc * nc) AS BIGINT) AS ssq_c FROM nc),
+              |nu AS (SELECT CAST(count(*) AS BIGINT) AS n_units FROM documents)
+              |SELECT n_units, n_pairable, n_ratings, n_categories, o_off_2x, de_pairs,
+              |  dis_u, CAST(2000000 - dis_u AS BIGINT) AS alpha_p1_u
+              |FROM (SELECT *,
+              |  CASE WHEN de_pairs > 0 THEN
+              |    CAST(CAST(o_off_2x AS HUGEINT) * (n_ratings - 1) * 1000000
+              |      // (2 * de_pairs) AS BIGINT) END AS dis_u
+              |  FROM (SELECT n_units, n_pairable, n_ratings, n_categories, o_off_2x,
+              |    n_ratings * n_ratings - ssq_c AS de_pairs
+              |   FROM nu, da, tot))""".stripMargin)),
+
+    Q("q304_effective_epochs",
+      // Muennighoff data-constrained scaling: per-source effective token
+      // yield of the quality-staged epoch plan under the exp-decay law,
+      // decay factors as shared Scala-precomputed literals
+      (s, d) => graft.ops.TrainingData.effectiveEpochs(T(s, d, "documents")),
+      Some {
+        def f(r: Int): Long = graft.ops.TrainingData.effectiveTokensU(r)
+        val effCase = s"CASE epochs WHEN 1 THEN ${f(0)} WHEN 2 THEN ${f(1)} " +
+          s"WHEN 3 THEN ${f(2)} ELSE ${f(3)} END"
+        val margCase = s"CASE epochs WHEN 1 THEN ${f(1) - f(0)} " +
+          s"WHEN 2 THEN ${f(2) - f(1)} WHEN 3 THEN ${f(3) - f(2)} " +
+          s"ELSE ${f(4) - f(3)} END"
+        s"""WITH m AS (SELECT source, md5(text) AS h,
+           |   CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+           |   CAST(floor($srSql * 1000000) AS BIGINT) AS sr_u
+           |  FROM documents),
+           |u AS (SELECT source, h, CAST(count(*) AS BIGINT) AS mm,
+           |   max(n_tokens) AS n_tokens, max(sr_u) AS sr_u
+           |  FROM m GROUP BY 1, 2),
+           |ps AS (SELECT source, CAST(sum(mm) AS BIGINT) AS n_docs,
+           |   CAST(count(*) AS BIGINT) AS unique_docs,
+           |   CAST(sum(n_tokens) AS BIGINT) AS unique_tokens,
+           |   CAST(sum(sr_u) AS BIGINT) AS sum_sr_u
+           |  FROM u GROUP BY 1),
+           |e2 AS (SELECT source, n_docs, unique_docs, unique_tokens,
+           |   CAST(CASE WHEN mil >= 66 THEN 4 WHEN mil >= 55 THEN 2 ELSE 1 END AS BIGINT) AS epochs
+           |  FROM (SELECT *, sum_sr_u // unique_docs // 1000 AS mil FROM ps))
+           |SELECT source, n_docs, unique_docs, unique_tokens, epochs, raw_tokens,
+           |  eff_u, effective_tokens, marginal_next_u,
+           |  CAST(CAST(effective_tokens AS HUGEINT) * 1000000 // raw_tokens AS BIGINT) AS utilization_u
+           |FROM (SELECT *,
+           |   CAST(CAST(unique_tokens AS HUGEINT) * eff_u // 1000000 AS BIGINT) AS effective_tokens
+           |  FROM (SELECT source, n_docs, unique_docs, unique_tokens, epochs,
+           |    unique_tokens * epochs AS raw_tokens,
+           |    CAST($effCase AS BIGINT) AS eff_u,
+           |    CAST($margCase AS BIGINT) AS marginal_next_u
+           |   FROM e2))""".stripMargin
+      }),
+
+    Q("q305_multiprobe_lsh",
+      // multi-probe LSH recall curve: one signature pass, extra recall
+      // bought by probing the lowest-margin flipped buckets — recall@10
+      // and candidate volume per nprobe vs the exact cosine ground truth
+      (s, d) => graft.ops.Similarity.multiprobeRecall(T(s, d, "embeddings"),
+        nProbes = Seq(1, 2, 4), nPlanes = 6, dim = 64, k = 10, nQueries = 5),
+      Some {
+        val blocks = Seq(1, 2, 4).map { np =>
+          s"""b$np AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+             |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+             |  FROM ccos WHERE probe_rank < $np) WHERE rk <= 10),
+             |c$np AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_cand
+             |  FROM cand WHERE probe_rank < $np GROUP BY 1),
+             |h$np AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit
+             |  FROM ex JOIN b$np USING (query_id, vec_id) GROUP BY 1),
+             |en$np AS (SELECT CAST($np AS BIGINT) AS nprobe, p.query_id,
+             |   CAST(coalesce(c.n_cand, 0) AS BIGINT) AS n_cand, p.n_exact,
+             |   CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+             |   CAST(coalesce(h.n_hit, 0) * 1000000 // p.n_exact AS BIGINT) AS recall_u
+             |  FROM perq p LEFT JOIN c$np c USING (query_id)
+             |  LEFT JOIN h$np h USING (query_id))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH f AS (SELECT vec_id, unnest(embedding) AS v,
+           |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+           |fi AS (SELECT vec_id, i,
+           |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS iv FROM f),
+           |planes AS (SELECT p, d,
+           |   (list_sum(list_transform(range(15), j ->
+           |      CAST(strpos('0123456789abcdef', substr(md5(p || ':' || d), CAST(j + 1 AS INT), 1)) - 1
+           |        AS BIGINT) * (1::BIGINT << CAST(4 * (14 - j) AS INT)))) % 2001) - 1000 AS h
+           |  FROM range(6) t(p), range(64) s(d)),
+           |proj AS (SELECT fi.vec_id, pl.p, sum(fi.iv * pl.h) AS pr
+           |  FROM fi JOIN planes pl ON pl.d = fi.i - 1 GROUP BY 1, 2),
+           |sig AS (SELECT vec_id,
+           |   CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS sig
+           |  FROM proj GROUP BY 1),
+           |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
+           |exdots AS (SELECT q.query_id, f2.vec_id, sum(CAST(q.qv AS DOUBLE) * f2.v) AS dp
+           |  FROM (SELECT vec_id AS query_id, v AS qv, i FROM f WHERE vec_id < 5) q
+           |  JOIN f f2 ON f2.i = q.i WHERE f2.vec_id <> q.query_id GROUP BY 1, 2),
+           |excos AS (SELECT d.query_id, d.vec_id, round(d.dp / (nq.nrm * nc2.nrm), 6) AS cos
+           |  FROM exdots d JOIN norms nq ON nq.vec_id = d.query_id
+           |  JOIN norms nc2 ON nc2.vec_id = d.vec_id),
+           |ex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+           |  FROM excos) WHERE rk <= 10),
+           |perq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1),
+           |qs AS (SELECT vec_id AS query_id, sig AS base FROM sig WHERE vec_id < 5),
+           |fl AS (SELECT m.query_id, CAST(m.mrank AS BIGINT) AS probe_rank,
+           |   xor(q2.base, 1::BIGINT << CAST(m.p AS INT)) AS psig
+           |  FROM (SELECT vec_id AS query_id, p,
+           |     row_number() OVER (PARTITION BY vec_id ORDER BY abs(pr), p) AS mrank
+           |    FROM proj WHERE vec_id < 5) m
+           |  JOIN qs q2 USING (query_id) WHERE m.mrank <= 3),
+           |probes AS (SELECT query_id, CAST(0 AS BIGINT) AS probe_rank, base AS psig FROM qs
+           |  UNION ALL SELECT query_id, probe_rank, psig FROM fl),
+           |cand AS (SELECT pr2.query_id, pr2.probe_rank, cs.vec_id
+           |  FROM probes pr2 JOIN sig cs ON cs.sig = pr2.psig AND cs.vec_id <> pr2.query_id),
+           |cdots AS (SELECT c.query_id, c.probe_rank, c.vec_id,
+           |   sum(CAST(fq.v AS DOUBLE) * fc.v) AS dp
+           |  FROM cand c JOIN f fq ON fq.vec_id = c.query_id
+           |  JOIN f fc ON fc.vec_id = c.vec_id AND fc.i = fq.i
+           |  GROUP BY 1, 2, 3),
+           |ccos AS (SELECT d.query_id, d.probe_rank, d.vec_id,
+           |   round(d.dp / (nq.nrm * nc2.nrm), 6) AS cos
+           |  FROM cdots d JOIN norms nq ON nq.vec_id = d.query_id
+           |  JOIN norms nc2 ON nc2.vec_id = d.vec_id),
+           |$blocks
+           |SELECT * FROM en1 UNION ALL SELECT * FROM en2 UNION ALL SELECT * FROM en4""".stripMargin
+      }),
+
+    Q("q306_impact_index",
+      // static pruning of the impact-ordered BM25 index: recall@5 of the
+      // top-4-postings-per-term index vs the full q154 ranking, with the
+      // index-size gauge the pruning buys (keepTop = 4 binds at sf0.01,
+      // where the banded df tops out at 7)
+      (s, d) => graft.ops.Retrieval.impactIndexRecall(T(s, d, "documents"),
+        keepTop = 4, queryStride = 251, topK = 5),
+      Some("""WITH words AS (
+             |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+             |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> x <> '') AS tl FROM documents)),
+             |toks AS (
+             |  SELECT doc_id,
+             |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+             |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+             |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |len AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |sl AS (SELECT CAST(sum(tf) AS BIGINT) AS sl FROM tf),
+             |idf AS (SELECT tok,
+             |    CAST(floor(ln(CAST(1.0 AS DOUBLE) + (n.n - df + CAST(0.5 AS DOUBLE))
+             |      / (df + CAST(0.5 AS DOUBLE))) * 1000000) AS BIGINT) AS idf_u
+             |  FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1) d, n
+             |  WHERE df >= 2 AND df * 2 <= n.n),
+             |post AS (SELECT t.tok, t.doc_id,
+             |    CAST(i.idf_u * CAST(floor((t.tf * CAST(2.2 AS DOUBLE)
+             |      / (t.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+             |        + CAST(0.75 AS DOUBLE) * ((l.len * n.n) / sl.sl)))) * 1000000) AS BIGINT)
+             |      AS BIGINT) AS impact_u
+             |  FROM tf t JOIN len l ON l.doc_id = t.doc_id
+             |  JOIN idf i ON i.tok = t.tok, n, sl),
+             |pruned AS (SELECT tok, doc_id, impact_u FROM (SELECT *,
+             |   row_number() OVER (PARTITION BY tok ORDER BY impact_u DESC, doc_id) AS rk
+             |  FROM post) WHERE rk <= 4),
+             |q AS (SELECT t.doc_id AS query_id, t.tok
+             |  FROM tf t JOIN idf i ON i.tok = t.tok WHERE t.doc_id % 251 = 0),
+             |fsc AS (SELECT q.query_id, p.doc_id, CAST(sum(p.impact_u) AS BIGINT) AS score_u
+             |  FROM q JOIN post p ON p.tok = q.tok GROUP BY 1, 2),
+             |fullk AS (SELECT query_id, doc_id FROM (SELECT *,
+             |   row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, doc_id) AS rk
+             |  FROM fsc) WHERE rk <= 5),
+             |psc AS (SELECT q.query_id, p.doc_id, CAST(sum(p.impact_u) AS BIGINT) AS score_u
+             |  FROM q JOIN pruned p ON p.tok = q.tok GROUP BY 1, 2),
+             |prunedk AS (SELECT query_id, doc_id FROM (SELECT *,
+             |   row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, doc_id) AS rk
+             |  FROM psc) WHERE rk <= 5),
+             |pq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_full FROM fullk GROUP BY 1),
+             |ht AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit
+             |  FROM fullk JOIN prunedk USING (query_id, doc_id) GROUP BY 1)
+             |SELECT p.query_id, p.n_full,
+             |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+             |  CAST(coalesce(h.n_hit, 0) * 1000000 // p.n_full AS BIGINT) AS recall_u,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM post) AS full_postings,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM pruned) AS kept_postings
+             |FROM pq p LEFT JOIN ht h USING (query_id)""".stripMargin)),
+
+    Q("q307_span_corruption",
+      // T5-style span-corruption manifest: md5-coined per-block masks,
+      // sentinel-accounted encoder/decoder lengths, corpus-anchored
+      (s, d) => graft.ops.TrainingData.spanCorruption(T(s, d, "documents"),
+        block = 16, span = 3, noisePct = 45),
+      Some(s"""WITH base AS (SELECT doc_id,
+              |   CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+              |  FROM documents),
+              |blocks AS (SELECT doc_id, unnest(range(n_tokens // 16)) AS blk
+              |  FROM base WHERE n_tokens >= 16),
+              |sp AS (SELECT doc_id,
+              |   blk * 16 + ${duckH60("'spanpos:' || doc_id || ':' || blk")} % 14 AS span_start
+              |  FROM blocks WHERE ${duckH60("'span:' || doc_id || ':' || blk")} % 100 < 45),
+              |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+              |   CAST(min(span_start) AS BIGINT) AS first_span FROM sp GROUP BY 1)
+              |SELECT doc_id, n_tokens, n_blocks, n_spans, masked_tokens,
+              |  n_tokens - masked_tokens + n_spans AS input_len,
+              |  CASE WHEN n_spans > 0 THEN masked_tokens + n_spans + 1
+              |    ELSE 0 END AS target_len,
+              |  CASE WHEN n_tokens > 0 THEN masked_tokens * 1000000 // n_tokens
+              |    ELSE 0 END AS corruption_u,
+              |  first_span
+              |FROM (SELECT b.doc_id, b.n_tokens, b.n_tokens // 16 AS n_blocks,
+              |   CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+              |   CAST(coalesce(p.n_spans, 0) * 3 AS BIGINT) AS masked_tokens,
+              |   p.first_span
+              |  FROM base b LEFT JOIN per p USING (doc_id))""".stripMargin)),
+
+    Q("q308_budget_transitions",
+      // the event-level DP ledger: a synthetic release series (one emit
+      // per (lang, source), ε = ln 2 each) rolled to per-release running
+      // spend with the crossing alarm — the batch twin LedgerStream's
+      // stream≡batch spec replays
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val w = Window.partitionBy(col("lang")).orderBy(col("source"))
+        val releases = docs.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_classes"))
+          .select(col("lang").as("domain"),
+            row_number().over(w).cast("long").as("seq"),
+            lit(693147L).as("epsilon_u"), col("n_classes"))
+        graft.ops.Privacy.budgetTransitions(releases)
+      },
+      Some("""WITH g AS (SELECT lang AS domain, source,
+             |   CAST(count(*) AS BIGINT) AS n_classes FROM documents GROUP BY 1, 2),
+             |r AS (SELECT domain,
+             |   CAST(row_number() OVER (PARTITION BY domain ORDER BY source) AS BIGINT) AS seq,
+             |   CAST(693147 AS BIGINT) AS epsilon_u, n_classes FROM g),
+             |t AS (SELECT domain, seq, epsilon_u, n_classes,
+             |   CAST(sum(epsilon_u) OVER (PARTITION BY domain ORDER BY seq) AS BIGINT) AS spent_u
+             |  FROM r)
+             |SELECT domain, seq, epsilon_u, n_classes, spent_u,
+             |  CAST(greatest(2772588 - spent_u, 0) AS BIGINT) AS remaining_u,
+             |  spent_u >= 2772588 AS exhausted,
+             |  spent_u >= 2772588 AND spent_u - epsilon_u < 2772588 AS crossed
+             |FROM t""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs ++ ext38Qs ++ ext39Qs
+      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs ++ ext38Qs ++ ext39Qs ++ ext40Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -185,6 +185,78 @@ object Classifier {
                 * 1000000 div greatest(1000000 - pe_u, 1)""").as("kappa_p1_u"))
   }
 
+  /** Krippendorff's alpha (nominal scale) across THREE labelers with
+    * missingness — the multi-rater generalization [[cohensKappa]] can't
+    * express (κ is defined for exactly two raters and no missing cells;
+    * α handles any rater count and partial ratings, which is the actual
+    * shape of a labeling pipeline where annotators abstain). Raters here
+    * are the engine's three independent language opinions: the `lang`
+    * metadata column, the [[TextAnalysis.langId]] content heuristic —
+    * ABSTAINING when no profile word matches (lang_score = 0: zero
+    * evidence is a missing rating, not a rating) — and the source-majority
+    * prior (every doc rated with its source's modal lang, ties to the
+    * lexicographically smallest).
+    *
+    * Coincidence-matrix form (Krippendorff 2004 §11.3): each unit u with
+    * m_u ≥ 2 ratings contributes n_uc·n_uk/(m_u−1) to the off-diagonal
+    * mass; α = 1 − D_o/D_e = 1 − o_off·(n−1) / Σ_{c≠k} n_c·n_k. Exact
+    * integer contract: with ≤ 3 raters, 2·(m_u² − Σ_c n_uc²)/(m_u−1) is
+    * always an exact integer (`o_off_2x`), so D_o carries NO floating
+    * error; the final ratio pre-multiplies in DECIMAL(38,0) (n ~ 10⁹
+    * ratings would wrap a BIGINT at the ·10⁶ step). α is emitted shifted
+    * (+1, the [[cohensKappa]] convention) since α can be negative and the
+    * engines disagree on negative integer division; a single-category
+    * corpus (D_e = 0) emits NULL — α is 0/0 there.
+    *
+    * Scale shape: three narrow (doc_id, cat) projections (one corpus text
+    * pass for the heuristic), a (doc, cat)-keyed rollup, then
+    * category-sized aggregates; the source-mode table is a
+    * |sources|-row broadcast.
+    *
+    * @return 1 row: (n_units, n_pairable, n_ratings, n_categories,
+    *         o_off_2x, de_pairs, dis_u, alpha_p1_u)
+    */
+  def krippendorffAlpha(docs: DataFrame): DataFrame = {
+    val r1 = docs.select(col("doc_id"), col("lang").as("cat"))
+    val r2 = TextAnalysis.langId(docs).filter(col("lang_score") > 0)
+      .select(col("doc_id"), col("lang_pred").as("cat"))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n").desc, col("lang"))
+    val srcMode = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(wSrc))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("cat"))
+    val r3 = docs.select(col("doc_id"), col("source"))
+      .join(broadcast(srcMode), Seq("source"))
+      .select(col("doc_id"), col("cat"))
+    val ratings = r1.unionByName(r2).unionByName(r3)
+    val unitCat = org.apache.spark.sql.graft.FreshCheckpoint(
+      ratings.groupBy(col("doc_id"), col("cat"))
+        .agg(count(lit(1)).as("nuc")))
+    val units = unitCat.groupBy(col("doc_id"))
+      .agg(sum(col("nuc")).as("mu"),
+        sum(col("nuc") * col("nuc")).as("ssq"))
+      .filter(col("mu") >= 2)
+    val dAgg = units
+      .select(expr("2 * (mu * mu - ssq) div (mu - 1)").as("d2"))
+      .agg(count(lit(1)).as("n_pairable"), sum(col("d2")).as("o_off_2x"))
+    val nc = unitCat.join(units.select(col("doc_id")), Seq("doc_id"))
+      .groupBy(col("cat")).agg(sum(col("nuc")).as("nc"))
+    val tot = nc.agg(sum(col("nc")).as("n_ratings"),
+      count(lit(1)).as("n_categories"),
+      sum(col("nc") * col("nc")).as("ssq_c"))
+    docs.agg(count(lit(1)).as("n_units"))
+      .crossJoin(broadcast(dAgg)).crossJoin(broadcast(tot))
+      .select(col("n_units"), col("n_pairable"), col("n_ratings"),
+        col("n_categories"), col("o_off_2x"),
+        (col("n_ratings") * col("n_ratings") - col("ssq_c")).as("de_pairs"))
+      .withColumn("dis_u", when(col("de_pairs") > 0,
+        expr("cast(cast(o_off_2x as decimal(38,0)) * (n_ratings - 1) " +
+          "* 1000000 div (2 * de_pairs) as bigint)")))
+      .withColumn("alpha_p1_u", lit(2000000L) - col("dis_u"))
+  }
+
   /** Split-conformal calibration (Vovk et al.; Angelopoulos & Bates 2021
     * tutorial form) for the engine's cheap token-count predictor: fit the
     * global chars→tokens ratio on the calibration split, take the

@@ -247,4 +247,38 @@ object Privacy {
       .withColumn("remaining_u",
         greatest(lit(0L), col("budget_u") - col("spent_u")))
       .withColumn("exhausted", col("spent_u") >= col("budget_u"))
+
+  /** Per-release budget TRANSITIONS over an ordered release series — the
+    * event-level view of [[epsilonLedger]]'s end-state rollup: every
+    * release row carries the running spend AFTER it, what remains, whether
+    * the domain is past budget, and — the alarm bit — whether THIS release
+    * is the one that crossed the line (spent ≥ budget now, < budget
+    * before). The ledger says "domain X is exhausted"; this says "release
+    * #7 exhausted it", which is what an incident review and the
+    * [[graft.streaming.LedgerStream]] at-ingest monitor both need. Same
+    * sequential-composition accounting (Σ ε within a domain; domains
+    * independent under parallel composition).
+    *
+    * Scale shape: release-series-sized input; one window cum-sum
+    * partitioned by domain, ordered by the series' own release sequence —
+    * a per-domain sort over ledger rows, never corpus data, never global.
+    *
+    * @param releases (domain, seq, epsilon_u, n_classes) — seq is the
+    *        domain-local release order
+    * @return per release: (domain, seq, epsilon_u, n_classes, spent_u,
+    *         remaining_u, exhausted, crossed)
+    */
+  def budgetTransitions(releases: DataFrame,
+      budgetEpsilonU: Long = 2772588L): DataFrame = {
+    val w = Window.partitionBy(col("domain")).orderBy(col("seq"))
+    releases
+      .withColumn("spent_u", sum(col("epsilon_u")).over(w))
+      .select(col("domain"), col("seq"), col("epsilon_u"), col("n_classes"),
+        col("spent_u"),
+        greatest(lit(0L), lit(budgetEpsilonU) - col("spent_u"))
+          .as("remaining_u"),
+        (col("spent_u") >= budgetEpsilonU).as("exhausted"),
+        (col("spent_u") >= budgetEpsilonU &&
+          col("spent_u") - col("epsilon_u") < budgetEpsilonU).as("crossed"))
+  }
 }

@@ -168,4 +168,211 @@ object Retrieval {
       .select(col("query_id"), col("n_exact"), col("n_hit"),
         col("dcg_u"), col("idcg_u"), col("ndcg_u"))
   }
+
+  /** Static index pruning with an impact-ordered BM25 index (Carmel et
+    * al., SIGIR 2001 "Static Index Pruning for Information Retrieval
+    * Systems"; impact ordering: Anh & Moffat, SIGIR 2006) — the LEXICAL
+    * serve/no-serve audit, the q292 IVF-PQ recall sweep's twin on the
+    * sparse side: a BM25 posting's contribution to ANY query score is a
+    * query-independent impact (idf·saturation — the document-only part of
+    * the [[TextAnalysis.bm25TopK]] sum), so the index can be pruned to the
+    * `keepTop` highest-impact postings per term AT INDEXING TIME, and the
+    * recall of the pruned index against the full one is measurable before
+    * anything serves. At 100 TB the pruned index is the artifact that
+    * ships: term-bucketed, top-`keepTop` postings per term — bounded size
+    * per term regardless of document frequency, which is what caps both
+    * the index footprint and the worst-case per-query scan.
+    *
+    * The full-index ranking is score-for-score [[TextAnalysis.bm25TopK]]
+    * (same Σ idf_u·sat_u integer products, same tiebreak), so the audit's
+    * baseline is the already-verified q154 ranking.
+    *
+    * Scale shape: one tokenGrams pass → the (doc, tok) tf relation
+    * (materialized once, three consumers); impacts are a narrow
+    * (tok, doc_id, impact_u) relation; pruning is one per-term window
+    * (vocabulary-partitioned, never global); both retrieval passes are
+    * posting-list equi-joins with the query side broadcast below the
+    * [[TextAnalysis.bm25TopK]] adaptive gate and SHUFFLE_HASH past it;
+    * the two index-size scalars ride a 1-row broadcast attach.
+    *
+    * @return per query: (query_id, n_full, n_hit, recall_u,
+    *         full_postings, kept_postings)
+    */
+  /** The BM25 corpus statistics every index operation shares: the (doc,
+    * term) tf relation (materialized once), doc lengths, the df-banded
+    * integerized idf table, and the two corpus scalars. Same formulas and
+    * association order as [[TextAnalysis.bm25TopK]] / the q154 oracle. */
+  private[ops] case class Bm25Stats(tf: DataFrame, len: DataFrame,
+      idf: DataFrame, n: Long, sumLen: Long)
+
+  /** The doc-LOCAL half of the BM25 statistics — the only part an arrivals
+    * delta needs (no corpus scalars, no driver actions). */
+  private[ops] def bm25TfLen(docs: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.graft.FreshCheckpoint
+    val toks = TextAnalysis.tokenGrams(
+        docs.select(col("doc_id"), col("text")), 3)
+      .select(col("doc_id"), col("gram").as("tok"))
+    val tf = FreshCheckpoint(
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
+    (tf, tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len")))
+  }
+
+  private[ops] def bm25Stats(docs: DataFrame, dfMin: Long): Bm25Stats = {
+    val (tf, len) = bm25TfLen(docs)
+    val n = docs.count()
+    val sumLen = tf.agg(sum(col("tf"))).head().getLong(0)
+    val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= dfMin && col("df") * 2 <= lit(n))
+      .select(col("tok"),
+        floor(log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) * 1000000d).cast("long").as("idf_u"))
+    Bm25Stats(tf, len, idf, n, sumLen)
+  }
+
+  /** (tok, doc_id, impact_u) postings of a (tf, len) pair under the GIVEN
+    * global statistics — the impact encode as a pure function of (doc
+    * text, idf table, N, Σlen), which is what makes the append path
+    * ([[impactAppend]]) provably identical to a full re-encode. */
+  private[ops] def encodeImpacts(tf: DataFrame, len: DataFrame,
+      idf: DataFrame, n: Long, sumLen: Long): DataFrame = {
+    val sat = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+        lit(0.75) * ((col("len") * lit(n)) / lit(sumLen))))
+    tf.join(len, Seq("doc_id"))
+      .join(idf, Seq("tok"))
+      .select(col("tok"), col("doc_id"),
+        (col("idf_u") * floor(sat * 1000000d).cast("long")).as("impact_u"))
+  }
+
+  def impactIndexRecall(docs: DataFrame, keepTop: Int = 16,
+      queryStride: Long = 251, topK: Int = 5, dfMin: Long = 2,
+      maxBroadcastQueryTerms: Long = 2000000L): DataFrame = {
+    import org.apache.spark.sql.graft.FreshCheckpoint
+    val stats = bm25Stats(docs, dfMin)
+    val (tf, idf, n, sumLen) = (stats.tf, stats.idf, stats.n, stats.sumLen)
+    val estQueryTerms = sumLen / math.max(queryStride, 1L)
+    def qHint(df: DataFrame): DataFrame =
+      if (estQueryTerms <= maxBroadcastQueryTerms) broadcast(df)
+      else df.hint("shuffle_hash")
+    val postings = FreshCheckpoint(
+      encodeImpacts(tf, stats.len, idf, n, sumLen))
+    val wTok = Window.partitionBy(col("tok"))
+      .orderBy(col("impact_u").desc, col("doc_id"))
+    val pruned = postings.withColumn("prank", row_number().over(wTok))
+      .filter(col("prank") <= keepTop).drop("prank")
+    val qids = docs.filter(col("doc_id") % queryStride === 0)
+      .select(col("doc_id").as("query_id"))
+    val qgrams = tf.join(qHint(qids), col("doc_id") === col("query_id"))
+      .select(col("query_id"), col("tok"))
+    val qterms = idf.join(qHint(qgrams), Seq("tok"))
+      .select(col("query_id"), col("tok"))
+    def topkOf(index: DataFrame): DataFrame = {
+      val scored = index.join(qHint(qterms), Seq("tok"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("impact_u")).as("score_u"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_u").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("query_id"), col("doc_id"))
+    }
+    val full = topkOf(postings)
+    val prunedTop = topkOf(pruned)
+    val sizes = postings.agg(count(lit(1)).as("full_postings"))
+      .crossJoin(broadcast(pruned.agg(count(lit(1)).as("kept_postings"))))
+    val perQ = full.groupBy(col("query_id")).agg(count(lit(1)).as("n_full"))
+    val hits = full.join(prunedTop, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    perQ.join(hits, Seq("query_id"), "left")
+      .crossJoin(broadcast(sizes))
+      .select(col("query_id"), col("n_full"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0) * 1000000 div n_full").as("recall_u"),
+        col("full_postings"), col("kept_postings"))
+  }
+
+  /** Lexical index staleness audit — q290/q298's release-cadence gauge on
+    * the BM25 impact index: an index persisted from an OLD snapshot drifts
+    * against the current corpus on TWO axes a vector index doesn't have —
+    * document membership (arrived docs are unindexed, departed ones
+    * orphaned) and the GLOBAL statistics every posting's impact bakes in
+    * (df moves → idf moves → every posting of that term is mis-weighted
+    * even if its document never changed). The audit classifies the term
+    * vocabulary (fresh / drifted / new / gone by integerized idf
+    * comparison) and totals the absolute idf drift — the number that
+    * decides rebuild-now vs ride-the-appends.
+    *
+    * Scale shape: two [[bm25Stats]] passes (one per snapshot), then a
+    * full-outer equi-join of the two NARROW (tok, idf_u) vocabularies and
+    * one of the two (doc_id) key sets — texts never shuffle; the audit row
+    * is a 1-row rollup of each.
+    *
+    * @return 1 row: (n_terms_index, n_terms_current, n_terms_fresh,
+    *         n_terms_drifted, n_terms_new, n_terms_gone, idf_drift_total,
+    *         n_docs_unindexed, n_docs_orphaned)
+    */
+  def impactStaleness(oldDocs: DataFrame, curDocs: DataFrame,
+      dfMin: Long = 2): DataFrame = {
+    val o = bm25Stats(oldDocs, dfMin)
+    val c = bm25Stats(curDocs, dfMin)
+    val terms = o.idf.withColumnRenamed("idf_u", "old_idf")
+      .join(c.idf.withColumnRenamed("idf_u", "cur_idf"), Seq("tok"),
+        "full_outer")
+      .select(
+        when(col("old_idf").isNull, "new")
+          .when(col("cur_idf").isNull, "gone")
+          .when(col("old_idf") === col("cur_idf"), "fresh")
+          .otherwise("drifted").as("status"),
+        abs(coalesce(col("cur_idf"), lit(0L)) -
+          coalesce(col("old_idf"), lit(0L))).as("drift"))
+      .agg(
+        sum(when(col("status") =!= "new", 1L).otherwise(0L))
+          .as("n_terms_index"),
+        sum(when(col("status") =!= "gone", 1L).otherwise(0L))
+          .as("n_terms_current"),
+        sum(when(col("status") === "fresh", 1L).otherwise(0L))
+          .as("n_terms_fresh"),
+        sum(when(col("status") === "drifted", 1L).otherwise(0L))
+          .as("n_terms_drifted"),
+        sum(when(col("status") === "new", 1L).otherwise(0L))
+          .as("n_terms_new"),
+        sum(when(col("status") === "gone", 1L).otherwise(0L))
+          .as("n_terms_gone"),
+        sum(col("drift")).as("idf_drift_total"))
+    val docs = oldDocs.select(col("doc_id"), lit(1L).as("o"))
+      .join(curDocs.select(col("doc_id"), lit(1L).as("c")), Seq("doc_id"),
+        "full_outer")
+      .agg(sum(when(col("o").isNull, 1L).otherwise(0L))
+          .as("n_docs_unindexed"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_docs_orphaned"))
+    terms.crossJoin(broadcast(docs))
+  }
+
+  /** Append-only impact-index maintenance under FROZEN global statistics
+    * — the lexical twin of q299's frozen-codebook encode: arrivals encode
+    * against the PERSISTED idf table, N and Σlen (their own lengths are
+    * doc-local), and union with the kept postings. Impacts are a pure
+    * function of (document text, frozen statistics), so the increment is
+    * provably identical to re-encoding the whole current corpus under the
+    * same frozen statistics — the approximation (vs a rebuild) is exactly
+    * the statistics drift [[impactStaleness]] measures, which is the
+    * documented serve contract: append between rebuilds, rebuild when the
+    * drift gauge says so. Terms outside the frozen vocabulary get no
+    * posting (the frozen-vocab contract, as q299's arrivals drop to the
+    * nearest persisted cell).
+    *
+    * Scale shape: the delta side pays one tokenGrams pass over ARRIVALS
+    * only; the kept postings stream through untouched; the union is
+    * narrow (tok, doc_id, impact_u) rows.
+    *
+    * @return (tok, doc_id, impact_u) — the advanced index
+    */
+  def impactAppend(oldDocs: DataFrame, arrivals: DataFrame,
+      dfMin: Long = 2): DataFrame = {
+    val o = bm25Stats(oldDocs, dfMin)
+    val kept = encodeImpacts(o.tf, o.len, o.idf, o.n, o.sumLen)
+    val (atf, alen) = bm25TfLen(arrivals) // doc-local only; stats frozen
+    val delta = encodeImpacts(atf, alen, o.idf, o.n, o.sumLen)
+    kept.unionByName(delta)
+  }
 }

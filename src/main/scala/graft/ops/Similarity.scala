@@ -232,7 +232,7 @@ object Similarity {
     * first 15 hex digits of md5("p:d") as a 60-bit integer, mod 2001, -1000.
     * Engine-portable — the SQL oracle reconstructs the identical value from
     * the same md5 hex (the q37 simhash digit-parse technique). */
-  private[ops] def planeComponent(p: Int, d: Int): Long = {
+  private[graft] def planeComponent(p: Int, d: Int): Long = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$p:$d".getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.substring(0, 15)
@@ -255,14 +255,14 @@ object Similarity {
     *         query's bucket*; recall < 1 vs brute force by construction.
     */
   /** Plane p as a dim-length literal vector of [[planeComponent]]s. */
-  private[ops] def planeVectors(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+  private[graft] def planeVectors(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
     (0 until nPlanes).map(p => (0 until dim).map(d => planeComponent(p, d).toDouble))
 
   /** Signature bits over integer-valued double coordinates: bit p = sign of
     * the projection onto plane p. Exact: |coord| ≲ 2²², |h| ≤ 1000, so every
     * product (< 2³²) and dim-length sum (< 2³⁸) is an exact double — the
     * sign, and therefore the bucketing, replays bit-for-bit in any engine. */
-  private[ops] def sigOf(iemb: Column, planes: Seq[Seq[Double]]): Column =
+  private[graft] def sigOf(iemb: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (pl, p) =>
       when(dot(iemb, typedlit(pl)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -333,6 +333,147 @@ object Similarity {
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         expr("coalesce(n_hit, 0) * 1000000 div n_exact").as("recall_u"),
         coalesce(col("mrr_u"), lit(0L)).as("mrr_u"))
+  }
+
+  /** Probe sequence for multi-probe LSH: per query, the base signature
+    * (probe_rank 0) plus the signatures reached by flipping — one at a
+    * time — the `maxProbe − 1` bits with the smallest projection margin
+    * |⟨q, h_p⟩| (ties by plane index). The margin IS the distance from q
+    * to hyperplane p up to normalization, so the flipped buckets are
+    * exactly the neighboring regions most likely to hold near neighbors
+    * that landed on the other side of a close plane (Lv et al., VLDB
+    * 2007). Margins are integer-valued exact doubles ([[sigOf]]'s
+    * argument), so the ORDER of flips — and therefore the probe set —
+    * replays bit-for-bit in any engine.
+    *
+    * @param q (query_id, qemb: array<double>) — query-sized input
+    * @return (query_id, probe_rank, sig), probe_rank 0 = own bucket
+    */
+  private[ops] def probeSigs(q: DataFrame, nPlanes: Int, dim: Int,
+      maxProbe: Int): DataFrame = {
+    val planes = planeVectors(nPlanes, dim)
+    val iq = transform(col("qemb"), v => floor(v * lit(1e6)).cast("double"))
+    val pr = q.withColumn("iq", iq)
+      .select(col("query_id"),
+        explode(array(planes.zipWithIndex.map { case (pl, p) =>
+          struct(lit(p.toLong).as("p"), dot(col("iq"), typedlit(pl)).as("pr"))
+        }: _*)).as("pp"))
+      .select(col("query_id"), col("pp.p").as("p"), col("pp.pr").as("pr"))
+    val sigBase = pr.groupBy(col("query_id"))
+      .agg(sum(expr("case when pr >= 0 then " +
+        "shiftleft(cast(1 as bigint), cast(p as int)) " +
+        "else cast(0 as bigint) end")).as("sig"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(abs(col("pr")), col("p"))
+    val flips = pr.withColumn("mrank", row_number().over(w))
+      .filter(col("mrank") <= maxProbe - 1)
+      .join(sigBase.withColumnRenamed("sig", "base"), Seq("query_id"))
+      .select(col("query_id"), col("mrank").cast("long").as("probe_rank"),
+        expr("base ^ shiftleft(cast(1 as bigint), cast(p as int))")
+          .as("sig"))
+    sigBase.select(col("query_id"), lit(0L).as("probe_rank"), col("sig"))
+      .unionByName(flips)
+  }
+
+  /** Multi-probe LSH ANN (Lv et al., VLDB 2007, "Multi-Probe LSH:
+    * Efficient Indexing for High-Dimensional Similarity Search") — recall
+    * recovery for [[lshTopK]] WITHOUT more hash tables: instead of
+    * re-hashing the corpus under extra plane sets, each query also scans
+    * the `nProbe − 1` neighboring buckets across its lowest-margin planes.
+    * At cluster scale this is the difference between k indexes on disk and
+    * ONE: the corpus keeps a single signature column (written bucketed by
+    * it), and extra recall costs only more partition-pruned probe reads —
+    * the corpus side never changes, never re-shuffles.
+    *
+    * Probed buckets are pairwise distinct signatures, so candidates never
+    * duplicate; the exact-cosine re-rank within candidates is
+    * candidate-bounded (~nProbe/2^nPlanes of the corpus per query).
+    *
+    * @return (query_id, vec_id, cos, rank) — exact top-k within the
+    *         query's probed buckets
+    */
+  def multiprobeTopK(embeddings: DataFrame, queries: DataFrame,
+      nPlanes: Int = 6, nProbe: Int = 2, dim: Int = 64,
+      k: Int = 10): DataFrame = {
+    graft.expr.VectorOps.register(embeddings.sparkSession)
+    val planes = planeVectors(nPlanes, dim)
+    val corpus = Dedup.fanOut(embeddings).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+      .withColumn("sig", sigOf(
+        transform(col("emb"), v => floor(v * lit(1e6)).cast("double")),
+        planes))
+    val q = queries.select(col("query_id"),
+        col("embedding").cast("array<double>").as("qemb"))
+      .withColumn("qnrm", norm(col("qemb")))
+    val probes = probeSigs(q, nPlanes, dim, nProbe)
+      .filter(col("probe_rank") < nProbe)
+      .join(q, Seq("query_id"))
+    val scored = corpus.join(broadcast(probes), Seq("sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
+  /** The multi-probe serve/no-serve curve: recall@k of [[multiprobeTopK]]
+    * against the exact [[cosineTopK]] ground truth at each probe count,
+    * with the per-query candidate volume — the axis the probes buy recall
+    * WITH. The q292 IVF-PQ recall sweep's pattern on the LSH index: one
+    * corpus signature pass (materialized once), one exact ground-truth
+    * pass (materialized once), then one candidate-bounded probe block per
+    * nProbe value.
+    *
+    * @return (nprobe, query_id, n_cand, n_exact, n_hit, recall_u)
+    */
+  def multiprobeRecall(embeddings: DataFrame,
+      nProbes: Seq[Int] = Seq(1, 2, 4), nPlanes: Int = 6, dim: Int = 64,
+      k: Int = 10, nQueries: Int = 5): DataFrame = {
+    graft.expr.VectorOps.register(embeddings.sparkSession)
+    val planes = planeVectors(nPlanes, dim)
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // both relations feed every probe block — materialize each once
+    val exact = FreshCheckpoint(cosineTopK(embeddings, queries, k)
+      .select(col("query_id"), col("vec_id")))
+    val corpus = FreshCheckpoint(Dedup.fanOut(embeddings)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+      .withColumn("sig", sigOf(
+        transform(col("emb"), v => floor(v * lit(1e6)).cast("double")),
+        planes)))
+    val q = queries.select(col("query_id"),
+        col("embedding").cast("array<double>").as("qemb"))
+      .withColumn("qnrm", norm(col("qemb")))
+    val allProbes = probeSigs(q, nPlanes, dim, nProbes.max)
+    val perQ = exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    nProbes.map { np =>
+      val cand = corpus
+        .join(broadcast(allProbes.filter(col("probe_rank") < np)
+          .join(q, Seq("query_id"))), Seq("sig"))
+        .filter(col("vec_id") =!= col("query_id"))
+      val nc = cand.groupBy(col("query_id")).agg(count(lit(1)).as("n_cand"))
+      val topk = cand.withColumn("cos",
+          round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("vec_id"))
+      val hits = exact.join(topk, Seq("query_id", "vec_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      perQ.join(nc, Seq("query_id"), "left")
+        .join(hits, Seq("query_id"), "left")
+        .select(lit(np.toLong).as("nprobe"), col("query_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          expr("coalesce(n_hit, 0) * 1000000 div n_exact").as("recall_u"))
+    }.reduce(_ unionByName _)
   }
 
   /** Embedding near-dup detection: pairwise cosine ≥ threshold within

@@ -1174,4 +1174,364 @@ object TrainingData {
         (col("n_keepers_after") - col("n_groups")).as("corpus_inflation"),
         col("n_dup_escapes"))
   }
+
+  /** DSIR data selection (Xie et al., NeurIPS 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every pool document
+    * by the log importance ratio between two bag-of-HASHED-bigram unigram
+    * models — a target model fit on the in-domain slice (`source ==
+    * targetSource`) and a raw model fit on the whole pool — then draw the
+    * selected set WITHOUT replacement by Gumbel top-k (the paper's
+    * resampling step: adding iid Gumbel noise to the log weights and taking
+    * the k largest keys samples exactly ∝ exp(w) without replacement).
+    *
+    * The signature move is the HASHED feature space: bigrams map to
+    * `buckets` positions via the md5-derived 60-bit hash, so both models
+    * are fixed-size (`buckets` rows) REGARDLESS of corpus vocabulary —
+    * at 100 TB the model is still a 4096-row broadcast table, which is the
+    * property that separates DSIR from the vocabulary-sized
+    * [[graft.ops.TextAnalysis.mooreLewisScore]] LM pair next to it.
+    *
+    * Determinism: both model fits are integer counts; per-bucket log terms
+    * floor to µ-nats before the per-doc sum (order-independent BIGINT);
+    * Gumbel noise derives from the md5 hash of the doc id (u = (h mod 10⁶
+    * + ½)/10⁶, g = −ln(−ln u), floored to µ-units), so the oracle replays
+    * the draw exactly. Laplace-(+1) smoothing on both models keeps every
+    * log finite.
+    *
+    * Scale shape: ONE bigram explode feeds a (doc, bucket) partial agg;
+    * the two models ride the SAME bucket rollup (target counts are a
+    * conditional sum — no second corpus pass); the model relation
+    * (≤ `buckets` rows) and its 1-row totals broadcast onto the per-doc
+    * bucket counts; one doc-keyed rollup; the final top-k is a
+    * TakeOrderedAndProject (never a global sort). Docs with no bigram
+    * (< 2 tokens) stay eligible at weight 0 — the relation is
+    * pool-anchored.
+    *
+    * @return the k selected rows: (doc_id, source, n_feats, w_u, key_u),
+    *         key_u = w_u + gumbel_u, ordered by nothing (hash-compare
+    *         sorts); w_u = Σ_b c_b·(ln p̂_target(b) − ln p̂_raw(b)) in µ-nats
+    */
+  /** Per-doc hashed-bigram feature counts (doc_id, source, b, c) — the
+    * shared first stage of the DSIR family. */
+  private[ops] def dsirFeatures(docs: DataFrame, buckets: Int): DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    val base = Dedup.fanOut(docs).select(col("doc_id"), col("source"),
+      toks.as("t"))
+    // bigram b_i = t_i ++ " " ++ t_{i+1}: zip the array with its own tail —
+    // zip_with pads the tail side with NULL, so concat nulls out the last
+    // slot and the filter drops it (and empties/1-token docs vanish here)
+    base.select(col("doc_id"), col("source"),
+        explode(zip_with(col("t"),
+          slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+          (x, y) => concat(x, lit(" "), y))).as("bg"))
+      .filter(col("bg").isNotNull)
+      .select(col("doc_id"), col("source"),
+        pmod(h60(col("bg")), lit(buckets.toLong)).as("b"))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** The two fixed-size DSIR models from ONE bucket rollup — (b, cnt_raw,
+    * cnt_tgt), ≤ `buckets` rows by construction. */
+  private[ops] def dsirModel(docFeats: DataFrame,
+      targetSource: String): DataFrame =
+    docFeats.groupBy(col("b"))
+      .agg(sum(col("c")).as("cnt_raw"),
+        sum(when(col("source") === targetSource, col("c")).otherwise(0L))
+          .as("cnt_tgt"))
+
+  /** Pool-anchored scored relation (doc_id, source, n_feats, w_u, key_u):
+    * µ-nat importance weight + md5-Gumbel key. */
+  private[ops] def dsirScored(docs: DataFrame, docFeats: DataFrame,
+      model: DataFrame, buckets: Int): DataFrame = {
+    val totals = model.agg(sum(col("cnt_raw")).as("n_raw"),
+      sum(col("cnt_tgt")).as("n_tgt"))
+    // per-bucket µ-nat log ratio, each log floored separately so the BIGINT
+    // sum is order-independent and the oracle replays it term-for-term
+    val lamU = floor(log(col("cnt_tgt").cast("double") + 1d) * 1000000)
+      .cast("long") -
+      floor(log(col("n_tgt").cast("double") + buckets) * 1000000)
+        .cast("long") -
+      floor(log(col("cnt_raw").cast("double") + 1d) * 1000000)
+        .cast("long") +
+      floor(log(col("n_raw").cast("double") + buckets) * 1000000)
+        .cast("long")
+    val perDoc = docFeats
+      .join(broadcast(model), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("source"), col("c"), lamU.as("lam_u"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * col("lam_u")).as("w_u"))
+    // pool-anchored: featureless docs re-enter at weight 0
+    val anchored = docs.select(col("doc_id"), col("source"))
+      .join(perDoc.drop("source"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("w_u"), lit(0L)).as("w_u"))
+    val u = (pmod(h60(concat(lit("dsir:"), col("doc_id").cast("string"))),
+      lit(1000000L)).cast("double") + 0.5d) / 1000000d
+    val gumbelU = floor(-log(-log(u)) * 1000000).cast("long")
+    anchored.withColumn("key_u", col("w_u") + gumbelU)
+  }
+
+  def dsirSelect(docs: DataFrame, targetSource: String,
+      buckets: Int = 4096, k: Int = 500): DataFrame = {
+    val feats = dsirFeatures(docs, buckets)
+    dsirScored(docs, feats, dsirModel(feats, targetSource), buckets)
+      .orderBy(col("key_u").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DSIR selection-quality metric — the paper's own headline number: how
+    * much closer (in KL over the hashed-feature distribution) the SELECTED
+    * set sits to the target than the raw pool does. KL(target ‖ pool) −
+    * KL(target ‖ selected) > 0 means the resampling worked; a shrinking
+    * reduction as k grows is the knob for choosing the selection budget.
+    *
+    * Exact-integer contract: all three distributions are Laplace-(+1)
+    * smoothed over the SAME `buckets`-point space; per-bucket log masses
+    * floor to µ-nats (difference-of-floors, the [[dsirScored]] form), the
+    * numerator Σ (c_t+1)·(ℓ_t − ℓ_x) is an order-free BIGINT, and the
+    * buckets observed by NO distribution fold in through a closed-form
+    * remainder (B − observed)·(ℓ_x⁰ − ℓ_t⁰) instead of materializing 4096
+    * rows. kl_u = numerator div (N_t + B).
+    *
+    * Scale shape: ONE feature pass (shared with the selection), two
+    * ≤`buckets`-row model relations, a k-bounded selected-id join back
+    * onto the per-doc feature counts, and scalar rollups.
+    *
+    * @return 1 row: (n_target_mass, n_selected_mass, n_buckets_observed,
+    *         kl_raw_u, kl_selected_u, reduction_u)
+    */
+  def dsirKl(docs: DataFrame, targetSource: String, buckets: Int = 4096,
+      k: Int = 500): DataFrame = {
+    val feats = dsirFeatures(docs, buckets)
+    val model = dsirModel(feats, targetSource)
+    val selectedIds = dsirScored(docs, feats, model, buckets)
+      .orderBy(col("key_u").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"))
+    val selModel = feats.join(broadcast(selectedIds), Seq("doc_id"))
+      .groupBy(col("b")).agg(sum(col("c")).as("cnt_sel"))
+    val m = model.join(selModel, Seq("b"), "left")
+      .select(col("b"), col("cnt_raw"), col("cnt_tgt"),
+        coalesce(col("cnt_sel"), lit(0L)).as("cnt_sel"))
+    val tot = m.agg(sum(col("cnt_raw")).as("n_raw"),
+      sum(col("cnt_tgt")).as("n_tgt"), sum(col("cnt_sel")).as("n_sel"),
+      count(lit(1)).as("n_b"))
+    def lg(c: Column): Column =
+      floor(log(c.cast("double") + 1d) * 1000000).cast("long")
+    def lgN(n: Column): Column =
+      floor(log(n.cast("double") + buckets) * 1000000).cast("long")
+    // numerator terms over observed buckets; ℓ denominators attach from the
+    // broadcast totals so every term is a difference of four floors
+    val terms = m.crossJoin(broadcast(tot))
+      .select(
+        ((col("cnt_tgt") + 1) *
+          ((lg(col("cnt_tgt")) - lgN(col("n_tgt"))) -
+            (lg(col("cnt_raw")) - lgN(col("n_raw"))))).as("num_raw"),
+        ((col("cnt_tgt") + 1) *
+          ((lg(col("cnt_tgt")) - lgN(col("n_tgt"))) -
+            (lg(col("cnt_sel")) - lgN(col("n_sel"))))).as("num_sel"))
+      .agg(sum(col("num_raw")).as("sum_raw"),
+        sum(col("num_sel")).as("sum_sel"))
+    terms.crossJoin(broadcast(tot))
+      .select(col("n_tgt").as("n_target_mass"),
+        col("n_sel").as("n_selected_mass"),
+        col("n_b").as("n_buckets_observed"),
+        // closed-form remainder for the (B − n_b) buckets unseen by all:
+        // (c_t+1) = 1 and ℓ_t − ℓ_x = ℓ_x⁰ − ℓ_t⁰ with zero counts
+        expr(s"(sum_raw + ($buckets - n_b) * " +
+          "(cast(floor(ln(cast(n_raw as double) + " + buckets +
+          ") * 1000000) as bigint) - cast(floor(ln(cast(n_tgt as double) + " +
+          buckets + ") * 1000000) as bigint))) " +
+          s"div (n_tgt + $buckets)").as("kl_raw_u"),
+        expr(s"(sum_sel + ($buckets - n_b) * " +
+          "(cast(floor(ln(cast(n_sel as double) + " + buckets +
+          ") * 1000000) as bigint) - cast(floor(ln(cast(n_tgt as double) + " +
+          buckets + ") * 1000000) as bigint))) " +
+          s"div (n_tgt + $buckets)").as("kl_selected_u"))
+      .withColumn("reduction_u", col("kl_raw_u") - col("kl_selected_u"))
+  }
+
+  /** DSIR selection-bias audit — the known failure mode of matching a
+    * target distribution: the selected set's composition skews away from
+    * the pool on axes the target over-represents (a lang-skewed target
+    * slice quietly de-selects other languages). Per class: pool share vs
+    * selected share in µ-units and the over/under-selection ratio.
+    * Query-anchored on the POOL's classes — a class selected zero times
+    * emits a row with bias 0, which is precisely the row the audit exists
+    * to surface.
+    *
+    * Scale shape: the selection is k-bounded; the audit joins the
+    * k-row id set onto the narrow (doc_id, class) projection and rolls up
+    * per class. DECIMAL(38,0) pre-multiply keeps the ratio exact at
+    * corpus scale (n_sel·N·10⁶ wraps a BIGINT past N ~ 2·10⁹).
+    *
+    * @return per class: (lang, n_pool, n_selected, pool_share_u,
+    *         sel_share_u, bias_u) — bias_u = 10⁶·(sel share / pool share)
+    */
+  def dsirSelectionBias(docs: DataFrame, targetSource: String,
+      buckets: Int = 4096, k: Int = 500): DataFrame = {
+    val selected = dsirSelect(docs, targetSource, buckets, k)
+      .select(col("doc_id"))
+    val tagged = docs.select(col("doc_id"), col("lang"))
+      .join(selected.withColumn("sel", lit(1L)), Seq("doc_id"), "left")
+    val per = tagged.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pool"),
+        sum(coalesce(col("sel"), lit(0L))).as("n_selected"))
+    val tot = per.agg(sum(col("n_pool")).as("n"),
+      sum(col("n_selected")).as("kk"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_pool"), col("n_selected"),
+        expr("n_pool * 1000000 div n").as("pool_share_u"),
+        expr("n_selected * 1000000 div kk").as("sel_share_u"),
+        expr("cast(cast(n_selected as decimal(38,0)) * n * 1000000 " +
+          "div (cast(n_pool as decimal(38,0)) * kk) as bigint)")
+          .as("bias_u"))
+  }
+
+  /** Per-repetition effective-token factors for [[effectiveEpochs]] —
+    * ⌊(1 + R*·(1 − e^(−R/R*)))·10⁶⌋ for R repetitions past the first epoch
+    * (Muennighoff et al., NeurIPS 2023, "Scaling Data-Constrained Language
+    * Models", eqn 6 with their fitted R* ≈ 15.4: repeated data decays
+    * exponentially in value; the first few epochs are nearly free, ~15
+    * epochs is the practical ceiling). Computed HERE in Scala and embedded
+    * as literals in both engines, so no exp() ever runs inside a query. */
+  def effectiveTokensU(r: Int, rStar: Double = 15.4): Long =
+    math.floor((1d + rStar * (1d - math.exp(-r / rStar))) * 1000000d).toLong
+
+  /** Data-constrained scaling advisor: for each source, the EFFECTIVE
+    * token yield of repeating its unique data `epochs` times under the
+    * Muennighoff et al. decay law — the number that decides whether the
+    * next epoch of a small high-quality source still buys anything, or the
+    * mixture should spend the compute on fresh lower-quality tokens
+    * instead.
+    *
+    * Unique mass deduplicates by exact content hash first (repeating a
+    * corpus that is internally duplicated double-counts nothing); the
+    * epoch policy is [[epochMix]]'s quality staging lifted to source
+    * granularity — the source's mean stopword-ratio in PER-MILLE (source
+    * means concentrate an order of magnitude tighter than per-doc ratios,
+    * so the doc-level decile bins would put every source in one class):
+    * ≥ `hiMil` → maxEpochs, ≥ `midMil` → 2, else 1. The decay
+    * factors are [[effectiveTokensU]] literals — identical constants on
+    * both engines, no floating exp in any plan.
+    *
+    * Scale shape: one (source, text-hash) dedup rollup over narrow
+    * (source, hash, n_tokens, sr_u) projections — the texts themselves
+    * never shuffle — then a source-sized rollup and pure per-row literal
+    * arithmetic. DECIMAL(38,0) pre-multiply keeps U·eff_u exact past the
+    * BIGINT range (U ~ 10¹² at 100 TB · 1.6·10⁷ overflows a Long).
+    *
+    * @return per source: (source, n_docs, unique_docs, unique_tokens,
+    *         epochs, raw_tokens, eff_u, effective_tokens, utilization_u,
+    *         marginal_next_u)
+    */
+  def effectiveEpochs(docs: DataFrame, maxEpochs: Int = 4,
+      rStar: Double = 15.4, hiMil: Int = 66, midMil: Int = 55): DataFrame = {
+    val sr = TextAnalysis.qualityColumns(col("text"))
+      .toMap.apply("stopword_ratio")
+    val nt = TextAnalysis.qualityColumns(col("text")).toMap.apply("n_tokens")
+    val perDoc = Dedup.fanOut(docs).select(col("source"),
+      md5(col("text")).as("h"), nt.as("n_tokens"),
+      floor(sr * 1000000).cast("long").as("sr_u"))
+    val uniq = perDoc.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("m"), max(col("n_tokens")).as("n_tokens"),
+        max(col("sr_u")).as("sr_u"))
+    val perSource = uniq.groupBy(col("source"))
+      .agg(sum(col("m")).as("n_docs"), count(lit(1)).as("unique_docs"),
+        sum(col("n_tokens")).as("unique_tokens"),
+        sum(col("sr_u")).as("sum_sr_u"))
+      .withColumn("mil", expr("sum_sr_u div unique_docs div 1000"))
+    val epochs = when(col("mil") >= hiMil, maxEpochs.toLong)
+      .when(col("mil") >= midMil, 2L).otherwise(1L)
+    // literal decay table: R = epochs − 1 repetitions
+    val effU = (0 to maxEpochs).map(r => effectiveTokensU(r, rStar))
+    val effCol = (1 until maxEpochs).foldRight(
+      lit(effU(maxEpochs - 1)): Column) { (e, acc) =>
+      when(col("epochs") === e.toLong, lit(effU(e - 1))).otherwise(acc)
+    }
+    val margCol = (1 until maxEpochs).foldRight(
+      lit(effU(maxEpochs) - effU(maxEpochs - 1)): Column) { (e, acc) =>
+      when(col("epochs") === e.toLong, lit(effU(e) - effU(e - 1)))
+        .otherwise(acc)
+    }
+    perSource.withColumn("epochs", epochs)
+      .withColumn("eff_u", effCol)
+      .select(col("source"), col("n_docs"), col("unique_docs"),
+        col("unique_tokens"), col("epochs"),
+        (col("unique_tokens") * col("epochs")).as("raw_tokens"),
+        col("eff_u"),
+        expr("cast(cast(unique_tokens as decimal(38,0)) * eff_u " +
+          "div 1000000 as bigint)").as("effective_tokens"),
+        margCol.as("marginal_next_u"))
+      .withColumn("utilization_u",
+        expr("cast(cast(effective_tokens as decimal(38,0)) * 1000000 " +
+          "div raw_tokens as bigint)"))
+  }
+
+  /** T5/UL2-style span-corruption manifest (Raffel et al. 2020 §3.1.4):
+    * the per-document masking plan a denoising-objective preprocessor
+    * emits — which spans get replaced by sentinels, and the resulting
+    * encoder/decoder sequence lengths — WITHOUT materializing any token.
+    *
+    * Deterministic blocked construction (the price of an oracle-replayable
+    * mask): the token stream splits into blocks of `block` tokens; each
+    * complete block independently masks one `span`-token run with
+    * probability `noisePct`% — coin AND offset both md5-derived from
+    * (doc_id, block), so expected corruption = noisePct·span/block (45%·
+    * 3/16 ≈ 8.4% at the defaults) and the mask replays bit-for-bit on any
+    * engine. The tail partial block never masks. Sequence-length
+    * accounting per the T5 convention: each span collapses to one sentinel
+    * on the input side (input_len = n_tokens − masked + spans) and expands
+    * to sentinel + its tokens on the target side, closed by one final
+    * sentinel (target_len = masked + spans + 1; a span-free doc trains
+    * nothing → 0).
+    *
+    * Scale shape: pure per-row arithmetic plus ONE bounded sequence
+    * explode (n_tokens/block rows per doc — the same bounded-explode
+    * budget as q300's bin segments); a doc-keyed rollup; corpus-anchored
+    * left join so clean/short docs emit zeros.
+    *
+    * @return (doc_id, n_tokens, n_blocks, n_spans, masked_tokens,
+    *         input_len, target_len, corruption_u, first_span)
+    */
+  def spanCorruption(docs: DataFrame, block: Int = 16, span: Int = 3,
+      noisePct: Int = 45): DataFrame = {
+    require(span < block, "span must fit a block")
+    val base = Dedup.fanOut(docs).select(col("doc_id"),
+      size(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+        .cast("long").as("n_tokens"))
+    val blocks = base.filter(col("n_tokens") >= block)
+      .select(col("doc_id"), explode(expr(
+        s"sequence(0, n_tokens div $block - 1)")).as("blk"))
+    val key = concat(col("doc_id").cast("string"), lit(":"),
+      col("blk").cast("string"))
+    val spans = blocks
+      .filter(pmod(h60(concat(lit("span:"), key)), lit(100L)) <
+        noisePct.toLong)
+      .select(col("doc_id"),
+        (col("blk") * block + pmod(h60(concat(lit("spanpos:"), key)),
+          lit((block - span + 1).toLong))).as("span_start"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), min(col("span_start")).as("first_span"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"n_tokens div $block").as("n_blocks"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (coalesce(col("n_spans"), lit(0L)) * span).as("masked_tokens"),
+        col("first_span"))
+      .select(col("doc_id"), col("n_tokens"), col("n_blocks"),
+        col("n_spans"), col("masked_tokens"),
+        (col("n_tokens") - col("masked_tokens") + col("n_spans"))
+          .as("input_len"),
+        when(col("n_spans") > 0,
+          col("masked_tokens") + col("n_spans") + 1).otherwise(0L)
+          .as("target_len"),
+        when(col("n_tokens") > 0,
+          expr("masked_tokens * 1000000 div n_tokens"))
+          .otherwise(0L).as("corruption_u"),
+        col("first_span"))
+  }
 }

@@ -133,7 +133,13 @@ object PlanSweepSupport {
     "q297_rag_serve_twin", // composes q281's broadcast query-set passes
     // q298: 1-row status-count rollup × 1-row drift rollup cross-attach
     "q298_ivfpq_staleness",
-    "q273_normalized_dedup") // 1-row dup-group-totals scalar attach
+    "q273_normalized_dedup", // 1-row dup-group-totals scalar attach
+    // round-12 batch 3
+    "q302_dsir_select", // 1-row (N_raw, N_tgt) model-totals scalar attach
+    // q303: unit-count × disagreement-mass × marginal-totals 1-row attaches
+    "q303_krippendorff_alpha",
+    "q305_multiprobe_lsh", // composes q38's broadcast query-set scoring pass
+    "q306_impact_index") // 1-row index-size (full/kept postings) attach
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -181,6 +187,12 @@ object PlanSweepSupport {
     // one scalar row before the union)
     "q296_epsilon_ledger",
     "q298_ivfpq_staleness", // 1-row audit + drift rollups
+    // round-12 batch 3: 1-row global scalars only — q302's (N_raw, N_tgt)
+    // model totals merge ≤ buckets-row partials (plus the k-bounded
+    // TakeOrdered reduction); q303's three audit rollups merge partials of
+    // relations already reduced doc-/category-keyed upstream; q306's
+    // full/kept posting counts are two scalar aggregations
+    "q302_dsir_select", "q303_krippendorff_alpha", "q306_impact_index",
     // hyperplaneCells consumers: the dim-row per-dimension mean relation
     // collapses to ONE dim-length array row (the centering scalar) — a
     // bounded global aggregate, not a corpus reduction

@@ -93,7 +93,14 @@ class PlanSweepSf1 extends SparkTestBase {
     // corpus under persisted codebooks; the append path encodes the delta;
     // the span manifest rides q291's chain, the loss mask q280's
     "q298_ivfpq_staleness", "q299_ivfpq_append",
-    "q300_attention_spans", "q301_repetition_mask")
+    "q300_attention_spans", "q301_repetition_mask",
+    // batch 3: the DSIR bigram explode + bucket-model join, the
+    // three-rater coincidence rollup (one corpus text pass), the
+    // multi-probe signature joins past the broadcast flip, and the
+    // impact-index pruning windows + dual retrieval joins (q304/q307/
+    // q308 are map+agg or bounded rollups — structurally linear)
+    "q302_dsir_select", "q303_krippendorff_alpha",
+    "q305_multiprobe_lsh", "q306_impact_index")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 
