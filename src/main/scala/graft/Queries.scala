@@ -8765,6 +8765,44 @@ object Queries {
        |FROM (SELECT doc_id, greatest($keys) AS best FROM documents)""".stripMargin
   }
 
+  /** The shared DSIR oracle chain: hashed-bigram features → the two
+    * models → per-doc µ-nat weights → the pool-anchored Gumbel-keyed
+    * relation (`keyed`). Reused by q302 (selection), q311 (KL) and q313
+    * (bias). */
+  private lazy val dsirCtes: String =
+    s"""base AS (SELECT doc_id, source,
+       |   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |bg AS (SELECT doc_id, source,
+       |   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+       |  FROM base),
+       |fb AS (SELECT doc_id, source, ${duckH60("bg")} % 4096 AS b FROM bg),
+       |df AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS c
+       |  FROM fb GROUP BY 1, 2, 3),
+       |model AS (SELECT b, CAST(sum(c) AS BIGINT) AS cnt_raw,
+       |   CAST(sum(CASE WHEN source = 'src7' THEN c ELSE 0 END) AS BIGINT) AS cnt_tgt
+       |  FROM df GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt_raw) AS BIGINT) AS n_raw,
+       |   CAST(sum(cnt_tgt) AS BIGINT) AS n_tgt FROM model),
+       |lam AS (SELECT b,
+       |   CAST(floor(ln(CAST(cnt_tgt AS DOUBLE) + CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT)
+       |   - CAST(floor(ln(CAST(t.n_tgt AS DOUBLE) + 4096) * 1000000) AS BIGINT)
+       |   - CAST(floor(ln(CAST(cnt_raw AS DOUBLE) + CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT)
+       |   + CAST(floor(ln(CAST(t.n_raw AS DOUBLE) + 4096) * 1000000) AS BIGINT) AS lam_u
+       |  FROM model, tot t),
+       |pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+       |   CAST(sum(c * lam_u) AS BIGINT) AS w_u
+       |  FROM df JOIN lam USING (b) GROUP BY 1),
+       |anc AS (SELECT d.doc_id, d.source,
+       |   CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats,
+       |   CAST(coalesce(p.w_u, 0) AS BIGINT) AS w_u
+       |  FROM documents d LEFT JOIN pd p USING (doc_id)),
+       |keyed AS (SELECT doc_id, source, n_feats, w_u,
+       |   w_u + CAST(floor(-ln(-ln((${duckH60("'dsir:' || doc_id")} % 1000000
+       |     + CAST(0.5 AS DOUBLE)) / 1000000)) * 1000000) AS BIGINT) AS key_u
+       |  FROM anc),
+       |sel AS (SELECT doc_id FROM keyed ORDER BY key_u DESC, doc_id LIMIT 500)""".stripMargin
+
   private val ext40Qs = Seq(
     Q("q302_dsir_select",
       // DSIR importance resampling: hashed-bigram unigram models (target =
@@ -8773,39 +8811,9 @@ object Queries {
       // vocabulary-sized Moore–Lewis
       (s, d) => graft.ops.TrainingData.dsirSelect(T(s, d, "documents"),
         targetSource = "src7", buckets = 4096, k = 500),
-      Some(s"""WITH base AS (SELECT doc_id, source,
-              |   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
-              |  FROM documents),
-              |bg AS (SELECT doc_id, source,
-              |   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
-              |  FROM base),
-              |fb AS (SELECT doc_id, source, ${duckH60("bg")} % 4096 AS b FROM bg),
-              |df AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS c
-              |  FROM fb GROUP BY 1, 2, 3),
-              |model AS (SELECT b, CAST(sum(c) AS BIGINT) AS cnt_raw,
-              |   CAST(sum(CASE WHEN source = 'src7' THEN c ELSE 0 END) AS BIGINT) AS cnt_tgt
-              |  FROM df GROUP BY 1),
-              |tot AS (SELECT CAST(sum(cnt_raw) AS BIGINT) AS n_raw,
-              |   CAST(sum(cnt_tgt) AS BIGINT) AS n_tgt FROM model),
-              |lam AS (SELECT b,
-              |   CAST(floor(ln(CAST(cnt_tgt AS DOUBLE) + CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT)
-              |   - CAST(floor(ln(CAST(t.n_tgt AS DOUBLE) + 4096) * 1000000) AS BIGINT)
-              |   - CAST(floor(ln(CAST(cnt_raw AS DOUBLE) + CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT)
-              |   + CAST(floor(ln(CAST(t.n_raw AS DOUBLE) + 4096) * 1000000) AS BIGINT) AS lam_u
-              |  FROM model, tot t),
-              |pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
-              |   CAST(sum(c * lam_u) AS BIGINT) AS w_u
-              |  FROM df JOIN lam USING (b) GROUP BY 1),
-              |anc AS (SELECT d.doc_id, d.source,
-              |   CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats,
-              |   CAST(coalesce(p.w_u, 0) AS BIGINT) AS w_u
-              |  FROM documents d LEFT JOIN pd p USING (doc_id))
-              |SELECT doc_id, source, n_feats, w_u, key_u FROM (
-              |  SELECT doc_id, source, n_feats, w_u,
-              |   w_u + CAST(floor(-ln(-ln((${duckH60("'dsir:' || doc_id")} % 1000000
-              |     + CAST(0.5 AS DOUBLE)) / 1000000)) * 1000000) AS BIGINT) AS key_u
-              |  FROM anc)
-              |ORDER BY key_u DESC, doc_id LIMIT 500""".stripMargin)),
+      Some(s"""WITH $dsirCtes
+              |SELECT doc_id, source, n_feats, w_u, key_u FROM keyed
+              |WHERE doc_id IN (SELECT doc_id FROM sel)""".stripMargin)),
 
     Q("q303_krippendorff_alpha",
       // nominal-scale Krippendorff's alpha across three labelers (lang
@@ -9066,13 +9074,230 @@ object Queries {
              |  spent_u >= 2772588 AND spent_u - epsilon_u < 2772588 AS crossed
              |FROM t""".stripMargin)))
 
+  // ------------------------------------------------------- round-12 extensions (batch 4)
+  // Lexical index lifecycle (staleness + frozen-statistics append — the
+  // BM25 twins of the q298/q299 IVF-PQ pair), DSIR's own quality metric
+  // (KL reduction) and its bias audit, and the streaming ANN serve twin.
+
+  /** The q154/q306 BM25 idf chain, prefixed, over an arbitrary docs
+    * relation — reused by the two index-lifecycle oracles. */
+  private def bm25IdfCtes(p: String, docsRel: String): String =
+    s"""${p}words AS (SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+       |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    x -> x <> '') AS tl FROM $docsRel)),
+       |${p}toks AS (SELECT doc_id,
+       |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+       |  FROM ${p}words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+       |${p}tf AS (SELECT doc_id, tok, count(*) AS tf FROM ${p}toks GROUP BY 1, 2),
+       |${p}nn AS (SELECT count(*) AS n FROM $docsRel),
+       |${p}idf AS (SELECT tok,
+       |    CAST(floor(ln(CAST(1.0 AS DOUBLE) + (n.n - df + CAST(0.5 AS DOUBLE))
+       |      / (df + CAST(0.5 AS DOUBLE))) * 1000000) AS BIGINT) AS idf_u
+       |  FROM (SELECT tok, count(*) AS df FROM ${p}tf GROUP BY 1) d, ${p}nn n
+       |  WHERE df >= 2 AND df * 2 <= n.n)""".stripMargin
+
+  private def klLg(c: String): String =
+    s"CAST(floor(ln(CAST($c AS DOUBLE) + CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT)"
+  private def klLgN(n: String): String =
+    s"CAST(floor(ln(CAST($n AS DOUBLE) + 4096) * 1000000) AS BIGINT)"
+
+  private val ext41Qs = Seq(
+    Q("q309_impact_staleness",
+      // the lexical index built from a MUTATED old snapshot vs the current
+      // corpus: %13 docs carried a since-removed boilerplate suffix (those
+      // grams are `gone`), %17 docs were since expanded from 3-token stubs
+      // (their grams' df moved → `drifted`; df-band re-entries → `new`);
+      // untouched terms stay `fresh` because the doc COUNT is unchanged.
+      // Doc-membership axes read zero here (same id set) — the planted
+      // spec exercises them
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val t3 = array_join(slice(filter(split(col("text"), "\\s+"),
+          x => x =!= ""), 1, 3), " ")
+        val old = docs.withColumn("text",
+          when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" zz yy xx zz yy xx")))
+            .when(col("doc_id") % 17 === 0, t3)
+            .otherwise(col("text")))
+        graft.ops.Retrieval.impactStaleness(old, docs)
+      },
+      Some("""WITH olddocs AS (SELECT doc_id,
+             |   CASE WHEN doc_id % 13 = 0 THEN text || ' zz yy xx zz yy xx'
+             |    WHEN doc_id % 17 = 0 THEN array_to_string(
+             |      list_filter(string_split_regex(text, '\s+'), x -> x <> '')[1:3], ' ')
+             |    ELSE text END AS text
+             |  FROM documents),
+             |""".stripMargin +
+        bm25IdfCtes("o", "olddocs") + ",\n" +
+        bm25IdfCtes("c", "documents") + ",\n" +
+        """t AS (SELECT CASE WHEN o.idf_u IS NULL THEN 'new'
+          |    WHEN c.idf_u IS NULL THEN 'gone'
+          |    WHEN o.idf_u = c.idf_u THEN 'fresh' ELSE 'drifted' END AS status,
+          |   abs(coalesce(c.idf_u, 0) - coalesce(o.idf_u, 0)) AS drift
+          |  FROM oidf o FULL OUTER JOIN cidf c USING (tok)),
+          |ta AS (SELECT
+          |   CAST(sum(CASE WHEN status <> 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_index,
+          |   CAST(sum(CASE WHEN status <> 'gone' THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_current,
+          |   CAST(sum(CASE WHEN status = 'fresh' THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_fresh,
+          |   CAST(sum(CASE WHEN status = 'drifted' THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_drifted,
+          |   CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_new,
+          |   CAST(sum(CASE WHEN status = 'gone' THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_gone,
+          |   CAST(sum(drift) AS BIGINT) AS idf_drift_total
+          |  FROM t),
+          |da AS (SELECT
+          |   CAST(sum(CASE WHEN o.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_unindexed,
+          |   CAST(sum(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_orphaned
+          |  FROM (SELECT doc_id FROM olddocs) o
+          |  FULL OUTER JOIN (SELECT doc_id FROM documents) c USING (doc_id))
+          |SELECT ta.*, da.* FROM ta, da""".stripMargin)),
+
+    Q("q310_impact_append",
+      // append-only impact-index maintenance: %11 arrivals encode under
+      // the persisted idf/N/Σlen; the oracle re-encodes the WHOLE current
+      // corpus under the same frozen statistics — impacts are a pure
+      // function of (doc, frozen stats), so increment ≡ full re-encode
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        graft.ops.Retrieval.impactAppend(
+          docs.filter(col("doc_id") % 11 =!= 0),
+          docs.filter(col("doc_id") % 11 === 0))
+      },
+      Some("""WITH olddocs AS (SELECT doc_id, text FROM documents
+             |  WHERE doc_id % 11 <> 0),
+             |""".stripMargin +
+        bm25IdfCtes("o", "olddocs") + ",\n" +
+        """osl AS (SELECT CAST(sum(tf) AS BIGINT) AS sl FROM otf),
+          |cwords AS (SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+          |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |    x -> x <> '') AS tl FROM documents)),
+          |ctoks AS (SELECT doc_id,
+          |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+          |  FROM cwords WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+          |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+          |ctf AS (SELECT doc_id, tok, count(*) AS tf FROM ctoks GROUP BY 1, 2),
+          |clen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM ctf GROUP BY 1)
+          |SELECT t.tok, t.doc_id,
+          |  CAST(i.idf_u * CAST(floor((t.tf * CAST(2.2 AS DOUBLE)
+          |    / (t.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+          |      + CAST(0.75 AS DOUBLE) * ((l.len * n.n) / sl.sl)))) * 1000000) AS BIGINT)
+          |    AS BIGINT) AS impact_u
+          |FROM ctf t JOIN clen l ON l.doc_id = t.doc_id
+          |JOIN oidf i ON i.tok = t.tok, onn n, osl sl""".stripMargin)),
+
+    Q("q311_dsir_kl",
+      // DSIR's own quality number: KL(target ‖ pool) − KL(target ‖
+      // selected) over the hashed-feature space, exact-integer with the
+      // unseen-bucket remainder in closed form
+      (s, d) => graft.ops.TrainingData.dsirKl(T(s, d, "documents"),
+        targetSource = "src7", buckets = 4096, k = 500),
+      Some(s"""WITH $dsirCtes,
+              |selm AS (SELECT b, CAST(sum(c) AS BIGINT) AS cnt_sel
+              |  FROM df JOIN sel USING (doc_id) GROUP BY 1),
+              |m AS (SELECT model.b, cnt_raw, cnt_tgt,
+              |   CAST(coalesce(s.cnt_sel, 0) AS BIGINT) AS cnt_sel
+              |  FROM model LEFT JOIN selm s USING (b)),
+              |t2 AS (SELECT CAST(sum(cnt_raw) AS BIGINT) AS n_raw,
+              |   CAST(sum(cnt_tgt) AS BIGINT) AS n_tgt,
+              |   CAST(sum(cnt_sel) AS BIGINT) AS n_sel,
+              |   CAST(count(*) AS BIGINT) AS n_b FROM m),
+              |terms AS (SELECT
+              |   CAST(sum((cnt_tgt + 1) * ((${klLg("cnt_tgt")} - ${klLgN("t2.n_tgt")})
+              |     - (${klLg("cnt_raw")} - ${klLgN("t2.n_raw")}))) AS BIGINT) AS sum_raw,
+              |   CAST(sum((cnt_tgt + 1) * ((${klLg("cnt_tgt")} - ${klLgN("t2.n_tgt")})
+              |     - (${klLg("cnt_sel")} - ${klLgN("t2.n_sel")}))) AS BIGINT) AS sum_sel
+              |  FROM m, t2)
+              |SELECT n_target_mass, n_selected_mass, n_buckets_observed,
+              |  kl_raw_u, kl_selected_u,
+              |  kl_raw_u - kl_selected_u AS reduction_u
+              |FROM (SELECT t2.n_tgt AS n_target_mass, t2.n_sel AS n_selected_mass,
+              |   t2.n_b AS n_buckets_observed,
+              |   CAST(greatest(sum_raw + (4096 - t2.n_b)
+              |      * (${klLgN("t2.n_raw")} - ${klLgN("t2.n_tgt")}), 0)
+              |     // (t2.n_tgt + 4096) AS BIGINT) AS kl_raw_u,
+              |   CAST(greatest(sum_sel + (4096 - t2.n_b)
+              |      * (${klLgN("t2.n_sel")} - ${klLgN("t2.n_tgt")}), 0)
+              |     // (t2.n_tgt + 4096) AS BIGINT) AS kl_selected_u
+              |  FROM terms, t2)""".stripMargin)),
+
+    Q("q312_ann_serve_twin",
+      // the q305 multi-probe index through the SERVE-shaped plan: query
+      // vectors against the bucket-grouped signature index via a
+      // stream-static join + per-query group merge, exact integer-L2
+      // rerank — stateless per event, so the identical plan runs streaming
+      // (StreamingSpec drives it micro-batched); evaluated over the batch
+      // query set it must hash-match this oracle
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") % 251 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        graft.streaming.AnnStream.annServeStream(s, queries,
+          graft.streaming.AnnStream.sigIndex(emb, 6, 64),
+          nPlanes = 6, nProbe = 2, dim = 64, k = 10).toDF()
+      },
+      Some("""WITH f AS (SELECT vec_id, unnest(embedding) AS v,
+             |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+             |fi AS (SELECT vec_id, i,
+             |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS iv FROM f),
+             |planes AS (SELECT p, d,
+             |   (list_sum(list_transform(range(15), j ->
+             |      CAST(strpos('0123456789abcdef', substr(md5(p || ':' || d), CAST(j + 1 AS INT), 1)) - 1
+             |        AS BIGINT) * (1::BIGINT << CAST(4 * (14 - j) AS INT)))) % 2001) - 1000 AS h
+             |  FROM range(6) t(p), range(64) s(d)),
+             |proj AS (SELECT fi.vec_id, pl.p, sum(fi.iv * pl.h) AS pr
+             |  FROM fi JOIN planes pl ON pl.d = fi.i - 1 GROUP BY 1, 2),
+             |sig AS (SELECT vec_id,
+             |   CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS sig
+             |  FROM proj GROUP BY 1),
+             |qs AS (SELECT vec_id AS query_id, sig AS base FROM sig WHERE vec_id % 251 = 0),
+             |fl AS (SELECT m.query_id, xor(q2.base, 1::BIGINT << CAST(m.p AS INT)) AS psig
+             |  FROM (SELECT vec_id AS query_id, p,
+             |     row_number() OVER (PARTITION BY vec_id ORDER BY abs(pr), p) AS mrank
+             |    FROM proj WHERE vec_id % 251 = 0) m
+             |  JOIN qs q2 USING (query_id) WHERE m.mrank <= 1),
+             |probes AS (SELECT query_id, base AS psig FROM qs
+             |  UNION ALL SELECT query_id, psig FROM fl),
+             |cand AS (SELECT pr2.query_id, cs.vec_id
+             |  FROM probes pr2 JOIN sig cs ON cs.sig = pr2.psig AND cs.vec_id <> pr2.query_id),
+             |d AS (SELECT c.query_id, c.vec_id,
+             |   CAST(sum((fc.iv - fq.iv) * (fc.iv - fq.iv)) AS BIGINT) AS idist
+             |  FROM cand c JOIN fi fq ON fq.vec_id = c.query_id
+             |  JOIN fi fc ON fc.vec_id = c.vec_id AND fc.i = fq.i
+             |  GROUP BY 1, 2)
+             |SELECT query_id, vec_id, idist, CAST(rank AS BIGINT) AS rank FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY idist, vec_id) AS rank
+             |  FROM d) WHERE rank <= 10""".stripMargin)),
+
+    Q("q313_selection_bias",
+      // the DSIR failure mode made visible: per-language pool share vs
+      // selected share and the over/under-selection ratio — pool-anchored
+      // so a fully de-selected language still emits its row
+      (s, d) => graft.ops.TrainingData.dsirSelectionBias(
+        T(s, d, "documents"), targetSource = "src7", buckets = 4096,
+        k = 500),
+      Some(s"""WITH $dsirCtes,
+              |tagged AS (SELECT d.lang,
+              |   CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END AS is_sel
+              |  FROM documents d LEFT JOIN sel s USING (doc_id)),
+              |per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_pool,
+              |   CAST(sum(is_sel) AS BIGINT) AS n_selected
+              |  FROM tagged GROUP BY 1),
+              |t AS (SELECT CAST(sum(n_pool) AS BIGINT) AS n,
+              |   CAST(sum(n_selected) AS BIGINT) AS kk FROM per)
+              |SELECT lang, n_pool, n_selected,
+              |  CAST(n_pool * 1000000 // n AS BIGINT) AS pool_share_u,
+              |  CAST(n_selected * 1000000 // kk AS BIGINT) AS sel_share_u,
+              |  CAST(CAST(n_selected AS HUGEINT) * n * 1000000
+              |    // (CAST(n_pool AS HUGEINT) * kk) AS BIGINT) AS bias_u
+              |FROM per, t""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs ++ ext38Qs ++ ext39Qs ++ ext40Qs
+      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs ++ ext38Qs ++ ext39Qs ++ ext40Qs ++ ext41Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

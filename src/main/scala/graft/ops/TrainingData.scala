@@ -1340,16 +1340,19 @@ object TrainingData {
         col("n_sel").as("n_selected_mass"),
         col("n_b").as("n_buckets_observed"),
         // closed-form remainder for the (B − n_b) buckets unseen by all:
-        // (c_t+1) = 1 and ℓ_t − ℓ_x = ℓ_x⁰ − ℓ_t⁰ with zero counts
-        expr(s"(sum_raw + ($buckets - n_b) * " +
+        // (c_t+1) = 1 and ℓ_t − ℓ_x = ℓ_x⁰ − ℓ_t⁰ with zero counts.
+        // greatest(…, 0): KL ≥ 0 in exact arithmetic, but the µ-floors can
+        // push a ~0 divergence an ulp negative, where the engines' integer
+        // divisions disagree — clamp to the true lower bound
+        expr(s"greatest(sum_raw + ($buckets - n_b) * " +
           "(cast(floor(ln(cast(n_raw as double) + " + buckets +
           ") * 1000000) as bigint) - cast(floor(ln(cast(n_tgt as double) + " +
-          buckets + ") * 1000000) as bigint))) " +
+          buckets + ") * 1000000) as bigint)), 0) " +
           s"div (n_tgt + $buckets)").as("kl_raw_u"),
-        expr(s"(sum_sel + ($buckets - n_b) * " +
+        expr(s"greatest(sum_sel + ($buckets - n_b) * " +
           "(cast(floor(ln(cast(n_sel as double) + " + buckets +
           ") * 1000000) as bigint) - cast(floor(ln(cast(n_tgt as double) + " +
-          buckets + ") * 1000000) as bigint))) " +
+          buckets + ") * 1000000) as bigint)), 0) " +
           s"div (n_tgt + $buckets)").as("kl_selected_u"))
       .withColumn("reduction_u", col("kl_raw_u") - col("kl_selected_u"))
   }

@@ -38,6 +38,7 @@ object AnnStream {
   /** The servable layout: one row per occupied bucket, candidates packed.
     * (sig, vecs: array<struct<vec_id, emb>>) */
   def sigIndex(embeddings: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
+    graft.expr.VectorOps.register(embeddings.sparkSession)
     val planes = graft.ops.Similarity.planeVectors(nPlanes, dim)
     embeddings.select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
@@ -52,6 +53,7 @@ object AnnStream {
       index: DataFrame, nPlanes: Int = 6, nProbe: Int = 2, dim: Int = 64,
       k: Int = 10): Dataset[AnnHit] = {
     import spark.implicits._
+    graft.expr.VectorOps.register(spark)
     val planes = graft.ops.Similarity.planeVectors(nPlanes, dim)
     // per-ROW probe construction: margins are integer-valued exact doubles,
     // the flip order is array_sort over (|margin|, plane) structs — no
@@ -76,7 +78,9 @@ object AnnStream {
       .select(col("query_id"), col("qemb"),
         explode(col("probes")).as("sig"))
     val joined = probed.join(index, Seq("sig"))
-      .select(col("query_id"), col("qemb"), col("vecs"))
+      .select(col("query_id").as("_1"), col("qemb").as("_2"),
+        expr("transform(vecs, v -> struct(v.vec_id as _1, v.emb as _2))")
+          .as("_3"))
     joined.as[(Long, Seq[Double], Seq[(Long, Seq[Double])])]
       .groupByKey(_._1)
       .flatMapGroupsWithState[AnnServed, AnnHit](

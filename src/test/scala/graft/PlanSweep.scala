@@ -139,7 +139,11 @@ object PlanSweepSupport {
     // q303: unit-count × disagreement-mass × marginal-totals 1-row attaches
     "q303_krippendorff_alpha",
     "q305_multiprobe_lsh", // composes q38's broadcast query-set scoring pass
-    "q306_impact_index") // 1-row index-size (full/kept postings) attach
+    "q306_impact_index", // 1-row index-size (full/kept postings) attach
+    // batch 4: 1-row audit/model-totals cross attaches
+    "q309_impact_staleness", // term rollup × doc-membership rollup
+    "q311_dsir_kl", // model totals + KL numerator 1-row attaches
+    "q313_selection_bias") // 1-row (N, K) share-normalizer attach
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -193,6 +197,10 @@ object PlanSweepSupport {
     // relations already reduced doc-/category-keyed upstream; q306's
     // full/kept posting counts are two scalar aggregations
     "q302_dsir_select", "q303_krippendorff_alpha", "q306_impact_index",
+    // batch 4: same 1-row-scalar classes — q309's two audit rollups,
+    // q311's model-totals/KL-numerator scalars (models are ≤ buckets
+    // rows), q313's (N, K) normalizer
+    "q309_impact_staleness", "q311_dsir_kl", "q313_selection_bias",
     // hyperplaneCells consumers: the dim-row per-dimension mean relation
     // collapses to ONE dim-length array row (the centering scalar) — a
     // bounded global aggregate, not a corpus reduction

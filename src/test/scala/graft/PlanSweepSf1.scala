@@ -100,7 +100,12 @@ class PlanSweepSf1 extends SparkTestBase {
     // impact-index pruning windows + dual retrieval joins (q304/q307/
     // q308 are map+agg or bounded rollups — structurally linear)
     "q302_dsir_select", "q303_krippendorff_alpha",
-    "q305_multiprobe_lsh", "q306_impact_index")
+    "q305_multiprobe_lsh", "q306_impact_index",
+    // batch 4: the dual idf-chain staleness join, the two-snapshot
+    // append encode, the dsir-chain KL/bias rollups, and the serve twin's
+    // bucket-grouped index join past the broadcast flip
+    "q309_impact_staleness", "q310_impact_append", "q311_dsir_kl",
+    "q312_ann_serve_twin", "q313_selection_bias")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 
