@@ -9291,13 +9291,89 @@ object Queries {
               |    // (CAST(n_pool AS HUGEINT) * kk) AS BIGINT) AS bias_u
               |FROM per, t""".stripMargin)))
 
+  // ------------------------------------------------------- round-12 extensions (batch 5)
+  // Temperature-scaled source sampling (the multilingual mixture knob) and
+  // the frozen-model DSIR admission gate (batch twin of SelectStream).
+  private val ext42Qs = Seq(
+    Q("q314_temperature_sampling",
+      // p_s ∝ |D_s|^0.3: per-source raw vs temperature-flattened sampling
+      // shares and the up/down-sampling factor a dataloader applies
+      (s, d) => graft.ops.TrainingData.temperatureSampling(
+        T(s, d, "documents"), alphaPct = 30),
+      Some("""WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |   CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+             |     x -> x <> ''))) AS BIGINT) AS tokens
+             |  FROM documents GROUP BY 1),
+             |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM per),
+             |wgt AS (SELECT source, n_docs, tokens,
+             |   CAST(tokens * 1000000 // total AS BIGINT) AS share_u,
+             |   CAST(floor(exp(CAST(0.3 AS DOUBLE)
+             |     * ln(CAST(tokens AS DOUBLE) / total)) * 1000000) AS BIGINT) AS weight_u
+             |  FROM per, tot),
+             |wt AS (SELECT CAST(sum(weight_u) AS BIGINT) AS wt FROM wgt)
+             |SELECT source, n_docs, tokens, share_u, weight_u,
+             |  CAST(weight_u * 1000000 // wt AS BIGINT) AS temp_share_u,
+             |  CAST(CAST(weight_u * 1000000 // wt AS HUGEINT) * 1000000
+             |    // greatest(share_u, 1) AS BIGINT) AS upsample_u
+             |FROM wgt, wt""".stripMargin)),
+
+    Q("q315_dsir_gate",
+      // the DSIR admission gate under a FROZEN model (fit on the %3<>0
+      // snapshot): every current doc scored row-locally, unseen buckets at
+      // the Laplace-only default — the batch twin SelectStream replays
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val old = docs.filter(col("doc_id") % 3 =!= 0)
+        val model = graft.ops.TrainingData.dsirModel(
+          graft.ops.TrainingData.dsirFeatures(old, 4096), "src7")
+        graft.ops.TrainingData.dsirGate(docs, model, buckets = 4096,
+          thresholdU = 0L)
+      },
+      Some(s"""WITH obase AS (SELECT doc_id, source,
+              |   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+              |  FROM documents WHERE doc_id % 3 <> 0),
+              |obg AS (SELECT doc_id, source,
+              |   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+              |  FROM obase),
+              |ofb AS (SELECT doc_id, source, ${duckH60("bg")} % 4096 AS b FROM obg),
+              |odf AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS c
+              |  FROM ofb GROUP BY 1, 2, 3),
+              |model AS (SELECT b, CAST(sum(c) AS BIGINT) AS cnt_raw,
+              |   CAST(sum(CASE WHEN source = 'src7' THEN c ELSE 0 END) AS BIGINT) AS cnt_tgt
+              |  FROM odf GROUP BY 1),
+              |tot AS (SELECT CAST(sum(cnt_raw) AS BIGINT) AS n_raw,
+              |   CAST(sum(cnt_tgt) AS BIGINT) AS n_tgt FROM model),
+              |cbase AS (SELECT doc_id, source,
+              |   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+              |  FROM documents),
+              |cbg AS (SELECT doc_id, source,
+              |   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+              |  FROM cbase),
+              |cfb AS (SELECT doc_id, source, ${duckH60("bg")} % 4096 AS b FROM cbg),
+              |cdf AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS c
+              |  FROM cfb GROUP BY 1, 2, 3),
+              |lam AS (SELECT cdf.doc_id, cdf.c,
+              |   CAST(floor(ln(CAST(coalesce(m.cnt_tgt, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT)
+              |   - CAST(floor(ln(CAST(t.n_tgt AS DOUBLE) + 4096) * 1000000) AS BIGINT)
+              |   - CAST(floor(ln(CAST(coalesce(m.cnt_raw, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT)
+              |   + CAST(floor(ln(CAST(t.n_raw AS DOUBLE) + 4096) * 1000000) AS BIGINT) AS lam_u
+              |  FROM cdf LEFT JOIN model m USING (b), tot t),
+              |pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+              |   CAST(sum(c * lam_u) AS BIGINT) AS w_u
+              |  FROM lam GROUP BY 1)
+              |SELECT d.doc_id, d.source,
+              |  CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats,
+              |  CAST(coalesce(p.w_u, 0) AS BIGINT) AS w_u,
+              |  CAST(coalesce(p.w_u, 0) AS BIGINT) >= 0 AS admitted
+              |FROM documents d LEFT JOIN pd p USING (doc_id)""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs ++ ext38Qs ++ ext39Qs ++ ext40Qs ++ ext41Qs
+      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs ++ ext38Qs ++ ext39Qs ++ ext40Qs ++ ext41Qs ++ ext42Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

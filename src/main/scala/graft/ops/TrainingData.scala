@@ -1213,7 +1213,7 @@ object TrainingData {
     */
   /** Per-doc hashed-bigram feature counts (doc_id, source, b, c) — the
     * shared first stage of the DSIR family. */
-  private[ops] def dsirFeatures(docs: DataFrame, buckets: Int): DataFrame = {
+  private[graft] def dsirFeatures(docs: DataFrame, buckets: Int): DataFrame = {
     val toks = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
     val base = Dedup.fanOut(docs).select(col("doc_id"), col("source"),
       toks.as("t"))
@@ -1233,7 +1233,7 @@ object TrainingData {
 
   /** The two fixed-size DSIR models from ONE bucket rollup — (b, cnt_raw,
     * cnt_tgt), ≤ `buckets` rows by construction. */
-  private[ops] def dsirModel(docFeats: DataFrame,
+  private[graft] def dsirModel(docFeats: DataFrame,
       targetSource: String): DataFrame =
     docFeats.groupBy(col("b"))
       .agg(sum(col("c")).as("cnt_raw"),
@@ -1242,7 +1242,7 @@ object TrainingData {
 
   /** Pool-anchored scored relation (doc_id, source, n_feats, w_u, key_u):
     * µ-nat importance weight + md5-Gumbel key. */
-  private[ops] def dsirScored(docs: DataFrame, docFeats: DataFrame,
+  private[graft] def dsirScored(docs: DataFrame, docFeats: DataFrame,
       model: DataFrame, buckets: Int): DataFrame = {
     val totals = model.agg(sum(col("cnt_raw")).as("n_raw"),
       sum(col("cnt_tgt")).as("n_tgt"))
@@ -1472,6 +1472,92 @@ object TrainingData {
       .withColumn("utilization_u",
         expr("cast(cast(effective_tokens as decimal(38,0)) * 1000000 " +
           "div raw_tokens as bigint)"))
+  }
+
+  /** Temperature-scaled source sampling (the multilingual mixture knob:
+    * mT5 / XLM-R style p_s ∝ |D_s|^α with α < 1) — flattens the source
+    * distribution so low-resource sources are up-sampled without drowning
+    * the head: α = 1 is proportional sampling, α = 0 uniform. Emits, per
+    * source, the raw token share, the temperature-scaled sampling share,
+    * and the up/down-sampling factor a dataloader applies.
+    *
+    * Determinism: shares are integer µ-units; the single transcendental
+    * chain w = exp(α·ln p) runs identically on both engines (the repo's
+    * ln/floor convention), floored to µ BEFORE the normalizing sum, so
+    * the final shares are order-free integer arithmetic.
+    *
+    * Scale shape: one (source)-keyed token rollup (map-side combined),
+    * then a |sources|-row relation with a 1-row totals attach — nothing
+    * corpus-sized after the first agg.
+    *
+    * @return per source: (source, n_docs, tokens, share_u, weight_u,
+    *         temp_share_u, upsample_u) — upsample_u = 10⁶·temp/raw share
+    */
+  def temperatureSampling(docs: DataFrame, alphaPct: Int = 30): DataFrame = {
+    val per = docs.select(col("source"),
+        TextAnalysis.tokenCount(col("text")).as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"))
+    val tot = per.agg(sum(col("tokens")).as("total"))
+    val alpha = alphaPct / 100d
+    val weightU = floor(
+      exp(lit(alpha) * log(col("tokens").cast("double") / col("total")))
+        * 1000000d).cast("long")
+    val weighted = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        expr("tokens * 1000000 div total").as("share_u"),
+        weightU.as("weight_u"))
+    val wTot = weighted.agg(sum(col("weight_u")).as("wt"))
+    weighted.crossJoin(broadcast(wTot))
+      .select(col("source"), col("n_docs"), col("tokens"), col("share_u"),
+        col("weight_u"),
+        expr("weight_u * 1000000 div wt").as("temp_share_u"))
+      .withColumn("upsample_u",
+        expr("cast(cast(temp_share_u as decimal(38,0)) * 1000000 " +
+          "div greatest(share_u, 1) as bigint)"))
+  }
+
+  /** Per-doc DSIR scoring under a FROZEN model — the serving form of
+    * [[dsirSelect]]: a model fit OFFLINE on a reference snapshot scores
+    * arrivals one document at a time (n_feats, µ-nat weight, admit ≥
+    * threshold). Selection by threshold rather than Gumbel top-k because
+    * an unbounded stream has no k — the threshold is calibrated offline
+    * from the reference selection's weight cut. Pure per-row work against
+    * the broadcast `buckets`-row model: stateless, so the identical plan
+    * serves batch and streaming ([[graft.streaming.SelectStream]]).
+    *
+    * @param model (b, cnt_raw, cnt_tgt) — a persisted [[dsirModel]]
+    * @return (doc_id, source, n_feats, w_u, admitted), pool-anchored
+    */
+  def dsirGate(docs: DataFrame, model: DataFrame, buckets: Int = 4096,
+      thresholdU: Long = 0L): DataFrame = {
+    val totals = model.agg(sum(col("cnt_raw")).as("n_raw"),
+      sum(col("cnt_tgt")).as("n_tgt"))
+    val feats = dsirFeatures(docs, buckets)
+    // LEFT join: a frozen model has not seen arriving vocabulary — an
+    // unseen bucket contributes the Laplace-only ratio (ln 1 = 0 on each
+    // count side), exactly the stream gate's default λ
+    val lamU = floor(log(coalesce(col("cnt_tgt"), lit(0L)).cast("double")
+        + 1d) * 1000000).cast("long") -
+      floor(log(col("n_tgt").cast("double") + buckets) * 1000000)
+        .cast("long") -
+      floor(log(coalesce(col("cnt_raw"), lit(0L)).cast("double") + 1d)
+        * 1000000).cast("long") +
+      floor(log(col("n_raw").cast("double") + buckets) * 1000000)
+        .cast("long")
+    val perDoc = feats
+      .join(broadcast(model), Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("source"), col("c"), lamU.as("lam_u"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * col("lam_u")).as("w_u"))
+    docs.select(col("doc_id"), col("source"))
+      .join(perDoc.drop("source"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("w_u"), lit(0L)).as("w_u"))
+      .withColumn("admitted", col("w_u") >= thresholdU)
   }
 
   /** T5/UL2-style span-corruption manifest (Raffel et al. 2020 §3.1.4):

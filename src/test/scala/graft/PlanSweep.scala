@@ -143,7 +143,9 @@ object PlanSweepSupport {
     // batch 4: 1-row audit/model-totals cross attaches
     "q309_impact_staleness", // term rollup × doc-membership rollup
     "q311_dsir_kl", // model totals + KL numerator 1-row attaches
-    "q313_selection_bias") // 1-row (N, K) share-normalizer attach
+    "q313_selection_bias", // 1-row (N, K) share-normalizer attach
+    // batch 5: 1-row token-total / weight-total / frozen-model-totals
+    "q314_temperature_sampling", "q315_dsir_gate")
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -201,6 +203,9 @@ object PlanSweepSupport {
     // q311's model-totals/KL-numerator scalars (models are ≤ buckets
     // rows), q313's (N, K) normalizer
     "q309_impact_staleness", "q311_dsir_kl", "q313_selection_bias",
+    // batch 5: |sources|-row relation scalars (q314); frozen-model totals
+    // and the pool-anchor rollup (q315)
+    "q314_temperature_sampling", "q315_dsir_gate",
     // hyperplaneCells consumers: the dim-row per-dimension mean relation
     // collapses to ONE dim-length array row (the centering scalar) — a
     // bounded global aggregate, not a corpus reduction

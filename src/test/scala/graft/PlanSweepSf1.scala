@@ -105,7 +105,10 @@ class PlanSweepSf1 extends SparkTestBase {
     // append encode, the dsir-chain KL/bias rollups, and the serve twin's
     // bucket-grouped index join past the broadcast flip
     "q309_impact_staleness", "q310_impact_append", "q311_dsir_kl",
-    "q312_ann_serve_twin", "q313_selection_bias")
+    "q312_ann_serve_twin", "q313_selection_bias",
+    // batch 5: the frozen-model gate rides the dsir feature chain
+    // (q314 is one map+agg — structurally linear, sf0.1 sweep covers it)
+    "q315_dsir_gate")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 

@@ -219,4 +219,86 @@ class Round12Batch3Spec extends SparkTestBase {
       "the redelivered query must not re-emit")
     assert(streamed.toSet === batch.toSet)
   }
+
+  // -------------------------------------------- q314 temperature sampling
+
+  test("temperatureSampling: alpha < 1 up-samples the tail and " +
+      "down-samples the head; alpha = 1 degenerates to proportional") {
+    val docs = (
+      (1 to 4).map(i => (i.toLong, "small", ("w " * 25).trim)) ++   // 100 tok
+      (5 to 8).map(i => (i.toLong, "big", ("w " * 1600).trim))      // 6400 tok
+    ).toDF("doc_id", "source", "text")
+    val r = graft.ops.TrainingData.temperatureSampling(docs, alphaPct = 30)
+      .collect().map(x => x.getAs[String]("source") -> x).toMap
+    val small = r("small"); val big = r("big")
+    assert(small.getAs[Long]("tokens") === 100L)
+    assert(big.getAs[Long]("tokens") === 6400L)
+    // raw shares 100/6500 vs 6400/6500; at alpha 0.3 the 64x mass ratio
+    // compresses to 64^0.3 ≈ 3.5x
+    assert(small.getAs[Long]("upsample_u") > 1000000L)
+    assert(big.getAs[Long]("upsample_u") < 1000000L)
+    assert(small.getAs[Long]("temp_share_u") >
+      small.getAs[Long]("share_u"))
+    assert(math.abs(small.getAs[Long]("temp_share_u") +
+      big.getAs[Long]("temp_share_u") - 1000000L) <= 2L)
+    val p = graft.ops.TrainingData.temperatureSampling(docs, alphaPct = 100)
+      .collect().map(x => x.getAs[String]("source") -> x).toMap
+    Seq("small", "big").foreach { s =>
+      assert(math.abs(p(s).getAs[Long]("temp_share_u") -
+        p(s).getAs[Long]("share_u")) <= 2L, s"alpha=1 must be proportional: $s")
+    }
+  }
+
+  // ------------------------------------------------- q315 DSIR gate twin
+
+  test("dsirGate == SelectStream row-for-row under a frozen model, " +
+      "including unseen-vocabulary arrivals at the Laplace default; " +
+      "micro-batched gating matches the batch run") {
+    import graft.streaming.SelectStream
+    val ab = ("alpha beta " * 30).trim
+    val gd = ("gamma delta " * 30).trim
+    val ref = Seq((1L, "tgt", ab), (2L, "tgt", ab), (3L, "pool", gd),
+      (4L, "pool", gd)).toDF("doc_id", "source", "text")
+    val arrivals = Seq((10L, "pool", ab), (11L, "pool", gd),
+      (12L, "pool", "totally novel words never indexed before today"),
+      (13L, "pool", "solo")).toDF("doc_id", "source", "text")
+    val model = graft.ops.TrainingData.dsirModel(
+      graft.ops.TrainingData.dsirFeatures(ref, 64), "tgt")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_feats"), r.getAs[Long]("w_u"),
+        r.getAs[Boolean]("admitted"))
+    val batch = graft.ops.TrainingData.dsirGate(arrivals, model,
+      buckets = 64, thresholdU = 0L).collect().map(key).toSet
+    val (lam, lamDefault) = SelectStream.lambdaTable(model, 64)
+    val streamedBatch = SelectStream.gateStream(spark, arrivals, lam,
+      lamDefault, 64, 0L).toDF().collect().map(key).toSet
+    assert(streamedBatch === batch)
+    // directional semantics: target-like admitted, divergent rejected,
+    // featureless doc gated at exactly weight 0
+    val byId = batch.map(t => t._1 -> t).toMap
+    assert(byId(10L)._5 && !byId(11L)._5)
+    assert(byId(13L)._3 === 0L && byId(13L)._4 === 0L && byId(13L)._5)
+    // novel vocabulary scores the Laplace-only default, not a crash/drop
+    assert(byId(12L)._3 > 0L)
+    // micro-batched run across two files
+    val stage = java.nio.file.Files.createTempDirectory("gate_stage")
+    Seq(("a", arrivals.filter(col("doc_id") <= 11)),
+      ("b", arrivals.filter(col("doc_id") > 11))).foreach { case (n, df) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"gate_$n")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        stage.resolve(s"$n.parquet"))
+    }
+    val raw = spark.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+    val q = SelectStream.gateStream(spark, raw, lam, lamDefault, 64, 0L)
+      .toDF().writeStream.format("memory").queryName("gate_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    assert(spark.sql("SELECT * FROM gate_stream").collect()
+      .map(key).toSet === batch)
+  }
 }
