@@ -8911,51 +8911,7 @@ object Queries {
              |  FROM perq p LEFT JOIN c$np c USING (query_id)
              |  LEFT JOIN h$np h USING (query_id))""".stripMargin
         }.mkString(",\n")
-        s"""WITH f AS (SELECT vec_id, unnest(embedding) AS v,
-           |   generate_subscripts(embedding, 1) AS i FROM embeddings),
-           |fi AS (SELECT vec_id, i,
-           |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS iv FROM f),
-           |planes AS (SELECT p, d,
-           |   (list_sum(list_transform(range(15), j ->
-           |      CAST(strpos('0123456789abcdef', substr(md5(p || ':' || d), CAST(j + 1 AS INT), 1)) - 1
-           |        AS BIGINT) * (1::BIGINT << CAST(4 * (14 - j) AS INT)))) % 2001) - 1000 AS h
-           |  FROM range(6) t(p), range(64) s(d)),
-           |proj AS (SELECT fi.vec_id, pl.p, sum(fi.iv * pl.h) AS pr
-           |  FROM fi JOIN planes pl ON pl.d = fi.i - 1 GROUP BY 1, 2),
-           |sig AS (SELECT vec_id,
-           |   CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS sig
-           |  FROM proj GROUP BY 1),
-           |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
-           |exdots AS (SELECT q.query_id, f2.vec_id, sum(CAST(q.qv AS DOUBLE) * f2.v) AS dp
-           |  FROM (SELECT vec_id AS query_id, v AS qv, i FROM f WHERE vec_id < 5) q
-           |  JOIN f f2 ON f2.i = q.i WHERE f2.vec_id <> q.query_id GROUP BY 1, 2),
-           |excos AS (SELECT d.query_id, d.vec_id, round(d.dp / (nq.nrm * nc2.nrm), 6) AS cos
-           |  FROM exdots d JOIN norms nq ON nq.vec_id = d.query_id
-           |  JOIN norms nc2 ON nc2.vec_id = d.vec_id),
-           |ex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
-           |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
-           |  FROM excos) WHERE rk <= 10),
-           |perq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1),
-           |qs AS (SELECT vec_id AS query_id, sig AS base FROM sig WHERE vec_id < 5),
-           |fl AS (SELECT m.query_id, CAST(m.mrank AS BIGINT) AS probe_rank,
-           |   xor(q2.base, 1::BIGINT << CAST(m.p AS INT)) AS psig
-           |  FROM (SELECT vec_id AS query_id, p,
-           |     row_number() OVER (PARTITION BY vec_id ORDER BY abs(pr), p) AS mrank
-           |    FROM proj WHERE vec_id < 5) m
-           |  JOIN qs q2 USING (query_id) WHERE m.mrank <= 3),
-           |probes AS (SELECT query_id, CAST(0 AS BIGINT) AS probe_rank, base AS psig FROM qs
-           |  UNION ALL SELECT query_id, probe_rank, psig FROM fl),
-           |cand AS (SELECT pr2.query_id, pr2.probe_rank, cs.vec_id
-           |  FROM probes pr2 JOIN sig cs ON cs.sig = pr2.psig AND cs.vec_id <> pr2.query_id),
-           |cdots AS (SELECT c.query_id, c.probe_rank, c.vec_id,
-           |   sum(CAST(fq.v AS DOUBLE) * fc.v) AS dp
-           |  FROM cand c JOIN f fq ON fq.vec_id = c.query_id
-           |  JOIN f fc ON fc.vec_id = c.vec_id AND fc.i = fq.i
-           |  GROUP BY 1, 2, 3),
-           |ccos AS (SELECT d.query_id, d.probe_rank, d.vec_id,
-           |   round(d.dp / (nq.nrm * nc2.nrm), 6) AS cos
-           |  FROM cdots d JOIN norms nq ON nq.vec_id = d.query_id
-           |  JOIN norms nc2 ON nc2.vec_id = d.vec_id),
+        s"""WITH $multiprobeCtes,
            |$blocks
            |SELECT * FROM en1 UNION ALL SELECT * FROM en2 UNION ALL SELECT * FROM en4""".stripMargin
       }),
@@ -9101,6 +9057,56 @@ object Queries {
     s"CAST(floor(ln(CAST($c AS DOUBLE) + CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT)"
   private def klLgN(n: String): String =
     s"CAST(floor(ln(CAST($n AS DOUBLE) + 4096) * 1000000) AS BIGINT)"
+
+  /** Shared q305/q316 multi-probe CTE base: signatures, exact cosine
+    * ground truth (`ex`, `perq`), the probe relation and the candidate
+    * cosines (`ccos`) per probe rank. */
+  private lazy val multiprobeCtes: String =
+    """f AS (SELECT vec_id, unnest(embedding) AS v,
+      |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |fi AS (SELECT vec_id, i,
+      |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS iv FROM f),
+      |planes AS (SELECT p, d,
+      |   (list_sum(list_transform(range(15), j ->
+      |      CAST(strpos('0123456789abcdef', substr(md5(p || ':' || d), CAST(j + 1 AS INT), 1)) - 1
+      |        AS BIGINT) * (1::BIGINT << CAST(4 * (14 - j) AS INT)))) % 2001) - 1000 AS h
+      |  FROM range(6) t(p), range(64) s(d)),
+      |proj AS (SELECT fi.vec_id, pl.p, sum(fi.iv * pl.h) AS pr
+      |  FROM fi JOIN planes pl ON pl.d = fi.i - 1 GROUP BY 1, 2),
+      |sig AS (SELECT vec_id,
+      |   CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM proj GROUP BY 1),
+      |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
+      |exdots AS (SELECT q.query_id, f2.vec_id, sum(CAST(q.qv AS DOUBLE) * f2.v) AS dp
+      |  FROM (SELECT vec_id AS query_id, v AS qv, i FROM f WHERE vec_id < 5) q
+      |  JOIN f f2 ON f2.i = q.i WHERE f2.vec_id <> q.query_id GROUP BY 1, 2),
+      |excos AS (SELECT d.query_id, d.vec_id, round(d.dp / (nq.nrm * nc2.nrm), 6) AS cos
+      |  FROM exdots d JOIN norms nq ON nq.vec_id = d.query_id
+      |  JOIN norms nc2 ON nc2.vec_id = d.vec_id),
+      |ex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+      |  FROM excos) WHERE rk <= 10),
+      |perq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1),
+      |qs AS (SELECT vec_id AS query_id, sig AS base FROM sig WHERE vec_id < 5),
+      |fl AS (SELECT m.query_id, CAST(m.mrank AS BIGINT) AS probe_rank,
+      |   xor(q2.base, 1::BIGINT << CAST(m.p AS INT)) AS psig
+      |  FROM (SELECT vec_id AS query_id, p,
+      |     row_number() OVER (PARTITION BY vec_id ORDER BY abs(pr), p) AS mrank
+      |    FROM proj WHERE vec_id < 5) m
+      |  JOIN qs q2 USING (query_id) WHERE m.mrank <= 3),
+      |probes AS (SELECT query_id, CAST(0 AS BIGINT) AS probe_rank, base AS psig FROM qs
+      |  UNION ALL SELECT query_id, probe_rank, psig FROM fl),
+      |cand AS (SELECT pr2.query_id, pr2.probe_rank, cs.vec_id
+      |  FROM probes pr2 JOIN sig cs ON cs.sig = pr2.psig AND cs.vec_id <> pr2.query_id),
+      |cdots AS (SELECT c.query_id, c.probe_rank, c.vec_id,
+      |   sum(CAST(fq.v AS DOUBLE) * fc.v) AS dp
+      |  FROM cand c JOIN f fq ON fq.vec_id = c.query_id
+      |  JOIN f fc ON fc.vec_id = c.vec_id AND fc.i = fq.i
+      |  GROUP BY 1, 2, 3),
+      |ccos AS (SELECT d.query_id, d.probe_rank, d.vec_id,
+      |   round(d.dp / (nq.nrm * nc2.nrm), 6) AS cos
+      |  FROM cdots d JOIN norms nq ON nq.vec_id = d.query_id
+      |  JOIN norms nc2 ON nc2.vec_id = d.vec_id)""".stripMargin
 
   private val ext41Qs = Seq(
     Q("q309_impact_staleness",
@@ -9329,43 +9335,112 @@ object Queries {
         graft.ops.TrainingData.dsirGate(docs, model, buckets = 4096,
           thresholdU = 0L)
       },
-      Some(s"""WITH obase AS (SELECT doc_id, source,
-              |   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
-              |  FROM documents WHERE doc_id % 3 <> 0),
-              |obg AS (SELECT doc_id, source,
-              |   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
-              |  FROM obase),
-              |ofb AS (SELECT doc_id, source, ${duckH60("bg")} % 4096 AS b FROM obg),
-              |odf AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS c
-              |  FROM ofb GROUP BY 1, 2, 3),
-              |model AS (SELECT b, CAST(sum(c) AS BIGINT) AS cnt_raw,
-              |   CAST(sum(CASE WHEN source = 'src7' THEN c ELSE 0 END) AS BIGINT) AS cnt_tgt
-              |  FROM odf GROUP BY 1),
-              |tot AS (SELECT CAST(sum(cnt_raw) AS BIGINT) AS n_raw,
-              |   CAST(sum(cnt_tgt) AS BIGINT) AS n_tgt FROM model),
-              |cbase AS (SELECT doc_id, source,
-              |   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
-              |  FROM documents),
-              |cbg AS (SELECT doc_id, source,
-              |   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
-              |  FROM cbase),
-              |cfb AS (SELECT doc_id, source, ${duckH60("bg")} % 4096 AS b FROM cbg),
-              |cdf AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS c
-              |  FROM cfb GROUP BY 1, 2, 3),
-              |lam AS (SELECT cdf.doc_id, cdf.c,
-              |   CAST(floor(ln(CAST(coalesce(m.cnt_tgt, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT)
-              |   - CAST(floor(ln(CAST(t.n_tgt AS DOUBLE) + 4096) * 1000000) AS BIGINT)
-              |   - CAST(floor(ln(CAST(coalesce(m.cnt_raw, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT)
-              |   + CAST(floor(ln(CAST(t.n_raw AS DOUBLE) + 4096) * 1000000) AS BIGINT) AS lam_u
-              |  FROM cdf LEFT JOIN model m USING (b), tot t),
-              |pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
-              |   CAST(sum(c * lam_u) AS BIGINT) AS w_u
-              |  FROM lam GROUP BY 1)
+      Some(s"""WITH $dsirGateCtes
               |SELECT d.doc_id, d.source,
               |  CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats,
               |  CAST(coalesce(p.w_u, 0) AS BIGINT) AS w_u,
               |  CAST(coalesce(p.w_u, 0) AS BIGINT) >= 0 AS admitted
               |FROM documents d LEFT JOIN pd p USING (doc_id)""".stripMargin)))
+
+  /** Shared q315/q317 frozen-model gate chain: the %3<>0-snapshot model,
+    * per-doc feature counts over the FULL corpus, the LEFT-join λ scoring
+    * and the per-doc (n_feats, w_u) rollup (`pd`). */
+  private lazy val dsirGateCtes: String =
+    s"""obase AS (SELECT doc_id, source,
+       |   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       |  FROM documents WHERE doc_id % 3 <> 0),
+       |obg AS (SELECT doc_id, source,
+       |   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+       |  FROM obase),
+       |ofb AS (SELECT doc_id, source, ${duckH60("bg")} % 4096 AS b FROM obg),
+       |odf AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS c
+       |  FROM ofb GROUP BY 1, 2, 3),
+       |model AS (SELECT b, CAST(sum(c) AS BIGINT) AS cnt_raw,
+       |   CAST(sum(CASE WHEN source = 'src7' THEN c ELSE 0 END) AS BIGINT) AS cnt_tgt
+       |  FROM odf GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt_raw) AS BIGINT) AS n_raw,
+       |   CAST(sum(cnt_tgt) AS BIGINT) AS n_tgt FROM model),
+       |cbase AS (SELECT doc_id, source,
+       |   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |cbg AS (SELECT doc_id, source,
+       |   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+       |  FROM cbase),
+       |cfb AS (SELECT doc_id, source, ${duckH60("bg")} % 4096 AS b FROM cbg),
+       |cdf AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS c
+       |  FROM cfb GROUP BY 1, 2, 3),
+       |lam AS (SELECT cdf.doc_id, cdf.c,
+       |   CAST(floor(ln(CAST(coalesce(m.cnt_tgt, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT)
+       |   - CAST(floor(ln(CAST(t.n_tgt AS DOUBLE) + 4096) * 1000000) AS BIGINT)
+       |   - CAST(floor(ln(CAST(coalesce(m.cnt_raw, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT)
+       |   + CAST(floor(ln(CAST(t.n_raw AS DOUBLE) + 4096) * 1000000) AS BIGINT) AS lam_u
+       |  FROM cdf LEFT JOIN model m USING (b), tot t),
+       |pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+       |   CAST(sum(c * lam_u) AS BIGINT) AS w_u
+       |  FROM lam GROUP BY 1)""".stripMargin
+
+  // ------------------------------------------------------- round-12 extensions (batch 6)
+  // The ordering half of the multi-probe curve (nDCG per probe count) and
+  // the gate-threshold calibration sweep — the two measurements that
+  // close the serve stories q305 and q315 opened.
+  private val ext43Qs = Seq(
+    Q("q316_multiprobe_ndcg",
+      // nDCG@10 of the probed index per nprobe vs exact ground truth —
+      // q282's integer discount contract on the q305 probe blocks
+      (s, d) => graft.ops.Similarity.multiprobeNdcg(T(s, d, "embeddings"),
+        nProbes = Seq(1, 2, 4), nPlanes = 6, dim = 64, k = 10,
+        nQueries = 5),
+      Some {
+        val blocks = Seq(1, 2, 4).map { np =>
+          s"""nb$np AS (SELECT query_id, vec_id, CAST(rk AS BIGINT) AS approx_rank
+             |  FROM (SELECT query_id, vec_id,
+             |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+             |  FROM ccos WHERE probe_rank < $np) WHERE rk <= 10),
+             |nh$np AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit,
+             |   CAST(sum(${ndcgWeightSql("a.approx_rank", 10)}) AS BIGINT) AS dcg_u
+             |  FROM ex e JOIN nb$np a ON a.query_id = e.query_id
+             |   AND a.vec_id = e.vec_id GROUP BY 1),
+             |ne$np AS (SELECT CAST($np AS BIGINT) AS nprobe, p.query_id, p.n_exact,
+             |   CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+             |   CAST(coalesce(h.dcg_u, 0) AS BIGINT) AS dcg_u,
+             |   CAST(coalesce(${ndcgIdcgSql("p.n_exact", 10)}, 0) AS BIGINT) AS idcg_u,
+             |   CAST(CASE WHEN ${ndcgIdcgSql("p.n_exact", 10)} > 0
+             |     THEN coalesce(h.dcg_u, 0) * 1000000
+             |       // ${ndcgIdcgSql("p.n_exact", 10)} END AS BIGINT) AS ndcg_u
+             |  FROM perq p LEFT JOIN nh$np h USING (query_id))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $multiprobeCtes,
+           |$blocks
+           |SELECT * FROM ne1 UNION ALL SELECT * FROM ne2 UNION ALL SELECT * FROM ne4""".stripMargin
+      }),
+
+    Q("q317_gate_calibration",
+      // the sweep that PICKS the gate threshold: admit rate, target-slice
+      // recall and precision per candidate cut over the q315 scored
+      // relation (the selection counterpart of q196's dedup sweep)
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val old = docs.filter(col("doc_id") % 3 =!= 0)
+        val model = graft.ops.TrainingData.dsirModel(
+          graft.ops.TrainingData.dsirFeatures(old, 4096), "src7")
+        graft.ops.TrainingData.gateCalibration(docs, model,
+          targetSource = "src7", buckets = 4096)
+      },
+      Some(s"""WITH $dsirGateCtes,
+              |anc AS (SELECT d.doc_id,
+              |   CAST(coalesce(p.w_u, 0) AS BIGINT) AS w_u,
+              |   d.source = 'src7' AS is_target
+              |  FROM documents d LEFT JOIN pd p USING (doc_id)),
+              |sp AS (SELECT CAST(unnest([-2000000, -1000000, 0, 1000000, 2000000]) AS BIGINT) AS threshold_u)
+              |SELECT threshold_u, n_docs, n_admitted, n_target, n_target_admitted,
+              |  CAST(n_admitted * 1000000 // n_docs AS BIGINT) AS admit_u,
+              |  CAST(n_target_admitted * 1000000 // greatest(n_target, 1) AS BIGINT) AS recall_u,
+              |  CAST(n_target_admitted * 1000000 // greatest(n_admitted, 1) AS BIGINT) AS precision_u
+              |FROM (SELECT sp.threshold_u, CAST(count(*) AS BIGINT) AS n_docs,
+              |   CAST(sum(CASE WHEN a.w_u >= sp.threshold_u THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+              |   CAST(sum(CASE WHEN a.is_target THEN 1 ELSE 0 END) AS BIGINT) AS n_target,
+              |   CAST(sum(CASE WHEN a.is_target AND a.w_u >= sp.threshold_u THEN 1 ELSE 0 END) AS BIGINT) AS n_target_admitted
+              |  FROM anc a, sp GROUP BY 1)""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
@@ -9373,7 +9448,7 @@ object Queries {
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs ++ ext38Qs ++ ext39Qs ++ ext40Qs ++ ext41Qs ++ ext42Qs
+      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs ++ ext38Qs ++ ext39Qs ++ ext40Qs ++ ext41Qs ++ ext42Qs ++ ext43Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

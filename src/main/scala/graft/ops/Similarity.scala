@@ -476,6 +476,77 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** The ORDERING half of the multi-probe curve: nDCG@k of
+    * [[multiprobeTopK]] against the exact ground truth per probe count —
+    * [[multiprobeRecall]] says how many true neighbors each extra probe
+    * buys, this says how well the probed index RANKS them (binary
+    * relevance, the q282 integer contract: shared Scala-precomputed
+    * ⌊10⁶/log₂(r+1)⌋ discount literals on both engines, BIGINT sums,
+    * ndcg_u = dcg·10⁶ div idcg).
+    *
+    * Scale shape: identical to [[multiprobeRecall]] — one materialized
+    * signature pass, one materialized exact pass, candidate-bounded
+    * probe blocks, rank-bounded evaluation joins.
+    *
+    * @return (nprobe, query_id, n_exact, n_hit, dcg_u, idcg_u, ndcg_u)
+    */
+  def multiprobeNdcg(embeddings: DataFrame,
+      nProbes: Seq[Int] = Seq(1, 2, 4), nPlanes: Int = 6, dim: Int = 64,
+      k: Int = 10, nQueries: Int = 5): DataFrame = {
+    graft.expr.VectorOps.register(embeddings.sparkSession)
+    val planes = planeVectors(nPlanes, dim)
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = FreshCheckpoint(cosineTopK(embeddings, queries, k)
+      .select(col("query_id"), col("vec_id")))
+    val corpus = FreshCheckpoint(Dedup.fanOut(embeddings)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+      .withColumn("sig", sigOf(
+        transform(col("emb"), v => floor(v * lit(1e6)).cast("double")),
+        planes)))
+    val q = queries.select(col("query_id"),
+        col("embedding").cast("array<double>").as("qemb"))
+      .withColumn("qnrm", norm(col("qemb")))
+    val allProbes = probeSigs(q, nPlanes, dim, nProbes.max)
+    val ws = graft.ops.Retrieval.ndcgWeights(k)
+    val wOf: Column => Column = r => element_at(
+      map(ws.zipWithIndex.flatMap { case (u, i) =>
+        Seq(lit((i + 1).toLong), lit(u))
+      }: _*), r)
+    val idcgOf: Column => Column = n => element_at(
+      map(ws.scanLeft(0L)(_ + _).tail.zipWithIndex.flatMap { case (s, i) =>
+        Seq(lit((i + 1).toLong), lit(s))
+      }: _*), n)
+    val perQ = exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    nProbes.map { np =>
+      val topk = corpus
+        .join(broadcast(allProbes.filter(col("probe_rank") < np)
+          .join(q, Seq("query_id"))), Seq("sig"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 6))
+        .withColumn("approx_rank", row_number().over(w).cast("long"))
+        .filter(col("approx_rank") <= k)
+        .select(col("query_id"), col("vec_id"), col("approx_rank"))
+      val hits = exact.join(topk, Seq("query_id", "vec_id"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hit"),
+          sum(wOf(col("approx_rank"))).as("dcg_u"))
+      perQ.join(hits, Seq("query_id"), "left")
+        .select(lit(np.toLong).as("nprobe"), col("query_id"),
+          col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          coalesce(col("dcg_u"), lit(0L)).as("dcg_u"),
+          coalesce(idcgOf(col("n_exact")), lit(0L)).as("idcg_u"))
+        .withColumn("ndcg_u",
+          when(col("idcg_u") > 0, expr("dcg_u * 1000000 div idcg_u")))
+    }.reduce(_ unionByName _)
+  }
+
   /** Embedding near-dup detection: pairwise cosine ≥ threshold within
     * coarse-quantizer buckets (IVF-style; `label` is the cell id here).
     * Norms are computed once per vector BEFORE the pair join (array lambdas

@@ -1560,6 +1560,49 @@ object TrainingData {
       .withColumn("admitted", col("w_u") >= thresholdU)
   }
 
+  /** Threshold calibration for [[dsirGate]] — the offline sweep that PICKS
+    * `thresholdU`: per candidate threshold, the admit rate and how much of
+    * the known target slice survives (recall) vs how target-pure the
+    * admitted set is (precision). The dedup family has q196's threshold
+    * sweep; this is the selection gate's counterpart, and the number a
+    * pipeline owner reads before freezing the ingest filter.
+    *
+    * Scale shape: ONE [[dsirGate]] scoring pass, then a
+    * |thresholds|-row literal spine cross onto the narrow scored relation
+    * (docs × ≤ a-handful rows, the q196 spine convention) and a
+    * spine-keyed rollup.
+    *
+    * @return per threshold: (threshold_u, n_docs, n_admitted, n_target,
+    *         n_target_admitted, admit_u, recall_u, precision_u)
+    */
+  def gateCalibration(docs: DataFrame, model: DataFrame,
+      targetSource: String, buckets: Int = 4096,
+      thresholds: Seq[Long] = Seq(-2000000L, -1000000L, 0L, 1000000L,
+        2000000L)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = dsirGate(docs, model, buckets, 0L)
+      .join(docs.select(col("doc_id"),
+        (col("source") === targetSource).as("is_target")), Seq("doc_id"))
+      .select(col("w_u"), col("is_target"))
+    val spine = broadcast(thresholds.toDF("threshold_u"))
+    scored.crossJoin(spine)
+      .groupBy(col("threshold_u"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("w_u") >= col("threshold_u"), 1L).otherwise(0L))
+          .as("n_admitted"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("n_target"),
+        sum(when(col("is_target") && col("w_u") >= col("threshold_u"), 1L)
+          .otherwise(0L)).as("n_target_admitted"))
+      .select(col("threshold_u"), col("n_docs"), col("n_admitted"),
+        col("n_target"), col("n_target_admitted"),
+        expr("n_admitted * 1000000 div n_docs").as("admit_u"),
+        expr("n_target_admitted * 1000000 div greatest(n_target, 1)")
+          .as("recall_u"),
+        expr("n_target_admitted * 1000000 div greatest(n_admitted, 1)")
+          .as("precision_u"))
+  }
+
   /** T5/UL2-style span-corruption manifest (Raffel et al. 2020 §3.1.4):
     * the per-document masking plan a denoising-objective preprocessor
     * emits — which spans get replaced by sentinels, and the resulting

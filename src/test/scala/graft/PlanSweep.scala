@@ -145,7 +145,10 @@ object PlanSweepSupport {
     "q311_dsir_kl", // model totals + KL numerator 1-row attaches
     "q313_selection_bias", // 1-row (N, K) share-normalizer attach
     // batch 5: 1-row token-total / weight-total / frozen-model-totals
-    "q314_temperature_sampling", "q315_dsir_gate")
+    "q314_temperature_sampling", "q315_dsir_gate",
+    // batch 6: q316 composes q38's broadcast query-set scoring; q317's
+    // 5-row literal threshold spine is a tiny-dim attach (q146 class)
+    "q316_multiprobe_ndcg", "q317_gate_calibration")
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -206,6 +209,8 @@ object PlanSweepSupport {
     // batch 5: |sources|-row relation scalars (q314); frozen-model totals
     // and the pool-anchor rollup (q315)
     "q314_temperature_sampling", "q315_dsir_gate",
+    // batch 6: q317's spine-keyed rollup merges ≤ |spine| rows
+    "q317_gate_calibration",
     // hyperplaneCells consumers: the dim-row per-dimension mean relation
     // collapses to ONE dim-length array row (the centering scalar) — a
     // bounded global aggregate, not a corpus reduction

@@ -108,7 +108,10 @@ class PlanSweepSf1 extends SparkTestBase {
     "q312_ann_serve_twin", "q313_selection_bias",
     // batch 5: the frozen-model gate rides the dsir feature chain
     // (q314 is one map+agg — structurally linear, sf0.1 sweep covers it)
-    "q315_dsir_gate")
+    "q315_dsir_gate",
+    // batch 6: the nDCG probe blocks and the gate sweep ride the q305 /
+    // q315 chains past the broadcast flip
+    "q316_multiprobe_ndcg", "q317_gate_calibration")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 

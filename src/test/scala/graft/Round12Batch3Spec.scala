@@ -301,4 +301,70 @@ class Round12Batch3Spec extends SparkTestBase {
     assert(spark.sql("SELECT * FROM gate_stream").collect()
       .map(key).toSet === batch)
   }
+
+  // -------------------------------------------------- q316 multiprobe nDCG
+
+  test("multiprobeNdcg: per-query nDCG is weakly monotone in nProbe (a " +
+      "probed superset with binary relevance can only add hits above), " +
+      "and n_hit agrees with multiprobeRecall") {
+    val emb = plantedVecs
+    val ndcg = graft.ops.Similarity.multiprobeNdcg(emb,
+      nProbes = Seq(1, 2, 4), nPlanes = 3, dim = 4, k = 5, nQueries = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("query_id"),
+        r.getAs[Long]("n_hit"), r.getAs[Long]("dcg_u"),
+        r.getAs[Long]("idcg_u"),
+        Option(r.get(r.fieldIndex("ndcg_u"))).map(_.asInstanceOf[Long])))
+    assert(ndcg.length === 9)
+    ndcg.groupBy(_._2).foreach { case (_, qs) =>
+      val byNp = qs.sortBy(_._1)
+      byNp.sliding(2).foreach { case Array(lo, hi) =>
+        assert(hi._4 >= lo._4, s"dcg must be monotone in probes: $byNp")
+      }
+      assert(byNp.map(_._5).distinct.length === 1) // idcg fixed per query
+    }
+    val recall = graft.ops.Similarity.multiprobeRecall(emb,
+      nProbes = Seq(1, 2, 4), nPlanes = 3, dim = 4, k = 5, nQueries = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("query_id")) ->
+        r.getAs[Long]("n_hit")).toMap
+    ndcg.foreach { case (np, q, nh, _, _, _) =>
+      assert(recall((np, q)) === nh)
+    }
+  }
+
+  // ------------------------------------------------ q317 gate calibration
+
+  test("gateCalibration: the sweep brackets the operating points — " +
+      "admit-everything, admit-positives, admit-nothing — with exact " +
+      "counts on a separable pool") {
+    val ab = ("alpha beta " * 30).trim
+    val gd = ("gamma delta " * 30).trim
+    val docs = Seq(
+      (1L, "tgt", ab), (2L, "tgt", ab),
+      (3L, "pool", ab), (4L, "pool", ab),
+      (5L, "pool", gd), (6L, "pool", gd), (7L, "pool", gd),
+      (8L, "pool", "solo")).toDF("doc_id", "source", "text")
+    val model = graft.ops.TrainingData.dsirModel(
+      graft.ops.TrainingData.dsirFeatures(docs, 64), "tgt")
+    val rows = graft.ops.TrainingData.gateCalibration(docs, model, "tgt",
+      buckets = 64,
+      thresholds = Seq(-300000000L, 0L, 100000000L)).collect()
+      .map(r => r.getAs[Long]("threshold_u") -> r).toMap
+    val all = rows(-300000000L)
+    assert(all.getAs[Long]("n_admitted") === 8L)
+    assert(all.getAs[Long]("recall_u") === 1000000L)
+    assert(all.getAs[Long]("admit_u") === 1000000L)
+    val mid = rows(0L)
+    // positives: the 4 alpha docs + the featureless doc at exactly w = 0
+    assert(mid.getAs[Long]("n_admitted") === 5L)
+    assert(mid.getAs[Long]("n_target") === 2L)
+    assert(mid.getAs[Long]("n_target_admitted") === 2L)
+    assert(mid.getAs[Long]("recall_u") === 1000000L)
+    assert(mid.getAs[Long]("precision_u") === 400000L) // 2 of 5
+    val none = rows(100000000L)
+    assert(none.getAs[Long]("n_admitted") === 0L)
+    assert(none.getAs[Long]("recall_u") === 0L)
+    assert(none.getAs[Long]("precision_u") === 0L)
+  }
 }
