@@ -9165,8 +9165,11 @@ object Queries {
       // function of (doc, frozen stats), so increment ≡ full re-encode
       (s, d) => {
         val docs = T(s, d, "documents")
-        graft.ops.Retrieval.impactAppend(
-          docs.filter(col("doc_id") % 11 =!= 0),
+        // the index build is the rebuild-cadence pass; the APPEND call
+        // itself sees only the persisted artifacts + the arrivals delta
+        val idx = graft.ops.Retrieval.impactIndexBuild(
+          docs.filter(col("doc_id") % 11 =!= 0))
+        graft.ops.Retrieval.impactAppend(idx,
           docs.filter(col("doc_id") % 11 === 0))
       },
       Some("""WITH olddocs AS (SELECT doc_id, text FROM documents
@@ -9312,14 +9315,15 @@ object Queries {
              |  FROM documents GROUP BY 1),
              |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM per),
              |wgt AS (SELECT source, n_docs, tokens,
-             |   CAST(tokens * 1000000 // total AS BIGINT) AS share_u,
+             |   CAST(tokens * 1000000 // greatest(total, 1) AS BIGINT) AS share_u,
              |   CAST(floor(exp(CAST(0.3 AS DOUBLE)
-             |     * ln(CAST(tokens AS DOUBLE) / total)) * 1000000) AS BIGINT) AS weight_u
+             |     * ln(CAST(greatest(tokens, 1) AS DOUBLE) / greatest(total, 1)))
+             |     * 1000000) AS BIGINT) AS weight_u
              |  FROM per, tot),
              |wt AS (SELECT CAST(sum(weight_u) AS BIGINT) AS wt FROM wgt)
              |SELECT source, n_docs, tokens, share_u, weight_u,
-             |  CAST(weight_u * 1000000 // wt AS BIGINT) AS temp_share_u,
-             |  CAST(CAST(weight_u * 1000000 // wt AS HUGEINT) * 1000000
+             |  CAST(weight_u * 1000000 // greatest(wt, 1) AS BIGINT) AS temp_share_u,
+             |  CAST(CAST(weight_u * 1000000 // greatest(wt, 1) AS HUGEINT) * 1000000
              |    // greatest(share_u, 1) AS BIGINT) AS upsample_u
              |FROM wgt, wt""".stripMargin)),
 

@@ -1500,18 +1500,22 @@ object TrainingData {
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"))
     val tot = per.agg(sum(col("tokens")).as("total"))
     val alpha = alphaPct / 100d
+    // greatest(·, 1) guards (r12 advisory): a zero-token source would put
+    // ln(0) = -inf into the weight (engine floors exp(-inf) to 0 while the
+    // oracle's ln(0) can error), and an all-empty corpus would divide by
+    // zero — clamped on BOTH engines so the arithmetic domain is total
     val weightU = floor(
-      exp(lit(alpha) * log(col("tokens").cast("double") / col("total")))
-        * 1000000d).cast("long")
+      exp(lit(alpha) * log(greatest(col("tokens"), lit(1L)).cast("double")
+        / greatest(col("total"), lit(1L)))) * 1000000d).cast("long")
     val weighted = per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("tokens"),
-        expr("tokens * 1000000 div total").as("share_u"),
+        expr("tokens * 1000000 div greatest(total, 1)").as("share_u"),
         weightU.as("weight_u"))
     val wTot = weighted.agg(sum(col("weight_u")).as("wt"))
     weighted.crossJoin(broadcast(wTot))
       .select(col("source"), col("n_docs"), col("tokens"), col("share_u"),
         col("weight_u"),
-        expr("weight_u * 1000000 div wt").as("temp_share_u"))
+        expr("weight_u * 1000000 div greatest(wt, 1)").as("temp_share_u"))
       .withColumn("upsample_u",
         expr("cast(cast(temp_share_u as decimal(38,0)) * 1000000 " +
           "div greatest(share_u, 1) as bigint)"))

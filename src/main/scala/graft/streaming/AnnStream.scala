@@ -94,7 +94,18 @@ object AnnStream {
             if (rows.isEmpty) Iterator.empty
             else {
               val q = rows.head._2.map(v => math.floor(v * 1e6).toLong)
-              val hits = rows.flatMap(_._3).collect {
+              // intra-batch duplicate guard: a query event duplicated
+              // WITHIN one micro-batch (at-least-once source, two staged
+              // files in one trigger) fans out the same probe set twice;
+              // the served flag only covers CROSS-batch redelivery. Each
+              // corpus vector lives in exactly one bucket and probed sigs
+              // are pairwise distinct, so a legitimate single event never
+              // repeats a vec_id — dedupe candidates by vec_id so a
+              // duplicate cannot occupy two ranks and displace true
+              // top-k members.
+              val cands = rows.flatMap(_._3).groupBy(_._1)
+                .valuesIterator.map(_.head).toSeq
+              val hits = cands.collect {
                 case (vid, emb) if vid != qid =>
                   val e = emb.map(v => math.floor(v * 1e6).toLong)
                   var d = 0L; var i = 0

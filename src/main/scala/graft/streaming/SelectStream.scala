@@ -62,7 +62,11 @@ object SelectStream {
     import spark.implicits._
     docs.select(col("doc_id"), col("source"), col("text")).as[GateEvent]
       .map { e =>
-        val toks = e.text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        // Locale.ROOT: the batch plan's lower() is locale-independent — a
+        // tr_TR default JVM locale would lowercase 'I' to 'ı' and break
+        // the documented stream ≡ batch row identity
+        val toks = e.text.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty)
         val bigrams =
           if (toks.length < 2) Array.empty[String]
           else toks.sliding(2).map(_.mkString(" ")).toArray

@@ -58,7 +58,8 @@ class Round12Batch3Spec extends SparkTestBase {
       (100L, phrase),                          // text ≡ doc 1's
       (101L, "totally novel vocabulary only novel vocabulary only")
     ).toDF("doc_id", "text")
-    val idx = graft.ops.Retrieval.impactAppend(old, arrivals).collect()
+    val built = graft.ops.Retrieval.impactIndexBuild(old)
+    val idx = graft.ops.Retrieval.impactAppend(built, arrivals).collect()
       .map(r => (r.getAs[String]("tok"), r.getAs[Long]("doc_id"),
         r.getAs[Long]("impact_u")))
     val byDoc = idx.groupBy(_._2)
@@ -68,9 +69,10 @@ class Round12Batch3Spec extends SparkTestBase {
     assert(d1.nonEmpty && d100 === d1)
     // doc 101's trigrams are outside the frozen vocabulary → no postings
     assert(!byDoc.contains(101L))
-    // kept postings are exactly the old index (the append never rewrites)
-    val oldIdx = graft.ops.Retrieval.impactAppend(old,
-      old.filter(lit(false))).collect()
+    // kept postings are exactly the persisted index (the append never
+    // rewrites — and, post r12 advisory, never re-derives the old corpus:
+    // the API only receives the artifacts + the arrivals delta)
+    val oldIdx = built.postings.collect()
       .map(r => (r.getAs[String]("tok"), r.getAs[Long]("doc_id"),
         r.getAs[Long]("impact_u"))).toSet
     assert(idx.filter(_._2 <= 12L).toSet === oldIdx)
