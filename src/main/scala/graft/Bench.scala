@@ -170,7 +170,8 @@ object Bench {
       "q36_ngram_jaccard", "q174_containment", "q102_levenshtein_pairs",
       "q152_pq_ann", "q153_incremental_minhash", "q150_semantic_dedup",
       "q91_sssp_weighted", "q151_substring_spans")
-    def runHeavyIsolated(): Option[(Map[String, Double], Double)] =
+    def runHeavyIsolated():
+        Option[(Map[String, Double], Double, Map[String, Double])] =
       try {
         val childOut = java.nio.file.Files.createTempFile("bench_heavy", ".json")
         val jvmBin = java.nio.file.Paths.get(
@@ -198,18 +199,29 @@ object Bench {
         // heavy family — surfaced as calib_heavy_s so a contention phase
         // landing inside the priciest queries is machine-attributable
         // (r11: q265 13->59 s at flat parent calib; the parent's
-        // start/end brackets cannot see a phase inside the child window)
-        val childCalib = "\"calib_s\":(-?[0-9.]+)".r.findFirstMatchIn(txt)
-          .map(_.group(1).toDouble).getOrElse(-1.0)
-        if (parsed.isEmpty) None else Some((parsed, childCalib))
+        // start/end brackets cannot see a phase inside the child window).
+        // r12 judge item: surface the child's INDIVIDUAL start/mid/end
+        // probes too (calib_heavy_{start,mid,end}_s) — calib_heavy_s alone
+        // is the child's MIN, which hides a contention phase that lands
+        // between the child's own probes; bench_trend's flat-calib test
+        // needs the spread, not the floor.
+        def childProbe(key: String): Double =
+          ("\"" + key + "\":(-?[0-9.]+)").r.findFirstMatchIn(txt)
+            .map(_.group(1).toDouble).getOrElse(-1.0)
+        val childCalib = childProbe("calib_s")
+        val childProbes = Seq("calib_start_s", "calib_mid_s", "calib_end_s")
+          .map(k => k -> childProbe(k)).filter(_._2 > 0).toMap
+        if (parsed.isEmpty) None else Some((parsed, childCalib, childProbes))
       } catch { case e: Throwable =>
         System.err.println(s"BENCH heavy-isolation spawn failed: $e"); None
       }
 
     val isFullRun = only.isEmpty
-    val (heavyIsolated: Map[String, Double], calibHeavySec: Double) =
-      if (isFullRun) runHeavyIsolated().getOrElse((Map.empty[String, Double], -1.0))
-      else (Map.empty[String, Double], -1.0)
+    val (heavyIsolated: Map[String, Double], calibHeavySec: Double,
+        heavyProbes: Map[String, Double]) =
+      if (isFullRun) runHeavyIsolated()
+        .getOrElse((Map.empty[String, Double], -1.0, Map.empty[String, Double]))
+      else (Map.empty[String, Double], -1.0, Map.empty[String, Double])
     if (isFullRun && heavyIsolated.isEmpty)
       System.err.println(
         "BENCH WARNING: heavy-family isolation unavailable; falling back to in-session timings")
@@ -249,7 +261,10 @@ object Bench {
     System.err.println(f"""BENCHGC {"gc_total_sec":$gcTotal%.1f,"gc_by_query":$gcs}""")
     val calibExtra =
       (if (calibMidSec > 0) f""","calib_mid_s":$calibMidSec%.3f""" else "") +
-      (if (calibHeavySec > 0) f""","calib_heavy_s":$calibHeavySec%.3f""" else "")
+      (if (calibHeavySec > 0) f""","calib_heavy_s":$calibHeavySec%.3f""" else "") +
+      heavyProbes.toSeq.sortBy(_._1).map { case (k, v) =>
+        f""","calib_heavy_${k.stripPrefix("calib_").stripSuffix("_s")}%s_s":$v%.3f"""
+      }.mkString
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_s":$calibSec%.3f,"calib_start_s":$calibStartSec%.3f,"calib_end_s":$calibEndSec%.3f$calibExtra,"queries":$qs,"sf":"$sfDir"}"""
     // The driver stores only a truncated log tail (rounds 1-2 both ended with
     // "parsed": null and invisible timings for most queries), so persist the

@@ -44,7 +44,13 @@ def load(path, sf_suffix, min_queries):
     return kept
 
 
-CALIB_KEYS = ("calib_start_s", "calib_mid_s", "calib_heavy_s", "calib_end_s")
+# calib_heavy_{start,mid,end}_s are the heavy-isolation CHILD's individual
+# probes (r12 judge item): calib_heavy_s alone is the child's min, which
+# hides a contention phase landing between the child's own probes — the
+# flat-calib test below needs the spread, so isolated values are covered.
+CALIB_KEYS = ("calib_start_s", "calib_mid_s", "calib_heavy_s",
+              "calib_heavy_start_s", "calib_heavy_mid_s",
+              "calib_heavy_end_s", "calib_end_s")
 
 
 def variance_warnings(entries, mins, ratio=3.0, abs_s=5.0, flat=1.5):
