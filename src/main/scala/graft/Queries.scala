@@ -9058,11 +9058,13 @@ object Queries {
   private def klLgN(n: String): String =
     s"CAST(floor(ln(CAST($n AS DOUBLE) + 4096) * 1000000) AS BIGINT)"
 
-  /** Shared q305/q316 multi-probe CTE base: signatures, exact cosine
+  /** Shared q305/q316/q318 multi-probe CTE base: signatures, exact cosine
     * ground truth (`ex`, `perq`), the probe relation and the candidate
-    * cosines (`ccos`) per probe rank. */
-  private lazy val multiprobeCtes: String =
-    """f AS (SELECT vec_id, unnest(embedding) AS v,
+    * cosines (`ccos`) per probe rank — parameterized by the query-set
+    * predicate and the max flip count (q305/q316 sweep probes 1..4 over
+    * the vec_id < 5 set; q318 serves nprobe = 2 over the % 251 stride). */
+  private def multiprobeCtesFor(qPred: String, maxFlips: Int): String =
+    s"""f AS (SELECT vec_id, unnest(embedding) AS v,
       |   generate_subscripts(embedding, 1) AS i FROM embeddings),
       |fi AS (SELECT vec_id, i,
       |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS iv FROM f),
@@ -9078,7 +9080,7 @@ object Queries {
       |  FROM proj GROUP BY 1),
       |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
       |exdots AS (SELECT q.query_id, f2.vec_id, sum(CAST(q.qv AS DOUBLE) * f2.v) AS dp
-      |  FROM (SELECT vec_id AS query_id, v AS qv, i FROM f WHERE vec_id < 5) q
+      |  FROM (SELECT vec_id AS query_id, v AS qv, i FROM f WHERE $qPred) q
       |  JOIN f f2 ON f2.i = q.i WHERE f2.vec_id <> q.query_id GROUP BY 1, 2),
       |excos AS (SELECT d.query_id, d.vec_id, round(d.dp / (nq.nrm * nc2.nrm), 6) AS cos
       |  FROM exdots d JOIN norms nq ON nq.vec_id = d.query_id
@@ -9087,13 +9089,13 @@ object Queries {
       |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
       |  FROM excos) WHERE rk <= 10),
       |perq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1),
-      |qs AS (SELECT vec_id AS query_id, sig AS base FROM sig WHERE vec_id < 5),
+      |qs AS (SELECT vec_id AS query_id, sig AS base FROM sig WHERE $qPred),
       |fl AS (SELECT m.query_id, CAST(m.mrank AS BIGINT) AS probe_rank,
       |   xor(q2.base, 1::BIGINT << CAST(m.p AS INT)) AS psig
       |  FROM (SELECT vec_id AS query_id, p,
       |     row_number() OVER (PARTITION BY vec_id ORDER BY abs(pr), p) AS mrank
-      |    FROM proj WHERE vec_id < 5) m
-      |  JOIN qs q2 USING (query_id) WHERE m.mrank <= 3),
+      |    FROM proj WHERE $qPred) m
+      |  JOIN qs q2 USING (query_id) WHERE m.mrank <= $maxFlips),
       |probes AS (SELECT query_id, CAST(0 AS BIGINT) AS probe_rank, base AS psig FROM qs
       |  UNION ALL SELECT query_id, probe_rank, psig FROM fl),
       |cand AS (SELECT pr2.query_id, pr2.probe_rank, cs.vec_id
@@ -9107,6 +9109,9 @@ object Queries {
       |   round(d.dp / (nq.nrm * nc2.nrm), 6) AS cos
       |  FROM cdots d JOIN norms nq ON nq.vec_id = d.query_id
       |  JOIN norms nc2 ON nc2.vec_id = d.vec_id)""".stripMargin
+
+  private lazy val multiprobeCtes: String =
+    multiprobeCtesFor("vec_id < 5", 3)
 
   private val ext41Qs = Seq(
     Q("q309_impact_staleness",
@@ -9446,13 +9451,107 @@ object Queries {
               |   CAST(sum(CASE WHEN a.is_target AND a.w_u >= sp.threshold_u THEN 1 ELSE 0 END) AS BIGINT) AS n_target_admitted
               |  FROM anc a, sp GROUP BY 1)""".stripMargin)))
 
+  // ------------------------------------------------------- round-13 extensions
+  // The hybrid retrieval serve capstone: the four finished index
+  // lifecycles (pruned BM25 impact index, multi-probe LSH, RRF fusion,
+  // RAG budget fill) composed into the ONE per-query serve operator.
+
+  /** q306's pruned-impact-index lexical chain (words .. psc), ending at
+    * the scored pruned retrieval relation — shared by q306/q318. */
+  private lazy val impactLexCtes: String =
+    """words AS (
+      |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> x <> '') AS tl FROM documents)),
+      |toks AS (
+      |  SELECT doc_id,
+      |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+      |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |len AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |sl AS (SELECT CAST(sum(tf) AS BIGINT) AS sl FROM tf),
+      |idf AS (SELECT tok,
+      |    CAST(floor(ln(CAST(1.0 AS DOUBLE) + (n.n - df + CAST(0.5 AS DOUBLE))
+      |      / (df + CAST(0.5 AS DOUBLE))) * 1000000) AS BIGINT) AS idf_u
+      |  FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1) d, n
+      |  WHERE df >= 2 AND df * 2 <= n.n),
+      |post AS (SELECT t.tok, t.doc_id,
+      |    CAST(i.idf_u * CAST(floor((t.tf * CAST(2.2 AS DOUBLE)
+      |      / (t.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+      |        + CAST(0.75 AS DOUBLE) * ((l.len * n.n) / sl.sl)))) * 1000000) AS BIGINT)
+      |      AS BIGINT) AS impact_u
+      |  FROM tf t JOIN len l ON l.doc_id = t.doc_id
+      |  JOIN idf i ON i.tok = t.tok, n, sl),
+      |pruned AS (SELECT tok, doc_id, impact_u FROM (SELECT *,
+      |   row_number() OVER (PARTITION BY tok ORDER BY impact_u DESC, doc_id) AS rk
+      |  FROM post) WHERE rk <= 4),
+      |q AS (SELECT t.doc_id AS query_id, t.tok
+      |  FROM tf t JOIN idf i ON i.tok = t.tok WHERE t.doc_id % 251 = 0),
+      |psc AS (SELECT q.query_id, p.doc_id, CAST(sum(p.impact_u) AS BIGINT) AS score_u
+      |  FROM q JOIN pruned p ON p.tok = q.tok GROUP BY 1, 2)""".stripMargin
+
+  private val ext44Qs = Seq(
+    Q("q318_hybrid_serve",
+      // the retrieval-stack capstone: pruned impact-index BM25 top-5 x
+      // multi-probe (nprobe=2) LSH top-5 over the shared id space ->
+      // integer RRF -> strict-prefix 150-token context fill, per-query
+      // funnel counts (n_lex/n_dense/n_fused/n_filled) riding every row
+      (s, d) => graft.ops.Retrieval.hybridServe(
+        T(s, d, "documents"), T(s, d, "embeddings")),
+      Some(s"""WITH $impactLexCtes,
+              |${multiprobeCtesFor("vec_id % 251 = 0", 1)},
+              |ltop AS (SELECT query_id, doc_id, CAST(rk AS BIGINT) AS lex_rank
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              |     ORDER BY score_u DESC, doc_id) AS rk FROM psc) WHERE rk <= 5),
+              |dtop AS (SELECT query_id, vec_id AS doc_id, CAST(rk AS BIGINT) AS dense_rank
+              |  FROM (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+              |     ORDER BY cos DESC, vec_id) AS rk
+              |    FROM ccos WHERE probe_rank < 2) WHERE rk <= 5),
+              |fusedh AS (SELECT coalesce(l.query_id, de.query_id) AS query_id,
+              |   coalesce(l.doc_id, de.doc_id) AS doc_id, l.lex_rank, de.dense_rank
+              |  FROM ltop l FULL OUTER JOIN dtop de
+              |   ON de.query_id = l.query_id AND de.doc_id = l.doc_id),
+              |rrh AS (SELECT *,
+              |   CAST(coalesce(1000000 // (60 + lex_rank), 0)
+              |     + coalesce(1000000 // (60 + dense_rank), 0) AS BIGINT) AS rrf_u
+              |  FROM fusedh WHERE doc_id <> query_id),
+              |fsel AS (SELECT query_id, doc_id, lex_rank, dense_rank, rrf_u,
+              |   CAST(fused_rank AS BIGINT) AS fused_rank FROM (
+              |   SELECT *, row_number() OVER (PARTITION BY query_id
+              |     ORDER BY rrf_u DESC, doc_id) AS fused_rank FROM rrh)
+              |  WHERE fused_rank <= 5),
+              |tk AS (SELECT doc_id,
+              |   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+              |     x -> x <> '')) AS BIGINT) AS n_tokens FROM documents),
+              |fil AS (SELECT f.query_id, f.doc_id, f.lex_rank, f.dense_rank,
+              |   f.rrf_u, f.fused_rank, tk.n_tokens,
+              |   CAST(sum(tk.n_tokens) OVER (PARTITION BY f.query_id
+              |     ORDER BY f.fused_rank) AS BIGINT) AS cum_tokens
+              |  FROM fsel f JOIN tk USING (doc_id)),
+              |nlx AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_lex
+              |  FROM ltop GROUP BY 1),
+              |nds AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_dense
+              |  FROM dtop GROUP BY 1)
+              |SELECT fil.query_id, fil.doc_id, fil.lex_rank, fil.dense_rank,
+              |  fil.rrf_u, fil.fused_rank, fil.n_tokens, fil.cum_tokens,
+              |  fil.cum_tokens <= 150 AS in_context,
+              |  CAST(coalesce(nlx.n_lex, 0) AS BIGINT) AS n_lex,
+              |  CAST(coalesce(nds.n_dense, 0) AS BIGINT) AS n_dense,
+              |  CAST(count(*) OVER (PARTITION BY fil.query_id) AS BIGINT) AS n_fused,
+              |  CAST(sum(CASE WHEN fil.cum_tokens <= 150 THEN 1 ELSE 0 END)
+              |    OVER (PARTITION BY fil.query_id) AS BIGINT) AS n_filled
+              |FROM fil LEFT JOIN nlx USING (query_id)
+              |LEFT JOIN nds USING (query_id)""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs ++ ext38Qs ++ ext39Qs ++ ext40Qs ++ ext41Qs ++ ext42Qs ++ ext43Qs
+      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs ++ ext38Qs ++ ext39Qs ++ ext40Qs ++ ext41Qs ++ ext42Qs ++ ext43Qs ++ ext44Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -357,6 +357,108 @@ object Retrieval {
     terms.crossJoin(broadcast(docs))
   }
 
+  /** Hybrid retrieval serve — the capstone that composes the four index
+    * lifecycles this family finished building into the ONE operator a
+    * production retrieval stack actually runs per query: the PRUNED
+    * impact-ordered BM25 index (q306's shipped artifact, `keepTop`
+    * postings per term) serves the lexical top-k, the multi-probe LSH
+    * signature index (q305's single-index recall-recovery artifact)
+    * serves the dense top-k, the two lists fuse by integer reciprocal
+    * ranks (q281's convention: raw ranks kept, self-hit filtered from the
+    * fused output only), and the fused ranking fills a fixed token budget
+    * with strict-prefix semantics (q289's deterministic cut). Per-query
+    * FUNNEL counts ride every row — candidates surviving each stage
+    * (lexical list, dense list, fused, filled) — because the funnel is
+    * the number a serve operator is monitored by.
+    *
+    * Scale shape: the corpus-sized work is exactly the two index
+    * retrievals, each under its own verified contract (posting-list
+    * equi-join with the adaptive broadcast gate; partition-prunable
+    * signature-bucket probe join); everything downstream — fusion,
+    * budget fill, funnel rollups — runs on rank-bounded relations
+    * (|queries|·topK rows), windows partitioned per query.
+    *
+    * @return per (query, fused doc): (query_id, doc_id, lex_rank?,
+    *         dense_rank?, rrf_u, fused_rank, n_tokens, cum_tokens,
+    *         in_context, n_lex, n_dense, n_fused, n_filled)
+    */
+  def hybridServe(docs: DataFrame, embeddings: DataFrame,
+      queryStride: Long = 251, keepTop: Int = 4, topK: Int = 5,
+      nPlanes: Int = 6, nProbe: Int = 2, dim: Int = 64, k0: Int = 60,
+      fuseK: Int = 5, budgetTokens: Long = 150, dfMin: Long = 2,
+      maxBroadcastQueryTerms: Long = 2000000L): DataFrame = {
+    import org.apache.spark.sql.graft.FreshCheckpoint
+    // lexical: the pruned impact index, scored as q306 scores it
+    val stats = bm25Stats(docs, dfMin)
+    val estQueryTerms = stats.sumLen / math.max(queryStride, 1L)
+    def qHint(df: DataFrame): DataFrame =
+      if (estQueryTerms <= maxBroadcastQueryTerms) broadcast(df)
+      else df.hint("shuffle_hash")
+    val postings = FreshCheckpoint(
+      encodeImpacts(stats.tf, stats.len, stats.idf, stats.n, stats.sumLen))
+    val wTok = Window.partitionBy(col("tok"))
+      .orderBy(col("impact_u").desc, col("doc_id"))
+    val pruned = postings.withColumn("prank", row_number().over(wTok))
+      .filter(col("prank") <= keepTop).drop("prank")
+    val qids = docs.filter(col("doc_id") % queryStride === 0)
+      .select(col("doc_id").as("query_id"))
+    val qterms = stats.idf
+      .join(qHint(stats.tf.join(qHint(qids), col("doc_id") === col("query_id"))
+        .select(col("query_id"), col("tok"))), Seq("tok"))
+      .select(col("query_id"), col("tok"))
+    val wLex = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_u").desc, col("doc_id"))
+    val lex = pruned.join(qHint(qterms), Seq("tok"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("impact_u")).as("score_u"))
+      .withColumn("lex_rank", row_number().over(wLex).cast("long"))
+      .filter(col("lex_rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    // dense: the multi-probe LSH index over the shared id space
+    val qdense = embeddings.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val dense = Similarity.multiprobeTopK(embeddings, qdense, nPlanes,
+        nProbe, dim, topK)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").cast("long").as("dense_rank"))
+    // integer RRF fusion, q281 convention
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("rrf_u",
+        coalesce(expr(s"1000000 div ($k0 + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($k0 + dense_rank)"), lit(0L)))
+    val wFuse = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_u").desc, col("doc_id"))
+    val topFused = fused
+      .withColumn("fused_rank", row_number().over(wFuse).cast("long"))
+      .filter(col("fused_rank") <= fuseK)
+    // strict-prefix budget fill, q289 convention
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val wFill = Window.partitionBy(col("query_id"))
+      .orderBy(col("fused_rank"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = topFused.join(toks, Seq("doc_id"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wFill))
+      .withColumn("in_context", col("cum_tokens") <= budgetTokens)
+    // funnel counts: rank-bounded rollups, attached per query
+    val nlx = lex.groupBy(col("query_id")).agg(count(lit(1)).as("n_lex"))
+    val nds = dense.groupBy(col("query_id")).agg(count(lit(1)).as("n_dense"))
+    val wQ = Window.partitionBy(col("query_id"))
+    filled
+      .withColumn("n_fused", count(lit(1)).over(wQ))
+      .withColumn("n_filled",
+        sum(when(col("in_context"), 1L).otherwise(0L)).over(wQ))
+      .join(nlx, Seq("query_id"), "left")
+      .join(nds, Seq("query_id"), "left")
+      .select(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("dense_rank"), col("rrf_u"), col("fused_rank"),
+        col("n_tokens"), col("cum_tokens"), col("in_context"),
+        coalesce(col("n_lex"), lit(0L)).as("n_lex"),
+        coalesce(col("n_dense"), lit(0L)).as("n_dense"),
+        col("n_fused"), col("n_filled"))
+  }
+
   /** The persistable impact-index artifacts of a corpus snapshot — the
     * ONE-TIME index build whose outputs ([[ImpactIndex]]: postings, idf
     * vocabulary, N, Σlen) ship to disk and feed every between-rebuild

@@ -49,15 +49,14 @@ object AnnStream {
       .agg(collect_list(struct(col("vec_id"), col("emb"))).as("vecs"))
   }
 
-  def annServeStream(spark: SparkSession, queries: DataFrame,
-      index: DataFrame, nPlanes: Int = 6, nProbe: Int = 2, dim: Int = 64,
-      k: Int = 10): Dataset[AnnHit] = {
-    import spark.implicits._
-    graft.expr.VectorOps.register(spark)
+  /** Per-ROW multi-probe construction over an arriving query relation:
+    * margins are integer-valued exact doubles, the flip order is
+    * array_sort over (|margin|, plane) structs — no window, no state,
+    * safe in a streaming plan. Shared with [[HybridStream]].
+    * @return (query_id, qemb, sig) — one row per probed bucket */
+  private[streaming] def probedQueries(queries: DataFrame, nPlanes: Int,
+      nProbe: Int, dim: Int): DataFrame = {
     val planes = graft.ops.Similarity.planeVectors(nPlanes, dim)
-    // per-ROW probe construction: margins are integer-valued exact doubles,
-    // the flip order is array_sort over (|margin|, plane) structs — no
-    // window, no state, safe in a streaming plan
     val iq = transform(col("qemb"), v => floor(v * lit(1e6)).cast("double"))
     val prStructs = array(planes.zipWithIndex.map { case (pl, p) =>
       struct(abs(graft.ops.Similarity.dot(col("iqe"), typedlit(pl)))
@@ -67,7 +66,7 @@ object AnnStream {
       when(graft.ops.Similarity.dot(col("iqe"), typedlit(pl)) >= 0,
         lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val probed = queries
+    queries
       .select(col("query_id"),
         col("embedding").cast("array<double>").as("qemb"))
       .withColumn("iqe", iq)
@@ -77,6 +76,14 @@ object AnnStream {
         "f -> base ^ shiftleft(cast(1 as bigint), cast(f.p as int))))"))
       .select(col("query_id"), col("qemb"),
         explode(col("probes")).as("sig"))
+  }
+
+  def annServeStream(spark: SparkSession, queries: DataFrame,
+      index: DataFrame, nPlanes: Int = 6, nProbe: Int = 2, dim: Int = 64,
+      k: Int = 10): Dataset[AnnHit] = {
+    import spark.implicits._
+    graft.expr.VectorOps.register(spark)
+    val probed = probedQueries(queries, nPlanes, nProbe, dim)
     val joined = probed.join(index, Seq("sig"))
       .select(col("query_id").as("_1"), col("qemb").as("_2"),
         expr("transform(vecs, v -> struct(v.vec_id as _1, v.emb as _2))")

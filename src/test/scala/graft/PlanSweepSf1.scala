@@ -111,7 +111,10 @@ class PlanSweepSf1 extends SparkTestBase {
     "q315_dsir_gate",
     // batch 6: the nDCG probe blocks and the gate sweep ride the q305 /
     // q315 chains past the broadcast flip
-    "q316_multiprobe_ndcg", "q317_gate_calibration")
+    "q316_multiprobe_ndcg", "q317_gate_calibration",
+    // round-13: the hybrid serve composes the q306 pruning windows +
+    // retrieval join with the q305 probe joins, both past the flip
+    "q318_hybrid_serve")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 
