@@ -163,6 +163,7 @@ object Bench {
     // descending expected cost: the priciest queries meet the freshest JVM
     val heavySet = Seq(
       "q265_dataset_release", "q292_ivfpq_recall", "q298_ivfpq_staleness",
+      "q319_multiprobe_frontier", "q318_hybrid_serve",
       "q275_ivfpq_ann", "q274_incremental_release", "q293_changelog_release",
       "q299_ivfpq_append",
       "q200_canonical_parts", "q191_record_linkage", "q197_pretrain_pipeline",

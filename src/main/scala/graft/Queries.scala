@@ -9545,13 +9545,103 @@ object Queries {
               |FROM fil LEFT JOIN nlx USING (query_id)
               |LEFT JOIN nds USING (query_id)""".stripMargin)))
 
+  /** q319's per-plane-count signature chain (prefixes keep the three
+    * plane families apart; `f`/`fi`/`norms`/`ex`/`perq` are shared). The
+    * plane hash depends only on (plane, dim), so the p-plane set is a
+    * prefix of the 8-plane one — matching [[graft.ops.Similarity
+    * .planeComponent]]'s nesting. */
+  private def frontierSigChain(p: Int, maxFlips: Int): String =
+    s"""pl$p AS (SELECT p, d,
+       |   (list_sum(list_transform(range(15), j ->
+       |      CAST(strpos('0123456789abcdef', substr(md5(p || ':' || d), CAST(j + 1 AS INT), 1)) - 1
+       |        AS BIGINT) * (1::BIGINT << CAST(4 * (14 - j) AS INT)))) % 2001) - 1000 AS h
+       |  FROM range($p) t(p), range(64) s(d)),
+       |pj$p AS (SELECT fi.vec_id, pl.p, sum(fi.iv * pl.h) AS pr
+       |  FROM fi JOIN pl$p pl ON pl.d = fi.i - 1 GROUP BY 1, 2),
+       |sg$p AS (SELECT vec_id,
+       |   CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM pj$p GROUP BY 1),
+       |qs$p AS (SELECT vec_id AS query_id, sig AS base FROM sg$p WHERE vec_id < 5),
+       |fl$p AS (SELECT m.query_id, CAST(m.mrank AS BIGINT) AS probe_rank,
+       |   xor(q2.base, 1::BIGINT << CAST(m.p AS INT)) AS psig
+       |  FROM (SELECT vec_id AS query_id, p,
+       |     row_number() OVER (PARTITION BY vec_id ORDER BY abs(pr), p) AS mrank
+       |    FROM pj$p WHERE vec_id < 5) m
+       |  JOIN qs$p q2 USING (query_id) WHERE m.mrank <= $maxFlips),
+       |pb$p AS (SELECT query_id, CAST(0 AS BIGINT) AS probe_rank, base AS psig FROM qs$p
+       |  UNION ALL SELECT query_id, probe_rank, psig FROM fl$p),
+       |cd$p AS (SELECT pr2.query_id, pr2.probe_rank, cs.vec_id
+       |  FROM pb$p pr2 JOIN sg$p cs ON cs.sig = pr2.psig AND cs.vec_id <> pr2.query_id),
+       |cdd$p AS (SELECT c.query_id, c.probe_rank, c.vec_id,
+       |   sum(CAST(fq.v AS DOUBLE) * fc.v) AS dp
+       |  FROM cd$p c JOIN f fq ON fq.vec_id = c.query_id
+       |  JOIN f fc ON fc.vec_id = c.vec_id AND fc.i = fq.i
+       |  GROUP BY 1, 2, 3),
+       |cc$p AS (SELECT d.query_id, d.probe_rank, d.vec_id,
+       |   round(d.dp / (nq.nrm * nc2.nrm), 6) AS cos
+       |  FROM cdd$p d JOIN norms nq ON nq.vec_id = d.query_id
+       |  JOIN norms nc2 ON nc2.vec_id = d.vec_id)""".stripMargin
+
+  private val ext45Qs = Seq(
+    Q("q319_multiprobe_frontier",
+      // the 2-D serve frontier (r12 judge item 2): planes x nprobe swept
+      // together — recall@10, nDCG@10 and candidates-scanned per cell so
+      // the knee of the trade is readable in one relation
+      (s, d) => graft.ops.Similarity.multiprobeFrontier(
+        T(s, d, "embeddings"), planesCounts = Seq(4, 6, 8),
+        nProbes = Seq(1, 2, 4), dim = 64, k = 10, nQueries = 5),
+      Some {
+        val shared = s"""f AS (SELECT vec_id, unnest(embedding) AS v,
+           |   generate_subscripts(embedding, 1) AS i FROM embeddings),
+           |fi AS (SELECT vec_id, i,
+           |   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS iv FROM f),
+           |norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM f GROUP BY 1),
+           |exdots AS (SELECT q.query_id, f2.vec_id, sum(CAST(q.qv AS DOUBLE) * f2.v) AS dp
+           |  FROM (SELECT vec_id AS query_id, v AS qv, i FROM f WHERE vec_id < 5) q
+           |  JOIN f f2 ON f2.i = q.i WHERE f2.vec_id <> q.query_id GROUP BY 1, 2),
+           |excos AS (SELECT d.query_id, d.vec_id, round(d.dp / (nq.nrm * nc2.nrm), 6) AS cos
+           |  FROM exdots d JOIN norms nq ON nq.vec_id = d.query_id
+           |  JOIN norms nc2 ON nc2.vec_id = d.vec_id),
+           |ex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+           |  FROM excos) WHERE rk <= 10),
+           |perq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           |   CAST(sum(n_exact) AS BIGINT) AS n_exact,
+           |   CAST(sum(${ndcgIdcgSql("n_exact", 10)}) AS BIGINT) AS idcg_u FROM perq)""".stripMargin
+        val chains = Seq(4, 6, 8).map(p => frontierSigChain(p, 3)).mkString(",\n")
+        val cells = for { p <- Seq(4, 6, 8); np <- Seq(1, 2, 4) } yield
+          s"""b${p}_$np AS (SELECT query_id, vec_id, CAST(rk AS BIGINT) AS approx_rank
+             |  FROM (SELECT query_id, vec_id,
+             |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+             |  FROM cc$p WHERE probe_rank < $np) WHERE rk <= 10),
+             |h${p}_$np AS (SELECT CAST(count(*) AS BIGINT) AS n_hit,
+             |   CAST(coalesce(sum(${ndcgWeightSql("b.approx_rank", 10)}), 0) AS BIGINT) AS dcg_u
+             |  FROM ex e JOIN b${p}_$np b ON b.query_id = e.query_id AND b.vec_id = e.vec_id),
+             |c${p}_$np AS (SELECT CAST(count(*) AS BIGINT) AS n_cand
+             |  FROM cd$p WHERE probe_rank < $np),
+             |cell${p}_$np AS (SELECT CAST($p AS BIGINT) AS nplanes,
+             |   CAST($np AS BIGINT) AS nprobe, t.n_queries, c.n_cand,
+             |   t.n_exact, h.n_hit,
+             |   CAST(h.n_hit * 1000000 // greatest(t.n_exact, 1) AS BIGINT) AS recall_u,
+             |   h.dcg_u, t.idcg_u,
+             |   CAST(h.dcg_u * 1000000 // greatest(t.idcg_u, 1) AS BIGINT) AS ndcg_u
+             |  FROM tot t, c${p}_$np c, h${p}_$np h)""".stripMargin
+        val sel = (for { p <- Seq(4, 6, 8); np <- Seq(1, 2, 4) } yield
+          s"SELECT * FROM cell${p}_$np").mkString("\nUNION ALL ")
+        s"""WITH $shared,
+           |$chains,
+           |${cells.mkString(",\n")}
+           |$sel""".stripMargin
+      }))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs ++ ext38Qs ++ ext39Qs ++ ext40Qs ++ ext41Qs ++ ext42Qs ++ ext43Qs ++ ext44Qs
+      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs ++ ext38Qs ++ ext39Qs ++ ext40Qs ++ ext41Qs ++ ext42Qs ++ ext43Qs ++ ext44Qs ++ ext45Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

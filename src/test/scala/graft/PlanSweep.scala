@@ -148,7 +148,10 @@ object PlanSweepSupport {
     "q314_temperature_sampling", "q315_dsir_gate",
     // batch 6: q316 composes q38's broadcast query-set scoring; q317's
     // 5-row literal threshold spine is a tiny-dim attach (q146 class)
-    "q316_multiprobe_ndcg", "q317_gate_calibration")
+    "q316_multiprobe_ndcg", "q317_gate_calibration",
+    // round-13: q319 composes q38's broadcast query-set ground truth and
+    // crosses 1-row cell rollups (n_cand / n_hit+dcg / query-set totals)
+    "q319_multiprobe_frontier")
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -211,6 +214,9 @@ object PlanSweepSupport {
     "q314_temperature_sampling", "q315_dsir_gate",
     // batch 6: q317's spine-keyed rollup merges ≤ |spine| rows
     "q317_gate_calibration",
+    // round-13: q319's per-cell 1-row scalars (candidate count, hit/dcg
+    // rollup, query-set totals) merge rank-bounded partials
+    "q319_multiprobe_frontier",
     // hyperplaneCells consumers: the dim-row per-dimension mean relation
     // collapses to ONE dim-length array row (the centering scalar) — a
     // bounded global aggregate, not a corpus reduction

@@ -85,6 +85,47 @@ class Round13Spec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------ q319 (planes, nprobe) frontier
+
+  test("multiprobeFrontier: cells agree with the per-query q305/q316 " +
+      "relations micro-aggregated; candidates and hits are weakly " +
+      "monotone in nprobe within a plane family") {
+    val emb = plantedVecs
+    val cells = graft.ops.Similarity.multiprobeFrontier(emb,
+      planesCounts = Seq(2, 3), nProbes = Seq(1, 2), dim = 4, k = 5,
+      nQueries = 3).collect()
+      .map(r => (r.getAs[Long]("nplanes"), r.getAs[Long]("nprobe")) -> r)
+      .toMap
+    assert(cells.size === 4)
+    // cross-check the 3-plane column against the per-query operators
+    val recall = graft.ops.Similarity.multiprobeRecall(emb,
+      nProbes = Seq(1, 2), nPlanes = 3, dim = 4, k = 5, nQueries = 3)
+      .collect()
+    val ndcg = graft.ops.Similarity.multiprobeNdcg(emb,
+      nProbes = Seq(1, 2), nPlanes = 3, dim = 4, k = 5, nQueries = 3)
+      .collect()
+    Seq(1L, 2L).foreach { np =>
+      val c = cells((3L, np))
+      val rr = recall.filter(_.getAs[Long]("nprobe") == np)
+      assert(c.getAs[Long]("n_hit") ===
+        rr.map(_.getAs[Long]("n_hit")).sum)
+      assert(c.getAs[Long]("n_cand") ===
+        rr.map(_.getAs[Long]("n_cand")).sum)
+      assert(c.getAs[Long]("n_exact") ===
+        rr.map(_.getAs[Long]("n_exact")).sum)
+      val nn = ndcg.filter(_.getAs[Long]("nprobe") == np)
+      assert(c.getAs[Long]("dcg_u") === nn.map(_.getAs[Long]("dcg_u")).sum)
+      assert(c.getAs[Long]("idcg_u") ===
+        nn.map(_.getAs[Long]("idcg_u")).sum)
+    }
+    Seq(2L, 3L).foreach { p =>
+      assert(cells((p, 2L)).getAs[Long]("n_cand") >=
+        cells((p, 1L)).getAs[Long]("n_cand"))
+      assert(cells((p, 2L)).getAs[Long]("n_hit") >=
+        cells((p, 1L)).getAs[Long]("n_hit"))
+    }
+  }
+
   // --------------------------- r12 judge item: one-job bm25 scalars, N
 
   test("impactIndexBuild: a token-empty document still counts toward N " +
