@@ -9635,13 +9635,92 @@ object Queries {
            |$sel""".stripMargin
       }))
 
+  /** One q320 drift step: drifted corpus (exact-binary scale factor) →
+    * re-encode under the FROZEN cc/c2 codebooks ([[ivfPqAssignCtes]]) →
+    * nprobe=2 probe against the drifted codes → exact integer-L2 ground
+    * truth over the drifted coords → q298's cell-mean drift gauge → one
+    * summary row. */
+  private def ivfPqDriftStepCtes(u: Int): String = {
+    val p = s"d$u"
+    val offset = (0.25 * u).toString
+    val offsetU = math.round(0.25 * u * 1000000d)
+    s"""${p}emb AS (SELECT vec_id, list_transform(embedding,
+       |   x -> CAST(x AS DOUBLE) + CAST($offset AS DOUBLE)) AS embedding
+       |  FROM embeddings),
+       |${ivfPqAssignCtes(p, s"${p}emb")},
+       |${p}probes AS (SELECT vec_id AS query_id, cell FROM (
+       |  SELECT vec_id, cell,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM (
+       |   SELECT i.vec_id, c.cell, sum((i.x - c.cx) * (i.x - c.cx)) AS cdist
+       |   FROM ${p}iv i JOIN cc c ON c.d = i.d WHERE i.vec_id < 5 GROUP BY 1, 2)) WHERE rn <= 2),
+       |${p}qres AS (SELECT pr.query_id, pr.cell,
+       |   CAST(i.d // 4 AS BIGINT) AS sub, CAST(i.d % 4 AS BIGINT) AS dl,
+       |   i.x - c.cx AS qx
+       |  FROM ${p}probes pr JOIN ${p}iv i ON i.vec_id = pr.query_id
+       |  JOIN cc c ON c.cell = pr.cell AND c.d = i.d),
+       |${p}qd AS MATERIALIZED (SELECT q.query_id, q.cell, q.sub, c.cid,
+       |   sum((q.qx - c.cx) * (q.qx - c.cx)) AS qdist
+       |  FROM ${p}qres q JOIN c2 c ON c.sub = q.sub AND c.dl = q.dl
+       |  GROUP BY 1, 2, 3, 4),
+       |${p}ad AS (SELECT qd.query_id, k.vec_id, sum(qd.qdist) AS adist
+       |  FROM ${p}codes k JOIN ${p}qd qd ON qd.cell = k.cell
+       |   AND qd.sub = k.sub AND qd.cid = k.cid
+       |  WHERE k.vec_id <> qd.query_id GROUP BY 1, 2),
+       |${p}rk AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+       |   row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rnk
+       |  FROM ${p}ad) WHERE rnk <= 10),
+       |${p}exd AS (SELECT qi.vec_id AS query_id, i.vec_id,
+       |   sum((i.x - qi.x) * (i.x - qi.x)) AS edist
+       |  FROM ${p}iv i JOIN ${p}iv qi ON qi.d = i.d AND qi.vec_id < 5
+       |   AND i.vec_id <> qi.vec_id GROUP BY 1, 2),
+       |${p}ex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+       |   row_number() OVER (PARTITION BY query_id ORDER BY edist, vec_id) AS rk
+       |  FROM ${p}exd) WHERE rk <= 10),
+       |${p}en AS (SELECT count(*) AS n_exact FROM ${p}ex),
+       |${p}eh AS (SELECT count(*) AS n_hit FROM ${p}ex e
+       |  JOIN ${p}rk r ON r.query_id = e.query_id AND r.vec_id = e.vec_id),
+       |${p}cm AS (SELECT v.cell, i.d,
+       |   CAST(floor(sum(i.x)::DOUBLE / count(*)) AS BIGINT) AS mx
+       |  FROM ${p}iv i JOIN ${p}vc v ON v.vec_id = i.vec_id GROUP BY 1, 2),
+       |${p}dr AS (SELECT CAST(coalesce(sum(cdrift), 0) AS BIGINT) AS total_drift,
+       |   CAST(coalesce(max(cdrift), 0) AS BIGINT) AS max_cell_drift FROM (
+       |  SELECT cm.cell, sum((cm.mx - c.cx) * (cm.mx - c.cx)) AS cdrift
+       |  FROM ${p}cm cm JOIN cc c ON c.cell = cm.cell AND c.d = cm.d GROUP BY 1)),
+       |${p}row AS (SELECT CAST($u AS BIGINT) AS step,
+       |   CAST($offsetU AS BIGINT) AS offset_u,
+       |   dr.total_drift, dr.max_cell_drift,
+       |   CAST(en.n_exact AS BIGINT) AS n_exact,
+       |   CAST(eh.n_hit AS BIGINT) AS n_hit,
+       |   CAST(CASE WHEN en.n_exact > 0
+       |     THEN eh.n_hit * 1000000 // en.n_exact END AS BIGINT) AS recall_u
+       |  FROM ${p}dr dr, ${p}en en, ${p}eh eh)""".stripMargin
+  }
+
+  private val ext46Qs = Seq(
+    Q("q320_ivfpq_drift_recall",
+      // the retrain trigger (r12 judge item 3): index trained ONCE on the
+      // base corpus, then a controlled perturbation series (exact-binary
+      // +0.0/0.25/0.5/0.75 translation) drifts corpus AND queries; per
+      // step the FROZEN index re-encodes (append path, no retrain),
+      // serves at nprobe=2, and is scored vs exact integer-L2 ground
+      // truth over the same drifted coords (translation-invariant, so
+      // recall loss is PURE index mismatch), with q298's cell-drift gauge
+      // riding the row — (total_drift, recall_u) is the retrain threshold
+      (s, d) => graft.ops.Quantize.ivfPqDriftRecall(T(s, d, "embeddings"),
+        steps = Seq(0, 1, 2, 3), driftPerStep = 0.25, nCells = 8, m = 16,
+        k = 32, rounds = 2, nprobe = 2, nQueries = 5, topK = 10, dim = 64),
+      Some(ivfPqIndexCtes + ",\n" +
+        Seq(0, 1, 2, 3).map(ivfPqDriftStepCtes).mkString(",\n") + "\n" +
+        Seq(0, 1, 2, 3).map(u => s"SELECT * FROM d${u}row")
+          .mkString("\nUNION ALL "))))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs ++ ext38Qs ++ ext39Qs ++ ext40Qs ++ ext41Qs ++ ext42Qs ++ ext43Qs ++ ext44Qs ++ ext45Qs
+      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs ++ ext38Qs ++ ext39Qs ++ ext40Qs ++ ext41Qs ++ ext42Qs ++ ext43Qs ++ ext44Qs ++ ext45Qs ++ ext46Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

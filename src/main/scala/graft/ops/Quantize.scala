@@ -665,4 +665,113 @@ object Quantize {
           col("recall_u"), col("dcg_u"), col("idcg_u"), col("ndcg_u"))
     }.reduce(_ unionByName _)
   }
+
+  /** Drift-vs-recall retrain trigger — the operator that CONNECTS
+    * [[ivfPqStaleness]]'s codebook-drift gauge to [[ivfPqRecall]]'s
+    * quality metric, answering the question a 100 TB index owner actually
+    * has: at what measured drift does the FROZEN index's recall fall
+    * enough to warrant a retrain?
+    *
+    * The index trains ONCE on the base corpus and is then held frozen
+    * while a controlled perturbation series drifts the corpus: at step u
+    * every coordinate is shifted by driftPerStep·u — exact binary
+    * offsets (0.25 steps), so both engines replay the floor(·1e6)
+    * integerization identically. Translation is the cleanest controlled
+    * drift: pairwise distances are invariant, so the exact ground-truth
+    * neighbor sets barely move (only floor-rounding at the integerization
+    * boundary), while the residuals the FROZEN PQ codebook must quantize
+    * gain an offset the codebook never saw — as the offset grows the
+    * shifted residual cloud snaps onto the few nearest frozen centroids,
+    * codes collapse, ADC loses discrimination and recall falls. That is
+    * precisely the failure mode append-only maintenance ([[ivfPqEncode]])
+    * cannot fix, and the gauge that predicts it is the cell-mean drift.
+    *
+    * Per step the corpus (queries included — they come from the drifted
+    * distribution too) is re-encoded under the frozen codebooks (the
+    * append path's pure-function encode — no retrain), probed at `nprobe`,
+    * and scored against exact integer-L2 ground truth over the SAME
+    * drifted coordinates; alongside rides the q298 drift gauge (per
+    * frozen cell, ‖current members' mean − frozen coarse centroid‖², total
+    * and max). Step 0 is the baseline row: its drift is the seeded-coarse
+    * floor (centroids are seed vectors, not means — nonzero even fresh)
+    * and its recall is the fresh-index operating point; the retrain
+    * threshold reads off where recall_u leaves that baseline as
+    * total_drift climbs.
+    *
+    * Scale shape: one training bill + per step one encode (broadcast
+    * codebooks, shuffle on vec_id), one probe (ADC tables broadcast,
+    * candidate scan bounded by probed cells), one exact-GT pass
+    * (nQueries·dim broadcast side), three 1-row aggregates — nothing
+    * all-pairs, nothing driver-side.
+    *
+    * @return one row per step: (step, offset_u, total_drift,
+    *         max_cell_drift, n_exact, n_hit, recall_u)
+    */
+  def ivfPqDriftRecall(embeddings: DataFrame, steps: Seq[Int] = Seq(0, 1, 2, 3),
+      driftPerStep: Double = 0.25, nCells: Int = 8, m: Int = 16, k: Int = 32,
+      rounds: Int = 2, nprobe: Int = 2, nQueries: Int = 5, topK: Int = 10,
+      dim: Int = 0): DataFrame = {
+    val idx = ivfPqIndex(embeddings, nCells, m, k, rounds, dim)
+    steps.map { u =>
+      val offset = driftPerStep * u
+      val drifted = embeddings.select(col("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") + lit(offset)).as("embedding"))
+      val div = FreshCheckpoint(coords(drifted))
+      // re-encode the drifted corpus under the FROZEN codebooks — the
+      // ivfPqEncode chain inlined so the drifted coords / cell assignment
+      // are shared with the probe, ground-truth and drift-gauge passes
+      val vc = FreshCheckpoint(assignCell(div, idx.coarse, 1))
+      val riv = div.join(vc, Seq("vec_id"))
+        .join(broadcast(idx.coarse), Seq("cell", "d"))
+        .select(col("vec_id"), col("cell"),
+          (col("d") / idx.subDim).cast("long").as("sub"),
+          (col("d") % idx.subDim).as("dl"), (col("x") - col("cx")).as("x"))
+      val dists = riv.join(broadcast(idx.cents), Seq("sub", "dl"))
+        .groupBy(col("vec_id"), col("cell"), col("sub"), col("cid"))
+        .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dist"))
+      val wc = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("dist"), col("cid"))
+      val fact = FreshCheckpoint(dists
+        .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+        .select(col("cell"), col("vec_id"), col("sub"), col("cid")))
+      val approx = ivfPqProbeFact(fact, div, idx.coarse, idx.cents,
+        idx.subDim, nprobe, nQueries, topK)
+      // exact integer-L2 ground truth over the drifted coordinates
+      val qiv = div.filter(col("vec_id") < nQueries)
+      val ed = div.join(broadcast(qiv.select(col("vec_id").as("query_id"),
+          col("d"), col("x").as("qx"))), Seq("d"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum((col("x") - col("qx")) * (col("x") - col("qx"))).as("edist"))
+      val we = Window.partitionBy(col("query_id"))
+        .orderBy(col("edist"), col("vec_id"))
+      val exact = FreshCheckpoint(ed
+        .withColumn("rk", row_number().over(we)).filter(col("rk") <= topK)
+        .select(col("query_id"), col("vec_id")))
+      val en = exact.agg(count(lit(1)).as("n_exact"))
+      val eh = exact
+        .join(approx.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      // the q298 drift gauge against the frozen coarse codebook
+      val cellMean = div.join(vc, Seq("vec_id"))
+        .groupBy(col("cell"), col("d"))
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1)))
+          .cast("long").as("mx"))
+      val drift = cellMean.join(broadcast(idx.coarse), Seq("cell", "d"))
+        .groupBy(col("cell"))
+        .agg(sum((col("mx") - col("cx")) * (col("mx") - col("cx")))
+          .as("cdrift"))
+        .agg(coalesce(sum(col("cdrift")), lit(0L)).as("total_drift"),
+          coalesce(max(col("cdrift")), lit(0L)).as("max_cell_drift"))
+      en.crossJoin(broadcast(eh)).crossJoin(broadcast(drift))
+        .select(lit(u.toLong).as("step"),
+          lit(math.round(offset * 1000000d)).as("offset_u"),
+          col("total_drift"), col("max_cell_drift"),
+          col("n_exact"), col("n_hit"),
+          when(col("n_exact") > 0,
+            expr("n_hit * 1000000 div n_exact")).as("recall_u"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -151,7 +151,10 @@ object PlanSweepSupport {
     "q316_multiprobe_ndcg", "q317_gate_calibration",
     // round-13: q319 composes q38's broadcast query-set ground truth and
     // crosses 1-row cell rollups (n_cand / n_hit+dcg / query-set totals)
-    "q319_multiprobe_frontier")
+    "q319_multiprobe_frontier",
+    // q320: per drift step, 1-row n_exact × n_hit × drift-gauge attaches
+    // (the q298 audit-rollup shape, once per step)
+    "q320_ivfpq_drift_recall")
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -215,8 +218,10 @@ object PlanSweepSupport {
     // batch 6: q317's spine-keyed rollup merges ≤ |spine| rows
     "q317_gate_calibration",
     // round-13: q319's per-cell 1-row scalars (candidate count, hit/dcg
-    // rollup, query-set totals) merge rank-bounded partials
-    "q319_multiprobe_frontier",
+    // rollup, query-set totals) merge rank-bounded partials; q320's
+    // per-step n_exact/n_hit/drift rollups merge rank- or cell-bounded
+    // partials (the q298 class)
+    "q319_multiprobe_frontier", "q320_ivfpq_drift_recall",
     // hyperplaneCells consumers: the dim-row per-dimension mean relation
     // collapses to ONE dim-length array row (the centering scalar) — a
     // bounded global aggregate, not a corpus reduction

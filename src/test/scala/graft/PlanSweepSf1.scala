@@ -113,8 +113,10 @@ class PlanSweepSf1 extends SparkTestBase {
     // q315 chains past the broadcast flip
     "q316_multiprobe_ndcg", "q317_gate_calibration",
     // round-13: the hybrid serve composes the q306 pruning windows +
-    // retrieval join with the q305 probe joins, both past the flip
-    "q318_hybrid_serve")
+    // retrieval join with the q305 probe joins, both past the flip; the
+    // drift series runs the q298 re-encode + q292 ground-truth shapes
+    // once per step
+    "q318_hybrid_serve", "q320_ivfpq_drift_recall")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 
