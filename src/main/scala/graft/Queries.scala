@@ -9354,10 +9354,14 @@ object Queries {
   /** Shared q315/q317 frozen-model gate chain: the %3<>0-snapshot model,
     * per-doc feature counts over the FULL corpus, the LEFT-join λ scoring
     * and the per-doc (n_feats, w_u) rollup (`pd`). */
-  private lazy val dsirGateCtes: String =
+  private lazy val dsirGateCtes: String = dsirGateCtesFrom("documents")
+
+  /** The same chain with the corpus relation parameterized — q321 gates
+    * the PII-augmented ingest snapshot. */
+  private def dsirGateCtesFrom(src: String): String =
     s"""obase AS (SELECT doc_id, source,
        |   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
-       |  FROM documents WHERE doc_id % 3 <> 0),
+       |  FROM $src WHERE doc_id % 3 <> 0),
        |obg AS (SELECT doc_id, source,
        |   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
        |  FROM obase),
@@ -9371,7 +9375,7 @@ object Queries {
        |   CAST(sum(cnt_tgt) AS BIGINT) AS n_tgt FROM model),
        |cbase AS (SELECT doc_id, source,
        |   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
-       |  FROM documents),
+       |  FROM $src),
        |cbg AS (SELECT doc_id, source,
        |   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
        |  FROM cbase),
@@ -9712,7 +9716,86 @@ object Queries {
       Some(ivfPqIndexCtes + ",\n" +
         Seq(0, 1, 2, 3).map(ivfPqDriftStepCtes).mkString(",\n") + "\n" +
         Seq(0, 1, 2, 3).map(u => s"SELECT * FROM d${u}row")
-          .mkString("\nUNION ALL "))))
+          .mkString("\nUNION ALL "))),
+
+    Q("q321_ingest_admission",
+      // the streaming ingest capstone's batch twin: ONE admission decision
+      // per arriving doc — frozen DSIR gate (row-local broadcast λ map) →
+      // curation cascade + PII audit → known-dup screen — with the
+      // first-failing-stage reason and per-source funnel counts riding
+      // every row. PII planted doc_id-derived (q205), known dups the
+      // % 13 = 5 keeper-reject stand-in, model frozen on the % 3 <> 0
+      // snapshot (q315)
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val aug = docs.withColumn("text", concat(col("text"),
+          lit(" reach u"), col("doc_id").cast("string"),
+          lit("@mail.example.com")))
+        val model = graft.ops.TrainingData.dsirModel(
+          graft.ops.TrainingData.dsirFeatures(
+            aug.filter(col("doc_id") % 3 =!= 0), 4096), "src7")
+        val dups = docs.filter(col("doc_id") % 13 === 5)
+          .select(col("doc_id"))
+        graft.streaming.IngestStream.admissionFunnel(
+          graft.streaming.IngestStream.admissionDecisions(aug, model, dups,
+            4096, 0L))
+      },
+      Some(s"""WITH aug AS (SELECT doc_id, source, lang,
+              |   text || ' reach u' || CAST(doc_id AS VARCHAR) || '@mail.example.com' AS text
+              |  FROM documents),
+              |${dsirGateCtesFrom("aug")},
+              |qm AS (SELECT doc_id, source,
+              |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+              |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tl,
+              |  round((
+              |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+              |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+              |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
+              |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
+              |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
+              |  )::DOUBLE / greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE, 1.0), 6) AS stopword_ratio,
+              |  round(length(text)::DOUBLE
+              |    / greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE, 1.0), 4) AS mean_word_len,
+              |  lower(text) AS t
+              | FROM aug),
+              |qr AS (SELECT *,
+              |   CASE WHEN len(tl) = 0 THEN NULL
+              |    ELSE floor((1.0 - len(list_distinct(tl))::DOUBLE / len(tl)) * 1000000) / 1000000
+              |   END AS rep_ratio
+              |  FROM qm),
+              |dec AS (SELECT r.doc_id, r.source,
+              |   CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats,
+              |   CAST(coalesce(p.w_u, 0) AS BIGINT) AS w_u,
+              |   CAST(coalesce(p.w_u, 0) AS BIGINT) >= 0 AS gate_ok,
+              |   r.n_tokens, r.rep_ratio,
+              |   (NOT (r.n_tokens < 20) AND NOT (r.stopword_ratio < 0.02)
+              |    AND NOT coalesce(r.rep_ratio > 0.65, FALSE)
+              |    AND NOT (r.mean_word_len > 5.9)) AS quality_ok,
+              |   CAST(len(regexp_extract_all(r.t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT)
+              |   + CAST(len(regexp_extract_all(r.t, '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b')) AS BIGINT)
+              |   + CAST(len(regexp_extract_all(r.t, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS BIGINT)
+              |   + CAST(len(regexp_extract_all(r.t, '\\b[0-9]{9,}\\b')) AS BIGINT) AS n_redacted,
+              |   CAST(length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(r.t,
+              |     '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
+              |     '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b', '[PHONE]', 'g'),
+              |     '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '[SSN]', 'g'),
+              |     '\\b[0-9]{9,}\\b', '[ID]', 'g')) AS BIGINT) AS masked_len,
+              |   r.doc_id % 13 = 5 AS known_dup
+              |  FROM qr r LEFT JOIN pd p USING (doc_id)),
+              |fin AS (SELECT *,
+              |   (gate_ok AND quality_ok AND NOT known_dup) AS admitted,
+              |   CASE WHEN NOT gate_ok THEN 'gate'
+              |    WHEN NOT quality_ok THEN 'quality'
+              |    WHEN known_dup THEN 'known_dup' END AS reason
+              |  FROM dec)
+              |SELECT doc_id, source, n_feats, w_u, gate_ok, n_tokens,
+              |  rep_ratio, quality_ok, n_redacted, masked_len, known_dup,
+              |  admitted, reason,
+              |  CAST(count(*) OVER ws AS BIGINT) AS n_arrived,
+              |  CAST(sum(CASE WHEN gate_ok THEN 1 ELSE 0 END) OVER ws AS BIGINT) AS n_gate_ok,
+              |  CAST(sum(CASE WHEN gate_ok AND quality_ok THEN 1 ELSE 0 END) OVER ws AS BIGINT) AS n_quality_ok,
+              |  CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) OVER ws AS BIGINT) AS n_admitted
+              |FROM fin WINDOW ws AS (PARTITION BY source)""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

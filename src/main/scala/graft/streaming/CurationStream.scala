@@ -47,11 +47,13 @@ object CurationStream {
     val q = docs.select(Seq(col("doc_id"), col("lang"), col("text")) ++
       qcols.map { case (n, c) => c.as(n) }: _*)
       // per-row twin of repetitionRatio(docs, 1): 1-grams are the token
-      // array itself, so uniq/total needs no shuffle. 0/0 → NULL, matching
-      // the batch LEFT join's NULL rep_ratio for zero-token docs.
+      // array itself, so uniq/total needs no shuffle. Zero-token docs get
+      // NULL via the explicit guard, matching the batch LEFT join's NULL
+      // rep_ratio (ANSI mode makes a bare 0/0 THROW, not NULL).
       .withColumn("rep_ratio",
-        floor((lit(1.0) - size(array_distinct(toks)).cast("double")
-          / size(toks).cast("double")) * 1000000d) / 1000000d)
+        when(size(toks) > 0,
+          floor((lit(1.0) - size(array_distinct(toks)).cast("double")
+            / size(toks).cast("double")) * 1000000d) / 1000000d))
     val rules: Seq[Column] = Seq(
       col("n_tokens") < 20,
       col("stopword_ratio") < 0.02,

@@ -154,7 +154,10 @@ object PlanSweepSupport {
     "q319_multiprobe_frontier",
     // q320: per drift step, 1-row n_exact × n_hit × drift-gauge attaches
     // (the q298 audit-rollup shape, once per step)
-    "q320_ivfpq_drift_recall")
+    "q320_ivfpq_drift_recall",
+    // q321: the 1-row broadcast (λ map, default) gate-state attach — the
+    // RagStream broadcast-index convention
+    "q321_ingest_admission")
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -222,6 +225,9 @@ object PlanSweepSupport {
     // per-step n_exact/n_hit/drift rollups merge rank- or cell-bounded
     // partials (the q298 class)
     "q319_multiprobe_frontier", "q320_ivfpq_drift_recall",
+    // q321: the λ-map/model-totals collapse to 1 row; the per-source
+    // funnel rollup merges ≤|sources|-row partials
+    "q321_ingest_admission",
     // hyperplaneCells consumers: the dim-row per-dimension mean relation
     // collapses to ONE dim-length array row (the centering scalar) — a
     // bounded global aggregate, not a corpus reduction

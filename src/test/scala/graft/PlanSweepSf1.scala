@@ -116,7 +116,10 @@ class PlanSweepSf1 extends SparkTestBase {
     // retrieval join with the q305 probe joins, both past the flip; the
     // drift series runs the q298 re-encode + q292 ground-truth shapes
     // once per step
-    "q318_hybrid_serve", "q320_ivfpq_drift_recall")
+    "q318_hybrid_serve", "q320_ivfpq_drift_recall",
+    // the admission capstone rides the q315 gate chain (model fit) +
+    // a corpus scoring pass through the broadcast λ map
+    "q321_ingest_admission")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** Round-13 batch-3 specs: the q320 drift-vs-recall retrain trigger —
   * the operator connecting the q298 codebook-drift gauge to the q292
@@ -55,5 +56,78 @@ class Round13Batch3Spec extends SparkTestBase {
     val drifts = out.map(_.getAs[Long]("total_drift")).toSeq
     assert(drifts.tail.forall(_ > drifts.head),
       s"drifted steps must exceed the step-0 baseline: $drifts")
+  }
+
+  // ------------------------- q321 streaming ingest admission capstone
+
+  private def admissionDocs = {
+    // varied vocab keeps rep_ratio under the 0.65 rule; the/a/and/of/to
+    // keep stopword_ratio over 0.02; short words keep mean_word_len down
+    def good(i: Int) = (0 until 6).map(j =>
+      s"the w${i}x$j and a v${i}y$j of u${i}z$j to q${i}k$j").mkString(" ")
+    (0 until 24).map { i =>
+      val src = if (i % 3 == 0) "tgt" else "web"
+      val text = i match {
+        case 11 => "tiny doc"                       // quality: too_short
+        case 17 => ""                               // zero tokens (NULL rep)
+        case 19 => good(i) + " call 555-123-4567"   // PII audit, admitted
+        case _ => good(i)
+      }
+      (i.toLong, src, text)
+    }.toDF("doc_id", "source", "text")
+  }
+
+  test("admissionStream: shuffled multi-micro-batch arrival with planted " +
+      "INTRA- and CROSS-batch redeliveries emits exactly the batch " +
+      "admission relation — the gate→curation→dedup COMPOSITION is " +
+      "arrival-order-safe, one decision per doc_id") {
+    import graft.streaming.IngestStream
+    val docs = admissionDocs
+    val model = graft.ops.TrainingData.dsirModel(
+      graft.ops.TrainingData.dsirFeatures(docs, 64), "tgt")
+    val dups = Seq(3L, 7L).toDF("doc_id")
+    // pick the threshold from the scored batch so the gate SPLITS the
+    // corpus — a one-sided gate would leave the 'gate' reason untested
+    val ws = IngestStream.admissionDecisions(docs, model, dups, 64, 0L)
+      .select("w_u").collect().map(_.getLong(0)).sorted
+    val thr = ws(ws.length / 2)
+    val batchDf = IngestStream
+      .admissionDecisions(docs, model, dups, 64, thr)
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.toList
+    val batch = batchDf.collect().map(key)
+    assert(batch.length === 24)
+    val reasons = batchDf.collect()
+      .map(r => Option(r.getAs[String]("reason")).getOrElse("admitted"))
+      .toSet
+    assert(reasons === Set("admitted", "gate", "quality", "known_dup"),
+      s"the planted corpus must exercise every funnel stage: $reasons")
+    // stage three files in shuffled doc order: doc 5 duplicated WITHIN
+    // file a (intra-batch), docs 5 and 9 replayed in file c (cross-batch)
+    val stage = java.nio.file.Files.createTempDirectory("adm_stage")
+    def writeFile(name: String, cond: org.apache.spark.sql.Column,
+        extra: Seq[Long]): Unit = {
+      val part = docs.filter(cond)
+        .unionByName(docs.filter(col("doc_id").isin(extra: _*)))
+      val tmp = java.nio.file.Files.createTempDirectory(s"adm_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(f),
+        stage.resolve(s"$name.parquet"))
+    }
+    writeFile("a", col("doc_id") % 3 === 2, Seq(5L))          // 5 twice here
+    writeFile("b", col("doc_id") % 3 === 0, Seq.empty)
+    writeFile("c", col("doc_id") % 3 === 1, Seq(5L, 9L))      // replays
+    val raw = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+    val q = IngestStream.admissionStream(spark, raw, model, dups, 64, thr)
+      .toDF()
+      .writeStream.format("memory").queryName("adm_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.sql("SELECT * FROM adm_stream").collect().map(key)
+    assert(streamed.length === batch.length,
+      "every redelivery (intra- or cross-batch) must be silent")
+    assert(streamed.toSet === batch.toSet)
   }
 }
