@@ -9795,7 +9795,77 @@ object Queries {
               |  CAST(sum(CASE WHEN gate_ok THEN 1 ELSE 0 END) OVER ws AS BIGINT) AS n_gate_ok,
               |  CAST(sum(CASE WHEN gate_ok AND quality_ok THEN 1 ELSE 0 END) OVER ws AS BIGINT) AS n_quality_ok,
               |  CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) OVER ws AS BIGINT) AS n_admitted
-              |FROM fin WINDOW ws AS (PARTITION BY source)""".stripMargin)))
+              |FROM fin WINDOW ws AS (PARTITION BY source)""".stripMargin)),
+
+    Q("q322_krippendorff_ordinal",
+      // ordinal-scale Krippendorff's alpha alongside nominal from the
+      // SAME coincidence rollup (r12 judge item 8): three length-quality
+      // raters on a shared ranked 1..4 bin scale (token bins / char bins
+      // / distinct-token bins, the third abstaining on % 7 = 0), ordinal
+      // δ² = cumulative-margin differences in exact 2x/4x/8x integer
+      // units — adjacent-bin disagreement prices below far-bin
+      (s, d) => graft.ops.Classifier.krippendorffOrdinal(
+        T(s, d, "documents")),
+      Some("""WITH base AS (SELECT doc_id,
+             |   CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ntok,
+             |   CAST(length(text) AS BIGINT) AS nch,
+             |   CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS BIGINT) AS nd
+             |  FROM documents),
+             |rt AS (
+             |  SELECT doc_id, CASE WHEN ntok < 35 THEN 1 WHEN ntok < 56 THEN 2
+             |    WHEN ntok < 79 THEN 3 ELSE 4 END AS cat FROM base
+             |  UNION ALL
+             |  SELECT doc_id, CASE WHEN nch < 190 THEN 1 WHEN nch < 310 THEN 2
+             |    WHEN nch < 440 THEN 3 ELSE 4 END AS cat FROM base
+             |  UNION ALL
+             |  SELECT doc_id, CASE WHEN nd < 20 THEN 1 WHEN nd < 25 THEN 2
+             |    WHEN nd < 29 THEN 3 ELSE 4 END AS cat FROM base
+             |  WHERE doc_id % 7 <> 0),
+             |uc AS (SELECT doc_id, CAST(cat AS BIGINT) AS cat,
+             |   CAST(count(*) AS BIGINT) AS nuc FROM rt GROUP BY 1, 2),
+             |un AS (SELECT doc_id, CAST(sum(nuc) AS BIGINT) AS mu,
+             |   CAST(sum(nuc * nuc) AS BIGINT) AS ssq
+             |  FROM uc GROUP BY 1 HAVING sum(nuc) >= 2),
+             |da AS (SELECT CAST(count(*) AS BIGINT) AS n_pairable,
+             |   CAST(sum(2 * (mu * mu - ssq) // (mu - 1)) AS BIGINT) AS o_off_2x FROM un),
+             |pu AS (SELECT uc.doc_id, uc.cat, uc.nuc, un.mu
+             |  FROM uc JOIN un USING (doc_id)),
+             |nc AS (SELECT cat, CAST(sum(nuc) AS BIGINT) AS nc FROM pu GROUP BY 1),
+             |ncum AS (SELECT cat, nc,
+             |   CAST(sum(nc) OVER (ORDER BY cat) AS BIGINT) AS ncm FROM nc),
+             |op AS (SELECT a.cat AS c, b.cat AS k,
+             |   CAST(sum(2 * a.nuc * b.nuc // (a.mu - 1)) AS BIGINT) AS o2x
+             |  FROM pu a JOIN pu b ON b.doc_id = a.doc_id AND a.cat < b.cat
+             |  GROUP BY 1, 2),
+             |dl AS (SELECT x.cat AS c, y.cat AS k,
+             |   CAST(x.nc * y.nc AS BIGINT) AS nprod,
+             |   CAST(2 * y.ncm - 2 * x.ncm + x.nc - y.nc AS BIGINT) AS d2x
+             |  FROM ncum x JOIN ncum y ON x.cat < y.cat),
+             |de AS (SELECT CAST(coalesce(sum(nprod * d2x * d2x), 0) AS BIGINT)
+             |   AS de_ord_4x FROM dl),
+             |dox AS (SELECT CAST(coalesce(sum(op.o2x * dl.d2x * dl.d2x), 0) AS BIGINT)
+             |   AS do_ord_8x
+             |  FROM op JOIN dl ON dl.c = op.c AND dl.k = op.k),
+             |tot AS (SELECT CAST(sum(nc) AS BIGINT) AS n_ratings,
+             |   CAST(count(*) AS BIGINT) AS n_categories,
+             |   CAST(sum(nc * nc) AS BIGINT) AS ssq_c FROM nc),
+             |nu AS (SELECT CAST(count(*) AS BIGINT) AS n_units FROM documents)
+             |SELECT n_units, n_pairable, n_ratings, n_categories, o_off_2x,
+             |  de_pairs, dis_nom_u,
+             |  CAST(2000000 - dis_nom_u AS BIGINT) AS alpha_nom_p1_u,
+             |  do_ord_8x, de_ord_4x, dis_ord_u,
+             |  CAST(2000000 - dis_ord_u AS BIGINT) AS alpha_ord_p1_u
+             |FROM (SELECT *,
+             |  CASE WHEN de_pairs > 0 THEN
+             |    CAST(CAST(o_off_2x AS HUGEINT) * (n_ratings - 1) * 1000000
+             |      // (2 * de_pairs) AS BIGINT) END AS dis_nom_u,
+             |  CASE WHEN de_ord_4x > 0 THEN
+             |    CAST(CAST(do_ord_8x AS HUGEINT) * (n_ratings - 1) * 1000000
+             |      // (2 * de_ord_4x) AS BIGINT) END AS dis_ord_u
+             |  FROM (SELECT n_units, n_pairable, n_ratings, n_categories,
+             |    o_off_2x, n_ratings * n_ratings - ssq_c AS de_pairs,
+             |    do_ord_8x, de_ord_4x
+             |   FROM nu, da, tot, de, dox))""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

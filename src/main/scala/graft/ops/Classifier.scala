@@ -257,6 +257,119 @@ object Classifier {
       .withColumn("alpha_p1_u", lit(2000000L) - col("dis_u"))
   }
 
+  /** Krippendorff's alpha on an ORDINAL scale, emitted alongside the
+    * nominal value from the SAME coincidence rollup — the mode
+    * [[krippendorffAlpha]] can't express: when the categories are ranked
+    * (quality bins, year buckets), a 1-vs-2 disagreement should cost less
+    * than a 1-vs-4 one, and α's ordinal difference function
+    * δ²(c,k) = (Σ_{g=c..k} n_g − (n_c + n_k)/2)² (Krippendorff 2004
+    * §11.3, cumulative-marginal form) prices exactly that. Nominal and
+    * ordinal α over the same ratings genuinely DIVERGE — the planted spec
+    * pins a corpus where adjacent-bin disagreement makes ordinal α
+    * markedly higher.
+    *
+    * Raters here are three independent length-quality opinions on a
+    * shared 1..4 bin scale (the ordinal analog of the language panel):
+    * token-count bins, char-length bins, and distinct-token bins — the
+    * third abstaining on every doc_id ≡ 0 (mod 7) (annotator coverage
+    * gaps are the norm; α is built for them).
+    *
+    * Exact-integer contract, extending the nominal one: per-pair
+    * coincidences carry as o2x = Σ_u 2·n_uc·n_uk/(m_u−1) (integer for
+    * ≤ 3 raters), the ordinal δ as d2x = 2·(N_k − N_{c−1}) − n_c − n_k
+    * (twice the half-integer margin sum), so D_o·8 = Σ o2x·d2x² and
+    * D_e·4 = Σ n_c·n_k·d2x² are exact integers and
+    * dis_ord = (n−1)·D_o/D_e = (n−1)·do_8x / (2·de_4x) pre-multiplies in
+    * DECIMAL(38,0). Both alphas emit shifted +1; D_e = 0 emits NULL.
+    *
+    * Scale shape: the same narrow rating projections and (doc, cat)
+    * rollup as nominal; the only additions are a per-unit category-pair
+    * self-join (fan-out ≤ C(3,2) rows per unit) and two
+    * |categories|²-row δ-table joins — category-dimension-sized, never
+    * corpus-sized.
+    *
+    * @return 1 row: (n_units, n_pairable, n_ratings, n_categories,
+    *         o_off_2x, de_pairs, dis_nom_u, alpha_nom_p1_u, do_ord_8x,
+    *         de_ord_4x, dis_ord_u, alpha_ord_p1_u)
+    */
+  def krippendorffOrdinal(docs: DataFrame): DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    val nt = TextAnalysis.tokenCount(col("text"))
+    def bins(c: Column, t1: Long, t2: Long, t3: Long): Column =
+      when(c < t1, 1L).when(c < t2, 2L).when(c < t3, 3L).otherwise(4L)
+    val r1 = docs.select(col("doc_id"), bins(nt, 35, 56, 79).as("cat"))
+    val r2 = docs.select(col("doc_id"),
+      bins(length(col("text")).cast("long"), 190, 310, 440).as("cat"))
+    val r3 = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        bins(size(array_distinct(toks)).cast("long"), 20, 25, 29).as("cat"))
+    val ratings = r1.unionByName(r2).unionByName(r3)
+    val unitCat = org.apache.spark.sql.graft.FreshCheckpoint(
+      ratings.groupBy(col("doc_id"), col("cat"))
+        .agg(count(lit(1)).as("nuc")))
+    val units = unitCat.groupBy(col("doc_id"))
+      .agg(sum(col("nuc")).as("mu"),
+        sum(col("nuc") * col("nuc")).as("ssq"))
+      .filter(col("mu") >= 2)
+    val dAgg = units
+      .select(expr("2 * (mu * mu - ssq) div (mu - 1)").as("d2"))
+      .agg(count(lit(1)).as("n_pairable"), sum(col("d2")).as("o_off_2x"))
+    val pairUnit = unitCat.join(units.select(col("doc_id")), Seq("doc_id"))
+    val nc = pairUnit.groupBy(col("cat")).agg(sum(col("nuc")).as("nc"))
+    // cumulative coincidence marginals over the RANKED category axis —
+    // a ≤|categories|-row single-partition window, category-bounded
+    val ncum = nc.withColumn("ncm", sum(col("nc")).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).orderBy(col("cat"))))
+    // per-pair observed coincidences: category pairs WITHIN each unit
+    val a = pairUnit.select(col("doc_id"), col("cat").as("c"),
+      col("nuc").as("na"))
+    val b = pairUnit.select(col("doc_id"), col("cat").as("k"),
+      col("nuc").as("nb"))
+    val oPairs = a.join(b, Seq("doc_id")).filter(col("c") < col("k"))
+      .join(units.select(col("doc_id"), col("mu")), Seq("doc_id"))
+      .groupBy(col("c"), col("k"))
+      .agg(sum(expr("2 * na * nb div (mu - 1)")).as("o2x"))
+    // the δ table over ALL ranked pairs (marginal products included)
+    val x = ncum.select(col("cat").as("c"), col("nc").as("nc_c"),
+      col("ncm").as("ncm_c"))
+    val y = ncum.select(col("cat").as("k"), col("nc").as("nc_k"),
+      col("ncm").as("ncm_k"))
+    val delta = x.crossJoin(y).filter(col("c") < col("k"))
+      .select(col("c"), col("k"), (col("nc_c") * col("nc_k")).as("nprod"),
+        (lit(2L) * col("ncm_k") - lit(2L) * col("ncm_c") + col("nc_c")
+          - col("nc_k")).as("d2x"))
+    val deOrd = delta
+      .agg(coalesce(sum(col("nprod") * col("d2x") * col("d2x")), lit(0L))
+        .as("de_ord_4x"))
+    val doOrd = oPairs.join(delta.select(col("c"), col("k"), col("d2x")),
+        Seq("c", "k"))
+      .agg(coalesce(sum(col("o2x") * col("d2x") * col("d2x")), lit(0L))
+        .as("do_ord_8x"))
+    val tot = nc.agg(sum(col("nc")).as("n_ratings"),
+      count(lit(1)).as("n_categories"),
+      sum(col("nc") * col("nc")).as("ssq_c"))
+    docs.agg(count(lit(1)).as("n_units"))
+      .crossJoin(broadcast(dAgg)).crossJoin(broadcast(tot))
+      .crossJoin(broadcast(doOrd)).crossJoin(broadcast(deOrd))
+      .select(col("n_units"), col("n_pairable"), col("n_ratings"),
+        col("n_categories"), col("o_off_2x"),
+        (col("n_ratings") * col("n_ratings") - col("ssq_c")).as("de_pairs"),
+        col("do_ord_8x"), col("de_ord_4x"))
+      .withColumn("dis_nom_u", when(col("de_pairs") > 0,
+        expr("cast(cast(o_off_2x as decimal(38,0)) * (n_ratings - 1) " +
+          "* 1000000 div (2 * de_pairs) as bigint)")))
+      .withColumn("alpha_nom_p1_u", lit(2000000L) - col("dis_nom_u"))
+      .withColumn("dis_ord_u", when(col("de_ord_4x") > 0,
+        expr("cast(cast(do_ord_8x as decimal(38,0)) * (n_ratings - 1) " +
+          "* 1000000 div (2 * de_ord_4x) as bigint)")))
+      .withColumn("alpha_ord_p1_u", lit(2000000L) - col("dis_ord_u"))
+      .select(col("n_units"), col("n_pairable"), col("n_ratings"),
+        col("n_categories"), col("o_off_2x"), col("de_pairs"),
+        col("dis_nom_u"), col("alpha_nom_p1_u"), col("do_ord_8x"),
+        col("de_ord_4x"), col("dis_ord_u"), col("alpha_ord_p1_u"))
+  }
+
   /** Split-conformal calibration (Vovk et al.; Angelopoulos & Bates 2021
     * tutorial form) for the engine's cheap token-count predictor: fit the
     * global chars→tokens ratio on the calibration split, take the

@@ -157,7 +157,10 @@ object PlanSweepSupport {
     "q320_ivfpq_drift_recall",
     // q321: the 1-row broadcast (λ map, default) gate-state attach — the
     // RagStream broadcast-index convention
-    "q321_ingest_admission")
+    "q321_ingest_admission",
+    // q322: q303's 1-row audit attaches + the ≤|categories|²-row ordinal
+    // δ-table cross (category-dimension-sized, never corpus)
+    "q322_krippendorff_ordinal")
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -228,6 +231,9 @@ object PlanSweepSupport {
     // q321: the λ-map/model-totals collapse to 1 row; the per-source
     // funnel rollup merges ≤|sources|-row partials
     "q321_ingest_admission",
+    // q322: q303's 1-row rollups + the ≤|categories|-row cumulative-
+    // marginal window
+    "q322_krippendorff_ordinal",
     // hyperplaneCells consumers: the dim-row per-dimension mean relation
     // collapses to ONE dim-length array row (the centering scalar) — a
     // bounded global aggregate, not a corpus reduction

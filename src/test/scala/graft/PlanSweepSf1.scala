@@ -118,8 +118,9 @@ class PlanSweepSf1 extends SparkTestBase {
     // once per step
     "q318_hybrid_serve", "q320_ivfpq_drift_recall",
     // the admission capstone rides the q315 gate chain (model fit) +
-    // a corpus scoring pass through the broadcast λ map
-    "q321_ingest_admission")
+    // a corpus scoring pass through the broadcast λ map; the ordinal
+    // alpha is q303's coincidence rollup + category-dim δ joins
+    "q321_ingest_admission", "q322_krippendorff_ordinal")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 

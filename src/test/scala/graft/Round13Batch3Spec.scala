@@ -130,4 +130,50 @@ class Round13Batch3Spec extends SparkTestBase {
       "every redelivery (intra- or cross-batch) must be silent")
     assert(streamed.toSet === batch.toSet)
   }
+
+  // --------------------------- q322 ordinal vs nominal Krippendorff
+
+  /** Planted doc with exact (token, char, distinct) counts: `nTok` tokens
+    * of `wordLen` chars each, cycling a `pool`-word vocabulary — so every
+    * rater's bin is chosen by construction. ids are 7i+1 (never ≡ 0 mod
+    * 7: the distinct-token rater rates every planted doc). */
+  private def plantedBinDocs(specs: Seq[(Int, Int, Int)]) =
+    specs.zipWithIndex.map { case ((nTok, wordLen, pool), i) =>
+      val text = (0 until nTok)
+        .map(t => ("w" + (t % pool).toString).padTo(wordLen, 'x'))
+        .mkString(" ")
+      ((7 * i + 1).toLong, "s", text)
+    }.toDF("doc_id", "source", "text")
+
+  test("krippendorffOrdinal: adjacent-bin disagreement prices BELOW " +
+      "far-bin — ordinal alpha strictly exceeds nominal on a corpus " +
+      "whose only disagreements are 1-vs-2 with bin 4 in the margins") {
+    // 8 docs rated (1,2,2): 30 tokens (bin 1) of 9 chars → 299 chars
+    // (bin 2), 22-word pool (bin 2); 8 docs rated (4,4,4) unanimously
+    val docs = plantedBinDocs(
+      Seq.fill(8)((30, 9, 22)) ++ Seq.fill(8)((90, 6, 40)))
+    val r = graft.ops.Classifier.krippendorffOrdinal(docs).collect().head
+    assert(r.getAs[Long]("n_categories") === 3L)   // bins {1, 2, 4}
+    assert(r.getAs[Long]("o_off_2x") > 0L)         // real disagreement
+    val nom = r.getAs[Long]("alpha_nom_p1_u")
+    val ord = r.getAs[Long]("alpha_ord_p1_u")
+    assert(ord > nom + 100000L,
+      s"ordinal must price adjacent disagreement below nominal: " +
+        s"nom=$nom ord=$ord")
+  }
+
+  test("krippendorffOrdinal: on a BINARY scale the ordinal difference " +
+      "function collapses to nominal — dis_ord_u equals dis_nom_u " +
+      "exactly (the 2-category δ² is constant across the single pair)") {
+    // bins {1, 4} only: 8 unanimous (1,1,1), 4 split (1,4,4), 4 unanimous
+    // (4,4,4) — extreme-bin disagreement, two categories total
+    val docs = plantedBinDocs(
+      Seq.fill(8)((10, 4, 10)) ++ Seq.fill(4)((30, 20, 40)) ++
+        Seq.fill(4)((90, 6, 40)))
+    val r = graft.ops.Classifier.krippendorffOrdinal(docs).collect().head
+    assert(r.getAs[Long]("n_categories") === 2L)
+    assert(r.getAs[Long]("o_off_2x") > 0L)
+    assert(r.getAs[Long]("dis_ord_u") === r.getAs[Long]("dis_nom_u"))
+    assert(r.getAs[Long]("alpha_ord_p1_u") === r.getAs[Long]("alpha_nom_p1_u"))
+  }
 }
