@@ -9841,10 +9841,10 @@ object Queries {
              |   CAST(x.nc * y.nc AS BIGINT) AS nprod,
              |   CAST(2 * y.ncm - 2 * x.ncm + x.nc - y.nc AS BIGINT) AS d2x
              |  FROM ncum x JOIN ncum y ON x.cat < y.cat),
-             |de AS (SELECT CAST(coalesce(sum(nprod * d2x * d2x), 0) AS BIGINT)
-             |   AS de_ord_4x FROM dl),
-             |dox AS (SELECT CAST(coalesce(sum(op.o2x * dl.d2x * dl.d2x), 0) AS BIGINT)
-             |   AS do_ord_8x
+             |de AS (SELECT coalesce(sum(CAST(nprod AS HUGEINT) * d2x * d2x),
+             |   CAST(0 AS HUGEINT)) AS de_ord_4x FROM dl),
+             |dox AS (SELECT coalesce(sum(CAST(op.o2x AS HUGEINT) * dl.d2x * dl.d2x),
+             |   CAST(0 AS HUGEINT)) AS do_ord_8x
              |  FROM op JOIN dl ON dl.c = op.c AND dl.k = op.k),
              |tot AS (SELECT CAST(sum(nc) AS BIGINT) AS n_ratings,
              |   CAST(count(*) AS BIGINT) AS n_categories,
@@ -9853,14 +9853,14 @@ object Queries {
              |SELECT n_units, n_pairable, n_ratings, n_categories, o_off_2x,
              |  de_pairs, dis_nom_u,
              |  CAST(2000000 - dis_nom_u AS BIGINT) AS alpha_nom_p1_u,
-             |  do_ord_8x, de_ord_4x, dis_ord_u,
+             |  dis_ord_u,
              |  CAST(2000000 - dis_ord_u AS BIGINT) AS alpha_ord_p1_u
              |FROM (SELECT *,
              |  CASE WHEN de_pairs > 0 THEN
              |    CAST(CAST(o_off_2x AS HUGEINT) * (n_ratings - 1) * 1000000
              |      // (2 * de_pairs) AS BIGINT) END AS dis_nom_u,
              |  CASE WHEN de_ord_4x > 0 THEN
-             |    CAST(CAST(do_ord_8x AS HUGEINT) * (n_ratings - 1) * 1000000
+             |    CAST(do_ord_8x * (n_ratings - 1) * 1000000
              |      // (2 * de_ord_4x) AS BIGINT) END AS dis_ord_u
              |  FROM (SELECT n_units, n_pairable, n_ratings, n_categories,
              |    o_off_2x, n_ratings * n_ratings - ssq_c AS de_pairs,

@@ -278,9 +278,12 @@ object Classifier {
     * coincidences carry as o2x = Σ_u 2·n_uc·n_uk/(m_u−1) (integer for
     * ≤ 3 raters), the ordinal δ as d2x = 2·(N_k − N_{c−1}) − n_c − n_k
     * (twice the half-integer margin sum), so D_o·8 = Σ o2x·d2x² and
-    * D_e·4 = Σ n_c·n_k·d2x² are exact integers and
-    * dis_ord = (n−1)·D_o/D_e = (n−1)·do_8x / (2·de_4x) pre-multiplies in
-    * DECIMAL(38,0). Both alphas emit shifted +1; D_e = 0 emits NULL.
+    * D_e·4 = Σ n_c·n_k·d2x² are exact integers — accumulated in
+    * DECIMAL(38,0), because n_c·n_k·d2x² is ~n⁴ and leaves BIGINT range
+    * before 10⁵ ratings (it did, at the sf1 probe); 38 digits hold it to
+    * n ~ 10⁹ ratings with the G ≤ 4 category spine. dis_ord =
+    * (n−1)·D_o/D_e = (n−1)·do_8x / (2·de_4x), the division done while
+    * still decimal. Both alphas emit shifted +1; D_e = 0 emits NULL.
     *
     * Scale shape: the same narrow rating projections and (doc, cat)
     * rollup as nominal; the only additions are a per-unit category-pair
@@ -289,8 +292,8 @@ object Classifier {
     * corpus-sized.
     *
     * @return 1 row: (n_units, n_pairable, n_ratings, n_categories,
-    *         o_off_2x, de_pairs, dis_nom_u, alpha_nom_p1_u, do_ord_8x,
-    *         de_ord_4x, dis_ord_u, alpha_ord_p1_u)
+    *         o_off_2x, de_pairs, dis_nom_u, alpha_nom_p1_u, dis_ord_u,
+    *         alpha_ord_p1_u)
     */
   def krippendorffOrdinal(docs: DataFrame): DataFrame = {
     val toks = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
@@ -340,12 +343,14 @@ object Classifier {
         (lit(2L) * col("ncm_k") - lit(2L) * col("ncm_c") + col("nc_c")
           - col("nc_k")).as("d2x"))
     val deOrd = delta
-      .agg(coalesce(sum(col("nprod") * col("d2x") * col("d2x")), lit(0L))
-        .as("de_ord_4x"))
+      .agg(coalesce(sum(expr("cast(nprod as decimal(38,0)) " +
+          "* cast(d2x as decimal(38,0)) * cast(d2x as decimal(38,0))")),
+        lit(0).cast("decimal(38,0)")).as("de_ord_4x"))
     val doOrd = oPairs.join(delta.select(col("c"), col("k"), col("d2x")),
         Seq("c", "k"))
-      .agg(coalesce(sum(col("o2x") * col("d2x") * col("d2x")), lit(0L))
-        .as("do_ord_8x"))
+      .agg(coalesce(sum(expr("cast(o2x as decimal(38,0)) " +
+          "* cast(d2x as decimal(38,0)) * cast(d2x as decimal(38,0))")),
+        lit(0).cast("decimal(38,0)")).as("do_ord_8x"))
     val tot = nc.agg(sum(col("nc")).as("n_ratings"),
       count(lit(1)).as("n_categories"),
       sum(col("nc") * col("nc")).as("ssq_c"))
@@ -361,13 +366,13 @@ object Classifier {
           "* 1000000 div (2 * de_pairs) as bigint)")))
       .withColumn("alpha_nom_p1_u", lit(2000000L) - col("dis_nom_u"))
       .withColumn("dis_ord_u", when(col("de_ord_4x") > 0,
-        expr("cast(cast(do_ord_8x as decimal(38,0)) * (n_ratings - 1) " +
+        expr("cast(do_ord_8x * (n_ratings - 1) " +
           "* 1000000 div (2 * de_ord_4x) as bigint)")))
       .withColumn("alpha_ord_p1_u", lit(2000000L) - col("dis_ord_u"))
       .select(col("n_units"), col("n_pairable"), col("n_ratings"),
         col("n_categories"), col("o_off_2x"), col("de_pairs"),
-        col("dis_nom_u"), col("alpha_nom_p1_u"), col("do_ord_8x"),
-        col("de_ord_4x"), col("dis_ord_u"), col("alpha_ord_p1_u"))
+        col("dis_nom_u"), col("alpha_nom_p1_u"), col("dis_ord_u"),
+        col("alpha_ord_p1_u"))
   }
 
   /** Split-conformal calibration (Vovk et al.; Angelopoulos & Bates 2021
