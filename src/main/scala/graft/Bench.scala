@@ -162,7 +162,8 @@ object Bench {
     // including the child itself) never recurse.
     // descending expected cost: the priciest queries meet the freshest JVM
     val heavySet = Seq(
-      "q320_ivfpq_drift_recall",
+      "q320_ivfpq_drift_recall", "q323_impact_drift_recall",
+      "q324_dsir_gate_drift", "q321_ingest_admission",
       "q265_dataset_release", "q292_ivfpq_recall", "q298_ivfpq_staleness",
       "q319_multiprobe_frontier", "q318_hybrid_serve",
       "q275_ivfpq_ann", "q274_incremental_release", "q293_changelog_release",

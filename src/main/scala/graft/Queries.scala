@@ -9867,13 +9867,223 @@ object Queries {
              |    do_ord_8x, de_ord_4x
              |   FROM nu, da, tot, de, dox))""".stripMargin)))
 
+  /** The q154/q306 trigram→BM25 chain with prefix and source relation
+    * parameterized — q323 replays it once frozen ("o", documents) and
+    * once per drift step; ends at `<p>post(tok, doc_id, impact_u)`. */
+  private def bm25ChainCtes(p: String, src: String): String =
+    s"""${p}words AS (
+       |  SELECT doc_id, unnest(tl) AS w, generate_subscripts(tl, 1) AS pos
+       |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    x -> x <> '') AS tl FROM $src)),
+       |${p}toks AS (
+       |  SELECT doc_id,
+       |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tok
+       |  FROM ${p}words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+       |${p}tf AS (SELECT doc_id, tok, count(*) AS tf FROM ${p}toks GROUP BY 1, 2),
+       |${p}len AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM ${p}tf GROUP BY 1),
+       |${p}n AS (SELECT count(*) AS n FROM $src),
+       |${p}sl AS (SELECT CAST(sum(tf) AS BIGINT) AS sl FROM ${p}tf),
+       |${p}idf AS (SELECT tok,
+       |    CAST(floor(ln(CAST(1.0 AS DOUBLE) + (n.n - df + CAST(0.5 AS DOUBLE))
+       |      / (df + CAST(0.5 AS DOUBLE))) * 1000000) AS BIGINT) AS idf_u
+       |  FROM (SELECT tok, count(*) AS df FROM ${p}tf GROUP BY 1) d, ${p}n n
+       |  WHERE df >= 2 AND df * 2 <= n.n),
+       |${p}post AS (SELECT t.tok, t.doc_id,
+       |    CAST(i.idf_u * CAST(floor((t.tf * CAST(2.2 AS DOUBLE)
+       |      / (t.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+       |        + CAST(0.75 AS DOUBLE) * ((l.len * n.n) / sl.sl)))) * 1000000) AS BIGINT)
+       |      AS BIGINT) AS impact_u
+       |  FROM ${p}tf t JOIN ${p}len l ON l.doc_id = t.doc_id
+       |  JOIN ${p}idf i ON i.tok = t.tok, ${p}n n, ${p}sl sl)""".stripMargin
+
+  /** One q323 drift step: edited corpus → full current index (fresh
+    * ground truth) + frozen-pruned-index serve over the same queries →
+    * recall + idf-drift gauge → one summary row. */
+  private def impactDriftStepCtes(u: Int): String = {
+    val p = s"e$u"
+    s"""${p}cur AS (SELECT doc_id,
+       |   CASE WHEN doc_id % 7 < $u THEN text || ' zzdrift zzdrift zzdrift'
+       |    ELSE text END AS text
+       |  FROM documents WHERE NOT (doc_id % 11 < $u)),
+       |${bm25ChainCtes(p, s"${p}cur")},
+       |${p}qg AS (SELECT doc_id AS query_id, tok FROM ${p}tf
+       |  WHERE doc_id % 251 = 0),
+       |${p}ftop AS (SELECT query_id, doc_id FROM (
+       |  SELECT s.query_id, s.doc_id,
+       |   row_number() OVER (PARTITION BY s.query_id
+       |     ORDER BY s.score_u DESC, s.doc_id) AS rk FROM (
+       |   SELECT g.query_id, pp.doc_id, CAST(sum(pp.impact_u) AS BIGINT) AS score_u
+       |   FROM ${p}qg g JOIN ${p}idf i ON i.tok = g.tok
+       |   JOIN ${p}post pp ON pp.tok = g.tok GROUP BY 1, 2) s) WHERE rk <= 5),
+       |${p}ztop AS (SELECT query_id, doc_id FROM (
+       |  SELECT s.query_id, s.doc_id,
+       |   row_number() OVER (PARTITION BY s.query_id
+       |     ORDER BY s.score_u DESC, s.doc_id) AS rk FROM (
+       |   SELECT g.query_id, pp.doc_id, CAST(sum(pp.impact_u) AS BIGINT) AS score_u
+       |   FROM ${p}qg g JOIN zidf i ON i.tok = g.tok
+       |   JOIN zpruned pp ON pp.tok = g.tok GROUP BY 1, 2) s) WHERE rk <= 5),
+       |${p}en AS (SELECT count(*) AS n_exact FROM ${p}ftop),
+       |${p}eh AS (SELECT count(*) AS n_hit FROM ${p}ftop f
+       |  JOIN ${p}ztop z ON z.query_id = f.query_id AND z.doc_id = f.doc_id),
+       |${p}gg AS (SELECT
+       |   CAST(sum(CASE WHEN o.idf_u IS NOT NULL AND c.idf_u IS NOT NULL
+       |     AND o.idf_u <> c.idf_u THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_drifted,
+       |   CAST(sum(CASE WHEN o.idf_u IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_new,
+       |   CAST(sum(abs(coalesce(c.idf_u, 0) - coalesce(o.idf_u, 0))) AS BIGINT)
+       |     AS idf_drift_total
+       |  FROM zidf o FULL OUTER JOIN ${p}idf c ON c.tok = o.tok),
+       |${p}ne AS (SELECT
+       |   CAST(sum(CASE WHEN doc_id % 7 < $u AND NOT (doc_id % 11 < $u)
+       |     THEN 1 ELSE 0 END) AS BIGINT) AS n_edited,
+       |   CAST(sum(CASE WHEN doc_id % 11 < $u THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS n_removed
+       |  FROM documents),
+       |${p}row AS (SELECT CAST($u AS BIGINT) AS step, ne.n_removed, ne.n_edited,
+       |   gg.n_terms_drifted, gg.n_terms_new, gg.idf_drift_total,
+       |   CAST(en.n_exact AS BIGINT) AS n_exact,
+       |   CAST(eh.n_hit AS BIGINT) AS n_hit,
+       |   CAST(CASE WHEN en.n_exact > 0
+       |     THEN eh.n_hit * 1000000 // en.n_exact END AS BIGINT) AS recall_u
+       |  FROM ${p}en en, ${p}eh eh, ${p}gg gg, ${p}ne ne)""".stripMargin
+  }
+
+  /** Hashed-bigram feature chain → DSIR model → λ table + unseen-bucket
+    * default, prefix- and source-parameterized — q324 replays it frozen
+    * ("f", documents) and once per drift step. Emits `<p>df(doc_id,
+    * source, b, c)`, `<p>lam(b, lam_u)`, `<p>def(lam_default)`. */
+  private def dsirLamCtes(p: String, src: String): String =
+    s"""${p}base AS (SELECT doc_id, source,
+       |   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       |  FROM $src),
+       |${p}bg AS (SELECT doc_id, source,
+       |   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+       |  FROM ${p}base),
+       |${p}df AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, source, ${duckH60("bg")} % 4096 AS b FROM ${p}bg)
+       |  GROUP BY 1, 2, 3),
+       |${p}model AS (SELECT b, CAST(sum(c) AS BIGINT) AS cnt_raw,
+       |   CAST(sum(CASE WHEN source = 'src7' THEN c ELSE 0 END) AS BIGINT) AS cnt_tgt
+       |  FROM ${p}df GROUP BY 1),
+       |${p}tot AS (SELECT CAST(sum(cnt_raw) AS BIGINT) AS n_raw,
+       |   CAST(sum(cnt_tgt) AS BIGINT) AS n_tgt FROM ${p}model),
+       |${p}lam AS (SELECT m.b,
+       |   CAST(floor(ln(CAST(m.cnt_tgt AS DOUBLE) + CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT)
+       |   - CAST(floor(ln(CAST(t.n_tgt AS DOUBLE) + 4096) * 1000000) AS BIGINT)
+       |   - CAST(floor(ln(CAST(m.cnt_raw AS DOUBLE) + CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT)
+       |   + CAST(floor(ln(CAST(t.n_raw AS DOUBLE) + 4096) * 1000000) AS BIGINT) AS lam_u
+       |  FROM ${p}model m, ${p}tot t),
+       |${p}def AS (SELECT
+       |   CAST(floor(ln(CAST(n_raw AS DOUBLE) + 4096) * 1000000) AS BIGINT)
+       |   - CAST(floor(ln(CAST(n_tgt AS DOUBLE) + 4096) * 1000000) AS BIGINT)
+       |   AS lam_default
+       |  FROM ${p}tot)""".stripMargin
+
+  /** One q324 drift step: edited corpus → one feature pass feeding the
+    * fresh model AND both gate scorings → decision-agreement rollup +
+    * λ-drift gauge → one summary row. */
+  private def dsirDriftStepCtes(u: Int): String = {
+    val p = s"g$u"
+    s"""${p}cur AS (SELECT doc_id, source,
+       |   CASE WHEN doc_id % 7 < $u AND source <> 'src7'
+       |    THEN text || ' zzdrift gate zzdrift gate zzdrift'
+       |    ELSE text END AS text
+       |  FROM documents),
+       |${dsirLamCtes(p, s"${p}cur")},
+       |${p}wf AS (SELECT d.doc_id,
+       |   CAST(sum(d.c * coalesce(l.lam_u, fd.lam_default)) AS BIGINT) AS w
+       |  FROM ${p}df d LEFT JOIN flam l ON l.b = d.b, fdef fd GROUP BY 1),
+       |${p}wc AS (SELECT d.doc_id,
+       |   CAST(sum(d.c * coalesce(l.lam_u, cd.lam_default)) AS BIGINT) AS w
+       |  FROM ${p}df d LEFT JOIN ${p}lam l ON l.b = d.b, ${p}def cd GROUP BY 1),
+       |${p}dec AS (SELECT t.threshold_u,
+       |   CAST(sum(CASE WHEN coalesce(wf.w, 0) >= t.threshold_u THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS n_admit_frozen,
+       |   CAST(sum(CASE WHEN coalesce(wc.w, 0) >= t.threshold_u THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS n_admit_fresh,
+       |   CAST(sum(CASE WHEN coalesce(wf.w, 0) >= t.threshold_u AND coalesce(wc.w, 0) >= t.threshold_u
+       |     THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       |   CAST(sum(CASE WHEN coalesce(wf.w, 0) >= t.threshold_u AND coalesce(wc.w, 0) < t.threshold_u
+       |     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_admit,
+       |   CAST(sum(CASE WHEN coalesce(wf.w, 0) < t.threshold_u AND coalesce(wc.w, 0) >= t.threshold_u
+       |     THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+       |  FROM ${p}cur c LEFT JOIN ${p}wf wf ON wf.doc_id = c.doc_id
+       |  LEFT JOIN ${p}wc wc ON wc.doc_id = c.doc_id, fthr t
+       |  GROUP BY 1),
+       |${p}gg AS (SELECT
+       |   CAST(sum(CASE WHEN dl <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS n_buckets_drifted,
+       |   CAST(coalesce(sum(abs(dl)), 0) AS BIGINT) AS lambda_drift_total
+       |  FROM (SELECT coalesce(fl.lam_u, fd.lam_default)
+       |     - coalesce(cl.lam_u, cd.lam_default) AS dl
+       |   FROM flam fl FULL OUTER JOIN ${p}lam cl ON cl.b = fl.b,
+       |    fdef fd, ${p}def cd)),
+       |${p}ne AS (SELECT CAST(sum(CASE WHEN doc_id % 7 < $u
+       |    AND source <> 'src7' THEN 1 ELSE 0 END) AS BIGINT) AS n_edited
+       |  FROM documents),
+       |${p}row AS (SELECT CAST($u AS BIGINT) AS step, d.threshold_u,
+       |   ne.n_edited,
+       |   gg.n_buckets_drifted, gg.lambda_drift_total,
+       |   d.n_admit_frozen, d.n_admit_fresh, d.n_both, d.n_false_admit,
+       |   d.n_missed,
+       |   CAST(d.n_both * 1000000 // greatest(d.n_admit_fresh, 1) AS BIGINT)
+       |     AS agree_u
+       |  FROM ${p}dec d, ${p}gg gg, ${p}ne ne)""".stripMargin
+  }
+
+  private val ext47Qs = Seq(
+    Q("q324_dsir_gate_drift",
+      // the selection-model retrain trigger closing the trilogy
+      // (q320 vector / q323 lexical / q324 gate): frozen t0 model vs a
+      // fresh per-step model deciding the same drifted corpus (non-target
+      // docs gain bigrams the target never says — fresh λ strongly
+      // negative, frozen scores them at the unseen default), with the
+      // λ-L1 drift gauge riding each row
+      // the gate threshold self-calibrates to the frozen pool's mean
+      // weight (an absolute constant cannot survive scale: Laplace
+      // smoothing shrinks with corpus size — median w_u is -58e6 at
+      // sf0.001 but -17.5e6 at sf0.1)
+      (s, d) => graft.ops.TrainingData.dsirGateDrift(T(s, d, "documents"),
+        steps = Seq(0, 1, 2, 3), modBase = 7, targetSource = "src7",
+        buckets = 4096),
+      Some("WITH " + dsirLamCtes("f", "documents") + ",\n" +
+        """fw AS (SELECT d.doc_id,
+          |   CAST(sum(d.c * coalesce(l.lam_u, fd.lam_default)) AS BIGINT) AS w
+          |  FROM fdf d LEFT JOIN flam l ON l.b = d.b, fdef fd GROUP BY 1),
+          |fthr AS (SELECT CAST((sum(coalesce(fw.w, 0)) + 1000000000 * count(*))
+          |   // count(*) - 1000000000 AS BIGINT) AS threshold_u
+          |  FROM documents dd LEFT JOIN fw ON fw.doc_id = dd.doc_id),""".stripMargin + "\n" +
+        Seq(0, 1, 2, 3).map(dsirDriftStepCtes).mkString(",\n") + "\n" +
+        Seq(0, 1, 2, 3).map(u => s"SELECT * FROM g${u}row")
+          .mkString("\nUNION ALL "))),
+
+    Q("q323_impact_drift_recall",
+      // the lexical retrain trigger — q320's twin for the pruned impact
+      // index: frozen keepTop=4 index built once at t0; per step the
+      // % 11 < u docs DEPART (df and N move -> every surviving term's
+      // idf drifts, orphaned results keep serving) and the % 7 < u
+      // survivors gain an appended token run (tf, lengths, trigram vocab
+      // move); the frozen index serves the CURRENT queries and is scored
+      // vs the fresh full ranking; the q309 idf-drift gauge rides each
+      // row. Step 0 = pure pruning loss (== q306's aggregate, spec-pinned)
+      (s, d) => graft.ops.Retrieval.impactDriftRecall(T(s, d, "documents"),
+        steps = Seq(0, 1, 2, 3), modBase = 7, keepTop = 4,
+        queryStride = 251, topK = 5, dfMin = 2),
+      Some("WITH " + bm25ChainCtes("z", "documents") + ",\n" +
+        """zpruned AS (SELECT tok, doc_id, impact_u FROM (SELECT *,
+          |   row_number() OVER (PARTITION BY tok ORDER BY impact_u DESC, doc_id) AS rk
+          |  FROM zpost) WHERE rk <= 4),""".stripMargin + "\n" +
+        Seq(0, 1, 2, 3).map(impactDriftStepCtes).mkString(",\n") + "\n" +
+        Seq(0, 1, 2, 3).map(u => s"SELECT * FROM e${u}row")
+          .mkString("\nUNION ALL "))))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs ++ ext38Qs ++ ext39Qs ++ ext40Qs ++ ext41Qs ++ ext42Qs ++ ext43Qs ++ ext44Qs ++ ext45Qs ++ ext46Qs
+      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs ++ ext38Qs ++ ext39Qs ++ ext40Qs ++ ext41Qs ++ ext42Qs ++ ext43Qs ++ ext44Qs ++ ext45Qs ++ ext46Qs ++ ext47Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

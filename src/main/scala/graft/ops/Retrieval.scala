@@ -300,6 +300,116 @@ object Retrieval {
         col("full_postings"), col("kept_postings"))
   }
 
+  /** Drift-vs-recall retrain trigger for the PRUNED impact index — the
+    * lexical twin of [[graft.ops.Quantize.ivfPqDriftRecall]], connecting
+    * [[impactStaleness]]'s idf-drift gauge to retrieval quality the same
+    * way q320 connects codebook drift to ANN recall: the pruned index is
+    * built ONCE on the t0 snapshot and held FROZEN while a controlled
+    * drift series moves the corpus on two axes per step u: docs with
+    * doc_id % modRemove < u DEPART (df and N move, so every surviving
+    * term's idf drifts and the frozen index keeps serving orphaned
+    * results) and docs with doc_id % modBase < u gain an appended token
+    * run (tf, doc length and trigram vocabulary move); per step the
+    * frozen index serves the CURRENT queries and is scored against the
+    * fresh full ranking over the current corpus.
+    *
+    * Step 0 is the baseline row: zero drift, so its recall is pure
+    * static-pruning loss (exactly [[impactIndexRecall]]'s aggregate — the
+    * spec pins the identity); each further step adds stale-statistics
+    * and stale-postings loss on top, with the q309 idf-drift gauge
+    * (n_terms_drifted / n_terms_new / idf_drift_total) riding the row so
+    * (idf_drift_total, recall_u) reads as the rebuild threshold.
+    *
+    * Scale shape: one frozen [[bm25Stats]] + encode + keepTop window;
+    * per step one current-corpus bm25Stats + full encode (the ground
+    * truth is a fresh index by definition), two posting equi-joins under
+    * the adaptive broadcast gate, a narrow (tok, idf) full-outer gauge
+    * join, and 1-row rollups — texts never shuffle.
+    *
+    * @return one row per step: (step, n_removed, n_edited,
+    *         n_terms_drifted, n_terms_new, idf_drift_total, n_exact,
+    *         n_hit, recall_u)
+    */
+  def impactDriftRecall(docs: DataFrame, steps: Seq[Int] = Seq(0, 1, 2, 3),
+      modBase: Long = 7, modRemove: Long = 11, keepTop: Int = 4,
+      queryStride: Long = 251, topK: Int = 5, dfMin: Long = 2,
+      maxBroadcastQueryTerms: Long = 2000000L): DataFrame = {
+    import org.apache.spark.sql.graft.FreshCheckpoint
+    val o = bm25Stats(docs, dfMin)
+    val oPost = FreshCheckpoint(
+      encodeImpacts(o.tf, o.len, o.idf, o.n, o.sumLen))
+    val wTok = Window.partitionBy(col("tok"))
+      .orderBy(col("impact_u").desc, col("doc_id"))
+    val pruned = FreshCheckpoint(oPost
+      .withColumn("prank", row_number().over(wTok))
+      .filter(col("prank") <= keepTop).drop("prank"))
+    val estQueryTerms = o.sumLen / math.max(queryStride, 1L)
+    def qHint(df: DataFrame): DataFrame =
+      if (estQueryTerms <= maxBroadcastQueryTerms) broadcast(df)
+      else df.hint("shuffle_hash")
+    steps.map { u =>
+      // two drift axes per step: doc_id % modRemove < u DEPARTS (df and N
+      // move, so every surviving term's idf drifts and the frozen index
+      // keeps serving orphaned docs), doc_id % modBase < u gains an
+      // appended token run (lengths, tf and trigram vocabulary move)
+      val cur = docs.filter(!(col("doc_id") % modRemove < u))
+        .select(col("doc_id"),
+          when(col("doc_id") % modBase < u,
+            concat(col("text"), lit(" zzdrift zzdrift zzdrift")))
+            .otherwise(col("text")).as("text"))
+      val c = bm25Stats(cur, dfMin)
+      val qids = cur.filter(col("doc_id") % queryStride === 0)
+        .select(col("doc_id").as("query_id"))
+      val qgrams = c.tf.join(qHint(qids), col("doc_id") === col("query_id"))
+        .select(col("query_id"), col("tok"))
+      def topkOf(index: DataFrame, vocab: DataFrame): DataFrame = {
+        val qterms = vocab.join(qHint(qgrams), Seq("tok"))
+          .select(col("query_id"), col("tok"))
+        val scored = index.join(qHint(qterms), Seq("tok"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(sum(col("impact_u")).as("score_u"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score_u").desc, col("doc_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= topK)
+          .select(col("query_id"), col("doc_id"))
+      }
+      // fresh ground truth: a full CURRENT index (rebuild-now world)
+      val cPost = FreshCheckpoint(
+        encodeImpacts(c.tf, c.len, c.idf, c.n, c.sumLen))
+      val fresh = FreshCheckpoint(topkOf(cPost, c.idf))
+      // frozen serve: the t0 pruned postings under the t0 vocabulary
+      val froz = topkOf(pruned, o.idf)
+      val en = fresh.agg(count(lit(1)).as("n_exact"))
+      val eh = fresh.join(froz, Seq("query_id", "doc_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      val gauge = o.idf.withColumnRenamed("idf_u", "old_idf")
+        .join(c.idf.withColumnRenamed("idf_u", "cur_idf"), Seq("tok"),
+          "full_outer")
+        .agg(
+          sum(when(col("old_idf").isNotNull && col("cur_idf").isNotNull &&
+            col("old_idf") =!= col("cur_idf"), 1L).otherwise(0L))
+            .as("n_terms_drifted"),
+          sum(when(col("old_idf").isNull, 1L).otherwise(0L))
+            .as("n_terms_new"),
+          sum(abs(coalesce(col("cur_idf"), lit(0L)) -
+            coalesce(col("old_idf"), lit(0L)))).as("idf_drift_total"))
+      val edited = docs.agg(
+        sum(when(col("doc_id") % modBase < u &&
+          !(col("doc_id") % modRemove < u), 1L).otherwise(0L))
+          .as("n_edited"),
+        sum(when(col("doc_id") % modRemove < u, 1L).otherwise(0L))
+          .as("n_removed"))
+      en.crossJoin(broadcast(eh)).crossJoin(broadcast(gauge))
+        .crossJoin(broadcast(edited))
+        .select(lit(u.toLong).as("step"), col("n_removed"),
+          col("n_edited"), col("n_terms_drifted"), col("n_terms_new"),
+          col("idf_drift_total"), col("n_exact"), col("n_hit"),
+          when(col("n_exact") > 0,
+            expr("n_hit * 1000000 div n_exact")).as("recall_u"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Lexical index staleness audit — q290/q298's release-cadence gauge on
     * the BM25 impact index: an index persisted from an OLD snapshot drifts
     * against the current corpus on TWO axes a vector index doesn't have —

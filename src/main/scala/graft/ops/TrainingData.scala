@@ -1615,6 +1615,144 @@ object TrainingData {
           .as("precision_u"))
   }
 
+  /** Drift-vs-decision retrain trigger for the FROZEN DSIR gate model —
+    * the selection-model member of the retrain-trigger trilogy
+    * ([[graft.ops.Quantize.ivfPqDriftRecall]] for the vector index,
+    * [[graft.ops.Retrieval.impactDriftRecall]] for the lexical index):
+    * the q315 serve shape freezes a model and scores arrivals between
+    * rebuilds, and the owner's question is when the frozen decisions
+    * stop agreeing with what a FRESH model would decide.
+    *
+    * The model fits ONCE on the t0 corpus; a controlled edit series then
+    * drifts the NON-target documents (doc_id % modBase < u gains an
+    * appended token run — new bigram vocabulary whose fresh-model λ is
+    * strongly negative because the target never says it, while the
+    * frozen model scores those buckets at its near-zero unseen default).
+    * Per step both gates decide the whole current corpus and the row
+    * records the disagreement (false admits / missed admits / agreement)
+    * next to the MODEL-DRIFT gauge: Σ|λ_frozen − λ_fresh| over the union
+    * vocabulary (each side's unseen buckets at its own Laplace default)
+    * and the count of drifted buckets — (lambda_drift_total, agree_u) is
+    * the rebuild threshold.
+    *
+    * Scale shape: one frozen model fit; per step ONE [[dsirFeatures]]
+    * pass over the current corpus that serves all three consumers (the
+    * fresh ≤buckets-row model aggregate and both broadcast-λ scorings),
+    * then doc-keyed rollups and a ≤2·buckets-row gauge join — corpus
+    * text shuffles once per step, λ tables are model-sized.
+    *
+    * @return one row per step: (step, threshold_u, n_edited,
+    *         n_buckets_drifted, lambda_drift_total, n_admit_frozen,
+    *         n_admit_fresh, n_both, n_false_admit, n_missed, agree_u)
+    */
+  def dsirGateDrift(docs: DataFrame, steps: Seq[Int] = Seq(0, 1, 2, 3),
+      modBase: Long = 7, targetSource: String = "src7",
+      buckets: Int = 4096, thresholdU: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.graft.FreshCheckpoint
+    // (b, lam_u) + 1-row unseen-bucket default for a fitted model — the
+    // same difference-of-floors µ-nat arithmetic as dsirGate/SelectStream
+    def lamOf(model: DataFrame): (DataFrame, DataFrame) = {
+      val totals = model.agg(sum(col("cnt_raw")).as("n_raw"),
+        sum(col("cnt_tgt")).as("n_tgt"))
+      val lamU = floor(log(col("cnt_tgt").cast("double") + 1d) * 1000000)
+        .cast("long") -
+        floor(log(col("n_tgt").cast("double") + buckets) * 1000000)
+          .cast("long") -
+        floor(log(col("cnt_raw").cast("double") + 1d) * 1000000)
+          .cast("long") +
+        floor(log(col("n_raw").cast("double") + buckets) * 1000000)
+          .cast("long")
+      (FreshCheckpoint(model.crossJoin(broadcast(totals))
+        .select(col("b"), lamU.as("lam_u"))),
+        totals.select(
+          (floor(log(col("n_raw").cast("double") + buckets) * 1000000)
+            .cast("long") -
+            floor(log(col("n_tgt").cast("double") + buckets) * 1000000)
+              .cast("long")).as("lam_default")))
+    }
+    val feats0 = FreshCheckpoint(dsirFeatures(docs, buckets))
+    val (fLam, fDef) = lamOf(dsirModel(feats0, targetSource))
+    // the gate threshold CALIBRATES from the frozen pool itself (the q315
+    // scaladoc's "calibrated offline from the reference selection" story
+    // made literal): the pool-anchored mean frozen weight. An absolute
+    // default cannot survive scale — Laplace smoothing shrinks with
+    // corpus size, so the whole w_u distribution moves toward 0 at 10×
+    // data (measured: median -58e6 at sf0.001, -17.5e6 at sf0.1).
+    // Integer contract: mean via div on a +10⁹-shifted positive dividend
+    // (Spark's div truncates, DuckDB's // floors — they agree only on
+    // non-negative dividends, the Krippendorff +1 convention).
+    val w0 = feats0.join(broadcast(fLam), Seq("b"), "left")
+      .crossJoin(broadcast(fDef))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * coalesce(col("lam_u"), col("lam_default")))
+        .as("w"))
+    val thr = thresholdU match {
+      case Some(t) => fDef.select(lit(t).as("threshold_u"))
+      case None => docs.select(col("doc_id"))
+        .join(w0, Seq("doc_id"), "left")
+        .agg(sum(coalesce(col("w"), lit(0L))).as("sw"),
+          count(lit(1)).as("n"))
+        .select(expr("(sw + 1000000000 * n) div n - 1000000000")
+          .as("threshold_u"))
+    }
+    steps.map { u =>
+      val cur = docs.select(col("doc_id"), col("source"),
+        when(col("doc_id") % modBase < u &&
+            col("source") =!= targetSource,
+          concat(col("text"), lit(" zzdrift gate zzdrift gate zzdrift")))
+          .otherwise(col("text")).as("text"))
+      val feats = FreshCheckpoint(dsirFeatures(cur, buckets))
+      val (cLam, cDef) = lamOf(dsirModel(feats, targetSource))
+      // per-doc weights under a λ table: LEFT join, unseen at the default
+      def wOf(lam: DataFrame, dflt: DataFrame, name: String): DataFrame =
+        feats.join(broadcast(lam), Seq("b"), "left")
+          .crossJoin(broadcast(dflt))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c") *
+            coalesce(col("lam_u"), col("lam_default"))).as(name))
+      val decided = cur.select(col("doc_id"))
+        .join(wOf(fLam, fDef, "wf"), Seq("doc_id"), "left")
+        .join(wOf(cLam, cDef, "wc"), Seq("doc_id"), "left")
+        .crossJoin(broadcast(thr))
+        .select(col("threshold_u"),
+          (coalesce(col("wf"), lit(0L)) >= col("threshold_u")).as("adm_f"),
+          (coalesce(col("wc"), lit(0L)) >= col("threshold_u")).as("adm_c"))
+        .groupBy(col("threshold_u"))
+        .agg(
+          sum(when(col("adm_f"), 1L).otherwise(0L)).as("n_admit_frozen"),
+          sum(when(col("adm_c"), 1L).otherwise(0L)).as("n_admit_fresh"),
+          sum(when(col("adm_f") && col("adm_c"), 1L).otherwise(0L))
+            .as("n_both"),
+          sum(when(col("adm_f") && !col("adm_c"), 1L).otherwise(0L))
+            .as("n_false_admit"),
+          sum(when(!col("adm_f") && col("adm_c"), 1L).otherwise(0L))
+            .as("n_missed"))
+      // model-drift gauge over the union vocabulary, absences priced at
+      // each side's own unseen default
+      val gauge = fLam.withColumnRenamed("lam_u", "fl")
+        .join(cLam.withColumnRenamed("lam_u", "cl"), Seq("b"),
+          "full_outer")
+        .crossJoin(broadcast(fDef.withColumnRenamed("lam_default", "fd")))
+        .crossJoin(broadcast(cDef.withColumnRenamed("lam_default", "cd")))
+        .select((coalesce(col("fl"), col("fd")) -
+          coalesce(col("cl"), col("cd"))).as("dl"))
+        .agg(sum(when(col("dl") =!= 0L, 1L).otherwise(0L))
+            .as("n_buckets_drifted"),
+          coalesce(sum(abs(col("dl"))), lit(0L)).as("lambda_drift_total"))
+      val edited = cur.agg(sum(when(col("doc_id") % modBase < u &&
+          col("source") =!= targetSource, 1L).otherwise(0L))
+        .as("n_edited"))
+      decided.crossJoin(broadcast(gauge)).crossJoin(broadcast(edited))
+        .select(lit(u.toLong).as("step"), col("threshold_u"),
+          col("n_edited"),
+          col("n_buckets_drifted"), col("lambda_drift_total"),
+          col("n_admit_frozen"), col("n_admit_fresh"), col("n_both"),
+          col("n_false_admit"), col("n_missed"),
+          expr("n_both * 1000000 div greatest(n_admit_fresh, 1)")
+            .as("agree_u"))
+    }.reduce(_ unionByName _)
+  }
+
   /** T5/UL2-style span-corruption manifest (Raffel et al. 2020 §3.1.4):
     * the per-document masking plan a denoising-objective preprocessor
     * emits — which spans get replaced by sentinels, and the resulting

@@ -160,7 +160,13 @@ object PlanSweepSupport {
     "q321_ingest_admission",
     // q322: q303's 1-row audit attaches + the ≤|categories|²-row ordinal
     // δ-table cross (category-dimension-sized, never corpus)
-    "q322_krippendorff_ordinal")
+    "q322_krippendorff_ordinal",
+    // q323: per edit step, 1-row n_exact × n_hit × idf-gauge × edit-count
+    // attaches (the q309 audit-rollup shape, once per step)
+    "q323_impact_drift_recall",
+    // q324: per step, 1-row decision/gauge/edit-count attaches + the
+    // 1-row λ-default scalar attach on each scoring pass
+    "q324_dsir_gate_drift")
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -234,6 +240,12 @@ object PlanSweepSupport {
     // q322: q303's 1-row rollups + the ≤|categories|-row cumulative-
     // marginal window
     "q322_krippendorff_ordinal",
+    // q323: per-step 1-row recall/gauge/edit-count rollups merge
+    // rank- or vocabulary-bounded partials (the q309 class)
+    "q323_impact_drift_recall",
+    // q324: model-totals/decision/gauge rollups merge ≤buckets-row or
+    // doc-keyed-reduced partials (the q315 class)
+    "q324_dsir_gate_drift",
     // hyperplaneCells consumers: the dim-row per-dimension mean relation
     // collapses to ONE dim-length array row (the centering scalar) — a
     // bounded global aggregate, not a corpus reduction

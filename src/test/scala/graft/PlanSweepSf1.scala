@@ -120,7 +120,11 @@ class PlanSweepSf1 extends SparkTestBase {
     // the admission capstone rides the q315 gate chain (model fit) +
     // a corpus scoring pass through the broadcast λ map; the ordinal
     // alpha is q303's coincidence rollup + category-dim δ joins
-    "q321_ingest_admission", "q322_krippendorff_ordinal")
+    "q321_ingest_admission", "q322_krippendorff_ordinal",
+    // the lexical drift series replays the q306 chain per step (frozen
+    // prune window + dual retrieval joins past the flip); the gate drift
+    // series replays the q315 feature chain per step
+    "q323_impact_drift_recall", "q324_dsir_gate_drift")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 

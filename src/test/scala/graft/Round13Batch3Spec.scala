@@ -176,4 +176,92 @@ class Round13Batch3Spec extends SparkTestBase {
     assert(r.getAs[Long]("dis_ord_u") === r.getAs[Long]("dis_nom_u"))
     assert(r.getAs[Long]("alpha_ord_p1_u") === r.getAs[Long]("alpha_nom_p1_u"))
   }
+
+  // --------------------------- q323 impact-index drift-vs-recall
+
+  test("impactDriftRecall: the step-0 row is PURE pruning loss — its " +
+      "(n_exact, n_hit) aggregate equals impactIndexRecall's at the same " +
+      "params and its idf gauge reads zero; edit steps move the gauge " +
+      "strictly positive with a growing edited set") {
+    val docs = (0 until 40).map { i =>
+      // shared phrases give cross-doc trigrams (df >= 2); per-doc words
+      // keep rankings non-degenerate
+      (i.toLong, s"alpha beta gamma delta epsilon w$i x$i " +
+        s"alpha beta gamma zeta eta theta y${i % 5} z${i % 3} " +
+        "delta epsilon zeta")
+    }.toDF("doc_id", "text")
+    val out = graft.ops.Retrieval.impactDriftRecall(docs,
+        steps = Seq(0, 1, 2, 3), modBase = 7, modRemove = 11, keepTop = 2,
+        queryStride = 10, topK = 3, dfMin = 2)
+      .orderBy("step").collect()
+    assert(out.length === 4)
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_edited") === 0L)
+    assert(r0.getAs[Long]("n_removed") === 0L)
+    assert(r0.getAs[Long]("n_terms_drifted") === 0L)
+    assert(r0.getAs[Long]("n_terms_new") === 0L)
+    assert(r0.getAs[Long]("idf_drift_total") === 0L)
+    val pruneOnly = graft.ops.Retrieval.impactIndexRecall(docs,
+      keepTop = 2, queryStride = 10, topK = 3, dfMin = 2).collect()
+    val nFull = pruneOnly.map(_.getAs[Long]("n_full")).sum
+    val nHit = pruneOnly.map(_.getAs[Long]("n_hit")).sum
+    assert(nFull > 0)
+    assert(r0.getAs[Long]("n_exact") === nFull)
+    assert(r0.getAs[Long]("n_hit") === nHit)
+    // the drift series: strictly growing edited AND departed sets, the
+    // idf gauge strictly > 0 (departures move N, so EXISTING terms drift)
+    val edited = out.map(_.getAs[Long]("n_edited")).toSeq
+    assert(edited === edited.sorted && edited.distinct.length === 4)
+    val removed = out.map(_.getAs[Long]("n_removed")).toSeq
+    assert(removed === removed.sorted && removed.distinct.length === 4)
+    out.tail.foreach { r =>
+      assert(r.getAs[Long]("idf_drift_total") > 0L,
+        s"step ${r.getAs[Long]("step")} must move the idf gauge")
+      assert(r.getAs[Long]("n_terms_drifted") > 0L,
+        s"step ${r.getAs[Long]("step")} must drift surviving terms' idf")
+    }
+  }
+
+  // --------------------------- q324 DSIR gate-model drift
+
+  test("dsirGateDrift: step 0 is perfect agreement with a zero gauge; " +
+      "drifted non-target docs become FALSE ADMITS (frozen gate scores " +
+      "their new bigrams at the unseen default, the fresh model prices " +
+      "them strongly negative) while the λ gauge moves strictly positive") {
+    val docs = (0 until 21).map { i =>
+      val src = if (i % 3 == 0) "src7" else "web"
+      (i.toLong, src,
+        "the alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    }.toDF("doc_id", "source", "text")
+    // threshold between the bands: every un-drifted doc scores ~-0.68
+    // nats/bigram (~-6.1e6 total: the 1/3 target share prices shared
+    // vocabulary mildly negative), a drifted doc ~-16e6 under the fresh
+    // model but only ~-4.4e6 under the frozen one (unseen-default λ)
+    val out = graft.ops.TrainingData.dsirGateDrift(docs,
+        steps = Seq(0, 1, 2, 3), modBase = 7, targetSource = "src7",
+        buckets = 256, thresholdU = Some(-10000000L))
+      .orderBy("step").collect()
+    assert(out.length === 4)
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_edited") === 0L)
+    assert(r0.getAs[Long]("n_buckets_drifted") === 0L)
+    assert(r0.getAs[Long]("lambda_drift_total") === 0L)
+    assert(r0.getAs[Long]("n_false_admit") === 0L)
+    assert(r0.getAs[Long]("n_missed") === 0L)
+    assert(r0.getAs[Long]("n_admit_fresh") > 0L)
+    assert(r0.getAs[Long]("agree_u") === 1000000L)
+    // the edit series: ids {0,7,14} ∖ targets, then +{1,8}, then +{2,9,16}∖…
+    val edited = out.map(_.getAs[Long]("n_edited")).toSeq
+    assert(edited.head === 0L)
+    assert(edited === edited.sorted && edited.distinct.length === 4)
+    out.tail.foreach { r =>
+      assert(r.getAs[Long]("lambda_drift_total") > 0L,
+        s"step ${r.getAs[Long]("step")} must move the λ gauge")
+    }
+    val last = out(3)
+    assert(last.getAs[Long]("n_false_admit") > 0L,
+      "drifted docs must be admitted by the frozen gate but rejected fresh")
+    assert(last.getAs[Long]("agree_u") < 1000000L ||
+      last.getAs[Long]("n_false_admit") > 0L)
+  }
 }
