@@ -10075,7 +10075,80 @@ object Queries {
           |  FROM zpost) WHERE rk <= 4),""".stripMargin + "\n" +
         Seq(0, 1, 2, 3).map(impactDriftStepCtes).mkString(",\n") + "\n" +
         Seq(0, 1, 2, 3).map(u => s"SELECT * FROM e${u}row")
-          .mkString("\nUNION ALL "))))
+          .mkString("\nUNION ALL "))),
+
+    Q("q325_cache_invalidation",
+      // selective serve-cache invalidation under the frozen-stats append
+      // contract: the engine rescored ONLY queries sharing a term with
+      // the % 17 arrival delta and copies the cache for the rest; the
+      // oracle rescored EVERYTHING over old ∪ delta postings — the hash
+      // match IS the untouched-⇒-unchanged proof, query by query
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val arrivals = docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            concat(col("text"), lit(" arrival")).as("text"))
+        graft.ops.Retrieval.impactCacheInvalidation(docs, arrivals,
+          queryStride = 251, topK = 5, dfMin = 2)
+      },
+      Some("WITH " + bm25ChainCtes("z", "documents") + ",\n" +
+        """arr AS (SELECT doc_id + 5000000 AS doc_id, text || ' arrival' AS text
+          |  FROM documents WHERE doc_id % 17 = 0),""".stripMargin + "\n" +
+        bm25ChainCtes("a", "arr") + ",\n" +
+        """dpost AS (SELECT t.tok, t.doc_id,
+          |    CAST(i.idf_u * CAST(floor((t.tf * CAST(2.2 AS DOUBLE)
+          |      / (t.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+          |        + CAST(0.75 AS DOUBLE) * ((l.len * n.n) / sl.sl)))) * 1000000) AS BIGINT)
+          |      AS BIGINT) AS impact_u
+          |  FROM atf t JOIN alen l ON l.doc_id = t.doc_id
+          |  JOIN zidf i ON i.tok = t.tok, zn n, zsl sl),
+          |zq AS (SELECT t.doc_id AS query_id, t.tok FROM ztf t
+          |  JOIN zidf i ON i.tok = t.tok WHERE t.doc_id % 251 = 0),
+          |ctop AS (SELECT query_id, doc_id, rank FROM (
+          |  SELECT s.query_id, s.doc_id,
+          |   CAST(row_number() OVER (PARTITION BY s.query_id
+          |     ORDER BY s.score_u DESC, s.doc_id) AS BIGINT) AS rank FROM (
+          |   SELECT q.query_id, p.doc_id, CAST(sum(p.impact_u) AS BIGINT) AS score_u
+          |   FROM zq q JOIN zpost p ON p.tok = q.tok GROUP BY 1, 2) s)
+          |  WHERE rank <= 5),
+          |upost AS (SELECT * FROM zpost UNION ALL SELECT * FROM dpost),
+          |ntop AS (SELECT query_id, doc_id, rank FROM (
+          |  SELECT s.query_id, s.doc_id,
+          |   CAST(row_number() OVER (PARTITION BY s.query_id
+          |     ORDER BY s.score_u DESC, s.doc_id) AS BIGINT) AS rank FROM (
+          |   SELECT q.query_id, p.doc_id, CAST(sum(p.impact_u) AS BIGINT) AS score_u
+          |   FROM zq q JOIN upost p ON p.tok = q.tok GROUP BY 1, 2) s)
+          |  WHERE rank <= 5),
+          |dterm AS (SELECT DISTINCT tok FROM dpost),
+          |tq AS (SELECT DISTINCT query_id FROM zq JOIN dterm USING (tok)),
+          |dc AS (SELECT q.query_id,
+          |   CAST(count(DISTINCT p.doc_id) AS BIGINT) AS n_delta_cand
+          |  FROM zq q JOIN dpost p ON p.tok = q.tok GROUP BY 1),
+          |cmp AS (SELECT query_id,
+          |   max(CASE WHEN old_doc IS NULL OR new_doc IS NULL
+          |     OR old_doc <> new_doc THEN 1 ELSE 0 END) AS mismatch
+          |  FROM (SELECT coalesce(c.query_id, n2.query_id) AS query_id,
+          |    c.doc_id AS old_doc, n2.doc_id AS new_doc
+          |   FROM ctop c FULL OUTER JOIN ntop n2
+          |    ON n2.query_id = c.query_id AND n2.rank = c.rank)
+          |  GROUP BY 1),
+          |cmn AS (SELECT c.query_id, CAST(count(*) AS BIGINT) AS n_common
+          |  FROM ctop c JOIN ntop n2 ON n2.query_id = c.query_id
+          |   AND n2.doc_id = c.doc_id GROUP BY 1),
+          |ncd AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_cached
+          |  FROM ctop GROUP BY 1),
+          |qx AS (SELECT doc_id AS query_id FROM documents WHERE doc_id % 251 = 0)
+          |SELECT qx.query_id,
+          |  CAST(coalesce(ncd.n_cached, 0) AS BIGINT) AS n_cached,
+          |  tq.query_id IS NOT NULL AS touched,
+          |  CAST(coalesce(dc.n_delta_cand, 0) AS BIGINT) AS n_delta_cand,
+          |  coalesce(cmp.mismatch, 0) = 1 AS changed,
+          |  CAST(coalesce(cmn.n_common, 0) AS BIGINT) AS n_common
+          |FROM qx LEFT JOIN ncd ON ncd.query_id = qx.query_id
+          |LEFT JOIN tq ON tq.query_id = qx.query_id
+          |LEFT JOIN dc ON dc.query_id = qx.query_id
+          |LEFT JOIN cmp ON cmp.query_id = qx.query_id
+          |LEFT JOIN cmn ON cmn.query_id = qx.query_id""".stripMargin)))
 
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++

@@ -410,6 +410,108 @@ object Retrieval {
     }.reduce(_ unionByName _)
   }
 
+  /** Selective serve-cache invalidation under append-only maintenance —
+    * the operator that makes [[impactAppend]]'s frozen-statistics
+    * contract PAY at the serving layer: because an append encodes
+    * arrivals under the FROZEN (idf, N, Σlen), existing postings'
+    * impacts are untouched, so a cached top-k can only change for a
+    * query that SHARES A TERM with some arrival's delta postings —
+    * every other cache entry is provably still exact. Invalidation work
+    * is therefore ∝ |delta|'s term footprint, not ∝ |cache|: the engine
+    * rescores ONLY the touched queries (against old ∪ delta postings)
+    * and copies the cached ranking for the rest, while the DuckDB
+    * oracle rescores EVERYTHING — a hash match IS the proof of the
+    * untouched-⇒-unchanged theorem, query by query.
+    *
+    * Per query the row carries the serve-ops evidence: was it touched
+    * (term overlap with the delta), how many delta candidates entered
+    * its scoring, did the ranking actually change (ordered comparison),
+    * and how much of the cached set survived.
+    *
+    * Scale shape: one frozen index bill (shared stats + encode), one
+    * |arrivals|-sized delta encode, a term-footprint semi-join to find
+    * touched queries, and ONE rescoring pass restricted to them; the
+    * comparison joins run on rank-bounded relations.
+    *
+    * @return one row per cached query: (query_id, n_cached, touched,
+    *         n_delta_cand, changed, n_common)
+    */
+  def impactCacheInvalidation(docs: DataFrame, arrivals: DataFrame,
+      queryStride: Long = 251, topK: Int = 5, dfMin: Long = 2,
+      maxBroadcastQueryTerms: Long = 2000000L): DataFrame = {
+    import org.apache.spark.sql.graft.FreshCheckpoint
+    val o = bm25Stats(docs, dfMin)
+    val oPost = FreshCheckpoint(
+      encodeImpacts(o.tf, o.len, o.idf, o.n, o.sumLen))
+    val estQueryTerms = o.sumLen / math.max(queryStride, 1L)
+    def qHint(df: DataFrame): DataFrame =
+      if (estQueryTerms <= maxBroadcastQueryTerms) broadcast(df)
+      else df.hint("shuffle_hash")
+    val qids = docs.filter(col("doc_id") % queryStride === 0)
+      .select(col("doc_id").as("query_id"))
+    val qterms = o.idf
+      .join(qHint(o.tf.join(qHint(qids), col("doc_id") === col("query_id"))
+        .select(col("query_id"), col("tok"))), Seq("tok"))
+      .select(col("query_id"), col("tok"))
+    def topkOf(index: DataFrame, qt: DataFrame): DataFrame = {
+      val scored = index.join(qHint(qt), Seq("tok"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("impact_u")).as("score_u"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_u").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= topK)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+    }
+    val cached = FreshCheckpoint(topkOf(oPost, qterms))
+    // the delta side: arrivals encoded under the FROZEN statistics —
+    // exactly impactAppend's pure-function encode
+    val (dtf, dlen) = bm25TfLen(arrivals)
+    val dPost = FreshCheckpoint(
+      encodeImpacts(dtf, dlen, o.idf, o.n, o.sumLen))
+    val deltaTerms = dPost.select(col("tok")).distinct()
+    val touchedQ = FreshCheckpoint(qterms
+      .join(broadcast(deltaTerms), Seq("tok"))
+      .select(col("query_id")).distinct())
+    val deltaCand = qterms.join(broadcast(deltaTerms), Seq("tok"))
+      .join(dPost.select(col("tok"), col("doc_id")), Seq("tok"))
+      .groupBy(col("query_id"))
+      .agg(countDistinct(col("doc_id")).as("n_delta_cand"))
+    // rescore ONLY the touched queries against old ∪ delta postings
+    val newTouched = topkOf(oPost.unionByName(dPost),
+      qterms.join(broadcast(touchedQ), Seq("query_id")))
+    val eff = newTouched.unionByName(
+      cached.join(broadcast(touchedQ), Seq("query_id"), "left_anti"))
+    // ordered comparison cached vs effective-new, per query
+    val cmp = cached.select(col("query_id"), col("rank"),
+        col("doc_id").as("old_doc"))
+      .join(eff.select(col("query_id"), col("rank"),
+        col("doc_id").as("new_doc")), Seq("query_id", "rank"),
+        "full_outer")
+      .groupBy(col("query_id"))
+      .agg(max(when(col("old_doc").isNull || col("new_doc").isNull ||
+        col("old_doc") =!= col("new_doc"), 1L).otherwise(0L))
+        .as("mismatch"))
+    val common = cached.select(col("query_id"), col("doc_id"))
+      .join(eff.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
+    val nCached = cached.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_cached"))
+    qids.join(nCached, Seq("query_id"), "left")
+      .join(touchedQ.select(col("query_id"), lit(true).as("t")),
+        Seq("query_id"), "left")
+      .join(deltaCand, Seq("query_id"), "left")
+      .join(cmp, Seq("query_id"), "left")
+      .join(common, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_cached"), lit(0L)).as("n_cached"),
+        coalesce(col("t"), lit(false)).as("touched"),
+        coalesce(col("n_delta_cand"), lit(0L)).as("n_delta_cand"),
+        (coalesce(col("mismatch"), lit(0L)) === 1L).as("changed"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+  }
+
   /** Lexical index staleness audit — q290/q298's release-cadence gauge on
     * the BM25 impact index: an index persisted from an OLD snapshot drifts
     * against the current corpus on TWO axes a vector index doesn't have —

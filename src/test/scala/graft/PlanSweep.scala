@@ -166,7 +166,10 @@ object PlanSweepSupport {
     "q323_impact_drift_recall",
     // q324: per step, 1-row decision/gauge/edit-count attaches + the
     // 1-row λ-default scalar attach on each scoring pass
-    "q324_dsir_gate_drift")
+    "q324_dsir_gate_drift",
+    // q325: rank-bounded cache/new-top comparison joins + 1-row scalar
+    // attaches; the delta-term semi-join is |delta|-bounded broadcast
+    "q325_cache_invalidation")
 
   /** Queries whose single-partition exchange carries only a BOUNDED
     * relation, never corpus-sized rows:
@@ -246,6 +249,9 @@ object PlanSweepSupport {
     // q324: model-totals/decision/gauge rollups merge ≤buckets-row or
     // doc-keyed-reduced partials (the q315 class)
     "q324_dsir_gate_drift",
+    // q325: rank-bounded comparison rollups (cache side is
+    // |queries|·topK rows)
+    "q325_cache_invalidation",
     // hyperplaneCells consumers: the dim-row per-dimension mean relation
     // collapses to ONE dim-length array row (the centering scalar) — a
     // bounded global aggregate, not a corpus reduction

@@ -124,7 +124,10 @@ class PlanSweepSf1 extends SparkTestBase {
     // the lexical drift series replays the q306 chain per step (frozen
     // prune window + dual retrieval joins past the flip); the gate drift
     // series replays the q315 feature chain per step
-    "q323_impact_drift_recall", "q324_dsir_gate_drift")
+    "q323_impact_drift_recall", "q324_dsir_gate_drift",
+    // the cache-invalidation pair of retrieval joins rides the q306
+    // posting chain past the flip
+    "q325_cache_invalidation")
 
   private val sf1Dir = "/root/repo/tmp/sf1"
 

@@ -264,4 +264,51 @@ class Round13Batch3Spec extends SparkTestBase {
     assert(last.getAs[Long]("agree_u") < 1000000L ||
       last.getAs[Long]("n_false_admit") > 0L)
   }
+
+  // --------------------------- q325 selective cache invalidation
+
+  test("impactCacheInvalidation: a query sharing no term with the delta " +
+      "is provably untouched (cache copied verbatim), a query whose " +
+      "vocabulary the arrival floods is touched AND changed, and " +
+      "changed ⇒ touched holds row-for-row") {
+    // two disjoint vocabulary families; queries at stride 10 → ids
+    // 0/10/20 (family A) and 30 (family B); the arrival floods family A
+    val docs = (0 until 40).map { i =>
+      val text = if (i < 30)
+        s"alpha beta gamma delta epsilon w$i x$i " +
+          s"alpha beta gamma zeta eta theta y${i % 5} z${i % 3} " +
+          "delta epsilon zeta"
+      else
+        s"omega psi chi phi upsilon o$i p$i " +
+          s"omega psi chi tau sigma rho q${i % 5} r${i % 3} " +
+          "phi upsilon tau"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    // the arrival floods the MID-frequency trigrams the A-queries carry
+    // ("theta y0 z0" df=2, "theta y0 z1" df=2, "theta y0 z2" df=2 — the
+    // df*2 <= N vocabulary cut excludes the common "alpha beta gamma"
+    // family, so flooding THOSE would produce an empty delta)
+    val arrivals = Seq((100L,
+      ("theta y0 z0 " * 4) + ("theta y0 z1 " * 4) +
+        ("theta y0 z2 " * 4))).toDF("doc_id", "text")
+    val out = graft.ops.Retrieval.impactCacheInvalidation(docs, arrivals,
+        queryStride = 10, topK = 3, dfMin = 2)
+      .collect().map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(out.keySet === Set(0L, 10L, 20L, 30L))
+    val b = out(30L)
+    assert(!b.getAs[Boolean]("touched"))
+    assert(!b.getAs[Boolean]("changed"))
+    assert(b.getAs[Long]("n_delta_cand") === 0L)
+    assert(b.getAs[Long]("n_common") === b.getAs[Long]("n_cached"))
+    Seq(0L, 10L, 20L).foreach { q =>
+      assert(out(q).getAs[Boolean]("touched"), s"query $q shares terms")
+      assert(out(q).getAs[Long]("n_delta_cand") === 1L)
+    }
+    assert(out.values.exists(_.getAs[Boolean]("changed")),
+      "the flooding arrival must displace at least one cached ranking")
+    out.values.foreach { r =>
+      assert(!r.getAs[Boolean]("changed") || r.getAs[Boolean]("touched"),
+        "changed ⇒ touched: the frozen-stats invariant")
+    }
+  }
 }
