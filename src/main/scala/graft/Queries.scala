@@ -10150,13 +10150,100 @@ object Queries {
           |LEFT JOIN cmp ON cmp.query_id = qx.query_id
           |LEFT JOIN cmn ON cmn.query_id = qx.query_id""".stripMargin)))
 
+  /** Shared q326/q327 comparison CTEs: per-doc quality signal, even-id
+    * docs paired at offsets {1,3,7} (a connected tournament — one fixed
+    * offset against the periodic source layout gives disjoint
+    * head-to-heads), deterministic winner (ties to the a-side). */
+  private lazy val preferenceCmpCtes: String =
+    s"""pm AS MATERIALIZED (SELECT doc_id, source, $srSql AS q FROM documents),
+       |cmp AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |   a.source AS a_src, b.source AS b_src, a.q >= b.q AS a_wins
+       |  FROM pm a CROSS JOIN (VALUES (1), (3), (7)) off(o)
+       |  JOIN pm b ON b.doc_id = a.doc_id + off.o AND a.doc_id % 2 = 0
+       |  WHERE a.source <> b.source)""".stripMargin
+
+  private val ext48Qs = Seq(
+    Q("q326_bradley_terry",
+      // preference-data family opener: Bradley-Terry source strengths
+      // from pairwise comparisons (adjacent-id pairing, stopword-quality
+      // winner) via 10 unrolled Hunter-MM rounds — strengths in µ-units,
+      // per-pair denominator terms as floored integers (order-free sums),
+      // DECIMAL(38,0)/HUGEINT pre-multiplies
+      (s, d) => graft.ops.Preference.bradleyTerry(T(s, d, "documents"),
+        rounds = 10),
+      Some {
+        val roundCtes = (1 to 10).map { r =>
+          s"""dd$r AS MATERIALIZED (SELECT d.s1,
+             |   sum(CAST(d.n AS HUGEINT) * 1000000000000
+             |     // greatest(si.s + sj.s, 1)) AS dsum
+             |  FROM dirp d JOIN st${r - 1} si ON si.source = d.s1
+             |  JOIN st${r - 1} sj ON sj.source = d.s2 GROUP BY 1),
+             |st$r AS MATERIALIZED (SELECT w2.s1 AS source,
+             |   CAST(CAST(w2.wins AS HUGEINT) * 1000000000000
+             |     // greatest(d.dsum, 1) AS BIGINT) AS s
+             |  FROM wt w2 JOIN dd$r d ON d.s1 = w2.s1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $preferenceCmpCtes,
+           |pa AS MATERIALIZED (SELECT least(a_src, b_src) AS i, greatest(a_src, b_src) AS j,
+           |   CAST(count(*) AS BIGINT) AS n,
+           |   CAST(sum(CASE WHEN a_wins = (a_src < b_src) THEN 1 ELSE 0 END)
+           |     AS BIGINT) AS w
+           |  FROM cmp GROUP BY 1, 2),
+           |dirp AS MATERIALIZED (SELECT i AS s1, j AS s2, n, w FROM pa
+           |  UNION ALL SELECT j AS s1, i AS s2, n, n - w AS w FROM pa),
+           |wt AS MATERIALIZED (SELECT s1, CAST(sum(n) AS BIGINT) AS n_comp,
+           |   CAST(sum(w) AS BIGINT) AS wins FROM dirp GROUP BY 1),
+           |st0 AS MATERIALIZED (SELECT s1 AS source, CAST(1000000 AS BIGINT) AS s FROM wt),
+           |$roundCtes,
+           |srcs AS (SELECT DISTINCT source FROM documents)
+           |SELECT s.source,
+           |  CAST(coalesce(w2.n_comp, 0) AS BIGINT) AS n_comparisons,
+           |  CAST(coalesce(w2.wins, 0) AS BIGINT) AS n_wins,
+           |  CAST(coalesce(w2.wins, 0) * 1000000
+           |    // greatest(coalesce(w2.n_comp, 0), 1) AS BIGINT) AS win_u,
+           |  CAST(coalesce(stN.s, 0) AS BIGINT) AS strength_u,
+           |  CAST(row_number() OVER (ORDER BY coalesce(stN.s, 0) DESC, s.source)
+           |    AS BIGINT) AS rank
+           |FROM srcs s LEFT JOIN wt w2 ON w2.s1 = s.source
+           |LEFT JOIN st10 stN ON stN.source = s.source""".stripMargin
+      }),
+
+    Q("q327_position_bias",
+      // the preference-annotation artifact audit: md5-derived presented-
+      // first flag per comparison; win rate shown-first vs shown-second
+      // per source + '(all)'. The synthesized winner rule never sees the
+      // order column, so the audit also pins the clean-signal null case
+      (s, d) => graft.ops.Preference.positionBias(T(s, d, "documents")),
+      Some(s"""WITH $preferenceCmpCtes,
+              |cmpp AS (SELECT *,
+              |   ${duckH60("'pos:' || CAST(a_id AS VARCHAR) || ':' || CAST(b_id AS VARCHAR)")} % 2 = 0 AS a_first
+              |  FROM cmp),
+              |sides AS (SELECT a_src AS source, a_first AS first, a_wins AS won FROM cmpp
+              |  UNION ALL SELECT b_src, NOT a_first, NOT a_wins FROM cmpp),
+              |wa AS (SELECT source, first, won FROM sides
+              |  UNION ALL SELECT '(all)', first, won FROM sides)
+              |SELECT source,
+              |  CAST(sum(CASE WHEN first THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+              |  CAST(sum(CASE WHEN first AND won THEN 1 ELSE 0 END) AS BIGINT) AS n_wins_first,
+              |  CAST(sum(CASE WHEN NOT first THEN 1 ELSE 0 END) AS BIGINT) AS n_second,
+              |  CAST(sum(CASE WHEN NOT first AND won THEN 1 ELSE 0 END) AS BIGINT) AS n_wins_second,
+              |  CAST(sum(CASE WHEN first AND won THEN 1 ELSE 0 END) * 1000000
+              |    // greatest(sum(CASE WHEN first THEN 1 ELSE 0 END), 1) AS BIGINT) AS win_first_u,
+              |  CAST(sum(CASE WHEN NOT first AND won THEN 1 ELSE 0 END) * 1000000
+              |    // greatest(sum(CASE WHEN NOT first THEN 1 ELSE 0 END), 1) AS BIGINT) AS win_second_u,
+              |  CAST(sum(CASE WHEN first AND won THEN 1 ELSE 0 END) * 1000000
+              |    // greatest(sum(CASE WHEN first THEN 1 ELSE 0 END), 1)
+              |   - sum(CASE WHEN NOT first AND won THEN 1 ELSE 0 END) * 1000000
+              |    // greatest(sum(CASE WHEN NOT first THEN 1 ELSE 0 END), 1) AS BIGINT) AS lift_u
+              |FROM wa GROUP BY 1""".stripMargin)))
+
   val all: Seq[Q] =
     scanQs ++ joinQs ++ aggQs ++ sortSetQs ++ graphQs ++ centralityQs ++
       dedupQs ++ simQs ++ collationQs ++ extQs ++ ext2Qs ++ ext3Qs ++ ext4Qs ++
       ext5Qs ++ ext6Qs ++ ext7Qs ++ ext8Qs ++ ext9Qs ++ ext10Qs ++ ext11Qs ++
       ext12Qs ++ ext13Qs ++ ext14Qs ++ ext15Qs ++ ext16Qs ++ ext17Qs ++
       ext18Qs ++ ext19Qs ++ ext20Qs ++ ext21Qs ++ ext22Qs ++ ext23Qs ++
-      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs ++ ext38Qs ++ ext39Qs ++ ext40Qs ++ ext41Qs ++ ext42Qs ++ ext43Qs ++ ext44Qs ++ ext45Qs ++ ext46Qs ++ ext47Qs
+      ext24Qs ++ ext25Qs ++ ext26Qs ++ ext27Qs ++ ext28Qs ++ ext29Qs ++ ext30Qs ++ ext31Qs ++ ext32Qs ++ ext33Qs ++ ext34Qs ++ ext35Qs ++ ext36Qs ++ ext37Qs ++ ext38Qs ++ ext39Qs ++ ext40Qs ++ ext41Qs ++ ext42Qs ++ ext43Qs ++ ext44Qs ++ ext45Qs ++ ext46Qs ++ ext47Qs ++ ext48Qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

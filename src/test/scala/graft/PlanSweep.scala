@@ -252,6 +252,10 @@ object PlanSweepSupport {
     // q325: rank-bounded comparison rollups (cache side is
     // |queries|·topK rows)
     "q325_cache_invalidation",
+    // q326: the MM rounds and final rank run on the ≤|sources|²-row
+    // outcome matrix / |sources|-row strength vector; q327's rollup
+    // merges ≤|sources|+1-row partials
+    "q326_bradley_terry", "q327_position_bias",
     // hyperplaneCells consumers: the dim-row per-dimension mean relation
     // collapses to ONE dim-length array row (the centering scalar) — a
     // bounded global aggregate, not a corpus reduction
