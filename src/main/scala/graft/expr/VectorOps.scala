@@ -297,6 +297,77 @@ object SortedWordShingles {
   }
 }
 
+/** All consecutive word n-grams of a text IN DOCUMENT ORDER, duplicates
+  * kept — the tf-preserving sibling of [[SortedWordShingles]] (same
+  * tokenizer walk: lower() ≡ UTF8String.toLowerCase, split on runs of
+  * Java-regex `\s` (ASCII-only: space \t \n \x0B \f \r), empties dropped,
+  * grams joined by a single space). Semantically the old tokenGrams
+  * pipeline `posexplode(filter(split(lower(text), "\\s+"), _ ≠ '')) →
+  * lead(tok, i) over (partition doc order pos) → concat_ws(' ', ...)` —
+  * but computed per ROW, so gram construction needs NO shuffle at all:
+  * the explode+window form shuffles and sorts the corpus' entire token
+  * stream just to pair each token with its successors (measured as the
+  * dominant exchange of every bm25/impact-index query). Empty array when
+  * fewer than n words. */
+case class WordNgrams(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgrams.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.WordNgrams.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_ngrams"
+}
+
+object WordNgrams {
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Static entry point shared by eval and generated code. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val str = s.toLowerCase.toString
+    val len = str.length
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(str.charAt(i))) i += 1
+      if (i < len) {
+        starts.add(i)
+        while (i < len && !isWs(str.charAt(i))) i += 1
+        ends.add(i)
+      }
+    }
+    val w = starts.size()
+    if (w < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](w - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var k = 0
+    while (k <= w - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(str, starts.get(k + j), ends.get(k + j))
+        j += 1
+      }
+      out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** All k MinHash salted-min signatures of a shingle array in ONE pass —
   * semantically `transform(sequence, i -> array_min(transform(arr, t ->
   * md5(i || ':' || t))))` but with none of that form's k intermediate
@@ -386,6 +457,87 @@ object MinHashSigs {
       i += 1
     }
     new String(cs)
+  }
+}
+
+/** All hashed-bigram DSIR feature buckets of a text IN ORDER, duplicates
+  * kept, one per-row pass — semantically the
+  * [[graft.ops.TrainingData.dsirFeatures]] chain `explode(zip_with(toks,
+  * slice(toks, 2, …), (x, y) -> concat(x, ' ', y))) → pmod(conv(
+  * substring(md5(bg), 1, 15), 16, 10), buckets)` with none of that form's
+  * per-bigram expression-tree walks: the same tokenizer boundary scan as
+  * [[SortedWordShingles]]/[[WordNgrams]], then per adjacent pair one md5
+  * into a reused digest whose first 15 hex digits (bytes 0..6 plus byte
+  * 7's high nibble — exactly `parseLong(hex.substring(0,15), 16)`, the
+  * [[SimHash60]] extraction) mod `buckets` give the bucket. The 60-bit
+  * value is non-negative, so `% buckets` ≡ pmod. Empty array when fewer
+  * than 2 words. */
+case class BigramBuckets(child: Expression, buckets: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    BigramBuckets.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.BigramBuckets.compute($c, $buckets);")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramBuckets =
+    copy(child = newChild)
+
+  override def prettyName: String = "bigram_buckets"
+}
+
+object BigramBuckets {
+  private val md: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Static entry point shared by eval and generated code. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, buckets: Int): ArrayData = {
+    val str = s.toLowerCase.toString
+    val len = str.length
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(str.charAt(i))) i += 1
+      if (i < len) {
+        starts.add(i)
+        while (i < len && !isWs(str.charAt(i))) i += 1
+        ends.add(i)
+      }
+    }
+    val w = starts.size()
+    if (w < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val digest = md.get()
+    val sb = new java.lang.StringBuilder(64)
+    val out = new Array[Any](w - 1)
+    var k = 0
+    while (k < w - 1) {
+      sb.setLength(0)
+      sb.append(str, starts.get(k), ends.get(k))
+      sb.append(' ')
+      sb.append(str, starts.get(k + 1), ends.get(k + 1))
+      digest.reset()
+      val d = digest.digest(sb.toString.getBytes("UTF-8"))
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((d(7) & 0xffL) >>> 4)
+      out(k) = v % buckets
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 
@@ -488,6 +640,12 @@ object VectorOps {
     reg.createOrReplaceTempFunction("sorted_word_shingles",
       (exprs: Seq[Expression]) => SortedWordShingles(exprs.head,
         SortedCharNgrams.literalN(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("word_ngrams",
+      (exprs: Seq[Expression]) => WordNgrams(exprs.head,
+        SortedCharNgrams.literalN(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("bigram_buckets",
+      (exprs: Seq[Expression]) => BigramBuckets(exprs.head,
+        SortedCharNgrams.literalN(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("simhash60",
       (exprs: Seq[Expression]) => SimHash60(exprs.head), "scala_udf")
   }
@@ -512,6 +670,14 @@ object VectorOps {
   def sortedWordShingles(s: Column, n: Int): Column =
     org.apache.spark.sql.functions.call_function("sorted_word_shingles", s,
       org.apache.spark.sql.functions.lit(n))
+
+  def wordNgrams(s: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function("word_ngrams", s,
+      org.apache.spark.sql.functions.lit(n))
+
+  def bigramBuckets(s: Column, buckets: Int): Column =
+    org.apache.spark.sql.functions.call_function("bigram_buckets", s,
+      org.apache.spark.sql.functions.lit(buckets))
 
   def simhash60(arr: Column): Column =
     org.apache.spark.sql.functions.call_function("simhash60", arr)

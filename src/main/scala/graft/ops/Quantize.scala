@@ -712,29 +712,54 @@ object Quantize {
       rounds: Int = 2, nprobe: Int = 2, nQueries: Int = 5, topK: Int = 10,
       dim: Int = 0): DataFrame = {
     val idx = ivfPqIndex(embeddings, nCells, m, k, rounds, dim)
+    // r13 optimization: the drifted coordinates of EVERY step are pure
+    // per-row functions of the same exploded (vec_id, d, v) double base —
+    // materialize that base once instead of re-scanning and re-exploding
+    // the parquet per step. floor((v + offset)·1e6) below performs the
+    // IDENTICAL IEEE sequence the old per-step transform+coords chain did
+    // (cast to double, add the exact-binary offset, scale, floor), so
+    // every step's integer coordinates are bit-identical.
+    val bd = FreshCheckpoint(embeddings.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        col("v").cast("double").as("v")))
     steps.map { u =>
       val offset = driftPerStep * u
-      val drifted = embeddings.select(col("vec_id"),
-        transform(col("embedding"),
-          x => x.cast("double") + lit(offset)).as("embedding"))
-      val div = FreshCheckpoint(coords(drifted))
-      // re-encode the drifted corpus under the FROZEN codebooks — the
-      // ivfPqEncode chain inlined so the drifted coords / cell assignment
-      // are shared with the probe, ground-truth and drift-gauge passes
-      val vc = FreshCheckpoint(assignCell(div, idx.coarse, 1))
-      val riv = div.join(vc, Seq("vec_id"))
-        .join(broadcast(idx.coarse), Seq("cell", "d"))
-        .select(col("vec_id"), col("cell"),
-          (col("d") / idx.subDim).cast("long").as("sub"),
-          (col("d") % idx.subDim).as("dl"), (col("x") - col("cx")).as("x"))
-      val dists = riv.join(broadcast(idx.cents), Seq("sub", "dl"))
-        .groupBy(col("vec_id"), col("cell"), col("sub"), col("cid"))
-        .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dist"))
-      val wc = Window.partitionBy(col("vec_id"), col("sub"))
-        .orderBy(col("dist"), col("cid"))
-      val fact = FreshCheckpoint(dists
-        .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
-        .select(col("cell"), col("vec_id"), col("sub"), col("cid")))
+      // Step 0 is the UNDRIFTED corpus: adding the 0.0 offset is an IEEE
+      // identity, so its coords/assignment/codes are exactly the trained
+      // index's own pieces (the training encode groups by (vec_id, sub,
+      // cid) with one cell per vec — the same argmin) — reuse them instead
+      // of paying a third coords pass plus a full re-encode for the
+      // baseline row.
+      val (div, vc, fact) =
+        if (offset == 0.0)
+          (idx.iv, idx.vcell,
+            idx.codes.join(idx.vcell, Seq("vec_id"))
+              .select(col("cell"), col("vec_id"), col("sub"), col("cid")))
+        else {
+          val divU = FreshCheckpoint(bd.select(col("vec_id"), col("d"),
+            floor((col("v") + lit(offset)) * 1000000d).cast("long").as("x")))
+          // re-encode the drifted corpus under the FROZEN codebooks — the
+          // ivfPqEncode chain inlined so the drifted coords / cell
+          // assignment are shared with the probe, ground-truth and
+          // drift-gauge passes
+          val vcU = FreshCheckpoint(assignCell(divU, idx.coarse, 1))
+          val riv = divU.join(vcU, Seq("vec_id"))
+            .join(broadcast(idx.coarse), Seq("cell", "d"))
+            .select(col("vec_id"), col("cell"),
+              (col("d") / idx.subDim).cast("long").as("sub"),
+              (col("d") % idx.subDim).as("dl"), (col("x") - col("cx")).as("x"))
+          val dists = riv.join(broadcast(idx.cents), Seq("sub", "dl"))
+            .groupBy(col("vec_id"), col("cell"), col("sub"), col("cid"))
+            .agg(sum((col("x") - col("cx")) * (col("x") - col("cx")))
+              .as("dist"))
+          val wc = Window.partitionBy(col("vec_id"), col("sub"))
+            .orderBy(col("dist"), col("cid"))
+          val factU = FreshCheckpoint(dists
+            .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+            .select(col("cell"), col("vec_id"), col("sub"), col("cid")))
+          (divU, vcU, factU)
+        }
       val approx = ivfPqProbeFact(fact, div, idx.coarse, idx.cents,
         idx.subDim, nprobe, nQueries, topK)
       // exact integer-L2 ground truth over the drifted coordinates

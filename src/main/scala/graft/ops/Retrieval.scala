@@ -352,13 +352,41 @@ object Retrieval {
       // move, so every surviving term's idf drifts and the frozen index
       // keeps serving orphaned docs), doc_id % modBase < u gains an
       // appended token run (lengths, tf and trigram vocabulary move)
-      val cur = docs.filter(!(col("doc_id") % modRemove < u))
-        .select(col("doc_id"),
-          when(col("doc_id") % modBase < u,
-            concat(col("text"), lit(" zzdrift zzdrift zzdrift")))
-            .otherwise(col("text")).as("text"))
-      val c = bm25Stats(cur, dfMin)
-      val qids = cur.filter(col("doc_id") % queryStride === 0)
+      val survives = !(col("doc_id") % modRemove < u)
+      val isEdited = col("doc_id") % modBase < u
+      // r13 optimization: the per-step corpus statistics decompose per
+      // DOCUMENT — tokenization is doc-local, so the current tf relation
+      // is exactly (t0 tf restricted to surviving UNEDITED docs) ∪ (one
+      // tokenGrams pass over the surviving EDITED docs with their appended
+      // run). The old code called bm25Stats(cur) per step: four full-corpus
+      // tokenGrams passes where step 0 needs none (cur ≡ docs, so c ≡ o
+      // relation-for-relation) and steps 1-3 need only the ≤ u/modBase
+      // edited fraction re-tokenized.
+      val c = if (u == 0) o else {
+        val editedTf = TextAnalysis.tokenGrams(
+            docs.filter(survives && isEdited).select(col("doc_id"),
+              concat(col("text"), lit(" zzdrift zzdrift zzdrift"))
+                .as("text")), 3)
+          .select(col("doc_id"), col("gram").as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val ctf = FreshCheckpoint(
+          o.tf.filter(survives && !isEdited).unionByName(editedTf))
+        val clen = ctf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+        // same fused 1-row scalar job as bm25Stats, over the decomposed tf
+        val row = docs.filter(survives).select(col("doc_id"))
+          .join(clen, Seq("doc_id"), "left")
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("len"), lit(0L))).as("sl")).head()
+        val cn = row.getLong(0)
+        val cSumLen = row.getLong(1)
+        val cidf = ctf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= dfMin && col("df") * 2 <= lit(cn))
+          .select(col("tok"),
+            floor(log(lit(1.0) + (lit(cn) - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5))) * 1000000d).cast("long").as("idf_u"))
+        Bm25Stats(ctf, clen, cidf, cn, cSumLen)
+      }
+      val qids = docs.filter(survives && col("doc_id") % queryStride === 0)
         .select(col("doc_id").as("query_id"))
       val qgrams = c.tf.join(qHint(qids), col("doc_id") === col("query_id"))
         .select(col("query_id"), col("tok"))
@@ -374,8 +402,9 @@ object Retrieval {
           .filter(col("rank") <= topK)
           .select(col("query_id"), col("doc_id"))
       }
-      // fresh ground truth: a full CURRENT index (rebuild-now world)
-      val cPost = FreshCheckpoint(
+      // fresh ground truth: a full CURRENT index (rebuild-now world);
+      // step 0's current index IS the already-checkpointed t0 encode
+      val cPost = if (u == 0) oPost else FreshCheckpoint(
         encodeImpacts(c.tf, c.len, c.idf, c.n, c.sumLen))
       val fresh = FreshCheckpoint(topkOf(cPost, c.idf))
       // frozen serve: the t0 pruned postings under the t0 vocabulary

@@ -475,19 +475,17 @@ object TextAnalysis {
     * concatenated with single spaces via window leads (carries any extra
     * input columns through). */
   private[ops] def tokenGrams(docs: DataFrame, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = Dedup.fanOut(docs).select(col("*"),
-        posexplode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
-          .as(Seq("pos", "tok")))
+    // r13 optimization: the old form posexploded the token stream and built
+    // grams with lead() over a (doc_id, pos) window — a full shuffle + sort
+    // of the corpus' entire token stream per call, the dominant Exchange of
+    // every bm25/impact-index query. [[graft.expr.WordNgrams]] computes the
+    // identical gram multiset per ROW (same tokenizer semantics, same
+    // single-space join), so gram construction now needs no shuffle at all;
+    // the first exchange of every consumer is its own (doc, gram) rollup.
+    graft.expr.VectorOps.register(docs.sparkSession)
+    Dedup.fanOut(docs).select(col("*"),
+        explode(graft.expr.VectorOps.wordNgrams(col("text"), n)).as("gram"))
       .drop("text")
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val parts = col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(w))
-    // concat_ws SKIPS nulls (unlike SQL ||, which null-poisons), so trailing
-    // positions must be dropped explicitly — and a window can't live in a
-    // WHERE, so the last lead is materialized as a column first
-    toks.withColumn("gram", concat_ws(" ", parts: _*))
-      .withColumn("gram_complete", lead(col("tok"), n - 1).over(w).isNotNull)
-      .filter(col("gram_complete")).drop("gram_complete")
   }
 
   /** BM25 (Robertson/Lucene form) top-k retrieval over an inverted index:

@@ -1214,19 +1214,16 @@ object TrainingData {
   /** Per-doc hashed-bigram feature counts (doc_id, source, b, c) — the
     * shared first stage of the DSIR family. */
   private[graft] def dsirFeatures(docs: DataFrame, buckets: Int): DataFrame = {
-    val toks = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
-    val base = Dedup.fanOut(docs).select(col("doc_id"), col("source"),
-      toks.as("t"))
-    // bigram b_i = t_i ++ " " ++ t_{i+1}: zip the array with its own tail —
-    // zip_with pads the tail side with NULL, so concat nulls out the last
-    // slot and the filter drops it (and empties/1-token docs vanish here)
-    base.select(col("doc_id"), col("source"),
-        explode(zip_with(col("t"),
-          slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
-          (x, y) => concat(x, lit(" "), y))).as("bg"))
-      .filter(col("bg").isNotNull)
-      .select(col("doc_id"), col("source"),
-        pmod(h60(col("bg")), lit(buckets.toLong)).as("b"))
+    // r13 optimization: bigram construction + md5 bucketing as ONE native
+    // per-row pass ([[graft.expr.BigramBuckets]] — same tokenizer walk,
+    // same md5-prefix arithmetic, bit-identical buckets) instead of the
+    // zip_with/slice/concat HOF chain + per-exploded-row md5/conv/substring
+    // expression tree, which ran interpreted with per-element boxing and
+    // dominated every DSIR-family query's scan stage.
+    graft.expr.VectorOps.register(docs.sparkSession)
+    Dedup.fanOut(docs).select(col("doc_id"), col("source"),
+        explode(graft.expr.VectorOps.bigramBuckets(col("text"), buckets))
+          .as("b"))
       .groupBy(col("doc_id"), col("source"), col("b"))
       .agg(count(lit(1)).as("c"))
   }

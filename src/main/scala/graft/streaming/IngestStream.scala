@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
-import graft.ops.{TextAnalysis, TrainingData}
+import graft.ops.TextAnalysis
 
 /** One emitted admission decision — the full funnel-stage record for a
   * single arriving document. `rep_ratio` is NULL for zero-token docs (the
@@ -94,22 +94,23 @@ object IngestStream {
   def admissionDecisions(docs: DataFrame, model: DataFrame,
       knownDups: DataFrame, buckets: Int = 4096,
       thresholdU: Long = 0L): DataFrame = {
-    val bl = lit(buckets.toLong)
+    graft.expr.VectorOps.register(docs.sparkSession)
     val toks = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
-    // bigrams exactly as dsirFeatures: zip the token array with its own
-    // tail (zip_with NULL-pads; concat nulls the last slot; filter drops)
-    val bigrams = filter(zip_with(toks,
-        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-        (x, y) => concat(x, lit(" "), y)), b => b.isNotNull)
+    // bigram buckets exactly as dsirFeatures — one native per-row pass
+    // ([[graft.expr.BigramBuckets]]: same tokenizer walk, same md5-prefix
+    // bucket arithmetic) instead of the zip_with/slice/concat HOF chain
+    // with a per-element md5/conv expression tree (r13 optimization; the
+    // fold below now only adds map lookups)
+    val bkts = graft.expr.VectorOps.bigramBuckets(col("text"), buckets)
     val qcols = TextAnalysis.qualityColumns(col("text")).toMap
     val scored = docs.crossJoin(broadcast(lambdaIndex(model, buckets)))
       .select(col("doc_id"), col("source"), col("text"),
-        size(bigrams).cast("long").as("n_feats"),
+        size(bkts).cast("long").as("n_feats"),
         // the gate fold: Σ λ(bucket) over bigram OCCURRENCES ≡ the batch
         // gate's sum(c·λ) over distinct buckets
-        aggregate(bigrams, lit(0L), (acc, bg) =>
-          acc + coalesce(element_at(col("lam_map"),
-            pmod(TrainingData.h60(bg), bl)), col("lam_default"))).as("w_u"),
+        aggregate(bkts, lit(0L), (acc, b) =>
+          acc + coalesce(element_at(col("lam_map"), b),
+            col("lam_default"))).as("w_u"),
         qcols("n_tokens").as("n_tokens"),
         qcols("stopword_ratio").as("stopword_ratio"),
         qcols("mean_word_len").as("mean_word_len"),

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-13 optimization equivalence specs: every rewrite this round must
+  * keep the declared queries' results byte-identical, so each internal
+  * restructure gets a planted/derived identity test against the OLD
+  * formulation it replaced. */
+class OptR13Spec extends graft.SparkTestBase {
+
+  private def docs: DataFrame =
+    spark.read.parquet(s"$testData/sf0.001/documents.parquet")
+
+  /** The pre-r13 tokenGrams pipeline, verbatim (posexplode + lead window),
+    * kept here as the semantic reference for [[graft.expr.WordNgrams]]. */
+  private def oldTokenGrams(d: DataFrame, n: Int): DataFrame = {
+    val toks = d.select(col("*"),
+        posexplode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+          .as(Seq("pos", "tok")))
+      .drop("text")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(w))
+    toks.withColumn("gram", concat_ws(" ", parts: _*))
+      .withColumn("gram_complete", lead(col("tok"), n - 1).over(w).isNotNull)
+      .filter(col("gram_complete")).drop("gram_complete")
+  }
+
+  test("tokenGrams (word_ngrams expression) emits the OLD explode+window " +
+    "pipeline's exact (doc_id, gram) multiset, n = 1, 3 and 8, " +
+    "whitespace/empty edge docs included") {
+    val edge = spark.createDataFrame(Seq(
+      (900001L, "  leading  and\ttrailing   ws  "),
+      (900002L, "one"),
+      (900003L, ""),
+      (900004L, "   "),
+      (900005L, "MiXeD Case\nNEWLINE\rcr\ttab end"))).toDF("doc_id", "text")
+    val d = docs.select(col("doc_id"), col("text")).unionByName(edge)
+    for (n <- Seq(1, 3, 8)) {
+      val newG = graft.ops.TextAnalysis.tokenGrams(d, n)
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      val oldG = oldTokenGrams(d, n)
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      assert(newG.exceptAll(oldG).isEmpty && oldG.exceptAll(newG).isEmpty,
+        s"tokenGrams multiset diverged at n=$n")
+    }
+  }
+
+  test("bigram_buckets expression emits the OLD zip_with + md5/conv/pmod " +
+    "chain's exact per-doc bucket multiset (DSIR feature identity)") {
+    graft.expr.VectorOps.register(spark)
+    val edge = spark.createDataFrame(Seq(
+      (900001L, "  leading  and\ttrailing   ws  "),
+      (900002L, "one"),
+      (900003L, ""),
+      (900005L, "MiXeD Case\nNEWLINE\rcr\ttab end"))).toDF("doc_id", "text")
+    val d = docs.select(col("doc_id"), col("text")).unionByName(edge)
+    val buckets = 4096
+    val toks = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    val h60 = (c: org.apache.spark.sql.Column) =>
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val oldB = d.select(col("doc_id"),
+        explode(zip_with(toks,
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (x, y) => concat(x, lit(" "), y))).as("bg"))
+      .filter(col("bg").isNotNull)
+      .select(col("doc_id"), pmod(h60(col("bg")), lit(buckets.toLong)).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val newB = d.select(col("doc_id"),
+        explode(graft.expr.VectorOps.bigramBuckets(col("text"), buckets))
+          .as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    assert(newB.exceptAll(oldB).isEmpty && oldB.exceptAll(newB).isEmpty,
+      "bigram bucket multiset diverged")
+  }
+}
