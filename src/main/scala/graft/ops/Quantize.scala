@@ -270,35 +270,37 @@ object Quantize {
     val dimR = resolveDim(embeddings, dim)
     require(dimR % m == 0, s"dim $dimR not divisible by m=$m")
     val subDim = dimR / m
-    val iv = FreshCheckpoint(coords(embeddings).select(col("vec_id"),
-      (col("d") / subDim).cast("long").as("sub"),
-      (col("d") % subDim).as("dl"), col("x")))
-    def assign(cents: DataFrame): DataFrame = {
-      val dists = iv.join(broadcast(cents), Seq("sub", "dl"))
-        .groupBy(col("vec_id"), col("sub"), col("cid"))
-        .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dist"))
-      val w = Window.partitionBy(col("vec_id"), col("sub"))
-        .orderBy(col("dist"), col("cid"))
-      dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("sub"), col("cid"))
-    }
+    // r13 optimization: array-space training (the [[ivfPqIndex]] helpers —
+    // exact integer dots, min-struct argmins; same integers as the old
+    // per-dim join + window formulation)
+    val vecs = FreshCheckpoint(vecArrays(embeddings))
+    val sv = FreshCheckpoint(vecs.select(col("vec_id"),
+        posexplode(transform(
+          sequence(lit(0), (size(col("xs")) / subDim).cast("int") - 1),
+          s => slice(col("xs"), s * subDim + 1, lit(subDim))))
+          .as(Seq("sub", "rxs")))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("rxs"))
+      .withColumn("rr", dotA(col("rxs"), col("rxs"))))
     def update(assigned: DataFrame): DataFrame =
-      assigned.join(iv, Seq("vec_id", "sub"))
+      centsArrOf(assigned.join(sv, Seq("vec_id", "sub"))
+        .select(col("cid"), col("sub"),
+          posexplode(col("rxs")).as(Seq("dl", "x")))
         .groupBy(col("cid"), col("sub"), col("dl"))
-        .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long").as("cx"))
-    val firstK = iv.select(col("vec_id")).distinct()
-      .orderBy(col("vec_id")).limit(k)
-    var cents = iv.join(firstK, Seq("vec_id"))
-      .select(col("vec_id").as("cid"), col("sub"), col("dl"), col("x").as("cx"))
+        .agg(floor(sum(col("x")) / count(lit(1))).cast("long").as("cx")),
+        Seq("cid", "sub"), "dl", "cx")
+    val firstK = vecs.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
+    var centsArr = sv.join(broadcast(firstK), Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("sub"), col("rxs").as("cxs"),
+        col("rr").as("cc"))
     for (_ <- 1 to rounds)
-      cents = FreshCheckpoint(update(assign(cents)))
-    val centsF = FreshCheckpoint(cents) // read twice: encode + query table
-    val codes = assign(centsF)
+      centsArr = FreshCheckpoint(update(assignPq(sv, centsArr)))
+    val codes = assignPq(sv, centsArr)
     // per-query ADC table: m·k rows per query — broadcast-sized by design
-    val qd = iv.filter(col("vec_id") < nQueries)
-      .join(broadcast(centsF), Seq("sub", "dl"))
-      .groupBy(col("vec_id").as("query_id"), col("sub"), col("cid"))
-      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("qdist"))
+    val qd = sv.filter(col("vec_id") < nQueries)
+      .join(broadcast(centsArr), Seq("sub"))
+      .select(col("vec_id").as("query_id"), col("sub"), col("cid"),
+        (col("rr") + col("cc") - lit(2d) * dotA(col("rxs"), col("cxs")))
+          .cast("long").as("qdist"))
     val ad = codes.join(broadcast(qd), Seq("sub", "cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
@@ -365,54 +367,279 @@ object Quantize {
       .select(col("vec_id"), col("cell"))
   }
 
+  /** Native exact-integer dot over integer-valued double arrays. */
+  private def dotA(a: Column, b: Column): Column =
+    graft.expr.VectorOps.vectorDot(a, b)
+
+  /** (vec_id, xs, xx) integerized coordinate ARRAYS — xs_d = floor(v_d·1e6)
+    * stored as doubles so the native dot stays primitive; every coordinate
+    * is an exact integer < 2²², so all dots/norms below stay < 2⁵³ and the
+    * arithmetic is EXACTLY the per-dim integer math ([[lloydScoredTop]]'s
+    * discipline). */
+  private def vecArrays(embeddings: DataFrame): DataFrame = {
+    graft.expr.VectorOps.register(embeddings.sparkSession)
+    Dedup.fanOut(embeddings).select(col("vec_id"),
+        transform(col("embedding"),
+          v => floor(v.cast("double") * 1000000d).cast("double")).as("xs"))
+      .withColumn("xx", dotA(col("xs"), col("xs")))
+  }
+
+  /** Per-dim (key, d, cx) codebook rows → (key, cxs, cc) array form,
+    * d-ordered (position i ↔ dimension i — every member has all dims). */
+  private def centsArrOf(perDim: DataFrame, key: Seq[String],
+      dCol: String, cxCol: String): DataFrame =
+    perDim.groupBy(key.map(col): _*)
+      .agg(array_sort(collect_list(struct(col(dCol), col(cxCol)))).as("p"))
+      .select(key.map(col) :+
+        expr(s"transform(p, q -> CAST(q.$cxCol AS DOUBLE))").as("cxs"): _*)
+      .withColumn("cc", dotA(col("cxs"), col("cxs")))
+
+  /** Array-space residual PQ assignment: per (vec, sub) the cid minimizing
+    * the exact integer distance rr + cc − 2·⟨rxs, cxs⟩, ties to the lowest
+    * cid — `min(struct(dist, cid))` ≡ the old row_number-over-(dist, cid)
+    * window, with a partial-aggregatable codegen aggregate instead of a
+    * sort. */
+  private def assignPq(rivArr: DataFrame, centsArr: DataFrame): DataFrame =
+    rivArr.join(broadcast(centsArr), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cid"),
+        (col("rr") + col("cc") - lit(2d) * dotA(col("rxs"), col("cxs")))
+          .cast("long").as("dist"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("cid"))).as("mn"))
+      .select(col("vec_id"), col("sub"), col("mn.cid").as("cid"))
+
+  /** Residual subvector arrays (vec_id, sub, rxs, rr) of a coordinate-array
+    * corpus under a coarse codebook — the PQ layout with one row per (vec,
+    * subspace) instead of one per (vec, dimension). */
+  private def rivArrays(vecs: DataFrame, vcell: DataFrame,
+      coarseArr: DataFrame, subDim: Int): DataFrame =
+    vecs.join(vcell, Seq("vec_id"))
+      .join(broadcast(coarseArr.select(col("cell"), col("cxs"))), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        posexplode(transform(
+          sequence(lit(0), (size(col("xs")) / subDim).cast("int") - 1),
+          s => slice(zip_with(col("xs"), col("cxs"), (a, b) => a - b),
+            s * subDim + 1, lit(subDim)))).as(Seq("sub", "rxs")))
+      .select(col("vec_id"), col("cell"), col("sub").cast("long").as("sub"),
+        col("rxs"))
+      .withColumn("rr", dotA(col("rxs"), col("rxs")))
+
   /** Train the IVF-PQ index ONCE (the expensive half: coarse assignment +
     * `rounds` residual Lloyd's rounds + final encoding); probing is then
     * per-call cheap, which is what makes [[ivfPqRecall]]'s recall-vs-nprobe
-    * sweep affordable — one training bill, four probe bills. */
+    * sweep affordable — one training bill, four probe bills.
+    *
+    * r13 optimization: training runs in ARRAY space — coordinates ride as
+    * (vec_id, xs[dim]) rows and residuals as (vec_id, sub, rxs[subDim]),
+    * so each Lloyd's round streams n·k rows with one native dot each
+    * instead of n·dim·k exploded per-dim rows, and every argmin is a
+    * partial-aggregatable `min(struct(dist, id))` instead of a window sort.
+    * All coordinates are micro-unit integers (< 2²²), so every double
+    * product/sum stays < 2⁵³ and the distances — and therefore every
+    * assignment, every centroid and the DuckDB oracle replay — are EXACTLY
+    * the old per-dim integer math. The returned per-dim relations (`iv`,
+    * `coarse`, `cents`) are byte-identical to the old layout. */
   def ivfPqIndex(embeddings: DataFrame, nCells: Int = 8, m: Int = 16,
-      k: Int = 32, rounds: Int = 2, dim: Int = 0): IvfPqIndex = {
+      k: Int = 32, rounds: Int = 2, dim: Int = 0,
+      localCutoff: Long = graft.Limits.dimensionRows): IvfPqIndex = {
     val dimR = resolveDim(embeddings, dim)
     require(dimR % m == 0, s"dim $dimR not divisible by m=$m")
     val subDim = dimR / m
-    val iv = FreshCheckpoint(coords(embeddings)) // (vec_id, d, x)
+    val nVecs = Similarity.corpusCount(embeddings)
+    if (nVecs > 0 && nVecs <= localCutoff)
+      return ivfPqIndexLocal(embeddings, nCells, m, k, rounds, subDim)
+    val vecs = FreshCheckpoint(vecArrays(embeddings)) // (vec_id, xs, xx)
     // coarse codebook: the nCells smallest vec_ids, cell id = vec_id
-    val firstC = iv.select(col("vec_id")).distinct()
-      .orderBy(col("vec_id")).limit(nCells)
-    val coarse = FreshCheckpoint(iv.join(broadcast(firstC), Seq("vec_id"))
-      .select(col("vec_id").as("cell"), col("d"), col("x").as("cx")))
-    val vcell = FreshCheckpoint(assignCell(iv, coarse, 1))
-    // residual coordinates in PQ (sub, dl) layout
-    val riv = FreshCheckpoint(iv.join(vcell, Seq("vec_id"))
-      .join(broadcast(coarse), Seq("cell", "d"))
-      .select(col("vec_id"), (col("d") / subDim).cast("long").as("sub"),
-        (col("d") % subDim).as("dl"), (col("x") - col("cx")).as("x")))
-    // residual PQ training — the pqTopK pipeline over riv
-    def assign(cents: DataFrame): DataFrame = {
-      val dists = riv.join(broadcast(cents), Seq("sub", "dl"))
-        .groupBy(col("vec_id"), col("sub"), col("cid"))
-        .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dist"))
-      val w = Window.partitionBy(col("vec_id"), col("sub"))
-        .orderBy(col("dist"), col("cid"))
-      dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("sub"), col("cid"))
-    }
+    val firstC = vecs.select(col("vec_id")).orderBy(col("vec_id")).limit(nCells)
+    val coarseArr = FreshCheckpoint(vecs.join(broadcast(firstC), Seq("vec_id"))
+      .select(col("vec_id").as("cell"), col("xs").as("cxs"),
+        col("xx").as("cc")))
+    // nearest coarse cell by exact integer L2, ties to the lowest cell id
+    val vcell = FreshCheckpoint(vecs.crossJoin(broadcast(coarseArr))
+      .select(col("vec_id"),
+        (col("xx") + col("cc") - lit(2d) * dotA(col("xs"), col("cxs")))
+          .cast("long").as("cdist"), col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cdist"), col("cell"))).as("mn"))
+      .select(col("vec_id"), col("mn.cell").as("cell")))
+    val rivArr = FreshCheckpoint(
+      rivArrays(vecs, vcell, coarseArr, subDim)
+        .select(col("vec_id"), col("sub"), col("rxs"), col("rr")))
+    // per-dim means over the assigned residuals → array-form codebook
     def update(assigned: DataFrame): DataFrame =
-      assigned.join(riv, Seq("vec_id", "sub"))
+      centsArrOf(assigned.join(rivArr, Seq("vec_id", "sub"))
+        .select(col("cid"), col("sub"), posexplode(col("rxs")).as(Seq("dl", "x")))
         .groupBy(col("cid"), col("sub"), col("dl"))
-        .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long")
-          .as("cx"))
-    val initK = riv.select(col("vec_id")).distinct()
-      .orderBy(col("vec_id")).limit(nCells + k)
-      .orderBy(col("vec_id").desc).limit(k)
-    var cents = riv.join(broadcast(initK), Seq("vec_id"))
-      .select(col("vec_id").as("cid"), col("sub"), col("dl"), col("x").as("cx"))
+        .agg(floor(sum(col("x")) / count(lit(1))).cast("long").as("cx")),
+        Seq("cid", "sub"), "dl", "cx")
+    val initK = vecs.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(nCells + k).orderBy(col("vec_id").desc).limit(k)
+    var centsArr = rivArr.join(broadcast(initK), Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("sub"), col("rxs").as("cxs"),
+        col("rr").as("cc"))
     for (_ <- 1 to rounds)
-      cents = FreshCheckpoint(update(assign(cents)))
-    val centsF = FreshCheckpoint(cents)
+      centsArr = FreshCheckpoint(update(assignPq(rivArr, centsArr)))
+    // per-dim output contracts (what probes join and writeIvfPqIndex
+    // persists) — derived once from the array forms, byte-identical to the
+    // old per-dim training's relations
+    val iv = FreshCheckpoint(vecs.select(col("vec_id"),
+        posexplode(col("xs")).as(Seq("d", "xd")))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        col("xd").cast("long").as("x")))
+    val coarse = FreshCheckpoint(coarseArr.select(col("cell"),
+        posexplode(col("cxs")).as(Seq("d", "cxd")))
+      .select(col("cell"), col("d").cast("long").as("d"),
+        col("cxd").cast("long").as("cx")))
+    val centsF = FreshCheckpoint(centsArr.select(col("cid"), col("sub"),
+        posexplode(col("cxs")).as(Seq("dl", "cx")))
+      .select(col("cid"), col("sub"), col("dl").cast("long").as("dl"),
+        col("cx").cast("long").as("cx")))
     // (vec_id, sub, cid) — m bytes per vector; checkpointed because every
     // probe call re-reads it (the recall sweep reads it nprobes times)
-    val codes = FreshCheckpoint(assign(centsF))
+    val codes = FreshCheckpoint(assignPq(rivArr, centsArr))
     IvfPqIndex(iv, coarse, vcell, centsF, codes, subDim)
+  }
+
+  /** Driver-local IVF-PQ training for dimension-sized corpora (≤
+    * `localCutoff` vectors) — the [[graft.graph.Centrality]] adaptive-gate
+    * discipline applied to codebook training: at this size the distributed
+    * formulation is pure stage-scheduling and codegen-compilation overhead
+    * (measured at sf0.1, 2000 vectors: ~10 s total, 0.7–2.7 s PER eager
+    * checkpoint of trivially small data), while the identical integer
+    * arithmetic runs in milliseconds on collected arrays. Every step is
+    * exact long math — floor(v·1e6) coordinates, squared-L2 argmins with
+    * ties to the lowest id (lists iterate id-ascending, strict < keeps the
+    * first), floor(sum/count) centroid means, per-(cid, sub) centroid
+    * existence (a cid competes only in subspaces where it has members,
+    * exactly the relational group-by semantics) — so local ≡ distributed
+    * row-for-row (spec-pinned) and the oracle replay is unchanged. Only
+    * the trained pieces (vcell: n rows, cents: ≤ k·dim, codes: n·m) are
+    * parallelized back; `iv` stays a distributed scan product so probe and
+    * ground-truth consumers never read the corpus through driver memory. */
+  private def ivfPqIndexLocal(embeddings: DataFrame, nCells: Int, m: Int,
+      k: Int, rounds: Int, subDim: Int): IvfPqIndex = {
+    val spark = embeddings.sparkSession
+    val vecsL: Array[(Long, Array[Long])] = embeddings
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map { r =>
+        val arr = r.getSeq[Double](1).toArray
+          .map(v => math.floor(v * 1e6).toLong)
+        (r.getLong(0), arr)
+      }.sortBy(_._1)
+    val n = vecsL.length
+    // coarse codebook: the nCells smallest vec_ids, cell id = vec_id
+    val coarse = vecsL.take(nCells)
+    // nearest coarse cell (ties → lowest cell id: id-ascending scan,
+    // strict <) + residual coordinates
+    val cellOf = new Array[Int](n)
+    val res = new Array[Array[Long]](n)
+    var vi = 0
+    while (vi < n) {
+      val xs = vecsL(vi)._2
+      var best = 0
+      var bestD = Long.MaxValue
+      var ci = 0
+      while (ci < coarse.length) {
+        val cxs = coarse(ci)._2
+        var s = 0L
+        var i = 0
+        while (i < xs.length) { val d = xs(i) - cxs(i); s += d * d; i += 1 }
+        if (s < bestD) { bestD = s; best = ci }
+        ci += 1
+      }
+      cellOf(vi) = best
+      val cxs = coarse(best)._2
+      res(vi) = Array.tabulate(xs.length)(i => xs(i) - cxs(i))
+      vi += 1
+    }
+    // init centroids: the k ids ranked nCells+1 .. nCells+k ascending
+    // (= orderBy asc limit(nCells+k), orderBy desc limit(k))
+    val upTo = math.min(n, nCells + k)
+    val initIdxs = (math.max(0, upTo - k) until upTo).toArray
+    // cents(s): id-ascending (cid, centroid subvector) list for subspace s
+    var cents: Array[Array[(Long, Array[Long])]] = Array.tabulate(m)(s =>
+      initIdxs.map(idx => (vecsL(idx)._1,
+        java.util.Arrays.copyOfRange(res(idx), s * subDim, (s + 1) * subDim))))
+    // per (vec, sub) the cid minimizing exact squared L2, ties lowest cid
+    def assignAll(): Array[Array[Long]] = {
+      val out = Array.ofDim[Long](n, m)
+      var v = 0
+      while (v < n) {
+        val r = res(v)
+        var s = 0
+        while (s < m) {
+          val lst = cents(s)
+          var bestCid = 0L
+          var bestD = Long.MaxValue
+          var c = 0
+          while (c < lst.length) {
+            val cxs = lst(c)._2
+            var dsum = 0L
+            var i = 0
+            while (i < subDim) {
+              val d = r(s * subDim + i) - cxs(i); dsum += d * d; i += 1
+            }
+            if (dsum < bestD) { bestD = dsum; bestCid = lst(c)._1 }
+            c += 1
+          }
+          out(v)(s) = bestCid
+          s += 1
+        }
+        v += 1
+      }
+      out
+    }
+    // per (cid, sub, dl): floor(Σx / count) over assigned members — a cid
+    // survives in exactly the subspaces where it has members
+    def updateCents(asg: Array[Array[Long]]): Array[Array[(Long, Array[Long])]] =
+      Array.tabulate(m) { s =>
+        val sums = new java.util.TreeMap[Long, (Array[Long], Array[Long])]()
+        var v = 0
+        while (v < n) {
+          val cid = asg(v)(s)
+          var e = sums.get(cid)
+          if (e == null) {
+            e = (new Array[Long](subDim), new Array[Long](1))
+            sums.put(cid, e)
+          }
+          var i = 0
+          while (i < subDim) { e._1(i) += res(v)(s * subDim + i); i += 1 }
+          e._2(0) += 1
+          v += 1
+        }
+        import scala.jdk.CollectionConverters._
+        sums.entrySet().asScala.iterator.map { ent =>
+          val cnt = ent.getValue._2(0)
+          (ent.getKey.longValue(),
+            ent.getValue._1.map(x => math.floor(x.toDouble / cnt).toLong))
+        }.toArray
+      }
+    for (_ <- 1 to rounds) cents = updateCents(assignAll())
+    val codesL = assignAll()
+    // parallelize the trained pieces; the corpus-sized per-dim coordinates
+    // stay a distributed derivation
+    import spark.implicits._
+    val vcell = FreshCheckpoint(
+      vecsL.indices.map(v => (vecsL(v)._1, coarse(cellOf(v))._1)).toDF(
+        "vec_id", "cell"))
+    val centsF = FreshCheckpoint(
+      (for {
+        s <- 0 until m
+        (cid, arr) <- cents(s)
+        dl <- 0 until subDim
+      } yield (cid, s.toLong, dl.toLong, arr(dl)))
+        .toDF("cid", "sub", "dl", "cx"))
+    val codes = FreshCheckpoint(
+      (for { v <- vecsL.indices; s <- 0 until m }
+        yield (vecsL(v)._1, s.toLong, codesL(v)(s)))
+        .toDF("vec_id", "sub", "cid"))
+    val coarsePd = FreshCheckpoint(
+      (for { (cell, cxs) <- coarse.toSeq; d <- cxs.indices }
+        yield (cell, d.toLong, cxs(d))).toDF("cell", "d", "cx"))
+    val iv = FreshCheckpoint(coords(embeddings))
+    IvfPqIndex(iv, coarsePd, vcell, centsF, codes, subDim)
   }
 
   /** Probe a trained index: nprobe nearest cells per query, per-(query,
@@ -491,19 +718,23 @@ object Quantize {
     */
   def ivfPqEncode(corpus: DataFrame, coarse: DataFrame, cents: DataFrame,
       subDim: Int): DataFrame = {
-    val iv = FreshCheckpoint(coords(corpus))
-    val vcell = assignCell(iv, coarse, 1)
-    val riv = iv.join(vcell, Seq("vec_id"))
-      .join(broadcast(coarse), Seq("cell", "d"))
-      .select(col("vec_id"), col("cell"),
-        (col("d") / subDim).cast("long").as("sub"),
-        (col("d") % subDim).as("dl"), (col("x") - col("cx")).as("x"))
-    val dists = riv.join(broadcast(cents), Seq("sub", "dl"))
-      .groupBy(col("vec_id"), col("cell"), col("sub"), col("cid"))
-      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dist"))
-    val w = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("dist"), col("cid"))
-    dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // r13 optimization: array-space encode (the [[ivfPqIndex]] helpers —
+    // exact integer dots, min-struct argmins; same integers as the old
+    // per-dim join + window formulation)
+    val vecs = FreshCheckpoint(vecArrays(corpus))
+    val coarseArr = centsArrOf(coarse, Seq("cell"), "d", "cx")
+    val centsArr = centsArrOf(cents, Seq("cid", "sub"), "dl", "cx")
+    val vcell = FreshCheckpoint(vecs.crossJoin(broadcast(coarseArr))
+      .select(col("vec_id"),
+        (col("xx") + col("cc") - lit(2d) * dotA(col("xs"), col("cxs")))
+          .cast("long").as("cdist"), col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cdist"), col("cell"))).as("mn"))
+      .select(col("vec_id"), col("mn.cell").as("cell")))
+    assignPq(rivArrays(vecs, vcell, coarseArr, subDim)
+        .select(col("vec_id"), col("sub"), col("rxs"), col("rr")),
+      centsArr)
+      .join(vcell, Seq("vec_id"))
       .select(col("cell"), col("vec_id"), col("sub"), col("cid"))
   }
 
@@ -533,21 +764,30 @@ object Quantize {
     *         max_cell_drift)
     */
   def ivfPqStaleness(idx: IvfPqIndex, corpus: DataFrame): DataFrame = {
-    val iv = FreshCheckpoint(coords(corpus))
-    val vc = FreshCheckpoint(assignCell(iv, idx.coarse, 1))
+    // r13 optimization: current-encoding recompute in ARRAY space (the
+    // [[ivfPqIndex]] helpers — exact integer dots, min-struct argmins, the
+    // same integers as the old per-dim join + window formulation)
+    val vecs = FreshCheckpoint(vecArrays(corpus)) // (vec_id, xs, xx)
+    val coarseArr = centsArrOf(idx.coarse, Seq("cell"), "d", "cx")
+    val centsArr = centsArrOf(idx.cents, Seq("cid", "sub"), "dl", "cx")
+    val vc = FreshCheckpoint(vecs.crossJoin(broadcast(coarseArr))
+      .select(col("vec_id"),
+        (col("xx") + col("cc") - lit(2d) * dotA(col("xs"), col("cxs")))
+          .cast("long").as("cdist"), col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cdist"), col("cell"))).as("mn"))
+      .select(col("vec_id"), col("mn.cell").as("cell")))
+    // per-dim coordinates for the cell-mean drift gauge below
+    val iv = vecs.select(col("vec_id"),
+        posexplode(col("xs")).as(Seq("d", "xd")))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        col("xd").cast("long").as("x"))
     // current encoding under the persisted codebooks
-    val riv = iv.join(vc, Seq("vec_id"))
-      .join(broadcast(idx.coarse), Seq("cell", "d"))
-      .select(col("vec_id"), col("cell"),
-        (col("d") / idx.subDim).cast("long").as("sub"),
-        (col("d") % idx.subDim).as("dl"), (col("x") - col("cx")).as("x"))
-    val dists = riv.join(broadcast(idx.cents), Seq("sub", "dl"))
-      .groupBy(col("vec_id"), col("cell"), col("sub"), col("cid"))
-      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dist"))
-    val w = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("dist"), col("cid"))
-    val curCodes = FreshCheckpoint(dists.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val curCodes = FreshCheckpoint(
+      assignPq(rivArrays(vecs, vc, coarseArr, idx.subDim)
+          .select(col("vec_id"), col("sub"), col("rxs"), col("rr")),
+        centsArr)
+      .join(vc, Seq("vec_id"))
       .select(col("vec_id"), col("cell"), col("sub"), col("cid")))
     val curPer = curCodes.groupBy(col("vec_id"))
       .agg(max(col("cell")).as("cur_cell"))
@@ -713,16 +953,21 @@ object Quantize {
       dim: Int = 0): DataFrame = {
     val idx = ivfPqIndex(embeddings, nCells, m, k, rounds, dim)
     // r13 optimization: the drifted coordinates of EVERY step are pure
-    // per-row functions of the same exploded (vec_id, d, v) double base —
+    // per-row functions of the same checkpointed raw double-array base —
     // materialize that base once instead of re-scanning and re-exploding
-    // the parquet per step. floor((v + offset)·1e6) below performs the
-    // IDENTICAL IEEE sequence the old per-step transform+coords chain did
-    // (cast to double, add the exact-binary offset, scale, floor), so
-    // every step's integer coordinates are bit-identical.
-    val bd = FreshCheckpoint(embeddings.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("d", "v")))
-      .select(col("vec_id"), col("d").cast("long").as("d"),
-        col("v").cast("double").as("v")))
+    // the parquet per step; each step's integer coordinates come from
+    // floor((v + offset)·1e6), the IDENTICAL IEEE sequence the old
+    // per-step transform+coords chain performed (cast to double, add the
+    // exact-binary offset, scale, floor), so they are bit-identical. The
+    // per-step re-encode runs in ARRAY space (the [[ivfPqIndex]] helpers:
+    // exact integer dots, min-struct argmins) and the exact ground truth
+    // is a query-broadcast crossJoin of whole-vector dots instead of an
+    // n·dim·nQueries per-dim join — all the same integers.
+    val vraw = FreshCheckpoint(embeddings
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vs")))
+    val coarseArr = centsArrOf(idx.coarse, Seq("cell"), "d", "cx")
+    val centsArr = centsArrOf(idx.cents, Seq("cid", "sub"), "dl", "cx")
     steps.map { u =>
       val offset = driftPerStep * u
       // Step 0 is the UNDRIFTED corpus: adding the 0.0 offset is an IEEE
@@ -731,44 +976,48 @@ object Quantize {
       // cid) with one cell per vec — the same argmin) — reuse them instead
       // of paying a third coords pass plus a full re-encode for the
       // baseline row.
-      val (div, vc, fact) =
+      val dvecs = FreshCheckpoint(vraw.select(col("vec_id"),
+          transform(col("vs"),
+            v => floor((v + lit(offset)) * 1000000d).cast("double")).as("xs"))
+        .withColumn("xx", dotA(col("xs"), col("xs"))))
+      val div = if (offset == 0.0) idx.iv else
+        FreshCheckpoint(dvecs.select(col("vec_id"),
+            posexplode(col("xs")).as(Seq("d", "xd")))
+          .select(col("vec_id"), col("d").cast("long").as("d"),
+            col("xd").cast("long").as("x")))
+      val (vc, fact) =
         if (offset == 0.0)
-          (idx.iv, idx.vcell,
+          (idx.vcell,
             idx.codes.join(idx.vcell, Seq("vec_id"))
               .select(col("cell"), col("vec_id"), col("sub"), col("cid")))
         else {
-          val divU = FreshCheckpoint(bd.select(col("vec_id"), col("d"),
-            floor((col("v") + lit(offset)) * 1000000d).cast("long").as("x")))
-          // re-encode the drifted corpus under the FROZEN codebooks — the
-          // ivfPqEncode chain inlined so the drifted coords / cell
-          // assignment are shared with the probe, ground-truth and
-          // drift-gauge passes
-          val vcU = FreshCheckpoint(assignCell(divU, idx.coarse, 1))
-          val riv = divU.join(vcU, Seq("vec_id"))
-            .join(broadcast(idx.coarse), Seq("cell", "d"))
-            .select(col("vec_id"), col("cell"),
-              (col("d") / idx.subDim).cast("long").as("sub"),
-              (col("d") % idx.subDim).as("dl"), (col("x") - col("cx")).as("x"))
-          val dists = riv.join(broadcast(idx.cents), Seq("sub", "dl"))
-            .groupBy(col("vec_id"), col("cell"), col("sub"), col("cid"))
-            .agg(sum((col("x") - col("cx")) * (col("x") - col("cx")))
-              .as("dist"))
-          val wc = Window.partitionBy(col("vec_id"), col("sub"))
-            .orderBy(col("dist"), col("cid"))
-          val factU = FreshCheckpoint(dists
-            .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+          val vcU = FreshCheckpoint(dvecs.crossJoin(broadcast(coarseArr))
+            .select(col("vec_id"),
+              (col("xx") + col("cc") - lit(2d) * dotA(col("xs"), col("cxs")))
+                .cast("long").as("cdist"), col("cell"))
+            .groupBy(col("vec_id"))
+            .agg(min(struct(col("cdist"), col("cell"))).as("mn"))
+            .select(col("vec_id"), col("mn.cell").as("cell")))
+          val factU = FreshCheckpoint(
+            assignPq(rivArrays(dvecs, vcU, coarseArr, idx.subDim)
+                .select(col("vec_id"), col("sub"), col("rxs"), col("rr")),
+              centsArr)
+            .join(vcU, Seq("vec_id"))
             .select(col("cell"), col("vec_id"), col("sub"), col("cid")))
-          (divU, vcU, factU)
+          (vcU, factU)
         }
       val approx = ivfPqProbeFact(fact, div, idx.coarse, idx.cents,
         idx.subDim, nprobe, nQueries, topK)
-      // exact integer-L2 ground truth over the drifted coordinates
-      val qiv = div.filter(col("vec_id") < nQueries)
-      val ed = div.join(broadcast(qiv.select(col("vec_id").as("query_id"),
-          col("d"), col("x").as("qx"))), Seq("d"))
+      // exact integer-L2 ground truth over the drifted coordinates —
+      // whole-vector dots against the broadcast query set
+      val qv = dvecs.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("xs").as("qxs"),
+          col("xx").as("qq"))
+      val ed = dvecs.crossJoin(broadcast(qv))
         .filter(col("vec_id") =!= col("query_id"))
-        .groupBy(col("query_id"), col("vec_id"))
-        .agg(sum((col("x") - col("qx")) * (col("x") - col("qx"))).as("edist"))
+        .select(col("query_id"), col("vec_id"),
+          (col("xx") + col("qq") - lit(2d) * dotA(col("xs"), col("qxs")))
+            .cast("long").as("edist"))
       val we = Window.partitionBy(col("query_id"))
         .orderBy(col("edist"), col("vec_id"))
       val exact = FreshCheckpoint(ed

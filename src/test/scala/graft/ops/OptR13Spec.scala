@@ -74,4 +74,21 @@ class OptR13Spec extends graft.SparkTestBase {
     assert(newB.exceptAll(oldB).isEmpty && oldB.exceptAll(newB).isEmpty,
       "bigram bucket multiset diverged")
   }
+
+  test("ivfPqIndex: driver-local training (dimension-size gate) agrees " +
+    "with the distributed path piece-for-piece — vcell, cents, codes") {
+    val emb = spark.read.parquet(s"$testData/sf0.001/embeddings.parquet")
+    val loc = graft.ops.Quantize.ivfPqIndex(emb, 8, 16, 32, 2, 64)
+    val dist = graft.ops.Quantize.ivfPqIndex(emb, 8, 16, 32, 2, 64,
+      localCutoff = 0L)
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$what diverged between local and distributed training")
+    same(loc.vcell, dist.vcell, "vcell")
+    same(loc.cents, dist.cents, "cents")
+    same(loc.codes, dist.codes, "codes")
+    same(loc.coarse, dist.coarse, "coarse")
+    same(loc.iv, dist.iv, "iv")
+  }
 }
