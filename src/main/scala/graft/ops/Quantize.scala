@@ -270,6 +270,7 @@ object Quantize {
     val dimR = resolveDim(embeddings, dim)
     require(dimR % m == 0, s"dim $dimR not divisible by m=$m")
     val subDim = dimR / m
+    graft.expr.VectorOps.register(embeddings.sparkSession)
     // r13 optimization: array-space training (the [[ivfPqIndex]] helpers —
     // exact integer dots, min-struct argmins; same integers as the old
     // per-dim join + window formulation)
@@ -445,6 +446,7 @@ object Quantize {
     val dimR = resolveDim(embeddings, dim)
     require(dimR % m == 0, s"dim $dimR not divisible by m=$m")
     val subDim = dimR / m
+    graft.expr.VectorOps.register(embeddings.sparkSession)
     val nVecs = Similarity.corpusCount(embeddings)
     if (nVecs > 0 && nVecs <= localCutoff)
       return ivfPqIndexLocal(embeddings, nCells, m, k, rounds, subDim)
@@ -718,6 +720,7 @@ object Quantize {
     */
   def ivfPqEncode(corpus: DataFrame, coarse: DataFrame, cents: DataFrame,
       subDim: Int): DataFrame = {
+    graft.expr.VectorOps.register(corpus.sparkSession)
     // r13 optimization: array-space encode (the [[ivfPqIndex]] helpers —
     // exact integer dots, min-struct argmins; same integers as the old
     // per-dim join + window formulation)
@@ -764,6 +767,7 @@ object Quantize {
     *         max_cell_drift)
     */
   def ivfPqStaleness(idx: IvfPqIndex, corpus: DataFrame): DataFrame = {
+    graft.expr.VectorOps.register(corpus.sparkSession)
     // r13 optimization: current-encoding recompute in ARRAY space (the
     // [[ivfPqIndex]] helpers — exact integer dots, min-struct argmins, the
     // same integers as the old per-dim join + window formulation)
@@ -951,6 +955,7 @@ object Quantize {
       driftPerStep: Double = 0.25, nCells: Int = 8, m: Int = 16, k: Int = 32,
       rounds: Int = 2, nprobe: Int = 2, nQueries: Int = 5, topK: Int = 10,
       dim: Int = 0): DataFrame = {
+    graft.expr.VectorOps.register(embeddings.sparkSession)
     val idx = ivfPqIndex(embeddings, nCells, m, k, rounds, dim)
     // r13 optimization: the drifted coordinates of EVERY step are pure
     // per-row functions of the same checkpointed raw double-array base —

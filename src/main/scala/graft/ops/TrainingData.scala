@@ -1693,13 +1693,24 @@ object TrainingData {
           .as("threshold_u"))
     }
     steps.map { u =>
-      val cur = docs.select(col("doc_id"), col("source"),
-        when(col("doc_id") % modBase < u &&
-            col("source") =!= targetSource,
-          concat(col("text"), lit(" zzdrift gate zzdrift gate zzdrift")))
-          .otherwise(col("text")).as("text"))
-      val feats = FreshCheckpoint(dsirFeatures(cur, buckets))
-      val (cLam, cDef) = lamOf(dsirModel(feats, targetSource))
+      // r13 optimization: features decompose per DOCUMENT (bigram buckets
+      // are doc-local), so the current feature relation is exactly (t0
+      // features of unedited docs) ∪ (one dsirFeatures pass over the
+      // edited fraction) — the old per-step dsirFeatures(cur) re-hashed
+      // the whole corpus four times where step 0 needs nothing (cur ≡
+      // docs ⇒ feats ≡ feats0, model ≡ the frozen one) and steps 1-3 need
+      // only ≤ u/modBase of the non-target docs re-featurized.
+      val isEdited = col("doc_id") % modBase < u &&
+        col("source") =!= targetSource
+      val feats = if (u == 0) feats0 else FreshCheckpoint(
+        feats0.filter(!isEdited).unionByName(
+          dsirFeatures(docs.filter(isEdited)
+            .select(col("doc_id"), col("source"),
+              concat(col("text"),
+                lit(" zzdrift gate zzdrift gate zzdrift")).as("text")),
+            buckets)))
+      val (cLam, cDef) =
+        if (u == 0) (fLam, fDef) else lamOf(dsirModel(feats, targetSource))
       // per-doc weights under a λ table: LEFT join, unseen at the default
       def wOf(lam: DataFrame, dflt: DataFrame, name: String): DataFrame =
         feats.join(broadcast(lam), Seq("b"), "left")
@@ -1707,9 +1718,18 @@ object TrainingData {
           .groupBy(col("doc_id"))
           .agg(sum(col("c") *
             coalesce(col("lam_u"), col("lam_default"))).as(name))
-      val decided = cur.select(col("doc_id"))
-        .join(wOf(fLam, fDef, "wf"), Seq("doc_id"), "left")
-        .join(wOf(cLam, cDef, "wc"), Seq("doc_id"), "left")
+      // step 0's fresh weights ARE the frozen weights (same feats, same
+      // model) — score once and alias instead of paying the pass twice
+      val scored =
+        if (u == 0)
+          docs.select(col("doc_id"))
+            .join(wOf(fLam, fDef, "wf"), Seq("doc_id"), "left")
+            .withColumn("wc", col("wf"))
+        else
+          docs.select(col("doc_id"))
+            .join(wOf(fLam, fDef, "wf"), Seq("doc_id"), "left")
+            .join(wOf(cLam, cDef, "wc"), Seq("doc_id"), "left")
+      val decided = scored
         .crossJoin(broadcast(thr))
         .select(col("threshold_u"),
           (coalesce(col("wf"), lit(0L)) >= col("threshold_u")).as("adm_f"),
@@ -1736,7 +1756,7 @@ object TrainingData {
         .agg(sum(when(col("dl") =!= 0L, 1L).otherwise(0L))
             .as("n_buckets_drifted"),
           coalesce(sum(abs(col("dl"))), lit(0L)).as("lambda_drift_total"))
-      val edited = cur.agg(sum(when(col("doc_id") % modBase < u &&
+      val edited = docs.agg(sum(when(col("doc_id") % modBase < u &&
           col("source") =!= targetSource, 1L).otherwise(0L))
         .as("n_edited"))
       decided.crossJoin(broadcast(gauge)).crossJoin(broadcast(edited))

@@ -57,10 +57,15 @@ case class AdmissionRow(doc_id: Long, source: String, n_feats: Long,
   */
 object IngestStream {
 
-  /** The ≤(buckets+1)-column broadcast gate state: a 1-row (λ map,
-    * default λ) relation derived from a persisted frozen
-    * [[graft.ops.TrainingData.dsirModel]] — same difference-of-floors
-    * µ-nat arithmetic as the batch gate, so w_u matches bit-for-bit. */
+  /** The 1-row broadcast gate state: a DENSE λ array (slot b+1 = λ of
+    * bucket b, unseen buckets pre-filled with the Laplace default) derived
+    * from a persisted frozen [[graft.ops.TrainingData.dsirModel]] — same
+    * difference-of-floors µ-nat arithmetic as the batch gate, so w_u
+    * matches bit-for-bit. Dense ARRAY, not a map (r13 optimization):
+    * Spark's MapType literal is array-backed, so `element_at(map, b)` is a
+    * LINEAR scan — ~|bigrams|·buckets comparisons per document inside the
+    * gate fold, measured as the dominant cost of the whole admission
+    * projection; `element_at(array, b+1)` is one O(1) primitive read. */
   private def lambdaIndex(model: DataFrame, buckets: Int): DataFrame = {
     val totals = model.agg(sum(col("cnt_raw")).as("n_raw"),
       sum(col("cnt_tgt")).as("n_tgt"))
@@ -81,6 +86,9 @@ object IngestStream {
           .cast("long") -
           floor(log(col("n_tgt").cast("double") + buckets) * 1000000)
             .cast("long")).as("lam_default"))))
+      .select(transform(sequence(lit(0), lit(buckets - 1)),
+        b => coalesce(element_at(col("lam_map"), b.cast("long")),
+          col("lam_default"))).as("lam_arr"))
   }
 
   /** The stateless admission decision relation — batch and streaming run
@@ -107,10 +115,9 @@ object IngestStream {
       .select(col("doc_id"), col("source"), col("text"),
         size(bkts).cast("long").as("n_feats"),
         // the gate fold: Σ λ(bucket) over bigram OCCURRENCES ≡ the batch
-        // gate's sum(c·λ) over distinct buckets
+        // gate's sum(c·λ) over distinct buckets; O(1) dense-array reads
         aggregate(bkts, lit(0L), (acc, b) =>
-          acc + coalesce(element_at(col("lam_map"), b),
-            col("lam_default"))).as("w_u"),
+          acc + element_at(col("lam_arr"), (b + 1).cast("int"))).as("w_u"),
         qcols("n_tokens").as("n_tokens"),
         qcols("stopword_ratio").as("stopword_ratio"),
         qcols("mean_word_len").as("mean_word_len"),
