@@ -541,6 +541,69 @@ object BigramBuckets {
   }
 }
 
+/** Content-defined-chunking boundary positions of a text in ONE pass —
+  * semantically [[graft.ops.Chunking.chunks]]'s old HOF chain
+  * `array_sort(array_distinct(concat([0], filter(transform(sequence(window,
+  * len), i -> when(conv(substring(md5(substr(text, i-window+1, window)),
+  * 1, 15), 16, 10) % (mask+1) = 0, i)), notNull), [len])))` — one md5 per
+  * character position either way, but with a reused digest and direct
+  * byte-prefix extraction (bytes 0..6 + byte 7's high nibble ≡
+  * `parseLong(hex.substring(0,15), 16)`, the [[SimHash60]] extraction)
+  * instead of an interpreted per-position expression tree allocating hex
+  * strings and running radix conversion. Positions are 1-based code-point
+  * indices (substringSQL ≡ SQL substr); 0 and len close the first and
+  * last chunk; ascending loop order makes the result sorted-distinct by
+  * construction. */
+case class CdcBounds(child: Expression, window: Int, mask: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    CdcBounds.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], window, mask)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.CdcBounds.compute($c, $window, $mask);")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcBounds =
+    copy(child = newChild)
+
+  override def prettyName: String = "cdc_bounds"
+}
+
+object CdcBounds {
+  private val md: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Static entry point shared by eval and generated code. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String,
+      window: Int, mask: Int): ArrayData = {
+    val len = s.numChars()
+    val out = new java.util.ArrayList[Integer]()
+    out.add(0)
+    val digest = md.get()
+    val modulus = mask + 1
+    var i = window
+    while (i <= len) {
+      val d = digest.digest(s.substringSQL(i - window + 1, window).getBytes)
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((d(7) & 0xffL) >>> 4)
+      if (v % modulus == 0 && i != 0) out.add(i)
+      i += 1
+    }
+    if (out.get(out.size() - 1) != len) out.add(len)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+}
+
 /** 60-bit SimHash of a distinct-token array in one pass — semantically the
   * explode → per-token `conv(substring(md5(tok),1,15),16,10)` → groupBy doc
   * with 60 conditional ±1 sums → bit-assembly pipeline, without shuffling
@@ -646,6 +709,10 @@ object VectorOps {
     reg.createOrReplaceTempFunction("bigram_buckets",
       (exprs: Seq[Expression]) => BigramBuckets(exprs.head,
         SortedCharNgrams.literalN(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("cdc_bounds",
+      (exprs: Seq[Expression]) => CdcBounds(exprs.head,
+        SortedCharNgrams.literalN(exprs(1)),
+        SortedCharNgrams.literalN(exprs(2))), "scala_udf")
     reg.createOrReplaceTempFunction("simhash60",
       (exprs: Seq[Expression]) => SimHash60(exprs.head), "scala_udf")
   }
@@ -678,6 +745,11 @@ object VectorOps {
   def bigramBuckets(s: Column, buckets: Int): Column =
     org.apache.spark.sql.functions.call_function("bigram_buckets", s,
       org.apache.spark.sql.functions.lit(buckets))
+
+  def cdcBounds(s: Column, window: Int, mask: Int): Column =
+    org.apache.spark.sql.functions.call_function("cdc_bounds", s,
+      org.apache.spark.sql.functions.lit(window),
+      org.apache.spark.sql.functions.lit(mask))
 
   def simhash60(arr: Column): Column =
     org.apache.spark.sql.functions.call_function("simhash60", arr)

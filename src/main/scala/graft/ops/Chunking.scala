@@ -58,21 +58,13 @@ object Chunking {
   def chunks(docs: DataFrame, window: Int = 16, mask: Int = 63): DataFrame = {
     // boundary positions: every i in [window, len] whose trailing window
     // hashes to 0 mod (mask+1); 0 and len close the first and last chunk.
-    // array_distinct guards len coinciding with a boundary (and empty text).
-    // guard: sequence(a, b) DESCENDS when a > b, so short docs (< window
-    // chars) must yield an empty boundary set, not reversed positions
-    val positions = when(length(col("text")) >= window,
-      sequence(lit(window), length(col("text"))))
-      .otherwise(array().cast("array<int>"))
-    val bounds = array_sort(array_distinct(concat(
-      array(lit(0)),
-      filter(
-        transform(positions,
-          i => when(
-            conv(substring(md5(col("text").substr(i - window + 1, lit(window))),
-              1, 15), 16, 10).cast("long") % (mask + 1) === 0, i)),
-        x => x.isNotNull),
-      array(length(col("text"))))))
+    // r13 optimization: the boundary scan is ONE native per-row pass
+    // ([[graft.expr.CdcBounds]] — same md5-prefix arithmetic, same
+    // code-point substr semantics, sorted-distinct by construction)
+    // instead of an interpreted transform/filter HOF chain instantiating
+    // an md5+hex+conv expression tree per character position.
+    graft.expr.VectorOps.register(docs.sparkSession)
+    val bounds = graft.expr.VectorOps.cdcBounds(col("text"), window, mask)
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"), bounds.as("b"))
       // empty text collapses bounds to the single [0]: sequence(0, -1)

@@ -613,17 +613,25 @@ object Similarity {
           .join(broadcast(allProbes.filter(col("probe_rank") < np)
             .join(q, Seq("query_id"))), Seq("sig"))
           .filter(col("vec_id") =!= col("query_id"))
-        val nc = broadcast(cand.agg(count(lit(1)).as("n_cand")))
-        val topk = cand.withColumn("cos",
+        // r13 optimization: ONE aggregate over the ranked candidates
+        // serves candidate volume, hit count and DCG (the old shape paid
+        // a separate broadcast-aggregate job each for n_cand and hits —
+        // 27 extra jobs across the 9 grid cells). The rank column is
+        // computed for every candidate either way; a left semi-style
+        // marker join against the ≤ k-per-query exact set replaces the
+        // inner join + count.
+        val cell = broadcast(cand.withColumn("cos",
             round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")),
               6))
           .withColumn("approx_rank", row_number().over(w).cast("long"))
-          .filter(col("approx_rank") <= k)
-          .select(col("query_id"), col("vec_id"), col("approx_rank"))
-        val hits = broadcast(exact.join(topk, Seq("query_id", "vec_id"))
-          .agg(count(lit(1)).as("n_hit"),
-            coalesce(sum(wOf(col("approx_rank"))), lit(0L)).as("dcg_u")))
-        tot.crossJoin(nc).crossJoin(hits)
+          .join(broadcast(exact.withColumn("ex", lit(true))),
+            Seq("query_id", "vec_id"), "left")
+          .agg(count(lit(1)).as("n_cand"),
+            sum(when(col("approx_rank") <= k && col("ex"), 1L)
+              .otherwise(0L)).as("n_hit"),
+            coalesce(sum(when(col("approx_rank") <= k && col("ex"),
+              wOf(col("approx_rank")))), lit(0L)).as("dcg_u")))
+        tot.crossJoin(cell)
           .select(lit(p.toLong).as("nplanes"), lit(np.toLong).as("nprobe"),
             col("n_queries"), col("n_cand"), col("n_exact"), col("n_hit"),
             expr("n_hit * 1000000 div greatest(n_exact, 1)").as("recall_u"),

@@ -75,6 +75,35 @@ class OptR13Spec extends graft.SparkTestBase {
       "bigram bucket multiset diverged")
   }
 
+  test("cdc_bounds expression emits the OLD transform/filter md5-window " +
+    "chain's exact boundary arrays (chunking identity)") {
+    graft.expr.VectorOps.register(spark)
+    val window = 16
+    val mask = 63
+    val edge = spark.createDataFrame(Seq(
+      (900001L, ""), (900002L, "short"), (900003L, "x" * 16),
+      (900005L, "padded with spaces   and\ttabs to cross windows somehow")))
+      .toDF("doc_id", "text")
+    val d = docs.select(col("doc_id"), col("text")).unionByName(edge)
+    val positions = when(length(col("text")) >= window,
+      sequence(lit(window), length(col("text"))))
+      .otherwise(array().cast("array<int>"))
+    val oldBounds = array_sort(array_distinct(concat(
+      array(lit(0)),
+      filter(
+        transform(positions,
+          i => when(
+            conv(substring(md5(col("text").substr(i - window + 1, lit(window))),
+              1, 15), 16, 10).cast("long") % (mask + 1) === 0, i)),
+        x => x.isNotNull),
+      array(length(col("text"))))))
+    val cmp = d.filter(col("text").isNotNull)
+      .select(col("doc_id"), oldBounds.as("ob"),
+        graft.expr.VectorOps.cdcBounds(col("text"), window, mask).as("nb"))
+      .filter(not(col("ob") === col("nb")))
+    assert(cmp.isEmpty, "cdc boundary arrays diverged")
+  }
+
   test("ivfPqIndex: driver-local training (dimension-size gate) agrees " +
     "with the distributed path piece-for-piece — vcell, cents, codes") {
     val emb = spark.read.parquet(s"$testData/sf0.001/embeddings.parquet")
