@@ -541,6 +541,69 @@ object BigramBuckets {
   }
 }
 
+/** Occurrence-numbered positional q-gram keys of a string in ONE pass —
+  * semantically [[graft.ops.Dedup.editDistanceCandidates]]'s old chain
+  * `posexplode(when(len < minLen, concat(transform(sequence(1,
+  * greatest(len-q+1, 0)), i -> substring(s, i, q)), ['NUL'])).otherwise(
+  * transform(sequence(1, len-q+1), i -> substring(s, i, q)))) →
+  * concat(g, '#', row_number() over (partition pk, g order pos))` — the
+  * multiset-to-set occurrence suffix computed per ROW with a running
+  * per-gram counter instead of shuffling the corpus' whole gram stream
+  * through a window. Quirk preserved exactly: for strings shorter than q,
+  * `sequence(1, greatest(len-q+1, 0))` DESCENDS to [1, 0] and both
+  * positions yield the whole short string (SQL substr treats pos 0 as 1),
+  * so those strings emit their text twice (s#1, s#2); strings below
+  * `minLen` additionally emit the 'NUL' sentinel (always in the
+  * prefix — short strings bypass the filter). */
+case class QGramKeys(child: Expression, q: Int, minLen: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    QGramKeys.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], q, minLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.QGramKeys.compute($c, $q, $minLen);")
+
+  override protected def withNewChildInternal(newChild: Expression): QGramKeys =
+    copy(child = newChild)
+
+  override def prettyName: String = "qgram_keys"
+}
+
+object QGramKeys {
+  /** Static entry point shared by eval and generated code. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String,
+      q: Int, minLen: Int): ArrayData = {
+    val n = s.numChars()
+    val counts = new java.util.HashMap[String, Integer]()
+    val out = new java.util.ArrayList[Any]()
+    def add(g: String): Unit = {
+      val c = counts.merge(g, 1, (a, b) => a + b)
+      out.add(org.apache.spark.unsafe.types.UTF8String.fromString(g + "#" + c))
+    }
+    val base = n - q + 1
+    if (n < minLen) {
+      if (base >= 1) {
+        var i = 1
+        while (i <= base) { add(s.substringSQL(i, q).toString); i += 1 }
+      } else {
+        // sequence(1, 0) descends: positions 1 and 0, both the whole string
+        add(s.substringSQL(1, q).toString)
+        add(s.substringSQL(0, q).toString)
+      }
+      add("\u0000")
+    } else {
+      var i = 1
+      while (i <= base) { add(s.substringSQL(i, q).toString); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 /** Content-defined-chunking boundary positions of a text in ONE pass —
   * semantically [[graft.ops.Chunking.chunks]]'s old HOF chain
   * `array_sort(array_distinct(concat([0], filter(transform(sequence(window,
@@ -709,6 +772,10 @@ object VectorOps {
     reg.createOrReplaceTempFunction("bigram_buckets",
       (exprs: Seq[Expression]) => BigramBuckets(exprs.head,
         SortedCharNgrams.literalN(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("qgram_keys",
+      (exprs: Seq[Expression]) => QGramKeys(exprs.head,
+        SortedCharNgrams.literalN(exprs(1)),
+        SortedCharNgrams.literalN(exprs(2))), "scala_udf")
     reg.createOrReplaceTempFunction("cdc_bounds",
       (exprs: Seq[Expression]) => CdcBounds(exprs.head,
         SortedCharNgrams.literalN(exprs(1)),
@@ -745,6 +812,11 @@ object VectorOps {
   def bigramBuckets(s: Column, buckets: Int): Column =
     org.apache.spark.sql.functions.call_function("bigram_buckets", s,
       org.apache.spark.sql.functions.lit(buckets))
+
+  def qgramKeys(s: Column, q: Int, minLen: Int): Column =
+    org.apache.spark.sql.functions.call_function("qgram_keys", s,
+      org.apache.spark.sql.functions.lit(q),
+      org.apache.spark.sql.functions.lit(minLen))
 
   def cdcBounds(s: Column, window: Int, mask: Int): Column =
     org.apache.spark.sql.functions.call_function("cdc_bounds", s,

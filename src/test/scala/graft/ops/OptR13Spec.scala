@@ -104,6 +104,38 @@ class OptR13Spec extends graft.SparkTestBase {
     assert(cmp.isEmpty, "cdc boundary arrays diverged")
   }
 
+  test("qgram_keys expression emits the OLD posexplode + (pk, g)-window " +
+    "occurrence numbering's exact key multiset, short-string sentinel " +
+    "quirks included") {
+    graft.expr.VectorOps.register(spark)
+    val q = 3
+    val maxDist = 1
+    val minLen = q * (maxDist + 1)
+    val part = spark.read.parquet(s"$testData/sf0.001/part.parquet")
+      .select(col("p_partkey").as("pk"), col("p_name").as("s"))
+    val edge = spark.createDataFrame(Seq(
+      (900001L, ""), (900002L, "ab"), (900003L, "abc"), (900004L, "abcab"),
+      (900005L, "abcabcabc repeated grams abcabc")))
+      .toDF("pk", "s")
+    val d = part.unionByName(edge)
+    val oldKeys = d.select(col("pk"),
+        posexplode(when(length(col("s")) < lit(minLen),
+            concat(expr(s"transform(sequence(1, greatest(length(s)-${q - 1}, 0)), i -> substring(s, i, $q))"),
+              array(lit("\u0000"))))
+          .otherwise(expr(s"transform(sequence(1, length(s)-${q - 1}), i -> substring(s, i, $q))"))))
+      .select(col("pk"), col("pos"), col("col").as("g"))
+      .withColumn("gk", concat(col("g"), lit("#"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("pk"), col("g"))
+          .orderBy(col("pos"))).cast("string")))
+      .select(col("pk"), col("gk"))
+    val newKeys = d.select(col("pk"),
+      explode(graft.expr.VectorOps.qgramKeys(col("s"), q, minLen)).as("gk"))
+    assert(newKeys.exceptAll(oldKeys).isEmpty &&
+      oldKeys.exceptAll(newKeys).isEmpty,
+      "qgram key multiset diverged")
+  }
+
   test("ivfPqIndex: driver-local training (dimension-size gate) agrees " +
     "with the distributed path piece-for-piece — vcell, cents, codes") {
     val emb = spark.read.parquet(s"$testData/sf0.001/embeddings.parquet")
