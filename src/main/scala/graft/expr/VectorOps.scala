@@ -541,6 +541,66 @@ object BigramBuckets {
   }
 }
 
+/** Sorted distinct 60-bit md5 hashes of a string's distinct character
+  * n-grams, one per-row pass — semantically
+  * `array_sort(array_distinct(transform(sorted_char_ngrams(s, n), g ->
+  * conv(substring(md5(g), 1, 15), 16, 10))))` with a reused digest and
+  * direct byte-prefix extraction (the [[SimHash60]] arithmetic) instead
+  * of an interpreted per-gram md5+hex+conv expression tree. Ascending
+  * long order ≡ array_sort; a TreeSet de-dups hash collisions exactly as
+  * array_distinct did. Empty array when len < n. */
+case class HashedCharNgrams(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashedCharNgrams.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashedCharNgrams.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedCharNgrams =
+    copy(child = newChild)
+
+  override def prettyName: String = "hashed_char_ngrams"
+}
+
+object HashedCharNgrams {
+  private val md: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Static entry point shared by eval and generated code. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val total = s.numChars() - n + 1
+    if (total <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val grams = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val out = new java.util.TreeSet[java.lang.Long]()
+    val digest = md.get()
+    var i = 1
+    while (i <= total) {
+      val g = s.substringSQL(i, n)
+      if (grams.add(g)) {
+        val d = digest.digest(g.getBytes)
+        var v = 0L
+        var b = 0
+        while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+        v = (v << 4) | ((d(7) & 0xffL) >>> 4)
+        out.add(v)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+}
+
 /** Occurrence-numbered positional q-gram keys of a string in ONE pass —
   * semantically [[graft.ops.Dedup.editDistanceCandidates]]'s old chain
   * `posexplode(when(len < minLen, concat(transform(sequence(1,
@@ -772,6 +832,9 @@ object VectorOps {
     reg.createOrReplaceTempFunction("bigram_buckets",
       (exprs: Seq[Expression]) => BigramBuckets(exprs.head,
         SortedCharNgrams.literalN(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("hashed_char_ngrams",
+      (exprs: Seq[Expression]) => HashedCharNgrams(exprs.head,
+        SortedCharNgrams.literalN(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("qgram_keys",
       (exprs: Seq[Expression]) => QGramKeys(exprs.head,
         SortedCharNgrams.literalN(exprs(1)),
@@ -812,6 +875,10 @@ object VectorOps {
   def bigramBuckets(s: Column, buckets: Int): Column =
     org.apache.spark.sql.functions.call_function("bigram_buckets", s,
       org.apache.spark.sql.functions.lit(buckets))
+
+  def hashedCharNgrams(s: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function("hashed_char_ngrams", s,
+      org.apache.spark.sql.functions.lit(n))
 
   def qgramKeys(s: Column, q: Int, minLen: Int): Column =
     org.apache.spark.sql.functions.call_function("qgram_keys", s,

@@ -985,9 +985,11 @@ object Dedup {
     // same narrow-key discipline as repeatedSpans/minhash. The oracle
     // replays the identical hash (duckH60), so containment counts over
     // hashed gram SETS are bit-identical across engines.
-    val hashedGrams = array_sort(array_distinct(transform(
-      graft.expr.VectorOps.sortedCharNgrams(col("text"), n),
-      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))))
+    // r13 optimization: gram hashing fused into one native per-row pass
+    // ([[graft.expr.HashedCharNgrams]] — same md5-prefix arithmetic,
+    // reused digest, TreeSet ≡ array_sort ∘ array_distinct) instead of an
+    // interpreted transform instantiating md5+hex+conv per gram
+    val hashedGrams = graft.expr.VectorOps.hashedCharNgrams(col("text"), n)
     val gramArrays = FreshCheckpoint(
       docs.select(col("doc_id"), col("text"))
         .repartition(p, col("doc_id"))

@@ -887,10 +887,48 @@ object Quantize {
       map(ws.scanLeft(0L)(_ + _).tail.zipWithIndex.flatMap { case (u, i) =>
         Seq(lit((i + 1).toLong), lit(u)) }: _*), n)
     val perQ = exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+    // r13 optimization: the probe sweeps NEST — nprobe = n's candidates
+    // are exactly the cell_rank ≤ n slice of the max-nprobe scan, and a
+    // candidate's ADC distance is summed only over its OWN cell's table
+    // rows, independent of how many other cells were probed. So scan ONCE
+    // at nprobes.max with the cell rank carried, and derive every curve
+    // point by filtering + re-ranking the shared scored relation (the old
+    // shape re-ran the whole probe chain — ADC build + fact join + window
+    // — once per nprobe).
+    val maxNp = nprobes.max
+    val cdists = qiv.join(broadcast(idx.coarse), Seq("d"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("cdist"))
+    val wc = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdist"), col("cell"))
+    val probes = cdists.withColumn("cell_rank", row_number().over(wc))
+      .filter(col("cell_rank") <= maxNp)
+      .select(col("vec_id").as("query_id"), col("cell"), col("cell_rank"))
+    val qres = probes
+      .join(qiv.select(col("vec_id").as("query_id"), col("d"), col("x")),
+        Seq("query_id"))
+      .join(broadcast(idx.coarse), Seq("cell", "d"))
+      .select(col("query_id"), col("cell"), col("cell_rank"),
+        (col("d") / idx.subDim).cast("long").as("sub"),
+        (col("d") % idx.subDim).as("dl"), (col("x") - col("cx")).as("qx"))
+    val qd = qres.join(broadcast(idx.cents), Seq("sub", "dl"))
+      .groupBy(col("query_id"), col("cell"), col("cell_rank"), col("sub"),
+        col("cid"))
+      .agg(sum((col("qx") - col("cx")) * (col("qx") - col("cx"))).as("qdist"))
+    val fact = idx.codes.join(idx.vcell, Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("sub"), col("cid"))
+    val scoredAll = FreshCheckpoint(fact.join(broadcast(qd),
+        Seq("cell", "sub", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qdist")).as("adist"), min(col("cell_rank")).as("cell_rank")))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("vec_id"))
     nprobes.map { np =>
-      val approx = ivfPqProbe(idx, np, nQueries, topK)
-        .select(col("query_id"), col("vec_id"),
-          col("rank").cast("long").as("approx_rank"))
+      val approx = scoredAll.filter(col("cell_rank") <= np)
+        .withColumn("approx_rank", row_number().over(wr).cast("long"))
+        .filter(col("approx_rank") <= topK)
+        .select(col("query_id"), col("vec_id"), col("approx_rank"))
       val hits = exact.join(approx, Seq("query_id", "vec_id"))
         .groupBy(col("query_id"))
         .agg(count(lit(1)).as("n_hit"), sum(wOf(col("approx_rank"))).as("dcg_u"))

@@ -454,15 +454,22 @@ object Similarity {
     val perQ = exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
+    // r13 optimization: probe sets NEST (probe_rank < n slices the max-
+    // probe candidate set), so the corpus joins the probe buckets ONCE at
+    // nProbes.max with the probe rank and cosine carried, and every curve
+    // point filters + re-ranks the narrow shared relation instead of
+    // re-joining the corpus per probe count.
+    val candAll = FreshCheckpoint(corpus
+      .join(broadcast(allProbes.filter(col("probe_rank") < nProbes.max)
+        .join(q, Seq("query_id"))), Seq("sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("probe_rank"),
+        round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos")))
     nProbes.map { np =>
-      val cand = corpus
-        .join(broadcast(allProbes.filter(col("probe_rank") < np)
-          .join(q, Seq("query_id"))), Seq("sig"))
-        .filter(col("vec_id") =!= col("query_id"))
+      val cand = candAll.filter(col("probe_rank") < np)
       val nc = cand.groupBy(col("query_id")).agg(count(lit(1)).as("n_cand"))
-      val topk = cand.withColumn("cos",
-          round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 6))
-        .withColumn("rank", row_number().over(w))
+      val topk = cand.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(col("query_id"), col("vec_id"))
       val hits = exact.join(topk, Seq("query_id", "vec_id"))
@@ -522,13 +529,17 @@ object Similarity {
     val perQ = exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
+    // r13 optimization: one max-probe corpus join shared by every curve
+    // point (probe sets nest — see multiprobeRecall)
+    val candAll = FreshCheckpoint(corpus
+      .join(broadcast(allProbes.filter(col("probe_rank") < nProbes.max)
+        .join(q, Seq("query_id"))), Seq("sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("probe_rank"),
+        round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos")))
     nProbes.map { np =>
-      val topk = corpus
-        .join(broadcast(allProbes.filter(col("probe_rank") < np)
-          .join(q, Seq("query_id"))), Seq("sig"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("cos",
-          round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 6))
+      val topk = candAll.filter(col("probe_rank") < np)
         .withColumn("approx_rank", row_number().over(w).cast("long"))
         .filter(col("approx_rank") <= k)
         .select(col("query_id"), col("vec_id"), col("approx_rank"))
@@ -608,21 +619,24 @@ object Similarity {
         transform(col("emb"), v => floor(v * lit(1e6)).cast("double")),
         planes)))
       val allProbes = probeSigs(q, p, dim, nProbes.max)
+      // r13 optimization: one max-probe corpus join per plane count,
+      // shared by its nProbes cells (probe sets nest — see
+      // multiprobeRecall); the shared relation is NARROW (rank + cosine,
+      // no embedding arrays)
+      val candAll = FreshCheckpoint(corpus
+        .join(broadcast(allProbes.filter(col("probe_rank") < nProbes.max)
+          .join(q, Seq("query_id"))), Seq("sig"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("probe_rank"),
+          round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")),
+            6).as("cos")))
       nProbes.map { np =>
-        val cand = corpus
-          .join(broadcast(allProbes.filter(col("probe_rank") < np)
-            .join(q, Seq("query_id"))), Seq("sig"))
-          .filter(col("vec_id") =!= col("query_id"))
-        // r13 optimization: ONE aggregate over the ranked candidates
-        // serves candidate volume, hit count and DCG (the old shape paid
-        // a separate broadcast-aggregate job each for n_cand and hits —
-        // 27 extra jobs across the 9 grid cells). The rank column is
-        // computed for every candidate either way; a left semi-style
-        // marker join against the ≤ k-per-query exact set replaces the
-        // inner join + count.
-        val cell = broadcast(cand.withColumn("cos",
-            round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")),
-              6))
+        // ONE aggregate over the ranked candidates serves candidate
+        // volume, hit count and DCG (the old shape paid a separate
+        // broadcast-aggregate job each for n_cand and hits — 27 extra
+        // jobs across the 9 grid cells). A left marker join against the
+        // ≤ k-per-query exact set replaces the inner join + count.
+        val cell = broadcast(candAll.filter(col("probe_rank") < np)
           .withColumn("approx_rank", row_number().over(w).cast("long"))
           .join(broadcast(exact.withColumn("ex", lit(true))),
             Seq("query_id", "vec_id"), "left")

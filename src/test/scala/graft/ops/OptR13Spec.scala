@@ -104,6 +104,26 @@ class OptR13Spec extends graft.SparkTestBase {
     assert(cmp.isEmpty, "cdc boundary arrays diverged")
   }
 
+  test("hashed_char_ngrams expression equals the OLD " +
+    "array_sort(array_distinct(transform(sorted_char_ngrams, md5/conv))) " +
+    "chain, gram-array for gram-array") {
+    graft.expr.VectorOps.register(spark)
+    val edge = spark.createDataFrame(Seq(
+      (900001L, ""), (900002L, "short"), (900003L, "exactly16charsxx"),
+      (900005L, "a longer text with repeated repeated substrings inside")))
+      .toDF("doc_id", "text")
+    val d = docs.select(col("doc_id"), col("text")).unionByName(edge)
+    for (n <- Seq(3, 16)) {
+      val oldA = array_sort(array_distinct(transform(
+        graft.expr.VectorOps.sortedCharNgrams(col("text"), n),
+        g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))))
+      val cmp = d.select(col("doc_id"), oldA.as("oa"),
+          graft.expr.VectorOps.hashedCharNgrams(col("text"), n).as("na"))
+        .filter(not(col("oa") === col("na")))
+      assert(cmp.isEmpty, s"hashed gram arrays diverged at n=$n")
+    }
+  }
+
   test("qgram_keys expression emits the OLD posexplode + (pk, g)-window " +
     "occurrence numbering's exact key multiset, short-string sentinel " +
     "quirks included") {
