@@ -601,6 +601,62 @@ object HashedCharNgrams {
   }
 }
 
+/** 60-bit md5 hashes of a string's length-`winLen` windows at stride
+  * `stride`, in position order — semantically `transform(sequence(1,
+  * len-winLen+1, stride), i -> conv(substring(md5(substring(s, i,
+  * winLen)), 1, 15), 16, 10))` with a reused digest and direct byte-prefix
+  * extraction instead of an interpreted per-window md5+hex+conv tree.
+  * Empty array when len < winLen (callers filter, but the guard keeps the
+  * expression total). */
+case class HashedWindows(child: Expression, winLen: Int, stride: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashedWindows.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      winLen, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashedWindows.compute($c, $winLen, $stride);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedWindows =
+    copy(child = newChild)
+
+  override def prettyName: String = "hashed_windows"
+}
+
+object HashedWindows {
+  private val md: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Static entry point shared by eval and generated code. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String,
+      winLen: Int, stride: Int): ArrayData = {
+    val total = s.numChars() - winLen + 1
+    if (total <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val digest = md.get()
+    val out = new java.util.ArrayList[Any]()
+    var i = 1
+    while (i <= total) {
+      val d = digest.digest(s.substringSQL(i, winLen).getBytes)
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((d(7) & 0xffL) >>> 4)
+      out.add(v)
+      i += stride
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 /** Occurrence-numbered positional q-gram keys of a string in ONE pass —
   * semantically [[graft.ops.Dedup.editDistanceCandidates]]'s old chain
   * `posexplode(when(len < minLen, concat(transform(sequence(1,
@@ -832,6 +888,10 @@ object VectorOps {
     reg.createOrReplaceTempFunction("bigram_buckets",
       (exprs: Seq[Expression]) => BigramBuckets(exprs.head,
         SortedCharNgrams.literalN(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("hashed_windows",
+      (exprs: Seq[Expression]) => HashedWindows(exprs.head,
+        SortedCharNgrams.literalN(exprs(1)),
+        SortedCharNgrams.literalN(exprs(2))), "scala_udf")
     reg.createOrReplaceTempFunction("hashed_char_ngrams",
       (exprs: Seq[Expression]) => HashedCharNgrams(exprs.head,
         SortedCharNgrams.literalN(exprs(1))), "scala_udf")
@@ -875,6 +935,11 @@ object VectorOps {
   def bigramBuckets(s: Column, buckets: Int): Column =
     org.apache.spark.sql.functions.call_function("bigram_buckets", s,
       org.apache.spark.sql.functions.lit(buckets))
+
+  def hashedWindows(s: Column, winLen: Int, stride: Int): Column =
+    org.apache.spark.sql.functions.call_function("hashed_windows", s,
+      org.apache.spark.sql.functions.lit(winLen),
+      org.apache.spark.sql.functions.lit(stride))
 
   def hashedCharNgrams(s: Column, n: Int): Column =
     org.apache.spark.sql.functions.call_function("hashed_char_ngrams", s,

@@ -693,12 +693,14 @@ object Dedup {
     * (one array of longs per doc, no exploded span strings).
     */
   def repeatedSpans(docs: DataFrame, spanLen: Int = 64, stride: Int = 16): DataFrame = {
+    graft.expr.VectorOps.register(docs.sparkSession)
     val spans = fanOut(docs).filter(length(col("text")) >= spanLen)
       .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(1, length(text) - ${spanLen - 1}, $stride), i -> " +
-            s"cast(conv(substring(md5(substring(text, i, $spanLen)), 1, 15), 16, 10) as long))"))
-          .as("h"))
+        // r13: one native digest-reusing pass ([[graft.expr.HashedWindows]]
+        // — same md5-prefix arithmetic) instead of an interpreted
+        // per-window md5+hex+conv expression tree
+        explode(graft.expr.VectorOps.hashedWindows(col("text"), spanLen,
+          stride)).as("h"))
     // six readers below (dup groupBy, both semi-join sides, totals) — the
     // narrow (doc_id, h) relation is cheap to keep; recomputing it re-runs
     // the md5 window pass over the corpus per reader
@@ -741,11 +743,11 @@ object Dedup {
     */
   def duplicatedExtents(docs: DataFrame, spanLen: Int = 64,
       stride: Int = 16): DataFrame = {
+    graft.expr.VectorOps.register(docs.sparkSession)
     val spans = fanOut(docs).filter(length(col("text")) >= spanLen)
       .select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(1, length(text) - ${spanLen - 1}, $stride), i -> " +
-            s"cast(conv(substring(md5(substring(text, i, $spanLen)), 1, 15), 16, 10) as long))")))
+        posexplode(graft.expr.VectorOps.hashedWindows(col("text"), spanLen,
+          stride)))
       .select(col("doc_id"), (col("pos").cast("long") * stride + 1).as("pos"),
         col("col").as("h"))
     val sp = FreshCheckpoint(spans)

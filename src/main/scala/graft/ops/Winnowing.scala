@@ -39,10 +39,11 @@ object Winnowing {
 
   /** Distinct selected fingerprints per document: (doc_id, fp). */
   def fingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
-    val n = length(col("text")) - (k - 1)
-    val hs = transform(sequence(lit(1), n),
-      p => conv(substring(md5(col("text").substr(p, lit(k))), 1, 15), 16, 10)
-        .cast("long"))
+    graft.expr.VectorOps.register(docs.sparkSession)
+    // r13: native digest-reusing window hashing ([[graft.expr
+    // .HashedWindows]], stride 1 — same md5-prefix arithmetic) instead of
+    // an interpreted per-position md5+hex+conv expression tree
+    val hs = graft.expr.VectorOps.hashedWindows(col("text"), k, 1)
     Dedup.fanOut(docs).filter(length(col("text")) >= k)
       .select(col("doc_id"), hs.as("hs"))
       .select(col("doc_id"),

@@ -104,6 +104,28 @@ class OptR13Spec extends graft.SparkTestBase {
     assert(cmp.isEmpty, "cdc boundary arrays diverged")
   }
 
+  test("hashed_windows expression equals the OLD transform(sequence, " +
+    "md5/conv) strided window hashing, stride 1 and 16") {
+    graft.expr.VectorOps.register(spark)
+    val edge = spark.createDataFrame(Seq(
+      (900001L, ""), (900002L, "below"), (900003L, "x" * 64),
+      (900005L, "some longer body of text that spans multiple strided " +
+        "windows and then some to make sure tails are covered")))
+      .toDF("doc_id", "text")
+    val d = docs.select(col("doc_id"), col("text")).unionByName(edge)
+    for ((winLen, stride) <- Seq((8, 1), (64, 16))) {
+      val oldA = expr(
+        s"transform(sequence(1, length(text) - ${winLen - 1}, $stride), i -> " +
+          s"cast(conv(substring(md5(substring(text, i, $winLen)), 1, 15), 16, 10) as long))")
+      val cmp = d.filter(length(col("text")) >= winLen)
+        .select(col("doc_id"), oldA.as("oa"),
+          graft.expr.VectorOps.hashedWindows(col("text"), winLen, stride)
+            .as("na"))
+        .filter(not(col("oa") === col("na")))
+      assert(cmp.isEmpty, s"hashed windows diverged at ($winLen, $stride)")
+    }
+  }
+
   test("hashed_char_ngrams expression equals the OLD " +
     "array_sort(array_distinct(transform(sorted_char_ngrams, md5/conv))) " +
     "chain, gram-array for gram-array") {
