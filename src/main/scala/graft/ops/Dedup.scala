@@ -917,32 +917,53 @@ object Dedup {
     val freq = grams.groupBy(col("gk")).agg(count(lit(1)).as("cnt"))
     // per-string prefix: the prefLen globally-rarest grams (ties by gram
     // text — any consistent total order preserves losslessness)
-    // NARROW candidates (r13): the self-join and the distinct move only
-    // (pk, gk, len, block) — the strings re-attach AFTER the pair set is
-    // deduped, so the wide name column never rides the candidate shuffle
-    // (measured: 3.45M candidate rows at sf0.1 carrying BOTH strings
-    // through the join + distinct — the dominant cost of the whole
-    // Ed-Join)
-    val prefix = grams.join(freq, Seq("gk"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("pk")).orderBy(col("cnt"), col("gk"))))
-      .filter(col("rk") <= prefLen)
-      .join(base.drop("s"), Seq("pk"))
     val blockEq = block.map(c => col(s"x.$c") === col(s"y.$c"))
       .foldLeft(lit(true))(_ && _)
-    val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.gk") === col("y.gk") && blockEq &&
-          col("x.pk") < col("y.pk") &&
-          abs(col("x.len") - col("y.len")) <= maxDist)
-      .select(col("x.pk").as("pa"), col("y.pk").as("pb"))
-      .distinct()
-    val hint: DataFrame => DataFrame =
-      if (Similarity.corpusCount(df) <= graft.Limits.dimensionRows)
-        broadcast(_) else identity
-    cand
-      .join(hint(base.select(col("pk").as("pa"), col("s").as("sa"))), Seq("pa"))
-      .join(hint(base.select(col("pk").as("pb"), col("s").as("sb"))), Seq("pb"))
-      .select(col("pa"), col("pb"), col("sa"), col("sb"))
+    if (Similarity.corpusCount(df) <= graft.Limits.dimensionRows) {
+      // NARROW candidates (r13): the self-join and the distinct move only
+      // (pk, gk, len, block) — the strings re-attach AFTER the pair set
+      // is deduped via BROADCAST joins, so the wide name column never
+      // rides the candidate shuffle (measured: 3.45M candidate rows at
+      // sf0.1 carrying BOTH strings through the join + distinct was the
+      // dominant Ed-Join cost; q191 13.2 → 6.2 s). Gated on the
+      // dimension-size knob: the attach is only free while the (pk, s)
+      // relation broadcasts — above the gate the two re-attach joins
+      // would shuffle the candidate relation TWICE more, measured 1.5×
+      // WORSE than letting the strings ride (sf1 probe: 66 s wide shape
+      // vs 102 s narrow + shuffle-attach).
+      val prefix = grams.join(freq, Seq("gk"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("pk")).orderBy(col("cnt"), col("gk"))))
+        .filter(col("rk") <= prefLen)
+        .join(base.drop("s"), Seq("pk"))
+      val cand = prefix.as("x").join(prefix.as("y"),
+          col("x.gk") === col("y.gk") && blockEq &&
+            col("x.pk") < col("y.pk") &&
+            abs(col("x.len") - col("y.len")) <= maxDist)
+        .select(col("x.pk").as("pa"), col("y.pk").as("pb"))
+        .distinct()
+      cand
+        .join(broadcast(base.select(col("pk").as("pa"), col("s").as("sa"))),
+          Seq("pa"))
+        .join(broadcast(base.select(col("pk").as("pb"), col("s").as("sb"))),
+          Seq("pb"))
+        .select(col("pa"), col("pb"), col("sa"), col("sb"))
+    } else {
+      // at-scale shape: strings ride the prefix self-join and the distinct
+      // (one wide shuffle beats two extra candidate-sized shuffles)
+      val prefix = grams.join(freq, Seq("gk"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("pk")).orderBy(col("cnt"), col("gk"))))
+        .filter(col("rk") <= prefLen)
+        .join(base, Seq("pk"))
+      prefix.as("x").join(prefix.as("y"),
+          col("x.gk") === col("y.gk") && blockEq &&
+            col("x.pk") < col("y.pk") &&
+            abs(col("x.len") - col("y.len")) <= maxDist)
+        .select(col("x.pk").as("pa"), col("y.pk").as("pb"),
+          col("x.s").as("sa"), col("y.s").as("sb"))
+        .distinct()
+    }
   }
 
   /** Edit-distance self-join: all pairs within `block` at levenshtein
