@@ -347,96 +347,133 @@ object Retrieval {
     def qHint(df: DataFrame): DataFrame =
       if (estQueryTerms <= maxBroadcastQueryTerms) broadcast(df)
       else df.hint("shuffle_hash")
-    steps.map { u =>
-      // two drift axes per step: doc_id % modRemove < u DEPARTS (df and N
-      // move, so every surviving term's idf drifts and the frozen index
-      // keeps serving orphaned docs), doc_id % modBase < u gains an
-      // appended token run (lengths, tf and trigram vocabulary move)
-      val survives = !(col("doc_id") % modRemove < u)
-      val isEdited = col("doc_id") % modBase < u
-      // r13 optimization: the per-step corpus statistics decompose per
-      // DOCUMENT — tokenization is doc-local, so the current tf relation
-      // is exactly (t0 tf restricted to surviving UNEDITED docs) ∪ (one
-      // tokenGrams pass over the surviving EDITED docs with their appended
-      // run). The old code called bm25Stats(cur) per step: four full-corpus
-      // tokenGrams passes where step 0 needs none (cur ≡ docs, so c ≡ o
-      // relation-for-relation) and steps 1-3 need only the ≤ u/modBase
-      // edited fraction re-tokenized.
-      val c = if (u == 0) o else {
-        val editedTf = TextAnalysis.tokenGrams(
-            docs.filter(survives && isEdited).select(col("doc_id"),
+    // r14 optimization: ONE step-keyed chain instead of |steps| sequential
+    // per-step chains. The r13 round already decomposed each step's corpus
+    // statistics per document (tokenization is doc-local); what remained
+    // was the JOB BILL — every step paid its own FreshCheckpoints, its own
+    // 1-row scalar action and its own pair of scoring passes, ~6 scheduling
+    // rounds per step. All of that is step-parallel data-flow: putting
+    // `step` in the key runs the whole drift series through one set of
+    // rollups/joins/windows (the per-row arithmetic — idf log, BM25 sat,
+    // impact products — receives the identical per-(step, doc) inputs, so
+    // every value is bit-identical to the sequential form). Two data-level
+    // wins ride along: the appended-run tokenization happens ONCE over the
+    // maximal edited set (the appended text does not depend on u; r13 ran
+    // tokenGrams per step over growing fractions), and the per-step corpus
+    // scalars become one 4-row aggregate instead of |steps| driver actions.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val spine = broadcast(steps.map(_.toLong).toDF("step"))
+    val survives = !(col("doc_id") % modRemove < col("step"))
+    val isEdited = col("doc_id") % modBase < col("step")
+    val maxStep = if (steps.isEmpty) 0L else steps.map(_.toLong).max
+    // two drift axes per step: doc_id % modRemove < u DEPARTS (df and N
+    // move, so every surviving term's idf drifts and the frozen index
+    // keeps serving orphaned docs), doc_id % modBase < u gains an
+    // appended token run (lengths, tf and trigram vocabulary move)
+    val editedTfMax = if (maxStep <= 0L) None else Some(FreshCheckpoint(
+      TextAnalysis.tokenGrams(
+          docs.filter(col("doc_id") % modBase < maxStep)
+            .select(col("doc_id"),
               concat(col("text"), lit(" zzdrift zzdrift zzdrift"))
                 .as("text")), 3)
-          .select(col("doc_id"), col("gram").as("tok"))
-          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-        val ctf = FreshCheckpoint(
-          o.tf.filter(survives && !isEdited).unionByName(editedTf))
-        val clen = ctf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
-        // same fused 1-row scalar job as bm25Stats, over the decomposed tf
-        val row = docs.filter(survives).select(col("doc_id"))
-          .join(clen, Seq("doc_id"), "left")
-          .agg(count(lit(1)).as("n"),
-            sum(coalesce(col("len"), lit(0L))).as("sl")).head()
-        val cn = row.getLong(0)
-        val cSumLen = row.getLong(1)
-        val cidf = ctf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-          .filter(col("df") >= dfMin && col("df") * 2 <= lit(cn))
-          .select(col("tok"),
-            floor(log(lit(1.0) + (lit(cn) - col("df") + lit(0.5)) /
-              (col("df") + lit(0.5))) * 1000000d).cast("long").as("idf_u"))
-        Bm25Stats(ctf, clen, cidf, cn, cSumLen)
-      }
-      val qids = docs.filter(survives && col("doc_id") % queryStride === 0)
-        .select(col("doc_id").as("query_id"))
-      val qgrams = c.tf.join(qHint(qids), col("doc_id") === col("query_id"))
-        .select(col("query_id"), col("tok"))
-      def topkOf(index: DataFrame, vocab: DataFrame): DataFrame = {
-        val qterms = vocab.join(qHint(qgrams), Seq("tok"))
-          .select(col("query_id"), col("tok"))
-        val scored = index.join(qHint(qterms), Seq("tok"))
-          .groupBy(col("query_id"), col("doc_id"))
-          .agg(sum(col("impact_u")).as("score_u"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("score_u").desc, col("doc_id"))
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= topK)
-          .select(col("query_id"), col("doc_id"))
-      }
-      // fresh ground truth: a full CURRENT index (rebuild-now world);
-      // step 0's current index IS the already-checkpointed t0 encode
-      val cPost = if (u == 0) oPost else FreshCheckpoint(
-        encodeImpacts(c.tf, c.len, c.idf, c.n, c.sumLen))
-      val fresh = FreshCheckpoint(topkOf(cPost, c.idf))
-      // frozen serve: the t0 pruned postings under the t0 vocabulary
-      val froz = topkOf(pruned, o.idf)
-      val en = fresh.agg(count(lit(1)).as("n_exact"))
-      val eh = fresh.join(froz, Seq("query_id", "doc_id"))
-        .agg(count(lit(1)).as("n_hit"))
-      val gauge = o.idf.withColumnRenamed("idf_u", "old_idf")
-        .join(c.idf.withColumnRenamed("idf_u", "cur_idf"), Seq("tok"),
-          "full_outer")
-        .agg(
-          sum(when(col("old_idf").isNotNull && col("cur_idf").isNotNull &&
-            col("old_idf") =!= col("cur_idf"), 1L).otherwise(0L))
-            .as("n_terms_drifted"),
-          sum(when(col("old_idf").isNull, 1L).otherwise(0L))
-            .as("n_terms_new"),
-          sum(abs(coalesce(col("cur_idf"), lit(0L)) -
-            coalesce(col("old_idf"), lit(0L)))).as("idf_drift_total"))
-      val edited = docs.agg(
-        sum(when(col("doc_id") % modBase < u &&
-          !(col("doc_id") % modRemove < u), 1L).otherwise(0L))
+        .select(col("doc_id"), col("gram").as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))))
+    // step-keyed current tf: (t0 tf of surviving unedited docs) ∪ (the
+    // once-tokenized edited tf of surviving edited docs), per step
+    val sTfBase = o.tf.crossJoin(spine).filter(survives && !isEdited)
+      .select(col("step"), col("doc_id"), col("tok"), col("tf"))
+    val sTf = editedTfMax.fold(sTfBase)(e =>
+      sTfBase.unionByName(e.crossJoin(spine).filter(survives && isEdited)
+        .select(col("step"), col("doc_id"), col("tok"), col("tf"))))
+    val slen = sTf.groupBy(col("step"), col("doc_id"))
+      .agg(sum(col("tf")).as("len"))
+    // per-step corpus scalars — the bm25Stats fused 1-row job, step-keyed
+    // into one |steps|-row relation (no driver actions)
+    val scalars = FreshCheckpoint(docs.select(col("doc_id")).crossJoin(spine)
+      .filter(survives)
+      .join(slen, Seq("step", "doc_id"), "left")
+      .groupBy(col("step"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("len"), lit(0L))).as("sl")))
+    val sIdf = FreshCheckpoint(sTf.groupBy(col("step"), col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .join(broadcast(scalars), Seq("step"))
+      .filter(col("df") >= dfMin && col("df") * 2 <= col("n"))
+      .select(col("step"), col("tok"),
+        floor(log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) * 1000000d).cast("long").as("idf_u")))
+    // fresh ground truth: the full CURRENT index per step (rebuild-now
+    // world) — encodeImpacts' sat/impact arithmetic with the per-step
+    // scalars riding a broadcast join instead of literals
+    val sSat = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+        lit(0.75) * ((col("len") * col("n")) / col("sl"))))
+    val sPost = sTf.join(slen, Seq("step", "doc_id"))
+      .join(broadcast(scalars), Seq("step"))
+      .join(sIdf, Seq("step", "tok"))
+      .select(col("step"), col("tok"), col("doc_id"),
+        (col("idf_u") * floor(sSat * 1000000d).cast("long")).as("impact_u"))
+    val sQids = docs.select(col("doc_id")).crossJoin(spine)
+      .filter(survives && col("doc_id") % queryStride === 0)
+      .select(col("step").as("qstep"), col("doc_id").as("query_id"))
+    val qgrams = sTf.join(qHint(sQids),
+        col("step") === col("qstep") && col("doc_id") === col("query_id"))
+      .select(col("step"), col("query_id"), col("tok"))
+    def topkOfKeyed(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("step"), col("query_id"))
+        .orderBy(col("score_u").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("step"), col("query_id"), col("doc_id"))
+    }
+    val qtermsFresh = sIdf.join(qHint(qgrams), Seq("step", "tok"))
+      .select(col("step"), col("query_id"), col("tok"))
+    val freshTop = FreshCheckpoint(topkOfKeyed(
+      sPost.join(qHint(qtermsFresh), Seq("step", "tok"))
+        .groupBy(col("step"), col("query_id"), col("doc_id"))
+        .agg(sum(col("impact_u")).as("score_u"))))
+    // frozen serve: the t0 pruned postings under the t0 vocabulary
+    val qtermsFroz = o.idf.join(qHint(qgrams), Seq("tok"))
+      .select(col("step"), col("query_id"), col("tok"))
+    val frozTop = topkOfKeyed(
+      pruned.join(qHint(qtermsFroz), Seq("tok"))
+        .groupBy(col("step"), col("query_id"), col("doc_id"))
+        .agg(sum(col("impact_u")).as("score_u")))
+    val en = freshTop.groupBy(col("step")).agg(count(lit(1)).as("n_exact"))
+    val eh = freshTop.join(frozTop, Seq("step", "query_id", "doc_id"))
+      .groupBy(col("step")).agg(count(lit(1)).as("n_hit"))
+    val gauge = o.idf.withColumnRenamed("idf_u", "old_idf").crossJoin(spine)
+      .join(sIdf.withColumnRenamed("idf_u", "cur_idf"), Seq("step", "tok"),
+        "full_outer")
+      .groupBy(col("step"))
+      .agg(
+        sum(when(col("old_idf").isNotNull && col("cur_idf").isNotNull &&
+          col("old_idf") =!= col("cur_idf"), 1L).otherwise(0L))
+          .as("n_terms_drifted"),
+        sum(when(col("old_idf").isNull, 1L).otherwise(0L))
+          .as("n_terms_new"),
+        sum(abs(coalesce(col("cur_idf"), lit(0L)) -
+          coalesce(col("old_idf"), lit(0L)))).as("idf_drift_total"))
+    val edited = docs.select(col("doc_id")).crossJoin(spine)
+      .groupBy(col("step"))
+      .agg(
+        sum(when(col("doc_id") % modBase < col("step") &&
+          !(col("doc_id") % modRemove < col("step")), 1L).otherwise(0L))
           .as("n_edited"),
-        sum(when(col("doc_id") % modRemove < u, 1L).otherwise(0L))
+        sum(when(col("doc_id") % modRemove < col("step"), 1L).otherwise(0L))
           .as("n_removed"))
-      en.crossJoin(broadcast(eh)).crossJoin(broadcast(gauge))
-        .crossJoin(broadcast(edited))
-        .select(lit(u.toLong).as("step"), col("n_removed"),
-          col("n_edited"), col("n_terms_drifted"), col("n_terms_new"),
-          col("idf_drift_total"), col("n_exact"), col("n_hit"),
-          when(col("n_exact") > 0,
-            expr("n_hit * 1000000 div n_exact")).as("recall_u"))
-    }.reduce(_ unionByName _)
+    spine.join(en, Seq("step"), "left")
+      .join(eh, Seq("step"), "left")
+      .join(gauge, Seq("step"), "left")
+      .join(edited, Seq("step"), "left")
+      .select(col("step"), col("n_removed"), col("n_edited"),
+        col("n_terms_drifted"), col("n_terms_new"), col("idf_drift_total"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .select(col("*"),
+        when(col("n_exact") > 0,
+          expr("n_hit * 1000000 div n_exact")).as("recall_u"))
   }
 
   /** Selective serve-cache invalidation under append-only maintenance —
