@@ -1692,82 +1692,120 @@ object TrainingData {
         .select(expr("(sw + 1000000000 * n) div n - 1000000000")
           .as("threshold_u"))
     }
-    steps.map { u =>
-      // r13 optimization: features decompose per DOCUMENT (bigram buckets
-      // are doc-local), so the current feature relation is exactly (t0
-      // features of unedited docs) ∪ (one dsirFeatures pass over the
-      // edited fraction) — the old per-step dsirFeatures(cur) re-hashed
-      // the whole corpus four times where step 0 needs nothing (cur ≡
-      // docs ⇒ feats ≡ feats0, model ≡ the frozen one) and steps 1-3 need
-      // only ≤ u/modBase of the non-target docs re-featurized.
-      val isEdited = col("doc_id") % modBase < u &&
-        col("source") =!= targetSource
-      val feats = if (u == 0) feats0 else FreshCheckpoint(
-        feats0.filter(!isEdited).unionByName(
-          dsirFeatures(docs.filter(isEdited)
-            .select(col("doc_id"), col("source"),
-              concat(col("text"),
-                lit(" zzdrift gate zzdrift gate zzdrift")).as("text")),
-            buckets)))
-      val (cLam, cDef) =
-        if (u == 0) (fLam, fDef) else lamOf(dsirModel(feats, targetSource))
-      // per-doc weights under a λ table: LEFT join, unseen at the default
-      def wOf(lam: DataFrame, dflt: DataFrame, name: String): DataFrame =
-        feats.join(broadcast(lam), Seq("b"), "left")
-          .crossJoin(broadcast(dflt))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("c") *
-            coalesce(col("lam_u"), col("lam_default"))).as(name))
-      // step 0's fresh weights ARE the frozen weights (same feats, same
-      // model) — score once and alias instead of paying the pass twice
-      val scored =
-        if (u == 0)
-          docs.select(col("doc_id"))
-            .join(wOf(fLam, fDef, "wf"), Seq("doc_id"), "left")
-            .withColumn("wc", col("wf"))
-        else
-          docs.select(col("doc_id"))
-            .join(wOf(fLam, fDef, "wf"), Seq("doc_id"), "left")
-            .join(wOf(cLam, cDef, "wc"), Seq("doc_id"), "left")
-      val decided = scored
-        .crossJoin(broadcast(thr))
-        .select(col("threshold_u"),
-          (coalesce(col("wf"), lit(0L)) >= col("threshold_u")).as("adm_f"),
-          (coalesce(col("wc"), lit(0L)) >= col("threshold_u")).as("adm_c"))
-        .groupBy(col("threshold_u"))
-        .agg(
-          sum(when(col("adm_f"), 1L).otherwise(0L)).as("n_admit_frozen"),
-          sum(when(col("adm_c"), 1L).otherwise(0L)).as("n_admit_fresh"),
-          sum(when(col("adm_f") && col("adm_c"), 1L).otherwise(0L))
-            .as("n_both"),
-          sum(when(col("adm_f") && !col("adm_c"), 1L).otherwise(0L))
-            .as("n_false_admit"),
-          sum(when(!col("adm_f") && col("adm_c"), 1L).otherwise(0L))
-            .as("n_missed"))
-      // model-drift gauge over the union vocabulary, absences priced at
-      // each side's own unseen default
-      val gauge = fLam.withColumnRenamed("lam_u", "fl")
-        .join(cLam.withColumnRenamed("lam_u", "cl"), Seq("b"),
-          "full_outer")
-        .crossJoin(broadcast(fDef.withColumnRenamed("lam_default", "fd")))
-        .crossJoin(broadcast(cDef.withColumnRenamed("lam_default", "cd")))
-        .select((coalesce(col("fl"), col("fd")) -
-          coalesce(col("cl"), col("cd"))).as("dl"))
-        .agg(sum(when(col("dl") =!= 0L, 1L).otherwise(0L))
-            .as("n_buckets_drifted"),
-          coalesce(sum(abs(col("dl"))), lit(0L)).as("lambda_drift_total"))
-      val edited = docs.agg(sum(when(col("doc_id") % modBase < u &&
+    // r14 optimization: ONE step-keyed chain instead of |steps| sequential
+    // per-step chains (the q323 discipline applied to the gate-drift
+    // series). r13 already decomposed each step's features per document;
+    // the remaining bill was the JOB COUNT — per-step FreshCheckpoints and
+    // per-step scoring passes. With `step` in the key the whole series runs
+    // through one set of rollups (identical per-(step, doc) inputs to every
+    // log/floor, so every value is bit-identical), and the edited-fraction
+    // re-featurization happens ONCE over the maximal edited set (the
+    // appended run does not depend on u).
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val spine = broadcast(steps.map(_.toLong).toDF("step"))
+    val isEditedAt = col("doc_id") % modBase < col("step") &&
+      col("source") =!= targetSource
+    val maxStep = if (steps.isEmpty) 0L else steps.map(_.toLong).max
+    val editedFeatsMax = if (maxStep <= 0L) None else Some(FreshCheckpoint(
+      dsirFeatures(docs
+        .filter(col("doc_id") % modBase < maxStep &&
+          col("source") =!= targetSource)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"),
+            lit(" zzdrift gate zzdrift gate zzdrift")).as("text")),
+        buckets)))
+    val sFeatsBase = feats0.crossJoin(spine).filter(!isEditedAt)
+      .select(col("step"), col("doc_id"), col("source"), col("b"), col("c"))
+    val sFeats = editedFeatsMax.fold(sFeatsBase)(e =>
+      sFeatsBase.unionByName(e.crossJoin(spine).filter(isEditedAt)
+        .select(col("step"), col("doc_id"), col("source"), col("b"),
+          col("c"))))
+    // per-step fresh model + λ table — dsirModel/lamOf step-keyed, the
+    // totals riding a |steps|-row broadcast instead of per-step 1-row jobs
+    val sModel = sFeats.groupBy(col("step"), col("b"))
+      .agg(sum(col("c")).as("cnt_raw"),
+        sum(when(col("source") === targetSource, col("c")).otherwise(0L))
+          .as("cnt_tgt"))
+    val sTot = FreshCheckpoint(sModel.groupBy(col("step"))
+      .agg(sum(col("cnt_raw")).as("n_raw"), sum(col("cnt_tgt")).as("n_tgt")))
+    val sLamU = floor(log(col("cnt_tgt").cast("double") + 1d) * 1000000)
+      .cast("long") -
+      floor(log(col("n_tgt").cast("double") + buckets) * 1000000)
+        .cast("long") -
+      floor(log(col("cnt_raw").cast("double") + 1d) * 1000000)
+        .cast("long") +
+      floor(log(col("n_raw").cast("double") + buckets) * 1000000)
+        .cast("long")
+    val sLam = FreshCheckpoint(sModel.join(broadcast(sTot), Seq("step"))
+      .select(col("step"), col("b"), sLamU.as("lam_u")))
+    val sDef = sTot.select(col("step"),
+      (floor(log(col("n_raw").cast("double") + buckets) * 1000000)
+        .cast("long") -
+        floor(log(col("n_tgt").cast("double") + buckets) * 1000000)
+          .cast("long")).as("cur_default"))
+    // per-doc weights: frozen λ (current features, t0 model) and fresh λ
+    // (current features, per-step model) from the same step-keyed pass
+    val wFroz = sFeats.join(broadcast(fLam), Seq("b"), "left")
+      .crossJoin(broadcast(fDef))
+      .groupBy(col("step"), col("doc_id"))
+      .agg(sum(col("c") * coalesce(col("lam_u"), col("lam_default")))
+        .as("wf"))
+    val wFresh = sFeats
+      .join(broadcast(sLam), Seq("step", "b"), "left")
+      .join(broadcast(sDef), Seq("step"))
+      .groupBy(col("step"), col("doc_id"))
+      .agg(sum(col("c") * coalesce(col("lam_u"), col("cur_default")))
+        .as("wc"))
+    val scored = docs.select(col("doc_id")).crossJoin(spine)
+      .join(wFroz, Seq("step", "doc_id"), "left")
+      .join(wFresh, Seq("step", "doc_id"), "left")
+    val decided = scored
+      .crossJoin(broadcast(thr))
+      .select(col("step"), col("threshold_u"),
+        (coalesce(col("wf"), lit(0L)) >= col("threshold_u")).as("adm_f"),
+        (coalesce(col("wc"), lit(0L)) >= col("threshold_u")).as("adm_c"))
+      .groupBy(col("step"), col("threshold_u"))
+      .agg(
+        sum(when(col("adm_f"), 1L).otherwise(0L)).as("n_admit_frozen"),
+        sum(when(col("adm_c"), 1L).otherwise(0L)).as("n_admit_fresh"),
+        sum(when(col("adm_f") && col("adm_c"), 1L).otherwise(0L))
+          .as("n_both"),
+        sum(when(col("adm_f") && !col("adm_c"), 1L).otherwise(0L))
+          .as("n_false_admit"),
+        sum(when(!col("adm_f") && col("adm_c"), 1L).otherwise(0L))
+          .as("n_missed"))
+    // model-drift gauge over the union vocabulary, absences priced at
+    // each side's own unseen default
+    val gauge = fLam.withColumnRenamed("lam_u", "fl").crossJoin(spine)
+      .join(sLam.withColumnRenamed("lam_u", "cl"), Seq("step", "b"),
+        "full_outer")
+      .crossJoin(broadcast(fDef.withColumnRenamed("lam_default", "fd")))
+      .join(broadcast(sDef.withColumnRenamed("cur_default", "cd")),
+        Seq("step"))
+      .select(col("step"), (coalesce(col("fl"), col("fd")) -
+        coalesce(col("cl"), col("cd"))).as("dl"))
+      .groupBy(col("step"))
+      .agg(sum(when(col("dl") =!= 0L, 1L).otherwise(0L))
+          .as("n_buckets_drifted"),
+        coalesce(sum(abs(col("dl"))), lit(0L)).as("lambda_drift_total"))
+    val edited = docs.select(col("doc_id"), col("source")).crossJoin(spine)
+      .groupBy(col("step"))
+      .agg(sum(when(col("doc_id") % modBase < col("step") &&
           col("source") =!= targetSource, 1L).otherwise(0L))
         .as("n_edited"))
-      decided.crossJoin(broadcast(gauge)).crossJoin(broadcast(edited))
-        .select(lit(u.toLong).as("step"), col("threshold_u"),
-          col("n_edited"),
-          col("n_buckets_drifted"), col("lambda_drift_total"),
-          col("n_admit_frozen"), col("n_admit_fresh"), col("n_both"),
-          col("n_false_admit"), col("n_missed"),
-          expr("n_both * 1000000 div greatest(n_admit_fresh, 1)")
-            .as("agree_u"))
-    }.reduce(_ unionByName _)
+    spine.join(decided, Seq("step"))
+      .join(gauge, Seq("step"), "left")
+      .join(edited, Seq("step"), "left")
+      .select(col("step"), col("threshold_u"),
+        col("n_edited"),
+        col("n_buckets_drifted"),
+        coalesce(col("lambda_drift_total"), lit(0L))
+          .as("lambda_drift_total"),
+        col("n_admit_frozen"), col("n_admit_fresh"), col("n_both"),
+        col("n_false_admit"), col("n_missed"),
+        expr("n_both * 1000000 div greatest(n_admit_fresh, 1)")
+          .as("agree_u"))
   }
 
   /** T5/UL2-style span-corruption manifest (Raffel et al. 2020 §3.1.4):

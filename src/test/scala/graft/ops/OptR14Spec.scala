@@ -109,6 +109,127 @@ class OptR14Spec extends graft.SparkTestBase {
     }.reduce(_ unionByName _)
   }
 
+  /** The pre-r14 dsirGateDrift, verbatim (r13 per-step sequential chain) —
+    * the semantic reference for the step-keyed rewrite. */
+  private def oldDsirGateDrift(docs: DataFrame, steps: Seq[Int],
+      modBase: Long, targetSource: String, buckets: Int,
+      thresholdU: Option[Long]): DataFrame = {
+    def lamOf(model: DataFrame): (DataFrame, DataFrame) = {
+      val totals = model.agg(sum(col("cnt_raw")).as("n_raw"),
+        sum(col("cnt_tgt")).as("n_tgt"))
+      val lamU = floor(log(col("cnt_tgt").cast("double") + 1d) * 1000000)
+        .cast("long") -
+        floor(log(col("n_tgt").cast("double") + buckets) * 1000000)
+          .cast("long") -
+        floor(log(col("cnt_raw").cast("double") + 1d) * 1000000)
+          .cast("long") +
+        floor(log(col("n_raw").cast("double") + buckets) * 1000000)
+          .cast("long")
+      (FreshCheckpoint(model.crossJoin(broadcast(totals))
+        .select(col("b"), lamU.as("lam_u"))),
+        totals.select(
+          (floor(log(col("n_raw").cast("double") + buckets) * 1000000)
+            .cast("long") -
+            floor(log(col("n_tgt").cast("double") + buckets) * 1000000)
+              .cast("long")).as("lam_default")))
+    }
+    val feats0 = FreshCheckpoint(TrainingData.dsirFeatures(docs, buckets))
+    val (fLam, fDef) = lamOf(TrainingData.dsirModel(feats0, targetSource))
+    val w0 = feats0.join(broadcast(fLam), Seq("b"), "left")
+      .crossJoin(broadcast(fDef))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * coalesce(col("lam_u"), col("lam_default")))
+        .as("w"))
+    val thr = thresholdU match {
+      case Some(t) => fDef.select(lit(t).as("threshold_u"))
+      case None => docs.select(col("doc_id"))
+        .join(w0, Seq("doc_id"), "left")
+        .agg(sum(coalesce(col("w"), lit(0L))).as("sw"),
+          count(lit(1)).as("n"))
+        .select(expr("(sw + 1000000000 * n) div n - 1000000000")
+          .as("threshold_u"))
+    }
+    steps.map { u =>
+      val isEdited = col("doc_id") % modBase < u &&
+        col("source") =!= targetSource
+      val feats = if (u == 0) feats0 else FreshCheckpoint(
+        feats0.filter(!isEdited).unionByName(
+          TrainingData.dsirFeatures(docs.filter(isEdited)
+            .select(col("doc_id"), col("source"),
+              concat(col("text"),
+                lit(" zzdrift gate zzdrift gate zzdrift")).as("text")),
+            buckets)))
+      val (cLam, cDef) =
+        if (u == 0) (fLam, fDef)
+        else lamOf(TrainingData.dsirModel(feats, targetSource))
+      def wOf(lam: DataFrame, dflt: DataFrame, name: String): DataFrame =
+        feats.join(broadcast(lam), Seq("b"), "left")
+          .crossJoin(broadcast(dflt))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c") *
+            coalesce(col("lam_u"), col("lam_default"))).as(name))
+      val scored =
+        if (u == 0)
+          docs.select(col("doc_id"))
+            .join(wOf(fLam, fDef, "wf"), Seq("doc_id"), "left")
+            .withColumn("wc", col("wf"))
+        else
+          docs.select(col("doc_id"))
+            .join(wOf(fLam, fDef, "wf"), Seq("doc_id"), "left")
+            .join(wOf(cLam, cDef, "wc"), Seq("doc_id"), "left")
+      val decided = scored
+        .crossJoin(broadcast(thr))
+        .select(col("threshold_u"),
+          (coalesce(col("wf"), lit(0L)) >= col("threshold_u")).as("adm_f"),
+          (coalesce(col("wc"), lit(0L)) >= col("threshold_u")).as("adm_c"))
+        .groupBy(col("threshold_u"))
+        .agg(
+          sum(when(col("adm_f"), 1L).otherwise(0L)).as("n_admit_frozen"),
+          sum(when(col("adm_c"), 1L).otherwise(0L)).as("n_admit_fresh"),
+          sum(when(col("adm_f") && col("adm_c"), 1L).otherwise(0L))
+            .as("n_both"),
+          sum(when(col("adm_f") && !col("adm_c"), 1L).otherwise(0L))
+            .as("n_false_admit"),
+          sum(when(!col("adm_f") && col("adm_c"), 1L).otherwise(0L))
+            .as("n_missed"))
+      val gauge = fLam.withColumnRenamed("lam_u", "fl")
+        .join(cLam.withColumnRenamed("lam_u", "cl"), Seq("b"),
+          "full_outer")
+        .crossJoin(broadcast(fDef.withColumnRenamed("lam_default", "fd")))
+        .crossJoin(broadcast(cDef.withColumnRenamed("lam_default", "cd")))
+        .select((coalesce(col("fl"), col("fd")) -
+          coalesce(col("cl"), col("cd"))).as("dl"))
+        .agg(sum(when(col("dl") =!= 0L, 1L).otherwise(0L))
+            .as("n_buckets_drifted"),
+          coalesce(sum(abs(col("dl"))), lit(0L)).as("lambda_drift_total"))
+      val edited = docs.agg(sum(when(col("doc_id") % modBase < u &&
+          col("source") =!= targetSource, 1L).otherwise(0L))
+        .as("n_edited"))
+      decided.crossJoin(broadcast(gauge)).crossJoin(broadcast(edited))
+        .select(lit(u.toLong).as("step"), col("threshold_u"),
+          col("n_edited"),
+          col("n_buckets_drifted"), col("lambda_drift_total"),
+          col("n_admit_frozen"), col("n_admit_fresh"), col("n_both"),
+          col("n_false_admit"), col("n_missed"),
+          expr("n_both * 1000000 div greatest(n_admit_fresh, 1)")
+            .as("agree_u"))
+    }.reduce(_ unionByName _)
+  }
+
+  test("dsirGateDrift: the step-keyed single chain emits the OLD per-step " +
+    "sequential chain's exact rows (q324 identity), default and " +
+    "non-default step sets") {
+    for (steps <- Seq(Seq(0, 1, 2, 3), Seq(3))) {
+      val nu = TrainingData.dsirGateDrift(docs, steps = steps,
+        modBase = 7, targetSource = "src7", buckets = 4096)
+      val old = oldDsirGateDrift(docs, steps, 7L, "src7", 4096, None)
+      assert(nu.exceptAll(old).isEmpty && old.exceptAll(nu).isEmpty,
+        s"dsirGateDrift rows diverged at steps=$steps")
+      assert(nu.count() === steps.size.toLong)
+      assert(nu.columns.toSeq === old.columns.toSeq)
+    }
+  }
+
   test("impactDriftRecall: the step-keyed single chain emits the OLD " +
     "per-step sequential chain's exact rows (q323 identity), default and " +
     "non-default step sets") {
