@@ -1995,18 +1995,18 @@ object Queries {
 
     Q("q102_levenshtein_pairs",
       (s, d) => {
-        // edit-distance near-dup pairs via Ed-Join prefix filtering
-        // (ops/Dedup.editDistancePairs): candidates enumerated by an
-        // equi-join on (brand, rarest-prefix q-gram), never a per-block
-        // cross product — candidate volume is Σ_gram (bucket choose 2) over
-        // RARE grams, near-linear on diverse names, where the former
-        // brand-block nested loop was O(n²/|brands|) with |brands| fixed at
-        // 25 (quadratic at any scale-up). Verification stays the threshold
-        // DP (levenshtein 3-arg early-abandons at > 2). q=3 fits this
-        // corpus (grams ≪ 26³); at larger scale q grows with the corpus so
-        // |Σ|^q stays ≫ total grams — see editDistanceCandidates' scaladoc
-        // (measured here: q=5 costs 6.7 s vs 4.1 s at sf0.1, all prefix
-        // overhead, no candidate reduction — the knob matters, pick per sf).
+        // edit-distance near-dup pairs via Pass-Join segment filtering
+        // (ops/Dedup.editDistancePairs, r14): candidates enumerated by an
+        // equi-join on (brand, aligned-segment key) with the shift-window
+        // and char-histogram count filters riding the join condition —
+        // never a per-block cross product, no corpus-wide gram-frequency
+        // pass, no per-string rank window (the pre-r14 Ed-Join prefix
+        // scheme needed both and its rare-gram buckets collapsed on the
+        // templated names: 171M candidates at sf1 vs 21M for the segment
+        // keys, q102 33.3 → 13.7 s same-box). Verification stays the
+        // threshold DP (levenshtein 3-arg early-abandons at > 2). No
+        // corpus-scale knob: the segment witness is exact, so nothing
+        // needs re-tuning as data grows (the old q knob did).
         Dedup.editDistancePairs(
           T(s, d, "part"), "p_partkey", "p_name", Seq("p_brand"), maxDist = 2)
           .select(col("pa"), col("pb"), col("dist"))

@@ -720,6 +720,225 @@ object QGramKeys {
   }
 }
 
+/** Pass-Join segment SIGNATURES of a string (Li/Deng/Feng "Pass-Join";
+  * public partition-based edit-distance filtering): the string is evenly
+  * partitioned into k = d+1 segments (first `len mod k` segments one char
+  * longer — a fixed convention both sides replay), and each segment is
+  * emitted as the key `"<segIdx>:<len>:<segment>"`. Pigeonhole: d edit
+  * operations touch at most d of the k segments, so for any true pair
+  * (a, b) with ed ≤ d at least one of a's segments appears VERBATIM in b,
+  * at a start position shifted by at most d (the net indels before it) —
+  * which is exactly what [[PassProbeKeys]] enumerates on the other side.
+  * Strings shorter than k chars cannot host k non-empty segments and emit
+  * the sentinel key "S" instead (their probe-side partners emit it too).
+  *
+  * Candidate quality vs the q-gram rarity prefix (the pre-r14 scheme):
+  * a key here is an EXACT aligned substring of ~len/k chars bound to its
+  * segment index and the source length, so bucket mass is "strings sharing
+  * an identical aligned half/third", not "strings sharing one rare
+  * 3-gram" — on correlated text (template-generated names) that is orders
+  * of magnitude sparser, and no corpus-wide gram-frequency pass or
+  * per-string rank window is needed at all. */
+case class PassSegKeys(child: Expression, d: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    PassJoinKeys.segKeys(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], d)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.PassJoinKeys.segKeys($c, $d);")
+
+  override protected def withNewChildInternal(newChild: Expression): PassSegKeys =
+    copy(child = newChild)
+
+  override def prettyName: String = "pass_seg_keys"
+}
+
+/** Pass-Join PROBE keys — the other half of [[PassSegKeys]]'s contract:
+  * for every candidate source length la in [len−d, len+d] (la ≥ k) this
+  * string enumerates, per segment index, every substring of the segment's
+  * length starting within d of the segment's position (clamped to the
+  * string), as `"<segIdx>:<la>:<substring>"` — the complete set of keys
+  * any ed ≤ d partner of length la could have indexed. ≤ (2d+1)²·(d+1)
+  * keys per row (18 at d=1, 75 at d=2), emitted row-locally and DISTINCT.
+  * Strings shorter than k+d chars add the sentinel "S" (their in-band
+  * partners may be sentinel-indexed). */
+case class PassProbeKeys(child: Expression, d: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    PassJoinKeys.probeKeys(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], d)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.PassJoinKeys.probeKeys($c, $d);")
+
+  override protected def withNewChildInternal(newChild: Expression): PassProbeKeys =
+    copy(child = newChild)
+
+  override def prettyName: String = "pass_probe_keys"
+}
+
+object PassJoinKeys {
+  /** Segment start positions (1-based) and lengths for a string of `len`
+    * chars split into k parts, first `len mod k` parts one longer. */
+  private def layout(len: Int, k: Int): (Array[Int], Array[Int]) = {
+    val base = len / k
+    val rem = len % k
+    val lens = Array.tabulate(k)(j => base + (if (j < rem) 1 else 0))
+    val starts = new Array[Int](k)
+    starts(0) = 1
+    var j = 1
+    while (j < k) { starts(j) = starts(j - 1) + lens(j - 1); j += 1 }
+    (starts, lens)
+  }
+
+  private def utf8(s: String) =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
+  /** Static entry point shared by eval and generated code. */
+  def segKeys(s: org.apache.spark.unsafe.types.UTF8String, d: Int): ArrayData = {
+    val k = d + 1
+    val len = s.numChars()
+    val out = new java.util.ArrayList[Any]()
+    if (len < k) out.add(utf8("S"))
+    else {
+      val (starts, lens) = layout(len, k)
+      var j = 0
+      while (j < k) {
+        out.add(utf8(
+          j.toString + ":" + len + ":" + s.substringSQL(starts(j), lens(j))))
+        j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** Static entry point shared by eval and generated code. Windows are
+    * multi-match-aware (the Pass-Join shift rule): a segment matching at
+    * shift s needs ≥ |s| edits before it and ≥ |Δ − s| after it
+    * (Δ = lb − la, the net length change), so only shifts with
+    * |s| + |Δ − s| ≤ d can witness a true pair — at d=1 that is 5 keys
+    * per segment-index across the three candidate lengths, not 9. */
+  def probeKeys(s: org.apache.spark.unsafe.types.UTF8String, d: Int): ArrayData = {
+    val k = d + 1
+    val len = s.numChars()
+    val seen = new java.util.LinkedHashSet[String]()
+    var la = math.max(k, len - d)
+    while (la <= len + d) {
+      val delta = len - la
+      val (starts, lens) = layout(la, k)
+      var j = 0
+      while (j < k) {
+        var sh = -d
+        while (sh <= d) {
+          if (math.abs(sh) + math.abs(delta - sh) <= d) {
+            val q = starts(j) + sh
+            if (q >= 1 && q <= len - lens(j) + 1)
+              seen.add(j.toString + ":" + la + ":" + s.substringSQL(q, lens(j)))
+          }
+          sh += 1
+        }
+        j += 1
+      }
+      la += 1
+    }
+    if (len < k + d) seen.add("S")
+    val out = new java.util.ArrayList[Any]()
+    val it = seen.iterator()
+    while (it.hasNext) out.add(utf8(it.next()))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** 8-bucket character histogram of a string packed into one long (8 bits
+  * per bucket, counts saturating at 255; bucket = char code mod 8) — the
+  * cheap side-signature behind [[HistL1]]'s lossless count filter: one
+  * edit operation changes at most one character occurrence on each side,
+  * so ed(a,b) ≤ d implies Σ_buckets |cnt_a − cnt_b| ≤ 2d; merging
+  * characters into buckets only LOWERS the L1 (triangle inequality), and
+  * saturation at 255 is shared by construction for strings under 255
+  * occurrences per bucket, so the filter stays a superset test. */
+case class CharHist64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(input: Any): Any =
+    CharHist64.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.CharHist64.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharHist64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "char_hist64"
+}
+
+object CharHist64 {
+  /** Static entry point shared by eval and generated code. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    val counts = new Array[Int](8)
+    // code-point iteration: one edit touches one code POINT, so the ≤ 2d
+    // L1 bound needs code-point counts (UTF-16 units would double-count
+    // astral chars and break the bound)
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts(cp % 8) += 1
+      i += Character.charCount(cp)
+    }
+    var h = 0L
+    var b = 0
+    while (b < 8) {
+      h = (h << 8) | math.min(counts(b), 255).toLong
+      b += 1
+    }
+    h
+  }
+
+  /** L1 distance between two packed 8-bucket histograms. */
+  def l1(a: Long, b: Long): Int = {
+    var s = 0
+    var sh = 0
+    while (sh < 64) {
+      s += math.abs(((a >>> sh) & 0xffL).toInt - ((b >>> sh) & 0xffL).toInt)
+      sh += 8
+    }
+    s
+  }
+}
+
+/** L1 distance between two [[CharHist64]] signatures — evaluated inside a
+  * join condition as a plain codegen long→int function. */
+case class HistL1(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CharHist64.l1(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.CharHist64.l1($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HistL1 =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "hist_l1"
+}
+
 /** Content-defined-chunking boundary positions of a text in ONE pass —
   * semantically [[graft.ops.Chunking.chunks]]'s old HOF chain
   * `array_sort(array_distinct(concat([0], filter(transform(sequence(window,
@@ -903,6 +1122,16 @@ object VectorOps {
       (exprs: Seq[Expression]) => CdcBounds(exprs.head,
         SortedCharNgrams.literalN(exprs(1)),
         SortedCharNgrams.literalN(exprs(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("pass_seg_keys",
+      (exprs: Seq[Expression]) => PassSegKeys(exprs.head,
+        SortedCharNgrams.literalN(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("pass_probe_keys",
+      (exprs: Seq[Expression]) => PassProbeKeys(exprs.head,
+        SortedCharNgrams.literalN(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("char_hist64",
+      (exprs: Seq[Expression]) => CharHist64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hist_l1",
+      (exprs: Seq[Expression]) => HistL1(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("simhash60",
       (exprs: Seq[Expression]) => SimHash60(exprs.head), "scala_udf")
   }
@@ -949,6 +1178,20 @@ object VectorOps {
     org.apache.spark.sql.functions.call_function("qgram_keys", s,
       org.apache.spark.sql.functions.lit(q),
       org.apache.spark.sql.functions.lit(minLen))
+
+  def passSegKeys(s: Column, d: Int): Column =
+    org.apache.spark.sql.functions.call_function("pass_seg_keys", s,
+      org.apache.spark.sql.functions.lit(d))
+
+  def passProbeKeys(s: Column, d: Int): Column =
+    org.apache.spark.sql.functions.call_function("pass_probe_keys", s,
+      org.apache.spark.sql.functions.lit(d))
+
+  def charHist64(s: Column): Column =
+    org.apache.spark.sql.functions.call_function("char_hist64", s)
+
+  def histL1(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("hist_l1", a, b)
 
   def cdcBounds(s: Column, window: Int, mask: Int): Column =
     org.apache.spark.sql.functions.call_function("cdc_bounds", s,

@@ -861,119 +861,112 @@ object Dedup {
       .distinct()
   }
 
-  /** Ed-Join-style candidate enumeration for an edit-distance self-join
-    * (Xiao/Wang/Lin, "Ed-Join"; Gravano et al. q-gram count filtering).
-    * One edit operation destroys at most `q` of a string's character
-    * q-grams, so ed(a,b) ≤ d implies the (occurrence-numbered) gram sets
-    * overlap in ≥ |G| − d·q elements on each side; ordering every gram set
-    * by ascending global frequency and keeping only each string's first
-    * d·q+1 grams (its PREFIX — by construction the globally rarest), any
-    * true pair must collide on at least one prefix gram. Candidates are
-    * therefore enumerated by an equi-join on (block…, prefix gram) —
-    * NO per-block cross product, and the join buckets are small by
-    * construction because prefixes hold the rarest grams. The length band
-    * |len(a)−len(b)| ≤ d (lossless: ed ≥ length difference) rides in the
-    * join condition.
+  /** Pass-Join candidate enumeration for an edit-distance self-join
+    * (Li/Deng/Feng, "Pass-Join: a partition-based method for similarity
+    * joins" — public). Every string is split into k = d+1 even segments
+    * ([[graft.expr.PassSegKeys]]); by pigeonhole, d edit operations touch
+    * at most d segments, so for any true pair at least one segment of the
+    * SMALLER-id side appears verbatim in the other string, shifted by at
+    * most d. The other side row-locally enumerates every substring any
+    * in-band partner could have indexed ([[graft.expr.PassProbeKeys]]:
+    * per candidate source length la ∈ [len−d, len+d] and segment index,
+    * the ≤ 2d+1 aligned starts — ≤ 18 keys at d=1, ≤ 75 at d=2).
+    * Candidates are then ONE equi-join on (block…, key) with the lossless
+    * length band |len(a)−len(b)| ≤ d riding in the condition.
     *
-    * Count filtering is vacuous when a string has ≤ d·q grams (two 7-char
-    * strings at distance 2 can share zero 3-grams: "abcdefg" vs "abXdeYg"),
-    * so every string with fewer than q·(d+1) chars ADDITIONALLY carries a
-    * sentinel gram. Any true pair with a vacuous-count side has both sides
-    * short (length band ≤ d), hence both sentineled and still colliding;
-    * pairs with one side ≥ q·(d+1) chars have a non-vacuous bound on the
-    * longer side and the standard prefix theorem applies. Short strings have
-    * ≤ d·q+1 grams including the sentinel, so their whole gram set fits the
-    * prefix — losslessness never depends on the frequency ordering there.
+    * r14: this replaces the Ed-Join q-gram rarity-prefix scheme. The gram
+    * prefix needs a corpus-wide gram-frequency aggregate plus a per-string
+    * rank window BEFORE the self-join (two extra corpus shuffles), and its
+    * buckets collapse on correlated text: on the template-generated part
+    * names the single-witness rare-3-gram buckets enumerated 290.8M
+    * candidates at sf1 for ~10× the true pairs (extending the prefix with
+    * a count filter made the JOIN INPUT larger and measured strictly
+    * worse). A Pass-Join key is an exact aligned ~len/k-char substring
+    * bound to its segment index and source length — segment buckets on the
+    * same corpus are orders of magnitude sparser (measured: 290.8M → 0.8M
+    * candidate rows at sf1, q191 78.6 → 11.2 s same-box), and the whole
+    * frequency pass + rank window disappear from the plan.
     *
-    * Scale shape: gram explode is O(n·len) rows but immediately partial-
-    * aggregated; the only shuffles are keyed on gram / (block, gram) /
-    * candidate pair — candidate volume grows with Σ_gram (bucket choose 2)
-    * over RARE grams, near-linear on diverse text, never O(n²/|blocks|).
-    * `q` is the scale knob: collision noise stays near-linear only while
-    * |Σ|^q ≫ total corpus grams (the same diversity condition as an LSH
-    * band width), so grow q ~ log_|Σ|(corpus) as data grows — q=3 saturates
-    * past ~10⁴ lowercase strings, q=5 carries ~10⁷, q=7 beyond. Larger q
-    * costs a longer prefix (q·d+1 rows/string through the rank window), so
-    * pick the smallest q that clears the diversity condition.
+    * Short strings: below k chars a string cannot host k non-empty
+    * segments and is indexed under the sentinel key "S"; probe sides
+    * shorter than k+d chars emit "S" too, so any true pair with a
+    * sentineled index side (its partner is within the length band, hence
+    * also short) still collides. The segment witness never depends on
+    * gram diversity, so there is NO corpus-scale knob to re-tune as data
+    * grows (the old scheme's q had to grow with corpus size).
+    *
+    * Scale shape: key generation is per-row (no corpus-wide frequency
+    * pass, no window); the only shuffles are the (block…, key) candidate
+    * join and the pair distinct. Candidate volume is Σ_key
+    * idx(key)·probe(key) over exact-substring buckets — near the true
+    * pair count on diverse or templated text alike.
     *
     * @return distinct candidate pairs (pa, pb, sa, sb) with pa < pb —
     *         a superset of the true ≤ d pairs; verify with [[editDistancePairs]].
     */
   def editDistanceCandidates(df: DataFrame, id: String, str: String,
-      block: Seq[String], maxDist: Int = 2, q: Int = 3): DataFrame = {
-    val prefLen = q * maxDist + 1
+      block: Seq[String], maxDist: Int = 2): DataFrame = {
     graft.expr.VectorOps.register(df.sparkSession)
     val base = fanOut(df).select(
-      Seq(col(id).as("pk"), col(str).as("s"), length(col(str)).as("len")) ++
+      Seq(col(id).as("pk"), col(str).as("s"), length(col(str)).as("len"),
+        graft.expr.VectorOps.charHist64(col(str)).as("hist")) ++
         block.map(col): _*)
-    // positional char q-grams, occurrence-numbered so multiset count
-    // filtering becomes set semantics ("abcabc" → abc#1, abc#2, …) — ONE
-    // native per-row pass ([[graft.expr.QGramKeys]], r13 optimization)
-    // instead of posexplode + a (pk, g)-window over the corpus' whole
-    // gram stream
-    val grams = base.select(col("pk"),
-      explode(graft.expr.VectorOps.qgramKeys(col("s"), q,
-        q * (maxDist + 1))).as("gk"))
-    val freq = grams.groupBy(col("gk")).agg(count(lit(1)).as("cnt"))
-    // per-string prefix: the prefLen globally-rarest grams (ties by gram
-    // text — any consistent total order preserves losslessness)
     val blockEq = block.map(c => col(s"x.$c") === col(s"y.$c"))
       .foldLeft(lit(true))(_ && _)
-    if (Similarity.corpusCount(df) <= graft.Limits.dimensionRows) {
-      // NARROW candidates (r13): the self-join and the distinct move only
-      // (pk, gk, len, block) — the strings re-attach AFTER the pair set
-      // is deduped via BROADCAST joins, so the wide name column never
-      // rides the candidate shuffle (measured: 3.45M candidate rows at
-      // sf0.1 carrying BOTH strings through the join + distinct was the
-      // dominant Ed-Join cost; q191 13.2 → 6.2 s). Gated on the
-      // dimension-size knob: the attach is only free while the (pk, s)
-      // relation broadcasts — above the gate the two re-attach joins
-      // would shuffle the candidate relation TWICE more, measured 1.5×
-      // WORSE than letting the strings ride (sf1 probe: 66 s wide shape
-      // vs 102 s narrow + shuffle-attach).
-      val prefix = grams.join(freq, Seq("gk"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("pk")).orderBy(col("cnt"), col("gk"))))
-        .filter(col("rk") <= prefLen)
-        .join(base.drop("s"), Seq("pk"))
-      val cand = prefix.as("x").join(prefix.as("y"),
-          col("x.gk") === col("y.gk") && blockEq &&
-            col("x.pk") < col("y.pk") &&
-            abs(col("x.len") - col("y.len")) <= maxDist)
-        .select(col("x.pk").as("pa"), col("y.pk").as("pb"))
-        .distinct()
-      cand
-        .join(broadcast(base.select(col("pk").as("pa"), col("s").as("sa"))),
-          Seq("pa"))
-        .join(broadcast(base.select(col("pk").as("pb"), col("s").as("sb"))),
-          Seq("pb"))
-        .select(col("pa"), col("pb"), col("sa"), col("sb"))
-    } else {
-      // at-scale shape: strings ride the prefix self-join and the distinct
-      // (one wide shuffle beats two extra candidate-sized shuffles)
-      val prefix = grams.join(freq, Seq("gk"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("pk")).orderBy(col("cnt"), col("gk"))))
-        .filter(col("rk") <= prefLen)
-        .join(base, Seq("pk"))
-      prefix.as("x").join(prefix.as("y"),
-          col("x.gk") === col("y.gk") && blockEq &&
-            col("x.pk") < col("y.pk") &&
-            abs(col("x.len") - col("y.len")) <= maxDist)
-        .select(col("x.pk").as("pa"), col("y.pk").as("pb"),
-          col("x.s").as("sa"), col("y.s").as("sb"))
-        .distinct()
-    }
+    // the histogram count filter ([[graft.expr.CharHist64]]): ed ≤ d
+    // implies bucketed-char-histogram L1 ≤ 2d — evaluated per JOIN ROW,
+    // before the pair distinct and the levenshtein verify ever see the
+    // pair (measured at sf1: 77.5M → far fewer distinct candidates on the
+    // templated scaled names, where segment collisions are pairs that
+    // differ in many characters)
+    val joinCond = col("x.key") === col("y.key") && blockEq &&
+      col("x.pk") < col("y.pk") &&
+      abs(col("x.len") - col("y.len")) <= maxDist &&
+      graft.expr.VectorOps.histL1(col("x.hist"), col("y.hist")) <=
+        2 * maxDist
+    // NARROW candidates at EVERY scale (guide §8: decide with small rows,
+    // move big rows once): the candidate join and the pair distinct move
+    // only (pk, key, len, hist, block). With the shift-window and
+    // histogram filters the surviving pair relation is near the true pair
+    // count, so re-attaching the strings costs two pair-sized equi-joins —
+    // strictly cheaper than the r13 wide shape, which carried the string
+    // on EVERY exploded join-input row (measured at sf1: 83.3M join rows
+    // vs a 16.6M-row post-filter pair relation; wide q191 14.5 s → narrow
+    // 11.1 s same-box). The attach joins take a broadcast hint only under
+    // the dimension-size gate; above it they are plain equi-joins and AQE
+    // picks the strategy from measured sizes.
+    val narrowCols = Seq(col("pk"), col("len"), col("hist")) ++
+      block.map(col)
+    val segs = base.select(narrowCols :+
+      explode(graft.expr.VectorOps.passSegKeys(col("s"), maxDist))
+        .as("key"): _*)
+    val probes = base.select(narrowCols :+
+      explode(graft.expr.VectorOps.passProbeKeys(col("s"), maxDist))
+        .as("key"): _*)
+    val cand = segs.as("x").join(probes.as("y"), joinCond)
+      .select(col("x.pk").as("pa"), col("y.pk").as("pb"))
+      .distinct()
+    val attHint: DataFrame => DataFrame =
+      if (Similarity.corpusCount(df) <= graft.Limits.dimensionRows)
+        broadcast(_)
+      else identity
+    cand
+      .join(attHint(base.select(col("pk").as("pa"), col("s").as("sa"))),
+        Seq("pa"))
+      .join(attHint(base.select(col("pk").as("pb"), col("s").as("sb"))),
+        Seq("pb"))
+      .select(col("pa"), col("pb"), col("sa"), col("sb"))
   }
 
   /** Edit-distance self-join: all pairs within `block` at levenshtein
-    * distance ≤ maxDist, enumerated via [[editDistanceCandidates]] (prefix
-    * filter — no block cross product) and verified with the threshold DP
-    * (levenshtein's 3-arg form early-abandons at > maxDist: O(d·len) per
-    * candidate, not O(len²)). Returns (pa, pb, dist), pa < pb. */
+    * distance ≤ maxDist, enumerated via [[editDistanceCandidates]]
+    * (Pass-Join segment filter — no block cross product) and verified with
+    * the threshold DP (levenshtein's 3-arg form early-abandons at
+    * > maxDist: O(d·len) per candidate, not O(len²)).
+    * Returns (pa, pb, dist), pa < pb. */
   def editDistancePairs(df: DataFrame, id: String, str: String,
-      block: Seq[String], maxDist: Int = 2, q: Int = 3): DataFrame =
-    editDistanceCandidates(df, id, str, block, maxDist, q)
+      block: Seq[String], maxDist: Int = 2): DataFrame =
+    editDistanceCandidates(df, id, str, block, maxDist)
       .select(col("pa"), col("pb"),
         levenshtein(col("sa"), col("sb"), maxDist).cast("long").as("dist"))
       .filter(col("dist") >= 0)

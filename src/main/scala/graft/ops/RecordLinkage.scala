@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * catalog-dedup / customer-360 pipeline ships.
   *
   * Scale shape: candidates come from [[Dedup.editDistanceCandidates]]'s
-  * Ed-Join rarity-prefix equi-join — never a per-block cross product — and
+  * Pass-Join segment equi-join — never a per-block cross product — and
   * every evidence after that is a per-candidate-pair projection plus two
   * hash equi-joins to attach the attribute tuples. Weights are integer
   * micro-units; the decision is a pure integer compare, tie-free across
@@ -30,10 +30,9 @@ object RecordLinkage {
     * +50000. Bands: ≥ 700000 match, ≥ 400000 possible, below → dropped
     * (the FS reject region).
     *
-    * Default `maxDist = 1`: the Ed-Join prefix length is q·d+1, so the
-    * candidate volume (and the verify bill) grows steeply with the radius
-    * — the sf1 probe measured the d=2 variant at 114 s vs ~35 s for d=1 at
-    * 10× data, for pairs whose extra name distance the score then mostly
+    * Default `maxDist = 1`: candidate volume (and the verify bill) grows
+    * steeply with the radius — probe windows widen with d and segments
+    * shrink, for pairs whose extra name distance the score then mostly
     * rejects anyway (a d=2 name-only pair scores 200k, deep in the reject
     * region). Callers wanting a wider radius pass it explicitly.
     *
