@@ -518,18 +518,62 @@ object Quantize {
     * the trained pieces (vcell: n rows, cents: ≤ k·dim, codes: n·m) are
     * parallelized back; `iv` stays a distributed scan product so probe and
     * ground-truth consumers never read the corpus through driver memory. */
-  private def ivfPqIndexLocal(embeddings: DataFrame, nCells: Int, m: Int,
-      k: Int, rounds: Int, subDim: Int): IvfPqIndex = {
-    val spark = embeddings.sparkSession
-    val vecsL: Array[(Long, Array[Long])] = embeddings
+  /** One collect of the (id-sorted) raw double vectors — shared by the
+    * driver-local trainer and the driver-local drift replay (r14) so the
+    * corpus crosses the driver boundary exactly once per operator. */
+  private def collectVecs(embeddings: DataFrame): Array[(Long, Array[Double])] =
+    embeddings
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect()
-      .map { r =>
-        val arr = r.getSeq[Double](1).toArray
-          .map(v => math.floor(v * 1e6).toLong)
-        (r.getLong(0), arr)
-      }.sortBy(_._1)
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** The trained in-memory pieces of one driver-local IVF-PQ training run
+    * ([[trainLocal]]): micro-int coordinates, the seeded coarse codebook,
+    * per-vector cell assignment, per-subspace residual centroid lists
+    * (cid-ascending) and the PQ codes. */
+  private final case class LocalIvfPq(ids: Array[Long],
+      xs: Array[Array[Long]], coarse: Array[(Long, Array[Long])],
+      cellOf: Array[Int], cents: Array[Array[(Long, Array[Long])]],
+      codes: Array[Array[Long]])
+
+  private def ivfPqIndexLocal(embeddings: DataFrame, nCells: Int, m: Int,
+      k: Int, rounds: Int, subDim: Int): IvfPqIndex = {
+    val spark = embeddings.sparkSession
+    val t = trainLocal(collectVecs(embeddings), nCells, m, k, rounds, subDim)
+    // parallelize the trained pieces; the corpus-sized per-dim coordinates
+    // stay a distributed derivation
+    import spark.implicits._
+    val vcell = FreshCheckpoint(
+      t.ids.indices.map(v => (t.ids(v), t.coarse(t.cellOf(v))._1)).toDF(
+        "vec_id", "cell"))
+    val centsF = FreshCheckpoint(
+      (for {
+        s <- 0 until m
+        (cid, arr) <- t.cents(s)
+        dl <- 0 until subDim
+      } yield (cid, s.toLong, dl.toLong, arr(dl)))
+        .toDF("cid", "sub", "dl", "cx"))
+    val codes = FreshCheckpoint(
+      (for { v <- t.ids.indices; s <- 0 until m }
+        yield (t.ids(v), s.toLong, t.codes(v)(s)))
+        .toDF("vec_id", "sub", "cid"))
+    val coarsePd = FreshCheckpoint(
+      (for { (cell, cxs) <- t.coarse.toSeq; d <- cxs.indices }
+        yield (cell, d.toLong, cxs(d))).toDF("cell", "d", "cx"))
+    val iv = FreshCheckpoint(coords(embeddings))
+    IvfPqIndex(iv, coarsePd, vcell, centsF, codes, subDim)
+  }
+
+  /** Pure in-memory IVF-PQ training over collected raw vectors — the exact
+    * long arithmetic of the distributed array path (scaladoc on
+    * [[ivfPqIndexLocal]]'s call sites and the r13 agreement spec). */
+  private def trainLocal(vecsRaw: Array[(Long, Array[Double])], nCells: Int,
+      m: Int, k: Int, rounds: Int, subDim: Int): LocalIvfPq = {
+    val vecsL: Array[(Long, Array[Long])] = vecsRaw.map { case (id, raw) =>
+      (id, raw.map(v => math.floor(v * 1e6).toLong))
+    }
     val n = vecsL.length
     // coarse codebook: the nCells smallest vec_ids, cell id = vec_id
     val coarse = vecsL.take(nCells)
@@ -620,28 +664,8 @@ object Quantize {
       }
     for (_ <- 1 to rounds) cents = updateCents(assignAll())
     val codesL = assignAll()
-    // parallelize the trained pieces; the corpus-sized per-dim coordinates
-    // stay a distributed derivation
-    import spark.implicits._
-    val vcell = FreshCheckpoint(
-      vecsL.indices.map(v => (vecsL(v)._1, coarse(cellOf(v))._1)).toDF(
-        "vec_id", "cell"))
-    val centsF = FreshCheckpoint(
-      (for {
-        s <- 0 until m
-        (cid, arr) <- cents(s)
-        dl <- 0 until subDim
-      } yield (cid, s.toLong, dl.toLong, arr(dl)))
-        .toDF("cid", "sub", "dl", "cx"))
-    val codes = FreshCheckpoint(
-      (for { v <- vecsL.indices; s <- 0 until m }
-        yield (vecsL(v)._1, s.toLong, codesL(v)(s)))
-        .toDF("vec_id", "sub", "cid"))
-    val coarsePd = FreshCheckpoint(
-      (for { (cell, cxs) <- coarse.toSeq; d <- cxs.indices }
-        yield (cell, d.toLong, cxs(d))).toDF("cell", "d", "cx"))
-    val iv = FreshCheckpoint(coords(embeddings))
-    IvfPqIndex(iv, coarsePd, vcell, centsF, codes, subDim)
+    LocalIvfPq(vecsL.map(_._1), vecsL.map(_._2), coarse, cellOf, cents,
+      codesL)
   }
 
   /** Probe a trained index: nprobe nearest cells per query, per-(query,
@@ -992,8 +1016,26 @@ object Quantize {
   def ivfPqDriftRecall(embeddings: DataFrame, steps: Seq[Int] = Seq(0, 1, 2, 3),
       driftPerStep: Double = 0.25, nCells: Int = 8, m: Int = 16, k: Int = 32,
       rounds: Int = 2, nprobe: Int = 2, nQueries: Int = 5, topK: Int = 10,
-      dim: Int = 0): DataFrame = {
+      dim: Int = 0,
+      localCutoff: Long = graft.Limits.dimensionRows): DataFrame = {
     graft.expr.VectorOps.register(embeddings.sparkSession)
+    // r14: below the dimension gate the WHOLE drift series replays
+    // driver-local — the r13 round had already made the training
+    // driver-local under this gate and decomposed the per-step work, but
+    // each of the |steps| steps still paid ~6 eager checkpoints + scalar
+    // actions of trivially small data (measured: q320 ~10 s at sf0.1 for
+    // 2000 vectors, virtually all stage scheduling). The per-step replay
+    // (drifted floor((v+offset)·1e6) coords, frozen-codebook encode,
+    // nprobe ADC probe, exact-L2 ground truth, cell-drift gauge) is the
+    // same exact long arithmetic (every distance < 2⁵³) with the same tie
+    // rules (argmins to the lowest id, topK by (dist, vec_id)), so the
+    // |steps|-row result is row-identical to the distributed chain
+    // (OptR14Spec pins it; the distributed array path below stays the
+    // at-scale fallback).
+    val nVecs = Similarity.corpusCount(embeddings)
+    if (nVecs > 0 && nVecs <= localCutoff)
+      return ivfPqDriftRecallLocal(embeddings, steps, driftPerStep, nCells,
+        m, k, rounds, nprobe, nQueries, topK, dim)
     val idx = ivfPqIndex(embeddings, nCells, m, k, rounds, dim)
     // r13 optimization: the drifted coordinates of EVERY step are pure
     // per-row functions of the same checkpointed raw double-array base —
@@ -1090,5 +1132,159 @@ object Quantize {
           when(col("n_exact") > 0,
             expr("n_hit * 1000000 div n_exact")).as("recall_u"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Driver-local drift-series replay (see the gate comment on
+    * [[ivfPqDriftRecall]]): one collect, one in-memory training, |steps|
+    * in-memory replays of encode → probe → exact ground truth → drift
+    * gauge, ONE |steps|-row result. Every step is the distributed chain's
+    * exact long arithmetic: floor((v+offset)·1e6) drifted coordinates
+    * (IEEE-identical — same double ops in the same order), squared-L2
+    * argmins with ties to the lowest id (id-ascending scans, strict <),
+    * ADC sums over the frozen per-subspace codebooks, topK by (dist,
+    * vec_id), and floor(Σx/count) cell means against the frozen coarse
+    * centroids. Step 0's +0.0 offset is an IEEE identity, so its replay
+    * reuses the trained pieces exactly like the distributed branch. */
+  private def ivfPqDriftRecallLocal(embeddings: DataFrame, steps: Seq[Int],
+      driftPerStep: Double, nCells: Int, m: Int, k: Int, rounds: Int,
+      nprobe: Int, nQueries: Int, topK: Int, dim: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val vecsRaw = collectVecs(embeddings)
+    val n = vecsRaw.length
+    val dimR = if (dim > 0) dim else vecsRaw.headOption.map(_._2.length)
+      .getOrElse(0)
+    require(dimR > 0 && dimR % m == 0, s"dim $dimR not divisible by m=$m")
+    val subDim = dimR / m
+    val t = trainLocal(vecsRaw, nCells, m, k, rounds, subDim)
+    val ids = t.ids
+    def sqL2(a: Array[Long], b: Array[Long], from: Int, until: Int): Long = {
+      var s = 0L; var i = from
+      while (i < until) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val rows = steps.map { u =>
+      val offset = driftPerStep * u
+      // drifted coords — step 0 reuses the training coords (IEEE identity)
+      val dxs: Array[Array[Long]] =
+        if (offset == 0.0) t.xs
+        else vecsRaw.map(_._2.map(v => math.floor((v + offset) * 1e6).toLong))
+      // frozen-codebook encode (append path): nearest frozen coarse cell,
+      // then per-sub argmin over the frozen residual centroids
+      val (cellOf, codes) =
+        if (offset == 0.0) (t.cellOf, t.codes)
+        else {
+          val co = new Array[Int](n)
+          val cd = Array.ofDim[Long](n, m)
+          var v = 0
+          while (v < n) {
+            var best = 0; var bestD = Long.MaxValue
+            var ci = 0
+            while (ci < t.coarse.length) {
+              val s = sqL2(dxs(v), t.coarse(ci)._2, 0, dimR)
+              if (s < bestD) { bestD = s; best = ci }
+              ci += 1
+            }
+            co(v) = best
+            val cxs = t.coarse(best)._2
+            val r = Array.tabulate(dimR)(i => dxs(v)(i) - cxs(i))
+            var s = 0
+            while (s < m) {
+              val lst = t.cents(s)
+              var bestCid = 0L; var bd = Long.MaxValue
+              var c = 0
+              while (c < lst.length) {
+                val cxsS = lst(c)._2
+                var dsum = 0L; var i = 0
+                while (i < subDim) {
+                  val d = r(s * subDim + i) - cxsS(i); dsum += d * d; i += 1
+                }
+                if (dsum < bd) { bd = dsum; bestCid = lst(c)._1 }
+                c += 1
+              }
+              cd(v)(s) = bestCid
+              s += 1
+            }
+            v += 1
+          }
+          (co, cd)
+        }
+      // probe: per query the nprobe nearest FROZEN cells by (cdist, cell),
+      // ADC tables per (cell, sub, cid), candidate scan over probed cells
+      val qIdx = ids.indices.filter(qi => ids(qi) < nQueries)
+      var nHit = 0L
+      var nExact = 0L
+      qIdx.foreach { qi =>
+        val cdists = t.coarse.indices.map(ci =>
+          (sqL2(dxs(qi), t.coarse(ci)._2, 0, dimR), t.coarse(ci)._1, ci))
+        val probed = cdists.sortBy(c => (c._1, c._2)).take(nprobe).map(_._3)
+        // qd(ci)(s): cid -> ADC distance of the query's residual subvector
+        val qd = probed.map { ci =>
+          val cxs = t.coarse(ci)._2
+          val r = Array.tabulate(dimR)(i => dxs(qi)(i) - cxs(i))
+          Array.tabulate(m) { s =>
+            val mp = new java.util.HashMap[Long, Long]()
+            t.cents(s).foreach { case (cid, cxsS) =>
+              var dsum = 0L; var i = 0
+              while (i < subDim) {
+                val d = r(s * subDim + i) - cxsS(i); dsum += d * d; i += 1
+              }
+              mp.put(cid, dsum)
+            }
+            mp
+          }
+        }
+        val probedSet = probed.toSet
+        val approx = ids.indices.iterator
+          .filter(v => probedSet.contains(cellOf(v)) && ids(v) != ids(qi))
+          .map { v =>
+            val qdC = qd(probed.indexOf(cellOf(v)))
+            var adist = 0L; var s = 0
+            while (s < m) { adist += qdC(s).get(codes(v)(s)); s += 1 }
+            (adist, ids(v))
+          }.toArray.sortBy(identity).take(topK).map(_._2).toSet
+        val exact = ids.indices.iterator
+          .filter(v => ids(v) != ids(qi))
+          .map(v => (sqL2(dxs(v), dxs(qi), 0, dimR), ids(v)))
+          .toArray.sortBy(identity).take(topK).map(_._2)
+        nExact += exact.length
+        nHit += exact.count(approx.contains)
+      }
+      // the q298 drift gauge against the frozen coarse codebook
+      var totalDrift = 0L
+      var maxDrift = 0L
+      t.coarse.indices.foreach { ci =>
+        val members = ids.indices.filter(v => cellOf(v) == ci)
+        if (members.nonEmpty) {
+          var cdrift = 0L
+          var d = 0
+          while (d < dimR) {
+            var sum = 0L
+            members.foreach(v => sum += dxs(v)(d))
+            val mx = math.floor(sum.toDouble / members.length).toLong
+            val diff = mx - t.coarse(ci)._2(d)
+            cdrift += diff * diff
+            d += 1
+          }
+          totalDrift += cdrift
+          maxDrift = math.max(maxDrift, cdrift)
+        }
+      }
+      org.apache.spark.sql.Row(u.toLong, math.round(offset * 1000000d),
+        totalDrift, maxDrift, nExact, nHit,
+        if (nExact > 0) java.lang.Long.valueOf(nHit * 1000000L / nExact)
+        else null)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("step", LongType, nullable = false),
+      StructField("offset_u", LongType, nullable = false),
+      StructField("total_drift", LongType, nullable = true),
+      StructField("max_cell_drift", LongType, nullable = true),
+      StructField("n_exact", LongType, nullable = true),
+      StructField("n_hit", LongType, nullable = true),
+      StructField("recall_u", LongType, nullable = true)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 }

@@ -244,4 +244,20 @@ class OptR14Spec extends graft.SparkTestBase {
       assert(nu.columns.toSeq === old.columns.toSeq)
     }
   }
+
+  test("ivfPqDriftRecall: the driver-local drift replay agrees with the " +
+    "distributed chain row-for-row (q320 identity, incl. step 0 and " +
+    "non-default steps)") {
+    val emb = spark.read.parquet(s"$testData/sf0.001/embeddings.parquet")
+    for (steps <- Seq(Seq(0, 1, 2, 3), Seq(2))) {
+      val loc = Quantize.ivfPqDriftRecall(emb, steps = steps, nQueries = 3,
+        topK = 5, dim = 64)
+      val dist = Quantize.ivfPqDriftRecall(emb, steps = steps, nQueries = 3,
+        topK = 5, dim = 64, localCutoff = 0L)
+      assert(loc.columns.toSeq === dist.columns.toSeq)
+      val l = loc.collect().map(_.toSeq).sortBy(_.head.toString)
+      val d = dist.collect().map(_.toSeq).sortBy(_.head.toString)
+      assert(l.toSeq === d.toSeq, s"drift replay diverged at steps=$steps")
+    }
+  }
 }
