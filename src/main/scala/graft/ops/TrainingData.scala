@@ -93,12 +93,15 @@ object TrainingData {
       .select(col("x.split").as("split_a"), col("y.split").as("split_b"),
         col("x.doc_id").as("da"), col("y.doc_id").as("db"),
         col("x.gram").as("gram"))
-    val docPairs = x.select(col("split_a"), col("split_b"), col("da"), col("db"))
-      .distinct().groupBy(col("split_a"), col("split_b"))
-      .agg(count(lit(1)).as("n_doc_pairs"))
-    val sharedGrams = x.select(col("split_a"), col("split_b"), col("gram"))
-      .distinct().groupBy(col("split_a"), col("split_b"))
-      .agg(count(lit(1)).as("n_shared_grams"))
+    // r14: ONE aggregate with two count-distincts instead of two
+    // (distinct → count) rollups — the old shape executed the whole
+    // rare-gram self-join subtree TWICE (once per rollup; nothing caches
+    // it), which was the dominant cost of the audit (phase-profiled 2.1 s
+    // of q265's 7.1 at sf0.1). countDistinct over the never-null (da, db)
+    // / gram columns is exactly the distinct-then-count it replaces.
+    val rolled = x.groupBy(col("split_a"), col("split_b"))
+      .agg(countDistinct(col("da"), col("db")).as("n_doc_pairs"),
+        countDistinct(col("gram")).as("n_shared_grams"))
     val straddle = nearDupPairs.select(col("a"), col("b"))
       .join(split.select(col("doc_id").as("a"), col("split").as("sa")), Seq("a"))
       .join(split.select(col("doc_id").as("b"), col("split").as("sb")), Seq("b"))
@@ -113,8 +116,7 @@ object TrainingData {
     import sess.implicits._
     val spine = Seq(("test", "train"), ("test", "val"), ("train", "val"))
       .toDF("split_a", "split_b")
-    spine.join(docPairs, Seq("split_a", "split_b"), "left")
-      .join(sharedGrams, Seq("split_a", "split_b"), "left")
+    spine.join(rolled, Seq("split_a", "split_b"), "left")
       .join(straddle, Seq("split_a", "split_b"), "left")
       .select(col("split_a"), col("split_b"),
         coalesce(col("n_doc_pairs"), lit(0L)).as("n_doc_pairs"),
