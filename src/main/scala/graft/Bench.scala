@@ -88,15 +88,32 @@ object Bench {
     // for every later one — ~6 s of one-time JIT, not plan cost; a steady-
     // state benchmark should not bill that to whichever query runs first.
     // sf0.001 keeps the whole warm-up pass under ~10 s of untimed work.
+    //
+    // r14 (OPTIMIZATION_r14.md, the r13 "heavy-isolation child JIT" item):
+    // a SUBSET run — which includes the heavy-isolation child, whose
+    // queries each execute exactly ONCE against a fresh JVM — warms up
+    // with ITS OWN selected queries at sf0.001, so no timed number carries
+    // one-time JIT/codegen compilation for plans unique to that query
+    // (measured on the child: q265 cold 14.4 s vs warm 6.4 s in r13). The
+    // timed region is untouched: warm-up stays untimed, runs on the
+    // sf0.001 directory, and its results are discarded — every timed
+    // execution still computes from the benched parquet inputs. Full-run
+    // in-session warm-up keeps the r3-era static set (its heavy members
+    // are measured in the child anyway).
     runOne(SparkEntry.queries("q02_agg_sum_groupby"))
     val warmDir = java.nio.file.Paths.get(sfDir).toAbsolutePath
       .getParent.resolve("sf0.001")
+    val onlyPre = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     if (java.nio.file.Files.isDirectory(warmDir)) {
-      val warmSet = Seq(
-        "q35_dedup_minhash_lsh", "q36_ngram_jaccard", "q37_simhash_neardups",
-        "q91_sssp_weighted", "q102_levenshtein_pairs", "q116_random_walks",
-        "q105_copurchase_pairs", "q150_semantic_dedup", "q31_bfs_2hop",
-        "q53_betweenness", "q148_line_dedup", "q112_negative_sampling")
+      val warmSet = onlyPre match {
+        case Some(prefixes) => SparkEntry.queries.keys.toSeq.sorted
+          .filter(n => prefixes.exists(n.startsWith))
+        case None => Seq(
+          "q35_dedup_minhash_lsh", "q36_ngram_jaccard", "q37_simhash_neardups",
+          "q91_sssp_weighted", "q102_levenshtein_pairs", "q116_random_walks",
+          "q105_copurchase_pairs", "q150_semantic_dedup", "q31_bfs_2hop",
+          "q53_betweenness", "q148_line_dedup", "q112_negative_sampling")
+      }
       warmSet.foreach { n =>
         try SparkEntry.queries(n)(spark, warmDir.toString)
           .write.format("noop").mode("overwrite").save()
