@@ -368,6 +368,65 @@ object WordNgrams {
   }
 }
 
+/** Per-row word n-gram COUNTS — semantically
+  * `tokenGrams → groupBy(doc_id, gram) → count` for one document, computed
+  * inside the scan stage: the gram multiset is doc-local, so the corpus-
+  * wide (doc, gram) rollup those consumers paid was pure data movement of
+  * keys that are already unique per map task (r14; the gram construction
+  * itself went per-row in r13 via [[WordNgrams]]). Same tokenizer walk and
+  * single-space join as [[WordNgrams]]; returns array<struct<tok, tf>>,
+  * empty for fewer than n tokens. Entry order is first-occurrence order —
+  * deterministic, and irrelevant to every consumer (aggregates/joins). */
+case class WordNgramCounts(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tok",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgramCounts.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.WordNgramCounts.compute($c, $n);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordNgramCounts = copy(child = newChild)
+
+  override def prettyName: String = "word_ngram_counts"
+}
+
+object WordNgramCounts {
+  /** Static entry point shared by eval and generated code. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val grams = WordNgrams.compute(s, n)
+    val sz = grams.numElements()
+    val counts = new java.util.LinkedHashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+    var i = 0
+    while (i < sz) {
+      val g = grams.getUTF8String(i)
+      val e = counts.get(g)
+      if (e == null) counts.put(g, Array(1L)) else e(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue.apply(0)))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** All k MinHash salted-min signatures of a shingle array in ONE pass —
   * semantically `transform(sequence, i -> array_min(transform(arr, t ->
   * md5(i || ':' || t))))` but with none of that form's k intermediate
@@ -1128,6 +1187,9 @@ object VectorOps {
     reg.createOrReplaceTempFunction("pass_probe_keys",
       (exprs: Seq[Expression]) => PassProbeKeys(exprs.head,
         SortedCharNgrams.literalN(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("word_ngram_counts",
+      (exprs: Seq[Expression]) => WordNgramCounts(exprs.head,
+        SortedCharNgrams.literalN(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("char_hist64",
       (exprs: Seq[Expression]) => CharHist64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("hist_l1",
@@ -1186,6 +1248,10 @@ object VectorOps {
   def passProbeKeys(s: Column, d: Int): Column =
     org.apache.spark.sql.functions.call_function("pass_probe_keys", s,
       org.apache.spark.sql.functions.lit(d))
+
+  def wordNgramCounts(s: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function("word_ngram_counts", s,
+      org.apache.spark.sql.functions.lit(n))
 
   def charHist64(s: Column): Column =
     org.apache.spark.sql.functions.call_function("char_hist64", s)

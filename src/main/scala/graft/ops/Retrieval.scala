@@ -209,6 +209,14 @@ object Retrieval {
     * delta needs (no corpus scalars, no driver actions). */
   private[ops] def bm25TfLen(docs: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.graft.FreshCheckpoint
+    // Kept as the groupBy rollup (r14 A/B): the per-row counted form
+    // ([[TextAnalysis.tokenTfs]]) measured FLAT to slightly worse here —
+    // map-side partial aggregation already collapses the doc-local keys
+    // to final counts before the exchange, so the shuffle moves exactly
+    // the checkpoint-sized relation, and the codegen hash-agg beats the
+    // per-row boxed counter. tokenTfs stays where a consumer's next
+    // exchange is doc-keyed (repetitionProfile) and the distinct sites
+    // use the per-row array_distinct form.
     val toks = TextAnalysis.tokenGrams(
         docs.select(col("doc_id"), col("text")), 3)
       .select(col("doc_id"), col("gram").as("tok"))

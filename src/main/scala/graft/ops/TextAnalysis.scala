@@ -207,11 +207,18 @@ object TextAnalysis {
     * rule): fraction of duplicated token n-grams per document. One
     * (doc_id)-shuffle for the gram window, then a per-doc agg. */
   def repetitionRatio(docs: DataFrame, n: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = tokenGrams(docs, n)
-    grams.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("total_grams"),
-        countDistinct(col("gram")).as("uniq_grams"))
+    // r14: both counts are row-local (the gram multiset is doc-local), so
+    // the per-doc exchange is gone — two sizes over the named per-row gram
+    // array; the filter keeps exactly the docs the old groupBy emitted
+    // (≥ 1 gram)
+    graft.expr.VectorOps.register(docs.sparkSession)
+    Dedup.fanOut(docs)
+      .select(col("doc_id"),
+        graft.expr.VectorOps.wordNgrams(col("text"), n).as("arr"))
+      .select(col("doc_id"),
+        size(col("arr")).cast("long").as("total_grams"),
+        size(array_distinct(col("arr"))).cast("long").as("uniq_grams"))
+      .filter(col("total_grams") > 0)
       .select(col("doc_id"), col("total_grams"), col("uniq_grams"),
         // floor micro-units (tie-free) — an exact count ratio, see
         // Queries' parity conventions
@@ -240,8 +247,10 @@ object TextAnalysis {
   def repetitionProfile(docs: DataFrame, ns: Seq[Int] = Seq(2, 3)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     ns.map { n =>
-      val counted = tokenGrams(docs, n)
-        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      // per-row (doc, gram) counts (tokenTfs, r14) — the rollup exchange
+      // was doc-local; the window's doc_id shuffle below is the first one
+      val counted = tokenTfs(docs, n)
+        .select(col("doc_id"), col("gram"), col("tf").as("cnt"))
         .withColumn("mass", length(col("gram")).cast("long") * col("cnt"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("cnt").desc, col("gram"))
@@ -265,8 +274,10 @@ object TextAnalysis {
     * collisions, never all-pairs; at 100 TB the benchmark side is the small
     * relation and broadcasts. */
   def decontaminate(docs: DataFrame, isBench: Column, n: Int = 8): DataFrame = {
-    val gd = tokenGrams(docs.withColumn("bench", isBench), n)
-      .select(col("doc_id"), col("bench"), col("gram")).distinct()
+    // per-row distinct (r14): bench is doc-functional, so the corpus-wide
+    // distinct this paid was row-local all along
+    val gd = tokenGramsDistinct(docs.withColumn("bench", isBench), n)
+      .select(col("doc_id"), col("bench"), col("gram"))
     val bench = gd.filter(col("bench")).select(col("doc_id").as("bench_doc"), col("gram"))
     val train = gd.filter(!col("bench")).select(col("doc_id").as("train_doc"), col("gram"))
     train.join(broadcast(bench), Seq("gram"))
@@ -485,6 +496,36 @@ object TextAnalysis {
     graft.expr.VectorOps.register(docs.sparkSession)
     Dedup.fanOut(docs).select(col("*"),
         explode(graft.expr.VectorOps.wordNgrams(col("text"), n)).as("gram"))
+      .drop("text")
+  }
+
+  /** Per-row word n-gram COUNTS: [[tokenGrams]] → groupBy(doc_id, gram) →
+    * count with the rollup computed inside the scan stage
+    * ([[graft.expr.WordNgramCounts]], r14). The gram multiset is
+    * doc-local, so the corpus-wide (doc, gram) exchange every bm25/impact
+    * consumer paid was pure data movement of keys already unique per map
+    * task. Carries any extra input columns through; docs with fewer than
+    * n tokens emit nothing (exactly the rows the old rollup dropped). */
+  private[ops] def tokenTfs(docs: DataFrame, n: Int): DataFrame = {
+    graft.expr.VectorOps.register(docs.sparkSession)
+    Dedup.fanOut(docs).select(col("*"),
+        explode(graft.expr.VectorOps.wordNgramCounts(col("text"), n))
+          .as("tc"))
+      .drop("text")
+      .withColumn("gram", col("tc.tok")).withColumn("tf", col("tc.tf"))
+      .drop("tc")
+  }
+
+  /** Per-row DISTINCT (…, gram): [[tokenGrams]] → `.distinct()` computed
+    * inside the scan stage (r14) — every extra column carried here is
+    * doc-functional at the call sites, so `array_distinct` over the
+    * per-row gram array is exactly the corpus-wide distinct without its
+    * exchange. */
+  private[ops] def tokenGramsDistinct(docs: DataFrame, n: Int): DataFrame = {
+    graft.expr.VectorOps.register(docs.sparkSession)
+    Dedup.fanOut(docs).select(col("*"),
+        explode(array_distinct(
+          graft.expr.VectorOps.wordNgrams(col("text"), n))).as("gram"))
       .drop("text")
   }
 
@@ -921,7 +962,7 @@ object TextAnalysis {
     * @return (doc_id, n_grams, n_unique, novelty_u) — floor micro-units
     */
   def gramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
-    val g = tokenGrams(docs, n).select(col("doc_id"), col("gram")).distinct()
+    val g = tokenGramsDistinct(docs, n).select(col("doc_id"), col("gram"))
     val dfreq = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     g.join(dfreq, Seq("gram"))
       .groupBy(col("doc_id"))

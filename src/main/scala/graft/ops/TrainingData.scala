@@ -80,8 +80,8 @@ object TrainingData {
     * re-deriving connected components. */
   def splitLeakageAuditWith(docs: DataFrame, nearDupPairs: DataFrame,
       split: DataFrame, n: Int = 8, dfCap: Long = 25): DataFrame = {
-    val grams = TextAnalysis.tokenGrams(docs, n)
-      .select(col("doc_id"), col("gram")).distinct()
+    val grams = TextAnalysis.tokenGramsDistinct(docs, n)
+      .select(col("doc_id"), col("gram"))
     val rare = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
       .select(col("gram"))

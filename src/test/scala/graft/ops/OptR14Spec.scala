@@ -245,6 +245,42 @@ class OptR14Spec extends graft.SparkTestBase {
     }
   }
 
+  test("tokenTfs / tokenGramsDistinct: per-row rollups emit the OLD " +
+    "tokenGrams -> groupBy/distinct relations exactly (incl. edge docs)") {
+    import spark.implicits._
+    val edge = Seq(
+      (900001L, "one"), (900002L, ""), (900003L, "   "),
+      (900004L, "a b"), (900005L, "a b c a b c a b"),
+      (900006L, "Tabs\tand  Spaces\nmix")).toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"), col("text")).unionByName(edge)
+    for (n <- Seq(1, 3, 8)) {
+      val oldTf = TextAnalysis.tokenGrams(both, n)
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("tf"))
+      val newTf = TextAnalysis.tokenTfs(both, n)
+        .select(col("doc_id"), col("gram"), col("tf"))
+      assert(newTf.exceptAll(oldTf).isEmpty && oldTf.exceptAll(newTf).isEmpty,
+        s"tokenTfs diverged at n=$n")
+      val oldD = TextAnalysis.tokenGrams(both, n)
+        .select(col("doc_id"), col("gram")).distinct()
+      val newD = TextAnalysis.tokenGramsDistinct(both, n)
+        .select(col("doc_id"), col("gram"))
+      assert(newD.exceptAll(oldD).isEmpty && oldD.exceptAll(newD).isEmpty,
+        s"tokenGramsDistinct diverged at n=$n")
+    }
+    // repetitionRatio's row-local form vs the old per-doc rollup
+    val oldRep = TextAnalysis.tokenGrams(both, 2)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("total_grams"),
+        countDistinct(col("gram")).as("uniq_grams"))
+      .select(col("doc_id"), col("total_grams"), col("uniq_grams"),
+        (floor((lit(1.0) - col("uniq_grams").cast("double")
+          / col("total_grams").cast("double")) * 1000000d) / 1000000d)
+          .as("rep_ratio"))
+    val newRep = TextAnalysis.repetitionRatio(both, 2)
+    assert(newRep.exceptAll(oldRep).isEmpty && oldRep.exceptAll(newRep).isEmpty,
+      "repetitionRatio diverged from the old rollup form")
+  }
+
   test("ivfPqDriftRecall: the driver-local drift replay agrees with the " +
     "distributed chain row-for-row (q320 identity, incl. step 0 and " +
     "non-default steps)") {
