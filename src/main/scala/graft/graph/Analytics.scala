@@ -552,14 +552,22 @@ object Analytics {
     if (edges.schema("a").dataType == org.apache.spark.sql.types.LongType &&
         edges.schema("b").dataType == org.apache.spark.sql.types.LongType) {
       val und = edges.select(col("a"), col("b")).distinct()
-      // size gate BEFORE any collect, on BOTH dimensions — a 65k-vertex
-      // graph can still carry billions of edges, so the vertex cutoff alone
-      // would not bound the driver materialization; one aggregate checks
-      // both, and above either bound nothing reaches the driver
-      val g = und.agg(countDistinct(col("a")), count(lit(1))).head()
-      if (g.getLong(0) <= localCutoff && g.getLong(1) <= 4000000L)
-        return walksLocal(edges.sparkSession,
-          und.collect().map(r => (r.getLong(0), r.getLong(1))), steps)
+      // size gate on BOTH dimensions — a 65k-vertex graph can still carry
+      // billions of edges, so the vertex cutoff alone would not bound the
+      // driver materialization. r14: the gate and the collect share ONE
+      // pass — `take(edgeCap + 1)` materializes the distinct once and is
+      // itself the edge-count bound (take stops shipping at the cap, so
+      // an oversized graph never floods the driver; the old shape ran the
+      // full distinct TWICE, once under the gate aggregate and once under
+      // the collect). The vertex bound is then checked on the collected
+      // rows — same gate semantics, one distinct instead of two.
+      val edgeCap = 4000000
+      val rows = und.take(edgeCap + 1)
+      if (rows.length <= edgeCap) {
+        val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+        if (pairs.iterator.map(_._1).toSet.size <= localCutoff)
+          return walksLocal(edges.sparkSession, pairs, steps)
+      }
     }
     val byA = org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
     val adj = FreshCheckpoint(edges.select(col("a"), col("b")).distinct()
